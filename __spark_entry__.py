@@ -1,10 +1,21 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query; ``queries()`` exposes every
+implemented operator as (spark, sf_dir) -> DataFrame; ``oracle_sql()`` gives
+the DuckDB-runnable ANSI-SQL twin for each (same column names/types — the
+driver value-hashes after sorting columns by name).
+
+Implementation notes on oracle parity (why results hash-match exactly):
+  * money/ratio aggregates accumulate in small exact decimals and cast the
+    final value to double (order-independent, engine-independent);
+  * every hash is md5-based (bit-identical across engines), including
+    MinHash signatures, SimHash token hashes and LSH hyperplanes;
+  * double summations (cosines/dots) use sequential fold in BOTH engines —
+    verified bit-identical (Spark aggregate() vs DuckDB list_dot_product);
+  * timestamps are reduced to epoch microseconds (unix_micros/epoch_us)
+    before any bucketing, so session timezones never matter;
+  * nondeterministic orderings are always tie-broken by a unique key before
+    any LIMIT.
 """
 
 from __future__ import annotations
@@ -12,27 +23,449 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_io_experimental_spark.input import HiveInput, ScanSpec
+from hive_io_experimental_spark.operators import dedup, multimodal, relational, similarity, text
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: TPC-H Q1-shaped pricing summary at sf0.001."""
+    return relational.pricing_summary(_t(spark, "/root/testdata/sf0.001", "lineitem"))
 
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- scan surface (reference S1-S8 through the engine API) ----
+    q["scan_projection"] = lambda spark, sf: HiveInput(spark).read_table(
+        ScanSpec(
+            table=f"{sf}/lineitem.parquet",
+            columns=("l_orderkey", "l_partkey", "l_quantity"),
+        )
+    )
+    q["scan_filter"] = lambda spark, sf: (
+        HiveInput(spark)
+        .read_table(
+            ScanSpec(
+                table=f"{sf}/lineitem.parquet",
+                columns=(
+                    "l_orderkey",
+                    "l_partkey",
+                    "l_quantity",
+                    "l_extendedprice",
+                    "l_returnflag",
+                ),
+            )
+        )
+        .filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 45.0))
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    )
+    q["scan_topk"] = lambda spark, sf: (
+        HiveInput(spark)
+        .read_table(
+            ScanSpec(
+                table=f"{sf}/lineitem.parquet",
+                columns=("l_orderkey", "l_linenumber", "l_extendedprice"),
+            )
+        )
+        .orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(100)
+    )
+
+    # ---- relational surface ----
+    q["pricing_summary"] = lambda spark, sf: relational.pricing_summary(
+        _t(spark, sf, "lineitem")
+    )
+    q["top_revenue_orders"] = lambda spark, sf: relational.top_revenue_orders(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    )
+    q["nation_revenue"] = lambda spark, sf: relational.nation_revenue(
+        _t(spark, sf, "region"),
+        _t(spark, sf, "nation"),
+        _t(spark, sf, "customer"),
+        _t(spark, sf, "orders"),
+        _t(spark, sf, "lineitem"),
+    )
+    q["customer_order_ranks"] = lambda spark, sf: relational.customer_order_ranks(
+        _t(spark, sf, "orders")
+    )
+    q["event_user_setops"] = lambda spark, sf: relational.event_user_setops(
+        _t(spark, sf, "events")
+    )
+    q["events_hourly"] = lambda spark, sf: relational.events_hourly(
+        _t(spark, sf, "events")
+    )
+    q["sessionize_events"] = lambda spark, sf: relational.sessionize(
+        _t(spark, sf, "events")
+    )
+    q["table_stats"] = lambda spark, sf: relational.table_stats(
+        _t(spark, sf, "lineitem")
+    )
+
+    # ---- text analysis ----
+    q["text_metrics"] = lambda spark, sf: text.text_metrics(_t(spark, sf, "documents"))
+    q["lang_id"] = lambda spark, sf: text.lang_id(_t(spark, sf, "documents"))
+    q["doc_fingerprint"] = lambda spark, sf: text.fingerprint(
+        _t(spark, sf, "documents")
+    )
+    q["token_histogram"] = lambda spark, sf: text.token_histogram(
+        _t(spark, sf, "documents")
+    )
+
+    # ---- dedup family ----
+    q["dedup_exact"] = lambda spark, sf: dedup.exact_dedup(_t(spark, sf, "documents"))
+    q["dedup_ngram_jaccard"] = lambda spark, sf: dedup.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), threshold=0.8
+    )
+    q["dedup_minhash_lsh"] = lambda spark, sf: dedup.minhash_lsh_candidates(
+        _t(spark, sf, "documents")
+    )
+    q["dedup_simhash"] = lambda spark, sf: dedup.simhash(_t(spark, sf, "documents"))
+    q["dedup_embedding"] = lambda spark, sf: dedup.embedding_neardup(
+        _t(spark, sf, "embeddings"), threshold=0.97
+    )
+
+    # ---- similarity search ----
+    q["similarity_topk"] = lambda spark, sf: similarity.cosine_topk(
+        _t(spark, sf, "embeddings"),
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") % 100 == 0),
+        k=10,
+    )
+    q["similarity_lsh_buckets"] = lambda spark, sf: (
+        similarity.hyperplane_lsh_buckets(_t(spark, sf, "embeddings"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+    # ---- multimodal plumbing ----
+    q["multimodal_decode"] = lambda spark, sf: multimodal.decode_media_metadata(
+        multimodal.attach_binary_payload(_t(spark, sf, "documents"))
+    )
+    q["multimodal_resize"] = lambda spark, sf: multimodal.resize_plan(
+        multimodal.decode_media_metadata(
+            multimodal.attach_binary_payload(_t(spark, sf, "documents"))
+        )
+    )
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect twins)
+# ---------------------------------------------------------------------------
+
+# shared DuckDB fragments (documents tokenization — must mirror
+# functions/textfns.py exactly)
+_TOKS = (
+    "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),"
+    " x -> x <> '')"
+)
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_SHINGLES = (
+    "CASE WHEN len(toks) >= 3 THEN "
+    "list_distinct(list_transform(range(1, len(toks)-1),"
+    " i -> array_to_string(toks[i:i+2], ' '))) "
+    "ELSE [] END"
+)
+_AMT = "CAST({c} AS DECIMAL(12,2))"
+_RATE = "CAST({c} AS DECIMAL(4,2))"
+_H64 = "CAST(CAST(('0x' || substr(md5({x}), 1, 15)) AS UBIGINT) AS BIGINT)"
+
+_STOP_LIST = (
+    "['the','a','an','and','or','of','to','in','is','it',"
+    "'that','this','for','on','with','as','at','by']"
+)
+_MARK = {
+    "en": "['the','a','and','of','to','is','in']",
+    "de": "['der','die','das','und','ist','nicht','ein']",
+    "es": "['el','la','que','de','y','los','una']",
+    "fr": "['le','la','les','et','des','une','est']",
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["scan_projection"] = (
+        "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem"
+    )
+    o["scan_filter"] = (
+        "SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice "
+        "FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 45.0"
+    )
+    o["scan_topk"] = (
+        "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+        "ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC "
+        "LIMIT 100"
+    )
+
+    amt_q = _AMT.format(c="l_quantity")
+    amt_p = _AMT.format(c="l_extendedprice")
+    disc = f"({amt_p} * (CAST(1 AS DECIMAL(4,2)) - {_RATE.format(c='l_discount')}))"
+    charge = f"({disc} * (CAST(1 AS DECIMAL(4,2)) + {_RATE.format(c='l_tax')}))"
+    o["pricing_summary"] = f"""
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM({amt_q}) AS DOUBLE) AS sum_qty,
+          CAST(SUM({amt_p}) AS DOUBLE) AS sum_base_price,
+          CAST(SUM({disc}) AS DOUBLE) AS sum_disc_price,
+          CAST(SUM({charge}) AS DOUBLE) AS sum_charge,
+          CAST(SUM({amt_q}) AS DOUBLE) / COUNT(*) AS avg_qty,
+          CAST(SUM({amt_p}) AS DOUBLE) / COUNT(*) AS avg_price,
+          COUNT(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""
+
+    o["top_revenue_orders"] = f"""
+        SELECT o_orderkey, CAST(SUM({disc}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey
+        ORDER BY revenue DESC, o_orderkey ASC LIMIT 10"""
+
+    o["nation_revenue"] = f"""
+        SELECT r_name, n_name, CAST(SUM({disc}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name"""
+
+    o["customer_order_ranks"] = """
+        SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, rnk
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+              FROM orders)
+        WHERE rnk <= 3"""
+
+    o["event_user_setops"] = """
+        SELECT user_id FROM events
+          WHERE event_type = 'purchase' AND value >= 50.0
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'error'
+          GROUP BY user_id HAVING COUNT(*) > 15
+        ORDER BY user_id"""
+
+    o["events_hourly"] = """
+        SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+    o["sessionize_events"] = """
+        WITH g AS (
+          SELECT user_id,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                      > 1800000000 THEN 1 ELSE 0 END AS new_session
+          FROM events)
+        SELECT user_id, CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM g GROUP BY user_id ORDER BY user_id"""
+
+    o["table_stats"] = "SELECT COUNT(*) AS num_rows FROM lineitem"
+
+    # ---- text analysis ----
+    o["text_metrics"] = f"""
+        WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+        m AS (SELECT doc_id,
+               length(text) AS n_chars,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_uniq_tokens,
+               len(list_filter(toks, t -> list_contains({_STOP_LIST}, t))) AS n_stop,
+               length(text) - length(regexp_replace(text, '[.,;:!?''"]', '', 'g')) AS n_punct,
+               list_sum(list_transform(toks, t -> length(t))) AS token_chars
+              FROM d)
+        SELECT doc_id,
+               CAST(n_chars AS INTEGER) AS n_chars,
+               CAST(n_tokens AS INTEGER) AS n_tokens,
+               CAST(n_uniq_tokens AS INTEGER) AS n_uniq_tokens,
+               ROUND(n_uniq_tokens / n_tokens, 6) AS uniq_ratio,
+               ROUND(n_stop / n_tokens, 6) AS stopword_ratio,
+               ROUND(n_punct / n_chars, 6) AS punct_ratio,
+               ROUND(token_chars / n_tokens, 6) AS avg_token_len,
+               ROUND(0.35 * least(n_tokens / 64.0, 1.0)
+                   + 0.35 * (n_uniq_tokens / n_tokens)
+                   + 0.15 * (1 - least(n_stop / n_tokens, 1.0))
+                   + 0.15 * (1 - least(n_punct / greatest(n_chars, 1), 1.0)), 6)
+                 AS quality_score
+        FROM m"""
+
+    lang_scores = ", ".join(
+        f"len(list_filter(toks, t -> list_contains({lst}, t))) AS s_{lang}"
+        for lang, lst in _MARK.items()
+    )
+    o["lang_id"] = f"""
+        WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+        s AS (SELECT doc_id, len(toks) AS n,
+                     length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) > 0 AS cjk,
+                     {lang_scores}
+              FROM d)
+        SELECT doc_id,
+               CASE WHEN cjk THEN 'zh'
+                    WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                    WHEN s_es > s_en AND s_es > s_de AND s_es >= s_fr THEN 'es'
+                    WHEN s_fr > s_en AND s_fr > s_de AND s_fr > s_es THEN 'fr'
+                    ELSE 'en' END AS lang_pred,
+               ROUND(greatest(s_en, s_de, s_es, s_fr) / greatest(n, 1), 6) AS lang_score
+        FROM s"""
+
+    o["doc_fingerprint"] = (
+        f"SELECT doc_id, {_H64.format(x=_NORM)} AS fp FROM documents"
+    )
+
+    o["token_histogram"] = f"""
+        WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents)
+        SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+        ORDER BY cnt DESC, token ASC LIMIT 20"""
+
+    # ---- dedup ----
+    o["dedup_exact"] = f"""
+        SELECT md5({_NORM}) AS text_hash, MIN(doc_id) AS kept_id,
+               COUNT(*) AS dup_count
+        FROM documents GROUP BY 1"""
+
+    shingle_cte = f"""
+        docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM docs)"""
+
+    o["dedup_ngram_jaccard"] = f"""
+        WITH {shingle_cte},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+                  FROM sh a JOIN sh b
+                    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT a_id, b_id,
+               ROUND(inter / (sa.n + sb.n - inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON a_id = sa.doc_id
+        JOIN sizes sb ON b_id = sb.doc_id
+        WHERE ROUND(inter / (sa.n + sb.n - inter), 6) >= 0.8"""
+
+    sig_cols = ", ".join(
+        f"MIN(md5('{i}:' || shingle)) AS sig_{i}" for i in range(16)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({expr}) AS band_key FROM sigs".format(
+            b=b,
+            expr=" || '|' || ".join(f"sig_{b * 4 + r}" for r in range(4)),
+        )
+        for b in range(4)
+    )
+    o["dedup_minhash_lsh"] = f"""
+        WITH {shingle_cte},
+        sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+        bands AS ({band_selects})
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id"""
+
+    o["dedup_simhash"] = f"""
+        WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        h AS (SELECT doc_id,
+                     list_transform(toks, t -> {_H64.format(x='t')}) AS hashes,
+                     len(toks) AS n
+              FROM docs)
+        SELECT doc_id AS id,
+               CAST(list_sum(list_transform(range(0, 60), j ->
+                 CASE WHEN 2 * list_sum(list_transform(hashes, hh ->
+                        CASE WHEN (hh & CAST(pow(2, j) AS BIGINT)) <> 0
+                             THEN 1 ELSE 0 END)) > n
+                      THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT)
+                 AS simhash
+        FROM h"""
+
+    cos_expr = (
+        "ROUND(list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
+    )
+    o["dedup_embedding"] = f"""
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings)
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, {cos_expr} AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE {cos_expr} >= 0.97"""
+
+    qcos = (
+        "ROUND(list_dot_product(q.v, c.v) / "
+        "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6)"
+    )
+    o["similarity_topk"] = f"""
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                          {qcos} AS cosine
+                   FROM v c JOIN v q ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id),
+        ranked AS (SELECT query_id, neighbor_id, cosine,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY cosine DESC, neighbor_id ASC)
+                            AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10"""
+
+    plane_terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, planes_{p}) >= 0 THEN {two_p} ELSE 0 END)".format(
+            p=p, two_p=1 << p
+        )
+        for p in range(8)
+    )
+    plane_lists = ", ".join(
+        (
+            "list_transform(range(0, len(v)), d -> CASE WHEN "
+            f"(CAST(('0x' || substr(md5('{p}:' || CAST(d AS VARCHAR)), 1, 1)) AS UBIGINT) & 1) = 1 "
+            "THEN 1.0 ELSE -1.0 END) AS planes_" + str(p)
+        )
+        for p in range(8)
+    )
+    o["similarity_lsh_buckets"] = f"""
+        WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+        vp AS (SELECT vec_id, v, {plane_lists} FROM v0),
+        b AS (SELECT vec_id, CAST({plane_terms} AS BIGINT) AS bucket FROM vp)
+        SELECT bucket, COUNT(*) AS n_vectors FROM b GROUP BY bucket"""
+
+    o["multimodal_decode"] = """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS width,
+               CAST((octet_length(encode(text)) // 64) % 64 + 16 AS INTEGER) AS height,
+               CAST(3 AS INTEGER) AS channels,
+               CASE WHEN octet_length(encode(text)) % 2 = 0
+                    THEN 'png' ELSE 'jpeg' END AS format
+        FROM documents"""
+
+    o["multimodal_resize"] = """
+        WITH d AS (SELECT doc_id,
+                          CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS width,
+                          CAST((octet_length(encode(text)) // 64) % 64 + 16 AS INTEGER) AS height
+                   FROM documents),
+        s AS (SELECT doc_id, width, height,
+                     ROUND(least(32 / width, 32 / height, 1.0), 6) AS scale
+              FROM d)
+        SELECT doc_id, width, height, scale,
+               CAST(floor(width * scale) AS INTEGER) AS target_width,
+               CAST(floor(height * scale) AS INTEGER) AS target_height
+        FROM s"""
+
+    return o

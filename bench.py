@@ -1,0 +1,117 @@
+"""Benchmark harness — mirrors the reference's tailer/InputBenchmark shape.
+
+The reference's only published number is scan+parse throughput (140 MB/s,
+README.md:111, hivetail CSV: rows/threads/MB/seconds/rows/s/MB/s —
+tailer/Stats.java:133-151).  This harness reports:
+
+  * scan: full lineitem scan projecting 3 cols (BIGINT,BIGINT,DOUBLE —
+    the reference's parseLongLongDouble shape, InputBenchmark.java:132-136),
+    forcing materialization, -> rows/s and MB/s;
+  * write: partitioned parquet write+commit (OutputCmd shape) -> rows/s;
+  * every headline query from __spark_entry__.queries() -> seconds each.
+
+Prints ONE JSON line:
+  {"metric": "suite_seconds", "value": N, "unit": "sec",
+   "queries": {...}, "sf": ..., "scan_mb_per_s": ..., "scan_rows_per_s": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all cores).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from hive_io_experimental_spark import get_spark  # noqa: E402
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("hio-bench")
+
+    timings: dict[str, float] = {}
+
+    # --- scan benchmark (reference parseLongLongDouble shape) ---------------
+    lineitem_path = f"{sf_dir}/lineitem.parquet"
+    t0 = time.perf_counter()
+    scan = spark.read.parquet(lineitem_path).select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    n_rows = scan.count()
+    # force value materialization (not just rowcount): cheap aggregate over
+    # the three parsed columns, like the reference's parse-only loop.
+    scan.agg(
+        F.sum("l_orderkey"), F.sum("l_partkey"), F.sum("l_extendedprice")
+    ).collect()
+    scan_s = time.perf_counter() - t0
+    scan_mb = _dir_bytes(lineitem_path) / 1e6
+    timings["scan_3col"] = round(scan_s, 3)
+
+    # --- write benchmark (partitioned write+commit, OutputCmd shape) --------
+    out_dir = tempfile.mkdtemp(prefix="hio_bench_out_")
+    try:
+        t0 = time.perf_counter()
+        (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .withColumn("o_status_part", F.col("o_orderstatus"))
+            .write.mode("overwrite")
+            .partitionBy("o_status_part")
+            .parquet(f"{out_dir}/orders_bench")
+        )
+        write_s = time.perf_counter() - t0
+        timings["write_partitioned"] = round(write_s, 3)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    # --- headline queries ----------------------------------------------------
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # keep the bench line parseable on failure
+            print(f"bench query {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(t for t in timings.values() if t > 0), 3)
+    result = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "scan_rows": n_rows,
+        "scan_seconds": round(scan_s, 3),
+        "scan_mb": round(scan_mb, 2),
+        "scan_mb_per_s": round(scan_mb / scan_s, 2),
+        "scan_rows_per_s": round(n_rows / scan_s),
+        "threads": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)),
+    }
+    print(json.dumps(result))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,266 @@
+"""Mini-metastore: a JSON sidecar catalog over a warehouse directory.
+
+The reference talks Thrift to a Hive metastore for get_table /
+get_partitions_by_filter / add_partition (common/MetastoreDesc.java:67-78;
+input/HiveApiInputFormat.java:290-309; output/HiveApiOutputCommitter.java:
+125-166). Here the catalog is a local JSON document per warehouse directory —
+the same logical operations, no RPC. A real deployment would swap this for the
+Spark catalog / Hive metastore / Glue; the interface is kept narrow so that
+swap is one class.
+
+Also provides:
+- HiveStats (numRows/rawSize/totalSize summed over filtered partitions —
+  common/HiveStats.java:34-108, HiveUtils.java:122-140)
+- backoff_retry, mirroring BackoffRetryTask (common/BackoffRetryTask.java:
+  91-129): N tries, exponential backoff with jitter, for flaky remote stores.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import time
+from dataclasses import dataclass, field
+from typing import Callable, TypeVar
+
+from hive_io_experimental_spark.errors import TableNotFoundError
+from hive_io_experimental_spark.schema import HiveTableSchema
+
+_T = TypeVar("_T")
+
+CATALOG_FILE = "_catalog.json"
+
+
+@dataclass(frozen=True)
+class TableDesc:
+    """(database, table) pair — HiveTableDesc parity (common/HiveTableDesc.java)."""
+
+    database: str
+    table: str
+
+    @classmethod
+    def parse(cls, dotted: str) -> "TableDesc":
+        if "." in dotted:
+            db, tbl = dotted.split(".", 1)
+        else:
+            db, tbl = "default", dotted
+        return cls(db, tbl)
+
+    def __str__(self) -> str:
+        return f"{self.database}.{self.table}"
+
+
+@dataclass
+class HiveStats:
+    """numRows / rawSize / totalSize counters (common/HiveStats.java:34-108)."""
+
+    num_rows: int = 0
+    raw_size: int = 0
+    total_size: int = 0
+
+    def add(self, other: "HiveStats") -> None:
+        # HiveStats.add sums the three counters (HiveStats.java:90-94).
+        self.num_rows += other.num_rows
+        self.raw_size += other.raw_size
+        self.total_size += other.total_size
+
+
+@dataclass
+class PartitionInfo:
+    """One Hive-style partition: ordered string values + location + stats."""
+
+    values: dict[str, str]
+    location: str
+    stats: HiveStats = field(default_factory=HiveStats)
+
+
+def backoff_retry(
+    fn: Callable[[], _T],
+    max_tries: int = 5,
+    initial_delay: float = 0.1,
+    multiplier: float = 2.0,
+    jitter: float = 0.1,
+    retry_on: tuple[type[BaseException], ...] = (OSError, IOError),
+) -> _T:
+    """Run ``fn`` with exponential-backoff retry on transient errors.
+
+    Parity with BackoffRetryTask (common/BackoffRetryTask.java:91-129):
+    5 tries default, doubling delay, jittered. The reference defaults to a
+    10 s initial delay because it fronts a remote Thrift service; a local
+    JSON catalog uses a short one.
+    """
+    delay = initial_delay
+    for attempt in range(1, max_tries + 1):
+        try:
+            return fn()
+        except retry_on:
+            if attempt == max_tries:
+                raise
+            time.sleep(delay * (1.0 + random.random() * jitter))
+            delay *= multiplier
+    raise AssertionError("unreachable")
+
+
+class Catalog:
+    """Table/partition/stats registry stored as JSON in the warehouse dir.
+
+    Logical operations mirror the metastore calls the reference makes:
+    get_table, get_partitions_by_filter (filtering happens engine-side here,
+    over partition tuples), add_partition (idempotent wrt AlreadyExists,
+    HiveApiOutputCommitter.java:145-160), drop_partition.
+    """
+
+    def __init__(self, warehouse_dir: str, max_tries: int = 5) -> None:
+        self.warehouse_dir = warehouse_dir
+        self.max_tries = max_tries
+        os.makedirs(warehouse_dir, exist_ok=True)
+
+    # -- persistence ---------------------------------------------------------
+
+    @property
+    def _path(self) -> str:
+        return os.path.join(self.warehouse_dir, CATALOG_FILE)
+
+    def _load(self) -> dict:
+        def read() -> dict:
+            if not os.path.exists(self._path):
+                return {"tables": {}}
+            with open(self._path) as f:
+                return json.load(f)
+
+        return backoff_retry(read, max_tries=self.max_tries)
+
+    def _save(self, doc: dict) -> None:
+        def write() -> None:
+            tmp = self._path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(doc, f, indent=1, sort_keys=True)
+            os.replace(tmp, self._path)
+
+        backoff_retry(write, max_tries=self.max_tries)
+
+    # -- tables --------------------------------------------------------------
+
+    def create_table(
+        self,
+        desc: TableDesc | str,
+        schema: HiveTableSchema,
+        if_not_exists: bool = False,
+    ) -> None:
+        desc = TableDesc.parse(desc) if isinstance(desc, str) else desc
+        doc = self._load()
+        key = str(desc)
+        if key in doc["tables"]:
+            if if_not_exists:
+                return
+            raise ValueError(f"table already exists: {key}")
+        doc["tables"][key] = {
+            "schema": schema.to_json(),
+            "location": self.table_location(desc),
+            "partitions": [],
+        }
+        self._save(doc)
+
+    def get_table(self, desc: TableDesc | str) -> dict:
+        desc = TableDesc.parse(desc) if isinstance(desc, str) else desc
+        doc = self._load()
+        entry = doc["tables"].get(str(desc))
+        if entry is None:
+            # Reference: missing table -> IOException at spec-check time
+            # (output/CheckOutputSpecsTest.java:48-67).
+            raise TableNotFoundError(f"no such table: {desc}")
+        return entry
+
+    def table_exists(self, desc: TableDesc | str) -> bool:
+        try:
+            self.get_table(desc)
+            return True
+        except TableNotFoundError:
+            return False
+
+    def get_schema(self, desc: TableDesc | str) -> HiveTableSchema:
+        return HiveTableSchema.from_json(self.get_table(desc)["schema"])
+
+    def table_location(self, desc: TableDesc | str) -> str:
+        desc = TableDesc.parse(desc) if isinstance(desc, str) else desc
+        return os.path.join(self.warehouse_dir, desc.database, desc.table)
+
+    # -- partitions ----------------------------------------------------------
+
+    @staticmethod
+    def partition_path(location: str, values: dict[str, str]) -> str:
+        # Hive-style key=value directory layout (Warehouse.makePartName parity,
+        # common/HiveUtils.java:219-224).
+        parts = [f"{k}={v}" for k, v in values.items()]
+        return os.path.join(location, *parts)
+
+    def list_partitions(self, desc: TableDesc | str) -> list[PartitionInfo]:
+        entry = self.get_table(desc)
+        return [
+            PartitionInfo(
+                values=p["values"],
+                location=p["location"],
+                stats=HiveStats(**p.get("stats", {})),
+            )
+            for p in entry["partitions"]
+        ]
+
+    def add_partition(
+        self,
+        desc: TableDesc | str,
+        values: dict[str, str],
+        stats: HiveStats | None = None,
+    ) -> None:
+        """Register a partition; idempotent if it already exists.
+
+        Reference tolerates AlreadyExistsException on add_partition
+        (output/HiveApiOutputCommitter.java:145-160).
+        """
+        desc = TableDesc.parse(desc) if isinstance(desc, str) else desc
+        doc = self._load()
+        entry = doc["tables"][str(desc)]
+        for p in entry["partitions"]:
+            if p["values"] == values:
+                if stats is not None:
+                    p["stats"] = vars(stats)
+                    self._save(doc)
+                return
+        entry["partitions"].append(
+            {
+                "values": values,
+                "location": self.partition_path(entry["location"], values),
+                "stats": vars(stats) if stats else vars(HiveStats()),
+            }
+        )
+        self._save(doc)
+
+    def drop_partition(self, desc: TableDesc | str, values: dict[str, str]) -> bool:
+        desc = TableDesc.parse(desc) if isinstance(desc, str) else desc
+        doc = self._load()
+        entry = doc["tables"][str(desc)]
+        before = len(entry["partitions"])
+        entry["partitions"] = [
+            p for p in entry["partitions"] if p["values"] != values
+        ]
+        self._save(doc)
+        return len(entry["partitions"]) < before
+
+    def partition_exists(self, desc: TableDesc | str, values: dict[str, str]) -> bool:
+        return any(p.values == values for p in self.list_partitions(desc))
+
+    # -- stats ---------------------------------------------------------------
+
+    def stats_of(
+        self, desc: TableDesc | str, partitions: list[PartitionInfo] | None = None
+    ) -> HiveStats:
+        """Sum stats over (possibly filtered) partitions.
+
+        Parity with HiveUtils.statsOf (common/HiveUtils.java:122-140).
+        """
+        if partitions is None:
+            partitions = self.list_partitions(desc)
+        total = HiveStats()
+        for p in partitions:
+            total.add(p.stats)
+        return total

@@ -1,0 +1,184 @@
+"""Scan API: ScanSpec -> DataFrame.
+
+The reference's read surface (input/HiveInput.java:66-100,
+input/HiveInputDescription.java:41-51) is
+    readTable(db.table, columns?, partitionFilter?, numSplits?) -> records.
+Spark-first translation: the spec compiles to ``spark.read.parquet`` +
+``select`` + ``filter`` and Catalyst does partition pruning, column pruning
+and split planning (the reference hand-rolls all three —
+HiveApiInputFormat.java:226-279, 290-309). ``num_splits`` maps to an optional
+repartition, only honored when the caller really wants to override Spark's
+task planning.
+
+The partition filter keeps the reference's restriction: it may reference
+*partition columns only* (the metastore evaluates it server-side —
+HiveApiInputFormat.java:300-303). We validate by resolving the expression
+against a schema containing only the partition columns.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hive_io_experimental_spark.catalog import Catalog, HiveStats, TableDesc
+from hive_io_experimental_spark.errors import HiveIOError, PartitionFilterError
+from hive_io_experimental_spark.schema import HiveTableSchema
+
+
+@dataclass(frozen=True)
+class ScanSpec:
+    """HiveInputDescription parity (input/HiveInputDescription.java:41-51).
+
+    table: "db.table" in a warehouse catalog, or a bare parquet path/dir.
+    columns: projection; empty = all columns (reference semantics).
+    partition_filter: boolean SQL over partition columns only.
+    num_splits: optional parallelism override (0 = let Spark decide).
+    limit: row limit (the tailer's --limit, TailerCmd.java:251-265).
+    """
+
+    table: str
+    columns: tuple[str, ...] = ()
+    partition_filter: str = ""
+    num_splits: int = 0
+    limit: int | None = None
+
+
+def validate_partition_filter(
+    spark: SparkSession, filter_expr: str, partition_keys: tuple[str, ...]
+) -> None:
+    """Raise PartitionFilterError unless the filter resolves using only
+    partition columns (all STRING, per the reference invariant).
+
+    Implemented by resolving against an empty DataFrame whose schema is just
+    the partition keys — any reference to a data column fails analysis, which
+    is exactly the metastore-side restriction the reference relies on.
+    """
+    if not filter_expr:
+        return
+    if not partition_keys:
+        raise PartitionFilterError(
+            "partition filter given but table has no partition columns"
+        )
+    probe_schema = T.StructType(
+        [T.StructField(k, T.StringType(), True) for k in partition_keys]
+    )
+    probe = spark.createDataFrame([], probe_schema)
+    try:
+        probe.filter(F.expr(filter_expr)).schema  # force analysis
+    except Exception as exc:  # AnalysisException / ParseException
+        raise PartitionFilterError(
+            f"invalid partition filter {filter_expr!r}: {exc}"
+        ) from exc
+
+
+class HiveInput:
+    """Read-side entry point (HiveInput parity, input/HiveInput.java)."""
+
+    def __init__(self, spark: SparkSession, catalog: Catalog | None = None) -> None:
+        self.spark = spark
+        self.catalog = catalog
+
+    # -- core scan -----------------------------------------------------------
+
+    def read_table(self, spec: ScanSpec) -> DataFrame:
+        """ScanSpec -> DataFrame with projection/pruning pushed to the scan.
+
+        Order of operations matters for pushdown: filter and select are
+        applied directly on the scan so Catalyst pushes them into the parquet
+        reader (PushedFilters / ReadSchema); limit stays logical so
+        CollectLimit can short-circuit.
+        """
+        df, partition_keys = self._load(spec.table)
+
+        if spec.partition_filter:
+            validate_partition_filter(
+                self.spark, spec.partition_filter, partition_keys
+            )
+            df = df.filter(F.expr(spec.partition_filter))
+
+        if spec.columns:
+            missing = [c for c in spec.columns if c not in df.columns]
+            if missing:
+                # Reference: column name -> id resolution fails fast
+                # (HiveApiInputFormat.java:264-279).
+                raise HiveIOError(f"no such columns: {missing}")
+            df = df.select(*spec.columns)
+
+        if spec.num_splits and spec.num_splits > 0:
+            df = df.repartition(spec.num_splits)
+
+        if spec.limit is not None:
+            df = df.limit(spec.limit)
+        return df
+
+    def read_records(self, spec: ScanSpec):
+        """Pull-based iterator of typed records (simple-API parity).
+
+        The reference's simple API returns Iterable<HiveReadableRecord>
+        (HiveInput.java:66-100). ``toLocalIterator`` streams partitions to
+        the driver one at a time — same lazy, one-reader-at-a-time shape.
+        """
+        from hive_io_experimental_spark.records import HiveReadableRecord
+
+        df = self.read_table(spec)
+        schema = HiveTableSchema.from_struct_type(df.schema)
+        for row in df.toLocalIterator():
+            yield HiveReadableRecord(row, schema)
+
+    def read_beans(self, spec: ScanSpec, bean_class: type):
+        """Record -> POJO mapping (HiveInput.readTable(desc, rowClass) parity,
+        input/HiveInput.java:110-145; bean/UnsafeRowToBean.java:46-72)."""
+        from hive_io_experimental_spark.records import row_to_bean
+
+        df = self.read_table(spec)
+        for row in df.toLocalIterator():
+            yield row_to_bean(row, bean_class)
+
+    # -- stats ---------------------------------------------------------------
+
+    def stats_of(self, spec: ScanSpec) -> HiveStats:
+        """Stats summed over partitions matching the filter
+        (HiveUtils.statsOf parity, common/HiveUtils.java:122-140)."""
+        if self.catalog is None or not self.catalog.table_exists(spec.table):
+            df = self.read_table(ScanSpec(table=spec.table,
+                                          partition_filter=spec.partition_filter))
+            return HiveStats(num_rows=df.count())
+        parts = self.catalog.list_partitions(spec.table)
+        if spec.partition_filter:
+            schema = self.catalog.get_schema(spec.table)
+            validate_partition_filter(
+                self.spark, spec.partition_filter, schema.partition_keys
+            )
+            rows = [p.values for p in parts]
+            if rows:
+                pdf = self.spark.createDataFrame(rows)
+                kept = {
+                    tuple(sorted(r.asDict().items()))
+                    for r in pdf.filter(F.expr(spec.partition_filter)).collect()
+                }
+                parts = [
+                    p for p in parts if tuple(sorted(p.values.items())) in kept
+                ]
+        return self.catalog.stats_of(spec.table, parts)
+
+    # -- helpers -------------------------------------------------------------
+
+    def _load(self, table: str) -> tuple[DataFrame, tuple[str, ...]]:
+        if self.catalog is not None and self.catalog.table_exists(table):
+            schema = self.catalog.get_schema(table)
+            location = self.catalog.table_location(table)
+            reader = self.spark.read
+            if schema.partition_keys:
+                # Hive-style key=value dirs; keep partition values as strings
+                # (reference invariant, HiveReadableRecord.java:140-146).
+                reader = reader.option("basePath", location)
+            df = reader.schema(schema.to_struct_type()).parquet(location)
+            return df, schema.partition_keys
+        # Bare path mode: read parquet directly; partition columns are
+        # whatever Hive-style dirs Spark discovers.
+        df = self.spark.read.parquet(table)
+        return df, ()

@@ -1,0 +1,354 @@
+"""Deduplication operators for large-scale text/embedding corpora.
+
+Five families, each a pure DataFrame -> DataFrame transform built from
+JVM-side built-ins (whole-stage codegen; no Python in the hot path):
+
+  exact_dedup            hash-groupBy on normalized text
+  ngram_jaccard_pairs    shingle-join candidate pairs + exact Jaccard
+  minhash_signatures/..  MinHash + banded LSH candidate generation
+  simhash_*              64-bit-ish SimHash + hamming-distance pairs
+  embedding_neardup      cosine-threshold pairs over embedding vectors
+
+Scale notes (the 100 TB design point):
+  * Everything is groupBy/join on keys — shuffles are on (shingle), (band
+    key), (doc pair): all high-cardinality, well-distributed keys. Hot
+    shingles (stopword-only shingles) are the classic skew source; shingles
+    are distinct-ed per doc before the join and ultra-frequent shingles can
+    be dropped via ``max_shingle_freq`` (standard df-cut used by web-scale
+    dedup pipelines).
+  * MinHash/LSH replaces the quadratic all-pairs join with O(docs x bands)
+    — the only all-pairs product is within a band bucket.
+  * Hashes here are md5-based (portable across engines → DuckDB-oracle
+    checkable, see functions/hashing.py). At raw 100 TB scale swap
+    ``md5_minhash_token`` for xxhash64 — same operator shape, ~2x faster.
+
+The reference has no dedup (it is an I/O library — SURVEY §2.2); these
+implement the training-data-pipeline extensions the engine adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hive_io_experimental_spark.functions.hashing import md5_minhash_token, portable_hash64
+from hive_io_experimental_spark.functions.textfns import normalize_text, word_shingles, word_tokens
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-id representative per exact (normalized) text.
+
+    One shuffle on the text hash; map-side partial aggregation applies.
+    Returns (kept_id, dup_count) per distinct text — dup_count > 1 marks
+    groups that had duplicates.
+    """
+    key = F.md5(normalize_text(F.col(text_col))).alias("text_hash")
+    return (
+        df.select(key, F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("kept_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, shingle) exploded distinct k-word shingles per document."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias(
+                "shingle"
+            ),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold.
+
+    Plan shape: explode shingles -> (optional df-cut) -> self-equi-join on
+    shingle -> count intersections per pair -> join sizes -> filter. The
+    self-join is the scale hazard; ``max_shingle_freq`` drops shingles that
+    appear in more than N docs (they generate N^2 pair rows but carry almost
+    no signal). Returns (a_id, b_id, jaccard) with a_id < b_id.
+    """
+    sh = shingle_sets(df, text_col, id_col, k)
+    if max_shingle_freq is not None:
+        freq_ok = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(freq_ok, "shingle")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("a_id") == F.col("sa.id"))
+        .join(sb, F.col("b_id") == F.col("sb.id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("inter")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """(id, sig_0..sig_{P-1}) MinHash signature per document.
+
+    Signature component i = min over shingles of md5('<i>:'+shingle) — the
+    lexicographic min over a uniform hash family is a valid MinHash
+    permutation (see functions/hashing.py). Computed as P aggregates in ONE
+    groupBy: a single shuffle regardless of P, with map-side partial mins.
+    """
+    sh = shingle_sets(df, text_col, id_col, k)
+    aggs = [
+        F.min(md5_minhash_token(F.col("shingle"), i)).alias(f"sig_{i}")
+        for i in range(num_perm)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_band_keys(
+    signatures: DataFrame, num_perm: int = 16, bands: int = 4
+) -> DataFrame:
+    """(id, band, band_key): hash each band's slice of the signature.
+
+    Standard banding: P/bands rows per band; docs agreeing on ALL rows of a
+    band share the band key. Output is exploded (one row per doc x band) so
+    the candidate join is a plain equi-join on (band, band_key).
+    """
+    rows = num_perm // bands
+    band_cols = []
+    for b in range(bands):
+        slice_cols = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *slice_cols)).alias("band_key"),
+            )
+        )
+    return signatures.select(
+        "id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Distinct candidate pairs (a_id < b_id) sharing >= 1 LSH band.
+
+    Two shuffles total (signature groupBy + band-key join). At 100 TB the
+    band-key join is the skew point — identical boilerplate docs all land in
+    one bucket; AQE skew-join splitting handles moderate cases, a df-cut on
+    bucket size handles pathological ones.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, k)
+    bk = minhash_band_keys(sigs, num_perm, bands)
+    a = bk.alias("a")
+    b = bk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+) -> DataFrame:
+    """(id, simhash) — 60-bit SimHash over word tokens.
+
+    Entirely expression-level (transform/aggregate over arrays): no explode,
+    no shuffle, no Python. Per doc: hash each token to a 60-bit int
+    (portable md5 prefix — fits a signed 64-bit long in Spark AND DuckDB);
+    bit j of the simhash is the majority vote of token-hash bit j.
+    60 (not 64) keeps the value positive in both engines' signed longs.
+    """
+    toks = word_tokens(F.col(text_col))
+    hashes = F.transform(toks, lambda t: portable_hash64(t))
+    n = F.size(toks)
+    # votes[j] = count of tokens with bit j set. shiftright() needs a literal
+    # shift amount, so test bit j with an arithmetic mask 2^j instead (exact
+    # as double for j < 60, cast back to long).
+    votes = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda j: F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(
+                h.bitwiseAND(F.pow(F.lit(2.0), j.cast("double")).cast("long")) != 0,
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+    # simhash = sum of 2^j where votes[j]*2 > n  (exact: 2^j cast to long)
+    sim = F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, j: F.when(v * 2 > n, F.pow(F.lit(2.0), j.cast("double")).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 60,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Candidate generation via bit-banding (pigeonhole: pairs within hamming
+    d < bands must agree on >= 1 of the ``bands`` bit-chunks), then exact
+    hamming via bit_count(xor). Avoids the all-pairs product entirely —
+    the joins are equi-joins on 15-bit chunk values.
+    """
+    sims = simhash(df, text_col, id_col, bits)
+    chunk_bits = bits // bands
+    mask = (1 << chunk_bits) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * chunk_bits)
+                .bitwiseAND(F.lit(mask).cast("long"))
+                .alias("val"),
+            )
+            for c in range(bands)
+        ]
+    )
+    exploded = sims.select(
+        "id", "simhash", F.explode(chunks).alias("ck")
+    ).select("id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+    ).alias("hamming")
+    return pairs.select("a_id", "b_id", hamming).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_neardup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.97,
+) -> DataFrame:
+    """Pairs of vectors with cosine similarity >= threshold (brute force).
+
+    This is the small-corpus baseline: an O(n^2) theta-join with the cosine
+    computed JVM-side. At scale, bucket first (see
+    operators/similarity.py:hyperplane_lsh_buckets) and run this within
+    buckets — same inner operator, linearized outer loop.
+    """
+    from hive_io_experimental_spark.functions.vectors import cosine_similarity
+
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    cos = F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

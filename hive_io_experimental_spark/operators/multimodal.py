@@ -1,0 +1,138 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design (the part that matters at 100 TB):
+  * media rides in an opaque ``binary`` column next to typed metadata
+    columns — parquet stores it page-compressed, Spark never interprets it;
+  * decode/feature steps are ``mapInPandas`` stages: Arrow-batched,
+    per-partition, zero shuffle — the pipeline shape is scan -> decode ->
+    filter/aggregate, and only the (tiny) extracted features ever shuffle;
+  * batch size is controlled by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+    so a partition of large blobs never materializes at once.
+
+The actual image/audio codecs are NOT present in this environment, so the
+byte-level decode is a clearly-marked deterministic fake
+(:func:`fake_decode_header`) with the real Spark-side plumbing — schema,
+batching, partitioning — fully exercised. Swapping in PIL/ffmpeg is a
+one-function change inside the mapInPandas closure.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODE_SCHEMA = (
+    "doc_id long, n_bytes long, width int, height int, channels int, format string"
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize an opaque binary column (UTF-8 bytes of the text).
+
+    Stand-in for real media bytes: gives the decode stage a genuine
+    ``binary``-typed column with per-row variable length.
+    """
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def fake_decode_header(payload: bytes) -> tuple[int, int, int, str]:
+    """Deterministic stand-in for an image-header decode.
+
+    REAL DECODERS NOT AVAILABLE IN THIS ENVIRONMENT — this derives plausible
+    (width, height, channels, format) purely from the byte content, so tests
+    and oracles are deterministic. Replace with e.g. PIL.Image.open for real
+    data; the surrounding plumbing does not change.
+    """
+    n = len(payload)
+    width = n % 64 + 16
+    height = (n // 64) % 64 + 16
+    channels = 3
+    fmt = "png" if n % 2 == 0 else "jpeg"
+    return width, height, channels, fmt
+
+
+def decode_media_metadata(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched decode stage: binary payload -> typed metadata columns.
+
+    mapInPandas keeps this a narrow (no-shuffle) stage; each batch is a
+    pandas DataFrame of (id, payload) and the decoder runs per row within
+    the batch — exactly where PIL/libvips/ffmpeg calls would go.
+    """
+    cols = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            decoded = [fake_decode_header(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "channels": [d[2] for d in decoded],
+                    "format": [d[3] for d in decoded],
+                }
+            )
+
+    return cols.mapInPandas(decode, DECODE_SCHEMA)
+
+
+def resize_plan(
+    decoded: DataFrame, max_side: int = 32
+) -> DataFrame:
+    """Compute resize targets (the metadata half of a resize stage).
+
+    Pure column math over the decoded metadata — demonstrates that once
+    features are extracted, everything downstream is plain JVM-side SQL.
+    Returns scale factor and target dims, aspect-ratio preserved.
+    """
+    scale = F.round(
+        F.least(
+            F.lit(max_side) / F.col("width"),
+            F.lit(max_side) / F.col("height"),
+            F.lit(1.0),
+        ),
+        6,
+    )
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        scale.alias("scale"),
+        F.floor(F.col("width") * scale).cast("int").alias("target_width"),
+        F.floor(F.col("height") * scale).cast("int").alias("target_height"),
+    )
+
+
+def frame_sample_plan(
+    df: DataFrame, n_frames: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic frame-sampling plan for video-like payloads.
+
+    Emits (doc_id, frame_index) rows — fps/duration are faked from payload
+    length (real decoders would supply them); the explode pattern is the
+    real one: sampling plans stay relational so downstream stages
+    parallelize per frame.
+    """
+    n_bytes = F.length(F.col("payload"))
+    duration_s = n_bytes % 300 + 1  # fake: derive a duration from content
+    step = F.greatest(F.floor(duration_s / n_frames), F.lit(1))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_frames - 1))
+        ).alias("frame_slot"),
+        step.alias("step_s"),
+    ).select(
+        "doc_id",
+        "frame_slot",
+        (F.col("frame_slot") * F.col("step_s")).alias("frame_time_s"),
+    )

@@ -1,0 +1,228 @@
+"""Relational operator surface, expressed as DataFrame query builders.
+
+The reference has NO relational operators (SURVEY §2.2: no joins, aggs,
+windows, sorts, set-ops) — Spark SQL supplies them. These builders exercise
+every category end-to-end through the engine so the capability is tested and
+benchmarked, with plan shapes chosen for the 100 TB design point:
+
+  * dimension joins are broadcast (region/nation/supplier/customer are tiny
+    relative to fact tables at any SF);
+  * aggregations use exact decimal accumulation for money columns — this is
+    both a correctness choice (reproducible across engines: double sums are
+    order-dependent, decimal sums are exact) and free on the JVM;
+  * sorts appear only where semantics need them (top-k), always with a
+    unique tie-break so results are deterministic.
+
+Money arithmetic convention: cast operands to SMALL decimals —
+decimal(12,2) for amounts, decimal(4,2) for rates — BEFORE the arithmetic,
+then aggregate and cast the final aggregate back to double. Small operand
+precisions keep every intermediate type below precision 38 so neither
+engine's decimal-promotion rules kick in; results are exact and
+value-hash-stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ensure_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize the event-time column to TimestampType (microseconds).
+
+    Parquet files written by pandas carry TIMESTAMP(NANOS), which Spark reads
+    as long nanoseconds under spark.sql.legacy.parquet.nanosAsLong (session.py).
+    Floor-divide to micros — identical to DuckDB's nanos->micros truncation on
+    read, so both engines see the same microsecond instants.
+    """
+    if dict(df.dtypes).get(ts_col) == "bigint":
+        return df.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        )
+    return df
+
+
+def _amt(col):
+    return col.cast("decimal(12,2)")
+
+
+def _rate(col):
+    return col.cast("decimal(4,2)")
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-shaped aggregate over lineitem (the flagship query).
+
+    Single shuffle on a 6-value grouping key; partial aggregation map-side.
+    """
+    disc_price = _amt(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(4,2)") - _rate(F.col("l_discount"))
+    )
+    charge = disc_price * (
+        F.lit(1).cast("decimal(4,2)") + _rate(F.col("l_tax"))
+    )
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_amt(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(_amt(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_amt(F.col("l_quantity"))).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_amt(F.col("l_extendedprice"))).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_revenue_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                       segment: str = "BUILDING", k: int = 10) -> DataFrame:
+    """TPC-H Q3-shaped: top-k orders by discounted revenue for a segment.
+
+    customer is broadcast (dimension); orders⋈lineitem shuffles on orderkey.
+    Deterministic: ties broken by o_orderkey.
+    """
+    revenue = _amt(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(4,2)") - _rate(F.col("l_discount"))
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.filter(F.col("c_mktsegment") == segment)),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+    )
+
+
+def nation_revenue(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                   orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q5-shaped: revenue per nation (all regions, no date cut —
+    the driver testdata has a reduced column set).
+
+    region/nation/customer broadcast up the snowflake; the only large
+    shuffle is lineitem⋈orders on orderkey.
+    """
+    revenue = _amt(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(4,2)") - _rate(F.col("l_discount"))
+    )
+    dim = (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+def customer_order_ranks(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Window function: top-k orders per customer by total price.
+
+    One shuffle on o_custkey; rank with unique tie-break.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    # rank cast to long: row_number is int in Spark but bigint in most other
+    # engines; long keeps the cross-engine result schema stable.
+    return (
+        orders.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("o_custkey", "o_orderkey",
+                F.col("o_totalprice").cast("double").alias("o_totalprice"), "rnk")
+    )
+
+
+def event_user_setops(
+    events: DataFrame, min_purchase_value: float = 50.0, max_errors: int = 15
+) -> DataFrame:
+    """Set operations: high-value purchasers INTERSECT clickers, EXCEPT
+    heavy-error users (more than ``max_errors`` error events).
+
+    Exercises intersect/except through distinct-aggregation plans.
+    Returns sorted user_ids (small result; the distincts shuffle on user_id).
+    """
+    high_purchasers = (
+        events.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("value") >= min_purchase_value)
+        )
+        .select("user_id")
+        .distinct()
+    )
+    clickers = (
+        events.filter(F.col("event_type") == "click").select("user_id").distinct()
+    )
+    heavy_error = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_errors)
+        .select("user_id")
+    )
+    return (
+        high_purchasers.intersect(clickers).exceptAll(heavy_error).orderBy("user_id")
+    )
+
+
+def events_hourly(events: DataFrame) -> DataFrame:
+    """Tumbling-hour aggregate per event type (batch twin of the streaming
+    windowed aggregation in streaming/windows.py).
+
+    Hour computed timezone-independently from epoch micros, so results are
+    identical in any session timezone and any engine.
+    """
+    events = ensure_event_time(events)
+    # integer division (`div`), not double division: exact at any epoch value
+    hour_epoch = (F.expr("unix_micros(ts) div 3600000000") * F.lit(3600)).alias(
+        "hour_epoch"
+    )
+    return (
+        events.groupBy(hour_epoch, F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)")).cast("double").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("hour_epoch", "event_type")
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization (batch twin of the stateful streaming
+    version): a new session starts when a user's inter-event gap exceeds
+    ``gap_minutes``. Returns per-user session counts + avg session length.
+
+    Two window passes over (user_id, ts) — one shuffle on user_id.
+    """
+    events = ensure_event_time(events)
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    with_new = events.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            (us - F.lag(us).over(w)) > gap_us, F.lit(1)
+        ).otherwise(F.lit(0)).alias("new_session"),
+    )
+    return (
+        with_new.groupBy("user_id")
+        .agg(
+            (F.sum("new_session") + 1).alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def table_stats(df: DataFrame) -> DataFrame:
+    """HiveStats-shaped row-count stats (numRows; sizes come from the
+    catalog, common/HiveStats.java:34-108) as a degenerate aggregate."""
+    return df.agg(F.count(F.lit(1)).alias("num_rows"))

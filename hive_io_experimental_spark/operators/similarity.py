@@ -1,0 +1,191 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, matching how real vector pipelines scale:
+
+  cosine_topk             exact brute-force top-k: queries x corpus theta-join,
+                          cosine JVM-side, window rank. The correctness
+                          baseline; cost O(|Q| * |corpus|), fine when |Q| is
+                          small or the corpus fits a broadcast.
+  hyperplane_lsh_buckets  random-hyperplane LSH bucketing: the scale path.
+                          Bucket key = sign bits of dot(v, plane_i). Search
+                          within buckets only -> candidate set shrinks by
+                          ~2^planes; planes are derived deterministically
+                          from md5 so results are portable/oracle-checkable.
+  cosine_topk_bucketed    top-k restricted to LSH-bucket collisions.
+
+At 100 TB: broadcast the query set (it is always the small side), never the
+corpus; bucket join keys are (plane-bits), evenly distributed by
+construction. A numpy/Arrow batched variant (mapInPandas, BLAS dot products)
+is provided for wide-embedding workloads where per-element codegen loses to
+vectorized C — switch via ``use_pandas=True``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hive_io_experimental_spark.functions.vectors import cosine_similarity
+
+
+def _as_double(vec_col: str):
+    return F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    use_pandas: bool = False,
+) -> DataFrame:
+    """Exact top-k nearest corpus vectors per query vector, by cosine.
+
+    Returns (query_id, neighbor_id, cosine, rank), self-matches excluded.
+    The join broadcasts the query side explicitly — at any realistic scale
+    queries << corpus, and this keeps the corpus scan shuffle-free.
+    """
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    if use_pandas:
+        return _cosine_topk_pandas(c, q, k)
+    cos = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _cosine_topk_pandas(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
+    """Arrow-batched exact top-k: numpy matmul per corpus partition.
+
+    The query matrix rides along as a broadcast-joined literal-free pattern:
+    collected once on the driver (queries are small by contract) and closed
+    over — each executor computes Q x batch^T with BLAS.
+    """
+    import numpy as np
+
+    q_rows = q.collect()
+    q_ids = np.array([r["query_id"] for r in q_rows])
+    q_mat = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    spark = c.sparkSession
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_mat = np.array(list(pdf["cv"]), dtype=np.float64)
+            c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = q_norm @ c_norm.T  # |Q| x |batch|
+            n_ids = pdf["neighbor_id"].to_numpy()
+            for qi, qid in enumerate(q_ids):
+                mask = n_ids != qid
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": n_ids[mask],
+                        "cosine": np.round(sims[qi][mask], 6),
+                    }
+                )
+
+    scored = c.mapInPandas(
+        score, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH bucketing
+# ---------------------------------------------------------------------------
+
+def _plane_component(plane: int, dim) -> F.Column:
+    """Deterministic pseudo-random +-1 for (plane, dim) from one md5 bit.
+
+    Portable: DuckDB computes the identical value, so bucket assignments are
+    oracle-checkable. Bit source: low bit of the first hex char of
+    md5('<plane>:<dim>').
+    """
+    h = F.md5(F.concat(F.lit(f"{plane}:"), dim.cast("string")))
+    nib = F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
+    return F.when(nib.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    num_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, bucket) — sign-of-dot-product LSH bucket per vector.
+
+    bucket = sum over planes of 2^i * [dot(v, plane_i) >= 0]. The plane
+    "matrix" is a closed-form expression of (plane, dim) — nothing is
+    materialized or broadcast; at 100 TB this is a pure map over the corpus
+    with zero shuffle.
+    """
+    v = _as_double(vec_col)
+    idx = F.sequence(F.lit(0), F.size(v) - 1)
+    bucket = None
+    for p in range(num_planes):
+        dot = F.aggregate(
+            F.zip_with(v, idx, lambda x, i: x * _plane_component(p, i)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        bit = F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bit if bucket is None else bucket + bit
+    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+
+
+def cosine_topk_bucketed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidates limited to same-LSH-bucket vectors.
+
+    Recall < 1 by construction (that is the approximation); the equi-join on
+    bucket replaces the all-pairs product, turning an O(n^2) scan into a
+    bucketed join both Catalyst and AQE know how to distribute.
+    """
+    cb = hyperplane_lsh_buckets(corpus, num_planes, vec_col, id_col)
+    qb = hyperplane_lsh_buckets(queries, num_planes, vec_col, id_col)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")).join(
+        cb.withColumnRenamed("id", "neighbor_id"), "neighbor_id"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")).join(
+        qb.withColumnRenamed("id", "query_id"), "query_id"
+    )
+    cos = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (c["bucket"] == q["bucket"]) & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )

@@ -1,0 +1,137 @@
+"""Text-analysis operators: metrics/quality, language-ID, fingerprinting.
+
+All pure column expressions over `documents`-shaped tables — JVM-side,
+codegen-friendly, shuffle-free (these are per-row maps; they compose with
+any scan). Each has an exact DuckDB-SQL twin for the correctness oracle.
+
+The reference has no scalar function surface at all (SURVEY §2.2); these are
+the engine's training-data-pipeline extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hive_io_experimental_spark.functions.hashing import portable_hash64
+from hive_io_experimental_spark.functions.textfns import normalize_text, word_tokens
+
+# Tiny language-marker lists. Deliberately small: the operator contract is a
+# deterministic heuristic (n-gram/stopword scoring), not a trained model.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "is", "in"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "es": ["el", "la", "que", "de", "y", "los", "una"],
+    "fr": ["le", "la", "les", "et", "des", "une", "est"],
+}
+
+# A small English stopword list for quality ratios.
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "for", "on", "with", "as", "at", "by",
+]
+
+
+def text_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality metrics + a composite quality score.
+
+    Columns: n_chars, n_tokens, n_uniq_tokens, uniq_ratio, stopword_ratio,
+    punct_ratio, avg_token_len, quality_score. Ratios rounded to 6 to absorb
+    engine-side double formatting; the arithmetic itself is exact-identical
+    across engines (integer counts -> one double division).
+    """
+    text = F.col(text_col)
+    toks = word_tokens(text)
+    n_tokens = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_chars = F.length(text)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[.,;:!?'\"]", ""))
+    token_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    uniq_ratio = F.round(n_uniq / n_tokens, 6)
+    stop_ratio = F.round(n_stop / n_tokens, 6)
+    punct_ratio = F.round(n_punct / n_chars, 6)
+    avg_len = F.round(token_chars / n_tokens, 6)
+    # Composite score in [0,1]: length credit (saturates at 64 tokens),
+    # vocabulary diversity, and light penalties for stopword/punct excess.
+    quality = F.round(
+        0.35 * F.least(n_tokens / F.lit(64.0), F.lit(1.0))
+        + 0.35 * (n_uniq / n_tokens)
+        + 0.15 * (1 - F.least(n_stop / n_tokens, F.lit(1.0)))
+        + 0.15 * (1 - F.least(n_punct / F.greatest(n_chars, F.lit(1)), F.lit(1.0))),
+        6,
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_uniq.alias("n_uniq_tokens"),
+        uniq_ratio.alias("uniq_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        avg_len.alias("avg_token_len"),
+        quality.alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic heuristic language ID.
+
+    CJK-character presence short-circuits to 'zh'; otherwise the language
+    with the highest marker-stopword hit count wins, ties broken by a fixed
+    priority order (en > de > es > fr). Returns (doc_id, lang_pred, score).
+    """
+    text = F.col(text_col)
+    toks = word_tokens(text)
+    n_tokens = F.greatest(F.size(toks), F.lit(1))
+    # closure factory, NOT a default-arg lambda: PySpark introspects the
+    # lambda arity, so an extra default parameter becomes a second Column.
+    def marker_hits(markers: list[str]):
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = {lang: marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
+    has_cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", "")) > 0
+    en, de, es, fr = scores["en"], scores["de"], scores["es"], scores["fr"]
+    pred = (
+        F.when(has_cjk, F.lit("zh"))
+        .when((de > en) & (de >= es) & (de >= fr), F.lit("de"))
+        .when((es > en) & (es > de) & (es >= fr), F.lit("es"))
+        .when((fr > en) & (fr > de) & (fr > es), F.lit("fr"))
+        .otherwise(F.lit("en"))
+    )
+    best = F.greatest(en, de, es, fr)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        pred.alias("lang_pred"),
+        F.round(best / n_tokens, 6).alias("lang_score"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stable 60-bit content fingerprint of the normalized text.
+
+    (doc_id, fp) — identical across engines (md5-prefix hash), usable as a
+    join/dedup key and as the document identity in downstream pipelines.
+    """
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        portable_hash64(normalize_text(F.col(text_col))).alias("fp"),
+    )
+
+
+def token_histogram(df: DataFrame, text_col: str = "text", top_n: int = 20) -> DataFrame:
+    """Corpus-level token frequency, top-N by count (count desc, token asc).
+
+    One explode + one groupBy: the shuffle is on token (high cardinality);
+    partial aggregation collapses per-partition counts first, so the shuffle
+    volume is vocabulary-sized, not corpus-sized.
+    """
+    return (
+        df.select(F.explode(word_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(top_n)
+    )

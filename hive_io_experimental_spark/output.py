@@ -1,0 +1,153 @@
+"""Write API with the reference's strict preconditions on top of df.write.
+
+Reference write surface (output/HiveOutput.java:50-86,
+output/HiveApiOutputFormat.java): write an iterable of records (here: a
+DataFrame) into a table/partition with spec checks and a commit protocol.
+Spark's FileFormatWriter already provides task/job commit, _SUCCESS markers
+and dynamic partitions; what Spark does NOT provide — and the reference does —
+is the strict policy layer:
+
+  * table must exist                      (CheckOutputSpecsTest.java:48-67)
+  * partitioned table => partition spec required, arity-checked
+                                          (HiveApiOutputFormat.java:307-318)
+  * target partition must not exist, unless drop_partition=true
+                                          (HiveApiOutputFormat.java:305-323,
+                                           OutputConf.java:58-59)
+  * unpartitioned table must be empty     (HiveApiOutputFormat.java:332-342)
+  * widening-only type upgrade of incoming columns
+                                          (HiveType.java:242-249)
+
+On success the partition is registered in the catalog with stats — the
+reference's job-commit add_partition (HiveApiOutputCommitter.java:125-166).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hive_io_experimental_spark.catalog import Catalog, HiveStats, TableDesc
+from hive_io_experimental_spark.errors import (
+    PartitionExistsError,
+    PartitionSpecError,
+    TableNotEmptyError,
+    TypeMismatchError,
+)
+from hive_io_experimental_spark.schema import HiveTableSchema
+from hive_io_experimental_spark.types import from_spark_type, check_and_upgrade
+
+
+@dataclass(frozen=True)
+class WriteSpec:
+    """HiveOutputDescription parity (output/HiveOutputDescription.java:40-46).
+
+    partition_values: static partition spec {key: string-value}.
+    drop_partition: overwrite an existing partition (OutputConf.java:58-59).
+    """
+
+    table: str
+    partition_values: dict[str, str] = field(default_factory=dict)
+    drop_partition: bool = False
+
+
+class HiveOutput:
+    """Write-side entry point (HiveOutput parity)."""
+
+    def __init__(self, spark: SparkSession, catalog: Catalog) -> None:
+        self.spark = spark
+        self.catalog = catalog
+
+    def write_table(self, spec: WriteSpec, df: DataFrame) -> None:
+        """Spec-check + widen + write + register: the full W1-W6 pipeline."""
+        desc = TableDesc.parse(spec.table)
+        schema = self.catalog.get_schema(desc)  # raises TableNotFoundError
+        self._check_partition_spec(schema, spec)
+        df = self._conform(df, schema, spec)
+
+        location = self.catalog.table_location(desc)
+        if schema.partition_keys:
+            part_path = Catalog.partition_path(location, spec.partition_values)
+            exists = self.catalog.partition_exists(desc, spec.partition_values)
+            if exists and not spec.drop_partition:
+                raise PartitionExistsError(
+                    f"partition {spec.partition_values} already exists in "
+                    f"{desc} (set drop_partition=True to overwrite)"
+                )
+            # Spark's file commit protocol handles atomicity of the directory
+            # write; mode=overwrite implements drop_partition.
+            df.write.mode("overwrite" if exists else "errorifexists").parquet(
+                part_path
+            )
+            stats = self._stats_for(part_path)
+            if exists:
+                self.catalog.drop_partition(desc, spec.partition_values)
+            self.catalog.add_partition(desc, spec.partition_values, stats)
+        else:
+            self._check_table_is_empty(location)
+            df.write.mode("append").parquet(location)
+
+    # -- policy checks -------------------------------------------------------
+
+    @staticmethod
+    def _check_partition_spec(schema: HiveTableSchema, spec: WriteSpec) -> None:
+        keys = set(schema.partition_keys)
+        given = set(spec.partition_values)
+        if keys and keys != given:
+            # Reference checks partition-spec arity vs table partition keys
+            # (HiveApiOutputFormat.java:307-318).
+            raise PartitionSpecError(
+                f"partition spec {sorted(given)} does not match table "
+                f"partition keys {sorted(keys)}"
+            )
+        if not keys and given:
+            raise PartitionSpecError(
+                "partition values given for an unpartitioned table"
+            )
+
+    @staticmethod
+    def _check_table_is_empty(location: str) -> None:
+        # Reference: unpartitioned target must be empty
+        # (HiveApiOutputFormat.java:332-342).
+        if os.path.isdir(location):
+            data = [
+                f
+                for f in os.listdir(location)
+                if not f.startswith("_") and not f.startswith(".")
+            ]
+            if data:
+                raise TableNotEmptyError(
+                    f"unpartitioned table at {location} is not empty"
+                )
+
+    def _conform(
+        self, df: DataFrame, schema: HiveTableSchema, spec: WriteSpec
+    ) -> DataFrame:
+        """Align incoming columns to the table schema with widening-only casts."""
+        expected = [n for n, _ in schema.data_fields]
+        if list(df.columns) != expected:
+            if set(df.columns) != set(expected):
+                raise PartitionSpecError(
+                    f"incoming columns {df.columns} do not match table data "
+                    f"columns {expected}"
+                )
+            df = df.select(*expected)
+        for name, target_dt in schema.data_fields:
+            source_dt = df.schema[name].dataType
+            if source_dt == target_dt:
+                continue
+            # Widening-only: narrower numeric -> wider is cast; anything else
+            # raises, where Spark's own cast would silently narrow.
+            check_and_upgrade(from_spark_type(target_dt), from_spark_type(source_dt))
+            df = df.withColumn(name, df[name].cast(target_dt))
+        return df
+
+    def _stats_for(self, path: str) -> HiveStats:
+        size = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if not f.startswith("_"):
+                    size += os.path.getsize(os.path.join(root, f))
+        rows = self.spark.read.parquet(path).count()
+        return HiveStats(num_rows=rows, raw_size=size, total_size=size)

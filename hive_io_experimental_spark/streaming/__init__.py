@@ -1,0 +1,19 @@
+"""Structured Streaming operators over event streams.
+
+The reference is batch-only (SURVEY §2.2: no streaming); this package adds
+the streaming surface a modern pipeline expects, with batch twins in
+operators/relational.py so every streaming semantics is oracle-checkable in
+batch mode (stream-batch equivalence is the test strategy).
+"""
+
+from hive_io_experimental_spark.streaming.windows import (
+    read_events_stream,
+    windowed_event_counts,
+)
+from hive_io_experimental_spark.streaming.sessions import sessionize_stateful
+
+__all__ = [
+    "read_events_stream",
+    "windowed_event_counts",
+    "sessionize_stateful",
+]

@@ -1,0 +1,33 @@
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hive_io_experimental_spark import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("hio-tests", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture()
+def warehouse():
+    d = tempfile.mkdtemp(prefix="hio_wh_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR

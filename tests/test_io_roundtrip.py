@@ -1,0 +1,214 @@
+"""Golden round-trip read/write tests — mirrors the reference's InputTest /
+OutputTest patterns (SURVEY §5): create table, write rows, read back, assert
+exact values; partitioned + unpartitioned; failure paths.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hive_io_experimental_spark import (
+    Catalog,
+    HiveInput,
+    HiveOutput,
+    HiveTableSchema,
+    ScanSpec,
+    WriteSpec,
+)
+from hive_io_experimental_spark.errors import (
+    PartitionExistsError,
+    PartitionFilterError,
+    PartitionSpecError,
+    TableNotEmptyError,
+    TableNotFoundError,
+    TypeMismatchError,
+)
+
+F1_SCHEMA = HiveTableSchema((("i1", T.IntegerType()), ("d1", T.DoubleType())))
+F2_SCHEMA = HiveTableSchema(
+    (("i1", T.IntegerType()), ("d1", T.DoubleType())), ("ds",)
+)
+
+
+def test_unpartitioned_roundtrip(spark, warehouse):
+    # F1 fixture: InputTest.java:62-75 / OutputTest.java:59-75
+    cat = Catalog(warehouse)
+    cat.create_table("default.test1", F1_SCHEMA)
+    out = HiveOutput(spark, cat)
+    df = spark.createDataFrame([(1, 1.1), (2, 2.2)], "i1 int, d1 double")
+    out.write_table(WriteSpec(table="default.test1"), df)
+    got = HiveInput(spark, cat).read_table(ScanSpec(table="default.test1"))
+    rows = sorted((r.i1, r.d1) for r in got.collect())
+    assert rows == [(1, 1.1), (2, 2.2)]
+
+
+def test_partitioned_roundtrip_with_filter(spark, warehouse):
+    # F2 fixture: partition ds='foobar'; filter matches only that partition
+    cat = Catalog(warehouse)
+    cat.create_table("default.test1", F2_SCHEMA)
+    out = HiveOutput(spark, cat)
+    df = spark.createDataFrame([(1, 1.1), (2, 2.2)], "i1 int, d1 double")
+    out.write_table(
+        WriteSpec(table="default.test1", partition_values={"ds": "foobar"}), df
+    )
+    out.write_table(
+        WriteSpec(table="default.test1", partition_values={"ds": "other"}), df
+    )
+    hi = HiveInput(spark, cat)
+    got = hi.read_table(
+        ScanSpec(table="default.test1", partition_filter="ds = 'foobar'")
+    )
+    assert got.count() == 2
+    assert set(r.ds for r in got.collect()) == {"foobar"}
+    assert hi.read_table(ScanSpec(table="default.test1")).count() == 4
+
+
+def test_partition_values_are_strings(spark, warehouse):
+    # reference invariant: partition values always strings
+    # (HiveReadableRecord.java:140-146)
+    cat = Catalog(warehouse)
+    cat.create_table("default.test1", F2_SCHEMA)
+    HiveOutput(spark, cat).write_table(
+        WriteSpec(table="default.test1", partition_values={"ds": "2024-01-01"}),
+        spark.createDataFrame([(1, 1.1)], "i1 int, d1 double"),
+    )
+    got = HiveInput(spark, cat).read_table(ScanSpec(table="default.test1"))
+    assert dict(got.dtypes)["ds"] == "string"
+
+
+def test_partition_exists_raises_then_drop_overwrites(spark, warehouse):
+    # HiveApiOutputFormat.java:305-323 + OutputConf drop_partition
+    cat = Catalog(warehouse)
+    cat.create_table("default.test1", F2_SCHEMA)
+    out = HiveOutput(spark, cat)
+    df1 = spark.createDataFrame([(1, 1.1)], "i1 int, d1 double")
+    df2 = spark.createDataFrame([(9, 9.9)], "i1 int, d1 double")
+    spec = WriteSpec(table="default.test1", partition_values={"ds": "p"})
+    out.write_table(spec, df1)
+    with pytest.raises(PartitionExistsError):
+        out.write_table(spec, df2)
+    out.write_table(
+        WriteSpec(table="default.test1", partition_values={"ds": "p"},
+                  drop_partition=True),
+        df2,
+    )
+    got = HiveInput(spark, cat).read_table(ScanSpec(table="default.test1"))
+    assert [(r.i1, r.d1) for r in got.collect()] == [(9, 9.9)]
+
+
+def test_missing_table_raises(spark, warehouse):
+    # CheckOutputSpecsTest.java:48-67
+    cat = Catalog(warehouse)
+    with pytest.raises(TableNotFoundError):
+        HiveOutput(spark, cat).write_table(
+            WriteSpec(table="default.doesnt_exist"),
+            spark.createDataFrame([(1, 1.1)], "i1 int, d1 double"),
+        )
+
+
+def test_partition_spec_arity_mismatch_raises(spark, warehouse):
+    # HiveApiOutputFormat.java:307-318
+    cat = Catalog(warehouse)
+    cat.create_table("default.test1", F2_SCHEMA)
+    df = spark.createDataFrame([(1, 1.1)], "i1 int, d1 double")
+    with pytest.raises(PartitionSpecError):
+        HiveOutput(spark, cat).write_table(WriteSpec(table="default.test1"), df)
+    with pytest.raises(PartitionSpecError):
+        HiveOutput(spark, cat).write_table(
+            WriteSpec(table="default.test1",
+                      partition_values={"ds": "x", "hr": "1"}),
+            df,
+        )
+
+
+def test_unpartitioned_nonempty_raises(spark, warehouse):
+    # HiveApiOutputFormat.java:332-342
+    cat = Catalog(warehouse)
+    cat.create_table("default.test1", F1_SCHEMA)
+    out = HiveOutput(spark, cat)
+    df = spark.createDataFrame([(1, 1.1)], "i1 int, d1 double")
+    out.write_table(WriteSpec(table="default.test1"), df)
+    with pytest.raises(TableNotEmptyError):
+        out.write_table(WriteSpec(table="default.test1"), df)
+
+
+def test_widening_write_ok_narrowing_raises(spark, warehouse):
+    # TypeUpgradeTest semantics at the DataFrame level
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "default.wide",
+        HiveTableSchema((("l1", T.LongType()), ("d1", T.DoubleType()))),
+    )
+    out = HiveOutput(spark, cat)
+    # int -> long, float -> double: widening, accepted
+    df = spark.createDataFrame([(1, 1.5)], "l1 int, d1 float")
+    out.write_table(WriteSpec(table="default.wide"), df)
+    got = HiveInput(spark, cat).read_table(ScanSpec(table="default.wide"))
+    assert dict(got.dtypes) == {"l1": "bigint", "d1": "double"}
+
+    cat.create_table(
+        "default.narrow", HiveTableSchema((("i1", T.IntegerType()),))
+    )
+    with pytest.raises(TypeMismatchError):
+        out.write_table(
+            WriteSpec(table="default.narrow"),
+            spark.createDataFrame([(1,)], "i1 long"),
+        )
+
+
+def test_null_roundtrip(spark, warehouse):
+    # TypeUpgradeTest NULL round-trip
+    cat = Catalog(warehouse)
+    cat.create_table("default.nulls", F1_SCHEMA)
+    df = spark.createDataFrame([(None, 1.1), (2, None)], "i1 int, d1 double")
+    HiveOutput(spark, cat).write_table(WriteSpec(table="default.nulls"), df)
+    rows = sorted(
+        ((r.i1, r.d1) for r in
+         HiveInput(spark, cat).read_table(ScanSpec(table="default.nulls")).collect()),
+        key=str,
+    )
+    assert (None, 1.1) in rows and (2, None) in rows
+
+
+def test_partition_filter_rejects_data_columns(spark, warehouse):
+    # metastore-side restriction parity (HiveApiInputFormat.java:300-303)
+    cat = Catalog(warehouse)
+    cat.create_table("default.test1", F2_SCHEMA)
+    HiveOutput(spark, cat).write_table(
+        WriteSpec(table="default.test1", partition_values={"ds": "x"}),
+        spark.createDataFrame([(1, 1.1)], "i1 int, d1 double"),
+    )
+    hi = HiveInput(spark, cat)
+    with pytest.raises(PartitionFilterError):
+        hi.read_table(ScanSpec(table="default.test1", partition_filter="i1 > 0"))
+    with pytest.raises(PartitionFilterError):
+        hi.read_table(
+            ScanSpec(table="default.test1", partition_filter="not a filter !!!")
+        )
+
+
+def test_scan_missing_column_raises(spark, sf_dir):
+    # HiveApiInputFormat.java:264-279 name->id resolution failure
+    from hive_io_experimental_spark.errors import HiveIOError
+
+    with pytest.raises(HiveIOError):
+        HiveInput(spark).read_table(
+            ScanSpec(table=f"{sf_dir}/lineitem.parquet", columns=("nope",))
+        )
+
+
+def test_stats_of(spark, warehouse):
+    # HiveUtils.statsOf parity: per-partition stats summed under filter
+    cat = Catalog(warehouse)
+    cat.create_table("default.test1", F2_SCHEMA)
+    out = HiveOutput(spark, cat)
+    df = spark.createDataFrame([(1, 1.1), (2, 2.2)], "i1 int, d1 double")
+    out.write_table(WriteSpec(table="default.test1", partition_values={"ds": "a"}), df)
+    out.write_table(WriteSpec(table="default.test1", partition_values={"ds": "b"}), df)
+    hi = HiveInput(spark, cat)
+    assert hi.stats_of(ScanSpec(table="default.test1")).num_rows == 4
+    assert hi.stats_of(
+        ScanSpec(table="default.test1", partition_filter="ds = 'a'")
+    ).num_rows == 2

@@ -1,0 +1,111 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry on Spark AND its oracle_sql()
+twin on DuckDB at the given sf dir, then compares row count, column names,
+and order-insensitive values (columns sorted by name, rows sorted, doubles
+compared bit-for-bit after both engines' own rounding).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = repr(v)
+            vals.append(str(v))
+        out.append("\x01".join(vals))
+    out.sort()
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from hive_io_experimental_spark import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = list(sdf.columns)
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {exc}")
+            continue
+        spark_t = time.perf_counter() - t0
+        if name not in oracles:
+            print(f"skip {name}: no oracle ({len(s_rows)} rows, {spark_t:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            d_cols = [c[0] for c in res.description]
+            d_rows = res.fetchall()
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {exc}")
+            continue
+        problems = []
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"columns {sorted(s_cols)} vs {sorted(d_cols)}")
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount {len(s_rows)} vs {len(d_rows)}")
+        if not problems:
+            sn = normalize(s_rows, s_cols)
+            dn = normalize(d_rows, d_cols)
+            if sn != dn:
+                diff = [
+                    (a, b) for a, b in zip(sn, dn) if a != b
+                ][:3]
+                problems.append(f"values differ, first diffs: {diff}")
+        if problems:
+            failures.append(name)
+            print(f"FAIL {name}: {'; '.join(problems)}")
+        else:
+            print(f"ok   {name}: {len(s_rows)} rows ({spark_t:.1f}s spark)")
+
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
