@@ -102,6 +102,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["customer_order_ranks"] = lambda spark, sf: relational.customer_order_ranks(
         _t(spark, sf, "orders")
     )
+    q["join_semi"] = lambda spark, sf: relational.customers_with_orders(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    )
+    q["join_anti"] = lambda spark, sf: relational.customers_without_orders(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    )
+    q["revenue_rollup"] = lambda spark, sf: relational.revenue_rollup(
+        _t(spark, sf, "region"),
+        _t(spark, sf, "nation"),
+        _t(spark, sf, "customer"),
+        _t(spark, sf, "orders"),
+        _t(spark, sf, "lineitem"),
+    )
+    q["scalar_profile"] = lambda spark, sf: relational.part_scalar_profile(
+        _t(spark, sf, "part")
+    )
+    q["orders_by_month"] = lambda spark, sf: relational.orders_by_month(
+        _t(spark, sf, "orders")
+    )
+    # SQL entry point: the same ANSI string runs verbatim on Spark AND DuckDB
+    q["sql_q6_revenue"] = lambda spark, sf: relational.run_sql(
+        spark, sf, _SQL_Q6, tables=("lineitem",)
+    )
     q["event_user_setops"] = lambda spark, sf: relational.event_user_setops(
         _t(spark, sf, "events")
     )
@@ -134,8 +157,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents")
     )
     q["dedup_simhash"] = lambda spark, sf: dedup.simhash(_t(spark, sf, "documents"))
+    # threshold 0.45: the synthetic embeddings are near-orthogonal random
+    # vectors (max pairwise cosine ~0.5-0.6), so a production-style 0.97
+    # would be degenerately empty at every SF.
     q["dedup_embedding"] = lambda spark, sf: dedup.embedding_neardup(
-        _t(spark, sf, "embeddings"), threshold=0.97
+        _t(spark, sf, "embeddings"), threshold=0.45
     )
 
     # ---- similarity search ----
@@ -196,6 +222,13 @@ _MARK = {
 }
 
 
+_SQL_Q6 = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"""
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
@@ -253,6 +286,48 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
               FROM orders)
         WHERE rnk <= 3"""
+
+    o["join_semi"] = """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+
+    o["join_anti"] = """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+
+    o["revenue_rollup"] = f"""
+        SELECT r_name, n_name, CAST(SUM({disc}) AS DOUBLE) AS revenue,
+               CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+        ORDER BY gid, r_name, n_name"""
+
+    o["scalar_profile"] = """
+        SELECT p_partkey,
+               upper(p_brand) AS brand_upper,
+               CAST(length(p_name) AS INTEGER) AS name_len,
+               substring(p_type, 1, 5) AS type_prefix,
+               CAST(abs(p_size - 25) AS INTEGER) AS size_dist,
+               CAST(p_partkey % 7 AS BIGINT) AS key_mod,
+               CAST(CAST(p_retailprice AS DECIMAL(12,2))
+                    * CAST(1.10 AS DECIMAL(4,2)) AS DOUBLE) AS price_plus_10pct,
+               CASE WHEN p_size >= 30 THEN 'large'
+                    WHEN p_size >= 15 THEN 'medium'
+                    ELSE 'small' END AS size_class
+        FROM part"""
+
+    o["orders_by_month"] = """
+        SELECT epoch_us(date_trunc('month', o_orderdate)) // 1000000 AS month_epoch,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_totalprice
+        FROM orders GROUP BY 1 ORDER BY 1"""
+
+    o["sql_q6_revenue"] = _SQL_Q6
 
     o["event_user_setops"] = """
         SELECT user_id FROM events
@@ -405,7 +480,7 @@ def oracle_sql() -> dict[str, str]:
                    FROM embeddings)
         SELECT a.vec_id AS a_id, b.vec_id AS b_id, {cos_expr} AS cosine
         FROM v a JOIN v b ON a.vec_id < b.vec_id
-        WHERE {cos_expr} >= 0.97"""
+        WHERE {cos_expr} >= 0.45"""
 
     qcos = (
         "ROUND(list_dot_product(q.v, c.v) / "

@@ -29,6 +29,7 @@ from hive_io_experimental_spark.schema import HiveTableSchema
 from hive_io_experimental_spark.catalog import Catalog, HiveStats, TableDesc
 from hive_io_experimental_spark.input import HiveInput, ScanSpec
 from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+from hive_io_experimental_spark.profiles import Profiles
 
 __all__ = [
     "get_spark",
@@ -41,6 +42,7 @@ __all__ = [
     "ScanSpec",
     "HiveOutput",
     "WriteSpec",
+    "Profiles",
 ]
 
 __version__ = "0.1.0"

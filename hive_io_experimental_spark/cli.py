@@ -1,0 +1,209 @@
+"""hivetail-style CLI: scan / limit / print / stats, plus a write command.
+
+Parity with the reference's cmdline module (`Main.main` dispatches
+{help, tail, benchmark, conf-options, output} —
+hive-io-exp-cmdline/.../cmdline/Main.java:39-49). Here:
+
+  tail       scan table -> limit -> separator-joined rows on stdout, with a
+             rows/s + MB/s stats line (TailerCmd.java:100-268,
+             RecordPrinter.java:40-80, Stats.java:92-162). `--append-stats-to`
+             appends the reference's CSV columns
+             rows,threads,MB,seconds,rows/s,MB/s (Stats.java:133-151).
+  benchmark  tail without printing (parse-only scan throughput, the
+             InputBenchmark.java:115-136 shape).
+  write      generate-or-read rows and write into a catalog table partition
+             (OutputCmd shape, cmdline/.../output/OutputCmd.java).
+
+The reference hand-threads a split queue (--threads); Spark tasks already
+parallelize the scan, so --threads only sizes the session's local[] master.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+from hive_io_experimental_spark.input import HiveInput, ScanSpec
+
+
+def _table_bytes(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def _build_spark(threads: int | None):
+    from hive_io_experimental_spark.session import get_spark
+
+    master = f"local[{threads}]" if threads else None
+    return get_spark("hivetail", master=master)
+
+
+def cmd_tail(args: argparse.Namespace, print_rows: bool = True,
+             stop_session: bool = True) -> int:
+    spark = _build_spark(args.threads)
+    catalog = None
+    if args.warehouse:
+        from hive_io_experimental_spark.catalog import Catalog
+
+        catalog = Catalog(args.warehouse)
+    spec = ScanSpec(
+        table=args.table,
+        columns=tuple(args.columns.split(",")) if args.columns else (),
+        partition_filter=args.filter or "",
+        limit=args.limit,
+    )
+    hive_input = HiveInput(spark, catalog)
+    df = hive_input.read_table(spec)
+
+    t0 = time.perf_counter()
+    n_rows = 0
+    total_rows_estimate = None
+    if print_rows:
+        # Buffered print loop — RecordPrinter parity (buffer flush every
+        # --record-buffer-flush rows, RecordPrinter.java:40-80).
+        buf: list[str] = []
+        flush_every = args.record_buffer_flush
+        out = sys.stdout
+        for row in df.toLocalIterator():
+            buf.append(args.separator.join("" if v is None else str(v) for v in row))
+            n_rows += 1
+            if len(buf) >= flush_every:
+                out.write("\n".join(buf) + "\n")
+                buf.clear()
+        if buf:
+            out.write("\n".join(buf) + "\n")
+    else:
+        # benchmark mode: parse-only (force full materialization, no output)
+        n_rows = df.count()
+        df.write.format("noop").mode("overwrite").save()
+    seconds = time.perf_counter() - t0
+
+    # MB estimate: table bytes scaled by rows-read fraction (the reference
+    # estimates from metastore rawSize the same way, Stats.java:92-98).
+    tbl_path = args.table if os.path.exists(args.table) else None
+    if catalog is not None and catalog.table_exists(args.table):
+        tbl_path = catalog.table_location(args.table)
+    mb = 0.0
+    if tbl_path:
+        total_bytes = _table_bytes(tbl_path)
+        try:
+            total_rows_estimate = spark.read.parquet(tbl_path).count()
+        except Exception:
+            total_rows_estimate = None
+        frac = (
+            min(1.0, n_rows / total_rows_estimate)
+            if total_rows_estimate
+            else 1.0
+        )
+        mb = total_bytes * frac / 1e6
+    threads = args.threads or int(
+        os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)
+    )
+    rows_per_s = n_rows / seconds if seconds > 0 else 0.0
+    mb_per_s = mb / seconds if seconds > 0 else 0.0
+    stats_line = (
+        f"{n_rows},{threads},{mb:.2f},{seconds:.3f},{rows_per_s:.1f},{mb_per_s:.2f}"
+    )
+    print(
+        f"# rows={n_rows} threads={threads} MB={mb:.2f} seconds={seconds:.3f} "
+        f"rows/s={rows_per_s:.1f} MB/s={mb_per_s:.2f}",
+        file=sys.stderr,
+    )
+    if args.append_stats_to:
+        new = not os.path.exists(args.append_stats_to)
+        with open(args.append_stats_to, "a") as f:
+            if new:
+                f.write("rows,threads,MB,seconds,rows_per_s,MB_per_s\n")
+            f.write(stats_line + "\n")
+    if stop_session:
+        spark.stop()
+    return 0
+
+
+def cmd_write(args: argparse.Namespace, stop_session: bool = True) -> int:
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+
+    spark = _build_spark(args.threads)
+    catalog = Catalog(args.warehouse)
+    df = spark.read.parquet(args.source)
+    part_values = {}
+    if args.partition:
+        for kv in args.partition.split(","):
+            k, _, v = kv.partition("=")
+            part_values[k.strip()] = v.strip()
+    HiveOutput(spark, catalog).write_table(
+        WriteSpec(
+            table=args.table,
+            partition_values=part_values,
+            drop_partition=args.drop_partition,
+        ),
+        df,
+    )
+    print(f"# wrote {args.source} -> {args.table} partition={part_values}",
+          file=sys.stderr)
+    if stop_session:
+        spark.stop()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="hivetail", description="scan/limit/print + write CLI"
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def add_common(sp):
+        sp.add_argument("--table", required=True,
+                        help="db.table (with --warehouse) or parquet path")
+        sp.add_argument("--warehouse", help="warehouse dir with _catalog.json")
+        sp.add_argument("--columns", help="comma-separated projection")
+        sp.add_argument("--filter", help="partition filter expression")
+        sp.add_argument("--limit", type=int, default=None,
+                        help="global row limit (TailerCmd --limit)")
+        sp.add_argument("--separator", default="\t",
+                        help="column separator (default tab)")
+        sp.add_argument("--record-buffer-flush", type=int, default=1000,
+                        help="rows buffered between stdout flushes")
+        sp.add_argument("--threads", type=int, default=None,
+                        help="local[] parallelism (Spark tasks do the rest)")
+        sp.add_argument("--append-stats-to",
+                        help="append CSV stats line to this file")
+
+    tail = sub.add_parser("tail", help="scan and print rows")
+    add_common(tail)
+
+    bench = sub.add_parser("benchmark", help="parse-only scan throughput")
+    add_common(bench)
+
+    wr = sub.add_parser("write", help="write parquet source into a catalog table")
+    wr.add_argument("--table", required=True)
+    wr.add_argument("--warehouse", required=True)
+    wr.add_argument("--source", required=True, help="source parquet path")
+    wr.add_argument("--partition", help="k=v[,k=v...] static partition spec")
+    wr.add_argument("--drop-partition", action="store_true")
+    wr.add_argument("--threads", type=int, default=None)
+    return p
+
+
+def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == "tail":
+        return cmd_tail(args, print_rows=True, stop_session=stop_session)
+    if args.command == "benchmark":
+        return cmd_tail(args, print_rows=False, stop_session=stop_session)
+    if args.command == "write":
+        return cmd_write(args, stop_session=stop_session)
+    raise AssertionError(args.command)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hive_io_experimental_spark.functions.hashing import md5_minhash_token, portable_hash64
+from hive_io_experimental_spark.functions.partitioning import spread
 from hive_io_experimental_spark.functions.textfns import normalize_text, word_shingles, word_tokens
 
 
@@ -66,9 +67,13 @@ def exact_dedup(
 def shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
-    """(id, shingle) exploded distinct k-word shingles per document."""
+    """(id, shingle) exploded distinct k-word shingles per document.
+
+    ``spread`` first: tokenization is the dominant per-row cost and single-file
+    inputs arrive as one partition (see functions/partitioning.py).
+    """
     return (
-        df.select(
+        spread(df).select(
             F.col(id_col).alias("id"),
             F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias(
                 "shingle"
@@ -102,6 +107,10 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(freq_ok, "shingle")
+    # sh feeds three plan branches (sizes + both self-join sides); persist so
+    # shingling runs once. At warehouse scale the equivalent is a checkpoint
+    # of the shingle table — same idea, durable storage instead of block cache.
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -194,7 +203,9 @@ def minhash_lsh_candidates(
     bucket size handles pathological ones.
     """
     sigs = minhash_signatures(df, text_col, id_col, num_perm, k)
-    bk = minhash_band_keys(sigs, num_perm, bands)
+    # both self-join sides read the band keys; persist so signatures compute
+    # once (they cost a full shingle pass each).
+    bk = minhash_band_keys(sigs, num_perm, bands).persist()
     a = bk.alias("a")
     b = bk.alias("b")
     return (
@@ -221,43 +232,37 @@ def simhash(
 ) -> DataFrame:
     """(id, simhash) — 60-bit SimHash over word tokens.
 
-    Entirely expression-level (transform/aggregate over arrays): no explode,
-    no shuffle, no Python. Per doc: hash each token to a 60-bit int
-    (portable md5 prefix — fits a signed 64-bit long in Spark AND DuckDB);
-    bit j of the simhash is the majority vote of token-hash bit j.
-    60 (not 64) keeps the value positive in both engines' signed longs.
+    Plan shape: explode tokens -> hash once per token -> ONE groupBy(id) with
+    ``bits`` literal-shift bit-count sums (+ token count). A single shuffle
+    whose map side partially aggregates, so shuffle volume is docs x 61 longs
+    regardless of corpus size. (A previous array-lambda formulation scanned
+    the token array once per bit — 60x the work, and outside codegen.)
+
+    bit j of the simhash is the majority vote of token-hash bit j over all
+    token INSTANCES (duplicates count). 60 bits (not 64) keeps the value
+    positive in both Spark's and DuckDB's signed longs; hash is the portable
+    md5 prefix so the oracle matches bit-for-bit.
     """
-    toks = word_tokens(F.col(text_col))
-    hashes = F.transform(toks, lambda t: portable_hash64(t))
-    n = F.size(toks)
-    # votes[j] = count of tokens with bit j set. shiftright() needs a literal
-    # shift amount, so test bit j with an arithmetic mask 2^j instead (exact
-    # as double for j < 60, cast back to long).
-    votes = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda j: F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(
-                h.bitwiseAND(F.pow(F.lit(2.0), j.cast("double")).cast("long")) != 0,
-                F.lit(1).cast("long"),
-            ).otherwise(F.lit(0).cast("long")),
-        ),
-    )
-    # simhash = sum of 2^j where votes[j]*2 > n  (exact: 2^j cast to long)
-    sim = F.aggregate(
-        F.zip_with(
-            votes,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda v, j: F.when(v * 2 > n, F.pow(F.lit(2.0), j.cast("double")).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, t: acc + t,
-    )
-    return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+    tok = spread(df).select(
+        F.col(id_col).alias("id"),
+        # explode_outer keeps zero-token docs (simhash = 0, like the oracle)
+        F.explode_outer(word_tokens(F.col(text_col))).alias("t"),
+    ).select("id", portable_hash64(F.col("t")).alias("h"))
+    aggs = [
+        F.sum(
+            F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1).cast("long"))
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    votes = tok.groupBy("id").agg(F.count(F.col("h")).alias("n"), *aggs)
+    sim = None
+    for j in range(bits):
+        bit = (
+            F.when(F.col(f"v{j}") * 2 > F.col("n"), F.lit(1 << j).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        sim = bit if sim is None else sim + bit
+    return votes.select("id", sim.alias("simhash"))
 
 
 def simhash_pairs(
@@ -326,29 +331,88 @@ def embedding_neardup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.97,
+    candidate_rows_limit: int = 1_000_000,
 ) -> DataFrame:
-    """Pairs of vectors with cosine similarity >= threshold (brute force).
+    """Pairs of vectors with cosine similarity >= threshold.
 
-    This is the small-corpus baseline: an O(n^2) theta-join with the cosine
-    computed JVM-side. At scale, bucket first (see
-    operators/similarity.py:hyperplane_lsh_buckets) and run this within
-    buckets — same inner operator, linearized outer loop.
+    Two-phase plan (the shape real vector pipelines use):
+
+      1. candidate generation — Arrow-batched numpy: each corpus partition
+         multiplies its batch against the (broadcast) corpus matrix with
+         BLAS and emits pairs whose approximate cosine clears
+         ``threshold - 1e-6``. The margin is ~9 orders of magnitude wider
+         than float64 summation-order noise, so no true pair can be missed.
+      2. exact rescoring — the few candidates join back to the vectors and
+         the cosine is recomputed with the same sequential JVM fold the
+         oracle uses, then filtered at the real threshold. Output values are
+         therefore bit-identical to a pure all-pairs plan.
+
+    Corpora above ``candidate_rows_limit`` fall back to the pure JVM
+    theta-join (at that size you should be bucketing first anyway — see
+    operators/similarity.py:hyperplane_lsh_buckets and the docstring note on
+    running this operator within buckets).
     """
-    from hive_io_experimental_spark.functions.vectors import cosine_similarity
+    from hive_io_experimental_spark.functions.vectors import dot_product, l2_norm
 
-    v = df.select(
+    v = spread(df).select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
-    a = v.alias("a")
-    b = v.alias("b")
-    cos = F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6)
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            cos.alias("cosine"),
+    ).withColumn("nrm", l2_norm(F.col("v")))
+
+    n_rows = df.count()  # parquet metadata count: cheap
+    if n_rows > candidate_rows_limit:
+        a, b = v.alias("a"), v.alias("b")
+        cos = F.round(
+            F.try_divide(
+                dot_product(F.col("a.v"), F.col("b.v")),
+                F.col("a.nrm") * F.col("b.nrm"),
+            ),
+            6,
         )
+        return (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"),
+                    cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    all_rows = v.select("id", "v").collect()
+    ids = np.array([r["id"] for r in all_rows], dtype=np.int64)
+    mat = np.array([r["v"] for r in all_rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    unit = mat / norms[:, None]
+    margin = threshold - 1e-6
+
+    def candidates(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            b_ids = pdf["id"].to_numpy()
+            b_mat = np.array(list(pdf["v"]), dtype=np.float64)
+            b_unit = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
+            sims = b_unit @ unit.T  # |batch| x |corpus|
+            bi, ci = np.nonzero((sims >= margin) & (b_ids[:, None] < ids[None, :]))
+            if len(bi):
+                yield pd.DataFrame({"a_id": b_ids[bi], "b_id": ids[ci]})
+
+    cand = v.select("id", "v").mapInPandas(candidates, "a_id long, b_id long")
+    av = v.select(F.col("id").alias("a_id"), F.col("v").alias("av"),
+                  F.col("nrm").alias("anrm"))
+    bv = v.select(F.col("id").alias("b_id"), F.col("v").alias("bv"),
+                  F.col("nrm").alias("bnrm"))
+    exact = F.round(
+        F.try_divide(
+            dot_product(F.col("av"), F.col("bv")), F.col("anrm") * F.col("bnrm")
+        ),
+        6,
+    )
+    return (
+        cand.join(F.broadcast(av), "a_id")
+        .join(F.broadcast(bv), "b_id")
+        .select("a_id", "b_id", exact.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", "cosine")
     )

@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hive_io_experimental_spark.functions.partitioning import spread
+
 DECODE_SCHEMA = (
     "doc_id long, n_bytes long, width int, height int, channels int, format string"
 )
@@ -64,7 +66,9 @@ def decode_media_metadata(
     pandas DataFrame of (id, payload) and the decoder runs per row within
     the batch — exactly where PIL/libvips/ffmpeg calls would go.
     """
-    cols = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    cols = spread(df).select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

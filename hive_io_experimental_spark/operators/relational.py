@@ -222,6 +222,118 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """LEFT SEMI join: customers having at least one order.
+
+    Semi joins never materialize the right side's columns — the shuffle
+    carries only the join key, and Spark broadcasts the key set when small.
+    """
+    return (
+        customer.join(
+            orders, customer["c_custkey"] == orders["o_custkey"], "left_semi"
+        )
+        .select("c_custkey", "c_name")
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """LEFT ANTI join: customers with no orders (TPC-H Q22 flavor)."""
+    return (
+        customer.join(
+            orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
+        )
+        .select("c_custkey", "c_name")
+    )
+
+
+def revenue_rollup(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                   orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """ROLLUP over (region, nation): per-nation revenue + regional and grand
+    subtotals, with grouping_id to tag subtotal rows.
+
+    Spark computes rollups with a single Expand+shuffle; at scale this is
+    one pass regardless of the number of grouping sets.
+    """
+    revenue = _amt(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(4,2)") - _rate(F.col("l_discount"))
+    )
+    dim = (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .orderBy(F.col("gid"), F.col("r_name"), F.col("n_name"))
+    )
+
+
+def part_scalar_profile(part: DataFrame) -> DataFrame:
+    """Scalar-function surface over `part`: string, math and conditional
+    functions in one projection (the reference has NO scalar functions at all
+    — SURVEY §2.2; Spark's built-in library is exposed through the engine).
+
+    Pure per-row map: no shuffle, whole-stage codegen, trivially scalable.
+    """
+    return part.select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+        F.length(F.col("p_name")).alias("name_len"),
+        F.substring(F.col("p_type"), 1, 5).alias("type_prefix"),
+        F.abs(F.col("p_size") - F.lit(25)).alias("size_dist"),
+        F.pmod(F.col("p_partkey"), F.lit(7)).cast("long").alias("key_mod"),
+        (F.col("p_retailprice").cast("decimal(12,2)")
+         * F.lit(1.10).cast("decimal(4,2)"))
+        .cast("double")
+        .alias("price_plus_10pct"),
+        F.when(F.col("p_size") >= 30, F.lit("large"))
+        .when(F.col("p_size") >= 15, F.lit("medium"))
+        .otherwise(F.lit("small"))
+        .alias("size_class"),
+    )
+
+
+def orders_by_month(orders: DataFrame) -> DataFrame:
+    """Calendar-month aggregate of orders (date/time function surface).
+
+    o_orderdate arrives as long nanos (see ensure_event_time); month
+    truncation happens on proper UTC timestamps, output as epoch seconds so
+    the result is timezone- and engine-independent.
+    """
+    orders = ensure_event_time(orders, "o_orderdate")
+    month = (
+        F.expr("unix_micros(date_trunc('MONTH', o_orderdate)) div 1000000")
+    ).alias("month_epoch")
+    return (
+        orders.groupBy(month)
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_totalprice"),
+        )
+        .orderBy("month_epoch")
+    )
+
+
+def run_sql(spark, sf_dir: str, query: str,
+            tables: tuple[str, ...] = ("region", "nation", "customer",
+                                       "supplier", "part", "orders",
+                                       "lineitem")) -> DataFrame:
+    """SQL entry point: register the warehouse tables as temp views and run
+    an arbitrary SQL query through Spark SQL (the engine's `df.sql` surface).
+    """
+    for t in tables:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    return spark.sql(query)
+
+
 def table_stats(df: DataFrame) -> DataFrame:
     """HiveStats-shaped row-count stats (numRows; sizes come from the
     catalog, common/HiveStats.java:34-108) as a degenerate aggregate."""

@@ -27,11 +27,26 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from hive_io_experimental_spark.functions.vectors import cosine_similarity
+from hive_io_experimental_spark.functions.partitioning import spread
+from hive_io_experimental_spark.functions.vectors import dot_product, l2_norm
 
 
 def _as_double(vec_col: str):
     return F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+
+def _pair_cosine(a_vec: str, a_nrm: str, b_vec: str, b_nrm: str):
+    """Cosine from precomputed norms: per-pair work is one fold (the cross
+    dot); norms are computed once per vector, with the same sequential fold
+    the oracle uses, so results stay bit-identical. try_divide: a zero-norm
+    vector yields NULL cosine instead of an ANSI divide-by-zero error."""
+    return F.round(
+        F.try_divide(
+            dot_product(F.col(a_vec), F.col(b_vec)),
+            F.col(a_nrm) * F.col(b_nrm),
+        ),
+        6,
+    )
 
 
 def cosine_topk(
@@ -48,11 +63,13 @@ def cosine_topk(
     The join broadcasts the query side explicitly — at any realistic scale
     queries << corpus, and this keeps the corpus scan shuffle-free.
     """
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+    c = spread(corpus).select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
     if use_pandas:
         return _cosine_topk_pandas(c, q, k)
-    cos = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    c = c.withColumn("cnrm", l2_norm(F.col("cv")))
+    q = q.withColumn("qnrm", l2_norm(F.col("qv")))
+    cos = _pair_cosine("qv", "qnrm", "cv", "cnrm")
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cos.alias("cosine"))
@@ -139,6 +156,7 @@ def hyperplane_lsh_buckets(
     materialized or broadcast; at 100 TB this is a pure map over the corpus
     with zero shuffle.
     """
+    df = spread(df)
     v = _as_double(vec_col)
     idx = F.sequence(F.lit(0), F.size(v) - 1)
     bucket = None
@@ -167,15 +185,16 @@ def cosine_topk_bucketed(
     bucket replaces the all-pairs product, turning an O(n^2) scan into a
     bucketed join both Catalyst and AQE know how to distribute.
     """
+    corpus = spread(corpus)
     cb = hyperplane_lsh_buckets(corpus, num_planes, vec_col, id_col)
     qb = hyperplane_lsh_buckets(queries, num_planes, vec_col, id_col)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")).join(
         cb.withColumnRenamed("id", "neighbor_id"), "neighbor_id"
-    )
+    ).withColumn("cnrm", l2_norm(F.col("cv")))
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")).join(
         qb.withColumnRenamed("id", "query_id"), "query_id"
-    )
-    cos = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    ).withColumn("qnrm", l2_norm(F.col("qv")))
+    cos = _pair_cosine("qv", "qnrm", "cv", "cnrm")
     scored = (
         c.join(
             F.broadcast(q),

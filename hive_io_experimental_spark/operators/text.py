@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hive_io_experimental_spark.functions.hashing import portable_hash64
+from hive_io_experimental_spark.functions.partitioning import spread
 from hive_io_experimental_spark.functions.textfns import normalize_text, word_tokens
 
 # Tiny language-marker lists. Deliberately small: the operator contract is a
@@ -40,6 +41,7 @@ def text_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     engine-side double formatting; the arithmetic itself is exact-identical
     across engines (integer counts -> one double division).
     """
+    df = spread(df)
     text = F.col(text_col)
     toks = word_tokens(text)
     n_tokens = F.size(toks)
@@ -50,16 +52,19 @@ def text_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     token_chars = F.aggregate(
         toks, F.lit(0), lambda acc, t: acc + F.length(t)
     )
-    uniq_ratio = F.round(n_uniq / n_tokens, 6)
-    stop_ratio = F.round(n_stop / n_tokens, 6)
-    punct_ratio = F.round(n_punct / n_chars, 6)
-    avg_len = F.round(token_chars / n_tokens, 6)
+    # try_divide, not '/': Spark 4 runs ANSI mode, where x/0 throws. Empty
+    # documents (0 tokens / 0 chars) get NULL ratios instead — the sane SQL
+    # semantics, and identical to '/' on every non-degenerate row.
+    uniq_ratio = F.round(F.try_divide(n_uniq, n_tokens), 6)
+    stop_ratio = F.round(F.try_divide(n_stop, n_tokens), 6)
+    punct_ratio = F.round(F.try_divide(n_punct, n_chars), 6)
+    avg_len = F.round(F.try_divide(token_chars, n_tokens), 6)
     # Composite score in [0,1]: length credit (saturates at 64 tokens),
     # vocabulary diversity, and light penalties for stopword/punct excess.
     quality = F.round(
         0.35 * F.least(n_tokens / F.lit(64.0), F.lit(1.0))
-        + 0.35 * (n_uniq / n_tokens)
-        + 0.15 * (1 - F.least(n_stop / n_tokens, F.lit(1.0)))
+        + 0.35 * F.try_divide(n_uniq, n_tokens)
+        + 0.15 * (1 - F.least(F.try_divide(n_stop, n_tokens), F.lit(1.0)))
         + 0.15 * (1 - F.least(n_punct / F.greatest(n_chars, F.lit(1)), F.lit(1.0))),
         6,
     )
@@ -83,6 +88,7 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     with the highest marker-stopword hit count wins, ties broken by a fixed
     priority order (en > de > es > fr). Returns (doc_id, lang_pred, score).
     """
+    df = spread(df)
     text = F.col(text_col)
     toks = word_tokens(text)
     n_tokens = F.greatest(F.size(toks), F.lit(1))
@@ -129,7 +135,7 @@ def token_histogram(df: DataFrame, text_col: str = "text", top_n: int = 20) -> D
     volume is vocabulary-sized, not corpus-sized.
     """
     return (
-        df.select(F.explode(word_tokens(F.col(text_col))).alias("token"))
+        spread(df).select(F.explode(word_tokens(F.col(text_col))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("token").asc())

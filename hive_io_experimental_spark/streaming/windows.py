@@ -22,11 +22,21 @@ def read_events_stream(
 ) -> DataFrame:
     """File-based stream over an events directory (schema locked up front —
     streaming sources require a fixed schema, like the reference's
-    metastore-fixed schemas)."""
+    metastore-fixed schemas).
+
+    A single-FILE path is handled by streaming its parent directory with a
+    pathGlobFilter on the file name: Spark's file stream source requires a
+    directory basePath.
+    """
+    import os
+
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        return reader.parquet(os.path.dirname(path))
     return reader.parquet(path)
 
 

@@ -1,0 +1,74 @@
+"""hivetail CLI tests (TailerCmd / OutputCmd parity, SURVEY §3.3)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from hive_io_experimental_spark import Catalog, HiveTableSchema
+from hive_io_experimental_spark.cli import main
+
+
+def test_tail_prints_rows_with_separator(spark, sf_dir, capsys, tmp_path):
+    stats_file = tmp_path / "stats.csv"
+    rc = main(
+        [
+            "tail",
+            "--table", f"{sf_dir}/lineitem.parquet",
+            "--columns", "l_orderkey,l_partkey",
+            "--limit", "7",
+            "--separator", "|",
+            "--append-stats-to", str(stats_file),
+        ],
+        stop_session=False,
+    )
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l]
+    assert len(lines) == 7
+    assert all(len(l.split("|")) == 2 for l in lines)
+    stats = stats_file.read_text().strip().splitlines()
+    assert stats[0] == "rows,threads,MB,seconds,rows_per_s,MB_per_s"
+    assert stats[1].split(",")[0] == "7"
+
+
+def test_benchmark_mode_counts_without_print(spark, sf_dir, capsys):
+    rc = main(
+        ["benchmark", "--table", f"{sf_dir}/lineitem.parquet",
+         "--columns", "l_orderkey"],
+        stop_session=False,
+    )
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert cap.out == ""  # no rows printed in benchmark mode
+    assert "rows/s=" in cap.err
+
+
+def test_write_then_tail_catalog_table(spark, sf_dir, warehouse, capsys):
+    cat = Catalog(warehouse)
+    # region.parquet columns are (r_regionkey int32, r_name string); declare
+    # the key column wider (long) to exercise the widening write path too.
+    cat.create_table(
+        "default.regions",
+        HiveTableSchema(
+            (
+                ("r_regionkey", T.LongType()),
+                ("r_name", T.StringType()),
+            )
+        ),
+    )
+    rc = main(
+        ["write", "--table", "default.regions", "--warehouse", warehouse,
+         "--source", f"{sf_dir}/region.parquet"],
+        stop_session=False,
+    )
+    assert rc == 0
+    rc = main(
+        ["tail", "--table", "default.regions", "--warehouse", warehouse,
+         "--columns", "r_name", "--limit", "5"],
+        stop_session=False,
+    )
+    assert rc == 0
+    out_lines = [l for l in capsys.readouterr().out.strip().splitlines() if l]
+    assert len(out_lines) == 5

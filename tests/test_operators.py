@@ -1,0 +1,223 @@
+"""Semantic edge-case tests for the extension operators.
+
+The DuckDB oracle (tools/check_oracle.py, driver CORRECTNESS gate) covers
+value parity on the synthetic tables; these tests pin the operators' *own*
+semantics on constructed corner cases: exact duplicates, empty/short texts,
+unicode, known-similar pairs, self-similarity.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_io_experimental_spark.operators import dedup, multimodal, relational, similarity, text
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def test_exact_dedup_groups_normalized_duplicates(spark):
+    df = docs_df(
+        spark,
+        ["Hello  World", "hello world", "HELLO\tWORLD", "something else"],
+    )
+    got = {r.kept_id: r.dup_count for r in dedup.exact_dedup(df).collect()}
+    # three normalize-equal variants collapse to min doc_id 0 with count 3
+    assert got[0] == 3 and got[3] == 1
+
+
+def test_ngram_jaccard_identical_docs_score_one(spark):
+    t = "the quick brown fox jumps over the lazy dog"
+    df = docs_df(spark, [t, t, "completely different words here entirely now"])
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert [(r.a_id, r.b_id, r.jaccard) for r in pairs] == [(0, 1, 1.0)]
+
+
+def test_minhash_lsh_finds_identical_docs(spark):
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = docs_df(spark, [t, t, "unrelated totally different text goes right here"])
+    cands = {(r.a_id, r.b_id) for r in dedup.minhash_lsh_candidates(df).collect()}
+    assert (0, 1) in cands
+    assert (0, 2) not in cands and (1, 2) not in cands
+
+
+def test_simhash_identical_and_empty(spark):
+    t = "one two three four five six seven eight nine ten"
+    df = docs_df(spark, [t, t, ""])
+    got = {r.id: r.simhash for r in dedup.simhash(df).collect()}
+    assert got[0] == got[1]           # identical text -> identical simhash
+    assert got[2] == 0                # zero tokens -> simhash 0
+    assert 0 <= got[0] < (1 << 60)    # fits positive signed long
+
+
+def test_simhash_pairs_hamming(spark):
+    t = "one two three four five six seven eight nine ten"
+    df = docs_df(spark, [t, t])
+    pairs = dedup.simhash_pairs(df, max_hamming=0).collect()
+    assert [(r.a_id, r.b_id, r.hamming) for r in pairs] == [(0, 1, 0)]
+
+
+def test_embedding_neardup_detects_parallel_vectors(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [2.0, 0.0, 0.0]),   # same direction as 0 -> cosine 1.0
+            (2, [0.0, 1.0, 0.0]),   # orthogonal
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = dedup.embedding_neardup(df, threshold=0.99).collect()
+    assert [(r.a_id, r.b_id, r.cosine) for r in pairs] == [(0, 1, 1.0)]
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+def test_cosine_topk_ranks_by_similarity(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.filter(F.col("vec_id") == 0)
+    got = similarity.cosine_topk(corpus, queries, k=3).collect()
+    order = [r.neighbor_id for r in sorted(got, key=lambda r: r.rank)]
+    assert order == [1, 2, 3]  # descending cosine: ~0.994, 0, -1
+
+
+def test_cosine_topk_pandas_agrees_with_sql(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    sql_rows = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    pd_rows = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in similarity.cosine_topk(emb, queries, k=5, use_pandas=True).collect()
+    }
+    assert sql_rows == pd_rows
+
+
+def test_lsh_bucket_recall_on_identical_vectors(spark):
+    # identical vectors must share a bucket under any hyperplane set
+    df = spark.createDataFrame(
+        [(0, [0.5, -1.0, 2.0]), (1, [0.5, -1.0, 2.0]), (2, [-3.0, 1.0, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    b = {r.id: r.bucket for r in similarity.hyperplane_lsh_buckets(df).collect()}
+    assert b[0] == b[1]
+
+
+# ---------------------------------------------------------------------------
+# text
+# ---------------------------------------------------------------------------
+
+def test_text_metrics_counts(spark):
+    df = docs_df(spark, ["The cat sat on the mat.", ""])
+    m = {r.doc_id: r for r in text.text_metrics(df).collect()}
+    assert m[0].n_tokens == 6
+    assert m[0].n_uniq_tokens == 5          # 'the' twice (lowercased)
+    assert m[0].n_chars == 23
+    # empty doc: no tokens; ratios NULL (0/0), not a crash
+    assert m[1].n_tokens == 0
+
+
+def test_lang_id_markers(spark):
+    df = docs_df(
+        spark,
+        [
+            "the cat and the dog of a house is in the garden",
+            "der hund und die katze ist nicht ein tier",
+            "el perro y la casa que los gatos una vez",
+            "你好世界",  # CJK -> zh
+        ],
+    )
+    got = {r.doc_id: r.lang_pred for r in text.lang_id(df).collect()}
+    assert got == {0: "en", 1: "de", 2: "es", 3: "zh"}
+
+
+def test_fingerprint_stable_under_whitespace(spark):
+    df = docs_df(spark, ["Hello   World", "hello world", "other"])
+    fps = {r.doc_id: r.fp for r in text.fingerprint(df).collect()}
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_token_histogram_top1(spark):
+    df = docs_df(spark, ["a a a b b c", "a b"])
+    top = text.token_histogram(df, top_n=2).collect()
+    assert [(r.token, r.cnt) for r in top] == [("a", 4), ("b", 3)]
+
+
+# ---------------------------------------------------------------------------
+# relational edge semantics
+# ---------------------------------------------------------------------------
+
+def test_sessionize_gap_boundary(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: gap exactly 30min -> NOT a new session (> comparison)
+        (1, base, 1),
+        (1, base + dt.timedelta(minutes=30), 2),
+        # then 30min + 1s -> new session
+        (1, base + dt.timedelta(minutes=60, seconds=1), 3),
+        # user 2: single event
+        (2, base, 4),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    got = {r.user_id: (r.n_sessions, r.n_events)
+           for r in relational.sessionize(df).collect()}
+    assert got == {1: (2, 3), 2: (1, 1)}
+
+
+def test_pricing_summary_exact_decimal(spark):
+    df = spark.createDataFrame(
+        [("A", "F", 1.0, 10.00, 0.10, 0.05),
+         ("A", "F", 2.0, 20.00, 0.00, 0.00)],
+        "l_returnflag string, l_linestatus string, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_tax double",
+    )
+    r = relational.pricing_summary(df).collect()[0]
+    assert r.sum_qty == 3.0
+    assert r.sum_base_price == 30.0
+    assert r.sum_disc_price == 9.0 + 20.0          # 10*0.9 + 20*1.0
+    assert r.sum_charge == pytest.approx(9.0 * 1.05 + 20.0, abs=1e-9)
+    assert r.count_order == 2
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_multimodal_decode_roundtrip(spark):
+    df = docs_df(spark, ["abcd", "x" * 100])
+    decoded = multimodal.decode_media_metadata(
+        multimodal.attach_binary_payload(df)
+    ).collect()
+    by_id = {r.doc_id: r for r in decoded}
+    assert by_id[0].n_bytes == 4
+    assert by_id[0].width == 4 % 64 + 16
+    assert by_id[1].n_bytes == 100
+    assert by_id[1].format == "png"  # even byte count
+
+
+def test_frame_sample_plan_rows(spark):
+    df = multimodal.attach_binary_payload(docs_df(spark, ["some video bytes"]))
+    rows = multimodal.frame_sample_plan(df, n_frames=4).collect()
+    assert len(rows) == 4
+    assert [r.frame_slot for r in rows] == [0, 1, 2, 3]

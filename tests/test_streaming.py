@@ -1,0 +1,166 @@
+"""Streaming tests: batch/stream agreement on closed input.
+
+Strategy (mirrors how the reference tests I/O round-trips, SURVEY §5): run the
+streaming pipeline over a finite file source with an availableNow trigger into
+a memory sink, then compare with the batch twin over the same files.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_io_experimental_spark.operators import relational
+from hive_io_experimental_spark.streaming.sessions import sessionize_stateful
+from hive_io_experimental_spark.streaming.windows import (
+    read_events_stream,
+    windowed_event_counts,
+)
+
+
+def _run_stream_to_memory(sdf, name, output_mode):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q
+
+
+def test_windowed_counts_match_batch(spark, sf_dir):
+    events_path = f"{sf_dir}/events.parquet"
+    stream = read_events_stream(spark, events_path)
+    assert stream.isStreaming
+    name = f"win_{uuid.uuid4().hex[:8]}"
+    # complete mode: every window emitted regardless of watermark, so the
+    # closed-input result must equal the batch aggregation exactly.
+    _run_stream_to_memory(windowed_event_counts(stream), name, "complete")
+
+    got = {
+        (r.window_start, r.event_type): (r.n_events, float(r.sum_value))
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+    batch = relational.ensure_event_time(spark.read.parquet(events_path))
+    expected = {
+        (r.ws, r.event_type): (r.n, float(r.sv))
+        for r in batch.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sv")
+        .collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_stateful_sessionize_closed_sessions_match_batch(spark, sf_dir):
+    events_path = f"{sf_dir}/events.parquet"
+    stream = read_events_stream(spark, events_path)
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    # Huge watermark delay => the watermark never passes any session's
+    # end+gap, so no event-time timeout fires and ONLY data-closed sessions
+    # are emitted — that's the deterministic quantity to compare with batch.
+    _run_stream_to_memory(
+        sessionize_stateful(stream, watermark_delay="3650 days"), name, "append"
+    )
+
+    stream_sessions = spark.sql(
+        f"SELECT user_id, COUNT(*) AS n FROM {name} GROUP BY user_id"
+    ).collect()
+    stream_counts = {r.user_id: r.n for r in stream_sessions}
+
+    batch = {
+        r.user_id: r.n_sessions
+        for r in relational.sessionize(
+            spark.read.parquet(events_path)
+        ).collect()
+    }
+
+    # The stream emits only CLOSED sessions; each user's final session stays
+    # open at end-of-input (watermark never reaches it). So per user:
+    # closed_stream_sessions == batch_sessions - 1.
+    assert len(batch) > 0
+    for user_id, n_batch in batch.items():
+        assert stream_counts.get(user_id, 0) == n_batch - 1, user_id
+
+
+def test_session_contents_exact(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1),
+        (1, base + dt.timedelta(minutes=5), 2),
+        # > 30min gap -> closes session of 2 events
+        (1, base + dt.timedelta(minutes=60), 3),
+    ]
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="hio_stream_")
+    try:
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long"
+        ).write.mode("overwrite").parquet(f"{d}/events")
+        stream = read_events_stream(spark, f"{d}/events")
+        name = f"sx_{uuid.uuid4().hex[:8]}"
+        _run_stream_to_memory(sessionize_stateful(stream), name, "append")
+        got = spark.sql(f"SELECT * FROM {name}").collect()
+        assert len(got) == 1
+        s = got[0]
+        us = lambda t: int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+        assert s.user_id == 1
+        assert s.n_events == 2
+        assert s.session_start == us(base)
+        assert s.session_end == us(base + dt.timedelta(minutes=5))
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_event_time_timeout_flushes_quiet_session(spark):
+    """A session whose end+gap falls behind the final watermark is flushed by
+    the event-time timer even though no later event from that user arrives."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1),
+        (1, base + dt.timedelta(minutes=5), 2),
+        # user 2 is 10 hours later: advances the watermark far past
+        # user 1's (end + gap), so user 1's open session times out.
+        (2, base + dt.timedelta(hours=10), 3),
+    ]
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="hio_stream_")
+    try:
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long"
+        ).write.mode("overwrite").parquet(f"{d}/events")
+        stream = read_events_stream(spark, f"{d}/events")
+        name = f"to_{uuid.uuid4().hex[:8]}"
+        _run_stream_to_memory(
+            sessionize_stateful(stream, watermark_delay="30 minutes"),
+            name,
+            "append",
+        )
+        got = spark.sql(f"SELECT * FROM {name}").collect()
+        assert len(got) == 1
+        s = got[0]
+        us = lambda t: int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+        assert s.user_id == 1
+        assert s.n_events == 2
+        assert s.session_end == us(base + dt.timedelta(minutes=5))
+        # user 2's session is still open (watermark never passes its
+        # end + gap) — correctly NOT emitted.
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
