@@ -335,17 +335,20 @@ def embedding_neardup(
 ) -> DataFrame:
     """Pairs of vectors with cosine similarity >= threshold.
 
-    Two-phase plan (the shape real vector pipelines use):
+    Single distributed pass (the shape real vector pipelines use):
 
       1. candidate generation — Arrow-batched numpy: each corpus partition
-         multiplies its batch against the (broadcast) corpus matrix with
-         BLAS and emits pairs whose approximate cosine clears
+         multiplies its batch against the (task-shipped) corpus matrix with
+         BLAS and keeps pairs whose approximate cosine clears
          ``threshold - 1e-6``. The margin is ~9 orders of magnitude wider
          than float64 summation-order noise, so no true pair can be missed.
-      2. exact rescoring — the few candidates join back to the vectors and
-         the cosine is recomputed with the same sequential JVM fold the
-         oracle uses, then filtered at the real threshold. Output values are
-         therefore bit-identical to a pure all-pairs plan.
+      2. exact rescoring — IN the same pass: for the few surviving pairs the
+         cosine is recomputed with a sequential left-to-right fold (IEEE
+         doubles; bit-identical to DuckDB's list_dot_product and to Spark's
+         aggregate() fold), rounded JVM-side (Spark ROUND == HALF_UP ==
+         DuckDB's), then filtered at the real threshold. Output values are
+         therefore bit-identical to a pure all-pairs plan, with no extra
+         joins or shuffles.
 
     Corpora above ``candidate_rows_limit`` fall back to the pure JVM
     theta-join (at that size you should be bucketing first anyway — see
@@ -354,13 +357,11 @@ def embedding_neardup(
     """
     from hive_io_experimental_spark.functions.vectors import dot_product, l2_norm
 
-    v = spread(df).select(
-        F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).withColumn("nrm", l2_norm(F.col("v")))
-
-    n_rows = df.count()  # parquet metadata count: cheap
-    if n_rows > candidate_rows_limit:
+    if df.count() > candidate_rows_limit:  # parquet metadata count: cheap
+        v = spread(df).select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        ).withColumn("nrm", l2_norm(F.col("v")))
         a, b = v.alias("a"), v.alias("b")
         cos = F.round(
             F.try_divide(
@@ -379,40 +380,49 @@ def embedding_neardup(
     import numpy as np
     import pandas as pd
 
-    all_rows = v.select("id", "v").collect()
-    ids = np.array([r["id"] for r in all_rows], dtype=np.int64)
-    mat = np.array([r["v"] for r in all_rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    unit = mat / norms[:, None]
+    pdf_all = df.select(id_col, vec_col).toPandas()  # Arrow path: one job
+    ids = pdf_all[id_col].to_numpy(dtype=np.int64)
+    mat = np.array(list(pdf_all[vec_col]), dtype=np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     margin = threshold - 1e-6
 
-    def candidates(batches):
+    def _seq_dot(x, y) -> float:
+        # left-to-right IEEE-double fold: bit-identical to DuckDB's
+        # list_dot_product and Spark's aggregate() fold.
+        s = 0.0
+        for xi, yi in zip(x, y):
+            s += float(xi) * float(yi)
+        return s
+
+    def pairs(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            b_ids = pdf["id"].to_numpy()
+            b_ids = pdf["id"].to_numpy(dtype=np.int64)
             b_mat = np.array(list(pdf["v"]), dtype=np.float64)
             b_unit = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
-            sims = b_unit @ unit.T  # |batch| x |corpus|
+            sims = b_unit @ unit.T  # |batch| x |corpus|  (BLAS)
             bi, ci = np.nonzero((sims >= margin) & (b_ids[:, None] < ids[None, :]))
-            if len(bi):
-                yield pd.DataFrame({"a_id": b_ids[bi], "b_id": ids[ci]})
+            if not len(bi):
+                continue
+            cosines = [
+                _seq_dot(b_mat[r], mat[c])
+                / (np.sqrt(_seq_dot(b_mat[r], b_mat[r]))
+                   * np.sqrt(_seq_dot(mat[c], mat[c])))
+                for r, c in zip(bi, ci)
+            ]
+            yield pd.DataFrame(
+                {"a_id": b_ids[bi], "b_id": ids[ci], "cosine": cosines}
+            )
 
-    cand = v.select("id", "v").mapInPandas(candidates, "a_id long, b_id long")
-    av = v.select(F.col("id").alias("a_id"), F.col("v").alias("av"),
-                  F.col("nrm").alias("anrm"))
-    bv = v.select(F.col("id").alias("b_id"), F.col("v").alias("bv"),
-                  F.col("nrm").alias("bnrm"))
-    exact = F.round(
-        F.try_divide(
-            dot_product(F.col("av"), F.col("bv")), F.col("anrm") * F.col("bnrm")
-        ),
-        6,
+    v = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
     return (
-        cand.join(F.broadcast(av), "a_id")
-        .join(F.broadcast(bv), "b_id")
-        .select("a_id", "b_id", exact.alias("cosine"))
+        v.mapInPandas(pairs, "a_id long, b_id long, cosine double")
+        # round JVM-side: Spark ROUND is HALF_UP like DuckDB's (Python's
+        # round() is banker's — would diverge on exact .5 boundaries).
+        .select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
-        .select("a_id", "b_id", "cosine")
     )
