@@ -26,7 +26,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_io_experimental_spark.input import HiveInput, ScanSpec
-from hive_io_experimental_spark.operators import dedup, multimodal, relational, similarity, text
+from hive_io_experimental_spark.operators import (
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    temporal,
+    text,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -131,6 +138,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_hourly"] = lambda spark, sf: relational.events_hourly(
         _t(spark, sf, "events")
     )
+    q["asof_purchase_click"] = lambda spark, sf: temporal.purchase_click_asof(
+        _t(spark, sf, "events")
+    )
+    q["range_join_signup_purchase"] = lambda spark, sf: temporal.signup_purchase_window(
+        _t(spark, sf, "events")
+    )
     q["sessionize_events"] = lambda spark, sf: relational.sessionize(
         _t(spark, sf, "events")
     )
@@ -175,6 +188,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+    q["similarity_topk_bucketed"] = lambda spark, sf: similarity.cosine_topk_bucketed(
+        _t(spark, sf, "embeddings"),
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") % 100 == 0),
+        k=10,
+    )
 
     # ---- multimodal plumbing ----
     q["multimodal_decode"] = lambda spark, sf: multimodal.decode_media_metadata(
@@ -184,6 +202,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal.decode_media_metadata(
             multimodal.attach_binary_payload(_t(spark, sf, "documents"))
         )
+    )
+    q["multimodal_frame_sample"] = lambda spark, sf: multimodal.frame_sample_plan(
+        multimodal.attach_binary_payload(_t(spark, sf, "documents"))
     )
 
     return q
@@ -345,6 +366,29 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value,
                COUNT(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+    o["asof_purchase_click"] = """
+        WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS purchase_us
+                   FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT DISTINCT user_id, epoch_us(ts) AS click_us
+                   FROM events WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id, p.purchase_us, c.click_us,
+               p.purchase_us - c.click_us AS gap_us
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.purchase_us >= c.click_us"""
+
+    o["range_join_signup_purchase"] = """
+        WITH s AS (SELECT event_id AS signup_id, user_id, epoch_us(ts) AS signup_us
+                   FROM events WHERE event_type = 'signup'),
+             p AS (SELECT user_id, epoch_us(ts) AS p_us, value
+                   FROM events WHERE event_type = 'purchase')
+        SELECT signup_id, s.user_id AS user_id, signup_us,
+               COUNT(*) AS n_purchases,
+               CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+        FROM s JOIN p
+          ON s.user_id = p.user_id
+         AND p.p_us >= s.signup_us AND p.p_us <= s.signup_us + 604800000000
+        GROUP BY 1, 2, 3"""
 
     o["sessionize_events"] = """
         WITH g AS (
@@ -519,6 +563,34 @@ def oracle_sql() -> dict[str, str]:
         vp AS (SELECT vec_id, v, {plane_lists} FROM v0),
         b AS (SELECT vec_id, CAST({plane_terms} AS BIGINT) AS bucket FROM vp)
         SELECT bucket, COUNT(*) AS n_vectors FROM b GROUP BY bucket"""
+
+    o["similarity_topk_bucketed"] = f"""
+        WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+        vp AS (SELECT vec_id, v, {plane_lists} FROM v0),
+        b AS (SELECT vec_id, v, CAST({plane_terms} AS BIGINT) AS bucket FROM vp),
+        scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                          {qcos} AS cosine
+                   FROM b c JOIN b q
+                     ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+                        AND q.bucket = c.bucket),
+        ranked AS (SELECT query_id, neighbor_id, cosine,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY cosine DESC, neighbor_id ASC)
+                            AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10"""
+
+    o["multimodal_frame_sample"] = """
+        WITH d AS (SELECT doc_id,
+                          octet_length(encode(text)) % 300 + 1 AS duration_s
+                   FROM documents),
+        s AS (SELECT doc_id,
+                     CAST(greatest(duration_s // 4, 1) AS BIGINT) AS step_s
+              FROM d)
+        SELECT doc_id, unnest(range(0, 4)) AS frame_slot,
+               unnest(range(0, 4)) * step_s AS frame_time_s
+        FROM s"""
 
     o["multimodal_decode"] = """
         SELECT doc_id,

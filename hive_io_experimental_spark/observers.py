@@ -1,0 +1,96 @@
+"""Observability hooks: per-query observed metrics + throughput meters.
+
+The reference wires observers around read/parse/serialize/write
+(input/HiveApiInputObserver.java:29-90) and a MetricsObserver with rows/s +
+MB/s meters (cmdline/.../benchmark/MetricsObserver.java:35-80,
+tailer/Stats.java:92-162). Spark-first translation:
+
+  * ``observed_scan`` attaches ``DataFrame.observe`` accumulators (rows +
+    bytes estimate) — computed JVM-side DURING execution, zero extra jobs,
+    exactly the role of the reference's per-record observer but without a
+    per-row callback (which would serialize the hot path through Python).
+  * ``ScanMeter`` wraps an action with wall-clock timing and exposes the
+    observed metrics as rows/s + MB/s, the tailer's Stats line.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+def observed_scan(df: DataFrame, observation: Observation) -> DataFrame:
+    """Attach row/byte observers to a scan (HiveApiInputObserver parity).
+
+    Metrics: n_rows, approx_bytes (sum of per-row external byte sizes of
+    every column — an estimate, like the reference's rawSize-scaled meter).
+    """
+    size_cols = [
+        F.coalesce(F.octet_length(F.col(c).cast("string")), F.lit(0))
+        for c in df.columns
+    ]
+    total = size_cols[0]
+    for c in size_cols[1:]:
+        total = total + c
+    return df.observe(
+        observation,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(total.cast("long")).alias("approx_bytes"),
+    )
+
+
+@dataclass
+class ScanStats:
+    """The tailer's stats line (Stats.java:133-151)."""
+
+    n_rows: int
+    approx_mb: float
+    seconds: float
+
+    @property
+    def rows_per_s(self) -> float:
+        return self.n_rows / self.seconds if self.seconds > 0 else 0.0
+
+    @property
+    def mb_per_s(self) -> float:
+        return self.approx_mb / self.seconds if self.seconds > 0 else 0.0
+
+    def csv_line(self, threads: int) -> str:
+        return (
+            f"{self.n_rows},{threads},{self.approx_mb:.2f},{self.seconds:.3f},"
+            f"{self.rows_per_s:.1f},{self.mb_per_s:.2f}"
+        )
+
+
+class ScanMeter:
+    """Time an action over an observed DataFrame and report throughput.
+
+    Usage::
+
+        meter = ScanMeter()
+        df = meter.attach(engine_scan)
+        df.write.format("noop").mode("overwrite").save()
+        stats = meter.stats()
+    """
+
+    def __init__(self, name: str = "scan_meter") -> None:
+        self.observation = Observation(name)
+        self._t0: float | None = None
+
+    def attach(self, df: DataFrame) -> DataFrame:
+        self._t0 = time.perf_counter()
+        return observed_scan(df, self.observation)
+
+    def stats(self) -> ScanStats:
+        if self._t0 is None:
+            raise RuntimeError("attach() was never called")
+        seconds = time.perf_counter() - self._t0
+        got = self.observation.get
+        return ScanStats(
+            n_rows=got["n_rows"] or 0,
+            approx_mb=(got["approx_bytes"] or 0) / 1e6,
+            seconds=seconds,
+        )

@@ -128,11 +128,11 @@ def frame_sample_plan(
     """
     n_bytes = F.length(F.col("payload"))
     duration_s = n_bytes % 300 + 1  # fake: derive a duration from content
-    step = F.greatest(F.floor(duration_s / n_frames), F.lit(1))
+    step = F.greatest(F.floor(duration_s / n_frames), F.lit(1)).cast("long")
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
-            F.sequence(F.lit(0), F.lit(n_frames - 1))
+            F.sequence(F.lit(0).cast("long"), F.lit(n_frames - 1).cast("long"))
         ).alias("frame_slot"),
         step.alias("step_s"),
     ).select(

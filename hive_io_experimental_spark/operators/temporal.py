@@ -1,0 +1,175 @@
+"""Temporal join operators Spark lacks as built-ins: as-of and range joins.
+
+Both are composed from shuffle-aware DataFrame primitives (SURVEY §2.2: the
+reference has no joins at all; these are engine extensions a training-data /
+event pipeline needs).
+
+  asof_join        last-at-or-before match, one shuffle, no theta join.
+  point_in_interval_join
+                   points joined to intervals via time-bucket equi-join —
+                   the classic way to keep a range predicate out of a
+                   nested-loop/broadcast-theta plan at scale.
+
+Scale notes:
+  * asof_join is the union+window formulation: tag both sides, sort within
+    the key partition by (ts, tag), carry the right side's values forward
+    with last(ignorenulls). ONE hash shuffle on the key — same cost as a
+    plain join — where the naive formulation (theta join ts_r <= ts_l +
+    max-per-group) shuffles twice and explodes intermediate pairs.
+  * point_in_interval_join explodes each interval into its covered buckets
+    (intervals/bucket_width rows) and equi-joins on (key, bucket); the exact
+    range predicate then filters the candidates. Candidate volume scales
+    with interval width / bucket width, not with |left| x |right|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_values: tuple[str, ...] = (),
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    ``right_ts <= left_ts`` within the same ``on`` key (backward as-of,
+    inclusive — DuckDB's ``ASOF LEFT JOIN`` semantics).
+
+    Right rows must be unique per (on, right_ts) — pre-aggregate if not, or
+    the carried values are order-dependent. Returns all left columns plus
+    ``<right_ts><suffix>`` and ``<v><suffix>`` for each requested value.
+    """
+    lcols = left.columns
+    l = left.withColumn("_tag", F.lit(1))
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias(left_ts) if right_ts != left_ts else F.col(right_ts),
+        *[F.col(v) for v in right_values],
+    ).withColumn("_rts", F.col(left_ts)).withColumn("_tag", F.lit(0))
+
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    # rows-frame, right rows sorted before left at equal ts (tag 0 < 1), so
+    # an equal-timestamp right row IS visible to the left row (inclusive).
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(left_ts).asc(), F.col("_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        f"{right_ts}{suffix}", F.last(F.col("_rts"), ignorenulls=True).over(w)
+    )
+    for v in right_values:
+        carried = carried.withColumn(
+            f"{v}{suffix}",
+            F.last(
+                F.when(F.col("_tag") == 0, F.col(v)), ignorenulls=True
+            ).over(w),
+        )
+    out_cols = lcols + [f"{right_ts}{suffix}"] + [f"{v}{suffix}" for v in right_values]
+    return carried.filter(F.col("_tag") == 1).select(*out_cols)
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket_micros: int = 86_400_000_000,
+) -> DataFrame:
+    """Inner-join points to intervals with
+    ``start_ts <= point_ts <= end_ts`` (timestamps: epoch-microsecond longs).
+
+    Equi-join on (key, time bucket) generates candidates; the exact range
+    predicate filters them. ``bucket_micros`` trades explode factor
+    (interval_width / bucket) against candidate precision — default 1 day.
+    Output: all interval columns + all point columns (names must not clash).
+    """
+    b = F.lit(bucket_micros)
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.col(start_ts) / b).cast("long"),
+                (F.col(end_ts) / b).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn("_bucket", (F.col(point_ts) / b).cast("long"))
+    joined = iv.join(pt, [on, "_bucket"]).filter(
+        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
+    )
+    return joined.drop("_bucket")
+
+
+# ---------------------------------------------------------------------------
+# concrete compositions over the events table (oracle-checked)
+# ---------------------------------------------------------------------------
+
+def purchase_click_asof(events: DataFrame) -> DataFrame:
+    """Per purchase event: the most recent click at-or-before it by the same
+    user (backward as-of join). Output (event_id, user_id, purchase_us,
+    click_us, gap_us); click_us NULL when the user never clicked before.
+    """
+    from hive_io_experimental_spark.operators.relational import ensure_event_time
+
+    ev = ensure_event_time(events)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("purchase_us")
+    )
+    # distinct (user, ts): makes the as-of match deterministic in every
+    # engine (ties among right rows would otherwise be arbitrary).
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.unix_micros(F.col("ts")).alias("click_us"))
+        .distinct()
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="purchase_us", right_ts="click_us"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "purchase_us",
+        F.col("click_us_asof").alias("click_us"),
+        (F.col("purchase_us") - F.col("click_us_asof")).alias("gap_us"),
+    )
+
+
+def signup_purchase_window(
+    events: DataFrame, window_days: int = 7
+) -> DataFrame:
+    """Per signup event: purchases by the same user within ``window_days``
+    after it (range join), aggregated. Inner semantics: signups with no
+    in-window purchase don't appear. Output (signup_id, user_id, signup_us,
+    n_purchases, sum_value)."""
+    from hive_io_experimental_spark.operators.relational import ensure_event_time
+
+    width_us = window_days * 86_400_000_000
+    ev = ensure_event_time(events)
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("signup_us"),
+        (F.unix_micros(F.col("ts")) + F.lit(width_us)).alias("end_us"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("p_us"), "value"
+    )
+    joined = point_in_interval_join(
+        purchases, signups, on="user_id", point_ts="p_us",
+        start_ts="signup_us", end_ts="end_us",
+    )
+    return joined.groupBy("signup_id", "user_id", "signup_us").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(12,4)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

@@ -14,6 +14,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from hive_io_experimental_spark.operators import relational
+from hive_io_experimental_spark.streaming.dedup import dedup_stream
 from hive_io_experimental_spark.streaming.sessions import sessionize_stateful
 from hive_io_experimental_spark.streaming.windows import (
     read_events_stream,
@@ -163,4 +164,30 @@ def test_event_time_timeout_flushes_quiet_session(spark):
     finally:
         import shutil
 
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_dedup_matches_batch(spark, sf_dir):
+    """Duplicate event_ids across the stream are dropped; result row-set
+    equals batch dropDuplicates over the same closed input."""
+    import os
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="hio_dedup_")
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(500)
+        # two copies of the same events = guaranteed duplicates
+        ev.union(ev).write.mode("overwrite").parquet(f"{d}/events")
+        stream = read_events_stream(spark, f"{d}/events")
+        name = f"dd_{uuid.uuid4().hex[:8]}"
+        _run_stream_to_memory(
+            dedup_stream(stream, keys=("event_id",)), name, "append"
+        )
+        got = spark.sql(
+            f"SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM {name}"
+        ).collect()[0]
+        assert got.n == 500
+        assert got.d == 500
+    finally:
         shutil.rmtree(d, ignore_errors=True)
