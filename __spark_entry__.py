@@ -160,6 +160,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_histogram"] = lambda spark, sf: text.token_histogram(
         _t(spark, sf, "documents")
     )
+    q["token_counts"] = lambda spark, sf: text.token_counts(
+        _t(spark, sf, "documents")
+    )
+    q["doc_winnowing"] = lambda spark, sf: text.winnowing_fingerprints(
+        _t(spark, sf, "documents")
+    )
 
     # ---- dedup family ----
     q["dedup_exact"] = lambda spark, sf: dedup.exact_dedup(_t(spark, sf, "documents"))
@@ -456,6 +462,40 @@ def oracle_sql() -> dict[str, str]:
         WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents)
         SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
         ORDER BY cnt DESC, token ASC LIMIT 20"""
+
+    o["token_counts"] = f"""
+        WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+        s AS (SELECT doc_id,
+                len(list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> x <> '')) AS n_ws,
+                len(toks) AS n_words,
+                length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g'))
+                  AS n_sym,
+                coalesce(list_sum(list_transform(toks,
+                    t -> (length(t) + 3) // 4)), 0) AS bpe_words
+              FROM d)
+        SELECT doc_id,
+               CAST(n_ws AS BIGINT) AS n_ws_tokens,
+               CAST(n_words AS BIGINT) AS n_word_tokens,
+               CAST(n_sym AS BIGINT) AS n_sym_chars,
+               CAST(bpe_words + n_sym AS BIGINT) AS est_bpe_tokens
+        FROM s"""
+
+    _GRAM_H = _H64.format(x="substr(s, i, 5)")
+    o["doc_winnowing"] = f"""
+        WITH n AS (SELECT doc_id, {_NORM} AS s FROM documents),
+        g AS (SELECT doc_id, len(s) - 4 AS n_grams,
+                     list_transform(range(1, len(s) - 3),
+                       i -> struct_pack(pos := i - 1, h := {_GRAM_H})) AS ph
+              FROM n WHERE len(s) >= 5),
+        e AS (SELECT doc_id, n_grams, unnest(ph) AS u FROM g),
+        e2 AS (SELECT doc_id, n_grams, u.pos AS pos, u.h AS h FROM e),
+        w AS (SELECT doc_id, n_grams, pos,
+                     MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                       AS wmin
+              FROM e2)
+        SELECT DISTINCT doc_id, wmin AS fp FROM w WHERE pos <= n_grams - 4"""
 
     # ---- dedup ----
     o["dedup_exact"] = f"""

@@ -191,6 +191,11 @@ def build_parser() -> argparse.ArgumentParser:
     wr.add_argument("--partition", help="k=v[,k=v...] static partition spec")
     wr.add_argument("--drop-partition", action="store_true")
     wr.add_argument("--threads", type=int, default=None)
+
+    sub.add_parser(
+        "conf-options",
+        help="dump the engine option registry (AllOptions parity)",
+    )
     return p
 
 
@@ -202,6 +207,11 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         return cmd_tail(args, print_rows=False, stop_session=stop_session)
     if args.command == "write":
         return cmd_write(args, stop_session=stop_session)
+    if args.command == "conf-options":
+        from hive_io_experimental_spark.conf import all_options_string
+
+        print(all_options_string())
+        return 0
     raise AssertionError(args.command)
 
 

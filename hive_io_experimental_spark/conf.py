@@ -1,0 +1,99 @@
+"""Typed engine options with defaults and a registry dump.
+
+Parity with the reference's conf option system (conf/*.java — typed
+Bool/Int/Long/Float/Str/Class options with defaults; AllOptions dumps the
+registry, conf/AllOptions.java:52-69, surfaced by the cmdline
+``conf-options`` command, cmdline/Main.java:39-49).
+
+Spark-first shape: options are declared once, read/written through
+``spark.conf`` under the ``hiveio.`` namespace, and fall back to their
+defaults — the same get-with-default contract the reference's
+``HiveConf.getBoolean(key, default)`` pattern provides.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+from pyspark.sql import SparkSession
+
+_REGISTRY: dict[str, "Option"] = {}
+
+
+@dataclass(frozen=True)
+class Option:
+    """One typed option (conf/AbstractConfOption shape)."""
+
+    key: str
+    default: Any
+    parse: Callable[[str], Any]
+    doc: str
+
+    def get(self, spark: SparkSession) -> Any:
+        raw = spark.conf.get(self.key, None)
+        if raw is None:
+            return self.default
+        return self.parse(raw)
+
+    def set(self, spark: SparkSession, value: Any) -> None:
+        spark.conf.set(self.key, str(value))
+
+
+def _parse_bool(s: str) -> bool:
+    return s.strip().lower() in ("1", "true", "yes")
+
+
+def _register(key: str, default: Any, parse: Callable[[str], Any], doc: str) -> Option:
+    opt = Option(key=key, default=default, parse=parse, doc=doc)
+    _REGISTRY[key] = opt
+    return opt
+
+
+# -- the engine's options (reference analogs noted) ---------------------------
+
+# OutputConf.java:58-59 HIVE_DROP_PARTITION
+DROP_PARTITION = _register(
+    "hiveio.output.drop_partition", False, _parse_bool,
+    "overwrite an existing target partition instead of erroring",
+)
+# SplitOptions.java:26-46 splits-per-thread heuristic -> repartition override
+NUM_SPLITS = _register(
+    "hiveio.input.num_splits", 0, int,
+    "override scan parallelism (0 = let Spark/AQE decide)",
+)
+# Parsers.forcedParser (input/parser/Parsers.java:77-100) -> reader fast path
+FORCE_PARSER = _register(
+    "hiveio.input.parser", "", str,
+    "force a reader strategy: '' auto, 'vectorized', 'row'",
+)
+# BackoffRetryTask options (common/BackoffRetryTask.java:45-52)
+RETRY_MAX_TRIES = _register(
+    "hiveio.retry.max_tries", 5, int, "catalog call retry attempts",
+)
+RETRY_INITIAL_DELAY_S = _register(
+    "hiveio.retry.initial_delay_s", 10.0, float, "first retry backoff delay",
+)
+# tailer RecordPrinter buffer (tailer/TailerArgs.java:52-63)
+RECORD_BUFFER_FLUSH = _register(
+    "hiveio.tail.record_buffer_flush", 1000, int,
+    "rows buffered between stdout flushes in the tail CLI",
+)
+
+
+def all_options() -> dict[str, Option]:
+    """The full registry (AllOptions parity)."""
+    return dict(_REGISTRY)
+
+
+def all_options_string(spark: SparkSession | None = None) -> str:
+    """Human-readable dump (AllOptions.allOptionsString parity). When a
+    session is given, shows effective values beside defaults."""
+    lines = []
+    for key in sorted(_REGISTRY):
+        opt = _REGISTRY[key]
+        line = f"{key} (default: {opt.default!r}) — {opt.doc}"
+        if spark is not None:
+            line += f" [effective: {opt.get(spark)!r}]"
+        lines.append(line)
+    return "\n".join(lines)

@@ -53,9 +53,17 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     return F.when(n >= k, joined).otherwise(F.array().cast("array<string>"))
 
 
-def char_ngrams(col: Column | str, n: int = 3) -> Column:
-    """Character n-grams over the normalized text (array<string>)."""
-    s = normalize_text(col)
+def char_ngrams(col: Column | str, n: int = 3, pre_normalized: bool = False) -> Column:
+    """Character n-grams over the normalized text (array<string>).
+
+    PERF: the per-position lambda below inlines whatever expression ``s``
+    is and re-evaluates it at EVERY position (interpreted HOF semantics, see
+    word_shingles). Callers MUST pass a *materialized column* (e.g.
+    ``withColumn("_s", normalize_text(...))`` then ``char_ngrams("_s",
+    pre_normalized=True)``) when the input is expression-heavy — otherwise a
+    regexp_replace runs O(len) times per row (observed 30x slowdown).
+    """
+    s = _c(col) if pre_normalized else normalize_text(col)
     ln = F.length(s)
     return F.when(
         ln >= n,

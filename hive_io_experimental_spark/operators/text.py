@@ -127,6 +127,111 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document token counting, three granularities + a BPE-ish estimate.
+
+    n_ws_tokens    whitespace-delimited chunks (the cheapest count)
+    n_word_tokens  word tokens (letters/digits runs)
+    n_sym_chars    symbol characters (each becomes its own BPE token)
+    est_bpe_tokens sum over words of ceil(len/4) + n_sym_chars — the standard
+                   "~4 chars per BPE piece" estimator used for budget math in
+                   training pipelines (no tokenizer model needed).
+
+    Pure column expressions (one pass, no shuffle).
+    """
+    df = spread(df)
+    text = F.col(text_col)
+    toks = word_tokens(text)
+    n_ws = F.size(F.array_remove(F.split(F.trim(text), r"\s+"), ""))
+    n_words = F.size(toks)
+    n_sym = F.length(F.regexp_replace(text, r"[\p{L}\p{N}\s]", ""))
+    bpe_words = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.floor((F.length(t) + 3) / 4).cast("long"),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_ws.cast("long").alias("n_ws_tokens"),
+        n_words.cast("long").alias("n_word_tokens"),
+        n_sym.cast("long").alias("n_sym_chars"),
+        (bpe_words + n_sym).alias("est_bpe_tokens"),
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme):
+    hash every k-char gram of the normalized text, slide a ``window`` over
+    the hash sequence, keep the distinct window minima.
+
+    Guarantees of the scheme: any shared substring of length >= k+window-1
+    between two documents yields at least one shared fingerprint — the basis
+    for plagiarism/near-dup detection at selectable density.
+
+    Plan shape: grams hashed once per row (posexplode of a per-row array —
+    NOT a per-position lambda re-evaluating the text, which would be
+    O(n^2)), then ONE shuffle on doc_id for the sliding-window min. Docs
+    with fewer than ``window`` grams emit nothing (only full windows count).
+    Returns distinct (doc_id, fp) rows.
+    """
+    from pyspark.sql import Window as W
+
+    from hive_io_experimental_spark.functions.textfns import char_ngrams
+
+    # Materialize the normalized string BEFORE the gram lambda: the
+    # per-position substr must reference a bound column, not re-run the
+    # normalization regex at every position (see char_ngrams docstring).
+    # The normalize projection sits BELOW the spread shuffle — the exchange
+    # is an optimizer barrier, so CollapseProject cannot re-inline the regex
+    # into the lambda (it otherwise does, observed 25x slower at sf0.1).
+    prepared = spread(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            normalize_text(F.col(text_col)).alias("_s"),
+        )
+    )
+    # No interpreted higher-order function anywhere: explode the POSITIONS
+    # (a cheap int sequence), then slice + hash each gram with plain codegen
+    # expressions over the exploded rows. ~5x faster than building the gram
+    # array with transform() lambdas (HOFs run interpreted, outside codegen).
+    n_grams = F.greatest(F.length(F.col("_s")) - (k - 1), F.lit(0))
+    # when(): sequence(1, 0) would count DOWN; short docs must yield no rows.
+    positions = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams))
+    exploded = (
+        prepared.select(
+            "doc_id",
+            "_s",
+            n_grams.alias("n_grams"),
+            F.posexplode(positions).alias("_i", "pos1"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            (F.col("pos1") - 1).alias("pos"),
+            portable_hash64(F.expr(f"substring(_s, pos1, {k})")).alias("h"),
+        )
+    )
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, window - 1)
+    )
+    return (
+        exploded.withColumn("wmin", F.min("h").over(w))
+        .filter(F.col("pos") <= F.col("n_grams") - window)
+        .select("doc_id", F.col("wmin").alias("fp"))
+        .distinct()
+    )
+
+
 def token_histogram(df: DataFrame, text_col: str = "text", top_n: int = 20) -> DataFrame:
     """Corpus-level token frequency, top-N by count (count desc, token asc).
 

@@ -221,3 +221,42 @@ def test_frame_sample_plan_rows(spark):
     rows = multimodal.frame_sample_plan(df, n_frames=4).collect()
     assert len(rows) == 4
     assert [r.frame_slot for r in rows] == [0, 1, 2, 3]
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """MOSS guarantee: a shared substring of length >= k + window - 1 (= 8)
+    produces at least one shared fingerprint; short docs emit nothing."""
+    from hive_io_experimental_spark.operators.text import winnowing_fingerprints
+
+    shared = "identical stretch of text here"
+    df = spark.createDataFrame(
+        [
+            (1, f"prefix one {shared} suffix alpha"),
+            (2, f"other beginning {shared} different tail"),
+            (3, "completely unrelated content with nothing in common xyz"),
+            (4, "abc"),  # shorter than k=5 -> no grams -> no fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert 4 not in by_doc
+    # doc 3 shares far fewer (likely zero) fingerprints with doc 1
+    assert len(by_doc.get(3, set()) & by_doc[1]) < len(by_doc[1] & by_doc[2])
+
+
+def test_token_counts_hand_checked(spark):
+    from hive_io_experimental_spark.operators.text import token_counts
+
+    df = spark.createDataFrame(
+        [(1, "Hello, world! AI")], "doc_id long, text string"
+    )
+    r = token_counts(df).collect()[0]
+    assert r.n_ws_tokens == 3        # "Hello,", "world!", "AI"
+    assert r.n_word_tokens == 3      # hello, world, ai
+    assert r.n_sym_chars == 2        # ',' '!'
+    # ceil(5/4)+ceil(5/4)+ceil(2/4) = 2+2+1 = 5 word pieces + 2 symbols
+    assert r.est_bpe_tokens == 7
