@@ -194,6 +194,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+    q["similarity_ivf_topk"] = lambda spark, sf: similarity.ivf_topk(
+        _t(spark, sf, "embeddings"),
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") % 100 == 0),
+        k=5,
+    )
     q["similarity_topk_bucketed"] = lambda spark, sf: similarity.cosine_topk_bucketed(
         _t(spark, sf, "embeddings"),
         _t(spark, sf, "embeddings").filter(F.col("vec_id") % 100 == 0),
@@ -603,6 +608,37 @@ def oracle_sql() -> dict[str, str]:
         vp AS (SELECT vec_id, v, {plane_lists} FROM v0),
         b AS (SELECT vec_id, CAST({plane_terms} AS BIGINT) AS bucket FROM vp)
         SELECT bucket, COUNT(*) AS n_vectors FROM b GROUP BY bucket"""
+
+    _CCOS = (
+        "(list_dot_product(s.v, c.cv) / "
+        "(sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(c.cv, c.cv))))"
+    )
+    o["similarity_ivf_topk"] = f"""
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        cents AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id % 50 = 0),
+        ca AS (SELECT s.vec_id, s.v, c.cid,
+                      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                         ORDER BY {_CCOS} DESC, c.cid ASC) AS rn
+               FROM v s CROSS JOIN cents c),
+        assigned AS (SELECT vec_id, v, cid FROM ca WHERE rn = 1),
+        qa AS (SELECT s.vec_id AS qid, s.v AS qv, c.cid,
+                      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                         ORDER BY {_CCOS} DESC, c.cid ASC) AS rn
+               FROM v s CROSS JOIN cents c WHERE s.vec_id % 100 = 0),
+        probe AS (SELECT qid, qv, cid FROM qa WHERE rn <= 2),
+        scored AS (SELECT qid AS query_id, a.vec_id AS neighbor_id,
+                          ROUND(list_dot_product(p.qv, a.v) /
+                            (sqrt(list_dot_product(p.qv, p.qv))
+                             * sqrt(list_dot_product(a.v, a.v))), 6) AS cosine
+                   FROM probe p JOIN assigned a
+                     ON p.cid = a.cid AND p.qid <> a.vec_id),
+        ranked AS (SELECT query_id, neighbor_id, cosine,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY cosine DESC, neighbor_id ASC)
+                            AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5"""
 
     o["similarity_topk_bucketed"] = f"""
         WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

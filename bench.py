@@ -57,6 +57,14 @@ def main() -> int:
     lineitem_path = f"{sf_dir}/lineitem.parquet"
     spark.range(1_000_000).agg(F.sum("id")).collect()
     spark.read.parquet(lineitem_path).limit(1).collect()
+    # Python/Arrow worker pool: the first pandas-UDF stage of a session pays
+    # ~250ms x n_workers daemon spin-up; touch every worker once so Arrow
+    # queries measure steady-state like everything else.
+    spark.range(1024).repartition(int(os.environ.get(
+        "SPARK_GRAFT_CPUS", os.cpu_count() or 4
+    ))).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     # --- scan benchmark (reference parseLongLongDouble shape) ---------------
     # The testdata files are single-row-group parquet, which Spark cannot
