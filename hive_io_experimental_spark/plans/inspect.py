@@ -35,6 +35,20 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return out
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """Extract PartitionFilters from the scan — non-empty means Catalyst
+    prunes partition DIRECTORIES at planning time (the reference's
+    metastore-side get_partitions_by_filter, HiveApiInputFormat.java:290-309),
+    instead of scanning everything and filtering rows."""
+    text = explain_str(df)
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", text):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out
+
+
 def read_schema_columns(df: DataFrame) -> list[str]:
     """Columns actually read from the file scan (ReadSchema)."""
     text = explain_str(df)

@@ -16,9 +16,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("hio-tests", shuffle_partitions=8)
+    wh = tempfile.mkdtemp(prefix="hio_sql_wh_")
+    s = get_spark(
+        "hio-tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": wh},
+    )
     yield s
     s.stop()
+    shutil.rmtree(wh, ignore_errors=True)
 
 
 @pytest.fixture()

@@ -77,3 +77,32 @@ def test_exact_dedup_reads_minimal_columns(spark, sf_dir):
     rep = scan_plan_report(df)
     assert sorted(rep["read_columns"]) == ["doc_id", "text"]
     assert rep["num_exchanges"] == 1
+
+
+def test_partition_filter_prunes_directories(spark, warehouse):
+    """The partition_filter must reach the scan as a PartitionFilter
+    (directory pruning at plan time — the reference's metastore-side
+    get_partitions_by_filter), not as a post-scan row filter."""
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark import (
+        Catalog, HiveInput, HiveOutput, HiveTableSchema, ScanSpec, WriteSpec,
+    )
+    from hive_io_experimental_spark.plans.inspect import partition_filters
+
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "default.pt",
+        HiveTableSchema((("i1", T.IntegerType()),), ("ds",)),
+    )
+    out = HiveOutput(spark, cat)
+    df = spark.createDataFrame([(1,), (2,)], "i1 int")
+    out.write_table(WriteSpec("default.pt", {"ds": "a"}), df)
+    out.write_table(WriteSpec("default.pt", {"ds": "b"}), df)
+
+    scan = HiveInput(spark, cat).read_table(
+        ScanSpec(table="default.pt", partition_filter="ds = 'a'")
+    )
+    pf = partition_filters(scan)
+    assert any("ds" in f for f in pf), f"no partition pruning in plan: {pf}"
+    assert scan.count() == 2
