@@ -212,3 +212,72 @@ def test_stats_of(spark, warehouse):
     assert hi.stats_of(
         ScanSpec(table="default.test1", partition_filter="ds = 'a'")
     ).num_rows == 2
+
+
+def test_bean_roundtrip(spark, warehouse):
+    """S9 parity: record -> dataclass bean by field-name matching
+    (BeanInputTest.java:65-111 shape)."""
+    from dataclasses import dataclass
+
+    cat = Catalog(warehouse)
+    cat.create_table("default.test1", F1_SCHEMA)
+    HiveOutput(spark, cat).write_table(
+        WriteSpec(table="default.test1"),
+        spark.createDataFrame([(7, 7.7), (8, 8.8)], "i1 int, d1 double"),
+    )
+
+    @dataclass
+    class Bean:
+        i1: int
+        d1: float
+
+    beans = sorted(
+        HiveInput(spark, cat).read_beans(ScanSpec(table="default.test1"), Bean),
+        key=lambda b: b.i1,
+    )
+    assert beans == [Bean(7, 7.7), Bean(8, 8.8)]
+
+    @dataclass
+    class WrongBean:
+        nope: int
+
+    with pytest.raises(TypeMismatchError):
+        list(
+            HiveInput(spark, cat).read_beans(
+                ScanSpec(table="default.test1"), WrongBean
+            )
+        )
+
+
+def test_num_splits_controls_parallelism(spark, sf_dir):
+    """S5 parity: num_splits overrides the scan's partitioning."""
+    df = HiveInput(spark).read_table(
+        ScanSpec(table=f"{sf_dir}/lineitem.parquet", num_splits=7)
+    )
+    assert df.rdd.getNumPartitions() == 7
+
+
+def test_csv_null_conventions(spark, tmp_path):
+    """S6/S7 parity: tab-separated text with \\N and empty -> NULL
+    (BytesParser.java:75-77, 96-148)."""
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.sources.formats import read_source
+
+    p = tmp_path / "data.tsv"
+    p.write_text("1\thello\t2.5\n2\t\\N\t\\N\n3\t\t9.9\n")
+    schema = T.StructType(
+        [
+            T.StructField("a", T.IntegerType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("d", T.DoubleType()),
+        ]
+    )
+    rows = sorted(
+        read_source(spark, str(p), fmt="csv", schema=schema).collect(),
+        key=lambda r: r.a,
+    )
+    assert (rows[0].a, rows[0].s, rows[0].d) == (1, "hello", 2.5)
+    assert (rows[1].s, rows[1].d) == (None, None)   # \N -> NULL
+    assert rows[2].s is None                        # zero-length field -> NULL
+    assert rows[2].d == 9.9
