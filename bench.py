@@ -99,6 +99,17 @@ def main() -> int:
         )
         write_s = time.perf_counter() - t0
         timings["write_partitioned"] = round(write_s, 3)
+
+        # --- partition-filtered scan (get_partitions_by_filter path): the
+        # filter prunes partition directories at plan time ------------------
+        t0 = time.perf_counter()
+        (
+            spark.read.parquet(f"{out_dir}/orders_bench")
+            .filter(F.col("o_status_part") == "F")
+            .agg(F.sum("o_totalprice"))
+            .collect()
+        )
+        timings["scan_partition_filtered"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
