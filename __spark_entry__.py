@@ -29,6 +29,7 @@ from hive_io_experimental_spark.input import HiveInput, ScanSpec
 from hive_io_experimental_spark.operators import (
     dedup,
     multimodal,
+    profile,
     relational,
     similarity,
     temporal,
@@ -149,6 +150,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["table_stats"] = lambda spark, sf: relational.table_stats(
         _t(spark, sf, "lineitem")
+    )
+    q["column_profile"] = lambda spark, sf: profile.column_profile(
+        _t(spark, sf, "events"), numeric_col="value", key_col="user_id"
     )
 
     # ---- text analysis ----
@@ -413,6 +417,18 @@ def oracle_sql() -> dict[str, str]:
         FROM g GROUP BY user_id ORDER BY user_id"""
 
     o["table_stats"] = "SELECT COUNT(*) AS num_rows FROM lineitem"
+
+    o["column_profile"] = """
+        SELECT COUNT(*) AS n_rows,
+               COUNT(value) AS n_nonnull,
+               COUNT(*) - COUNT(value) AS n_null,
+               COUNT(DISTINCT user_id) AS n_distinct_keys,
+               ROUND(MIN(value), 6) AS min_value,
+               ROUND(MAX(value), 6) AS max_value,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 6)
+                 AS sum_value,
+               ROUND(quantile_cont(value, 0.5), 6) AS median_value
+        FROM events"""
 
     # ---- text analysis ----
     o["text_metrics"] = f"""

@@ -1,0 +1,37 @@
+"""Profiling operators: exact twin is oracle-checked by the driver; here we
+bound the sketch tier's error against the exact tier (the only honest way to
+test a sketch — its internals are engine-specific by design)."""
+
+from __future__ import annotations
+
+from hive_io_experimental_spark.operators.profile import approx_profile, column_profile
+
+
+def test_approx_profile_error_bounds(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = column_profile(events, "value", "user_id").collect()[0]
+    approx = approx_profile(events, "value", "user_id", rsd=0.05).collect()[0]
+
+    assert approx.n_rows == exact.n_rows
+    # HLL++ at rsd=0.05: allow 3 sigma
+    rel_err = abs(approx.approx_distinct_keys - exact.n_distinct_keys) / max(
+        exact.n_distinct_keys, 1
+    )
+    assert rel_err <= 0.15, (approx.approx_distinct_keys, exact.n_distinct_keys)
+    # quartiles ordered and median near the exact median
+    q25, q50, q75 = approx.approx_quartiles
+    assert q25 <= q50 <= q75
+    spread_ref = max(exact.max_value - exact.min_value, 1e-9)
+    assert abs(q50 - exact.median_value) / spread_ref <= 0.05
+    assert approx.min_value == exact.min_value
+    assert approx.max_value == exact.max_value
+
+
+def test_column_profile_null_accounting(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 3.0)], "k long, v double"
+    )
+    r = column_profile(df, "v", "k").collect()[0]
+    assert (r.n_rows, r.n_nonnull, r.n_null, r.n_distinct_keys) == (3, 2, 1, 3)
+    assert r.min_value == 1.0 and r.max_value == 3.0
+    assert r.median_value == 2.0  # interpolated between 1.0 and 3.0
