@@ -107,6 +107,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "orders"),
         _t(spark, sf, "lineitem"),
     )
+    q["local_supplier_volume"] = lambda spark, sf: relational.local_supplier_volume(
+        _t(spark, sf, "region"),
+        _t(spark, sf, "nation"),
+        _t(spark, sf, "customer"),
+        _t(spark, sf, "orders"),
+        _t(spark, sf, "lineitem"),
+        _t(spark, sf, "supplier"),
+    )
+    q["promo_revenue"] = lambda spark, sf: relational.promo_revenue(
+        _t(spark, sf, "part"), _t(spark, sf, "lineitem")
+    )
     q["customer_order_ranks"] = lambda spark, sf: relational.customer_order_ranks(
         _t(spark, sf, "orders")
     )
@@ -314,6 +325,26 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name, n_name ORDER BY r_name, n_name"""
+
+    o["local_supplier_volume"] = f"""
+        SELECT n_name, CAST(SUM({disc}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY n_name ORDER BY revenue DESC, n_name ASC"""
+
+    o["promo_revenue"] = f"""
+        SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                       THEN {disc} ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                     / CAST(SUM({disc}) AS DOUBLE), 6) AS promo_pct,
+               CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                    THEN {disc} ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                 AS promo_revenue,
+               CAST(SUM({disc}) AS DOUBLE) AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey"""
 
     o["customer_order_ranks"] = """
         SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, rnk

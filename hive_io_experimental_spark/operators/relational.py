@@ -122,6 +122,65 @@ def nation_revenue(region: DataFrame, nation: DataFrame, customer: DataFrame,
     )
 
 
+def local_supplier_volume(
+    region: DataFrame, nation: DataFrame, customer: DataFrame,
+    orders: DataFrame, lineitem: DataFrame, supplier: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5 semantics: revenue per nation where the supplying supplier
+    and the ordering customer share a nation (local fulfilment).
+
+    The six-way join keeps ONE large shuffle (lineitem⋈orders on orderkey);
+    customer/supplier/nation/region are all broadcast — at 100 TB lineitem
+    is the only table that doesn't fit an executor, so this is the right
+    asymmetry. The c_nationkey = s_nationkey co-location predicate rides on
+    the supplier broadcast join.
+    """
+    revenue = _amt(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(4,2)") - _rate(F.col("l_discount"))
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+def promo_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q14 semantics: percentage of revenue from PROMO parts.
+
+    One broadcast join (part is the dimension) + conditional aggregation;
+    exact decimal accumulation, one final double division.
+    """
+    disc = _amt(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(4,2)") - _rate(F.col("l_discount"))
+    )
+    promo = F.when(
+        F.col("p_type").startswith("PROMO"), disc
+    ).otherwise(F.lit(0).cast("decimal(12,2)"))
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(disc).cast("double"),
+                6,
+            ).alias("promo_pct"),
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(disc).cast("double").alias("total_revenue"),
+        )
+    )
+
+
 def customer_order_ranks(orders: DataFrame, k: int = 3) -> DataFrame:
     """Window function: top-k orders per customer by total price.
 
