@@ -150,6 +150,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_hourly"] = lambda spark, sf: relational.events_hourly(
         _t(spark, sf, "events")
     )
+    q["events_time_rollup"] = lambda spark, sf: relational.events_time_rollup(
+        _t(spark, sf, "events")
+    )
     q["asof_purchase_click"] = lambda spark, sf: temporal.purchase_click_asof(
         _t(spark, sf, "events")
     )
@@ -412,6 +415,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value,
                COUNT(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+    o["events_time_rollup"] = """
+        WITH e AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch,
+                          (epoch_us(ts) // 86400000000) * 86400 AS day_epoch,
+                          epoch_us(date_trunc('month', ts)) // 1000000
+                            AS month_epoch,
+                          value
+                   FROM events)
+        SELECT hour_epoch, day_epoch, month_epoch,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value,
+               CAST(GROUPING(hour_epoch, day_epoch, month_epoch) AS BIGINT)
+                 AS gid
+        FROM e
+        GROUP BY GROUPING SETS ((hour_epoch), (day_epoch), (month_epoch))"""
 
     o["asof_purchase_click"] = """
         WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS purchase_us

@@ -281,6 +281,42 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def events_time_rollup(events: DataFrame) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hour, day, and month
+    aggregates of the event stream in ONE pass via GROUPING SETS.
+
+    A timeseries store would maintain three continuous aggregates; here one
+    shuffle feeds all three grains (Catalyst expands the sets map-side,
+    partial aggregation still applies). gid identifies the grain:
+    3=hour, 5=day, 6=month (GROUPING bit per unused column).
+    """
+    e = ensure_event_time(events)
+    # integer `div`, not `/`: float division of epoch-us values is
+    # precision-hazardous and DuckDB's // is integer floor-div.
+    prep = e.select(
+        F.expr("unix_micros(ts) div 3600000000 * 3600").alias("hour_epoch"),
+        F.expr("unix_micros(ts) div 86400000000 * 86400").alias("day_epoch"),
+        F.expr("unix_micros(date_trunc('month', ts)) div 1000000").alias(
+            "month_epoch"
+        ),
+        "value",
+    )
+    return (
+        prep.groupingSets(
+            [["hour_epoch"], ["day_epoch"], ["month_epoch"]],
+            "hour_epoch", "day_epoch", "month_epoch",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy("gid", "hour_epoch", "day_epoch", "month_epoch")
+    )
+
+
 def customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """LEFT SEMI join: customers having at least one order.
 
