@@ -217,6 +217,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "embeddings").filter(F.col("vec_id") % 100 == 0),
         k=5,
     )
+    # NOTE: no oracle_sql entry for similarity_ivf_trained — KMeans fitting
+    # is iterative (not SQL-expressible); correctness is bounded by the
+    # recall-vs-brute-force test in tests/test_operators.py instead.
+    q["similarity_ivf_trained"] = lambda spark, sf: similarity.ivf_topk_trained(
+        _t(spark, sf, "embeddings"),
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") % 100 == 0),
+        k=5,
+    )
     q["similarity_topk_bucketed"] = lambda spark, sf: similarity.cosine_topk_bucketed(
         _t(spark, sf, "embeddings"),
         _t(spark, sf, "embeddings").filter(F.col("vec_id") % 100 == 0),
@@ -233,6 +241,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
     q["multimodal_frame_sample"] = lambda spark, sf: multimodal.frame_sample_plan(
+        multimodal.attach_binary_payload(_t(spark, sf, "documents"))
+    )
+    # NOTE: no oracle_sql entry for multimodal_features — byte-level blob
+    # iteration (bincount/entropy) is not expressible in DuckDB SQL; golden
+    # values are asserted in tests/test_operators.py instead.
+    q["multimodal_features"] = lambda spark, sf: multimodal.extract_features(
         multimodal.attach_binary_payload(_t(spark, sf, "documents"))
     )
 

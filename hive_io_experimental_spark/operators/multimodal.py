@@ -89,6 +89,55 @@ def decode_media_metadata(
     return cols.mapInPandas(decode, DECODE_SCHEMA)
 
 
+FEATURES_SCHEMA = (
+    "doc_id long, n_bytes long, n_distinct_bytes int, mean_byte double, "
+    "byte_entropy double"
+)
+
+
+def extract_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Feature-extraction stage: binary payload -> numeric feature columns.
+
+    The byte-level statistics (count/distinct/mean/Shannon entropy) stand in
+    for a real embedding/feature model — the pipeline shape is the real one:
+    Arrow-batched mapInPandas, numpy per batch, zero shuffle, only the small
+    feature vectors flow downstream. Entropy is the classic cheap filter for
+    corrupt/compressed/encrypted payloads in ingest pipelines.
+    """
+    import numpy as np
+
+    cols = spread(df).select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    )
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"doc_id": pdf["doc_id"], "n_bytes": [], "n_distinct_bytes": [],
+                   "mean_byte": [], "byte_entropy": []}
+            for p in pdf["payload"]:
+                arr = np.frombuffer(p, dtype=np.uint8)
+                n = len(arr)
+                if n == 0:
+                    out["n_bytes"].append(0)
+                    out["n_distinct_bytes"].append(0)
+                    out["mean_byte"].append(None)  # SQL NULL: no bytes
+                    out["byte_entropy"].append(0.0)
+                    continue
+                counts = np.bincount(arr, minlength=256)
+                probs = counts[counts > 0] / n
+                out["n_bytes"].append(n)
+                out["n_distinct_bytes"].append(int((counts > 0).sum()))
+                out["mean_byte"].append(float(arr.mean()))
+                out["byte_entropy"].append(float(-(probs * np.log2(probs)).sum()))
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(features, FEATURES_SCHEMA)
+
+
 def resize_plan(
     decoded: DataFrame, max_side: int = 32
 ) -> DataFrame:

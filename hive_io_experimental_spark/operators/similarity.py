@@ -211,11 +211,60 @@ def ivf_topk(
     form here keeps every intermediate oracle-checkable. Search is an
     equi-join on centroid id: no theta join anywhere.
     """
-    cents = F.broadcast(
-        corpus.filter(F.col(id_col) % centroid_stride == 0).select(
-            F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")
-        ).withColumn("cnrm", l2_norm(F.col("cv")))
+    cents = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")
     )
+    return _ivf_search(corpus, queries, cents, k, nprobe, vec_col, id_col)
+
+
+def ivf_topk_trained(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    seed: int = 7,
+    max_iter: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-flat with a KMeans-TRAINED coarse quantizer (the quality path).
+
+    Same index/search shape as :func:`ivf_topk`, but the centroids come from
+    ``pyspark.ml`` KMeans (fixed seed, deterministic on fixed input
+    partitioning). Iterative fitting is not SQL-expressible, so this
+    operator has NO DuckDB oracle — tests bound its recall against the
+    brute-force baseline instead (the honest check for an ANN index).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(_as_double(vec_col)).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cid long, cv array<double>",
+    )
+    return _ivf_search(corpus, queries, cents, k, nprobe, vec_col, id_col)
+
+
+def _ivf_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared IVF machinery: assign -> probe -> list-equi-join -> rank.
+
+    ``centroids`` must have columns (cid, cv: array<double>).
+    """
+    cents = F.broadcast(centroids.withColumn("cnrm", l2_norm(F.col("cv"))))
 
     def nearest(side: DataFrame, sid: str, vname: str, nrmname: str, keep: int):
         cos = F.try_divide(

@@ -260,3 +260,65 @@ def test_token_counts_hand_checked(spark):
     assert r.n_sym_chars == 2        # ',' '!'
     # ceil(5/4)+ceil(5/4)+ceil(2/4) = 2+2+1 = 5 word pieces + 2 symbols
     assert r.est_bpe_tokens == 7
+
+
+def test_ivf_trained_recall_vs_brute(spark, sf_dir):
+    """The trained-quantizer IVF has no SQL oracle (iterative KMeans);
+    bound its recall against the exact brute-force top-k instead."""
+    from pyspark.sql import functions as F
+
+    from hive_io_experimental_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk_trained,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    k = 5
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=k).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk_trained(
+            emb, queries, k=k, n_centroids=4, nprobe=2
+        ).collect()
+    }
+    assert brute, "brute-force baseline must not be empty"
+    recall = len(brute & approx) / len(brute)
+    # nprobe/n_centroids = half the corpus scanned; random near-orthogonal
+    # synthetic vectors make ANN recall weak by nature — bound loosely.
+    assert recall >= 0.3, f"recall {recall:.2f}"
+    # every returned neighbor must be a genuine corpus vector, ranked 1..k
+    ranks = [
+        r.rank for r in ivf_topk_trained(
+            emb, queries, k=k, n_centroids=4, nprobe=2
+        ).collect()
+    ]
+    assert ranks and all(1 <= r <= k for r in ranks)
+
+
+def test_multimodal_feature_extraction(spark):
+    """Byte-feature stage: golden values on known payloads."""
+    import math
+
+    from hive_io_experimental_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in extract_features(attach_binary_payload(df)).collect()}
+    # 'aaaa': 4 identical bytes -> entropy 0
+    assert rows[1].n_bytes == 4 and rows[1].n_distinct_bytes == 1
+    assert rows[1].byte_entropy == 0.0
+    assert rows[1].mean_byte == float(ord("a"))
+    # 'ab': two equiprobable bytes -> entropy exactly 1 bit
+    assert rows[2].n_distinct_bytes == 2
+    assert abs(rows[2].byte_entropy - 1.0) < 1e-12
+    assert rows[2].mean_byte == (ord("a") + ord("b")) / 2
+    # empty payload -> NULL mean (no bytes to average)
+    assert rows[3].n_bytes == 0 and rows[3].mean_byte is None
