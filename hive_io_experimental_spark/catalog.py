@@ -147,7 +147,13 @@ class Catalog:
         desc: TableDesc | str,
         schema: HiveTableSchema,
         if_not_exists: bool = False,
+        storage_format: str = "parquet",
     ) -> None:
+        """Register a table. ``storage_format`` is the per-table serde
+        analog (the reference stores input/output format classes + serde in
+        the table storage descriptor, output/OutputInfo.java:51-111):
+        parquet (default), orc, csv, or json — honored by BOTH the read and
+        write paths."""
         desc = TableDesc.parse(desc) if isinstance(desc, str) else desc
         doc = self._load()
         key = str(desc)
@@ -158,6 +164,7 @@ class Catalog:
         doc["tables"][key] = {
             "schema": schema.to_json(),
             "location": self.table_location(desc),
+            "storage_format": storage_format.lower(),
             "partitions": [],
         }
         self._save(doc)
@@ -185,6 +192,11 @@ class Catalog:
     def table_location(self, desc: TableDesc | str) -> str:
         desc = TableDesc.parse(desc) if isinstance(desc, str) else desc
         return os.path.join(self.warehouse_dir, desc.database, desc.table)
+
+    def table_format(self, desc: TableDesc | str) -> str:
+        """Per-table storage format; parquet for catalogs written before the
+        field existed."""
+        return self.get_table(desc).get("storage_format", "parquet")
 
     # -- partitions ----------------------------------------------------------
 

@@ -169,14 +169,17 @@ class HiveInput:
 
     def _load(self, table: str) -> tuple[DataFrame, tuple[str, ...]]:
         if self.catalog is not None and self.catalog.table_exists(table):
+            from hive_io_experimental_spark.sources.formats import reader_options
+
             schema = self.catalog.get_schema(table)
             location = self.catalog.table_location(table)
-            reader = self.spark.read
+            fmt = self.catalog.table_format(table)
+            reader = self.spark.read.options(**reader_options(fmt))
             if schema.partition_keys:
                 # Hive-style key=value dirs; keep partition values as strings
                 # (reference invariant, HiveReadableRecord.java:140-146).
                 reader = reader.option("basePath", location)
-            df = reader.schema(schema.to_struct_type()).parquet(location)
+            df = reader.schema(schema.to_struct_type()).format(fmt).load(location)
             return df, schema.partition_keys
         # Bare path mode: read parquet directly; partition columns are
         # whatever Hive-style dirs Spark discovers.

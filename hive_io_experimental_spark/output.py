@@ -27,6 +27,7 @@ import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from hive_io_experimental_spark.catalog import Catalog, HiveStats, TableDesc
 from hive_io_experimental_spark.errors import (
@@ -66,7 +67,11 @@ class HiveOutput:
         self._check_partition_spec(schema, spec)
         df = self._conform(df, schema, spec)
 
+        from hive_io_experimental_spark.sources.formats import writer_options
+
         location = self.catalog.table_location(desc)
+        fmt = self.catalog.table_format(desc)
+        opts = writer_options(fmt)
         if schema.partition_keys:
             part_path = Catalog.partition_path(location, spec.partition_values)
             exists = self.catalog.partition_exists(desc, spec.partition_values)
@@ -76,17 +81,19 @@ class HiveOutput:
                     f"{desc} (set drop_partition=True to overwrite)"
                 )
             # Spark's file commit protocol handles atomicity of the directory
-            # write; mode=overwrite implements drop_partition.
-            df.write.mode("overwrite" if exists else "errorifexists").parquet(
-                part_path
-            )
-            stats = self._stats_for(part_path)
+            # write; mode=overwrite implements drop_partition. The table's
+            # declared storage format is honored (serde parity,
+            # output/OutputInfo.java:51-111).
+            df.write.mode("overwrite" if exists else "errorifexists").options(
+                **opts
+            ).format(fmt).save(part_path)
+            stats = self._stats_for(part_path, fmt, schema)
             if exists:
                 self.catalog.drop_partition(desc, spec.partition_values)
             self.catalog.add_partition(desc, spec.partition_values, stats)
         else:
             self._check_table_is_empty(location)
-            df.write.mode("append").parquet(location)
+            df.write.mode("append").options(**opts).format(fmt).save(location)
 
     # -- policy checks -------------------------------------------------------
 
@@ -143,11 +150,23 @@ class HiveOutput:
             df = df.withColumn(name, df[name].cast(target_dt))
         return df
 
-    def _stats_for(self, path: str) -> HiveStats:
+    def _stats_for(
+        self, path: str, fmt: str = "parquet", schema: HiveTableSchema | None = None
+    ) -> HiveStats:
+        from hive_io_experimental_spark.sources.formats import reader_options
+
         size = 0
         for root, _dirs, files in os.walk(path):
             for f in files:
                 if not f.startswith("_"):
                     size += os.path.getsize(os.path.join(root, f))
-        rows = self.spark.read.parquet(path).count()
+        reader = self.spark.read.options(**reader_options(fmt))
+        if schema is not None:
+            # data columns only: the partition dir itself has no key cols
+            reader = reader.schema(
+                T.StructType(
+                    [T.StructField(n, dt, True) for n, dt in schema.data_fields]
+                )
+            )
+        rows = reader.format(fmt).load(path).count()
         return HiveStats(num_rows=rows, raw_size=size, total_size=size)

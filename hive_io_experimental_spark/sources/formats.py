@@ -13,6 +13,34 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+def reader_options(fmt: str) -> dict[str, str]:
+    """Engine-standard read options per format.
+
+    csv mirrors the reference's BytesParser conventions: tab separator,
+    '\\N' as NULL (empty string also decodes NULL when a schema is
+    supplied, matching zero-length-field semantics).
+    """
+    if fmt.lower() == "csv":
+        return {
+            "sep": "\t",
+            "nullValue": "\\N",
+            "emptyValue": "",
+            "header": "false",
+            "mode": "PERMISSIVE",
+        }
+    return {}
+
+
+def writer_options(fmt: str) -> dict[str, str]:
+    """Engine-standard write options per format — symmetric with
+    reader_options so a written table round-trips through the same serde
+    conventions (the reference serializes through the table's own serde,
+    output/RecordWriterImpl.java:88-131)."""
+    if fmt.lower() == "csv":
+        return {"sep": "\t", "nullValue": "\\N", "emptyValue": "", "header": "false"}
+    return {}
+
+
 def read_source(
     spark: SparkSession,
     path: str,
@@ -20,22 +48,9 @@ def read_source(
     schema: T.StructType | None = None,
     options: dict[str, str] | None = None,
 ) -> DataFrame:
-    """Read parquet/csv/json/orc/text with engine-standard options.
-
-    csv defaults mirror the reference's BytesParser conventions: tab
-    separator, '\\N' as NULL (empty string also decodes NULL when a schema is
-    supplied, matching zero-length-field semantics).
-    """
+    """Read parquet/csv/json/orc/text with engine-standard options."""
     fmt = fmt.lower()
-    opts: dict[str, str] = {}
-    if fmt == "csv":
-        opts = {
-            "sep": "\t",
-            "nullValue": "\\N",
-            "emptyValue": "",
-            "header": "false",
-            "mode": "PERMISSIVE",
-        }
+    opts = reader_options(fmt)
     opts.update(options or {})
     reader = spark.read.options(**opts)
     if schema is not None:

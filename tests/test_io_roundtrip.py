@@ -281,3 +281,26 @@ def test_csv_null_conventions(spark, tmp_path):
     assert (rows[1].s, rows[1].d) == (None, None)   # \N -> NULL
     assert rows[2].s is None                        # zero-length field -> NULL
     assert rows[2].d == 9.9
+
+
+@pytest.mark.parametrize("fmt", ["orc", "csv", "json"])
+def test_storage_format_roundtrip(spark, warehouse, fmt):
+    """Per-table storage format honored on BOTH read and write (serde
+    parity): write through HiveOutput, read back through HiveInput,
+    values + NULLs intact."""
+    cat = Catalog(warehouse)
+    cat.create_table("default.fmt_t", F2_SCHEMA, storage_format=fmt)
+    assert cat.table_format("default.fmt_t") == fmt
+    df = spark.createDataFrame(
+        [(1, 1.5), (2, None), (3, 3.5)], "i1 int, d1 double"
+    )
+    HiveOutput(spark, cat).write_table(
+        WriteSpec(table="default.fmt_t", partition_values={"ds": "p1"}), df
+    )
+    got = HiveInput(spark, cat).read_table(
+        ScanSpec(table="default.fmt_t", partition_filter="ds = 'p1'")
+    )
+    rows = sorted((r.i1, r.d1, r.ds) for r in got.collect())
+    assert rows == [(1, 1.5, "p1"), (2, None, "p1"), (3, 3.5, "p1")]
+    # stats computed through the same format reader
+    assert cat.stats_of("default.fmt_t").num_rows == 3
