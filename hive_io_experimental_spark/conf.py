@@ -74,6 +74,12 @@ RETRY_MAX_TRIES = _register(
 RETRY_INITIAL_DELAY_S = _register(
     "hiveio.retry.initial_delay_s", 10.0, float, "first retry backoff delay",
 )
+# content-hash family for dedup/fingerprint operators: md5 (portable,
+# oracle-checkable) or xxhash64 (fast path at raw scale)
+HASH_FAMILY = _register(
+    "hiveio.hash.family", "md5", str,
+    "hash family for dedup/LSH/fingerprints: 'md5' (portable) or 'xxhash64'",
+)
 # tailer RecordPrinter buffer (tailer/TailerArgs.java:52-63)
 RECORD_BUFFER_FLUSH = _register(
     "hiveio.tail.record_buffer_flush", 1000, int,

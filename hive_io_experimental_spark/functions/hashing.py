@@ -33,6 +33,42 @@ def portable_hash64(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def resolve_family(df, explicit: str | None = None) -> str:
+    """Hash family for content hashing: explicit arg > session conf > md5.
+
+    'md5' is the portable default (bit-identical in DuckDB — required for
+    the correctness oracle); 'xxhash64' is the production fast path (~2-3x
+    cheaper per value, JVM-native, NOT cross-engine portable). Operators
+    accept ``hash_family`` and fall back to the ``hiveio.hash.family``
+    session conf, so a deployment flips the whole dedup/fingerprint surface
+    with one setting.
+    """
+    if explicit:
+        return explicit
+    from hive_io_experimental_spark.conf import HASH_FAMILY
+
+    return HASH_FAMILY.get(df.sparkSession)
+
+
+def content_hash64(col: Column | str, family: str = "md5") -> Column:
+    """64-bit-ish content hash in the chosen family (long)."""
+    if family == "xxhash64":
+        return fast_hash64(col)
+    return portable_hash64(col)
+
+
+def minhash_token(col: Column | str, permutation: int, family: str = "md5") -> Column:
+    """Permutation-indexed token hash for MinHash in the chosen family.
+
+    Both are valid uniform hash families under lexicographic/numeric MIN;
+    md5 yields hex strings (portable), xxhash64 yields longs (fast).
+    """
+    if family == "xxhash64":
+        c = F.col(col) if isinstance(col, str) else col
+        return F.xxhash64(c, F.lit(permutation))
+    return md5_minhash_token(col, permutation)
+
+
 def md5_minhash_token(col: Column | str, permutation: int) -> Column:
     """The permutation-i hash of a shingle for MinHash: md5('<i>:' + shingle).
 

@@ -18,9 +18,10 @@ Scale notes (the 100 TB design point):
     dedup pipelines).
   * MinHash/LSH replaces the quadratic all-pairs join with O(docs x bands)
     — the only all-pairs product is within a band bucket.
-  * Hashes here are md5-based (portable across engines → DuckDB-oracle
-    checkable, see functions/hashing.py). At raw 100 TB scale swap
-    ``md5_minhash_token`` for xxhash64 — same operator shape, ~2x faster.
+  * Hashes default to md5 (portable across engines → DuckDB-oracle
+    checkable, see functions/hashing.py). At raw 100 TB scale pass
+    ``hash_family='xxhash64'`` (or set the ``hiveio.hash.family`` conf) —
+    same operator shape, ~2x faster, not cross-engine portable.
 
 The reference has no dedup (it is an I/O library — SURVEY §2.2); these
 implement the training-data-pipeline extensions the engine adds on top.
@@ -31,7 +32,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hive_io_experimental_spark.functions.hashing import md5_minhash_token, portable_hash64
+from hive_io_experimental_spark.functions.hashing import (
+    content_hash64,
+    md5_minhash_token,
+    minhash_token,
+    portable_hash64,
+    resolve_family,
+)
 from hive_io_experimental_spark.functions.partitioning import spread
 from hive_io_experimental_spark.functions.textfns import normalize_text, word_shingles, word_tokens
 
@@ -41,7 +48,8 @@ from hive_io_experimental_spark.functions.textfns import normalize_text, word_sh
 # ---------------------------------------------------------------------------
 
 def exact_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    hash_family: str | None = None,
 ) -> DataFrame:
     """Keep the min-id representative per exact (normalized) text.
 
@@ -49,7 +57,11 @@ def exact_dedup(
     Returns (kept_id, dup_count) per distinct text — dup_count > 1 marks
     groups that had duplicates.
     """
-    key = F.md5(normalize_text(F.col(text_col))).alias("text_hash")
+    family = resolve_family(df, hash_family)
+    norm = normalize_text(F.col(text_col))
+    key = (
+        F.md5(norm) if family == "md5" else content_hash64(norm, family)
+    ).alias("text_hash")
     return (
         df.select(key, F.col(id_col))
         .groupBy("text_hash")
@@ -147,6 +159,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_perm: int = 16,
     k: int = 3,
+    hash_family: str | None = None,
 ) -> DataFrame:
     """(id, sig_0..sig_{P-1}) MinHash signature per document.
 
@@ -155,9 +168,10 @@ def minhash_signatures(
     permutation (see functions/hashing.py). Computed as P aggregates in ONE
     groupBy: a single shuffle regardless of P, with map-side partial mins.
     """
+    family = resolve_family(df, hash_family)
     sh = shingle_sets(df, text_col, id_col, k)
     aggs = [
-        F.min(md5_minhash_token(F.col("shingle"), i)).alias(f"sig_{i}")
+        F.min(minhash_token(F.col("shingle"), i, family)).alias(f"sig_{i}")
         for i in range(num_perm)
     ]
     return sh.groupBy("id").agg(*aggs)
@@ -194,6 +208,7 @@ def minhash_lsh_candidates(
     num_perm: int = 16,
     bands: int = 4,
     k: int = 3,
+    hash_family: str | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (a_id < b_id) sharing >= 1 LSH band.
 
@@ -202,7 +217,7 @@ def minhash_lsh_candidates(
     one bucket; AQE skew-join splitting handles moderate cases, a df-cut on
     bucket size handles pathological ones.
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, k)
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, k, hash_family)
     # both self-join sides read the band keys; persist so signatures compute
     # once (they cost a full shingle pass each).
     bk = minhash_band_keys(sigs, num_perm, bands).persist()
@@ -229,6 +244,7 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 60,
+    hash_family: str | None = None,
 ) -> DataFrame:
     """(id, simhash) — 60-bit SimHash over word tokens.
 
@@ -243,11 +259,12 @@ def simhash(
     positive in both Spark's and DuckDB's signed longs; hash is the portable
     md5 prefix so the oracle matches bit-for-bit.
     """
+    family = resolve_family(df, hash_family)
     tok = spread(df).select(
         F.col(id_col).alias("id"),
         # explode_outer keeps zero-token docs (simhash = 0, like the oracle)
         F.explode_outer(word_tokens(F.col(text_col))).alias("t"),
-    ).select("id", portable_hash64(F.col("t")).alias("h"))
+    ).select("id", content_hash64(F.col("t"), family).alias("h"))
     aggs = [
         F.sum(
             F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1).cast("long"))

@@ -115,15 +115,26 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
-def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    hash_family: str | None = None,
+) -> DataFrame:
     """Stable 60-bit content fingerprint of the normalized text.
 
-    (doc_id, fp) — identical across engines (md5-prefix hash), usable as a
-    join/dedup key and as the document identity in downstream pipelines.
+    (doc_id, fp) — identical across engines with the default md5 family,
+    usable as a join/dedup key and as the document identity downstream;
+    hash_family='xxhash64' (or the hiveio.hash.family conf) switches to the
+    production fast path.
     """
+    from hive_io_experimental_spark.functions.hashing import (
+        content_hash64,
+        resolve_family,
+    )
+
+    family = resolve_family(df, hash_family)
     return df.select(
         F.col(id_col).alias("doc_id"),
-        portable_hash64(normalize_text(F.col(text_col))).alias("fp"),
+        content_hash64(normalize_text(F.col(text_col)), family).alias("fp"),
     )
 
 
