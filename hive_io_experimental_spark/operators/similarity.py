@@ -224,7 +224,8 @@ def ivf_topk_trained(
     n_centroids: int = 8,
     nprobe: int = 2,
     seed: int = 7,
-    max_iter: int = 10,
+    max_iter: int = 5,
+    train_fraction: float = 1.0,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -235,13 +236,22 @@ def ivf_topk_trained(
     partitioning). Iterative fitting is not SQL-expressible, so this
     operator has NO DuckDB oracle — tests bound its recall against the
     brute-force baseline instead (the honest check for an ANN index).
+
+    At scale train on a SAMPLE (``train_fraction``) — coarse quantizers
+    converge on a tiny fraction of the corpus and every KMeans iteration is
+    a full pass over the training set. The train set is coalesced to a few
+    partitions: per-iteration task-scheduling overhead dominates the fit on
+    sample-sized data.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = corpus.select(
+    train = corpus
+    if train_fraction < 1.0:
+        train = train.sample(fraction=train_fraction, seed=seed)
+    train = train.select(
         array_to_vector(_as_double(vec_col)).alias("features")
-    )
+    ).coalesce(8)
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
     spark = corpus.sparkSession
     cents = spark.createDataFrame(
