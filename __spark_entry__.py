@@ -38,6 +38,12 @@ from hive_io_experimental_spark.operators import (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver supplies its own vanilla SparkSession; events.parquet is
+    # written with pandas' datetime64[ns] (parquet TIMESTAMP(NANOS)), which a
+    # default session refuses to read. The conf is runtime-settable, so apply
+    # it here rather than relying on session.get_spark() defaults. Operators
+    # normalize the resulting bigint via relational.ensure_event_time.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

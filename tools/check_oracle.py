@@ -5,7 +5,11 @@ twin on DuckDB at the given sf dir, then compares row count, column names,
 and order-insensitive values (columns sorted by name, rows sorted, doubles
 compared bit-for-bit after both engines' own rounding).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--vanilla] [sf_dir] [query ...]
+
+``--vanilla`` runs against a bare SparkSession (no engine confs), mimicking
+the driver's session — catches anything that silently depends on
+session.get_spark() defaults (the round-1 events/nanos failure mode).
 """
 
 from __future__ import annotations
@@ -43,13 +47,27 @@ def normalize(rows, columns):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
-    from hive_io_experimental_spark import get_spark
 
-    spark = get_spark("oracle-check")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("oracle-check-vanilla")
+            .master("local[*]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        from hive_io_experimental_spark import get_spark
+
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
