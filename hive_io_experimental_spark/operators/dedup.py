@@ -348,60 +348,59 @@ def embedding_neardup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.97,
-    candidate_rows_limit: int = 1_000_000,
+    block_rows: int = 4096,
 ) -> DataFrame:
-    """Pairs of vectors with cosine similarity >= threshold.
+    """Exact pairs of vectors with cosine similarity >= threshold.
 
-    Single distributed pass (the shape real vector pipelines use):
+    Blocked all-pairs — the distributed-exact shape:
 
-      1. candidate generation — Arrow-batched numpy: each corpus partition
-         multiplies its batch against the (task-shipped) corpus matrix with
-         BLAS and keeps pairs whose approximate cosine clears
-         ``threshold - 1e-6``. The margin is ~9 orders of magnitude wider
-         than float64 summation-order noise, so no true pair can be missed.
-      2. exact rescoring — IN the same pass: for the few surviving pairs the
-         cosine is recomputed with a sequential left-to-right fold (IEEE
-         doubles; bit-identical to DuckDB's list_dot_product and to Spark's
-         aggregate() fold), rounded JVM-side (Spark ROUND == HALF_UP ==
-         DuckDB's), then filtered at the real threshold. Output values are
-         therefore bit-identical to a pure all-pairs plan, with no extra
-         joins or shuffles.
+      1. each vector is hashed into one of B blocks
+         (B = ceil(n / block_rows), floored so B·(B+1)/2 covers the
+         cluster's parallelism);
+      2. each row is replicated to the B block-pairs its block belongs to
+         (one ``explode`` of a B-element array — shuffle volume n·B rows,
+         no cartesian row explosion);
+      3. one ``applyInPandas`` task per block-pair multiplies the two
+         blocks with BLAS and keeps pairs whose approximate cosine clears
+         ``threshold - 1e-6`` (margin ~9 orders of magnitude wider than
+         float64 summation-order noise, so no true pair can be missed);
+      4. the few survivors are rescored in-task with a sequential
+         left-to-right IEEE-double fold (bit-identical to DuckDB's
+         list_dot_product and Spark's aggregate() fold), rounded JVM-side
+         (Spark ROUND == HALF_UP == DuckDB's), and filtered at the real
+         threshold.
 
-    Corpora above ``candidate_rows_limit`` fall back to the pure JVM
-    theta-join (at that size you should be bucketing first anyway — see
-    operators/similarity.py:hyperplane_lsh_buckets and the docstring note on
-    running this operator within buckets).
+    Exactness: every unordered vector pair shares exactly one block-pair
+    group, so recall is 1.0 *by construction*. An LSH prefilter cannot give
+    that guarantee — at threshold t a random-hyperplane bucket collision
+    has probability (1 - arccos(t)/pi)^P per pair (~3% at t=0.45, P=8) —
+    so LSH stays the *approximate* corpus-scale prefilter
+    (similarity.hyperplane_lsh_buckets), not the exact operator.
+
+    Scale: compute is inherently O(n²·d) — that is the operator's contract,
+    same as the oracle — but fully distributed: per-task memory is two
+    blocks (~block_rows·d·8 bytes each), there is no driver
+    materialization, no closure-shipped corpus matrix, and candidate pairs
+    only materialize as rows *after* the in-task threshold filter.
+    Raising ``block_rows`` trades shuffle volume (n·B rows) against task
+    count (B·(B+1)/2) and per-task memory.
     """
-    from hive_io_experimental_spark.functions.vectors import dot_product, l2_norm
+    import math
 
-    if df.count() > candidate_rows_limit:  # parquet metadata count: cheap
-        v = spread(df).select(
-            F.col(id_col).alias("id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-        ).withColumn("nrm", l2_norm(F.col("v")))
-        a, b = v.alias("a"), v.alias("b")
-        cos = F.round(
-            F.try_divide(
-                dot_product(F.col("a.v"), F.col("b.v")),
-                F.col("a.nrm") * F.col("b.nrm"),
-            ),
-            6,
+    n = df.count()  # parquet metadata count: cheap
+    if n == 0:
+        return df.sparkSession.createDataFrame(
+            [], "a_id long, b_id long, cosine double"
         )
-        return (
-            a.join(b, F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"),
-                    cos.alias("cosine"))
-            .filter(F.col("cosine") >= threshold)
-        )
+    sc = df.sparkSession.sparkContext
+    # enough block-pairs to fill the cluster, but never more blocks than rows
+    min_blocks = math.ceil((math.sqrt(8 * sc.defaultParallelism + 1) - 1) / 2)
+    num_blocks = max(math.ceil(n / block_rows), min_blocks)
+    num_blocks = min(num_blocks, n)
+    margin = threshold - 1e-6
 
     import numpy as np
     import pandas as pd
-
-    pdf_all = df.select(id_col, vec_col).toPandas()  # Arrow path: one job
-    ids = pdf_all[id_col].to_numpy(dtype=np.int64)
-    mat = np.array(list(pdf_all[vec_col]), dtype=np.float64)
-    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    margin = threshold - 1e-6
 
     def _seq_dot(x, y) -> float:
         # left-to-right IEEE-double fold: bit-identical to DuckDB's
@@ -411,33 +410,72 @@ def embedding_neardup(
             s += float(xi) * float(yi)
         return s
 
-    def pairs(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            b_ids = pdf["id"].to_numpy(dtype=np.int64)
-            b_mat = np.array(list(pdf["v"]), dtype=np.float64)
-            b_unit = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
-            sims = b_unit @ unit.T  # |batch| x |corpus|  (BLAS)
-            bi, ci = np.nonzero((sims >= margin) & (b_ids[:, None] < ids[None, :]))
-            if not len(bi):
-                continue
-            cosines = [
-                _seq_dot(b_mat[r], mat[c])
-                / (np.sqrt(_seq_dot(b_mat[r], b_mat[r]))
-                   * np.sqrt(_seq_dot(mat[c], mat[c])))
-                for r, c in zip(bi, ci)
-            ]
-            yield pd.DataFrame(
-                {"a_id": b_ids[bi], "b_id": ids[ci], "cosine": cosines}
-            )
+    def _side(pdf):
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["v"]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        unit = np.divide(mat, norms, out=np.zeros_like(mat), where=norms != 0)
+        return ids, mat, unit
 
-    v = spread(df).select(
+    _EMPTY = pd.DataFrame({
+        "a_id": pd.Series(dtype="int64"),
+        "b_id": pd.Series(dtype="int64"),
+        "cosine": pd.Series(dtype="float64"),
+    })
+
+    def block_pair(key, pdf):
+        bi, bj = int(key[0]), int(key[1])
+        left = pdf[pdf["blk"] == bi]
+        if len(left) == 0:
+            return _EMPTY
+        a_ids, a_mat, a_unit = _side(left)
+        if bi == bj:
+            b_ids, b_mat, b_unit = a_ids, a_mat, a_unit
+        else:
+            right = pdf[pdf["blk"] == bj]
+            if len(right) == 0:
+                return _EMPTY
+            b_ids, b_mat, b_unit = _side(right)
+        sims = a_unit @ b_unit.T  # |block_i| x |block_j|  (BLAS)
+        mask = sims >= margin
+        if bi == bj:
+            mask &= a_ids[:, None] < b_ids[None, :]
+        ai, bidx = np.nonzero(mask)
+        if not len(ai):
+            return _EMPTY
+        rows = []
+        for r, c in zip(ai, bidx):
+            lo_id, hi_id = a_ids[r], b_ids[c]
+            lo_v, hi_v = a_mat[r], b_mat[c]
+            if hi_id < lo_id:
+                lo_id, hi_id, lo_v, hi_v = hi_id, lo_id, hi_v, lo_v
+            cos = _seq_dot(lo_v, hi_v) / (
+                np.sqrt(_seq_dot(lo_v, lo_v)) * np.sqrt(_seq_dot(hi_v, hi_v))
+            )
+            rows.append((int(lo_id), int(hi_id), cos))
+        return pd.DataFrame(rows, columns=["a_id", "b_id", "cosine"])
+
+    v = df.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
+    ).withColumn("blk", F.pmod(F.xxhash64(F.col("id")), F.lit(num_blocks)))
+    # replicate each row to every block-pair containing its block:
+    # block b participates in pairs (min(b,o), max(b,o)) for o in [0, B)
+    replicated = v.select(
+        "id", "v", "blk",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_blocks - 1)),
+                lambda o: F.struct(
+                    F.least(F.col("blk"), o).alias("bi"),
+                    F.greatest(F.col("blk"), o).alias("bj"),
+                ),
+            )
+        ).alias("bp"),
+    ).select("id", "v", "blk", F.col("bp.bi").alias("bi"), F.col("bp.bj").alias("bj"))
     return (
-        v.mapInPandas(pairs, "a_id long, b_id long, cosine double")
+        replicated.groupBy("bi", "bj")
+        .applyInPandas(block_pair, "a_id long, b_id long, cosine double")
         # round JVM-side: Spark ROUND is HALF_UP like DuckDB's (Python's
         # round() is banker's — would diverge on exact .5 boundaries).
         .select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
