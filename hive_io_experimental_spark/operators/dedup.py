@@ -56,12 +56,23 @@ def exact_dedup(
     One shuffle on the text hash; map-side partial aggregation applies.
     Returns (kept_id, dup_count) per distinct text — dup_count > 1 marks
     groups that had duplicates.
+
+    Both families key on >= 128 hash bits: md5 uses the full digest, and
+    xxhash64 concatenates two independent seeds. A single 64-bit key would
+    silently merge distinct documents at the stated multi-billion-doc scale
+    (birthday bound: ~50% chance of one collision near 5B docs).
     """
+    from hive_io_experimental_spark.functions.hashing import fast_hash64
+
     family = resolve_family(df, hash_family)
     norm = normalize_text(F.col(text_col))
-    key = (
-        F.md5(norm) if family == "md5" else content_hash64(norm, family)
-    ).alias("text_hash")
+    if family == "md5":
+        key = F.md5(norm).alias("text_hash")
+    else:
+        key = F.concat(
+            F.lpad(F.hex(fast_hash64(norm, seed=42)), 16, "0"),
+            F.lpad(F.hex(fast_hash64(norm, seed=1337)), 16, "0"),
+        ).alias("text_hash")
     return (
         df.select(key, F.col(id_col))
         .groupBy("text_hash")

@@ -92,17 +92,20 @@ def point_in_interval_join(
     (interval_width / bucket) against candidate precision — default 1 day.
     Output: all interval columns + all point columns (names must not clash).
     """
-    b = F.lit(bucket_micros)
+    # integer `div` (floor), NOT float-divide-then-cast: cast truncates
+    # toward zero, so pre-1970 (negative) timestamps would get bucket
+    # boundaries that disagree between a point and its covering interval
+    # and silently drop matches.
     iv = intervals.withColumn(
         "_bucket",
         F.explode(
             F.sequence(
-                (F.col(start_ts) / b).cast("long"),
-                (F.col(end_ts) / b).cast("long"),
+                F.expr(f"{start_ts} div {bucket_micros}"),
+                F.expr(f"{end_ts} div {bucket_micros}"),
             )
         ),
     )
-    pt = points.withColumn("_bucket", (F.col(point_ts) / b).cast("long"))
+    pt = points.withColumn("_bucket", F.expr(f"{point_ts} div {bucket_micros}"))
     joined = iv.join(pt, [on, "_bucket"]).filter(
         (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
     )
