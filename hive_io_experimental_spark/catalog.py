@@ -11,23 +11,28 @@ swap is one class.
 Also provides:
 - HiveStats (numRows/rawSize/totalSize summed over filtered partitions —
   common/HiveStats.java:34-108, HiveUtils.java:122-140)
-- backoff_retry, mirroring BackoffRetryTask (common/BackoffRetryTask.java:
-  91-129): N tries, exponential backoff with jitter, for flaky remote stores.
+Catalog file I/O runs under retry.backoff_retry (BackoffRetryTask parity,
+common/BackoffRetryTask.java:91-129) and mutations take an exclusive flock
+so concurrent writers can't lose updates (the Thrift metastore serializes
+these server-side).
 """
 
 from __future__ import annotations
 
 import json
 import os
-import random
-import time
-from dataclasses import dataclass, field
-from typing import Callable, TypeVar
+from contextlib import contextmanager
+from dataclasses import dataclass, field, replace
+from typing import Iterator
+
+try:  # POSIX file locking; absent on some platforms -> single-writer only
+    import fcntl
+except ImportError:  # pragma: no cover
+    fcntl = None  # type: ignore[assignment]
 
 from hive_io_experimental_spark.errors import TableNotFoundError
+from hive_io_experimental_spark.retry import RetryPolicy, backoff_retry
 from hive_io_experimental_spark.schema import HiveTableSchema
-
-_T = TypeVar("_T")
 
 CATALOG_FILE = "_catalog.json"
 
@@ -75,31 +80,10 @@ class PartitionInfo:
     stats: HiveStats = field(default_factory=HiveStats)
 
 
-def backoff_retry(
-    fn: Callable[[], _T],
-    max_tries: int = 5,
-    initial_delay: float = 0.1,
-    multiplier: float = 2.0,
-    jitter: float = 0.1,
-    retry_on: tuple[type[BaseException], ...] = (OSError, IOError),
-) -> _T:
-    """Run ``fn`` with exponential-backoff retry on transient errors.
-
-    Parity with BackoffRetryTask (common/BackoffRetryTask.java:91-129):
-    5 tries default, doubling delay, jittered. The reference defaults to a
-    10 s initial delay because it fronts a remote Thrift service; a local
-    JSON catalog uses a short one.
-    """
-    delay = initial_delay
-    for attempt in range(1, max_tries + 1):
-        try:
-            return fn()
-        except retry_on:
-            if attempt == max_tries:
-                raise
-            time.sleep(delay * (1.0 + random.random() * jitter))
-            delay *= multiplier
-    raise AssertionError("unreachable")
+# Catalog I/O retry: the reference's BackoffRetryTask shape (retry.py), but
+# with a short initial delay — it fronts a local/NFS file, not a remote
+# Thrift service with its 10 s default.
+_CATALOG_RETRY = RetryPolicy(initial_delay_s=0.1)
 
 
 class Catalog:
@@ -113,7 +97,7 @@ class Catalog:
 
     def __init__(self, warehouse_dir: str, max_tries: int = 5) -> None:
         self.warehouse_dir = warehouse_dir
-        self.max_tries = max_tries
+        self.retry_policy = replace(_CATALOG_RETRY, max_tries=max_tries)
         os.makedirs(warehouse_dir, exist_ok=True)
 
     # -- persistence ---------------------------------------------------------
@@ -122,6 +106,26 @@ class Catalog:
     def _path(self) -> str:
         return os.path.join(self.warehouse_dir, CATALOG_FILE)
 
+    @contextmanager
+    def _exclusive(self) -> Iterator[None]:
+        """Cross-process lock around a load-mutate-save cycle.
+
+        Two concurrent writers (e.g. two jobs registering different
+        partitions of one table) would otherwise silently lose one writer's
+        update — the reference's Thrift metastore serializes mutations
+        server-side; a file catalog must do it with an flock on a sidecar.
+        Reads need no lock: ``_save`` publishes atomically via os.replace.
+        """
+        if fcntl is None:  # pragma: no cover - non-POSIX: document + degrade
+            yield
+            return
+        with open(self._path + ".lock", "a") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lockf, fcntl.LOCK_UN)
+
     def _load(self) -> dict:
         def read() -> dict:
             if not os.path.exists(self._path):
@@ -129,7 +133,7 @@ class Catalog:
             with open(self._path) as f:
                 return json.load(f)
 
-        return backoff_retry(read, max_tries=self.max_tries)
+        return backoff_retry(read, self.retry_policy)
 
     def _save(self, doc: dict) -> None:
         def write() -> None:
@@ -138,7 +142,7 @@ class Catalog:
                 json.dump(doc, f, indent=1, sort_keys=True)
             os.replace(tmp, self._path)
 
-        backoff_retry(write, max_tries=self.max_tries)
+        backoff_retry(write, self.retry_policy)
 
     # -- tables --------------------------------------------------------------
 
@@ -155,19 +159,30 @@ class Catalog:
         parquet (default), orc, csv, or json — honored by BOTH the read and
         write paths."""
         desc = TableDesc.parse(desc) if isinstance(desc, str) else desc
-        doc = self._load()
-        key = str(desc)
-        if key in doc["tables"]:
-            if if_not_exists:
-                return
-            raise ValueError(f"table already exists: {key}")
-        doc["tables"][key] = {
-            "schema": schema.to_json(),
-            "location": self.table_location(desc),
-            "storage_format": storage_format.lower(),
-            "partitions": [],
-        }
-        self._save(doc)
+        with self._exclusive():
+            doc = self._load()
+            key = str(desc)
+            if key in doc["tables"]:
+                if if_not_exists:
+                    return
+                raise ValueError(f"table already exists: {key}")
+            doc["tables"][key] = {
+                "schema": schema.to_json(),
+                "location": self.table_location(desc),
+                "storage_format": storage_format.lower(),
+                "partitions": [],
+            }
+            self._save(doc)
+
+    @staticmethod
+    def _entry_or_raise(doc: dict, desc: TableDesc) -> dict:
+        # Mutators surface a missing table as TableNotFoundError, matching
+        # get_table / the reference's spec-check contract
+        # (output/CheckOutputSpecsTest.java:48-67) — not a raw KeyError.
+        entry = doc["tables"].get(str(desc))
+        if entry is None:
+            raise TableNotFoundError(f"no such table: {desc}")
+        return entry
 
     def get_table(self, desc: TableDesc | str) -> dict:
         desc = TableDesc.parse(desc) if isinstance(desc, str) else desc
@@ -230,33 +245,35 @@ class Catalog:
         (output/HiveApiOutputCommitter.java:145-160).
         """
         desc = TableDesc.parse(desc) if isinstance(desc, str) else desc
-        doc = self._load()
-        entry = doc["tables"][str(desc)]
-        for p in entry["partitions"]:
-            if p["values"] == values:
-                if stats is not None:
-                    p["stats"] = vars(stats)
-                    self._save(doc)
-                return
-        entry["partitions"].append(
-            {
-                "values": values,
-                "location": self.partition_path(entry["location"], values),
-                "stats": vars(stats) if stats else vars(HiveStats()),
-            }
-        )
-        self._save(doc)
+        with self._exclusive():
+            doc = self._load()
+            entry = self._entry_or_raise(doc, desc)
+            for p in entry["partitions"]:
+                if p["values"] == values:
+                    if stats is not None:
+                        p["stats"] = vars(stats)
+                        self._save(doc)
+                    return
+            entry["partitions"].append(
+                {
+                    "values": values,
+                    "location": self.partition_path(entry["location"], values),
+                    "stats": vars(stats) if stats else vars(HiveStats()),
+                }
+            )
+            self._save(doc)
 
     def drop_partition(self, desc: TableDesc | str, values: dict[str, str]) -> bool:
         desc = TableDesc.parse(desc) if isinstance(desc, str) else desc
-        doc = self._load()
-        entry = doc["tables"][str(desc)]
-        before = len(entry["partitions"])
-        entry["partitions"] = [
-            p for p in entry["partitions"] if p["values"] != values
-        ]
-        self._save(doc)
-        return len(entry["partitions"]) < before
+        with self._exclusive():
+            doc = self._load()
+            entry = self._entry_or_raise(doc, desc)
+            before = len(entry["partitions"])
+            entry["partitions"] = [
+                p for p in entry["partitions"] if p["values"] != values
+            ]
+            self._save(doc)
+            return len(entry["partitions"]) < before
 
     def partition_exists(self, desc: TableDesc | str, values: dict[str, str]) -> bool:
         return any(p.values == values for p in self.list_partitions(desc))

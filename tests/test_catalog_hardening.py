@@ -1,0 +1,96 @@
+"""Catalog robustness: I/O fault injection through the retry wrapper
+(FaultyCheckOutputSpecsTest.java:41-92 shape, but against the real catalog),
+concurrent-writer mutual exclusion, and the missing-table error contract.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing
+import os
+
+import pytest
+
+from pyspark.sql import types as T
+
+from hive_io_experimental_spark.catalog import Catalog, HiveStats
+from hive_io_experimental_spark.errors import TableNotFoundError
+from hive_io_experimental_spark.schema import HiveTableSchema
+
+
+def _schema() -> HiveTableSchema:
+    return HiveTableSchema(
+        (("k", T.LongType()), ("v", T.StringType())), partition_keys=("ds",)
+    )
+
+
+class _FaultyIO:
+    """Monkeypatch hook: makes the catalog's json.load fail N times."""
+
+    def __init__(self, monkeypatch, n_failures: int):
+        self.remaining = n_failures
+        real_load = json.load
+
+        def flaky_load(f):
+            if self.remaining > 0:
+                self.remaining -= 1
+                raise OSError("injected transient I/O failure")
+            return real_load(f)
+
+        monkeypatch.setattr(
+            "hive_io_experimental_spark.catalog.json.load", flaky_load
+        )
+        # no wall-clock waiting during backoff
+        monkeypatch.setattr(
+            "hive_io_experimental_spark.retry.time.sleep", lambda s: None
+        )
+
+
+def test_catalog_read_recovers_below_max_tries(tmp_path, monkeypatch):
+    cat = Catalog(str(tmp_path), max_tries=5)
+    cat.create_table("db.t", _schema())
+    _FaultyIO(monkeypatch, 3)
+    entry = cat.get_table("db.t")  # 3 failures, 2 spare tries -> recovers
+    assert entry["storage_format"] == "parquet"
+
+
+def test_catalog_read_fails_after_max_tries(tmp_path, monkeypatch):
+    cat = Catalog(str(tmp_path), max_tries=3)
+    cat.create_table("db.t", _schema())
+    _FaultyIO(monkeypatch, 99)
+    with pytest.raises(OSError):
+        cat.get_table("db.t")
+
+
+def test_mutators_raise_table_not_found(tmp_path):
+    cat = Catalog(str(tmp_path))
+    with pytest.raises(TableNotFoundError):
+        cat.add_partition("db.missing", {"ds": "2024-01-01"})
+    with pytest.raises(TableNotFoundError):
+        cat.drop_partition("db.missing", {"ds": "2024-01-01"})
+
+
+def _register_partitions(args):
+    warehouse, worker, n = args
+    cat = Catalog(warehouse)
+    for i in range(n):
+        cat.add_partition(
+            "db.t", {"ds": f"w{worker}-{i}"}, stats=HiveStats(num_rows=1)
+        )
+    return worker
+
+
+def test_concurrent_writers_lose_no_partitions(tmp_path):
+    """Two processes registering disjoint partitions of one table: without
+    the flock around load-mutate-save, one writer's registrations vanish."""
+    warehouse = str(tmp_path)
+    cat = Catalog(warehouse)
+    cat.create_table("db.t", _schema())
+    n_each = 20
+    with multiprocessing.Pool(2) as pool:
+        pool.map(
+            _register_partitions,
+            [(warehouse, 0, n_each), (warehouse, 1, n_each)],
+        )
+    got = {tuple(p.values.items()) for p in cat.list_partitions("db.t")}
+    assert len(got) == 2 * n_each
