@@ -52,6 +52,90 @@ def entry(spark: SparkSession) -> DataFrame:
     return relational.pricing_summary(_t(spark, "/root/testdata/sf0.001", "lineitem"))
 
 
+def _scan_partition_pruned(spark: SparkSession, sf: str) -> DataFrame:
+    """Engine round-trip for the driver gate: write orders into a
+    catalog-registered table partitioned by order status, then scan it back
+    with a partition filter. The filter is validated against partition
+    columns only and prunes partition directories at plan time, so the
+    aggregate equals a plain filtered aggregate over the source table
+    (which is exactly the oracle)."""
+    import tempfile
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    orders = _t(spark, sf, "orders")
+    wh = tempfile.mkdtemp(prefix="hio_gate_part_")  # outlives the lazy scan
+    cat = Catalog(wh)
+    data_fields = tuple(
+        (f.name, f.dataType)
+        for f in orders.schema.fields
+        if f.name != "o_orderstatus"
+    )
+    cat.create_table(
+        "default.orders_by_status",
+        HiveTableSchema(data_fields, partition_keys=("o_orderstatus",)),
+    )
+    out = HiveOutput(spark, cat)
+    statuses = [
+        r[0] for r in orders.select("o_orderstatus").distinct().collect()
+    ]
+    for status in statuses:
+        out.write_table(
+            WriteSpec("default.orders_by_status", {"o_orderstatus": status}),
+            orders.filter(F.col("o_orderstatus") == status).drop("o_orderstatus"),
+        )
+    scanned = HiveInput(spark, cat).read_table(
+        ScanSpec(
+            table="default.orders_by_status",
+            partition_filter="o_orderstatus = 'F'",
+        )
+    )
+    return scanned.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_totalprice"),
+    )
+
+
+def _write_readback(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-gate round-trip for the write pipeline: run the nation-revenue
+    aggregate, write it through HiveOutput (table-exists + empty-table
+    preconditions, widening-only schema conform, commit), then read it back
+    through HiveInput. Values must equal the aggregate itself (the oracle)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    result = relational.nation_revenue(
+        _t(spark, sf, "region"),
+        _t(spark, sf, "nation"),
+        _t(spark, sf, "customer"),
+        _t(spark, sf, "orders"),
+        _t(spark, sf, "lineitem"),
+    )
+    wh = tempfile.mkdtemp(prefix="hio_gate_write_")  # outlives the lazy scan
+    cat = Catalog(wh)
+    cat.create_table(
+        "default.nation_rev",
+        HiveTableSchema(
+            (
+                ("r_name", T.StringType()),
+                ("n_name", T.StringType()),
+                ("revenue", T.DoubleType()),
+            )
+        ),
+    )
+    HiveOutput(spark, cat).write_table(WriteSpec("default.nation_rev"), result)
+    return HiveInput(spark, cat).read_table(ScanSpec(table="default.nation_rev"))
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -171,6 +255,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["table_stats"] = lambda spark, sf: relational.table_stats(
         _t(spark, sf, "lineitem")
     )
+    # S3: catalog-backed partitioned write, then a scan whose partition
+    # filter prunes directories at plan time (reference
+    # HiveApiInputFormat.java:290-309).
+    q["scan_partition_pruned"] = _scan_partition_pruned
+    # W1/W3: full write pipeline (spec checks, schema conform, commit) then
+    # read-back through the scan API (reference OutputTest.java:56-138).
+    q["write_readback"] = _write_readback
     q["column_profile"] = lambda spark, sf: profile.column_profile(
         _t(spark, sf, "events"), numeric_col="value", key_col="user_id"
     )
@@ -486,6 +577,16 @@ def oracle_sql() -> dict[str, str]:
         FROM g GROUP BY user_id ORDER BY user_id"""
 
     o["table_stats"] = "SELECT COUNT(*) AS num_rows FROM lineitem"
+
+    # partitioned write + pruned read-back == filtered aggregate over source
+    o["scan_partition_pruned"] = """
+        SELECT COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_totalprice
+        FROM orders WHERE o_orderstatus = 'F'"""
+
+    # write + read-back must reproduce the aggregate that was written
+    o["write_readback"] = o["nation_revenue"]
 
     o["column_profile"] = """
         SELECT COUNT(*) AS n_rows,
