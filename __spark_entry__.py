@@ -281,6 +281,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_winnowing"] = lambda spark, sf: text.winnowing_fingerprints(
         _t(spark, sf, "documents")
     )
+    q["text_redact_pii"] = lambda spark, sf: text.redact_pii(
+        _t(spark, sf, "documents")
+    )
+    q["text_quality_filter"] = lambda spark, sf: text.quality_filter(
+        _t(spark, sf, "documents")
+    )
 
     # ---- dedup family ----
     q["dedup_exact"] = lambda spark, sf: dedup.exact_dedup(_t(spark, sf, "documents"))
@@ -291,6 +297,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents")
     )
     q["dedup_simhash"] = lambda spark, sf: dedup.simhash(_t(spark, sf, "documents"))
+    # NOTE: no oracle_sql entry for dedup_clusters — connected components is
+    # iterative (not SQL-expressible); clustering semantics are pinned by
+    # the chained-duplicate unit test instead.
+    q["dedup_clusters"] = lambda spark, sf: dedup.duplicate_clusters(
+        _t(spark, sf, "documents")
+    )
     # threshold 0.45: the synthetic embeddings are near-orthogonal random
     # vectors (max pairwise cosine ~0.5-0.6), so a production-style 0.97
     # would be degenerately empty at every SF.
@@ -687,6 +699,31 @@ def oracle_sql() -> dict[str, str]:
                        AS wmin
               FROM e2)
         SELECT DISTINCT doc_id, wmin AS fp FROM w WHERE pos <= n_grams - 4"""
+
+    # PII scrub: same patterns + same fixed application order as
+    # operators/text.py (Java regex and RE2 agree on these constructs);
+    # DuckDB needs the explicit 'g' flag to replace all matches like Spark.
+    _EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _PHONE = r"\+?\d[\d\- ]{7,}\d"
+    _IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    o["text_redact_pii"] = f"""
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '{_IPV4}', '[IP]', 'g'),
+                   '{_PHONE}', '[PHONE]', 'g'),
+                 '{_EMAIL}', '[EMAIL]', 'g') AS redacted,
+               CAST(len(regexp_extract_all(text, '{_EMAIL}')) AS INTEGER)
+                 AS n_email,
+               CAST(len(regexp_extract_all(text, '{_PHONE}')) AS INTEGER)
+                 AS n_phone,
+               CAST(len(regexp_extract_all(text, '{_IPV4}')) AS INTEGER)
+                 AS n_ipv4
+        FROM documents"""
+
+    o["text_quality_filter"] = f"""
+        SELECT * FROM ({o['text_metrics']})
+        WHERE n_tokens >= 32 AND uniq_ratio >= 0.4 AND stopword_ratio <= 0.5"""
 
     # ---- dedup ----
     o["dedup_exact"] = f"""

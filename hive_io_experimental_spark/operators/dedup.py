@@ -246,6 +246,78 @@ def minhash_lsh_candidates(
     )
 
 
+def duplicate_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    max_iter: int = 20,
+    hash_family: str | None = None,
+) -> DataFrame:
+    """Assign every document to a duplicate cluster: connected components
+    over the MinHash-LSH candidate graph, cluster id = min doc id reachable.
+
+    The stage real dedup pipelines run after candidate generation — pairs
+    alone can't answer "keep one per group" when duplicates chain
+    (A~B, B~C but not A~C). Iterative min-label propagation: each round
+    every node takes the min label among itself and its neighbors; converges
+    in O(graph diameter) rounds (duplicate clusters are shallow — a handful
+    of rounds in practice; ``max_iter`` bounds adversarial chains).
+
+    Scale shape: per round one equi-join (edges x labels) + one groupBy —
+    all key-partitioned shuffles, no driver materialization; lineage is
+    truncated each round (localCheckpoint) so plans don't grow with
+    iteration count. The asymptotically better alternating large-star/
+    small-star algorithm drops in here if diameters ever get deep.
+
+    Iterative => no SQL oracle (driver records a rows-only check); the
+    clustering semantics are pinned by unit tests on chained duplicates.
+    Returns (doc_id, cluster_id).
+    """
+    pairs = minhash_lsh_candidates(
+        df, text_col, id_col, num_perm, bands, k, hash_family
+    )
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    edges = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = df.select(F.col(id_col).alias("id")).withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                labels["id"],
+                labels["label"],
+                F.least(
+                    labels["label"],
+                    F.coalesce(F.col("nbr_label"), labels["label"]),
+                ).alias("new_label"),
+            )
+            .localCheckpoint()  # materialize + truncate lineage
+        )
+        changed = stepped.filter(F.col("new_label") != F.col("label")).count()
+        labels = stepped.select("id", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -243,6 +243,73 @@ def winnowing_fingerprints(
     )
 
 
+# PII patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): plain character classes, bounded repetition, \b word
+# boundaries — no backreferences or lookaround (RE2 has neither).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "phone": (r"\+?\d[\d\- ]{7,}\d", "[PHONE]"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+}
+
+# Fixed application order — replacements compose, so both engines must
+# rewrite in the same sequence (ipv4 before phone: both match digit runs).
+_PII_ORDER = ("ipv4", "phone", "email")
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mask common PII (emails, phone numbers, IPv4 addresses) in text.
+
+    The standard pre-training scrub stage: per-row regexp_replace chains —
+    pure JVM column expressions, shuffle-free, composing with any scan.
+    Returns (doc_id, redacted, n_email, n_phone, n_ipv4); the counts are
+    taken BEFORE redaction so they report what was masked.
+    """
+    df = spread(df)
+    text = F.col(text_col)
+    counts = {
+        name: F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        for name, (pat, _) in PII_PATTERNS.items()
+    }
+    redacted = text
+    for name in _PII_ORDER:
+        pat, repl = PII_PATTERNS[name]
+        redacted = F.regexp_replace(redacted, pat, repl)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        redacted.alias("redacted"),
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ipv4"),
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 32,
+    min_uniq_ratio: float = 0.4,
+    max_stopword_ratio: float = 0.5,
+) -> DataFrame:
+    """Keep documents passing the standard pre-training quality gates.
+
+    Composes :func:`text_metrics` with threshold predicates (the C4/Gopher-
+    rule shape: length floor, vocabulary-diversity floor, stopword ceiling).
+    Degenerate documents with NULL ratios (zero tokens) are dropped — WHERE
+    NULL is false in every engine. Returns the metrics rows that pass, so
+    downstream stages can weight by quality_score.
+    """
+    m = text_metrics(df, text_col=text_col, id_col=id_col)
+    return m.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("uniq_ratio") >= min_uniq_ratio)
+        & (F.col("stopword_ratio") <= max_stopword_ratio)
+    )
+
+
 def token_histogram(df: DataFrame, text_col: str = "text", top_n: int = 20) -> DataFrame:
     """Corpus-level token frequency, top-N by count (count desc, token asc).
 

@@ -322,3 +322,60 @@ def test_multimodal_feature_extraction(spark):
     assert rows[2].mean_byte == (ord("a") + ord("b")) / 2
     # empty payload -> NULL mean (no bytes to average)
     assert rows[3].n_bytes == 0 and rows[3].mean_byte is None
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from hive_io_experimental_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or call +1 555-123-4567."),
+            (2, "server at 10.0.255.1 answered"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert "[EMAIL]" in rows[1].redacted and "[PHONE]" in rows[1].redacted
+    assert "jane" not in rows[1].redacted and "555" not in rows[1].redacted
+    assert rows[1].n_email == 1 and rows[1].n_phone == 1 and rows[1].n_ipv4 == 0
+    assert rows[2].redacted == "server at [IP] answered"
+    assert rows[2].n_ipv4 == 1
+    assert rows[3].redacted == "nothing sensitive here"
+    assert rows[3].n_email == rows[3].n_phone == rows[3].n_ipv4 == 0
+
+
+def test_quality_filter_drops_degenerate_docs(spark):
+    from hive_io_experimental_spark.operators.text import quality_filter
+
+    long_varied = " ".join(f"word{i} thing{i}" for i in range(40))
+    repetitious = " ".join(["spam"] * 80)
+    df = spark.createDataFrame(
+        [(1, long_varied), (2, repetitious), (3, "too short"), (4, "")],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in quality_filter(df).collect()}
+    assert kept == {1}  # repetition fails uniq_ratio, short fails floor,
+    # empty has NULL ratios (dropped)
+
+
+def test_duplicate_clusters_chain(spark):
+    """A~B and B~C near-dups must land in ONE cluster even if A and C never
+    share a band (transitive closure), and unrelated docs stay singletons."""
+    from hive_io_experimental_spark.operators.dedup import duplicate_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.upper()),          # exact dup of 1 after normalization
+            (3, base + " extra tail"),  # near-dup bridging 1/2 to itself
+            (4, "a completely different document about query engines"),
+        ],
+        "doc_id long, text string",
+    )
+    clusters = {r.doc_id: r.cluster_id for r in duplicate_clusters(df).collect()}
+    assert clusters[1] == clusters[2] == 1
+    assert clusters[4] == 4
+    # doc 3 joins the cluster iff LSH bands link it; either way doc 4 alone
+    assert clusters[3] in (1, 3)
