@@ -11,9 +11,11 @@ from hive_io_experimental_spark.streaming.windows import (
     windowed_event_counts,
 )
 from hive_io_experimental_spark.streaming.sessions import sessionize_stateful
+from hive_io_experimental_spark.streaming.joins import signup_purchase_stream_join
 
 __all__ = [
     "read_events_stream",
     "windowed_event_counts",
     "sessionize_stateful",
+    "signup_purchase_stream_join",
 ]

@@ -191,3 +191,47 @@ def test_stream_dedup_matches_batch(spark, sf_dir):
         assert got.d == 500
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """Inner stream-stream join over closed input must produce exactly the
+    batch join's rows (inner matches emit as both sides arrive; watermarks
+    only govern state eviction)."""
+    from hive_io_experimental_spark.streaming.joins import (
+        signup_purchase_stream_join,
+    )
+
+    events_path = f"{sf_dir}/events.parquet"
+    stream = read_events_stream(spark, events_path)
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    _run_stream_to_memory(
+        signup_purchase_stream_join(stream), name, "append"
+    )
+    got = {
+        (r.signup_id, r.user_id, r.purchase_ts, float(r.value))
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+    ev = relational.ensure_event_time(spark.read.parquet(events_path))
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("signup_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value"),
+    )
+    expected = {
+        (r.signup_id, r.s_user, r.purchase_ts, float(r.value))
+        for r in s.join(
+            p,
+            F.expr(
+                "s_user = p_user AND purchase_ts >= signup_ts "
+                "AND purchase_ts <= signup_ts + interval 7 days"
+            ),
+        ).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
