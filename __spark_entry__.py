@@ -227,6 +227,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["scalar_profile"] = lambda spark, sf: relational.part_scalar_profile(
         _t(spark, sf, "part")
     )
+    q["late_ship_priority"] = lambda spark, sf: relational.late_ship_priority(
+        _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    )
+    q["large_volume_orders"] = lambda spark, sf: relational.large_volume_orders(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    )
     q["orders_by_month"] = lambda spark, sf: relational.orders_by_month(
         _t(spark, sf, "orders")
     )
@@ -512,6 +518,30 @@ def oracle_sql() -> dict[str, str]:
                     WHEN p_size >= 15 THEN 'medium'
                     ELSE 'small' END AS size_class
         FROM part"""
+
+    o["late_ship_priority"] = """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+    o["large_volume_orders"] = """
+        WITH q AS (SELECT l_orderkey,
+                          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                            AS sum_qty
+                   FROM lineitem GROUP BY l_orderkey
+                   HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                          > 250.0)
+        SELECT c_custkey, c_name, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+                 AS o_totalprice,
+               sum_qty
+        FROM q
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY sum_qty DESC, o_orderkey ASC"""
 
     o["orders_by_month"] = """
         SELECT epoch_us(date_trunc('month', o_orderdate)) // 1000000 AS month_epoch,

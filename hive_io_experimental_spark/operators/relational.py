@@ -417,6 +417,79 @@ def orders_by_month(orders: DataFrame) -> DataFrame:
     )
 
 
+def late_ship_priority(
+    orders: DataFrame, lineitem: DataFrame, late_days: int = 60
+) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one line shipped more than
+    ``late_days`` after the order date, counted by priority.
+
+    Semi-join with a cross-table predicate: the EXISTS subquery becomes a
+    left-semi hash join on orderkey — Catalyst pushes the key equality into
+    the join and evaluates the lateness predicate on matched pairs, so no
+    row multiplication reaches the aggregate.
+
+    Timestamps here are TIMESTAMP_NTZ (micros parquet without UTC
+    adjustment); the timezone-free comparison for naive timestamps is
+    INTERVAL arithmetic — identical in Spark and DuckDB regardless of
+    session timezone. (Nanos-as-long columns get plain integer arithmetic;
+    see ensure_event_time for the type taxonomy.)
+    """
+    o = orders.select("o_orderkey", "o_orderpriority", "o_orderdate")
+    l = lineitem.select("l_orderkey", "l_shipdate")
+    if dict(lineitem.dtypes).get("l_shipdate") == "bigint":
+        lateness = F.col("l_shipdate") > (
+            F.col("o_orderdate") + F.lit(late_days * 86_400 * 10**9)
+        )
+    else:
+        lateness = F.expr(
+            f"l_shipdate > o_orderdate + INTERVAL {late_days} DAYS"
+        )
+    late = o.join(
+        l,
+        (F.col("o_orderkey") == F.col("l_orderkey")) & lateness,
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def large_volume_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: float = 250.0,
+) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds ``min_qty``,
+    with their customer.
+
+    The HAVING filter runs on the lineitem-side aggregate BEFORE the
+    customer/orders joins (aggregate first, then join the few survivors) —
+    at scale this is the difference between joining 100 TB of lineitem and
+    joining a few thousand qualifying orderkeys. Dimension joins broadcast.
+    """
+    qty = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_amt(F.col("l_quantity"))).cast("double").alias("sum_qty"))
+        .filter(F.col("sum_qty") > min_qty)
+    )
+    return (
+        qty.join(orders, qty["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(12,2)").cast("double")
+            .alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("sum_qty").desc(), F.col("o_orderkey").asc())
+    )
+
+
 def run_sql(spark, sf_dir: str, query: str,
             tables: tuple[str, ...] = ("region", "nation", "customer",
                                        "supplier", "part", "orders",
