@@ -379,3 +379,19 @@ def test_duplicate_clusters_chain(spark):
     assert clusters[4] == 4
     # doc 3 joins the cluster iff LSH bands link it; either way doc 4 alone
     assert clusters[3] in (1, 3)
+
+
+def test_lsh_buckets_pandas_twin_matches_fold(spark, sf_dir):
+    """The BLAS bucketizer must produce bit-identical bucket assignments to
+    the JVM fold formulation (same plane matrix, sign decision)."""
+    from hive_io_experimental_spark.operators.similarity import (
+        hyperplane_lsh_buckets,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fold = {(r.id, r.bucket) for r in hyperplane_lsh_buckets(emb).collect()}
+    blas = {
+        (r.id, r.bucket)
+        for r in hyperplane_lsh_buckets(emb, use_pandas=True).collect()
+    }
+    assert fold == blas and len(fold) > 0
