@@ -12,10 +12,16 @@ from hive_io_experimental_spark.streaming.windows import (
 )
 from hive_io_experimental_spark.streaming.sessions import sessionize_stateful
 from hive_io_experimental_spark.streaming.joins import signup_purchase_stream_join
+from hive_io_experimental_spark.streaming.lsh import (
+    minhash_band_stream,
+    minhash_lsh_dedup_stream,
+)
 
 __all__ = [
     "read_events_stream",
     "windowed_event_counts",
     "sessionize_stateful",
     "signup_purchase_stream_join",
+    "minhash_band_stream",
+    "minhash_lsh_dedup_stream",
 ]

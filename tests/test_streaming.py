@@ -235,3 +235,57 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_minhash_band_stream_matches_batch_banding(spark, sf_dir):
+    """Row-local MinHash banding (array_min per row) must equal the batch
+    groupBy-min formulation exactly — same md5 family, same lexicographic
+    min, same band hashing."""
+    from hive_io_experimental_spark.operators import dedup
+    from hive_io_experimental_spark.streaming.lsh import minhash_band_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "ts", F.timestamp_micros(F.col("doc_id") * 1_000_000)
+    )
+    row_local = {
+        (r.doc_id, r.band, r.band_key)
+        for r in minhash_band_stream(docs).collect()
+    }
+    batch = {
+        (r.id, r.band, r.band_key)
+        for r in dedup.minhash_band_keys(
+            dedup.minhash_signatures(docs)
+        ).collect()
+    }
+    assert row_local == batch and len(batch) > 0
+
+
+def test_minhash_lsh_dedup_stream_bucket_owners(spark, sf_dir):
+    """Streaming LSH dedup: every batch bucket gets exactly one owner, and
+    the owner is a genuine member of that bucket."""
+    from collections import Counter
+
+    from hive_io_experimental_spark.operators import dedup
+    from hive_io_experimental_spark.streaming.lsh import minhash_lsh_dedup_stream
+
+    docs_path = f"{sf_dir}/documents.parquet"
+    batch_docs = spark.read.parquet(docs_path)
+    stream = read_events_stream(spark, docs_path).withColumn(
+        "ts", F.timestamp_micros(F.col("doc_id") * 1_000_000)
+    )
+    name = f"lsh_{uuid.uuid4().hex[:8]}"
+    _run_stream_to_memory(minhash_lsh_dedup_stream(stream), name, "append")
+    owners = spark.sql(f"SELECT * FROM {name}").collect()
+
+    members: dict[tuple, set] = {}
+    for r in dedup.minhash_band_keys(
+        dedup.minhash_signatures(batch_docs)
+    ).collect():
+        members.setdefault((r.band, r.band_key), set()).add(r.id)
+
+    counts = Counter((r.band, r.band_key) for r in owners)
+    assert set(counts) == set(members)          # every bucket owned
+    assert all(c == 1 for c in counts.values())  # exactly once
+    assert all(
+        r.doc_id in members[(r.band, r.band_key)] for r in owners
+    )
