@@ -293,6 +293,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_quality_filter"] = lambda spark, sf: text.quality_filter(
         _t(spark, sf, "documents")
     )
+    q["corpus_language_stats"] = lambda spark, sf: text.corpus_language_stats(
+        _t(spark, sf, "documents")
+    )
 
     # ---- dedup family ----
     q["dedup_exact"] = lambda spark, sf: dedup.exact_dedup(_t(spark, sf, "documents"))
@@ -754,6 +757,20 @@ def oracle_sql() -> dict[str, str]:
     o["text_quality_filter"] = f"""
         SELECT * FROM ({o['text_metrics']})
         WHERE n_tokens >= 32 AND uniq_ratio >= 0.4 AND stopword_ratio <= 0.5"""
+
+    o["corpus_language_stats"] = f"""
+        WITH lang AS ({o['lang_id']}),
+             tok AS ({o['token_counts']}),
+             met AS ({o['text_metrics']})
+        SELECT lang.lang_pred AS lang_pred,
+               COUNT(*) AS n_docs,
+               SUM(tok.est_bpe_tokens) AS sum_bpe_tokens,
+               CAST(SUM(CAST(met.quality_score AS DECIMAL(10,6))) AS DOUBLE)
+                 / COUNT(*) AS avg_quality
+        FROM lang
+        JOIN tok ON lang.doc_id = tok.doc_id
+        JOIN met ON lang.doc_id = met.doc_id
+        GROUP BY lang.lang_pred ORDER BY lang_pred"""
 
     # ---- dedup ----
     o["dedup_exact"] = f"""

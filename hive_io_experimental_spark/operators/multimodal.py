@@ -121,26 +121,43 @@ def extract_features(
 
     def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if len(pdf) == 0:
+            n_rows = len(pdf)
+            if n_rows == 0:
                 continue
-            out = {"doc_id": pdf["doc_id"], "n_bytes": [], "n_distinct_bytes": [],
-                   "mean_byte": [], "byte_entropy": []}
-            for p in pdf["payload"]:
-                arr = np.frombuffer(p, dtype=np.uint8)
-                n = len(arr)
-                if n == 0:
-                    out["n_bytes"].append(0)
-                    out["n_distinct_bytes"].append(0)
-                    out["mean_byte"].append(None)  # SQL NULL: no bytes
-                    out["byte_entropy"].append(0.0)
-                    continue
-                counts = np.bincount(arr, minlength=256)
-                probs = counts[counts > 0] / n
-                out["n_bytes"].append(n)
-                out["n_distinct_bytes"].append(int((counts > 0).sum()))
-                out["mean_byte"].append(float(arr.mean()))
-                out["byte_entropy"].append(float(-(probs * np.log2(probs)).sum()))
-            yield pd.DataFrame(out)
+            # Vectorized over the whole Arrow batch: concatenate payloads,
+            # build a (row, byte) histogram with ONE bincount on the fused
+            # index, then derive all four features as column math — no
+            # per-row Python loop (same fix as the decode stage).
+            lens = pdf["payload"].str.len().to_numpy(dtype=np.int64)
+            all_bytes = np.frombuffer(
+                b"".join(pdf["payload"]), dtype=np.uint8
+            ).astype(np.int64)
+            row_idx = np.repeat(np.arange(n_rows), lens)
+            counts = np.bincount(
+                row_idx * 256 + all_bytes, minlength=n_rows * 256
+            ).reshape(n_rows, 256)
+            present = counts > 0
+            safe_n = np.maximum(lens, 1)
+            probs = counts / safe_n[:, None]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                plogp = np.where(present, probs * np.log2(probs), 0.0)
+            entropy = -plogp.sum(axis=1)
+            mean_byte = np.where(
+                lens > 0,
+                (counts * np.arange(256)[None, :]).sum(axis=1) / safe_n,
+                np.nan,  # -> SQL NULL below: no bytes to average
+            )
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": lens,
+                    "n_distinct_bytes": present.sum(axis=1).astype(np.int32),
+                    "mean_byte": mean_byte,
+                    "byte_entropy": entropy,
+                }
+            )
+            out.loc[lens == 0, "mean_byte"] = None
+            yield out
 
     return cols.mapInPandas(features, FEATURES_SCHEMA)
 

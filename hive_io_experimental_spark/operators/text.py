@@ -310,6 +310,38 @@ def quality_filter(
     )
 
 
+def corpus_language_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-language corpus budget: docs, estimated BPE tokens, mean quality.
+
+    The "how many training tokens do we have per language" query every
+    pipeline runs before sampling. Composes lang_id + token_counts +
+    text_metrics (all per-row maps over one scan, joined on doc_id —
+    broadcast-eligible at dimension scale, equi-join otherwise) into one
+    groupBy(lang). Quality averaged via an exact decimal sum, then one
+    double division — order-independent, so it hash-matches across engines.
+    """
+    lang = lang_id(df, text_col=text_col, id_col=id_col)
+    tokens = token_counts(df, text_col=text_col, id_col=id_col)
+    metrics = text_metrics(df, text_col=text_col, id_col=id_col)
+    joined = (
+        lang.join(tokens, "doc_id")
+        .join(metrics.select("doc_id", "quality_score"), "doc_id")
+    )
+    q_dec = F.col("quality_score").cast("decimal(10,6)")
+    return (
+        joined.groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("est_bpe_tokens").alias("sum_bpe_tokens"),
+            (F.sum(q_dec).cast("double") / F.count(F.lit(1)))
+            .alias("avg_quality"),
+        )
+        .orderBy("lang_pred")
+    )
+
+
 def token_histogram(df: DataFrame, text_col: str = "text", top_n: int = 20) -> DataFrame:
     """Corpus-level token frequency, top-N by count (count desc, token asc).
 
