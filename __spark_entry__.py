@@ -52,6 +52,21 @@ def entry(spark: SparkSession) -> DataFrame:
     return relational.pricing_summary(_t(spark, "/root/testdata/sf0.001", "lineitem"))
 
 
+def _similarity_quality_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k cosine neighbors drawn only from quality-passing documents.
+
+    The corpus is filtered with a LEFT SEMI join against the quality gate
+    (embeddings.vec_id == documents.doc_id) before scoring — at scale the
+    gate output is the small side and the semi join keeps the corpus scan
+    shuffle-free of payload columns."""
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    good = text.quality_filter(docs).select(F.col("doc_id").alias("vec_id"))
+    corpus = emb.join(good, "vec_id", "left_semi")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.cosine_topk(corpus, queries, k=10)
+
+
 def _scan_partition_pruned(spark: SparkSession, sf: str) -> DataFrame:
     """Engine round-trip for the driver gate: write orders into a
     catalog-registered table partitioned by order status, then scan it back
@@ -348,6 +363,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "embeddings").filter(F.col("vec_id") % 100 == 0),
         k=10,
     )
+    # cross-modal composition: restrict the search corpus to documents that
+    # pass the text quality gates (embeddings join documents on id), then
+    # exact top-k — the "retrieve only from curated docs" pipeline shape.
+    q["similarity_quality_topk"] = _similarity_quality_topk
 
     # ---- multimodal plumbing ----
     q["multimodal_decode"] = lambda spark, sf: multimodal.decode_media_metadata(
@@ -851,6 +870,25 @@ def oracle_sql() -> dict[str, str]:
         scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                           {qcos} AS cosine
                    FROM v c JOIN v q ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id),
+        ranked AS (SELECT query_id, neighbor_id, cosine,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY cosine DESC, neighbor_id ASC)
+                            AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10"""
+
+    o["similarity_quality_topk"] = f"""
+        WITH tm AS ({o['text_metrics']}),
+        good AS (SELECT doc_id FROM tm
+                 WHERE n_tokens >= 32 AND uniq_ratio >= 0.4
+                   AND stopword_ratio <= 0.5),
+        v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                          {qcos} AS cosine
+                   FROM v c JOIN v q
+                     ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+                   WHERE c.vec_id IN (SELECT doc_id FROM good)),
         ranked AS (SELECT query_id, neighbor_id, cosine,
                           ROW_NUMBER() OVER (PARTITION BY query_id
                                              ORDER BY cosine DESC, neighbor_id ASC)
