@@ -432,6 +432,7 @@ def embedding_neardup(
     id_col: str = "vec_id",
     threshold: float = 0.97,
     block_rows: int = 4096,
+    max_blocks: int = 1024,
 ) -> DataFrame:
     """Exact pairs of vectors with cosine similarity >= threshold.
 
@@ -466,7 +467,11 @@ def embedding_neardup(
     materialization, no closure-shipped corpus matrix, and candidate pairs
     only materialize as rows *after* the in-task threshold filter.
     Raising ``block_rows`` trades shuffle volume (n·B rows) against task
-    count (B·(B+1)/2) and per-task memory.
+    count (B·(B+1)/2) and per-task memory. ``max_blocks`` is the ENFORCED
+    contract bound: past it the n² compute (and the n·B shuffle) stops
+    being a sane plan no matter how it is distributed — prefilter with
+    similarity.hyperplane_lsh_buckets and run this operator within buckets
+    instead of raising the cap.
     """
     import math
 
@@ -480,6 +485,14 @@ def embedding_neardup(
     min_blocks = math.ceil((math.sqrt(8 * sc.defaultParallelism + 1) - 1) / 2)
     num_blocks = max(math.ceil(n / block_rows), min_blocks)
     num_blocks = min(num_blocks, n)
+    if num_blocks > max_blocks:
+        raise ValueError(
+            f"embedding_neardup is exact all-pairs: {n} rows need "
+            f"{num_blocks} blocks (> max_blocks={max_blocks}), i.e. "
+            f"~{num_blocks * (num_blocks + 1) // 2} block-pair tasks. "
+            f"LSH-bucket first (similarity.hyperplane_lsh_buckets) and run "
+            f"within buckets, or raise block_rows/max_blocks explicitly."
+        )
     margin = threshold - 1e-6
 
     import numpy as np

@@ -395,3 +395,18 @@ def test_lsh_buckets_pandas_twin_matches_fold(spark, sf_dir):
         for r in hyperplane_lsh_buckets(emb, use_pandas=True).collect()
     }
     assert fold == blas and len(fold) > 0
+
+
+def test_embedding_neardup_enforces_block_cap(spark):
+    """The exact all-pairs contract is bounded: past max_blocks the
+    operator must refuse with guidance, not emit a quadratic plan."""
+    import pytest as _pytest
+
+    from hive_io_experimental_spark.operators.dedup import embedding_neardup
+
+    df = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with _pytest.raises(ValueError, match="LSH-bucket first"):
+        embedding_neardup(df, block_rows=1, max_blocks=4)
