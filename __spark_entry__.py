@@ -321,6 +321,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents")
     )
     q["dedup_simhash"] = lambda spark, sf: dedup.simhash(_t(spark, sf, "documents"))
+    q["dedup_simhash_pairs"] = lambda spark, sf: dedup.simhash_pairs(
+        _t(spark, sf, "documents"), max_hamming=3
+    )
     # NOTE: no oracle_sql entry for dedup_clusters — connected components is
     # iterative (not SQL-expressible); clustering semantics are pinned by
     # the chained-duplicate unit test instead.
@@ -848,6 +851,21 @@ def oracle_sql() -> dict[str, str]:
                       THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT)
                  AS simhash
         FROM h"""
+
+    # pigeonhole bit-banding twin of operators/dedup.py:simhash_pairs —
+    # same 15-bit chunks, same equi-join, exact hamming via bit_count(xor)
+    o["dedup_simhash_pairs"] = f"""
+        WITH sims AS ({o['dedup_simhash']}),
+        ch AS (SELECT id, simhash, c.c AS chunk,
+                      (simhash >> (c.c * 15)) & 32767 AS val
+               FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS c) c),
+        p AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+                     a.simhash AS sa, b.simhash AS sb
+              FROM ch a JOIN ch b
+                ON a.chunk = b.chunk AND a.val = b.val AND a.id < b.id)
+        SELECT a_id, b_id,
+               CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        FROM p WHERE bit_count(xor(sa, sb)) <= 3"""
 
     cos_expr = (
         "ROUND(list_dot_product(a.v, b.v) / "

@@ -414,9 +414,10 @@ def simhash_pairs(
         )
         .distinct()
     )
+    # long, matching the DuckDB oracle's BIGINT cast exactly
     hamming = F.bit_count(
         F.col("sim_a").bitwiseXOR(F.col("sim_b"))
-    ).alias("hamming")
+    ).cast("long").alias("hamming")
     return pairs.select("a_id", "b_id", hamming).filter(
         F.col("hamming") <= max_hamming
     )
