@@ -394,9 +394,13 @@ def simhash_pairs(
             for c in range(bands)
         ]
     )
+    # persist: both self-join sides read the chunks; without it the whole
+    # simhash aggregation (a shuffle over every token) runs twice.
     exploded = sims.select(
         "id", "simhash", F.explode(chunks).alias("ck")
-    ).select("id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val"))
+    ).select(
+        "id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val")
+    ).persist()
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
