@@ -273,6 +273,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sessionize_events"] = lambda spark, sf: relational.sessionize(
         _t(spark, sf, "events")
     )
+    q["funnel_signup_click_purchase"] = lambda spark, sf: relational.funnel_counts(
+        _t(spark, sf, "events")
+    )
     q["table_stats"] = lambda spark, sf: relational.table_stats(
         _t(spark, sf, "lineitem")
     )
@@ -642,6 +645,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions,
                COUNT(*) AS n_events
         FROM g GROUP BY user_id ORDER BY user_id"""
+
+    o["funnel_signup_click_purchase"] = """
+        WITH m AS (SELECT user_id,
+                          MIN(CASE WHEN event_type = 'signup'
+                                   THEN epoch_us(ts) END) AS t0,
+                          MIN(CASE WHEN event_type = 'click'
+                                   THEN epoch_us(ts) END) AS t1,
+                          MIN(CASE WHEN event_type = 'purchase'
+                                   THEN epoch_us(ts) END) AS t2
+                   FROM events
+                   WHERE event_type IN ('signup', 'click', 'purchase')
+                   GROUP BY user_id),
+        c AS (SELECT
+                SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS n0,
+                SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL
+                          AND t0 < t1 THEN 1 ELSE 0 END) AS n1,
+                SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t0 < t1
+                          AND t2 IS NOT NULL AND t1 < t2
+                         THEN 1 ELSE 0 END) AS n2
+              FROM m)
+        SELECT 1 AS step_index, 'signup' AS step, n0 AS n_users FROM c
+        UNION ALL
+        SELECT 2, 'click', n1 FROM c
+        UNION ALL
+        SELECT 3, 'purchase', n2 FROM c
+        ORDER BY step_index"""
 
     o["table_stats"] = "SELECT COUNT(*) AS num_rows FROM lineitem"
 

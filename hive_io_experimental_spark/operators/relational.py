@@ -490,6 +490,69 @@ def large_volume_orders(
     )
 
 
+def funnel_counts(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("signup", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis: users completing each step prefix in order.
+
+    The standard simplified funnel (first-touch semantics): per user take
+    the MIN event time of each step type, and a user completes step k iff
+    min(t_1) < min(t_2) < ... < min(t_k). One shuffle (the per-user
+    conditional aggregation, map-side partial); the funnel cascade is pure
+    column math on the aggregate row. Times compared as epoch micros —
+    timezone-free. Returns (step_index, step, n_users) with step_index 1-N.
+    """
+    ev = ensure_event_time(events, ts_col)
+    us = F.unix_micros(F.col(ts_col))
+    mins = ev.filter(F.col(type_col).isin(*steps)).groupBy(user_col).agg(
+        *[
+            F.min(F.when(F.col(type_col) == s, us)).alias(f"t{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    # completed_k = all of t0..tk present and strictly increasing
+    conds = []
+    for k in range(len(steps)):
+        c = F.col("t0").isNotNull()
+        for j in range(1, k + 1):
+            c = c & F.col(f"t{j}").isNotNull() & (
+                F.col(f"t{j-1}") < F.col(f"t{j}")
+            )
+        conds.append(c)
+    counts = mins.agg(
+        *[
+            F.sum(F.when(conds[k], 1).otherwise(0)).alias(f"n{k}")
+            for k in range(len(steps))
+        ]
+    )
+    spark = events.sparkSession
+    steps_df = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step_index int, step string"
+    )
+    melted = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("step_index"),
+                        F.col(f"n{i}").alias("n_users"),
+                    )
+                    for i in range(len(steps))
+                ]
+            )
+        ).alias("r")
+    ).select(F.col("r.step_index").alias("step_index"), F.col("r.n_users").alias("n_users"))
+    return (
+        melted.join(F.broadcast(steps_df), "step_index")
+        .select("step_index", "step", "n_users")
+        .orderBy("step_index")
+    )
+
+
 def run_sql(spark, sf_dir: str, query: str,
             tables: tuple[str, ...] = ("region", "nation", "customer",
                                        "supplier", "part", "orders",
