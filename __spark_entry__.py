@@ -31,6 +31,7 @@ from hive_io_experimental_spark.operators import (
     multimodal,
     profile,
     relational,
+    sampling,
     similarity,
     temporal,
     text,
@@ -314,6 +315,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_language_stats"] = lambda spark, sf: text.corpus_language_stats(
         _t(spark, sf, "documents")
     )
+    q["stratified_sample_docs"] = lambda spark, sf: sampling.hash_stratified_sample(
+        _t(spark, sf, "documents"),
+        rates={"de": 1.0, "en": 0.5, "zh": 0.25},
+        default_rate=0.1,
+    ).select("doc_id", "lang")
 
     # ---- dedup family ----
     q["dedup_exact"] = lambda spark, sf: dedup.exact_dedup(_t(spark, sf, "documents"))
@@ -808,6 +814,15 @@ def oracle_sql() -> dict[str, str]:
     o["text_quality_filter"] = f"""
         SELECT * FROM ({o['text_metrics']})
         WHERE n_tokens >= 32 AND uniq_ratio >= 0.4 AND stopword_ratio <= 0.5"""
+
+    _SAMPLE_H = _H64.format(x="'sample:' || CAST(doc_id AS VARCHAR)")
+    o["stratified_sample_docs"] = f"""
+        SELECT doc_id, lang FROM documents
+        WHERE ({_SAMPLE_H}) % 10000 <
+              CASE lang WHEN 'de' THEN 10000
+                        WHEN 'en' THEN 5000
+                        WHEN 'zh' THEN 2500
+                        ELSE 1000 END"""
 
     o["corpus_language_stats"] = f"""
         WITH lang AS ({o['lang_id']}),

@@ -1,0 +1,64 @@
+"""Deterministic sampling operators for corpus curation.
+
+Training-data pipelines sample by stratum (language balancing, source
+mixing, quality tiers) and must be REPRODUCIBLE — a rerun on the same
+input has to pick the same rows, and two engines must agree on the pick.
+So sampling here is hash-gated, not RNG-gated: a row is kept iff a
+portable content hash of its key falls under the stratum's rate. That
+makes the operator a pure per-row filter (no shuffle, no state, trivially
+parallel at any scale) and bit-reproducible across engines — the md5
+family has an exact DuckDB twin, so sampled sets are oracle-checkable.
+
+The reference has no sampling surface (it is an I/O library, SURVEY §2.2);
+this is a training-data-pipeline extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hive_io_experimental_spark.functions.hashing import portable_hash64
+
+# Rate granularity: rates are applied as integer thresholds out of 10_000
+# (0.01% steps) so the gate is exact integer math in every engine.
+RATE_DENOM = 10_000
+
+
+def hash_stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "sample:",
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically.
+
+    gate = md5-hash(salt || key) mod 10000 < rate * 10000. The hash is on
+    the stable row KEY (not the stratum), so membership is independent
+    across strata redefinitions and stable under reruns; ``salt`` gives
+    independent draws for independent sampling stages. Rows in strata not
+    listed in ``rates`` get ``default_rate``. Returns the input rows that
+    pass (all columns).
+    """
+    bucket = F.pmod(
+        portable_hash64(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+        F.lit(RATE_DENOM),
+    )
+    threshold = None
+    for stratum, rate in sorted(rates.items()):
+        t = F.when(
+            F.col(strata_col) == stratum,
+            F.lit(int(round(rate * RATE_DENOM))),
+        )
+        threshold = t if threshold is None else threshold.when(
+            F.col(strata_col) == stratum,
+            F.lit(int(round(rate * RATE_DENOM))),
+        )
+    threshold = (
+        threshold.otherwise(F.lit(int(round(default_rate * RATE_DENOM))))
+        if threshold is not None
+        else F.lit(int(round(default_rate * RATE_DENOM)))
+    )
+    return df.filter(bucket < threshold)

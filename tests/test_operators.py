@@ -410,3 +410,33 @@ def test_embedding_neardup_enforces_block_cap(spark):
     )
     with _pytest.raises(ValueError, match="LSH-bucket first"):
         embedding_neardup(df, block_rows=1, max_blocks=4)
+
+
+def test_hash_stratified_sample_deterministic_and_rated(spark, sf_dir):
+    from hive_io_experimental_spark.operators.sampling import (
+        hash_stratified_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {"de": 1.0, "en": 0.5}
+    kept1 = {r.doc_id for r in hash_stratified_sample(docs, rates).collect()}
+    kept2 = {r.doc_id for r in hash_stratified_sample(docs, rates).collect()}
+    assert kept1 == kept2  # bit-reproducible, no RNG
+    by_lang = {
+        r.lang: r.n
+        for r in hash_stratified_sample(docs, rates)
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    totals = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_lang.get("de") == totals["de"]        # rate 1.0 keeps all
+    assert 0 < by_lang.get("en", 0) < totals["en"]  # rate 0.5 keeps a strict subset
+    assert "zh" not in by_lang                      # default rate 0 drops others
+    # a different salt draws an independent sample
+    other = {
+        r.doc_id
+        for r in hash_stratified_sample(docs, rates, salt="other:").collect()
+    }
+    assert other != kept1
