@@ -290,6 +290,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["column_profile"] = lambda spark, sf: profile.column_profile(
         _t(spark, sf, "events"), numeric_col="value", key_col="user_id"
     )
+    q["numeric_outliers"] = lambda spark, sf: profile.numeric_outliers(
+        _t(spark, sf, "events"), numeric_col="value", id_col="event_id"
+    )
 
     # ---- text analysis ----
     q["text_metrics"] = lambda spark, sf: text.text_metrics(_t(spark, sf, "documents"))
@@ -701,6 +704,22 @@ def oracle_sql() -> dict[str, str]:
                  AS sum_value,
                ROUND(quantile_cont(value, 0.5), 6) AS median_value
         FROM events"""
+
+    o["numeric_outliers"] = """
+        WITH s AS (SELECT COUNT(value) AS n,
+                          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                            AS s1,
+                          CAST(SUM(CAST(value AS DECIMAL(18,6))
+                                   * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                            AS s2
+                   FROM events)
+        SELECT event_id AS id, value,
+               ROUND((value - s1 / n)
+                     / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS zscore
+        FROM events, s
+        WHERE abs(ROUND((value - s1 / n)
+                        / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6)) > 3.0
+        ORDER BY id"""
 
     # ---- text analysis ----
     o["text_metrics"] = f"""

@@ -45,6 +45,54 @@ def column_profile(
     )
 
 
+def numeric_outliers(
+    df: DataFrame,
+    numeric_col: str,
+    id_col: str,
+    z: float = 3.0,
+) -> DataFrame:
+    """Rows whose value is more than ``z`` sample standard deviations from
+    the mean — the standard data-quality outlier gate before training.
+
+    Two-stage shape: one exact aggregate (decimal sum and sum-of-squares,
+    so the moments are order-independent and engine-identical), then the
+    1-row stats broadcast back onto the scan as a cross join — the filter
+    itself is a pure map over the data, no second shuffle. Returns
+    (id, value, zscore) ordered by id.
+    """
+    # decimal(18,6): product stays at (37,12) < 38 in BOTH engines, so the
+    # sums are exact (never capped/rounded) and the double moments identical
+    v = F.col(numeric_col)
+    dec = v.cast("decimal(18,6)")
+    stats = df.agg(
+        F.count(v).alias("_n"),
+        F.sum(dec).cast("double").alias("_sum"),
+        F.sum(dec * dec).cast("double").alias("_sumsq"),
+    )
+    # sample variance from exact sums: (sumsq - sum^2/n) / (n-1)
+    stats = stats.select(
+        "_n",
+        (F.col("_sum") / F.col("_n")).alias("_mean"),
+        F.sqrt(
+            F.try_divide(
+                F.col("_sumsq") - F.col("_sum") * F.col("_sum") / F.col("_n"),
+                F.col("_n") - 1,
+            )
+        ).alias("_std"),
+    )
+    zscore = F.round(F.try_divide(v - F.col("_mean"), F.col("_std")), 6)
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col).alias("id"),
+            v.alias("value"),
+            zscore.alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) > z)
+        .orderBy("id")
+    )
+
+
 def approx_profile(
     df: DataFrame, numeric_col: str, key_col: str, rsd: float = 0.05
 ) -> DataFrame:
