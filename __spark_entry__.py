@@ -277,6 +277,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["funnel_signup_click_purchase"] = lambda spark, sf: relational.funnel_counts(
         _t(spark, sf, "events")
     )
+    q["trailing_purchase_stats"] = lambda spark, sf: relational.trailing_purchase_stats(
+        _t(spark, sf, "events")
+    )
     q["table_stats"] = lambda spark, sf: relational.table_stats(
         _t(spark, sf, "lineitem")
     )
@@ -704,6 +707,17 @@ def oracle_sql() -> dict[str, str]:
                  AS sum_value,
                ROUND(quantile_cont(value, 0.5), 6) AS median_value
         FROM events"""
+
+    o["trailing_purchase_stats"] = """
+        WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                          CAST(value AS DECIMAL(18,4)) AS v
+                   FROM events WHERE event_type = 'purchase')
+        SELECT event_id, user_id, ts_us,
+               COUNT(*) OVER w AS n_trailing,
+               CAST(SUM(v) OVER w AS DOUBLE) AS sum_trailing
+        FROM p
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)"""
 
     o["numeric_outliers"] = """
         WITH s AS (SELECT COUNT(value) AS n,

@@ -490,6 +490,49 @@ def large_volume_orders(
     )
 
 
+def trailing_purchase_stats(
+    events: DataFrame,
+    days: int = 30,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per purchase: count and value of the same user's purchases in the
+    trailing ``days`` window, current row included (RANGE frame analytics —
+    the rolling-feature shape feature stores compute).
+
+    One shuffle (partition by user), then a sort within partitions; the
+    RANGE frame is evaluated with a sliding aggregate over the sorted run.
+    Epoch-microsecond ordering keys keep the frame timezone-free; the value
+    sum accumulates in exact decimals so the rolling feature is
+    order-independent. Returns (event_id, user_id, ts_us, n_trailing,
+    sum_trailing).
+    """
+    from pyspark.sql import Window as W
+
+    ev = ensure_event_time(events, ts_col).filter(
+        F.col(type_col) == "purchase"
+    ).select(
+        "event_id",
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.col("value").cast("decimal(18,4)").alias("_v"),
+    )
+    horizon = days * 86_400_000_000
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-horizon, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.sum("_v").over(w).cast("double").alias("sum_trailing"),
+    )
+
+
 def funnel_counts(
     events: DataFrame,
     steps: tuple[str, ...] = ("signup", "click", "purchase"),
