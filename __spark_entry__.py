@@ -13,9 +13,13 @@ Implementation notes on oracle parity (why results hash-match exactly):
   * double summations (cosines/dots) use sequential fold in BOTH engines —
     verified bit-identical (Spark aggregate() vs DuckDB list_dot_product);
   * timestamps are reduced to epoch microseconds (unix_micros/epoch_us)
-    before any bucketing, so session timezones never matter;
+    before any bucketing — and naive (TIMESTAMP_NTZ) columns use INTERVAL
+    arithmetic instead (unix_micros rejects NTZ) — so session timezones
+    never matter;
   * nondeterministic orderings are always tie-broken by a unique key before
-    any LIMIT.
+    any LIMIT;
+  * regex surfaces (PII redaction) only use constructs with identical
+    semantics in Java regex and RE2, applied in one fixed order.
 """
 
 from __future__ import annotations
@@ -256,6 +260,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sql_q6_revenue"] = lambda spark, sf: relational.run_sql(
         spark, sf, _SQL_Q6, tables=("lineitem",)
     )
+    q["sql_excess_suppliers"] = lambda spark, sf: relational.run_sql(
+        spark, sf, _SQL_EXCESS_SUPPLIERS, tables=("supplier", "lineitem")
+    )
     q["event_user_setops"] = lambda spark, sf: relational.event_user_setops(
         _t(spark, sf, "events")
     )
@@ -447,6 +454,21 @@ _SQL_Q6 = """
     FROM lineitem
     WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"""
 
+# Q20-shaped nested subqueries (IN + scalar), one ANSI string for BOTH
+# engines: suppliers whose shipped quantity exceeds half the mean supplier
+# volume. Exact decimal sums; ONE double cast before the single division so
+# the threshold is engine-identical.
+_SQL_EXCESS_SUPPLIERS = """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      GROUP BY l_suppkey
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) >
+        (SELECT 0.5 * CAST(SUM(sq) AS DOUBLE) / COUNT(*)
+         FROM (SELECT SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+               FROM lineitem GROUP BY l_suppkey) t))
+    ORDER BY s_suppkey"""
+
 
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
@@ -591,6 +613,8 @@ def oracle_sql() -> dict[str, str]:
         FROM orders GROUP BY 1 ORDER BY 1"""
 
     o["sql_q6_revenue"] = _SQL_Q6
+
+    o["sql_excess_suppliers"] = _SQL_EXCESS_SUPPLIERS
 
     o["event_user_setops"] = """
         SELECT user_id FROM events
