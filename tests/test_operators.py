@@ -440,3 +440,68 @@ def test_hash_stratified_sample_deterministic_and_rated(spark, sf_dir):
         for r in hash_stratified_sample(docs, rates, salt="other:").collect()
     }
     assert other != kept1
+
+
+def test_funnel_counts_ordering_semantics(spark):
+    """First-touch funnel: a user whose purchase precedes the click must not
+    count as completing the 3-step funnel."""
+    import datetime as dt
+
+    from hive_io_experimental_spark.operators.relational import funnel_counts
+
+    def t(h):
+        return dt.datetime(2024, 1, 1, h)
+
+    rows = [
+        # user 1: signup -> click -> purchase (completes all 3)
+        (1, t(1), 1, "signup", 1.0), (2, t(2), 1, "click", 1.0),
+        (3, t(3), 1, "purchase", 5.0),
+        # user 2: purchase BEFORE click (completes only 2 steps)
+        (4, t(1), 2, "signup", 1.0), (5, t(3), 2, "click", 1.0),
+        (6, t(2), 2, "purchase", 5.0),
+        # user 3: only signup
+        (7, t(1), 3, "signup", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {r.step: r.n_users for r in funnel_counts(df).collect()}
+    assert got == {"signup": 3, "click": 2, "purchase": 1}
+
+
+def test_trailing_purchase_window(spark):
+    """RANGE frame: only purchases within the trailing horizon count."""
+    import datetime as dt
+
+    from hive_io_experimental_spark.operators.relational import (
+        trailing_purchase_stats,
+    )
+
+    def d(day):
+        return dt.datetime(2024, 1, day)
+
+    rows = [
+        (1, d(1), 7, "purchase", 10.0),
+        (2, d(10), 7, "purchase", 20.0),   # day 1 within 30d -> n=2
+        (3, d(25), 7, "purchase", 30.0),   # days 1,10 within -> n=3
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {r.event_id: (r.n_trailing, r.sum_trailing)
+           for r in trailing_purchase_stats(df, days=30).collect()}
+    assert got == {1: (1, 10.0), 2: (2, 30.0), 3: (3, 60.0)}
+
+    tight = {r.event_id: r.n_trailing
+             for r in trailing_purchase_stats(df, days=5).collect()}
+    assert tight == {1: 1, 2: 1, 3: 1}  # horizon excludes earlier purchases
+
+
+def test_numeric_outliers_flags_extremes(spark):
+    from hive_io_experimental_spark.operators.profile import numeric_outliers
+
+    rows = [(i, float(i % 7)) for i in range(100)] + [(100, 1000.0)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    out = numeric_outliers(df, "value", "event_id").collect()
+    assert [r.id for r in out] == [100]
+    assert out[0].zscore > 3
