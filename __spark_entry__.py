@@ -124,7 +124,10 @@ def _write_readback(spark: SparkSession, sf: str) -> DataFrame:
     """Driver-gate round-trip for the write pipeline: run the nation-revenue
     aggregate, write it through HiveOutput (table-exists + empty-table
     preconditions, widening-only schema conform, commit), then read it back
-    through HiveInput. Values must equal the aggregate itself (the oracle)."""
+    through HiveInput. Values must equal the aggregate itself (the oracle).
+    The table is declared ORC so the gate exercises a non-parquet serde
+    through the whole policy path (storage-format parity,
+    output/OutputInfo.java:51-111)."""
     import tempfile
 
     from pyspark.sql import types as T
@@ -151,6 +154,7 @@ def _write_readback(spark: SparkSession, sf: str) -> DataFrame:
                 ("revenue", T.DoubleType()),
             )
         ),
+        storage_format="orc",
     )
     HiveOutput(spark, cat).write_table(WriteSpec("default.nation_rev"), result)
     return HiveInput(spark, cat).read_table(ScanSpec(table="default.nation_rev"))
