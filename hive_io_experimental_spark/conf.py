@@ -80,6 +80,20 @@ HASH_FAMILY = _register(
     "hiveio.hash.family", "md5", str,
     "hash family for dedup/LSH/fingerprints: 'md5' (portable) or 'xxhash64'",
 )
+# exact embedding near-dup blocking (operators/dedup.py:embedding_neardup)
+DEDUP_BLOCK_ROWS = _register(
+    "hiveio.dedup.block_rows", 4096, int,
+    "rows per block in exact embedding near-dup (per-task memory knob)",
+)
+DEDUP_MAX_BLOCKS = _register(
+    "hiveio.dedup.max_blocks", 1024, int,
+    "refuse exact all-pairs past this many blocks (LSH-bucket first)",
+)
+# trained-IVF quantizer sample budget (operators/similarity.py)
+IVF_SAMPLE_PER_CENTROID = _register(
+    "hiveio.similarity.sample_per_centroid", 256, int,
+    "training vectors sampled per centroid for the IVF coarse quantizer",
+)
 # tailer RecordPrinter buffer (tailer/TailerArgs.java:52-63)
 RECORD_BUFFER_FLUSH = _register(
     "hiveio.tail.record_buffer_flush", 1000, int,

@@ -436,10 +436,14 @@ def embedding_neardup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.97,
-    block_rows: int = 4096,
-    max_blocks: int = 1024,
+    block_rows: int | None = None,
+    max_blocks: int | None = None,
 ) -> DataFrame:
     """Exact pairs of vectors with cosine similarity >= threshold.
+
+    ``block_rows`` / ``max_blocks`` default from the session conf
+    (hiveio.dedup.block_rows / hiveio.dedup.max_blocks) so a deployment
+    tunes the blocking without touching call sites.
 
     Blocked all-pairs — the distributed-exact shape:
 
@@ -479,6 +483,13 @@ def embedding_neardup(
     instead of raising the cap.
     """
     import math
+
+    from hive_io_experimental_spark import conf as _conf
+
+    if block_rows is None:
+        block_rows = _conf.DEDUP_BLOCK_ROWS.get(df.sparkSession)
+    if max_blocks is None:
+        max_blocks = _conf.DEDUP_MAX_BLOCKS.get(df.sparkSession)
 
     n = df.count()  # parquet metadata count: cheap
     if n == 0:

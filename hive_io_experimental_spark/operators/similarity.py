@@ -288,11 +288,14 @@ def ivf_topk_trained(
     nprobe: int = 2,
     seed: int = 7,
     max_iter: int = 10,
-    sample_per_centroid: int = 256,
+    sample_per_centroid: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """IVF-flat with a KMeans-TRAINED coarse quantizer (the quality path).
+
+    ``sample_per_centroid`` defaults from the session conf
+    (hiveio.similarity.sample_per_centroid).
 
     Same index/search shape as :func:`ivf_topk`, but the centroids come from
     spherical k-means trained on a bounded, deterministic corpus sample.
@@ -312,6 +315,13 @@ def ivf_topk_trained(
     cosine search metric.
     """
     import numpy as np
+
+    from hive_io_experimental_spark import conf as _conf
+
+    if sample_per_centroid is None:
+        sample_per_centroid = _conf.IVF_SAMPLE_PER_CENTROID.get(
+            corpus.sparkSession
+        )
 
     n = corpus.count()  # parquet metadata count: cheap
     target = sample_per_centroid * n_centroids
