@@ -1,0 +1,62 @@
+"""Property-based tests (hypothesis) for the dedup/fingerprint guarantees.
+
+These pin the mathematical CONTRACTS the operators advertise, on adversarial
+random inputs — not just golden examples:
+
+  * MinHash-LSH: documents with identical normalized token streams agree on
+    every signature component, hence on every band -> they are ALWAYS
+    candidates (recall 1.0 for exact dups, any banding).
+  * Winnowing: two documents sharing a substring of length >= k + window - 1
+    share at least one fingerprint (the scheme's coverage guarantee).
+
+Row counts and example counts are kept small: each example spins Spark jobs.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+
+doc_strategy = st.lists(st.sampled_from(WORDS), min_size=3, max_size=12)
+
+
+@settings(max_examples=6, deadline=None)
+@given(words=doc_strategy, perm=st.permutations([" ", "  ", "\t"]))
+def test_exact_dup_always_lsh_candidate(spark, words, perm):
+    """Same token stream under different whitespace/case => candidate pair,
+    for every random document hypothesis draws."""
+    from hive_io_experimental_spark.operators import dedup
+
+    a = " ".join(words)
+    b = perm[0].join(w.upper() for w in words)  # same tokens, different text
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, "unrelated filler totally different words here")],
+        "doc_id long, text string",
+    )
+    cands = {
+        (r.a_id, r.b_id) for r in dedup.minhash_lsh_candidates(df).collect()
+    }
+    assert (1, 2) in cands
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    shared=st.text(alphabet="abcdefg", min_size=8, max_size=16),
+    prefix_a=st.text(alphabet="hijklmn", min_size=0, max_size=8),
+    suffix_b=st.text(alphabet="opqrstu", min_size=0, max_size=8),
+)
+def test_winnowing_shared_substring_guarantee(spark, shared, prefix_a, suffix_b):
+    """Shared substring of length >= k + window - 1 (= 8 with k=5, window=4)
+    => at least one common fingerprint. Holds for every random draw."""
+    from hive_io_experimental_spark.operators.text import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, prefix_a + shared), (2, shared + suffix_b)],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(df, k=5, window=4).collect()
+    by_doc: dict[int, set] = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc.get(1, set()) & by_doc.get(2, set())
