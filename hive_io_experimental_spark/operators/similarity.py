@@ -254,6 +254,7 @@ def ivf_topk(
     nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    use_pandas: bool = False,
 ) -> DataFrame:
     """IVF-flat approximate top-k: inverted-file search with a deterministic
     coarse quantizer.
@@ -277,7 +278,9 @@ def ivf_topk(
     cents = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
         F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")
     )
-    return _ivf_search(corpus, queries, cents, k, nprobe, vec_col, id_col)
+    return _ivf_search(
+        corpus, queries, cents, k, nprobe, vec_col, id_col, use_pandas
+    )
 
 
 def ivf_topk_trained(
@@ -364,6 +367,49 @@ def ivf_topk_trained(
     return _ivf_search(corpus, queries, cent_df, k, nprobe, vec_col, id_col)
 
 
+def _assign_pandas(
+    side: DataFrame, sid: str, vname: str, nrmname: str,
+    cent_rows: list, keep: int,
+) -> DataFrame:
+    """Arrow/BLAS twin of the relational ``nearest`` assignment.
+
+    One matmul per batch against the closed-over centroid matrix (KBs —
+    the same data the relational form broadcasts). Ordering matches the
+    relational form: cosine descending, ties to the lowest centroid id
+    (stable argsort over cid-sorted centroids). BLAS summation order can
+    differ from the sequential fold at the last ulp — irrelevant for
+    assignment, where centroid separation dwarfs float noise; the
+    relational path stays the oracle-checkable tier and this is the
+    wide-embedding scale path (ROADMAP: assignment step at scale).
+    """
+    import numpy as np
+
+    cent_rows = sorted(cent_rows, key=lambda r: r["cid"])
+    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    C = np.array([r["cv"] for r in cent_rows], dtype=np.float64)
+    c_norms = np.linalg.norm(C, axis=1)
+    c_norms[c_norms == 0] = np.inf  # zero-norm centroid never wins
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.array(list(pdf[vname]), dtype=np.float64)
+            m_norms = pdf[nrmname].to_numpy(dtype=np.float64).copy()
+            m_norms[m_norms == 0] = np.inf
+            cos = (M @ C.T) / (m_norms[:, None] * c_norms[None, :])
+            # stable sort: primary -cos desc, ties keep cid order
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :keep]
+            n = len(pdf)
+            reps = order.shape[1]
+            out = pdf.iloc[np.repeat(np.arange(n), reps)].copy()
+            out["cid"] = cids[order.ravel()]
+            yield out
+
+    schema = f"{sid} long, {vname} array<double>, {nrmname} double, cid long"
+    return side.mapInPandas(assign, schema)
+
+
 def _ivf_search(
     corpus: DataFrame,
     queries: DataFrame,
@@ -372,14 +418,19 @@ def _ivf_search(
     nprobe: int,
     vec_col: str,
     id_col: str,
+    use_pandas: bool = False,
 ) -> DataFrame:
     """Shared IVF machinery: assign -> probe -> list-equi-join -> rank.
 
     ``centroids`` must have columns (cid, cv: array<double>).
+    ``use_pandas`` switches the assignment step to the Arrow/BLAS twin.
     """
     cents = F.broadcast(centroids.withColumn("cnrm", l2_norm(F.col("cv"))))
 
     def nearest(side: DataFrame, sid: str, vname: str, nrmname: str, keep: int):
+        if use_pandas:
+            cent_rows = [r.asDict() for r in centroids.collect()]
+            return _assign_pandas(side, sid, vname, nrmname, cent_rows, keep)
         cos = F.try_divide(
             dot_product(F.col(vname), F.col("cv")),
             F.col(nrmname) * F.col("cnrm"),

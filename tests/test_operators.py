@@ -505,3 +505,23 @@ def test_numeric_outliers_flags_extremes(spark):
     out = numeric_outliers(df, "value", "event_id").collect()
     assert [r.id for r in out] == [100]
     assert out[0].zscore > 3
+
+
+def test_ivf_pandas_assignment_matches_relational(spark, sf_dir):
+    """The BLAS assignment twin must produce the same IVF top-k as the
+    relational (oracle-checkable) assignment on the same quantizer."""
+    from pyspark.sql import functions as F
+
+    from hive_io_experimental_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    rel = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk(emb, queries, k=5).collect()
+    }
+    blas = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk(emb, queries, k=5, use_pandas=True).collect()
+    }
+    assert rel == blas and len(rel) > 0
