@@ -33,16 +33,10 @@ STOPWORDS = [
 ]
 
 
-def text_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-document quality metrics + a composite quality score.
-
-    Columns: n_chars, n_tokens, n_uniq_tokens, uniq_ratio, stopword_ratio,
-    punct_ratio, avg_token_len, quality_score. Ratios rounded to 6 to absorb
-    engine-side double formatting; the arithmetic itself is exact-identical
-    across engines (integer counts -> one double division).
-    """
-    df = spread(df)
-    text = F.col(text_col)
+def _metric_columns(text) -> dict:
+    """The text_metrics expressions as named Columns over ``text`` — shared
+    by text_metrics, quality_filter, and the single-pass corpus stats so
+    every consumer computes the exact same formulas (oracle identity)."""
     toks = word_tokens(text)
     n_tokens = F.size(toks)
     n_uniq = F.size(F.array_distinct(toks))
@@ -55,10 +49,6 @@ def text_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     # try_divide, not '/': Spark 4 runs ANSI mode, where x/0 throws. Empty
     # documents (0 tokens / 0 chars) get NULL ratios instead — the sane SQL
     # semantics, and identical to '/' on every non-degenerate row.
-    uniq_ratio = F.round(F.try_divide(n_uniq, n_tokens), 6)
-    stop_ratio = F.round(F.try_divide(n_stop, n_tokens), 6)
-    punct_ratio = F.round(F.try_divide(n_punct, n_chars), 6)
-    avg_len = F.round(F.try_divide(token_chars, n_tokens), 6)
     # Composite score in [0,1]: length credit (saturates at 64 tokens),
     # vocabulary diversity, and light penalties for stopword/punct excess.
     quality = F.round(
@@ -68,28 +58,36 @@ def text_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         + 0.15 * (1 - F.least(n_punct / F.greatest(n_chars, F.lit(1)), F.lit(1.0))),
         6,
     )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "n_uniq_tokens": n_uniq,
+        "uniq_ratio": F.round(F.try_divide(n_uniq, n_tokens), 6),
+        "stopword_ratio": F.round(F.try_divide(n_stop, n_tokens), 6),
+        "punct_ratio": F.round(F.try_divide(n_punct, n_chars), 6),
+        "avg_token_len": F.round(F.try_divide(token_chars, n_tokens), 6),
+        "quality_score": quality,
+    }
+
+
+def text_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality metrics + a composite quality score.
+
+    Columns: n_chars, n_tokens, n_uniq_tokens, uniq_ratio, stopword_ratio,
+    punct_ratio, avg_token_len, quality_score. Ratios rounded to 6 to absorb
+    engine-side double formatting; the arithmetic itself is exact-identical
+    across engines (integer counts -> one double division).
+    """
+    df = spread(df)
+    cols = _metric_columns(F.col(text_col))
     return df.select(
         F.col(id_col).alias("doc_id"),
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        n_uniq.alias("n_uniq_tokens"),
-        uniq_ratio.alias("uniq_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        punct_ratio.alias("punct_ratio"),
-        avg_len.alias("avg_token_len"),
-        quality.alias("quality_score"),
+        *[expr.alias(name) for name, expr in cols.items()],
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Deterministic heuristic language ID.
-
-    CJK-character presence short-circuits to 'zh'; otherwise the language
-    with the highest marker-stopword hit count wins, ties broken by a fixed
-    priority order (en > de > es > fr). Returns (doc_id, lang_pred, score).
-    """
-    df = spread(df)
-    text = F.col(text_col)
+def _lang_columns(text) -> dict:
+    """lang_id expressions as named Columns (shared with corpus stats)."""
     toks = word_tokens(text)
     n_tokens = F.greatest(F.size(toks), F.lit(1))
     # closure factory, NOT a default-arg lambda: PySpark introspects the
@@ -108,10 +106,25 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         .otherwise(F.lit("en"))
     )
     best = F.greatest(en, de, es, fr)
+    return {
+        "lang_pred": pred,
+        "lang_score": F.round(best / n_tokens, 6),
+    }
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic heuristic language ID.
+
+    CJK-character presence short-circuits to 'zh'; otherwise the language
+    with the highest marker-stopword hit count wins, ties broken by a fixed
+    priority order (en > de > es > fr). Returns (doc_id, lang_pred, score).
+    """
+    df = spread(df)
+    cols = _lang_columns(F.col(text_col))
     return df.select(
         F.col(id_col).alias("doc_id"),
-        pred.alias("lang_pred"),
-        F.round(best / n_tokens, 6).alias("lang_score"),
+        cols["lang_pred"].alias("lang_pred"),
+        cols["lang_score"].alias("lang_score"),
     )
 
 
@@ -153,7 +166,15 @@ def token_counts(
     Pure column expressions (one pass, no shuffle).
     """
     df = spread(df)
-    text = F.col(text_col)
+    cols = _token_count_columns(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        *[expr.alias(name) for name, expr in cols.items()],
+    )
+
+
+def _token_count_columns(text) -> dict:
+    """token_counts expressions as named Columns (shared with corpus stats)."""
     toks = word_tokens(text)
     n_ws = F.size(F.array_remove(F.split(F.trim(text), r"\s+"), ""))
     n_words = F.size(toks)
@@ -163,13 +184,12 @@ def token_counts(
         F.lit(0).cast("long"),
         lambda acc, t: acc + F.floor((F.length(t) + 3) / 4).cast("long"),
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        n_ws.cast("long").alias("n_ws_tokens"),
-        n_words.cast("long").alias("n_word_tokens"),
-        n_sym.cast("long").alias("n_sym_chars"),
-        (bpe_words + n_sym).alias("est_bpe_tokens"),
-    )
+    return {
+        "n_ws_tokens": n_ws.cast("long"),
+        "n_word_tokens": n_words.cast("long"),
+        "n_sym_chars": n_sym.cast("long"),
+        "est_bpe_tokens": bpe_words + n_sym,
+    }
 
 
 def winnowing_fingerprints(
@@ -316,22 +336,25 @@ def corpus_language_stats(
     """Per-language corpus budget: docs, estimated BPE tokens, mean quality.
 
     The "how many training tokens do we have per language" query every
-    pipeline runs before sampling. Composes lang_id + token_counts +
-    text_metrics (all per-row maps over one scan, joined on doc_id —
-    broadcast-eligible at dimension scale, equi-join otherwise) into one
-    groupBy(lang). Quality averaged via an exact decimal sum, then one
-    double division — order-independent, so it hash-matches across engines.
+    pipeline runs before sampling. SINGLE PASS: lang_id, token-count, and
+    quality expressions are all per-row maps over the same scan, so they
+    are computed in one select (shared expression builders — identical
+    formulas to the standalone operators) followed by one groupBy(lang):
+    scan -> map -> one shuffle. The join-of-three-operators formulation
+    costs 5 exchanges for the same answer. Quality averaged via an exact
+    decimal sum, then one double division — order-independent, so it
+    hash-matches across engines.
     """
-    lang = lang_id(df, text_col=text_col, id_col=id_col)
-    tokens = token_counts(df, text_col=text_col, id_col=id_col)
-    metrics = text_metrics(df, text_col=text_col, id_col=id_col)
-    joined = (
-        lang.join(tokens, "doc_id")
-        .join(metrics.select("doc_id", "quality_score"), "doc_id")
+    text = F.col(text_col)
+    per_doc = spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        _lang_columns(text)["lang_pred"].alias("lang_pred"),
+        _token_count_columns(text)["est_bpe_tokens"].alias("est_bpe_tokens"),
+        _metric_columns(text)["quality_score"].alias("quality_score"),
     )
     q_dec = F.col("quality_score").cast("decimal(10,6)")
     return (
-        joined.groupBy("lang_pred")
+        per_doc.groupBy("lang_pred")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("est_bpe_tokens").alias("sum_bpe_tokens"),
