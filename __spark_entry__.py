@@ -332,6 +332,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_language_stats"] = lambda spark, sf: text.corpus_language_stats(
         _t(spark, sf, "documents")
     )
+    q["top_quality_per_lang"] = lambda spark, sf: text.top_quality_per_lang(
+        _t(spark, sf, "documents")
+    )
     q["stratified_sample_docs"] = lambda spark, sf: sampling.hash_stratified_sample(
         _t(spark, sf, "documents"),
         rates={"de": 1.0, "en": 0.5, "zh": 0.25},
@@ -875,6 +878,18 @@ def oracle_sql() -> dict[str, str]:
     o["text_quality_filter"] = f"""
         SELECT * FROM ({o['text_metrics']})
         WHERE n_tokens >= 32 AND uniq_ratio >= 0.4 AND stopword_ratio <= 0.5"""
+
+    o["top_quality_per_lang"] = f"""
+        WITH lang AS ({o['lang_id']}),
+             met AS ({o['text_metrics']}),
+        j AS (SELECT lang.doc_id AS doc_id, lang_pred, quality_score
+              FROM lang JOIN met ON lang.doc_id = met.doc_id),
+        r AS (SELECT doc_id, lang_pred, quality_score,
+                     ROW_NUMBER() OVER (PARTITION BY lang_pred
+                                        ORDER BY quality_score DESC NULLS LAST,
+                                                 doc_id ASC) AS rank
+              FROM j)
+        SELECT doc_id, lang_pred, quality_score, rank FROM r WHERE rank <= 25"""
 
     _SAMPLE_H = _H64.format(x="'sample:' || CAST(doc_id AS VARCHAR)")
     o["stratified_sample_docs"] = f"""

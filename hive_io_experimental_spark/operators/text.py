@@ -365,6 +365,36 @@ def corpus_language_stats(
     )
 
 
+def top_quality_per_lang(
+    df: DataFrame,
+    n: int = 25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The best ``n`` documents per predicted language, by quality score.
+
+    Quality-stratified selection (the curation step after scoring): one
+    select computes lang + quality per row (shared builders, single scan),
+    then a window rank per language — one shuffle on lang_pred. Ties break
+    on doc_id so selection is deterministic. Returns
+    (doc_id, lang_pred, quality_score, rank).
+    """
+    from pyspark.sql import Window as W
+
+    text = F.col(text_col)
+    per_doc = spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        _lang_columns(text)["lang_pred"].alias("lang_pred"),
+        _metric_columns(text)["quality_score"].alias("quality_score"),
+    )
+    w = W.partitionBy("lang_pred").orderBy(
+        F.col("quality_score").desc_nulls_last(), F.col("doc_id").asc()
+    )
+    return per_doc.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= n)
+
+
 def token_histogram(df: DataFrame, text_col: str = "text", top_n: int = 20) -> DataFrame:
     """Corpus-level token frequency, top-N by count (count desc, token asc).
 
