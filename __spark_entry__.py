@@ -291,6 +291,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["trailing_purchase_stats"] = lambda spark, sf: relational.trailing_purchase_stats(
         _t(spark, sf, "events")
     )
+    q["user_event_paths"] = lambda spark, sf: relational.user_event_paths(
+        _t(spark, sf, "events")
+    )
     q["table_stats"] = lambda spark, sf: relational.table_stats(
         _t(spark, sf, "lineitem")
     )
@@ -749,6 +752,18 @@ def oracle_sql() -> dict[str, str]:
         FROM p
         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
                      RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)"""
+
+    o["user_event_paths"] = """
+        WITH g AS (SELECT user_id,
+                          list_sort(list((epoch_us(ts), event_id, event_type)))
+                            AS items,
+                          COUNT(*) AS n_events
+                   FROM events GROUP BY user_id)
+        SELECT user_id,
+               array_to_string(
+                 list_transform(items[1:10], s -> s[3]), '>') AS path,
+               n_events
+        FROM g ORDER BY user_id"""
 
     o["numeric_outliers"] = """
         WITH s AS (SELECT COUNT(value) AS n,

@@ -490,6 +490,50 @@ def large_volume_orders(
     )
 
 
+def user_event_paths(
+    events: DataFrame,
+    max_steps: int = 10,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per user: the first ``max_steps`` event types in time order, as a
+    '>'-joined path string, plus the total event count.
+
+    The behavioral-sequence shape (session path mining / markov features):
+    ONE groupBy collecting (ts, id, type) structs, then pure array math —
+    array_sort on the struct (ts, then event_id: deterministic under
+    concurrent timestamps), slice, transform, join. Collect-then-sort keeps
+    ordering engine-independent, unlike relying on input order.
+    Returns (user_id, path, n_events).
+    """
+    ev = ensure_event_time(events, ts_col)
+    item = F.struct(
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col("event_id").alias("eid"),
+        F.col(type_col).alias("t"),
+    )
+    return (
+        ev.groupBy(F.col(user_col).alias("user_id"))
+        .agg(
+            F.collect_list(item).alias("_items"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.slice(F.array_sort("_items"), 1, max_steps),
+                    lambda s: s["t"],
+                ),
+            ).alias("path"),
+            "n_events",
+        )
+        .orderBy("user_id")
+    )
+
+
 def trailing_purchase_stats(
     events: DataFrame,
     days: int = 30,
