@@ -160,6 +160,49 @@ def _write_readback(spark: SparkSession, sf: str) -> DataFrame:
     return HiveInput(spark, cat).read_table(ScanSpec(table="default.nation_rev"))
 
 
+def _scan_csv_nulls(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-gate round-trip for the delimited-text serde (reference S6/S7:
+    BytesParser '\\N' and empty-field null conventions,
+    input/parser/array/BytesParser.java:75-77, 96-148): project events with
+    deterministically injected NULLs, write through HiveOutput into a
+    csv-format catalog table (tab sep, '\\N' nulls), read it back through
+    HiveInput with the catalog schema, and aggregate. Doubles survive the
+    text round-trip exactly (shortest-round-trip formatting both ways), so
+    the aggregate equals the same aggregate over the parquet source — which
+    is the oracle."""
+    import tempfile
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 10 != 0, F.col("value")).alias("value"),
+    )
+    wh = tempfile.mkdtemp(prefix="hio_gate_csv_")  # outlives the lazy scan
+    cat = Catalog(wh)
+    cat.create_table(
+        "default.events_csv",
+        HiveTableSchema(tuple((f.name, f.dataType) for f in ev.schema.fields)),
+        storage_format="csv",
+    )
+    HiveOutput(spark, cat).write_table(WriteSpec("default.events_csv"), ev)
+    back = HiveInput(spark, cat).read_table(ScanSpec(table="default.events_csv"))
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_value"),
+        (F.count(F.lit(1)) - F.count("value")).alias("n_null"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -294,6 +337,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["user_event_paths"] = lambda spark, sf: relational.user_event_paths(
         _t(spark, sf, "events")
     )
+    q["event_props_json"] = lambda spark, sf: relational.event_props_stats(
+        _t(spark, sf, "events")
+    )
+    q["retention_cohorts"] = lambda spark, sf: relational.retention_cohorts(
+        _t(spark, sf, "events")
+    )
+    q["cold_customers"] = lambda spark, sf: relational.cold_customers(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    )
+    q["sql_q17_small_qty"] = lambda spark, sf: relational.run_sql(
+        spark, sf, _SQL_Q17, tables=("part", "lineitem")
+    )
     q["table_stats"] = lambda spark, sf: relational.table_stats(
         _t(spark, sf, "lineitem")
     )
@@ -301,6 +356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # filter prunes directories at plan time (reference
     # HiveApiInputFormat.java:290-309).
     q["scan_partition_pruned"] = _scan_partition_pruned
+    # S6/S7: delimited-text serde round-trip with '\N' null conventions.
+    q["scan_csv_nulls"] = _scan_csv_nulls
     # W1/W3: full write pipeline (spec checks, schema conform, commit) then
     # read-back through the scan API (reference OutputTest.java:56-138).
     q["write_readback"] = _write_readback
@@ -336,6 +393,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents")
     )
     q["top_quality_per_lang"] = lambda spark, sf: text.top_quality_per_lang(
+        _t(spark, sf, "documents")
+    )
+    q["tfidf_top_terms"] = lambda spark, sf: text.tfidf_top_terms(
         _t(spark, sf, "documents")
     )
     q["stratified_sample_docs"] = lambda spark, sf: sampling.hash_stratified_sample(
@@ -397,6 +457,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "embeddings"),
         _t(spark, sf, "embeddings").filter(F.col("vec_id") % 100 == 0),
         k=10,
+    )
+    q["label_centroid_stats"] = lambda spark, sf: similarity.label_centroid_stats(
+        _t(spark, sf, "embeddings")
     )
     # cross-modal composition: restrict the search corpus to documents that
     # pass the text quality gates (embeddings join documents on id), then
@@ -478,6 +541,23 @@ _SQL_EXCESS_SUPPLIERS = """
          FROM (SELECT SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
                FROM lineitem GROUP BY l_suppkey) t))
     ORDER BY s_suppkey"""
+
+
+# Q17-shaped correlated scalar subquery, one ANSI string for BOTH engines:
+# lost revenue from small-quantity orders of one brand's parts. l_quantity
+# values are integral, so the double average is exact in either engine; the
+# money sum accumulates in exact decimals with one final double division.
+_SQL_Q17 = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#4'
+      AND l_quantity < (
+        SELECT CAST(0.2 AS DOUBLE)
+               * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                  / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1117,6 +1197,110 @@ def oracle_sql() -> dict[str, str]:
                             AS rank
                    FROM scored)
         SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10"""
+
+    o["sql_q17_small_qty"] = _SQL_Q17
+
+    # SUM over BIGINT is HUGEINT in DuckDB — cast back so the result schema
+    # matches Spark's long.
+    o["event_props_json"] = """
+        WITH e AS (SELECT event_type,
+                          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                   FROM events)
+        SELECT event_type, COUNT(*) AS n_events, COUNT(k) AS n_with_key,
+               COUNT(DISTINCT k) AS distinct_keys,
+               MIN(k) AS min_key, MAX(k) AS max_key,
+               CAST(SUM(k) AS BIGINT) AS sum_key
+        FROM e GROUP BY event_type ORDER BY event_type"""
+
+    o["retention_cohorts"] = """
+        WITH c AS (SELECT user_id,
+                          MIN(epoch_us(ts)) // 604800000000 AS cohort_week
+                   FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        a AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events)
+        SELECT c.cohort_week * 604800 AS cohort_week_epoch,
+               a.week - c.cohort_week AS week_offset,
+               COUNT(DISTINCT a.user_id) AS n_active_users
+        FROM a JOIN c ON a.user_id = c.user_id
+        WHERE a.week >= c.cohort_week
+        GROUP BY 1, 2 ORDER BY 1, 2"""
+
+    o["cold_customers"] = """
+        WITH t AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                            / COUNT(*) AS avg_bal
+                   FROM customer WHERE c_acctbal > 0.0),
+        oc AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1)
+        SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total_acctbal
+        FROM customer CROSS JOIN t
+        LEFT JOIN oc ON o_custkey = c_custkey
+        WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) > t.avg_bal
+          AND COALESCE(n_orders, 0) <= 5
+        GROUP BY 1 ORDER BY 1"""
+
+    o["tfidf_top_terms"] = f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS token FROM d),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+        scored AS (SELECT doc_id, tf.token AS token, tf.tf AS tf,
+                          dfreq.df AS df,
+                          ROUND(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0))
+                                         + 1.0), 6) AS tfidf
+                   FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n),
+        r AS (SELECT doc_id, token, tf, df, tfidf,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY tfidf DESC, token ASC)
+                       AS rank
+              FROM scored)
+        SELECT doc_id, token, tf, df, tfidf, rank FROM r WHERE rank <= 3"""
+
+    o["label_centroid_stats"] = """
+        WITH v AS (SELECT vec_id, label,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        d AS (SELECT label, u AS dim, v[u] AS x
+              FROM v, UNNEST(range(1, len(v) + 1)) AS t(u)),
+        cent AS (SELECT label, dim,
+                        CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                          / COUNT(*) AS c
+                 FROM d GROUP BY 1, 2),
+        cv AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY 1),
+        cn AS (SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
+               FROM cv),
+        scored AS (SELECT v.vec_id AS vid, v.label AS lbl,
+                          c.label AS clbl, c.cnrm AS cnrm,
+                          ROUND(list_dot_product(v.v, c.cv)
+                                / (sqrt(list_dot_product(v.v, v.v)) * c.cnrm),
+                                6) AS cos
+                   FROM v CROSS JOIN cn c),
+        ranked AS (SELECT vid, lbl, clbl, cnrm, cos,
+                          ROW_NUMBER() OVER (PARTITION BY vid
+                                             ORDER BY cos DESC, clbl ASC)
+                            AS rn
+                   FROM scored),
+        own AS (SELECT * FROM ranked WHERE lbl = clbl)
+        SELECT lbl AS label, COUNT(*) AS n_vectors,
+               ROUND(ANY_VALUE(cnrm), 6) AS centroid_norm,
+               CAST(SUM(CAST(cos AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*)
+                 AS avg_cos_centroid,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_nearest_own
+        FROM own GROUP BY 1 ORDER BY 1"""
+
+    # csv serde round-trip == the same aggregate over the parquet source
+    o["scan_csv_nulls"] = """
+        WITH e AS (SELECT event_id, event_type,
+                          CASE WHEN event_id % 10 <> 0 THEN value END AS value
+                   FROM events)
+        SELECT COUNT(*) AS n_rows, COUNT(value) AS n_value,
+               COUNT(*) - COUNT(value) AS n_null,
+               COUNT(DISTINCT event_type) AS n_types,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+               ROUND(MIN(value), 6) AS min_value,
+               ROUND(MAX(value), 6) AS max_value
+        FROM e"""
 
     o["multimodal_frame_sample"] = """
         WITH d AS (SELECT doc_id,

@@ -640,6 +640,121 @@ def funnel_counts(
     )
 
 
+def event_props_stats(events: DataFrame, json_col: str = "props",
+                      key: str = "k") -> DataFrame:
+    """Semi-structured surface: extract a field from the JSON ``props``
+    column and aggregate it per event type.
+
+    get_json_object evaluates JVM-side (Jackson) inside the scan projection —
+    no Python, no shuffle beyond the final small-key aggregate. At 100 TB the
+    extraction cost rides the scan; only (event_type, k) pairs shuffle.
+    Returns (event_type, n_events, n_with_key, distinct_keys, min_key,
+    max_key, sum_key).
+    """
+    k = F.get_json_object(F.col(json_col), f"$.{key}").cast("long")
+    return (
+        events.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("_k").alias("n_with_key"),
+            F.countDistinct("_k").alias("distinct_keys"),
+            F.min("_k").alias("min_key"),
+            F.max("_k").alias("max_key"),
+            F.sum("_k").alias("sum_key"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    cohort_event: str = "signup",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their first
+    ``cohort_event``; for each cohort × week-offset, how many distinct users
+    were active (any event) that week.
+
+    Plan shape: one shuffle builds the per-user cohort (groupBy user, MIN
+    over the filtered signup scan); the activity scan then equi-joins on
+    user_id (cohort side is one row per user — at 100 TB this is the
+    users-dimension join every event pipeline already does) and the final
+    aggregate shuffles (cohort_week, week_offset) pairs. All week math is
+    integer epoch division — timezone-free and engine-exact.
+    """
+    week_us = 7 * 86_400_000_000
+    ev = ensure_event_time(events, ts_col)
+    us = F.unix_micros(F.col(ts_col))
+    cohorts = (
+        ev.filter(F.col(type_col) == cohort_event)
+        .groupBy(F.col(user_col).alias("_cu"))
+        .agg(F.min(us).alias("_signup_us"))
+        .select(
+            "_cu",
+            (F.expr(f"_signup_us div {week_us}")).alias("_cohort_week"),
+        )
+    )
+    activity = ev.select(
+        F.col(user_col).alias("_au"), F.expr(f"unix_micros({ts_col}) div {week_us}").alias("_week")
+    )
+    return (
+        activity.join(cohorts, F.col("_au") == F.col("_cu"))
+        .filter(F.col("_week") >= F.col("_cohort_week"))
+        .groupBy(
+            (F.col("_cohort_week") * F.lit(7 * 86_400)).alias("cohort_week_epoch"),
+            (F.col("_week") - F.col("_cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("_au").alias("n_active_users"))
+        .orderBy("cohort_week_epoch", "week_offset")
+    )
+
+
+def cold_customers(
+    customer: DataFrame, orders: DataFrame, max_orders: int = 5
+) -> DataFrame:
+    """TPC-H Q22 shape: per nation, count and total balance of
+    low-engagement, high-balance customers — account balance above the
+    positive-balance average, with at most ``max_orders`` orders (zero
+    included).
+
+    The global threshold is a one-row aggregate cross-joined (broadcast)
+    onto the customer scan; order counts aggregate BEFORE the join so only
+    (custkey, count) pairs shuffle, never order rows. Exact decimal
+    accumulation; ONE double division for the threshold so both engines
+    compute the identical cutoff.
+    """
+    thresh = (
+        customer.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(_amt(F.col("c_acctbal"))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_avg_bal")
+        )
+    )
+    order_counts = orders.groupBy(F.col("o_custkey").alias("_ock")).agg(
+        F.count(F.lit(1)).alias("_n_orders")
+    )
+    return (
+        customer.crossJoin(F.broadcast(thresh))
+        .filter(
+            F.col("c_acctbal").cast("decimal(12,2)").cast("double")
+            > F.col("_avg_bal")
+        )
+        .join(order_counts, F.col("c_custkey") == F.col("_ock"), "left")
+        .filter(F.coalesce(F.col("_n_orders"), F.lit(0)) <= max_orders)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_amt(F.col("c_acctbal"))).cast("double").alias("total_acctbal"),
+        )
+        .orderBy("nationkey")
+    )
+
+
 def run_sql(spark, sf_dir: str, query: str,
             tables: tuple[str, ...] = ("region", "nation", "customer",
                                        "supplier", "part", "orders",

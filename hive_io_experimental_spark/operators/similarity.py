@@ -504,3 +504,91 @@ def cosine_topk_bucketed(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+def label_centroid_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid profile + nearest-centroid self-classification.
+
+    The embedding-space health check every labeled corpus needs: for each
+    label, the centroid (elementwise mean), how tight the cluster is (mean
+    cosine of members to their own centroid) and how separable it is (how
+    many members' NEAREST centroid — over all labels, by cosine — is their
+    own).
+
+    Plan shape, sized for 100 TB: posexplode to (label, dim, value) and
+    aggregate — ONE shuffle whose volume is rows x dims scalar pairs, with
+    map-side partial aggregation collapsing each partition to at most
+    |labels| x dims rows; the resulting centroid table (|labels| rows) is
+    collected into a broadcast join, so the scoring pass is a pure map over
+    the corpus scan. No corpus-sized state ever sits on one node.
+
+    Determinism across engines: each component is rounded to 6 then summed
+    as exact DECIMAL(18,6) (order-independent — double-sum drift cannot
+    flip a value hash); centroids are therefore bit-identical, and the
+    member-to-centroid cosine is the usual sequential fold both engines
+    share. Ties in the nearest-centroid argmax break toward the smaller
+    label. Returns (label, n_vectors, centroid_norm, avg_cos_centroid,
+    n_nearest_own).
+    """
+    v = spread(df).select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_lbl"),
+        _as_double(vec_col).alias("_v"),
+    )
+    dims = (
+        v.select("_lbl", F.posexplode("_v").alias("_dim", "_x"))
+        .groupBy("_lbl", "_dim")
+        .agg(
+            (
+                F.sum(F.round(F.col("_x"), 6).cast("decimal(18,6)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("_c")
+        )
+    )
+    centroids = (
+        dims.groupBy(F.col("_lbl").alias("_clbl"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_dim"), F.col("_c")))
+            ).alias("_pairs")
+        )
+        .select(
+            "_clbl",
+            F.transform(F.col("_pairs"), lambda s: s["_c"]).alias("_cv"),
+        )
+        .withColumn("_cnrm", l2_norm(F.col("_cv")))
+    )
+    member = v.withColumn("_nrm", l2_norm(F.col("_v")))
+    scored = member.crossJoin(F.broadcast(centroids)).select(
+        "_id",
+        "_lbl",
+        "_clbl",
+        "_cnrm",
+        _pair_cosine("_v", "_nrm", "_cv", "_cnrm").alias("_cos"),
+    )
+    w = Window.partitionBy("_id").orderBy(
+        F.col("_cos").desc(), F.col("_clbl").asc()
+    )
+    ranked = scored.withColumn("_rn", F.row_number().over(w))
+    own = ranked.filter(F.col("_lbl") == F.col("_clbl"))
+    return (
+        own.groupBy(F.col("_lbl").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.first("_cnrm"), 6).alias("centroid_norm"),
+            (
+                F.sum(F.col("_cos").cast("decimal(10,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_cos_centroid"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0)).alias(
+                "n_nearest_own"
+            ),
+        )
+        .orderBy("label")
+    )

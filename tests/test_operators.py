@@ -525,3 +525,127 @@ def test_ivf_pandas_assignment_matches_relational(spark, sf_dir):
         for r in ivf_topk(emb, queries, k=5, use_pandas=True).collect()
     }
     assert rel == blas and len(rel) > 0
+
+
+def test_event_props_stats_extracts_json(spark):
+    from hive_io_experimental_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [
+            (1, "click", '{"k": 10}'),
+            (2, "click", '{"k": 20}'),
+            (3, "click", "{}"),
+            (4, "view", '{"k": 7}'),
+            (5, "view", None),
+        ],
+        "event_id long, event_type string, props string",
+    )
+    rows = {
+        r["event_type"]: r
+        for r in relational.event_props_stats(df).collect()
+    }
+    assert rows["click"]["n_events"] == 3
+    assert rows["click"]["n_with_key"] == 2  # missing key -> NULL, not counted
+    assert rows["click"]["sum_key"] == 30
+    assert rows["view"]["n_with_key"] == 1 and rows["view"]["max_key"] == 7
+
+
+def test_retention_cohorts_week_offsets(spark):
+    from hive_io_experimental_spark.operators import relational
+
+    wk = 7 * 86_400_000_000  # one week of microseconds
+    def ts(week, off=0):
+        return (week * wk + off) // 1000  # epoch millis for timestamp_millis
+
+    df = spark.createDataFrame(
+        [
+            # user 1 signs up week 0, active weeks 0 and 2
+            (1, 1, "signup", ts(0)),
+            (2, 1, "click", ts(2)),
+            # user 2 signs up week 0, active week 0 only (pre-signup event
+            # in week-(-1) territory must not count)
+            (3, 2, "click", 0),
+            (4, 2, "signup", ts(0, 1)),
+            # user 3 never signs up -> excluded entirely
+            (5, 3, "click", ts(1)),
+        ],
+        "event_id long, user_id long, event_type string, ms long",
+    ).selectExpr("event_id", "user_id", "event_type",
+                 "timestamp_millis(ms) AS ts")
+    out = {
+        (r["cohort_week_epoch"], r["week_offset"]): r["n_active_users"]
+        for r in relational.retention_cohorts(df).collect()
+    }
+    assert out == {(0, 0): 2, (0, 2): 1}
+
+
+def test_cold_customers_threshold_and_order_cap(spark):
+    from hive_io_experimental_spark.operators import relational
+
+    customer = spark.createDataFrame(
+        [
+            (1, "a", 1, 100.0, "B"),   # above avg, 0 orders -> kept
+            (2, "b", 1, 90.0, "B"),    # above avg, 6 orders -> dropped
+            (3, "c", 2, 80.0, "B"),    # above avg, 2 orders -> kept
+            (4, "d", 2, 10.0, "B"),    # below avg -> dropped
+            (5, "e", 2, -50.0, "B"),   # negative: excluded from avg, below
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    # positive-balance avg = (100+90+80+10)/4 = 70
+    orders = spark.createDataFrame(
+        [(i, 2) for i in range(6)] + [(10, 3), (11, 3)],
+        "o_orderkey long, o_custkey long",
+    )
+    rows = {
+        r["nationkey"]: (r["n_customers"], r["total_acctbal"])
+        for r in relational.cold_customers(customer, orders, max_orders=5).collect()
+    }
+    assert rows == {1: (1, 100.0), 2: (1, 80.0)}
+
+
+def test_tfidf_rare_term_outscores_common(spark):
+    from hive_io_experimental_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "apple cherry"),
+            (3, "apple banana"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text_ops.tfidf_top_terms(df, top_n=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 'apple' appears in every doc -> lowest idf; doc 2's top term must be
+    # the doc-unique 'cherry'
+    top2 = sorted(by_doc[2], key=lambda r: r["rank"])
+    assert top2[0]["token"] == "cherry"
+    assert top2[0]["df"] == 1 and top2[0]["tf"] == 1
+    # doc 1: 'apple' tf=2 vs 'banana' df=2 -- both present, ranks are
+    # deterministic (score desc, token asc)
+    assert [r["rank"] for r in sorted(by_doc[1], key=lambda r: r["rank"])] == [1, 2]
+
+
+def test_label_centroid_stats_separated_clusters(spark):
+    from hive_io_experimental_spark.operators import similarity
+
+    # two orthogonal tight clusters -> every vector's nearest centroid is
+    # its own label and mean cosine to own centroid is ~1
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.0], 0),
+        (3, [0.0, 1.0], 1),
+        (4, [0.0, 1.1], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["label"]: r for r in similarity.label_centroid_stats(df).collect()}
+    assert out[0]["n_vectors"] == 2 and out[1]["n_vectors"] == 2
+    assert out[0]["n_nearest_own"] == 2 and out[1]["n_nearest_own"] == 2
+    assert out[0]["avg_cos_centroid"] > 0.999
+    assert out[1]["avg_cos_centroid"] > 0.999
