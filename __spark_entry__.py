@@ -367,6 +367,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["numeric_outliers"] = lambda spark, sf: profile.numeric_outliers(
         _t(spark, sf, "events"), numeric_col="value", id_col="event_id"
     )
+    q["event_type_percentiles"] = lambda spark, sf: profile.group_percentiles(
+        _t(spark, sf, "events")
+    )
 
     # ---- text analysis ----
     q["text_metrics"] = lambda spark, sf: text.text_metrics(_t(spark, sf, "documents"))
@@ -396,6 +399,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents")
     )
     q["tfidf_top_terms"] = lambda spark, sf: text.tfidf_top_terms(
+        _t(spark, sf, "documents")
+    )
+    q["doc_repetition"] = lambda spark, sf: text.doc_repetition(
+        _t(spark, sf, "documents")
+    )
+    q["source_mix"] = lambda spark, sf: text.source_mix(
         _t(spark, sf, "documents")
     )
     q["stratified_sample_docs"] = lambda spark, sf: sampling.hash_stratified_sample(
@@ -1199,6 +1208,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10"""
 
     o["sql_q17_small_qty"] = _SQL_Q17
+
+    # non-distinct trigram shingles (the repetition scorer needs counts,
+    # unlike the dedup shingle CTE which dedups)
+    o["doc_repetition"] = f"""
+        WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (SELECT doc_id,
+                     unnest(CASE WHEN len(toks) >= 3 THEN
+                       list_transform(range(1, len(toks)-1),
+                         i -> array_to_string(toks[i:i+2], ' '))
+                       ELSE [] END) AS gram
+              FROM docs),
+        c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2)
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+               COUNT(*) AS n_distinct_grams,
+               CAST(MAX(cnt) AS BIGINT) AS max_gram_count,
+               ROUND(MAX(cnt) / SUM(cnt), 6) AS top_gram_ratio,
+               ROUND(COUNT(*) / SUM(cnt), 6) AS distinct_gram_ratio
+        FROM c GROUP BY doc_id"""
+
+    o["source_mix"] = f"""
+        WITH tok AS ({{tok}}), met AS ({{met}})
+        SELECT d.source AS source, COUNT(*) AS n_docs,
+               SUM(tok.est_bpe_tokens) AS sum_bpe_tokens,
+               CAST(SUM(CAST(met.quality_score AS DECIMAL(10,6))) AS DOUBLE)
+                 / COUNT(*) AS avg_quality,
+               CAST(SUM(CAST(met.n_tokens AS DECIMAL(18,0))) AS DOUBLE)
+                 / COUNT(*) AS avg_tokens
+        FROM documents d
+        JOIN tok ON d.doc_id = tok.doc_id
+        JOIN met ON d.doc_id = met.doc_id
+        GROUP BY 1 ORDER BY 1""".format(
+        tok=o["token_counts"], met=o["text_metrics"]
+    )
+
+    o["event_type_percentiles"] = """
+        SELECT event_type AS grp, COUNT(value) AS n,
+               ROUND(quantile_cont(value, 0.5), 6) AS p50,
+               ROUND(quantile_cont(value, 0.9), 6) AS p90,
+               ROUND(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY 1 ORDER BY 1"""
 
     # SUM over BIGINT is HUGEINT in DuckDB — cast back so the result schema
     # matches Spark's long.

@@ -108,3 +108,34 @@ def approx_profile(
         F.min(v).alias("min_value"),
         F.max(v).alias("max_value"),
     )
+
+
+def group_percentiles(
+    df: DataFrame,
+    numeric_col: str = "value",
+    group_col: str = "event_type",
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact interpolated percentiles of ``numeric_col`` per group — the
+    latency/value-distribution table (p50/p90/p99) every event pipeline
+    publishes.
+
+    percentile() sorts within each group after ONE shuffle on the group
+    key; with a handful of groups and 100 TB of rows the per-group sort is
+    the cost — the approx_profile sketch tier is the scale alternative
+    when exactness isn't required (this operator is the oracle-checkable
+    baseline, interpolation identical to DuckDB's quantile_cont).
+    Returns (group, n, p<percentile>...).
+    """
+    v = F.col(numeric_col)
+    aggs = [F.count(v).alias("n")]
+    for p in percentiles:
+        name = f"p{round(p * 100)}"
+        aggs.append(
+            F.round(F.expr(f"percentile({numeric_col}, {p})"), 6).alias(name)
+        )
+    return (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(*aggs)
+        .orderBy("grp")
+    )

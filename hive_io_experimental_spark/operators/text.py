@@ -465,3 +465,92 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= top_n)
         .select("doc_id", "token", "tf", "df", "tfidf", "rank")
     )
+
+
+def doc_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Repetition scoring (the Gopher/C4-style quality rule): how much of a
+    document is its own most-frequent word ``k``-gram.
+
+    A high top_gram_ratio or a low distinct_gram_ratio marks boilerplate /
+    template spam that per-token metrics miss. Plan shape: shingles
+    explode -> ONE groupBy (doc, gram) with map-side partial aggregation,
+    then a per-doc aggregate over the gram counts — shuffles carry (id,
+    gram-hash-sized) pairs, never document text. Docs shorter than ``k``
+    words have no grams and are excluded (they are length-gated upstream).
+    Returns (doc_id, n_grams, n_distinct_grams, max_gram_count,
+    top_gram_ratio, distinct_gram_ratio).
+    """
+    from hive_io_experimental_spark.functions.textfns import word_shingles
+
+    grams = spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            F.max("cnt").alias("max_gram_count"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct_grams",
+            "max_gram_count",
+            F.round(F.col("max_gram_count") / F.col("n_grams"), 6).alias(
+                "top_gram_ratio"
+            ),
+            F.round(F.col("n_distinct_grams") / F.col("n_grams"), 6).alias(
+                "distinct_gram_ratio"
+            ),
+        )
+    )
+
+
+def source_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source corpus mix: docs, token budget, mean quality — the
+    provenance report a curation pipeline produces before weighting
+    sources.
+
+    Same single-pass shape as corpus_language_stats: all metric
+    expressions ride the scan projection, then ONE groupBy on the
+    low-cardinality source key. Quality averaged via exact decimal sum +
+    one double division (order-independent, engine-stable).
+    Returns (source, n_docs, sum_bpe_tokens, avg_quality, avg_tokens).
+    """
+    text = F.col(text_col)
+    per_doc = spread(df).select(
+        F.col(source_col).alias("source"),
+        _token_count_columns(text)["est_bpe_tokens"].alias("est_bpe_tokens"),
+        _metric_columns(text)["quality_score"].alias("quality_score"),
+        _metric_columns(text)["n_tokens"].alias("n_tokens"),
+    )
+    q_dec = F.col("quality_score").cast("decimal(10,6)")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("est_bpe_tokens").alias("sum_bpe_tokens"),
+            (F.sum(q_dec).cast("double") / F.count(F.lit(1)))
+            .alias("avg_quality"),
+            (
+                F.sum(F.col("n_tokens").cast("decimal(18,0)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )

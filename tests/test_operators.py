@@ -649,3 +649,57 @@ def test_label_centroid_stats_separated_clusters(spark):
     assert out[0]["n_nearest_own"] == 2 and out[1]["n_nearest_own"] == 2
     assert out[0]["avg_cos_centroid"] > 0.999
     assert out[1]["avg_cos_centroid"] > 0.999
+
+
+def test_doc_repetition_flags_boilerplate(spark):
+    from hive_io_experimental_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),        # one trigram repeated 3x
+            (2, "alpha beta gamma delta epsilon"),  # all trigrams distinct
+            (3, "too short"),                       # < 3 words -> no grams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text_ops.doc_repetition(df).collect()}
+    assert 3 not in rows
+    assert rows[1]["n_grams"] == 3 and rows[1]["n_distinct_grams"] == 1
+    assert rows[1]["top_gram_ratio"] == 1.0
+    assert rows[2]["n_grams"] == 3 and rows[2]["distinct_gram_ratio"] == 1.0
+
+
+def test_source_mix_groups_and_averages(spark):
+    from hive_io_experimental_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two three four", "a"),
+            (2, "five six seven eight", "a"),
+            (3, "nine ten", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["source"]: r for r in text_ops.source_mix(df).collect()}
+    assert rows["a"]["n_docs"] == 2 and rows["b"]["n_docs"] == 1
+    assert rows["a"]["avg_tokens"] == 4.0
+    assert rows["b"]["avg_tokens"] == 2.0
+
+
+def test_group_percentiles_interpolation(spark):
+    from hive_io_experimental_spark.operators import profile as profile_ops
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 6)] + [("b", 10.0), ("b", 20.0)],
+        "event_type string, value double",
+    )
+    rows = {
+        r["grp"]: r
+        for r in profile_ops.group_percentiles(
+            df, percentiles=(0.5, 0.9)
+        ).collect()
+    }
+    assert rows["a"]["n"] == 5 and rows["a"]["p50"] == 3.0
+    # interpolated: p90 of 1..5 = 1 + 0.9*4 = 4.6
+    assert rows["a"]["p90"] == 4.6
+    assert rows["b"]["p50"] == 15.0
