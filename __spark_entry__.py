@@ -349,6 +349,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sql_q17_small_qty"] = lambda spark, sf: relational.run_sql(
         spark, sf, _SQL_Q17, tables=("part", "lineitem")
     )
+    q["order_count_distribution"] = lambda spark, sf: relational.order_count_distribution(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    )
     q["table_stats"] = lambda spark, sf: relational.table_stats(
         _t(spark, sf, "lineitem")
     )
@@ -405,6 +408,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents")
     )
     q["source_mix"] = lambda spark, sf: text.source_mix(
+        _t(spark, sf, "documents")
+    )
+    q["cross_source_leakage"] = lambda spark, sf: text.cross_source_leakage(
         _t(spark, sf, "documents")
     )
     q["stratified_sample_docs"] = lambda spark, sf: sampling.hash_stratified_sample(
@@ -1208,6 +1214,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10"""
 
     o["sql_q17_small_qty"] = _SQL_Q17
+
+    o["order_count_distribution"] = """
+        WITH oc AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1)
+        SELECT COALESCE(n, 0) AS n_orders, COUNT(*) AS n_customers
+        FROM customer LEFT JOIN oc ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY 1"""
+
+    o["cross_source_leakage"] = f"""
+        WITH fps AS ({o['doc_winnowing']}),
+        sfp AS (SELECT DISTINCT d.source AS source, fps.fp AS fp
+                FROM fps JOIN documents d ON fps.doc_id = d.doc_id)
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_shared_fps
+        FROM sfp a JOIN sfp b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY 1, 2"""
 
     # non-distinct trigram shingles (the repetition scorer needs counts,
     # unlike the dedup shingle CTE which dedups)

@@ -755,6 +755,28 @@ def cold_customers(
     )
 
 
+def order_count_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by how many orders they
+    have (zero included).
+
+    Orders aggregate to (custkey, count) BEFORE joining — the join input
+    shrinks from order rows to one row per ordering customer; the LEFT
+    join keeps order-less customers at count 0. Two small shuffles (both
+    key-sized), then a tiny distribution aggregate.
+    Returns (n_orders, n_customers).
+    """
+    counts = orders.groupBy(F.col("o_custkey").alias("_ock")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        customer.join(counts, F.col("c_custkey") == F.col("_ock"), "left")
+        .select(F.coalesce(F.col("_n"), F.lit(0)).alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_orders")
+    )
+
+
 def run_sql(spark, sf_dir: str, query: str,
             tables: tuple[str, ...] = ("region", "nation", "customer",
                                        "supplier", "part", "orders",

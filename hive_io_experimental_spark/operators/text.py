@@ -554,3 +554,43 @@ def source_mix(
         )
         .orderBy("source")
     )
+
+
+def cross_source_leakage(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Contamination check between sources: for every source pair, how many
+    winnowing fingerprints they share — the train/benchmark leakage audit
+    every corpus assembly runs (shared substrings of length >= k+window-1
+    are guaranteed to collide on at least one fingerprint).
+
+    Scale shape: fingerprints reduce to DISTINCT (source, fp) rows first —
+    that caps the fp self-join fan-out at |sources| rows per fingerprint
+    (a few dozen), so even a fingerprint occurring in a billion documents
+    contributes at most |sources|^2 pairs. The join key is the fingerprint
+    (uniformly distributed 60-bit hash — no skew); output is
+    |sources|^2-bounded. Returns (source_a, source_b, n_shared_fps).
+    """
+    fps = winnowing_fingerprints(df, text_col=text_col, id_col=id_col,
+                                 k=k, window=window)
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(source_col).alias("source"))
+    sfp = (
+        fps.join(src, "doc_id")
+        .select("source", "fp")
+        .distinct()
+    )
+    a = sfp.select(F.col("source").alias("source_a"), "fp")
+    b = sfp.select(F.col("source").alias("source_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .orderBy("source_a", "source_b")
+    )

@@ -703,3 +703,41 @@ def test_group_percentiles_interpolation(spark):
     # interpolated: p90 of 1..5 = 1 + 0.9*4 = 4.6
     assert rows["a"]["p90"] == 4.6
     assert rows["b"]["p50"] == 15.0
+
+
+def test_order_count_distribution_includes_zero(spark):
+    from hive_io_experimental_spark.operators import relational
+
+    customer = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "c_custkey long, c_name string"
+    )
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2)], "o_orderkey long, o_custkey long"
+    )
+    rows = {
+        r["n_orders"]: r["n_customers"]
+        for r in relational.order_count_distribution(customer, orders).collect()
+    }
+    assert rows == {0: 1, 1: 1, 2: 1}
+
+
+def test_cross_source_leakage_detects_shared_text(spark):
+    from hive_io_experimental_spark.operators import text as text_ops
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " alpha", "train"),
+            (2, shared + " beta", "bench"),
+            (3, "completely unrelated content with different words", "other"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r["n_shared_fps"]
+        for r in text_ops.cross_source_leakage(df).collect()
+    }
+    # the shared >=8-char substring guarantees at least one common
+    # fingerprint between train and bench
+    assert out.get(("bench", "train"), 0) >= 1
+    assert ("bench", "other") not in out or out[("bench", "other")] == 0
