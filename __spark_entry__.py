@@ -160,6 +160,51 @@ def _write_readback(spark: SparkSession, sf: str) -> DataFrame:
     return HiveInput(spark, cat).read_table(ScanSpec(table="default.nation_rev"))
 
 
+def _incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuous-aggregate maintenance through the engine's own I/O path:
+    aggregate the event stream in TWO batches (split by event_id parity),
+    persist the first batch's mergeable partial state into a catalog
+    table, read it back, fold the second batch in, finalize. The published
+    rollup must equal the one-shot aggregate over all events — which is
+    exactly the oracle — because every accumulator is an exact integer
+    (fixed-point e4 value sums; see operators/incremental.py)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators import incremental
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    ev = _t(spark, sf, "events")
+    state1 = incremental.hourly_rollup_state(ev.filter(F.col("event_id") % 2 == 0))
+    state2 = incremental.hourly_rollup_state(ev.filter(F.col("event_id") % 2 != 0))
+
+    wh = tempfile.mkdtemp(prefix="hio_gate_rollup_")  # outlives the lazy scan
+    cat = Catalog(wh)
+    cat.create_table(
+        "default.events_hourly_state",
+        HiveTableSchema(
+            (
+                ("hour_epoch", T.LongType()),
+                ("event_type", T.StringType()),
+                ("n_events", T.LongType()),
+                ("sum_value_e4", T.LongType()),
+            )
+        ),
+    )
+    HiveOutput(spark, cat).write_table(
+        WriteSpec("default.events_hourly_state"), state1
+    )
+    persisted = HiveInput(spark, cat).read_table(
+        ScanSpec(table="default.events_hourly_state")
+    )
+    return incremental.finalize_rollup(
+        incremental.merge_rollup_states(persisted, state2)
+    )
+
+
 def _scan_csv_nulls(spark: SparkSession, sf: str) -> DataFrame:
     """Driver-gate round-trip for the delimited-text serde (reference S6/S7:
     BytesParser '\\N' and empty-field null conventions,
@@ -361,6 +406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["scan_partition_pruned"] = _scan_partition_pruned
     # S6/S7: delimited-text serde round-trip with '\N' null conventions.
     q["scan_csv_nulls"] = _scan_csv_nulls
+    # continuous-aggregate maintenance: two-batch incremental rollup whose
+    # state round-trips a catalog table, vs the one-shot oracle.
+    q["incremental_rollup"] = _incremental_rollup
     # W1/W3: full write pipeline (spec checks, schema conform, commit) then
     # read-back through the scan API (reference OutputTest.java:56-138).
     q["write_readback"] = _write_readback
@@ -1358,6 +1406,13 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_nearest_own
         FROM own GROUP BY 1 ORDER BY 1"""
+
+    # incremental two-batch rollup == the one-shot hourly aggregate
+    o["incremental_rollup"] = """
+        SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
     # csv serde round-trip == the same aggregate over the parquet source
     o["scan_csv_nulls"] = """

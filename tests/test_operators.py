@@ -741,3 +741,33 @@ def test_cross_source_leakage_detects_shared_text(spark):
     # fingerprint between train and bench
     assert out.get(("bench", "train"), 0) >= 1
     assert ("bench", "other") not in out or out[("bench", "other")] == 0
+
+
+def test_incremental_rollup_merge_is_exact(spark):
+    from hive_io_experimental_spark.operators import incremental
+
+    df = spark.createDataFrame(
+        [
+            (1, "click", 10.5, 0),
+            (2, "click", 0.0001, 0),      # e4 fixed point captures 1e-4
+            (3, "click", 2.25, 3_600_000),
+            (4, "view", None, 0),          # NULL value: counted, not summed
+        ],
+        "event_id long, event_type string, value double, ms long",
+    ).selectExpr("event_id", "event_type", "value",
+                 "timestamp_millis(ms) AS ts")
+    full = incremental.finalize_rollup(
+        incremental.hourly_rollup_state(df)
+    ).collect()
+    inc = incremental.finalize_rollup(
+        incremental.merge_rollup_states(
+            incremental.hourly_rollup_state(df.filter("event_id % 2 = 0")),
+            incremental.hourly_rollup_state(df.filter("event_id % 2 = 1")),
+        )
+    ).collect()
+    assert full == inc
+    by_key = {(r["hour_epoch"], r["event_type"]): r for r in full}
+    assert by_key[(0, "click")]["sum_value"] == 10.5001
+    assert by_key[(0, "view")]["n_events"] == 1
+    assert by_key[(0, "view")]["sum_value"] is None
+    assert by_key[(3600, "click")]["sum_value"] == 2.25
