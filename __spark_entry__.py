@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from hive_io_experimental_spark.input import HiveInput, ScanSpec
 from hive_io_experimental_spark.operators import (
+    curate,
     dedup,
     multimodal,
     profile,
@@ -397,6 +398,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["order_count_distribution"] = lambda spark, sf: relational.order_count_distribution(
         _t(spark, sf, "customer"), _t(spark, sf, "orders")
     )
+    q["sql_q19_disjunctive"] = lambda spark, sf: relational.run_sql(
+        spark, sf, _SQL_Q19, tables=("part", "lineitem")
+    )
+    q["order_value_deciles"] = lambda spark, sf: profile.value_decile_histogram(
+        _t(spark, sf, "orders"), value_col="o_totalprice"
+    )
     q["table_stats"] = lambda spark, sf: relational.table_stats(
         _t(spark, sf, "lineitem")
     )
@@ -460,6 +467,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["cross_source_leakage"] = lambda spark, sf: text.cross_source_leakage(
         _t(spark, sf, "documents")
+    )
+    # flagship composition: quality gate ∩ dedup keep-list ∩ stratified
+    # sample, all deterministic -> the curated-corpus manifest.
+    q["curate_corpus"] = lambda spark, sf: curate.curate_corpus(
+        _t(spark, sf, "documents"),
+        rates={"de": 1.0, "en": 0.5, "zh": 0.25},
+        default_rate=0.1,
     )
     q["stratified_sample_docs"] = lambda spark, sf: sampling.hash_stratified_sample(
         _t(spark, sf, "documents"),
@@ -605,6 +619,24 @@ _SQL_EXCESS_SUPPLIERS = """
                FROM lineitem GROUP BY l_suppkey) t))
     ORDER BY s_suppkey"""
 
+
+# Q19-shaped disjunctive join predicates, one ANSI string for BOTH engines:
+# three (brand, size-range, quantity-range) OR-arms over the part⋈lineitem
+# join — the predicate shape that exercises OR-pushdown through a join.
+_SQL_Q19 = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(4,2))
+                       - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#8' AND p_size BETWEEN 10 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#17' AND p_size BETWEEN 20 AND 40
+           AND l_quantity >= 20 AND l_quantity <= 30)"""
 
 # Q17-shaped correlated scalar subquery, one ANSI string for BOTH engines:
 # lost revenue from small-quantity orders of one brand's parts. l_quantity
@@ -1262,6 +1294,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10"""
 
     o["sql_q17_small_qty"] = _SQL_Q17
+
+    o["sql_q19_disjunctive"] = _SQL_Q19
+
+    o["order_value_deciles"] = """
+        WITH bs AS (SELECT quantile_cont(o_totalprice,
+                      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS b
+                    FROM orders)
+        SELECT 1 + len(list_filter(bs.b, x -> o_totalprice > x)) AS decile,
+               COUNT(*) AS n_rows,
+               ROUND(MIN(o_totalprice), 6) AS min_value,
+               ROUND(MAX(o_totalprice), 6) AS max_value,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                 AS sum_value
+        FROM orders CROSS JOIN bs
+        GROUP BY 1 ORDER BY 1"""
+
+    o["curate_corpus"] = f"""
+        WITH tm AS ({o['text_metrics']}),
+        good AS (SELECT doc_id FROM tm
+                 WHERE n_tokens >= 32 AND uniq_ratio >= 0.4
+                   AND stopword_ratio <= 0.5),
+        kept AS (SELECT MIN(doc_id) AS doc_id FROM documents
+                 GROUP BY md5({_NORM})),
+        samp AS ({o['stratified_sample_docs']})
+        SELECT samp.doc_id AS doc_id, samp.lang AS lang
+        FROM samp
+        JOIN good ON samp.doc_id = good.doc_id
+        JOIN kept ON samp.doc_id = kept.doc_id
+        ORDER BY doc_id"""
 
     o["order_count_distribution"] = """
         WITH oc AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1)

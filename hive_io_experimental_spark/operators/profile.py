@@ -139,3 +139,46 @@ def group_percentiles(
         .agg(*aggs)
         .orderBy("grp")
     )
+
+
+def value_decile_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Decile (or any n-quantile) histogram of a numeric column: bucket
+    boundaries at the exact interpolated quantiles, then per-bucket count /
+    min / max / sum.
+
+    Deliberately NOT ntile(): a global ntile is a window over ONE
+    partition — the whole table funnels through a single task, the
+    canonical 100 TB anti-pattern. Instead the boundaries are a one-row
+    aggregate (percentile over one shuffle), broadcast back onto the scan;
+    bucket assignment is then a pure map (count values > boundary) and the
+    histogram is a tiny second aggregate. Rows equal to a boundary fall in
+    the lower bucket. Returns (decile, n_rows, min_value, max_value,
+    sum_value).
+    """
+    v = F.col(value_col)
+    fracs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+    bounds = df.agg(
+        F.expr(f"percentile({value_col}, array({fracs}))").alias("_bs")
+    )
+    decile = (
+        F.lit(1)
+        + F.size(F.filter(F.col("_bs"), lambda b: v > b))
+    ).alias("decile")
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .select(decile, v.alias("_v"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("_v"), 6).alias("min_value"),
+            F.round(F.max("_v"), 6).alias("max_value"),
+            F.sum(F.col("_v").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("decile")
+    )

@@ -771,3 +771,42 @@ def test_incremental_rollup_merge_is_exact(spark):
     assert by_key[(0, "view")]["n_events"] == 1
     assert by_key[(0, "view")]["sum_value"] is None
     assert by_key[(3600, "click")]["sum_value"] == 2.25
+
+
+def test_value_decile_histogram_partitions_all_rows(spark):
+    from hive_io_experimental_spark.operators import profile as profile_ops
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(1, 101)], "x double"
+    )
+    rows = profile_ops.value_decile_histogram(df, "x").collect()
+    assert sum(r["n_rows"] for r in rows) == 100
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    # each decile of 1..100 holds exactly 10 values; boundary rows (equal
+    # to an interpolated quantile) fall in the lower bucket
+    assert all(r["n_rows"] == 10 for r in rows)
+    assert rows[0]["min_value"] == 1.0 and rows[-1]["max_value"] == 100.0
+
+
+def test_curate_corpus_applies_all_gates(spark, sf_dir):
+    from hive_io_experimental_spark.operators import curate, dedup, sampling
+    from hive_io_experimental_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {"de": 1.0, "en": 0.5, "zh": 0.25}
+    out = curate.curate_corpus(docs, rates=rates, default_rate=0.1)
+    got = {r["doc_id"] for r in out.collect()}
+    good = {
+        r["doc_id"] for r in text_ops.quality_filter(docs).collect()
+    }
+    kept = {
+        r["kept_id"] for r in dedup.exact_dedup(docs).collect()
+    }
+    sampled = {
+        r["doc_id"]
+        for r in sampling.hash_stratified_sample(
+            docs, rates, default_rate=0.1
+        ).collect()
+    }
+    assert got == good & kept & sampled
+    assert got  # non-degenerate at every SF
