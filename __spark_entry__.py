@@ -428,6 +428,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["event_type_percentiles"] = lambda spark, sf: profile.group_percentiles(
         _t(spark, sf, "events")
     )
+    q["expanding_zscore"] = lambda spark, sf: profile.expanding_zscore(
+        _t(spark, sf, "events")
+    )
 
     # ---- text analysis ----
     q["text_metrics"] = lambda spark, sf: text.text_metrics(_t(spark, sf, "documents"))
@@ -1371,6 +1374,34 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1 ORDER BY 1""".format(
         tok=o["token_counts"], met=o["text_metrics"]
     )
+
+    # same exact-integer prefix sums and the same double-op sequence as
+    # operators/profile.py:expanding_zscore (and the streaming twin)
+    o["expanding_zscore"] = """
+        WITH base AS (
+          SELECT event_id, user_id, epoch_us(ts) AS us,
+                 CAST(CAST(value AS DECIMAL(14,4)) * 10000 AS BIGINT) AS ve4
+          FROM events WHERE value IS NOT NULL),
+        w AS (
+          SELECT event_id, user_id, ve4,
+                 COUNT(ve4) OVER win AS n,
+                 CAST(SUM(CAST(ve4 AS DECIMAL(18,0))) OVER win AS DOUBLE)
+                   AS s_d,
+                 CAST(SUM(CAST(ve4 AS DECIMAL(19,0))
+                          * CAST(ve4 AS DECIMAL(19,0))) OVER win AS DOUBLE)
+                   AS s2_d
+          FROM base
+          WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        sc AS (
+          SELECT event_id, user_id, n AS n_prior,
+                 (s2_d - (s_d * s_d) / n) / (n - 1) AS var,
+                 ROUND((CAST(ve4 AS DOUBLE) - s_d / n)
+                       / sqrt((s2_d - (s_d * s_d) / n) / (n - 1)), 6)
+                   AS zscore
+          FROM w WHERE n >= 5)
+        SELECT event_id, user_id, n_prior, zscore FROM sc
+        WHERE var > 0 AND abs(zscore) > 3.0 ORDER BY event_id"""
 
     o["event_type_percentiles"] = """
         SELECT event_type AS grp, COUNT(value) AS n,

@@ -182,3 +182,72 @@ def value_decile_histogram(
         )
         .orderBy("decile")
     )
+
+
+def expanding_zscore(
+    events: DataFrame,
+    z: float = 3.0,
+    min_prior: int = 5,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key expanding-window anomaly flags: each event scored against
+    the sample mean/std of the SAME user's prior values.
+
+    Batch twin of streaming/anomaly.py (identical flagged set on closed
+    input): prefix sums run in exact integer fixed-point (e4) accumulated
+    in DECIMAL — order-independent and overflow-free — then one fixed
+    double-op sequence produces the z-score, so stream, batch, and the
+    DuckDB oracle agree bit-for-bit. One shuffle (partition by user) +
+    an ordered window; rows with fewer than ``min_prior`` priors or zero
+    prior variance are unflaggable by definition.
+    Returns (event_id, user_id, n_prior, zscore) ordered by event_id.
+    """
+    from pyspark.sql import Window as W
+
+    from hive_io_experimental_spark.operators.relational import (
+        ensure_event_time,
+    )
+
+    ev = ensure_event_time(events, ts_col)
+    base = ev.select(
+        "event_id",
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        (F.col(value_col).cast("decimal(14,4)") * 10_000)
+        .cast("long")
+        .alias("_ve4"),
+    ).filter(F.col("_ve4").isNotNull())
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    n = F.count("_ve4").over(w)
+    s_d = F.sum(F.col("_ve4").cast("decimal(18,0)")).over(w).cast("double")
+    s2_d = (
+        F.sum(
+            F.col("_ve4").cast("decimal(19,0)")
+            * F.col("_ve4").cast("decimal(19,0)")
+        )
+        .over(w)
+        .cast("double")
+    )
+    mean = s_d / n
+    var = (s2_d - (s_d * s_d) / n) / (n - 1)
+    zscore = F.round(
+        (F.col("_ve4").cast("double") - mean) / F.sqrt(var), 6
+    )
+    return (
+        base.select(
+            "event_id",
+            "user_id",
+            n.alias("n_prior"),
+            F.when((n >= min_prior) & (var > 0), zscore).alias("_z"),
+        )
+        .filter(F.abs(F.col("_z")) > z)
+        .select("event_id", "user_id", "n_prior",
+                F.col("_z").alias("zscore"))
+        .orderBy("event_id")
+    )

@@ -289,3 +289,28 @@ def test_minhash_lsh_dedup_stream_bucket_owners(spark, sf_dir):
     assert all(
         r.doc_id in members[(r.band, r.band_key)] for r in owners
     )
+
+
+def test_running_zscore_stream_matches_batch(spark, sf_dir):
+    from hive_io_experimental_spark.operators import profile as profile_ops
+    from hive_io_experimental_spark.streaming.anomaly import (
+        running_zscore_anomalies,
+    )
+
+    events_path = f"{sf_dir}/events.parquet"
+    stream = read_events_stream(spark, events_path)
+    name = f"zs_{uuid.uuid4().hex[:8]}"
+    _run_stream_to_memory(running_zscore_anomalies(stream), name, "append")
+
+    got = {
+        (r.event_id, r.user_id): (r.n_prior, r.zscore)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    expected = {
+        (r.event_id, r.user_id): (r.n_prior, r.zscore)
+        for r in profile_ops.expanding_zscore(
+            spark.read.parquet(events_path)
+        ).collect()
+    }
+    assert len(expected) > 0
+    assert got == expected
