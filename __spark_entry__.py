@@ -349,6 +349,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["orders_by_month"] = lambda spark, sf: relational.orders_by_month(
         _t(spark, sf, "orders")
     )
+    q["orders_month_growth"] = lambda spark, sf: relational.orders_month_growth(
+        _t(spark, sf, "orders")
+    )
+    q["brand_size_pivot"] = lambda spark, sf: relational.brand_size_pivot(
+        _t(spark, sf, "part")
+    )
+    # skew path: two-stage salted aggregation, result identical to the
+    # unsalted oracle (salting is placement-only nondeterminism).
+    q["events_hourly_salted"] = lambda spark, sf: relational.events_hourly_salted(
+        _t(spark, sf, "events")
+    )
     # SQL entry point: the same ANSI string runs verbatim on Spark AND DuckDB
     q["sql_q6_revenue"] = lambda spark, sf: relational.run_sql(
         spark, sf, _SQL_Q6, tables=("lineitem",)
@@ -799,6 +810,37 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
                  AS sum_totalprice
         FROM orders GROUP BY 1 ORDER BY 1"""
+
+    o["orders_month_growth"] = """
+        WITH m AS (SELECT epoch_us(date_trunc('month', o_orderdate)) // 1000000
+                            AS month_epoch,
+                          COUNT(*) AS n_orders,
+                          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                               AS DOUBLE) AS sum_totalprice
+                   FROM orders GROUP BY 1)
+        SELECT month_epoch, n_orders, sum_totalprice,
+               ROUND((sum_totalprice
+                      - lag(sum_totalprice) OVER (ORDER BY month_epoch))
+                     / lag(sum_totalprice) OVER (ORDER BY month_epoch)
+                     * 100.0, 6) AS mom_growth_pct
+        FROM m ORDER BY month_epoch"""
+
+    o["brand_size_pivot"] = """
+        SELECT p_brand,
+               CAST(SUM(CASE WHEN p_size < 15 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS small,
+               CAST(SUM(CASE WHEN p_size >= 15 AND p_size < 30
+                             THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+               CAST(SUM(CASE WHEN p_size >= 30 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS large
+        FROM part GROUP BY 1 ORDER BY 1"""
+
+    # salted two-stage aggregate == the plain hourly aggregate
+    o["events_hourly_salted"] = """
+        SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
     o["sql_q6_revenue"] = _SQL_Q6
 

@@ -777,6 +777,95 @@ def order_count_distribution(customer: DataFrame, orders: DataFrame) -> DataFram
     )
 
 
+def orders_month_growth(orders: DataFrame) -> DataFrame:
+    """Month-over-month revenue growth: calendar-month totals plus the
+    percentage change from the previous month (lag window over the
+    aggregate).
+
+    The lag window is unpartitioned BY DESIGN and that is safe at any
+    scale: it runs over the already-aggregated month table, whose row
+    count is bounded by the calendar (a century is 1200 rows), not by the
+    data. The only data-sized operation is the one month-key shuffle.
+    """
+    monthly = orders_by_month(orders)
+    w = Window.orderBy("month_epoch")
+    prev = F.lag("sum_totalprice").over(w)
+    return monthly.select(
+        "month_epoch",
+        "n_orders",
+        "sum_totalprice",
+        F.round(
+            (F.col("sum_totalprice") - prev) / prev * 100.0, 6
+        ).alias("mom_growth_pct"),
+    ).orderBy("month_epoch")
+
+
+def brand_size_pivot(part: DataFrame) -> DataFrame:
+    """PIVOT surface: per brand, part counts cross-tabulated by size class.
+
+    Spark's pivot relies on the pivot values being enumerated (three
+    classes here), so the plan is a single groupBy with one conditional
+    aggregate per value — map-side combinable, one shuffle on brand.
+    Returns (p_brand, small, medium, large).
+    """
+    size_class = (
+        F.when(F.col("p_size") >= 30, F.lit("large"))
+        .when(F.col("p_size") >= 15, F.lit("medium"))
+        .otherwise(F.lit("small"))
+    )
+    pivoted = (
+        part.select("p_brand", size_class.alias("_sc"))
+        .groupBy("p_brand")
+        .pivot("_sc", ["small", "medium", "large"])
+        .count()
+    )
+    return pivoted.select(
+        "p_brand",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(c)
+            for c in ("small", "medium", "large")
+        ],
+    ).orderBy("p_brand")
+
+
+def events_hourly_salted(events: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Hourly aggregate computed through the explicit two-stage salting
+    path (functions/skew.py): stage 1 aggregates (hour, type, salt) so a
+    pathologically hot hour spreads over ``n_salts`` tasks; stage 2 folds
+    the per-salt partials.
+
+    The salt comes from rand() — placement-only nondeterminism: counts and
+    exact-decimal sums are associative, so the published result is
+    bit-identical to the unsalted aggregate (the oracle). This is the
+    template for skewed aggregates that partial aggregation can't save
+    (collect_list, exact distinct); for plain count/sum it costs one extra
+    tiny shuffle over the salted partials.
+    """
+    from hive_io_experimental_spark.functions.skew import with_salt
+
+    ev = ensure_event_time(events)
+    hour_epoch = (F.expr("unix_micros(ts) div 3600000000") * F.lit(3600)).alias(
+        "hour_epoch"
+    )
+    salted = with_salt(
+        ev.select(hour_epoch, "event_type",
+                  F.col("value").cast("decimal(12,4)").alias("_v")),
+        n_salts,
+    )
+    partial = salted.groupBy("hour_epoch", "event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_v").alias("_s"),
+    )
+    return (
+        partial.groupBy("hour_epoch", "event_type")
+        .agg(
+            F.sum("_n").alias("n_events"),
+            F.sum("_s").cast("double").alias("sum_value"),
+        )
+        .orderBy("hour_epoch", "event_type")
+    )
+
+
 def run_sql(spark, sf_dir: str, query: str,
             tables: tuple[str, ...] = ("region", "nation", "customer",
                                        "supplier", "part", "orders",

@@ -810,3 +810,33 @@ def test_curate_corpus_applies_all_gates(spark, sf_dir):
     }
     assert got == good & kept & sampled
     assert got  # non-degenerate at every SF
+
+
+def test_brand_size_pivot_counts(spark):
+    from hive_io_experimental_spark.operators import relational
+
+    part = spark.createDataFrame(
+        [(1, "B1", 5), (2, "B1", 20), (3, "B1", 35), (4, "B2", 40)],
+        "p_partkey long, p_brand string, p_size int",
+    )
+    rows = {r["p_brand"]: r for r in relational.brand_size_pivot(part).collect()}
+    assert (rows["B1"]["small"], rows["B1"]["medium"], rows["B1"]["large"]) == (1, 1, 1)
+    # missing pivot cells surface as 0, not NULL
+    assert (rows["B2"]["small"], rows["B2"]["medium"], rows["B2"]["large"]) == (0, 0, 1)
+
+
+def test_salted_hourly_agg_matches_plain(spark, sf_dir):
+    from hive_io_experimental_spark.operators import relational
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plain = {
+        (r["hour_epoch"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in relational.events_hourly(ev)
+        .select("hour_epoch", "event_type", "n_events", "sum_value")
+        .collect()
+    }
+    salted = {
+        (r["hour_epoch"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in relational.events_hourly_salted(ev, n_salts=8).collect()
+    }
+    assert plain == salted and len(plain) > 0
