@@ -382,6 +382,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["range_join_signup_purchase"] = lambda spark, sf: temporal.signup_purchase_window(
         _t(spark, sf, "events")
     )
+    q["event_dwell_stats"] = lambda spark, sf: temporal.event_dwell_stats(
+        _t(spark, sf, "events")
+    )
     q["sessionize_events"] = lambda spark, sf: relational.sessionize(
         _t(spark, sf, "events")
     )
@@ -550,6 +553,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         k=10,
     )
     q["label_centroid_stats"] = lambda spark, sf: similarity.label_centroid_stats(
+        _t(spark, sf, "embeddings")
+    )
+    q["knn_label_accuracy"] = lambda spark, sf: similarity.knn_label_accuracy(
         _t(spark, sf, "embeddings")
     )
     # cross-modal composition: restrict the search corpus to documents that
@@ -1560,6 +1566,52 @@ def oracle_sql() -> dict[str, str]:
                ROUND(MIN(value), 6) AS min_value,
                ROUND(MAX(value), 6) AS max_value
         FROM e"""
+
+    # leave-one-out kNN over the same LSH buckets as similarity_topk_bucketed
+    o["knn_label_accuracy"] = f"""
+        WITH v0 AS (SELECT vec_id, label,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+        vp AS (SELECT vec_id, label, v, {plane_lists} FROM v0),
+        b AS (SELECT vec_id, label, v,
+                     CAST({plane_terms} AS BIGINT) AS bucket FROM vp),
+        pairs AS (SELECT q.vec_id AS qid, q.label AS qlbl,
+                         c.vec_id AS nid, c.label AS nlbl,
+                         {qcos} AS cos
+                  FROM b c JOIN b q
+                    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+        ranked AS (SELECT qid, qlbl, nid, nlbl, cos,
+                          ROW_NUMBER() OVER (PARTITION BY qid
+                                             ORDER BY cos DESC, nid ASC)
+                            AS rn
+                   FROM pairs),
+        votes AS (SELECT qid, qlbl, nlbl, COUNT(*) AS c
+                  FROM ranked WHERE rn <= 5 GROUP BY 1, 2, 3),
+        pick AS (SELECT qid, qlbl, nlbl,
+                        ROW_NUMBER() OVER (PARTITION BY qid
+                                           ORDER BY c DESC, nlbl ASC) AS vr
+                 FROM votes)
+        SELECT qlbl AS label, COUNT(*) AS n_classified,
+               CAST(SUM(CASE WHEN nlbl = qlbl THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_correct,
+               ROUND(SUM(CASE WHEN nlbl = qlbl THEN 1 ELSE 0 END)
+                     / COUNT(*), 6) AS accuracy
+        FROM pick WHERE vr = 1
+        GROUP BY 1 ORDER BY 1"""
+
+    o["event_dwell_stats"] = """
+        WITH g AS (SELECT event_type,
+                          lead(epoch_us(ts)) OVER
+                            (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id)
+                          - epoch_us(ts) AS gap_us
+                   FROM events)
+        SELECT event_type, COUNT(*) AS n_gaps,
+               ROUND(CAST(SUM(CAST(gap_us AS DECIMAL(20,0))) AS DOUBLE)
+                     / COUNT(*) / 1000000.0, 6) AS avg_gap_s,
+               ROUND(MAX(gap_us) / 1000000.0, 6) AS max_gap_s
+        FROM g WHERE gap_us IS NOT NULL
+        GROUP BY 1 ORDER BY 1"""
 
     o["multimodal_frame_sample"] = """
         WITH d AS (SELECT doc_id,

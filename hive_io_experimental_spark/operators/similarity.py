@@ -592,3 +592,87 @@ def label_centroid_stats(
         )
         .orderBy("label")
     )
+
+
+def knn_label_accuracy(
+    df: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Leave-one-out kNN self-classification over LSH-bucketed candidates:
+    every vector is classified by majority label of its k nearest
+    bucket-mates, and accuracy is reported per label — the standard "are
+    these embeddings any good" evaluation, at the scale-safe candidate set.
+
+    NO all-pairs product: candidates come from the same equi-join on the
+    hyperplane bucket that backs cosine_topk_bucketed, so cost scales with
+    bucket occupancy, not n^2. Vectors alone in their bucket are
+    unclassifiable and excluded (reported coverage = n_classified).
+    Majority ties break toward the smaller label; neighbor ties toward the
+    smaller id. Returns (label, n_classified, n_correct, accuracy).
+    """
+    base = spread(df).select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_lbl"),
+        _as_double(vec_col).alias("_v"),
+    )
+    bk = hyperplane_lsh_buckets(
+        base.withColumnRenamed("_v", vec_col), num_planes, vec_col, "_id"
+    ).withColumnRenamed("id", "_id")
+    v = (
+        base.join(bk, "_id")
+        .withColumn("_nrm", l2_norm(F.col("_v")))
+        .select("_id", "_lbl", "_v", "_nrm", "bucket")
+    )
+    a = v.select(
+        F.col("_id").alias("qid"), F.col("_lbl").alias("qlbl"),
+        F.col("_v").alias("qv"), F.col("_nrm").alias("qnrm"),
+        F.col("bucket"),
+    )
+    b = v.select(
+        F.col("_id").alias("nid"), F.col("_lbl").alias("nlbl"),
+        F.col("_v").alias("cv"), F.col("_nrm").alias("cnrm"),
+        F.col("bucket").alias("_b2"),
+    )
+    pairs = a.join(
+        b, (F.col("bucket") == F.col("_b2")) & (F.col("qid") != F.col("nid"))
+    ).select(
+        "qid", "qlbl", "nid", "nlbl",
+        _pair_cosine("qv", "qnrm", "cv", "cnrm").alias("cos"),
+    )
+    w_rank = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("nid").asc()
+    )
+    topk = pairs.withColumn("_rn", F.row_number().over(w_rank)).filter(
+        F.col("_rn") <= k
+    )
+    votes = topk.groupBy("qid", "qlbl", "nlbl").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w_vote = Window.partitionBy("qid").orderBy(
+        F.col("_c").desc(), F.col("nlbl").asc()
+    )
+    pred = votes.withColumn("_vr", F.row_number().over(w_vote)).filter(
+        F.col("_vr") == 1
+    )
+    return (
+        pred.groupBy(F.col("qlbl").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_classified"),
+            F.sum(
+                F.when(F.col("nlbl") == F.col("qlbl"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_classified",
+            "n_correct",
+            F.round(F.col("n_correct") / F.col("n_classified"), 6).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("label")
+    )

@@ -176,3 +176,40 @@ def signup_purchase_window(
         .cast("double")
         .alias("sum_value"),
     )
+
+
+def event_dwell_stats(events: DataFrame) -> DataFrame:
+    """Per event type: how long until the same user's NEXT event (dwell).
+
+    lead() over (user, time) — one shuffle on user_id; gaps are exact
+    integer microseconds (DECIMAL-accumulated, overflow-free), and each
+    type's average publishes as seconds with one double division. A
+    user's final event has no successor and contributes nothing.
+    Returns (event_type, n_gaps, avg_gap_s, max_gap_s).
+    """
+    from pyspark.sql import Window as W
+
+    from hive_io_experimental_spark.operators.relational import (
+        ensure_event_time,
+    )
+
+    ev = ensure_event_time(events)
+    us = F.unix_micros(F.col("ts"))
+    w = W.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    gapped = ev.select(
+        "event_type", (F.lead(us).over(w) - us).alias("_gap_us")
+    ).filter(F.col("_gap_us").isNotNull())
+    return (
+        gapped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(
+                F.sum(F.col("_gap_us").cast("decimal(20,0)")).cast("double")
+                / F.count(F.lit(1))
+                / 1_000_000.0,
+                6,
+            ).alias("avg_gap_s"),
+            F.round(F.max("_gap_us") / 1_000_000.0, 6).alias("max_gap_s"),
+        )
+        .orderBy("event_type")
+    )

@@ -840,3 +840,38 @@ def test_salted_hourly_agg_matches_plain(spark, sf_dir):
         for r in relational.events_hourly_salted(ev, n_salts=8).collect()
     }
     assert plain == salted and len(plain) > 0
+
+
+def test_knn_label_accuracy_separable_clusters(spark):
+    from hive_io_experimental_spark.operators import similarity
+
+    # two tight orthogonal clusters of 6: every vector's bucket-mates are
+    # its own cluster, so LOO-kNN classifies everything correctly
+    rows = [(i, [1.0 + 0.01 * i, 0.0], 0) for i in range(6)] + [
+        (10 + i, [0.0, 1.0 + 0.01 * i], 1) for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["label"]: r for r in similarity.knn_label_accuracy(df, k=3).collect()}
+    assert out[0]["n_classified"] == 6 and out[0]["accuracy"] == 1.0
+    assert out[1]["n_classified"] == 6 and out[1]["accuracy"] == 1.0
+
+
+def test_event_dwell_gaps(spark):
+    from hive_io_experimental_spark.operators import temporal
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "click", 0),
+            (2, 1, "view", 10_000),     # gap after click: 10s
+            (3, 1, "click", 40_000),    # gap after view: 30s
+            (4, 2, "click", 0),         # user 2: single event, no gap
+        ],
+        "event_id long, user_id long, event_type string, ms long",
+    ).selectExpr("event_id", "user_id", "event_type",
+                 "timestamp_millis(ms) AS ts")
+    rows = {r["event_type"]: r for r in temporal.event_dwell_stats(df).collect()}
+    assert rows["click"]["n_gaps"] == 1 and rows["click"]["avg_gap_s"] == 10.0
+    assert rows["view"]["n_gaps"] == 1 and rows["view"]["max_gap_s"] == 30.0
+    assert "purchase" not in rows
