@@ -206,6 +206,70 @@ def _incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-gate round-trip for SCD1 MERGE (operators/merge.py): seed a
+    status-partitioned orders table with the even orderkeys, then upsert
+    updates that (a) double the price of existing rows with orderkey%4==2
+    and (b) insert brand-new odd rows with orderkey%4==1 — update and
+    insert arms in one merge. The read-back aggregate must equal the
+    CASE-reconstructed oracle over the source table."""
+    import tempfile
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators.merge import scd1_merge
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    doubled = (
+        (F.col("o_totalprice").cast("decimal(12,2)") * 2)
+        .cast("double")
+        .alias("o_totalprice")
+    )
+    updates = orders.filter(
+        (F.col("o_orderkey") % 4).isin(1, 2)
+    ).select("o_orderkey", "o_orderstatus", doubled)
+
+    wh = tempfile.mkdtemp(prefix="hio_gate_merge_")  # outlives the lazy scan
+    cat = Catalog(wh)
+    data_fields = tuple(
+        (f.name, f.dataType)
+        for f in orders.schema.fields
+        if f.name != "o_orderstatus"
+    )
+    cat.create_table(
+        "default.orders_merge",
+        HiveTableSchema(data_fields, partition_keys=("o_orderstatus",)),
+    )
+    out = HiveOutput(spark, cat)
+    statuses = [r[0] for r in base.select("o_orderstatus").distinct().collect()]
+    for status in statuses:
+        out.write_table(
+            WriteSpec("default.orders_merge", {"o_orderstatus": status}),
+            base.filter(F.col("o_orderstatus") == status).drop("o_orderstatus"),
+        )
+    scd1_merge(
+        spark, cat, "default.orders_merge", updates,
+        key_cols=("o_orderkey",), partition_col="o_orderstatus",
+    )
+    merged = HiveInput(spark, cat).read_table(
+        ScanSpec(table="default.orders_merge")
+    )
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_totalprice"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def _scan_csv_nulls(spark: SparkSession, sf: str) -> DataFrame:
     """Driver-gate round-trip for the delimited-text serde (reference S6/S7:
     BytesParser '\\N' and empty-field null conventions,
@@ -430,6 +494,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # continuous-aggregate maintenance: two-batch incremental rollup whose
     # state round-trips a catalog table, vs the one-shot oracle.
     q["incremental_rollup"] = _incremental_rollup
+    # SCD1 MERGE: update+insert upsert through the partitioned write path.
+    q["merge_upsert"] = _merge_upsert
+    q["active_user_trends"] = lambda spark, sf: relational.active_user_trends(
+        _t(spark, sf, "events")
+    )
     # W1/W3: full write pipeline (spec checks, schema conform, commit) then
     # read-back through the scan API (reference OutputTest.java:56-138).
     q["write_readback"] = _write_readback
@@ -1546,6 +1615,33 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_nearest_own
         FROM own GROUP BY 1 ORDER BY 1"""
+
+    # merge(base=evens, updates=%4∈{1,2} at doubled price) reconstructed
+    # directly from the source table
+    o["merge_upsert"] = """
+        WITH m AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 4 IN (1, 2)
+                      THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2
+                                AS DOUBLE)
+                      ELSE o_totalprice END AS price
+          FROM orders
+          WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 IN (1, 2))
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(price AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_totalprice
+        FROM m GROUP BY 1 ORDER BY 1"""
+
+    o["active_user_trends"] = """
+        WITH ud AS (SELECT DISTINCT user_id,
+                           epoch_us(ts) // 86400000000 AS day FROM events),
+        dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+        cover AS (SELECT DISTINCT user_id, day + d AS day
+                  FROM ud, UNNEST(range(0, 7)) AS t(d)),
+        wau AS (SELECT day, COUNT(*) AS wau FROM cover GROUP BY 1)
+        SELECT dau.day * 86400 AS day_epoch, dau.dau AS dau, wau.wau AS wau,
+               ROUND(dau.dau / wau.wau, 6) AS stickiness
+        FROM dau JOIN wau ON dau.day = wau.day ORDER BY 1"""
 
     # incremental two-batch rollup == the one-shot hourly aggregate
     o["incremental_rollup"] = """

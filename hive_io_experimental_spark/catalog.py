@@ -278,6 +278,22 @@ class Catalog:
     def partition_exists(self, desc: TableDesc | str, values: dict[str, str]) -> bool:
         return any(p.values == values for p in self.list_partitions(desc))
 
+    def drop_table(self, desc: TableDesc | str, delete_data: bool = False) -> None:
+        """Unregister a table (metastore drop_table parity); optionally
+        delete its data directory — used by staging-table workflows
+        (operators/merge.py)."""
+        import shutil
+
+        desc = TableDesc.parse(desc) if isinstance(desc, str) else desc
+        with self._exclusive():
+            doc = self._load()
+            entry = self._entry_or_raise(doc, desc)
+            location = entry["location"]
+            del doc["tables"][str(desc)]
+            self._save(doc)
+        if delete_data:
+            shutil.rmtree(location, ignore_errors=True)
+
     # -- stats ---------------------------------------------------------------
 
     def stats_of(

@@ -866,6 +866,45 @@ def events_hourly_salted(events: DataFrame, n_salts: int = 16) -> DataFrame:
     )
 
 
+def active_user_trends(events: DataFrame) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the engagement
+    trend every event pipeline publishes.
+
+    Exact sliding-window distinct WITHOUT a window-distinct (not
+    mergeable) and without day² self-joins: each DISTINCT (user, day)
+    activity pair explodes into its 7 covering days (bounded ×7), and
+    WAU(d) is then a plain distinct count — fully partial-aggregatable.
+    All day math is integer epoch division. Returns
+    (day_epoch, dau, wau, stickiness) for days with activity.
+    """
+    ev = ensure_event_time(events)
+    ud = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("_day")
+    ).distinct()
+    dau = ud.groupBy("_day").agg(F.count(F.lit(1)).alias("dau"))
+    cover = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("_day"), F.col("_day") + 6)
+            ).alias("_day"),
+        )
+        .distinct()
+        .groupBy("_day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return (
+        dau.join(cover, "_day")
+        .select(
+            (F.col("_day") * 86_400).alias("day_epoch"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("day_epoch")
+    )
+
+
 def run_sql(spark, sf_dir: str, query: str,
             tables: tuple[str, ...] = ("region", "nation", "customer",
                                        "supplier", "part", "orders",

@@ -304,3 +304,79 @@ def test_storage_format_roundtrip(spark, warehouse, fmt):
     assert rows == [(1, 1.5, "p1"), (2, None, "p1"), (3, 3.5, "p1")]
     # stats computed through the same format reader
     assert cat.stats_of("default.fmt_t").num_rows == 3
+
+
+def test_scd1_merge_updates_and_inserts(spark, warehouse):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+    from hive_io_experimental_spark.operators.merge import scd1_merge
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "default.kv",
+        HiveTableSchema(
+            (("k", T.LongType()), ("v", T.StringType())),
+            partition_keys=("p",),
+        ),
+    )
+    out = HiveOutput(spark, cat)
+    out.write_table(
+        WriteSpec("default.kv", {"p": "a"}),
+        spark.createDataFrame([(1, "old1"), (2, "old2")], "k long, v string"),
+    )
+    updates = spark.createDataFrame(
+        [(2, "new2", "a"), (3, "new3", "a"), (4, "new4", "b")],
+        "k long, v string, p string",
+    )
+    scd1_merge(spark, cat, "default.kv", updates,
+               key_cols=("k",), partition_col="p")
+
+    rows = {
+        (r["k"], r["p"]): r["v"]
+        for r in HiveInput(spark, cat)
+        .read_table(ScanSpec(table="default.kv"))
+        .collect()
+    }
+    # untouched key survives; matched key updated; new keys inserted,
+    # including into a brand-new partition
+    assert rows == {
+        (1, "a"): "old1", (2, "a"): "new2",
+        (3, "a"): "new3", (4, "b"): "new4",
+    }
+    # staging table cleaned up
+    assert not cat.table_exists("default.kv_merge_staging")
+
+
+def test_drop_table_removes_entry_and_data(spark, warehouse):
+    import os
+
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.errors import TableNotFoundError
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "default.tmp", HiveTableSchema((("x", T.LongType()),))
+    )
+    HiveOutput(spark, cat).write_table(
+        WriteSpec("default.tmp"),
+        spark.createDataFrame([(1,)], "x long"),
+    )
+    loc = cat.table_location("default.tmp")
+    assert os.path.exists(loc)
+    cat.drop_table("default.tmp", delete_data=True)
+    assert not cat.table_exists("default.tmp")
+    assert not os.path.exists(loc)
+    try:
+        cat.drop_table("default.tmp")
+        raise AssertionError("expected TableNotFoundError")
+    except TableNotFoundError:
+        pass
