@@ -60,3 +60,44 @@ def test_winnowing_shared_substring_guarantee(spark, shared, prefix_a, suffix_b)
     for r in fps:
         by_doc.setdefault(r.doc_id, set()).add(r.fp)
     assert by_doc.get(1, set()) & by_doc.get(2, set())
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    values=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),       # hour bucket
+            st.sampled_from(["click", "view"]),
+            st.floats(min_value=-100, max_value=100,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    split=st.integers(min_value=2, max_value=4),
+)
+def test_incremental_rollup_associativity(spark, values, split):
+    """Rollup state merged from ANY sharding of the input equals the
+    one-shot aggregate — the mergeability contract (exact integer
+    accumulators) on random values including awkward doubles."""
+    from hive_io_experimental_spark.operators import incremental
+
+    rows = [
+        (i, typ, float(v), hour * 3_600_000)
+        for i, (hour, typ, v) in enumerate(values)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, ms long"
+    ).selectExpr("event_id", "event_type", "value",
+                 "timestamp_millis(ms) AS ts")
+    one_shot = incremental.finalize_rollup(
+        incremental.hourly_rollup_state(df)
+    ).collect()
+    shards = [
+        incremental.hourly_rollup_state(df.filter(f"event_id % {split} = {i}"))
+        for i in range(split)
+    ]
+    merged = incremental.finalize_rollup(
+        incremental.merge_rollup_states(*shards)
+    ).collect()
+    assert one_shot == merged
