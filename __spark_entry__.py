@@ -83,7 +83,7 @@ def _scan_partition_pruned(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
 
     from hive_io_experimental_spark.catalog import Catalog
-    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.output import HiveOutput
     from hive_io_experimental_spark.schema import HiveTableSchema
 
     orders = _t(spark, sf, "orders")
@@ -98,15 +98,9 @@ def _scan_partition_pruned(spark: SparkSession, sf: str) -> DataFrame:
         "default.orders_by_status",
         HiveTableSchema(data_fields, partition_keys=("o_orderstatus",)),
     )
-    out = HiveOutput(spark, cat)
-    statuses = [
-        r[0] for r in orders.select("o_orderstatus").distinct().collect()
-    ]
-    for status in statuses:
-        out.write_table(
-            WriteSpec("default.orders_by_status", {"o_orderstatus": status}),
-            orders.filter(F.col("o_orderstatus") == status).drop("o_orderstatus"),
-        )
+    # ONE dynamic-partition job seeds every status partition (the
+    # reference's committer registers them all at job commit).
+    HiveOutput(spark, cat).write_dynamic("default.orders_by_status", orders)
     scanned = HiveInput(spark, cat).read_table(
         ScanSpec(
             table="default.orders_by_status",
@@ -217,7 +211,7 @@ def _merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
 
     from hive_io_experimental_spark.catalog import Catalog
     from hive_io_experimental_spark.operators.merge import scd1_merge
-    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.output import HiveOutput
     from hive_io_experimental_spark.schema import HiveTableSchema
 
     orders = _t(spark, sf, "orders").select(
@@ -244,13 +238,7 @@ def _merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
         "default.orders_merge",
         HiveTableSchema(data_fields, partition_keys=("o_orderstatus",)),
     )
-    out = HiveOutput(spark, cat)
-    statuses = [r[0] for r in base.select("o_orderstatus").distinct().collect()]
-    for status in statuses:
-        out.write_table(
-            WriteSpec("default.orders_merge", {"o_orderstatus": status}),
-            base.filter(F.col("o_orderstatus") == status).drop("o_orderstatus"),
-        )
+    HiveOutput(spark, cat).write_dynamic("default.orders_merge", base)
     scd1_merge(
         spark, cat, "default.orders_merge", updates,
         key_cols=("o_orderkey",), partition_col="o_orderstatus",

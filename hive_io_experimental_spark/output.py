@@ -95,6 +95,88 @@ class HiveOutput:
             self._check_table_is_empty(location)
             df.write.mode("append").options(**opts).format(fmt).save(location)
 
+    def write_dynamic(
+        self, table: str, df: DataFrame, drop_partitions: bool = False
+    ) -> list[dict[str, str]]:
+        """Dynamic-partition write: ONE Spark job writes every partition the
+        data contains, then job-commit registers them all — the reference's
+        committer loop (HiveApiOutputCommitter.registerPartitions,
+        output/HiveApiOutputCommitter.java:125-166), where the static-spec
+        ``write_table`` mirrors the single add_partition path.
+
+        ``df`` must carry the partition key columns. The partition-exists
+        policy still applies to every partition the data touches: with
+        ``drop_partitions=False`` any collision raises BEFORE anything is
+        written (all-or-nothing spec check, like checkOutputSpecs). At
+        scale this is the right seeding path — a thousand partitions cost
+        one job, not a thousand sequential ones. Returns the registered
+        partition specs.
+        """
+        desc = TableDesc.parse(table)
+        schema = self.catalog.get_schema(desc)
+        keys = list(schema.partition_keys)
+        if not keys:
+            raise PartitionSpecError(
+                f"{desc} is unpartitioned; use write_table"
+            )
+        missing = [k for k in keys if k not in df.columns]
+        if missing:
+            raise PartitionSpecError(
+                f"dynamic write needs partition columns {missing} in the data"
+            )
+        # distinct partition VALUES: driver-sized metadata, never rows
+        specs = [
+            {k: str(r[k]) for k in keys}
+            for r in df.select(*keys).distinct().collect()
+        ]
+        colliding = [
+            s for s in specs if self.catalog.partition_exists(desc, s)
+        ]
+        if colliding and not drop_partitions:
+            raise PartitionExistsError(
+                f"partitions already exist in {desc}: {colliding} "
+                f"(set drop_partitions=True to overwrite)"
+            )
+        expected = [n for n, _ in schema.data_fields]
+        if set(df.columns) != set(expected) | set(keys):
+            raise PartitionSpecError(
+                f"incoming columns {sorted(df.columns)} do not match table "
+                f"columns {sorted(expected)} + partition keys {sorted(keys)}"
+            )
+        data_cols = []
+        for name, target_dt in schema.data_fields:
+            src = df[name]
+            source_dt = df.schema[name].dataType
+            if source_dt != target_dt:
+                # widening-only, like the static write path
+                check_and_upgrade(
+                    from_spark_type(target_dt), from_spark_type(source_dt)
+                )
+                src = src.cast(target_dt)
+            data_cols.append(src.alias(name))
+        body = df.select(
+            *data_cols, *[df[k].cast("string").alias(k) for k in keys]
+        )
+
+        from hive_io_experimental_spark.sources.formats import writer_options
+
+        location = self.catalog.table_location(desc)
+        fmt = self.catalog.table_format(desc)
+        writer = (
+            body.write.mode("overwrite")
+            .options(**writer_options(fmt))
+            .partitionBy(*keys)
+            .option("partitionOverwriteMode", "dynamic")
+        )
+        writer.format(fmt).save(location)
+        for s in specs:
+            part_path = Catalog.partition_path(location, s)
+            stats = self._stats_for(part_path, fmt, schema)
+            if self.catalog.partition_exists(desc, s):
+                self.catalog.drop_partition(desc, s)
+            self.catalog.add_partition(desc, s, stats)
+        return specs
+
     # -- policy checks -------------------------------------------------------
 
     @staticmethod

@@ -380,3 +380,65 @@ def test_drop_table_removes_entry_and_data(spark, warehouse):
         raise AssertionError("expected TableNotFoundError")
     except TableNotFoundError:
         pass
+
+
+def test_write_dynamic_registers_all_partitions(spark, warehouse):
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.errors import (
+        PartitionExistsError,
+        PartitionSpecError,
+    )
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+    from hive_io_experimental_spark.output import HiveOutput
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "default.dyn",
+        HiveTableSchema(
+            (("k", T.LongType()),), partition_keys=("p",)
+        ),
+    )
+    out = HiveOutput(spark, cat)
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "k long, p string"
+    )
+    specs = out.write_dynamic("default.dyn", df)
+    assert sorted(s["p"] for s in specs) == ["a", "b"]
+    parts = cat.list_partitions("default.dyn")
+    assert sorted(p.values["p"] for p in parts) == ["a", "b"]
+    assert sum(p.stats.num_rows for p in parts) == 3
+
+    # collision policy: existing partitions raise before any write...
+    try:
+        out.write_dynamic(
+            "default.dyn",
+            spark.createDataFrame([(9, "a")], "k long, p string"),
+        )
+        raise AssertionError("expected PartitionExistsError")
+    except PartitionExistsError:
+        pass
+    # ...and drop_partitions=True replaces only the touched partition
+    out.write_dynamic(
+        "default.dyn",
+        spark.createDataFrame([(9, "a")], "k long, p string"),
+        drop_partitions=True,
+    )
+    rows = {
+        (r["k"], r["p"])
+        for r in HiveInput(spark, cat)
+        .read_table(ScanSpec(table="default.dyn"))
+        .collect()
+    }
+    assert rows == {(9, "a"), (3, "b")}
+
+    # missing partition column in the data is a spec error
+    try:
+        out.write_dynamic(
+            "default.dyn", spark.createDataFrame([(1,)], "k long")
+        )
+        raise AssertionError("expected PartitionSpecError")
+    except PartitionSpecError:
+        pass
