@@ -4,22 +4,25 @@ The reference's write surface is insert-only with a partition-overwrite
 escape hatch (drop_partition, output/OutputConf.java:58-59 /
 HiveApiOutputFormat.java:417-442); a real warehouse also needs MERGE:
 update matching keys, insert new ones. This operator composes it from the
-engine's own policy-checked primitives:
+engine's own policy-checked primitives, with cost independent of the
+partition count:
 
   1. affected partitions = DISTINCT partition values of the updates
      (driver-sized metadata — partition VALUES, never rows);
-  2. per partition: merged = current ⟕(anti on keys) updates ∪ updates —
-     key-only anti join, updates-preferred;
-  3. merged lands in a STAGING table first, then replaces the target
-     partition via drop_partition. The staging hop exists because a
-     partition cannot be overwritten from a plan that is lazily reading
-     the same files (the classic read-overwrite hazard); production
+  2. current rows of ONLY those partitions are read back with a pruning
+     partition filter, anti-joined against the update keys (one key-only
+     shuffle for ALL partitions at once), and unioned with the updates;
+  3. the merged frame lands in a STAGING table via one dynamic-partition
+     job, then replaces the affected target partitions via a second
+     dynamic job with drop_partitions=True. The staging hop exists
+     because a partition cannot be overwritten from a plan that lazily
+     reads the same files (the classic read-overwrite hazard); production
      engines do the same dance with a directory swap — a staging table
      through the public API keeps the semantics identical and every write
      policy-checked.
 
-Scale: work is proportional to AFFECTED partitions only (the usual merge
-contract); each partition rewrite is one anti join on the merge keys.
+Scale: two Spark jobs and one anti join total — not per partition; work
+is proportional to AFFECTED partitions only (the usual merge contract).
 """
 
 from __future__ import annotations
@@ -29,7 +32,11 @@ from pyspark.sql import functions as F
 
 from hive_io_experimental_spark.catalog import Catalog, TableDesc
 from hive_io_experimental_spark.input import HiveInput, ScanSpec
-from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+from hive_io_experimental_spark.output import HiveOutput
+
+
+def _quote(value: str) -> str:
+    return "'" + value.replace("'", "''") + "'"
 
 
 def scd1_merge(
@@ -50,42 +57,32 @@ def scd1_merge(
         str(r[0])
         for r in updates.select(partition_col).distinct().collect()
     ]
+    existing = [
+        pv
+        for pv in part_values
+        if catalog.partition_exists(desc, {partition_col: pv})
+    ]
+    if existing:
+        in_list = ", ".join(_quote(pv) for pv in existing)
+        current = inp.read_table(
+            ScanSpec(
+                table=table,
+                partition_filter=f"{partition_col} IN ({in_list})",
+            )
+        )
+        merged = current.join(
+            updates.select(*key_cols), list(key_cols), "left_anti"
+        ).unionByName(updates.select(*current.columns))
+    else:
+        merged = updates
+
     catalog.create_table(
         staging_name, catalog.get_schema(desc), if_not_exists=True,
         storage_format=catalog.table_format(desc),
     )
     try:
-        for pv in part_values:
-            upd = updates.filter(F.col(partition_col) == pv).drop(
-                partition_col
-            )
-            if catalog.partition_exists(desc, {partition_col: pv}):
-                cur = inp.read_table(
-                    ScanSpec(
-                        table=table,
-                        partition_filter=f"{partition_col} = '{pv}'",
-                    )
-                ).drop(partition_col)
-                merged = cur.join(
-                    upd.select(*key_cols), list(key_cols), "left_anti"
-                ).unionByName(upd)
-            else:
-                merged = upd
-            out.write_table(
-                WriteSpec(staging_name, {partition_col: pv}), merged
-            )
-        for pv in part_values:
-            staged = inp.read_table(
-                ScanSpec(
-                    table=staging_name,
-                    partition_filter=f"{partition_col} = '{pv}'",
-                )
-            ).drop(partition_col)
-            out.write_table(
-                WriteSpec(
-                    table, {partition_col: pv}, drop_partition=True
-                ),
-                staged,
-            )
+        out.write_dynamic(staging_name, merged)
+        staged = inp.read_table(ScanSpec(table=staging_name))
+        out.write_dynamic(table, staged, drop_partitions=True)
     finally:
         catalog.drop_table(staging_name, delete_data=True)
