@@ -200,6 +200,57 @@ def _incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _bucketed_join_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-gate round-trip for bucketed co-located joins
+    (sources/bucketing.py): write orders and customer bucketed by custkey
+    into external bucketed tables, sort-merge-join them WITHOUT either
+    side shuffling (the bucket layout replaces both exchanges — asserted
+    by tests/test_bucketing_skew.py; values verified here against the
+    plain-join oracle), and aggregate order volume per market segment."""
+    import tempfile
+    import uuid
+
+    from hive_io_experimental_spark.sources.bucketing import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    tag = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="hio_gate_bucket_")
+    write_bucketed(
+        _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        f"gate_b_orders_{tag}",
+        ("o_custkey",),
+        n_buckets=8,
+        path=f"{base}/orders",
+    )
+    write_bucketed(
+        _t(spark, sf, "customer").select("c_custkey", "c_mktsegment"),
+        f"gate_b_customer_{tag}",
+        ("c_custkey",),
+        n_buckets=8,
+        path=f"{base}/customer",
+    )
+    joined = (
+        read_bucketed(spark, f"gate_b_orders_{tag}")
+        .hint("merge")  # forbid broadcast: the bucket-aligned SMJ path
+        .join(
+            read_bucketed(spark, f"gate_b_customer_{tag}"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_totalprice"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def _merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     """Driver-gate round-trip for SCD1 MERGE (operators/merge.py): seed a
     status-partitioned orders table with the even orderkeys, then upsert
@@ -484,6 +535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["incremental_rollup"] = _incremental_rollup
     # SCD1 MERGE: update+insert upsert through the partitioned write path.
     q["merge_upsert"] = _merge_upsert
+    # bucketed co-located join: both exchanges eliminated by bucket layout.
+    q["bucketed_join_volume"] = _bucketed_join_volume
     q["active_user_trends"] = lambda spark, sf: relational.active_user_trends(
         _t(spark, sf, "events")
     )
@@ -1603,6 +1656,15 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_nearest_own
         FROM own GROUP BY 1 ORDER BY 1"""
+
+    # bucketed sort-merge join == plain join (bucketing changes the plan,
+    # never the result)
+    o["bucketed_join_volume"] = """
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY 1"""
 
     # merge(base=evens, updates=%4∈{1,2} at doubled price) reconstructed
     # directly from the source table

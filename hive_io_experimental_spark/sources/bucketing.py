@@ -24,15 +24,20 @@ def write_bucketed(
     n_buckets: int = 32,
     sort_cols: tuple[str, ...] = (),
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` as a bucketed (and optionally sorted) managed table.
 
     ``n_buckets`` should match downstream shuffle parallelism; both join
     sides must use the SAME n_buckets for the exchange-free plan.
+    ``path`` makes it an external table at that location (needed when the
+    session's default warehouse dir isn't writable/wanted).
     """
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
 
 
