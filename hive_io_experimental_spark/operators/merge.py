@@ -23,6 +23,21 @@ partition count:
 
 Scale: two Spark jobs and one anti join total — not per partition; work
 is proportional to AFFECTED partitions only (the usual merge contract).
+
+CONTRACT: the partition value must be a stable function of the merge key
+(a key never moves between partitions). That is what makes touching only
+the updates' partitions sound — an update whose key lived in a different,
+un-touched partition would otherwise leave the stale row behind. This is
+the standard partition-local merge contract (engines that allow moves
+make you put the partition column in the merge condition and pay a full
+scan); it is asserted here only by partition-scoped anti-join semantics.
+
+Restartability: a crash between staging and swap leaves the staging
+table behind; the next merge drops and recreates it before writing, so a
+failed merge is safely re-runnable. Concurrent merges into the SAME
+table are not supported (they would race on the shared staging name and
+on the target partitions) — the catalog serializes metadata mutations,
+not whole-merge transactions.
 """
 
 from __future__ import annotations
@@ -54,9 +69,16 @@ def scd1_merge(
     staging_name = f"{desc.database}.{desc.table}_merge_staging"
 
     part_values = [
-        str(r[0])
-        for r in updates.select(partition_col).distinct().collect()
+        r[0]
+        for r in updates.select(
+            F.col(partition_col).cast("string")
+        ).distinct().collect()
     ]
+    if any(pv is None for pv in part_values):
+        raise ValueError(
+            f"updates contain NULL {partition_col} values — null partitions "
+            f"are not supported"
+        )
     existing = [
         pv
         for pv in part_values
@@ -76,8 +98,12 @@ def scd1_merge(
     else:
         merged = updates
 
+    # drop any stale staging table from a crashed previous merge BEFORE
+    # writing — makes a failed merge safely re-runnable
+    if catalog.table_exists(staging_name):
+        catalog.drop_table(staging_name, delete_data=True)
     catalog.create_table(
-        staging_name, catalog.get_schema(desc), if_not_exists=True,
+        staging_name, catalog.get_schema(desc),
         storage_format=catalog.table_format(desc),
     )
     try:

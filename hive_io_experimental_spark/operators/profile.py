@@ -130,7 +130,9 @@ def group_percentiles(
     v = F.col(numeric_col)
     aggs = [F.count(v).alias("n")]
     for p in percentiles:
-        name = f"p{round(p * 100)}"
+        # collision-proof labels: 0.5 -> p50, 0.995 -> p99_5 (plain
+        # round(p*100) would alias 0.995 and 0.999 both to 'p100')
+        name = "p" + f"{p * 100:g}".replace(".", "_")
         aggs.append(
             F.round(F.expr(f"percentile({numeric_col}, {p})"), 6).alias(name)
         )

@@ -40,6 +40,32 @@ from hive_io_experimental_spark.schema import HiveTableSchema
 from hive_io_experimental_spark.types import from_spark_type, check_and_upgrade
 
 
+# Characters Spark/Hive percent-escape in partition directory names. The
+# catalog's partition_path does NOT escape, so values needing escaping
+# would register a path different from the directory Spark writes —
+# reject them at the policy layer instead (partition values are plain
+# strings in the reference data model; escaping is intentionally out of
+# scope and documented here).
+_UNSAFE_PARTITION_CHARS = set('/\\:=%#?*"<>|\x00\n\r\t')
+
+
+def _check_partition_values(spec_values: dict[str, str]) -> None:
+    for k, v in spec_values.items():
+        if v is None:
+            raise PartitionSpecError(
+                f"partition key {k} has NULL values — null partitions are "
+                f"not supported (Hive __HIVE_DEFAULT_PARTITION__ escaping "
+                f"is out of scope)"
+            )
+        bad = set(v) & _UNSAFE_PARTITION_CHARS
+        if bad:
+            raise PartitionSpecError(
+                f"partition value {v!r} for key {k} contains characters "
+                f"{sorted(bad)} that Spark would escape in the directory "
+                f"name; escaped partition paths are not supported"
+            )
+
+
 @dataclass(frozen=True)
 class WriteSpec:
     """HiveOutputDescription parity (output/HiveOutputDescription.java:40-46).
@@ -124,11 +150,17 @@ class HiveOutput:
             raise PartitionSpecError(
                 f"dynamic write needs partition columns {missing} in the data"
             )
-        # distinct partition VALUES: driver-sized metadata, never rows
+        # conform first: a malformed frame must fail before any Spark job
+        body = self._conform(df, schema, WriteSpec(table), extra_cols=keys)
+        # distinct partition VALUES: driver-sized metadata, never rows.
+        # Values come from the already-string-cast body columns, so the
+        # registered spec and Spark's directory name agree by construction.
         specs = [
-            {k: str(r[k]) for k in keys}
-            for r in df.select(*keys).distinct().collect()
+            {k: r[k] for k in keys}
+            for r in body.select(*keys).distinct().collect()
         ]
+        for s in specs:
+            _check_partition_values(s)
         colliding = [
             s for s in specs if self.catalog.partition_exists(desc, s)
         ]
@@ -137,26 +169,7 @@ class HiveOutput:
                 f"partitions already exist in {desc}: {colliding} "
                 f"(set drop_partitions=True to overwrite)"
             )
-        expected = [n for n, _ in schema.data_fields]
-        if set(df.columns) != set(expected) | set(keys):
-            raise PartitionSpecError(
-                f"incoming columns {sorted(df.columns)} do not match table "
-                f"columns {sorted(expected)} + partition keys {sorted(keys)}"
-            )
-        data_cols = []
-        for name, target_dt in schema.data_fields:
-            src = df[name]
-            source_dt = df.schema[name].dataType
-            if source_dt != target_dt:
-                # widening-only, like the static write path
-                check_and_upgrade(
-                    from_spark_type(target_dt), from_spark_type(source_dt)
-                )
-                src = src.cast(target_dt)
-            data_cols.append(src.alias(name))
-        body = df.select(
-            *data_cols, *[df[k].cast("string").alias(k) for k in keys]
-        )
+        colliding_set = {tuple(sorted(s.items())) for s in colliding}
 
         from hive_io_experimental_spark.sources.formats import writer_options
 
@@ -172,7 +185,8 @@ class HiveOutput:
         for s in specs:
             part_path = Catalog.partition_path(location, s)
             stats = self._stats_for(part_path, fmt, schema)
-            if self.catalog.partition_exists(desc, s):
+            # collisions were computed before the write — no re-query
+            if tuple(sorted(s.items())) in colliding_set:
                 self.catalog.drop_partition(desc, s)
             self.catalog.add_partition(desc, s, stats)
         return specs
@@ -211,26 +225,38 @@ class HiveOutput:
                 )
 
     def _conform(
-        self, df: DataFrame, schema: HiveTableSchema, spec: WriteSpec
+        self,
+        df: DataFrame,
+        schema: HiveTableSchema,
+        spec: WriteSpec,
+        extra_cols: tuple[str, ...] | list[str] = (),
     ) -> DataFrame:
-        """Align incoming columns to the table schema with widening-only casts."""
+        """Align incoming columns to the table schema with widening-only
+        casts. ``extra_cols`` (the dynamic write's partition keys) ride
+        along untouched except for a cast to string — partition values are
+        always strings (reference data model)."""
         expected = [n for n, _ in schema.data_fields]
-        if list(df.columns) != expected:
-            if set(df.columns) != set(expected):
-                raise PartitionSpecError(
-                    f"incoming columns {df.columns} do not match table data "
-                    f"columns {expected}"
-                )
-            df = df.select(*expected)
+        extras = list(extra_cols)
+        if set(df.columns) - set(extras) != set(expected):
+            raise PartitionSpecError(
+                f"incoming columns {sorted(set(df.columns) - set(extras))} "
+                f"do not match table data columns {sorted(expected)}"
+            )
+        cols = []
         for name, target_dt in schema.data_fields:
+            src = df[name]
             source_dt = df.schema[name].dataType
-            if source_dt == target_dt:
-                continue
-            # Widening-only: narrower numeric -> wider is cast; anything else
-            # raises, where Spark's own cast would silently narrow.
-            check_and_upgrade(from_spark_type(target_dt), from_spark_type(source_dt))
-            df = df.withColumn(name, df[name].cast(target_dt))
-        return df
+            if source_dt != target_dt:
+                # Widening-only: narrower numeric -> wider is cast; anything
+                # else raises, where Spark's own cast would silently narrow.
+                check_and_upgrade(
+                    from_spark_type(target_dt), from_spark_type(source_dt)
+                )
+                src = src.cast(target_dt)
+            cols.append(src.alias(name))
+        return df.select(
+            *cols, *[df[k].cast("string").alias(k) for k in extras]
+        )
 
     def _stats_for(
         self, path: str, fmt: str = "parquet", schema: HiveTableSchema | None = None

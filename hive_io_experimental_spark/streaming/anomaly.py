@@ -61,10 +61,13 @@ def make_running_zscore(z: float = 3.0, min_prior: int = 5):
                 pdf["event_id"], pdf["_us"], pdf["value"]
             ):
                 # exact e4 fixed point, bit-identical to the batch twin's
-                # decimal(14,4) cast: quantize the double's EXACT binary
-                # expansion with HALF_UP (Spark's double->decimal rule)
+                # decimal(14,4) cast. Spark casts double->decimal through
+                # the SHORTEST decimal repr (BigDecimal(Double.toString)),
+                # NOT the exact binary expansion — Decimal(repr(x))
+                # reproduces that; Decimal(x) directly would diverge on
+                # .00005-boundary values (e.g. 63.95545).
                 v_e4 = int(
-                    Decimal(float(val)).quantize(
+                    Decimal(repr(float(val))).quantize(
                         Decimal("0.0001"), rounding=ROUND_HALF_UP
                     )
                     * _E4

@@ -442,3 +442,28 @@ def test_write_dynamic_registers_all_partitions(spark, warehouse):
         raise AssertionError("expected PartitionSpecError")
     except PartitionSpecError:
         pass
+
+
+def test_write_dynamic_rejects_unsafe_partition_values(spark, warehouse):
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.errors import PartitionSpecError
+    from hive_io_experimental_spark.output import HiveOutput
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "default.unsafe",
+        HiveTableSchema((("k", T.LongType()),), partition_keys=("p",)),
+    )
+    out = HiveOutput(spark, cat)
+    for bad in [None, "a/b", "x=y", "50%"]:
+        try:
+            out.write_dynamic(
+                "default.unsafe",
+                spark.createDataFrame([(1, bad)], "k long, p string"),
+            )
+            raise AssertionError(f"expected PartitionSpecError for {bad!r}")
+        except PartitionSpecError:
+            pass

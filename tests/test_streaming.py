@@ -314,3 +314,28 @@ def test_running_zscore_stream_matches_batch(spark, sf_dir):
     }
     assert len(expected) > 0
     assert got == expected
+
+
+def test_e4_quantization_matches_spark_decimal_cast(spark):
+    """The streaming scorer's Python fixed-point quantization must equal
+    Spark's double->decimal(14,4) cast on .00005-boundary values (Spark
+    rounds the SHORTEST decimal repr, not the binary expansion)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    vals = [63.95545, 0.00005, 1.00005, 99.99995, 2.5e-05, -63.95545]
+    spark_e4 = [
+        r[0]
+        for r in spark.createDataFrame([(v,) for v in vals], "v double")
+        .selectExpr("CAST(CAST(v AS DECIMAL(14,4)) * 10000 AS BIGINT)")
+        .collect()
+    ]
+    python_e4 = [
+        int(
+            Decimal(repr(v)).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP
+            )
+            * 10000
+        )
+        for v in vals
+    ]
+    assert spark_e4 == python_e4
