@@ -488,6 +488,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["event_dwell_stats"] = lambda spark, sf: temporal.event_dwell_stats(
         _t(spark, sf, "events")
     )
+    q["gapfill_hourly"] = lambda spark, sf: temporal.gapfill_hourly(
+        _t(spark, sf, "events")
+    )
     q["sessionize_events"] = lambda spark, sf: relational.sessionize(
         _t(spark, sf, "events")
     )
@@ -1744,6 +1747,28 @@ def oracle_sql() -> dict[str, str]:
                      / COUNT(*), 6) AS accuracy
         FROM pick WHERE vr = 1
         GROUP BY 1 ORDER BY 1"""
+
+    o["gapfill_hourly"] = """
+        WITH agg AS (
+          SELECT (epoch_us(ts) // 3600000000) * 3600 AS h, event_type AS t,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS s
+          FROM events GROUP BY 1, 2),
+        bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM agg),
+        types AS (SELECT DISTINCT t AS event_type FROM agg),
+        grid AS (SELECT unnest(range(lo, hi + 1, 3600)) AS hour_epoch,
+                        event_type
+                 FROM bounds CROSS JOIN types)
+        SELECT grid.hour_epoch AS hour_epoch, grid.event_type AS event_type,
+               COALESCE(agg.n, 0) AS n_events,
+               agg.s AS sum_value,
+               last_value(agg.s IGNORE NULLS) OVER
+                 (PARTITION BY grid.event_type ORDER BY grid.hour_epoch
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS sum_value_locf
+        FROM grid LEFT JOIN agg
+          ON grid.hour_epoch = agg.h AND grid.event_type = agg.t
+        ORDER BY 1, 2"""
 
     o["event_dwell_stats"] = """
         WITH g AS (SELECT event_type,

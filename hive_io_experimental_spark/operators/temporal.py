@@ -213,3 +213,67 @@ def event_dwell_stats(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def gapfill_hourly(events: DataFrame) -> DataFrame:
+    """Hourly gap-filled series per event type: every hour between the
+    stream's first and last hour appears for every type, with zero-filled
+    counts, NULL sums for silent hours, and a LOCF (last-observation-
+    carried-forward) column — the time_bucket_gapfill shape timeseries
+    stores provide.
+
+    Scale shape: the data-sized work is ONE hourly aggregate (the same
+    single shuffle as events_hourly); the grid is generated from a 1-row
+    min/max bound and the distinct type list — calendar x types sized, so
+    a century of hours x dozens of types is under a million rows no
+    matter how many events fed it. The LOCF window runs over that grid,
+    not the data. Returns (hour_epoch, event_type, n_events, sum_value,
+    sum_value_locf).
+    """
+    from pyspark.sql import Window as W
+
+    from hive_io_experimental_spark.operators.relational import (
+        ensure_event_time,
+    )
+
+    ev = ensure_event_time(events)
+    hour = F.expr("unix_micros(ts) div 3600000000") * F.lit(3600)
+    agg = ev.groupBy(hour.alias("_h"), F.col("event_type").alias("_t")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("value").cast("decimal(12,4)"))
+        .cast("double")
+        .alias("_s"),
+    )
+    bounds = agg.agg(
+        F.min("_h").alias("_lo"), F.max("_h").alias("_hi")
+    )
+    types = agg.select(F.col("_t").alias("event_type")).distinct()
+    grid = (
+        bounds.crossJoin(types)
+        .select(
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.lit(3600))
+            ).alias("hour_epoch"),
+            "event_type",
+        )
+    )
+    joined = grid.join(
+        agg,
+        (grid["hour_epoch"] == agg["_h"]) & (grid["event_type"] == agg["_t"]),
+        "left",
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour_epoch")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        joined.select(
+            "hour_epoch",
+            "event_type",
+            F.coalesce(F.col("_n"), F.lit(0)).alias("n_events"),
+            F.col("_s").alias("sum_value"),
+            F.last("_s", ignorenulls=True).over(w).alias("sum_value_locf"),
+        )
+        .orderBy("hour_epoch", "event_type")
+    )

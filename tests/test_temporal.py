@@ -76,3 +76,31 @@ def test_asof_single_shuffle(spark, sf_dir):
     # union + window = ONE hash shuffle on user_id (plus the clicks distinct);
     # no theta-join anywhere in the plan.
     assert rep["num_exchanges"] <= 2
+
+
+def test_gapfill_hourly_fills_and_carries_forward(spark):
+    from hive_io_experimental_spark.operators import temporal
+
+    # type 'a' active at hours 0 and 2 (hour 1 silent); type 'b' at hour 1
+    df = spark.createDataFrame(
+        [
+            (1, 1, "a", 0, 10.0),
+            (2, 1, "a", 2 * 3_600_000, 30.0),
+            (3, 2, "b", 1 * 3_600_000, 5.0),
+        ],
+        "event_id long, user_id long, event_type string, ms long, value double",
+    ).selectExpr("event_id", "user_id", "event_type", "value",
+                 "timestamp_millis(ms) AS ts")
+    rows = {
+        (r["hour_epoch"], r["event_type"]): r
+        for r in temporal.gapfill_hourly(df).collect()
+    }
+    # full grid: 3 hours x 2 types
+    assert len(rows) == 6
+    # silent hour for 'a': zero count, NULL sum, LOCF carries hour 0's sum
+    gap = rows[(3600, "a")]
+    assert gap["n_events"] == 0 and gap["sum_value"] is None
+    assert gap["sum_value_locf"] == 10.0
+    # 'b' before its first observation: LOCF is NULL (nothing to carry)
+    assert rows[(0, "b")]["sum_value_locf"] is None
+    assert rows[(7200, "b")]["sum_value_locf"] == 5.0
