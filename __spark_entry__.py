@@ -449,6 +449,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["large_volume_orders"] = lambda spark, sf: relational.large_volume_orders(
         _t(spark, sf, "customer"), _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
     )
+    # TPC-H query-shape completions (Q2/Q7/Q8/Q9/Q10/Q11/Q12/Q15/Q16/Q21
+    # adapted to the reduced schema — see operators/relational.py docstrings)
+    q["min_cost_supplier"] = lambda spark, sf: relational.min_cost_supplier(
+        _t(spark, sf, "part"), _t(spark, sf, "supplier"),
+        _t(spark, sf, "nation"), _t(spark, sf, "lineitem"),
+    )
+    q["nation_trade_volume"] = lambda spark, sf: relational.nation_trade_volume(
+        _t(spark, sf, "supplier"), _t(spark, sf, "nation"),
+        _t(spark, sf, "customer"), _t(spark, sf, "orders"),
+        _t(spark, sf, "lineitem"),
+    )
+    q["market_share"] = lambda spark, sf: relational.market_share(
+        _t(spark, sf, "region"), _t(spark, sf, "nation"),
+        _t(spark, sf, "customer"), _t(spark, sf, "supplier"),
+        _t(spark, sf, "part"), _t(spark, sf, "orders"),
+        _t(spark, sf, "lineitem"),
+    )
+    q["product_profit"] = lambda spark, sf: relational.product_profit(
+        _t(spark, sf, "nation"), _t(spark, sf, "supplier"),
+        _t(spark, sf, "part"), _t(spark, sf, "orders"),
+        _t(spark, sf, "lineitem"),
+    )
+    q["returned_item_revenue"] = lambda spark, sf: relational.returned_item_revenue(
+        _t(spark, sf, "nation"), _t(spark, sf, "customer"),
+        _t(spark, sf, "orders"), _t(spark, sf, "lineitem"),
+    )
+    q["important_parts"] = lambda spark, sf: relational.important_parts(
+        _t(spark, sf, "lineitem")
+    )
+    q["ship_latency_priority"] = lambda spark, sf: relational.ship_latency_priority(
+        _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    )
+    q["top_supplier"] = lambda spark, sf: relational.top_supplier(
+        _t(spark, sf, "supplier"), _t(spark, sf, "lineitem")
+    )
+    q["supplier_part_counts"] = lambda spark, sf: relational.supplier_part_counts(
+        _t(spark, sf, "part"), _t(spark, sf, "lineitem")
+    )
+    q["waiting_orders"] = lambda spark, sf: relational.waiting_orders(
+        _t(spark, sf, "supplier"), _t(spark, sf, "orders"),
+        _t(spark, sf, "lineitem"),
+    )
     q["orders_by_month"] = lambda spark, sf: relational.orders_by_month(
         _t(spark, sf, "orders")
     )
@@ -922,6 +964,137 @@ def oracle_sql() -> dict[str, str]:
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         ORDER BY sum_qty DESC, o_orderkey ASC"""
+
+    o["min_cost_supplier"] = """
+        WITH offers AS (
+          SELECT l_partkey, l_suppkey,
+                 MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS offer
+          FROM lineitem GROUP BY 1, 2),
+        best AS (
+          SELECT *, MIN(offer) OVER (PARTITION BY l_partkey) AS floor_offer
+          FROM offers)
+        SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+               CAST(s_acctbal AS DOUBLE) AS s_acctbal,
+               CAST(offer AS DOUBLE) AS offer
+        FROM best
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE offer = floor_offer
+        ORDER BY s_acctbal DESC, n_name ASC, s_name ASC,
+                 p_partkey ASC, s_suppkey ASC
+        LIMIT 100"""
+
+    o["nation_trade_volume"] = f"""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               CAST(SUM({disc}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE sn.n_name <> cn.n_name
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+    o["market_share"] = f"""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               ROUND(CAST(SUM(CASE WHEN sn.n_name = 'BRAZIL' THEN {disc}
+                                   ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                     / CAST(SUM({disc}) AS DOUBLE), 6) AS mkt_share,
+               CAST(SUM(CASE WHEN sn.n_name = 'BRAZIL' THEN {disc}
+                             ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                 AS nation_revenue,
+               CAST(SUM({disc}) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        GROUP BY 1 ORDER BY 1"""
+
+    o["product_profit"] = f"""
+        SELECT sn.n_name AS nation,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(SUM({disc}
+                        - CAST(p_retailprice AS DECIMAL(12,2))
+                          * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE p_name LIKE '%gear%'
+        GROUP BY 1, 2 ORDER BY nation ASC, o_year DESC"""
+
+    o["returned_item_revenue"] = f"""
+        SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+               n_name, CAST(SUM({disc}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, c_custkey ASC LIMIT 20"""
+
+    o["important_parts"] = f"""
+        SELECT l_partkey, CAST(SUM({amt_p}) AS DOUBLE) AS part_value
+        FROM lineitem GROUP BY l_partkey
+        HAVING CAST(SUM({amt_p}) AS DOUBLE)
+               > (SELECT CAST(SUM({amt_p}) AS DOUBLE) * 0.0006 FROM lineitem)
+        ORDER BY part_value DESC, l_partkey ASC"""
+
+    o["ship_latency_priority"] = """
+        SELECT CASE WHEN l_shipdate < o_orderdate + INTERVAL 30 DAY THEN 'fast'
+                    WHEN l_shipdate < o_orderdate + INTERVAL 60 DAY THEN 'medium'
+                    ELSE 'slow' END AS latency_class,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY 1"""
+
+    o["top_supplier"] = f"""
+        WITH rev AS (SELECT l_suppkey,
+                            CAST(SUM({disc}) AS DOUBLE) AS total_revenue
+                     FROM lineitem GROUP BY 1)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        ORDER BY s_suppkey"""
+
+    o["supplier_part_counts"] = """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand NOT IN ('Brand#1', 'Brand#2', 'Brand#3')
+          AND p_type NOT LIKE 'PROMO%'
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC"""
+
+    o["waiting_orders"] = """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM lineitem l1
+        JOIN orders ON l1.l_orderkey = o_orderkey
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC LIMIT 20"""
 
     o["orders_by_month"] = """
         SELECT epoch_us(date_trunc('month', o_orderdate)) // 1000000 AS month_epoch,

@@ -905,6 +905,363 @@ def active_user_trends(events: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H query-shape completions (adapted to the reduced testdata schema:
+# no partsupp table, no commit/receipt dates, no shipmode — each shape keeps
+# the canonical plan structure on the columns that exist).
+# ---------------------------------------------------------------------------
+
+
+def min_cost_supplier(
+    part: DataFrame, supplier: DataFrame, nation: DataFrame,
+    lineitem: DataFrame, k: int = 100,
+) -> DataFrame:
+    """TPC-H Q2 shape: for every part, the supplier(s) offering it at the
+    minimum observed price (correlated-MIN subquery), with supplier detail.
+
+    Without partsupp, the "offer" is MIN(l_extendedprice) per
+    (part, supplier) from lineitem. Plan: ONE shuffle builds the offer table
+    (map-side partial MIN), a window-MIN over l_partkey finds the per-part
+    floor without a second self-join shuffle (offers are already hash-
+    distributed by l_partkey — reused by the window), and all ties survive
+    exactly as TPC-H Q2 keeps them. part/supplier/nation broadcast.
+    """
+    offers = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_amt(F.col("l_extendedprice"))).alias("_offer")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = offers.withColumn("_floor", F.min("_offer").over(w)).filter(
+        F.col("_offer") == F.col("_floor")
+    )
+    return (
+        best.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "n_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            F.col("_offer").cast("double").alias("offer"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), F.col("n_name").asc(),
+            F.col("s_name").asc(), F.col("p_partkey").asc(),
+            F.col("s_suppkey").asc(),
+        )
+        .limit(k)
+    )
+
+
+def nation_trade_volume(
+    supplier: DataFrame, nation: DataFrame, customer: DataFrame,
+    orders: DataFrame, lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q7 shape: shipped revenue between every (supplier nation,
+    customer nation) pair per ship year, cross-border only.
+
+    The only large shuffle is lineitem⋈orders on orderkey; supplier and
+    customer ride in as broadcasts each pre-joined to its nation name (two
+    independent aliases of the nation dim). year() on a TIMESTAMP_NTZ column
+    is timezone-free in both engines.
+    """
+    supp_n = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_n = customer.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    revenue = _amt(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(4,2)") - _rate(F.col("l_discount"))
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def market_share(
+    region: DataFrame, nation: DataFrame, customer: DataFrame,
+    supplier: DataFrame, part: DataFrame, orders: DataFrame,
+    lineitem: DataFrame, target_nation: str = "BRAZIL",
+    target_region: str = "AMERICA", part_type: str = "ECONOMY",
+) -> DataFrame:
+    """TPC-H Q8 shape: ``target_nation``'s share of ``part_type`` revenue
+    sold to customers in ``target_region``, per order year.
+
+    Conditional aggregation over one lineitem⋈orders shuffle; the region
+    restriction prunes via the broadcast customer-side dim, the part-type
+    restriction via the broadcast part dim (both filters applied before the
+    broadcast, so the hashed relation only carries qualifying keys).
+    """
+    cust_r = (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == target_region)
+        .select("c_custkey")
+    )
+    supp_n = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    parts = part.filter(F.col("p_type") == part_type).select("p_partkey")
+    revenue = _amt(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(4,2)") - _rate(F.col("l_discount"))
+    )
+    target = F.when(
+        F.col("supp_nation") == target_nation, revenue
+    ).otherwise(F.lit(0).cast("decimal(12,2)"))
+    return (
+        lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_r), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(target).cast("double") / F.sum(revenue).cast("double"), 6
+            ).alias("mkt_share"),
+            F.sum(target).cast("double").alias("nation_revenue"),
+            F.sum(revenue).cast("double").alias("total_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def product_profit(
+    nation: DataFrame, supplier: DataFrame, part: DataFrame,
+    orders: DataFrame, lineitem: DataFrame, name_fragment: str = "gear",
+) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per order year over parts
+    whose name contains ``name_fragment``.
+
+    Without partsupp, cost is modeled as p_retailprice × quantity (exact
+    decimal product — both engines compute the identical value, so the
+    declared intermediate precisions don't matter). The substring filter on
+    p_name cuts the broadcast part dim before the join.
+    """
+    profit = _amt(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(4,2)") - _rate(F.col("l_discount"))
+    ) - _amt(F.col("p_retailprice")) * _amt(F.col("l_quantity"))
+    supp_n = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    parts = part.filter(F.col("p_name").contains(name_fragment)).select(
+        "p_partkey", "p_retailprice"
+    )
+    return (
+        lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+def returned_item_revenue(
+    nation: DataFrame, customer: DataFrame, orders: DataFrame,
+    lineitem: DataFrame, k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: top-k customers by revenue lost to returned items
+    (l_returnflag = 'R'), with nation detail.
+
+    The returnflag filter pushes to the lineitem scan; one shuffle joins
+    the survivors to orders; customer/nation broadcast. Deterministic ties
+    via c_custkey.
+    """
+    revenue = _amt(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(4,2)") - _rate(F.col("l_discount"))
+    )
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "c_custkey", "c_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"), "n_name",
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(k)
+    )
+
+
+def important_parts(lineitem: DataFrame, fraction: float = 0.0006) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value exceeds ``fraction`` of the
+    total traded value (HAVING against a scalar subquery).
+
+    The global total is a one-row aggregate broadcast into the per-part
+    HAVING filter — at 100 TB both aggregates are single-shuffle with
+    map-side partials, and the scalar side is one row regardless of scale.
+    Both engines derive threshold and per-part value from the SAME exact
+    decimal sums (cast to double only at the comparison), so the predicate
+    is engine-stable.
+    """
+    value = _amt(F.col("l_extendedprice"))
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.sum(value).cast("double").alias("part_value")
+    )
+    total = lineitem.agg(
+        (F.sum(value).cast("double") * F.lit(fraction)).alias("_threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("_threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
+    )
+
+
+def ship_latency_priority(
+    orders: DataFrame, lineitem: DataFrame,
+    fast_days: int = 30, slow_days: int = 60,
+) -> DataFrame:
+    """TPC-H Q12 shape: high- vs low-priority order line counts per
+    ship-latency class (no shipmode column — latency buckets stand in).
+
+    INTERVAL arithmetic on TIMESTAMP_NTZ keeps the bucket boundaries
+    timezone-free (same convention as late_ship_priority). One shuffle
+    (orders⋈lineitem on orderkey), then conditional counts.
+    """
+    bucket = (
+        F.when(
+            F.expr(f"l_shipdate < o_orderdate + INTERVAL {fast_days} DAYS"),
+            F.lit("fast"),
+        )
+        .when(
+            F.expr(f"l_shipdate < o_orderdate + INTERVAL {slow_days} DAYS"),
+            F.lit("medium"),
+        )
+        .otherwise(F.lit("slow"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(bucket.alias("latency_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("latency_class")
+    )
+
+
+def top_supplier(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum shipped revenue
+    (scalar-MAX subquery over a revenue view).
+
+    Per-supplier revenue is one shuffle; the MAX is a one-row broadcast.
+    Both sides of the equality are the same exact-decimal-then-double
+    pipeline, so the float comparison is engine-stable. All tied suppliers
+    are kept (TPC-H semantics).
+    """
+    revenue = _amt(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(4,2)") - _rate(F.col("l_discount"))
+    )
+    per_supp = lineitem.groupBy("l_suppkey").agg(
+        F.sum(revenue).cast("double").alias("total_revenue")
+    )
+    best = per_supp.agg(F.max("total_revenue").alias("_best"))
+    return (
+        per_supp.join(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("_best"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def supplier_part_counts(
+    part: DataFrame, lineitem: DataFrame,
+    excluded_brands: tuple[str, ...] = ("Brand#1", "Brand#2", "Brand#3"),
+    excluded_type_prefix: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per (brand, type, size)
+    excluding some brands and a type prefix (NOT IN + NOT LIKE).
+
+    Without partsupp, the part→supplier relation is observed from lineitem.
+    The exclusion filters cut the broadcast part dim before the join;
+    COUNT(DISTINCT) shuffles once on the (brand, type, size) grouping key
+    with a distinct-aggregate expansion.
+    """
+    parts = part.filter(
+        ~F.col("p_brand").isin(*excluded_brands)
+        & ~F.col("p_type").startswith(excluded_type_prefix)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), F.col("p_brand").asc(),
+            F.col("p_type").asc(), F.col("p_size").asc(),
+        )
+    )
+
+
+def waiting_orders(
+    supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+    late_days: int = 60, k: int = 20,
+) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late supplier on a
+    multi-supplier order (EXISTS + NOT EXISTS correlated pair).
+
+    "Late" is l_shipdate > o_orderdate + ``late_days`` (no receipt/commit
+    dates in the reduced schema). Plan: lineitem⋈orders once to derive
+    lateness; the EXISTS becomes a left-semi and the NOT EXISTS a left-anti
+    self-join, both hash-partitioned on orderkey — Spark reuses the
+    exchange across the three orderkey-keyed joins instead of reshuffling.
+    Deterministic: ties broken by s_name.
+    """
+    lo = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .withColumn(
+            "_late",
+            F.expr(f"l_shipdate > o_orderdate + INTERVAL {late_days} DAYS"),
+        )
+        .select("l_orderkey", "l_suppkey", "_late")
+    )
+    l1 = lo.filter(F.col("_late")).select("l_orderkey", "l_suppkey")
+    others = lo.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+        F.col("_late").alias("o2_late"),
+    )
+    with_other = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    )
+    sole_late = with_other.join(
+        others.filter(F.col("o2_late")),
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(k)
+    )
+
+
 def run_sql(spark, sf_dir: str, query: str,
             tables: tuple[str, ...] = ("region", "nation", "customer",
                                        "supplier", "part", "orders",
