@@ -309,6 +309,67 @@ def _merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-gate round-trip for snapshot time travel (catalog.py snapshot
+    section, output.py versioned writes): seed a VERSIONED status-partitioned
+    orders table in one dynamic write (v1), supersede the 'F' partition with
+    doubled prices (v2), then aggregate BOTH versions — v1 via as_of_version
+    against files the v2 write must not have touched. v1 must equal the
+    plain per-status aggregate and v2 the CASE-doubled one, which is exactly
+    the oracle; any mutation of v1's file set shows up as a value mismatch."""
+    import tempfile
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    wh = tempfile.mkdtemp(prefix="hio_gate_tt_")  # outlives the lazy scan
+    cat = Catalog(wh)
+    data_fields = tuple(
+        (f.name, f.dataType)
+        for f in orders.schema.fields
+        if f.name != "o_orderstatus"
+    )
+    cat.create_table(
+        "default.orders_tt",
+        HiveTableSchema(data_fields, partition_keys=("o_orderstatus",)),
+        versioned=True,
+    )
+    out = HiveOutput(spark, cat)
+    out.write_dynamic("default.orders_tt", orders)
+    doubled = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 2)
+        .cast("double")
+        .alias("o_totalprice"),
+    )
+    out.write_table(
+        WriteSpec("default.orders_tt", {"o_orderstatus": "F"},
+                  drop_partition=True),
+        doubled,
+    )
+    inp = HiveInput(spark, cat)
+
+    def _agg(df: DataFrame, version: int) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_totalprice"),
+        ).withColumn("version", F.lit(version))
+
+    v1 = inp.read_table(ScanSpec(table="default.orders_tt", as_of_version=1))
+    v2 = inp.read_table(ScanSpec(table="default.orders_tt"))
+    return (
+        _agg(v1, 1)
+        .unionByName(_agg(v2, 2))
+        .orderBy("version", "o_orderstatus")
+    )
+
+
 def _scan_csv_nulls(spark: SparkSession, sf: str) -> DataFrame:
     """Driver-gate round-trip for the delimited-text serde (reference S6/S7:
     BytesParser '\\N' and empty-field null conventions,
@@ -580,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["incremental_rollup"] = _incremental_rollup
     # SCD1 MERGE: update+insert upsert through the partitioned write path.
     q["merge_upsert"] = _merge_upsert
+    q["time_travel"] = _time_travel
     # bucketed co-located join: both exchanges eliminated by bucket layout.
     q["bucketed_join_volume"] = _bucketed_join_volume
     q["active_user_trends"] = lambda spark, sf: relational.active_user_trends(
@@ -1857,6 +1919,25 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(price AS DECIMAL(12,2))) AS DOUBLE)
                  AS sum_totalprice
         FROM m GROUP BY 1 ORDER BY 1"""
+
+    # v1 = plain per-status aggregate; v2 = the same with 'F' prices doubled
+    # (the snapshot the versioned write superseded must still read back
+    # exactly as v1 — time travel over immutable file sets)
+    o["time_travel"] = """
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_totalprice,
+               1 AS version
+        FROM orders GROUP BY 1
+        UNION ALL
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                             THEN CAST(o_totalprice AS DECIMAL(12,2)) * 2
+                             ELSE CAST(o_totalprice AS DECIMAL(12,2)) END)
+                    AS DOUBLE) AS sum_totalprice,
+               2 AS version
+        FROM orders GROUP BY 1
+        ORDER BY version, o_orderstatus"""
 
     o["active_user_trends"] = """
         WITH ud AS (SELECT DISTINCT user_id,

@@ -30,7 +30,7 @@ try:  # POSIX file locking; absent on some platforms -> single-writer only
 except ImportError:  # pragma: no cover
     fcntl = None  # type: ignore[assignment]
 
-from hive_io_experimental_spark.errors import TableNotFoundError
+from hive_io_experimental_spark.errors import SnapshotError, TableNotFoundError
 from hive_io_experimental_spark.retry import RetryPolicy, backoff_retry
 from hive_io_experimental_spark.schema import HiveTableSchema
 
@@ -152,12 +152,17 @@ class Catalog:
         schema: HiveTableSchema,
         if_not_exists: bool = False,
         storage_format: str = "parquet",
+        versioned: bool = False,
     ) -> None:
         """Register a table. ``storage_format`` is the per-table serde
         analog (the reference stores input/output format classes + serde in
         the table storage descriptor, output/OutputInfo.java:51-111):
         parquet (default), orc, csv, or json — honored by BOTH the read and
-        write paths."""
+        write paths.
+
+        ``versioned=True`` makes the table snapshot-tracked: every committed
+        write produces an immutable file set recorded as a numbered snapshot
+        manifest, readable as-of any retained version (time travel)."""
         desc = TableDesc.parse(desc) if isinstance(desc, str) else desc
         with self._exclusive():
             doc = self._load()
@@ -166,12 +171,17 @@ class Catalog:
                 if if_not_exists:
                     return
                 raise ValueError(f"table already exists: {key}")
-            doc["tables"][key] = {
+            entry = {
                 "schema": schema.to_json(),
                 "location": self.table_location(desc),
                 "storage_format": storage_format.lower(),
                 "partitions": [],
             }
+            if versioned:
+                entry["versioned"] = True
+                entry["current_version"] = 0
+                entry["snapshots"] = []
+            doc["tables"][key] = entry
             self._save(doc)
 
     @staticmethod
@@ -293,6 +303,154 @@ class Catalog:
             self._save(doc)
         if delete_data:
             shutil.rmtree(location, ignore_errors=True)
+
+    # -- snapshots / time travel --------------------------------------------
+    #
+    # Versioned tables follow the public Iceberg/Delta model, scaled down to
+    # the JSON catalog: a snapshot is an immutable manifest (full partition
+    # list with per-partition data locations), the version counter advances
+    # by optimistic concurrency, and old file sets stay on disk until
+    # expire_snapshots. No reference analog (the Thrift metastore has none);
+    # this is the capability a 100 TB training-data pipeline needs for
+    # reproducible dataset versions.
+
+    def is_versioned(self, desc: TableDesc | str) -> bool:
+        return bool(self.get_table(desc).get("versioned"))
+
+    def current_version(self, desc: TableDesc | str) -> int:
+        entry = self.get_table(desc)
+        if not entry.get("versioned"):
+            raise SnapshotError(f"table {desc} is not versioned")
+        return entry["current_version"]
+
+    def next_version(self, desc: TableDesc | str) -> int:
+        """The version a new commit WOULD get. Writers bake this into their
+        snapshot directory names before writing; commit_snapshot then
+        enforces that nobody else took the number in the meantime."""
+        return self.current_version(desc) + 1
+
+    def commit_snapshot(
+        self,
+        desc: TableDesc | str,
+        version: int,
+        partitions: list[dict],
+        note: str = "",
+    ) -> int:
+        """Atomically publish snapshot ``version`` with the given manifest.
+
+        ``partitions`` is the FULL partition list of the new version
+        ([{values, location, stats}]) — unchanged partitions repeat their
+        prior locations, so any retained version fully describes its file
+        set. Optimistic concurrency: raises SnapshotError if ``version`` is
+        not current+1 (a concurrent writer won; the caller's written files
+        are orphans that expire_snapshots will never see — safe to retry).
+        The live "partitions" field is synced to the new manifest so every
+        unversioned code path (stats, partition_exists, partition filters)
+        sees the current snapshot.
+        """
+        import time
+
+        desc = TableDesc.parse(desc) if isinstance(desc, str) else desc
+        with self._exclusive():
+            doc = self._load()
+            entry = self._entry_or_raise(doc, desc)
+            if not entry.get("versioned"):
+                raise SnapshotError(f"table {desc} is not versioned")
+            if version != entry["current_version"] + 1:
+                raise SnapshotError(
+                    f"snapshot conflict on {desc}: tried to commit v{version} "
+                    f"but current is v{entry['current_version']} "
+                    f"(concurrent writer won; retry from next_version)"
+                )
+            entry["snapshots"].append(
+                {
+                    "version": version,
+                    "committed_at": time.time(),
+                    "note": note,
+                    "partitions": partitions,
+                }
+            )
+            entry["current_version"] = version
+            entry["partitions"] = partitions
+            self._save(doc)
+        return version
+
+    def snapshot_manifest(
+        self, desc: TableDesc | str, version: int | None = None
+    ) -> list[PartitionInfo]:
+        """The immutable partition list of ``version`` (default: current)."""
+        entry = self.get_table(desc)
+        if not entry.get("versioned"):
+            raise SnapshotError(f"table {desc} is not versioned")
+        if version is None:
+            version = entry["current_version"]
+        if version == 0:
+            return []
+        for snap in entry["snapshots"]:
+            if snap["version"] == version:
+                return [
+                    PartitionInfo(
+                        values=p["values"],
+                        location=p["location"],
+                        stats=HiveStats(**p.get("stats", {})),
+                    )
+                    for p in snap["partitions"]
+                ]
+        raise SnapshotError(
+            f"no snapshot v{version} on {desc} (expired or never committed)"
+        )
+
+    def list_snapshots(self, desc: TableDesc | str) -> list[dict]:
+        """Version history: [{version, committed_at, note, n_partitions}]."""
+        entry = self.get_table(desc)
+        if not entry.get("versioned"):
+            raise SnapshotError(f"table {desc} is not versioned")
+        return [
+            {
+                "version": s["version"],
+                "committed_at": s["committed_at"],
+                "note": s["note"],
+                "n_partitions": len(s["partitions"]),
+            }
+            for s in entry["snapshots"]
+        ]
+
+    def expire_snapshots(
+        self, desc: TableDesc | str, keep_last: int = 1
+    ) -> list[str]:
+        """Drop all but the last ``keep_last`` snapshots and delete data
+        directories no retained snapshot references. Returns deleted paths.
+
+        The deletion set is (locations of expired snapshots) minus
+        (locations of retained ones) — a location shared with any retained
+        version survives, so time travel over the retained window stays
+        intact while storage stops growing without bound.
+        """
+        import shutil
+
+        desc = TableDesc.parse(desc) if isinstance(desc, str) else desc
+        if keep_last < 1:
+            raise SnapshotError("keep_last must be >= 1")
+        with self._exclusive():
+            doc = self._load()
+            entry = self._entry_or_raise(doc, desc)
+            if not entry.get("versioned"):
+                raise SnapshotError(f"table {desc} is not versioned")
+            snaps = entry["snapshots"]
+            if len(snaps) <= keep_last:
+                return []
+            expired, retained = snaps[:-keep_last], snaps[-keep_last:]
+            keep_locs = {
+                p["location"] for s in retained for p in s["partitions"]
+            }
+            drop_locs = {
+                p["location"] for s in expired for p in s["partitions"]
+            } - keep_locs
+            entry["snapshots"] = retained
+            self._save(doc)
+        for loc in sorted(drop_locs):
+            shutil.rmtree(loc, ignore_errors=True)
+        return sorted(drop_locs)
 
     # -- stats ---------------------------------------------------------------
 

@@ -50,6 +50,17 @@ class TableNotEmptyError(HiveIOError):
     """
 
 
+class SnapshotError(HiveIOError):
+    """Snapshot/time-travel misuse: unknown version, a snapshot operation on
+    an unversioned table, or an optimistic-commit conflict (two writers
+    reserved the same version — the loser must retry).
+
+    No reference analog (the reference's metastore has no snapshots); the
+    semantics follow the public Iceberg/Delta model: immutable per-version
+    file sets + optimistic concurrency on the version counter.
+    """
+
+
 class PartitionFilterError(HiveIOError):
     """Partition filter references non-partition columns or fails to parse.
 

@@ -25,7 +25,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hive_io_experimental_spark.catalog import Catalog, HiveStats, TableDesc
-from hive_io_experimental_spark.errors import HiveIOError, PartitionFilterError
+from hive_io_experimental_spark.errors import (
+    HiveIOError,
+    PartitionFilterError,
+    SnapshotError,
+)
 from hive_io_experimental_spark.schema import HiveTableSchema
 
 
@@ -45,6 +49,10 @@ class ScanSpec:
     partition_filter: str = ""
     num_splits: int = 0
     limit: int | None = None
+    # Time travel: read a versioned table as of this snapshot version
+    # (None = current). Only valid for catalog tables created with
+    # versioned=True; see catalog.py's snapshot section.
+    as_of_version: int | None = None
 
 
 def validate_partition_filter(
@@ -92,7 +100,7 @@ class HiveInput:
         reader (PushedFilters / ReadSchema); limit stays logical so
         CollectLimit can short-circuit.
         """
-        df, partition_keys = self._load(spec.table)
+        df, partition_keys = self._load(spec.table, spec.as_of_version)
 
         if spec.partition_filter:
             validate_partition_filter(
@@ -167,7 +175,9 @@ class HiveInput:
 
     # -- helpers -------------------------------------------------------------
 
-    def _load(self, table: str) -> tuple[DataFrame, tuple[str, ...]]:
+    def _load(
+        self, table: str, as_of_version: int | None = None
+    ) -> tuple[DataFrame, tuple[str, ...]]:
         if self.catalog is not None and self.catalog.table_exists(table):
             from hive_io_experimental_spark.sources.formats import reader_options
 
@@ -175,12 +185,41 @@ class HiveInput:
             location = self.catalog.table_location(table)
             fmt = self.catalog.table_format(table)
             reader = self.spark.read.options(**reader_options(fmt))
+            if self.catalog.is_versioned(table):
+                # Time travel: the scan's file set is the chosen snapshot's
+                # manifest. All leaf snap dirs feed ONE FileScan; basePath
+                # recovers the partition columns from the k=v path segments
+                # (the snap-NNNNN component is not k=v, so discovery skips
+                # it), and the explicit schema pins them to string.
+                manifest = self.catalog.snapshot_manifest(table, as_of_version)
+                if not manifest:
+                    df = self.spark.createDataFrame(
+                        [], schema.to_struct_type()
+                    )
+                    return df, schema.partition_keys
+                if schema.partition_keys:
+                    reader = reader.option("basePath", location)
+                df = (
+                    reader.schema(schema.to_struct_type())
+                    .format(fmt)
+                    .load([p.location for p in manifest])
+                )
+                return df, schema.partition_keys
+            if as_of_version is not None:
+                raise SnapshotError(
+                    f"as_of_version given but table {table} is not versioned"
+                )
             if schema.partition_keys:
                 # Hive-style key=value dirs; keep partition values as strings
                 # (reference invariant, HiveReadableRecord.java:140-146).
                 reader = reader.option("basePath", location)
             df = reader.schema(schema.to_struct_type()).format(fmt).load(location)
             return df, schema.partition_keys
+        if as_of_version is not None:
+            raise SnapshotError(
+                f"as_of_version requires a versioned catalog table; "
+                f"{table} is not in the catalog"
+            )
         # Bare path mode: read parquet directly; partition columns are
         # whatever Hive-style dirs Spark discovers.
         df = self.spark.read.parquet(table)

@@ -93,6 +93,10 @@ class HiveOutput:
         self._check_partition_spec(schema, spec)
         df = self._conform(df, schema, spec)
 
+        if self.catalog.is_versioned(desc):
+            self._write_versioned(desc, schema, spec, df)
+            return
+
         from hive_io_experimental_spark.sources.formats import writer_options
 
         location = self.catalog.table_location(desc)
@@ -161,6 +165,10 @@ class HiveOutput:
         ]
         for s in specs:
             _check_partition_values(s)
+        if self.catalog.is_versioned(desc):
+            return self._write_dynamic_versioned(
+                desc, schema, body, specs, drop_partitions
+            )
         colliding = [
             s for s in specs if self.catalog.partition_exists(desc, s)
         ]
@@ -189,6 +197,145 @@ class HiveOutput:
             if tuple(sorted(s.items())) in colliding_set:
                 self.catalog.drop_partition(desc, s)
             self.catalog.add_partition(desc, s, stats)
+        return specs
+
+    # -- versioned (snapshot / time travel) writes ---------------------------
+    #
+    # Layout: every write lands in an immutable snapshot directory —
+    #   partitioned:    <location>/<k=v .../>snap-NNNNN/
+    #   unpartitioned:  <location>/snap-NNNNN/
+    # so older versions' files are never touched by later writes. The
+    # manifest committed to the catalog lists the FULL partition set of the
+    # new version (unchanged partitions keep their prior snap dirs).
+    # Optimistic concurrency: the version number is reserved via
+    # next_version() before writing; commit_snapshot rejects a stale number,
+    # leaving the loser's files as unreferenced orphans (never readable,
+    # reclaimed by expire_snapshots' retained-set difference — or simply
+    # overwritten into by the retry, which reuses the directory name only
+    # after taking the NEXT number). See catalog.py snapshot section.
+
+    @staticmethod
+    def _snap_name(version: int) -> str:
+        return f"snap-{version:05d}"
+
+    @staticmethod
+    def _manifest_dicts(parts) -> list[dict]:
+        return [
+            {"values": p.values, "location": p.location, "stats": vars(p.stats)}
+            for p in parts
+        ]
+
+    def _write_versioned(
+        self, desc: TableDesc, schema: HiveTableSchema, spec: WriteSpec,
+        df: DataFrame,
+    ) -> None:
+        from hive_io_experimental_spark.sources.formats import writer_options
+
+        location = self.catalog.table_location(desc)
+        fmt = self.catalog.table_format(desc)
+        opts = writer_options(fmt)
+        version = self.catalog.next_version(desc)
+        prior = self.catalog.snapshot_manifest(desc)
+
+        if schema.partition_keys:
+            _check_partition_values(spec.partition_values)
+            exists = any(p.values == spec.partition_values for p in prior)
+            if exists and not spec.drop_partition:
+                raise PartitionExistsError(
+                    f"partition {spec.partition_values} already exists in "
+                    f"{desc}@v{version - 1} (set drop_partition=True to "
+                    f"supersede it in the new snapshot)"
+                )
+            snap_path = os.path.join(
+                Catalog.partition_path(location, spec.partition_values),
+                self._snap_name(version),
+            )
+            df.write.mode("errorifexists").options(**opts).format(fmt).save(
+                snap_path
+            )
+            stats = self._stats_for(snap_path, fmt, schema)
+            manifest = self._manifest_dicts(
+                [p for p in prior if p.values != spec.partition_values]
+            )
+            manifest.append(
+                {
+                    "values": dict(spec.partition_values),
+                    "location": snap_path,
+                    "stats": vars(stats),
+                }
+            )
+            note = f"write_table {spec.partition_values}"
+        else:
+            # A versioned unpartitioned table supports repeated writes: each
+            # one REPLACES the visible content in a new snapshot (Iceberg
+            # overwrite semantics) — the unversioned must-be-empty rule is
+            # what versioning exists to relax, while history stays readable.
+            snap_path = os.path.join(location, self._snap_name(version))
+            df.write.mode("errorifexists").options(**opts).format(fmt).save(
+                snap_path
+            )
+            stats = self._stats_for(snap_path, fmt, schema)
+            manifest = [
+                {"values": {}, "location": snap_path, "stats": vars(stats)}
+            ]
+            note = "write_table"
+        self.catalog.commit_snapshot(desc, version, manifest, note=note)
+
+    def _write_dynamic_versioned(
+        self, desc: TableDesc, schema: HiveTableSchema, body: DataFrame,
+        specs: list[dict[str, str]], drop_partitions: bool,
+    ) -> list[dict[str, str]]:
+        import shutil
+
+        from hive_io_experimental_spark.sources.formats import writer_options
+
+        location = self.catalog.table_location(desc)
+        fmt = self.catalog.table_format(desc)
+        keys = list(schema.partition_keys)
+        version = self.catalog.next_version(desc)
+        prior = self.catalog.snapshot_manifest(desc)
+        colliding = [
+            s for s in specs if any(p.values == s for p in prior)
+        ]
+        if colliding and not drop_partitions:
+            raise PartitionExistsError(
+                f"partitions already exist in {desc}@v{version - 1}: "
+                f"{colliding} (set drop_partitions=True to supersede)"
+            )
+        # ONE Spark job writes all partitions into a staging dir; the
+        # per-partition dirs are then renamed into their snap locations —
+        # driver-side metadata moves, no data rewrite.
+        staging = os.path.join(location, f"_staging-{self._snap_name(version)}")
+        (
+            body.write.mode("errorifexists")
+            .options(**writer_options(fmt))
+            .partitionBy(*keys)
+            .format(fmt)
+            .save(staging)
+        )
+        written = set()
+        manifest = self._manifest_dicts(
+            [p for p in prior if p.values not in specs]
+        )
+        for s in specs:
+            src = Catalog.partition_path(staging, s)
+            dst = os.path.join(
+                Catalog.partition_path(location, s), self._snap_name(version)
+            )
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(src, dst)
+            written.add(tuple(sorted(s.items())))
+            manifest.append(
+                {
+                    "values": dict(s),
+                    "location": dst,
+                    "stats": vars(self._stats_for(dst, fmt, schema)),
+                }
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+        self.catalog.commit_snapshot(
+            desc, version, manifest, note=f"write_dynamic {len(specs)} parts"
+        )
         return specs
 
     # -- policy checks -------------------------------------------------------

@@ -1,0 +1,173 @@
+"""Snapshot / time-travel semantics (catalog.py snapshot section,
+output.py versioned writes, input.py as_of_version reads).
+
+The invariants under test are the public Iceberg/Delta contract, scaled to
+the JSON catalog: every committed write is an immutable file set; any
+retained version reproduces its exact content; the version counter is
+advanced by optimistic concurrency; expiry deletes only directories no
+retained snapshot references.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hive_io_experimental_spark.catalog import Catalog
+from hive_io_experimental_spark.errors import (
+    PartitionExistsError,
+    SnapshotError,
+)
+from hive_io_experimental_spark.input import HiveInput, ScanSpec
+from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+from hive_io_experimental_spark.schema import HiveTableSchema
+
+
+def _mk_versioned(warehouse, partitioned: bool) -> Catalog:
+    cat = Catalog(warehouse)
+    fields = (("id", T.LongType()), ("v", T.DoubleType()))
+    cat.create_table(
+        "default.tt",
+        HiveTableSchema(
+            fields, partition_keys=("k",) if partitioned else ()
+        ),
+        versioned=True,
+    )
+    return cat
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, "id long, v double, k string")
+
+
+def test_unpartitioned_versions_replace_but_history_remains(spark, warehouse):
+    cat = _mk_versioned(warehouse, partitioned=False)
+    out = HiveOutput(spark, cat)
+    inp = HiveInput(spark, cat)
+    out.write_table(WriteSpec("default.tt"),
+                    _rows(spark, [(1, 1.0, "a")]).drop("k"))
+    out.write_table(WriteSpec("default.tt"),
+                    _rows(spark, [(2, 2.0, "a"), (3, 3.0, "a")]).drop("k"))
+
+    assert cat.current_version("default.tt") == 2
+    v1 = inp.read_table(ScanSpec(table="default.tt", as_of_version=1))
+    v2 = inp.read_table(ScanSpec(table="default.tt"))
+    assert [r.id for r in v1.collect()] == [1]
+    assert sorted(r.id for r in v2.collect()) == [2, 3]
+
+
+def test_partitioned_time_travel_and_overwrite_policy(spark, warehouse):
+    cat = _mk_versioned(warehouse, partitioned=True)
+    out = HiveOutput(spark, cat)
+    inp = HiveInput(spark, cat)
+    # v1: both partitions in ONE dynamic job
+    out.write_dynamic(
+        "default.tt", _rows(spark, [(1, 1.0, "a"), (2, 2.0, "b")])
+    )
+    # overwriting partition a without the drop flag is still a policy error
+    with pytest.raises(PartitionExistsError):
+        out.write_table(
+            WriteSpec("default.tt", {"k": "a"}),
+            _rows(spark, [(9, 9.0, "a")]).drop("k"),
+        )
+    # v2: supersede partition a only
+    out.write_table(
+        WriteSpec("default.tt", {"k": "a"}, drop_partition=True),
+        _rows(spark, [(9, 9.0, "a")]).drop("k"),
+    )
+
+    v1 = inp.read_table(ScanSpec(table="default.tt", as_of_version=1))
+    v2 = inp.read_table(ScanSpec(table="default.tt", as_of_version=2))
+    assert sorted((r.id, r.k) for r in v1.collect()) == [(1, "a"), (2, "b")]
+    # partition b's files are SHARED between v1 and v2 (manifest reuse)
+    assert sorted((r.id, r.k) for r in v2.collect()) == [(2, "b"), (9, "a")]
+    # partition columns come back as strings via basePath discovery
+    assert dict(v2.dtypes)["k"] == "string"
+
+
+def test_partition_filter_prunes_snapshot_scan(spark, warehouse):
+    cat = _mk_versioned(warehouse, partitioned=True)
+    out = HiveOutput(spark, cat)
+    out.write_dynamic(
+        "default.tt", _rows(spark, [(1, 1.0, "a"), (2, 2.0, "b")])
+    )
+    got = (
+        HiveInput(spark, cat)
+        .read_table(ScanSpec(table="default.tt", partition_filter="k = 'b'"))
+        .collect()
+    )
+    assert [(r.id, r.k) for r in got] == [(2, "b")]
+
+
+def test_snapshot_conflict_and_unversioned_misuse(spark, warehouse):
+    cat = _mk_versioned(warehouse, partitioned=False)
+    out = HiveOutput(spark, cat)
+    out.write_table(WriteSpec("default.tt"),
+                    _rows(spark, [(1, 1.0, "a")]).drop("k"))
+    # optimistic concurrency: a stale reserved version must not commit
+    with pytest.raises(SnapshotError):
+        cat.commit_snapshot("default.tt", 1, [])
+    # as-of on an unversioned table is an error, not a silent full read
+    cat.create_table(
+        "default.plain", HiveTableSchema((("id", T.LongType()),))
+    )
+    with pytest.raises(SnapshotError):
+        HiveInput(spark, cat).read_table(
+            ScanSpec(table="default.plain", as_of_version=1)
+        )
+    with pytest.raises(SnapshotError):
+        cat.snapshot_manifest("default.plain")
+
+
+def test_expire_keeps_shared_files_and_drops_orphans(spark, warehouse):
+    cat = _mk_versioned(warehouse, partitioned=True)
+    out = HiveOutput(spark, cat)
+    inp = HiveInput(spark, cat)
+    out.write_dynamic(
+        "default.tt", _rows(spark, [(1, 1.0, "a"), (2, 2.0, "b")])
+    )
+    out.write_table(  # v2 rewrites a; b still points at its v1 dir
+        WriteSpec("default.tt", {"k": "a"}, drop_partition=True),
+        _rows(spark, [(9, 9.0, "a")]).drop("k"),
+    )
+    v1_a_dir = [
+        p.location
+        for p in cat.snapshot_manifest("default.tt", 1)
+        if p.values == {"k": "a"}
+    ][0]
+    deleted = cat.expire_snapshots("default.tt", keep_last=1)
+    # only v1's superseded partition-a dir goes; shared b dir survives
+    assert deleted == [v1_a_dir]
+    assert not os.path.exists(v1_a_dir)
+    with pytest.raises(SnapshotError):
+        inp.read_table(ScanSpec(table="default.tt", as_of_version=1)).collect()
+    assert sorted(
+        (r.id, r.k)
+        for r in inp.read_table(ScanSpec(table="default.tt")).collect()
+    ) == [(2, "b"), (9, "a")]
+
+
+def test_versioned_read_before_first_commit_is_empty(spark, warehouse):
+    cat = _mk_versioned(warehouse, partitioned=True)
+    df = HiveInput(spark, cat).read_table(ScanSpec(table="default.tt"))
+    assert df.count() == 0
+    assert set(df.columns) == {"id", "v", "k"}
+
+
+def test_stats_follow_current_snapshot(spark, warehouse):
+    cat = _mk_versioned(warehouse, partitioned=True)
+    out = HiveOutput(spark, cat)
+    out.write_dynamic(
+        "default.tt", _rows(spark, [(1, 1.0, "a"), (2, 2.0, "a"), (3, 3.0, "b")])
+    )
+    out.write_table(
+        WriteSpec("default.tt", {"k": "a"}, drop_partition=True),
+        _rows(spark, [(9, 9.0, "a")]).drop("k"),
+    )
+    stats = HiveInput(spark, cat).stats_of(
+        ScanSpec(table="default.tt", partition_filter="k = 'a'")
+    )
+    assert stats.num_rows == 1
