@@ -309,6 +309,63 @@ def _merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _merge_key_move(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-gate round-trip for the full-scan MERGE variant
+    (operators/merge.py scd1_merge_full): seed a status-partitioned orders
+    table with ALL orders, then merge updates that MOVE every orderkey%10==3
+    row into a brand-new 'X' partition with doubled price. The stale rows
+    live in partitions the updates never name — exactly what the full key
+    scan must find and delete. The read-back per-status aggregate equals the
+    CASE-reconstructed oracle; any leftover stale row breaks both the 'X'
+    and the origin partition's numbers."""
+    import tempfile
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators.merge import scd1_merge_full
+    from hive_io_experimental_spark.output import HiveOutput
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    wh = tempfile.mkdtemp(prefix="hio_gate_mv_")  # outlives the lazy scan
+    cat = Catalog(wh)
+    data_fields = tuple(
+        (f.name, f.dataType)
+        for f in orders.schema.fields
+        if f.name != "o_orderstatus"
+    )
+    cat.create_table(
+        "default.orders_mv",
+        HiveTableSchema(data_fields, partition_keys=("o_orderstatus",)),
+    )
+    HiveOutput(spark, cat).write_dynamic("default.orders_mv", orders)
+    updates = orders.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 2)
+        .cast("double")
+        .alias("o_totalprice"),
+    )
+    scd1_merge_full(
+        spark, cat, "default.orders_mv", updates,
+        key_cols=("o_orderkey",), partition_col="o_orderstatus",
+    )
+    merged = HiveInput(spark, cat).read_table(
+        ScanSpec(table="default.orders_mv")
+    )
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_totalprice"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def _time_travel(spark: SparkSession, sf: str) -> DataFrame:
     """Driver-gate round-trip for snapshot time travel (catalog.py snapshot
     section, output.py versioned writes): seed a VERSIONED status-partitioned
@@ -642,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # SCD1 MERGE: update+insert upsert through the partitioned write path.
     q["merge_upsert"] = _merge_upsert
     q["time_travel"] = _time_travel
+    q["merge_key_move"] = _merge_key_move
     # bucketed co-located join: both exchanges eliminated by bucket layout.
     q["bucketed_join_volume"] = _bucketed_join_volume
     q["active_user_trends"] = lambda spark, sf: relational.active_user_trends(
@@ -1915,6 +1973,22 @@ def oracle_sql() -> dict[str, str]:
                       ELSE o_totalprice END AS price
           FROM orders
           WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 IN (1, 2))
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(price AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_totalprice
+        FROM m GROUP BY 1 ORDER BY 1"""
+
+    # moved rows (okey%10==3) appear ONLY under status 'X' at double price;
+    # every other row keeps its origin partition and price
+    o["merge_key_move"] = """
+        WITH m AS (
+          SELECT CASE WHEN o_orderkey % 10 = 3 THEN 'X'
+                      ELSE o_orderstatus END AS o_orderstatus,
+                 CASE WHEN o_orderkey % 10 = 3
+                      THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2
+                                AS DOUBLE)
+                      ELSE o_totalprice END AS price
+          FROM orders)
         SELECT o_orderstatus, COUNT(*) AS n_orders,
                CAST(SUM(CAST(price AS DECIMAL(12,2))) AS DOUBLE)
                  AS sum_totalprice

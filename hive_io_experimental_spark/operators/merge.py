@@ -54,6 +54,122 @@ def _quote(value: str) -> str:
     return "'" + value.replace("'", "''") + "'"
 
 
+def scd1_merge_full(
+    spark: SparkSession,
+    catalog: Catalog,
+    table: str,
+    updates: DataFrame,
+    key_cols: tuple[str, ...],
+    partition_col: str,
+) -> None:
+    """Full-scan MERGE variant: keys MAY move between partitions.
+
+    ``scd1_merge`` above assumes the partition value is a stable function of
+    the key and only touches the updates' partitions. When an update can
+    reassign a row's partition (the key "moves"), the superseded row lives
+    in a partition the updates never name — it must be found and deleted.
+    That is inherently a key-lookup over the WHOLE table, so this variant
+    pays one full scan, shaped to be as cheap as a full scan can be:
+
+      1. ONE projection-pruned scan of (key_cols, partition_col) only —
+         columnar readers never touch payload columns — left-semi joined
+         against the (broadcastable) update keys finds every partition
+         holding a row that is being superseded, anywhere in the table;
+      2. affected partitions = those ∪ the partitions the updates land in;
+         everything else proceeds exactly like the partition-local merge
+         (read affected only, one anti join, staging hop, dynamic swap);
+      3. a partition whose every row moved away ends EMPTY: the dynamic
+         swap never writes it (no rows), so its stale directory is dropped
+         explicitly afterwards — without this, old rows would survive in
+         partitions the rewrite never touched.
+
+    Engines with MERGE make the same trade: a merge condition on the
+    partition column gets partition-local cost, one without it pays the
+    scan (this module's docstring, "engines that allow moves ... pay a
+    full scan").
+    """
+    import os
+    import shutil
+
+    inp = HiveInput(spark, catalog)
+    out = HiveOutput(spark, catalog)
+    desc = TableDesc.parse(table)
+
+    upd_parts = {
+        r[0]
+        for r in updates.select(
+            F.col(partition_col).cast("string")
+        ).distinct().collect()
+    }
+    if any(pv is None for pv in upd_parts):
+        raise ValueError(
+            f"updates contain NULL {partition_col} values — null partitions "
+            f"are not supported"
+        )
+    # key-location scan: key + partition columns only, semi vs update keys
+    key_locations = inp.read_table(
+        ScanSpec(table=table, columns=(*key_cols, partition_col))
+    )
+    hit_parts = {
+        r[0]
+        for r in key_locations.join(
+            F.broadcast(updates.select(*key_cols).distinct()),
+            list(key_cols),
+            "left_semi",
+        )
+        .select(F.col(partition_col).cast("string"))
+        .distinct()
+        .collect()
+    }
+    affected_existing = sorted(
+        pv
+        for pv in (upd_parts | hit_parts)
+        if catalog.partition_exists(desc, {partition_col: pv})
+    )
+
+    staging_name = f"{desc.database}.{desc.table}_merge_staging"
+    if affected_existing:
+        in_list = ", ".join(_quote(pv) for pv in affected_existing)
+        current = inp.read_table(
+            ScanSpec(
+                table=table,
+                partition_filter=f"{partition_col} IN ({in_list})",
+            )
+        )
+        merged = current.join(
+            updates.select(*key_cols), list(key_cols), "left_anti"
+        ).unionByName(updates.select(*current.columns))
+    else:
+        merged = updates
+
+    if catalog.table_exists(staging_name):
+        catalog.drop_table(staging_name, delete_data=True)
+    catalog.create_table(
+        staging_name, catalog.get_schema(desc),
+        storage_format=catalog.table_format(desc),
+    )
+    try:
+        out.write_dynamic(staging_name, merged)
+        staged = inp.read_table(ScanSpec(table=staging_name))
+        written = {
+            s[partition_col]
+            for s in out.write_dynamic(table, staged, drop_partitions=True)
+        }
+    finally:
+        catalog.drop_table(staging_name, delete_data=True)
+
+    # partitions fully drained by key moves: drop registration + directory
+    for pv in affected_existing:
+        if pv not in written:
+            values = {partition_col: pv}
+            location = Catalog.partition_path(
+                catalog.table_location(desc), values
+            )
+            catalog.drop_partition(desc, values)
+            if os.path.isdir(location):
+                shutil.rmtree(location, ignore_errors=True)
+
+
 def scd1_merge(
     spark: SparkSession,
     catalog: Catalog,

@@ -1,0 +1,96 @@
+"""Cross-partition key-move MERGE (operators/merge.py scd1_merge_full).
+
+The partition-local scd1_merge contract forbids a key changing partitions;
+scd1_merge_full pays one projection-pruned key scan to allow exactly that.
+These tests pin the three behaviors the full-scan variant adds: the stale
+row in the OLD partition is deleted, a fully-drained partition disappears
+(registration and directory), and when no key moves the result matches the
+partition-local variant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import types as T
+
+from hive_io_experimental_spark.catalog import Catalog
+from hive_io_experimental_spark.input import HiveInput, ScanSpec
+from hive_io_experimental_spark.operators.merge import scd1_merge, scd1_merge_full
+from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+from hive_io_experimental_spark.schema import HiveTableSchema
+
+
+def _mk(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "default.kv",
+        HiveTableSchema(
+            (("k", T.LongType()), ("v", T.StringType())),
+            partition_keys=("p",),
+        ),
+    )
+    out = HiveOutput(spark, cat)
+    out.write_table(
+        WriteSpec("default.kv", {"p": "a"}),
+        spark.createDataFrame([(1, "old1"), (2, "old2")], "k long, v string"),
+    )
+    out.write_table(
+        WriteSpec("default.kv", {"p": "b"}),
+        spark.createDataFrame([(3, "old3")], "k long, v string"),
+    )
+    return cat
+
+
+def _rows(spark, cat):
+    return {
+        (r["k"], r["p"]): r["v"]
+        for r in HiveInput(spark, cat)
+        .read_table(ScanSpec(table="default.kv"))
+        .collect()
+    }
+
+
+def test_key_move_deletes_stale_row_in_old_partition(spark, warehouse):
+    cat = _mk(spark, warehouse)
+    # key 2 moves a -> b; partition-local semantics would leave (2,a,old2)
+    updates = spark.createDataFrame([(2, "new2", "b")], "k long, v string, p string")
+    scd1_merge_full(spark, cat, "default.kv", updates,
+                    key_cols=("k",), partition_col="p")
+    assert _rows(spark, cat) == {
+        (1, "a"): "old1", (2, "b"): "new2", (3, "b"): "old3",
+    }
+
+
+def test_drained_partition_is_dropped_entirely(spark, warehouse):
+    cat = _mk(spark, warehouse)
+    # BOTH rows of partition a move to b: a must vanish (catalog + dir)
+    updates = spark.createDataFrame(
+        [(1, "new1", "b"), (2, "new2", "b")], "k long, v string, p string"
+    )
+    scd1_merge_full(spark, cat, "default.kv", updates,
+                    key_cols=("k",), partition_col="p")
+    assert _rows(spark, cat) == {
+        (1, "b"): "new1", (2, "b"): "new2", (3, "b"): "old3",
+    }
+    assert not cat.partition_exists("default.kv", {"p": "a"})
+    assert not os.path.isdir(
+        Catalog.partition_path(cat.table_location("default.kv"), {"p": "a"})
+    )
+
+
+def test_no_moves_matches_partition_local_merge(spark, warehouse):
+    cat_full = _mk(spark, warehouse + "/full")
+    cat_local = _mk(spark, warehouse + "/local")
+    updates = spark.createDataFrame(
+        [(2, "new2", "a"), (4, "new4", "c")], "k long, v string, p string"
+    )
+    scd1_merge_full(spark, cat_full, "default.kv", updates,
+                    key_cols=("k",), partition_col="p")
+    scd1_merge(spark, cat_local, "default.kv", updates,
+               key_cols=("k",), partition_col="p")
+    assert _rows(spark, cat_full) == _rows(spark, cat_local) == {
+        (1, "a"): "old1", (2, "a"): "new2",
+        (3, "b"): "old3", (4, "c"): "new4",
+    }
+    assert not cat_full.table_exists("default.kv_merge_staging")
