@@ -34,6 +34,7 @@ from hive_io_experimental_spark.operators import (
     curate,
     dedup,
     multimodal,
+    packing,
     profile,
     relational,
     sampling,
@@ -772,6 +773,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rates={"de": 1.0, "en": 0.5, "zh": 0.25},
         default_rate=0.1,
     ).select("doc_id", "lang")
+
+    # ---- training export: packing / mixtures / representatives ----
+    q["pack_sequences"] = lambda spark, sf: (
+        packing.pack_sequences(_t(spark, sf, "documents"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").alias("total_tokens"),
+            (F.max("last_window") + 1).alias("n_windows"),
+            F.sum(F.when(F.col("n_windows") > 1, 1).otherwise(0))
+            .alias("n_boundary_docs"),
+        )
+        .orderBy("shard")
+    )
+    # greedy (no-split) packing is sequential per shard — not
+    # SQL-expressible; its invariants are property-tested instead
+    # (tests/test_packing.py), and the gate records rows-only.
+    q["pack_sequences_greedy"] = lambda spark, sf: (
+        packing.pack_sequences_greedy(_t(spark, sf, "documents"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.max("bin_id") + 1).alias("n_bins"),
+            F.sum("tokens").alias("total_tokens"),
+        )
+        .orderBy("shard")
+    )
+    q["token_budget_mix"] = lambda spark, sf: (
+        packing.token_budget_mix(
+            _t(spark, sf, "documents"),
+            budgets={"src0": 20_000, "src1": 20_000, "src2": 10_000,
+                     "src3": 10_000, "src4": 5_000},
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").alias("mixed_tokens"),
+            F.max("cum_tokens").alias("max_cum_tokens"),
+        )
+        .orderBy("source")
+    )
+    q["dedup_representatives"] = lambda spark, sf: (
+        packing.exact_dup_representatives(_t(spark, sf, "documents"))
+        .orderBy("doc_id")
+    )
 
     # ---- dedup family ----
     q["dedup_exact"] = lambda spark, sf: dedup.exact_dedup(_t(spark, sf, "documents"))
@@ -1562,6 +1608,70 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY lang.lang_pred ORDER BY lang_pred"""
 
     # ---- dedup ----
+    # shared token-cost expression for the packing/mixture oracles:
+    # est_bpe_tokens (token_counts oracle) + 1 end-of-document token
+    _PACK_T = """
+        d AS (SELECT doc_id, {src} text,
+                     list_filter(string_split_regex(lower(text),
+                         '[^\\p{{L}}\\p{{N}}]+'), x -> x <> '') AS toks
+              FROM documents),
+        t AS (SELECT doc_id, {src2}
+                coalesce(list_sum(list_transform(toks,
+                    t -> (length(t) + 3) // 4)), 0)
+                + length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g'))
+                + 1 AS tokens,
+                CAST(CAST(('0x' || substr(md5('{salt}'
+                     || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+                     AS BIGINT) AS h
+              FROM d)"""
+
+    o["pack_sequences"] = (
+        "WITH "
+        + _PACK_T.format(src="", src2="", salt="pack:")
+        + """,
+        o AS (SELECT tokens, h % 32 AS shard,
+                     SUM(tokens) OVER (PARTITION BY h % 32
+                                       ORDER BY h, doc_id
+                                       ROWS UNBOUNDED PRECEDING) - tokens
+                       AS off
+              FROM t)
+        SELECT shard, COUNT(*) AS n_docs,
+               CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+               CAST(MAX((off + tokens - 1) // 2048) + 1 AS BIGINT)
+                 AS n_windows,
+               CAST(SUM(CASE WHEN off // 2048 <> (off + tokens - 1) // 2048
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_boundary_docs
+        FROM o GROUP BY 1 ORDER BY 1"""
+    )
+
+    o["token_budget_mix"] = (
+        "WITH "
+        + _PACK_T.format(src="source,", src2="source,", salt="mix:")
+        + """,
+        c AS (SELECT source, tokens,
+                     SUM(tokens) OVER (PARTITION BY source
+                                       ORDER BY h, doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t),
+        f AS (SELECT * FROM c
+              WHERE cum <= CASE source WHEN 'src0' THEN 20000
+                                       WHEN 'src1' THEN 20000
+                                       WHEN 'src2' THEN 10000
+                                       WHEN 'src3' THEN 10000
+                                       WHEN 'src4' THEN 5000
+                                       ELSE 0 END)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(tokens) AS BIGINT) AS mixed_tokens,
+               CAST(MAX(cum) AS BIGINT) AS max_cum_tokens
+        FROM f GROUP BY 1 ORDER BY 1"""
+    )
+
+    o["dedup_representatives"] = """
+        SELECT MIN(doc_id) AS doc_id, md5(text) AS text_md5,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text) ORDER BY doc_id"""
+
     o["dedup_exact"] = f"""
         SELECT md5({_NORM}) AS text_hash, MIN(doc_id) AS kept_id,
                COUNT(*) AS dup_count
