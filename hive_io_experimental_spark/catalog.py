@@ -400,6 +400,22 @@ class Catalog:
             f"no snapshot v{version} on {desc} (expired or never committed)"
         )
 
+    def version_at(self, desc: TableDesc | str, timestamp: float) -> int:
+        """The snapshot version visible at ``timestamp`` (unix seconds):
+        the largest retained version committed at or before it. Returns 0
+        (the empty pre-first-commit view) for timestamps before the first
+        retained snapshot — note that after expire_snapshots, timestamps
+        inside the expired range also resolve to 0 and read as empty
+        rather than silently resolving to a LATER version's content."""
+        entry = self.get_table(desc)
+        if not entry.get("versioned"):
+            raise SnapshotError(f"table {desc} is not versioned")
+        best = 0
+        for snap in entry["snapshots"]:
+            if snap["committed_at"] <= timestamp:
+                best = max(best, snap["version"])
+        return best
+
     def list_snapshots(self, desc: TableDesc | str) -> list[dict]:
         """Version history: [{version, committed_at, note, n_partitions}]."""
         entry = self.get_table(desc)

@@ -155,6 +155,35 @@ def cmd_write(args: argparse.Namespace, stop_session: bool = True) -> int:
     return 0
 
 
+def cmd_snapshots(args: argparse.Namespace) -> int:
+    """List (and optionally expire) a versioned table's snapshot history.
+
+    Catalog-only — no Spark session: snapshot metadata is driver-sized by
+    design, so inspection must not cost a JVM spin-up.
+    """
+    import datetime as _dt
+
+    from hive_io_experimental_spark.catalog import Catalog
+
+    catalog = Catalog(args.warehouse)
+    if args.expire_keep_last is not None:
+        deleted = catalog.expire_snapshots(
+            args.table, keep_last=args.expire_keep_last
+        )
+        print(f"# expired {len(deleted)} unreferenced dirs", file=sys.stderr)
+    current = catalog.current_version(args.table)
+    for s in catalog.list_snapshots(args.table):
+        ts = _dt.datetime.fromtimestamp(
+            s["committed_at"], tz=_dt.timezone.utc
+        ).isoformat(timespec="seconds")
+        marker = "*" if s["version"] == current else " "
+        print(
+            f"{marker}v{s['version']}\t{ts}\t{s['n_partitions']} parts"
+            f"\t{s['note']}"
+        )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="hivetail", description="scan/limit/print + write CLI"
@@ -196,6 +225,16 @@ def build_parser() -> argparse.ArgumentParser:
         "conf-options",
         help="dump the engine option registry (AllOptions parity)",
     )
+
+    snap = sub.add_parser(
+        "snapshots", help="list a versioned table's snapshot history"
+    )
+    snap.add_argument("--table", required=True)
+    snap.add_argument("--warehouse", required=True)
+    snap.add_argument(
+        "--expire-keep-last", type=int, default=None,
+        help="first expire all but the last N snapshots",
+    )
     return p
 
 
@@ -207,6 +246,8 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         return cmd_tail(args, print_rows=False, stop_session=stop_session)
     if args.command == "write":
         return cmd_write(args, stop_session=stop_session)
+    if args.command == "snapshots":
+        return cmd_snapshots(args)
     if args.command == "conf-options":
         from hive_io_experimental_spark.conf import all_options_string
 

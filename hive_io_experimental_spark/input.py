@@ -53,6 +53,10 @@ class ScanSpec:
     # (None = current). Only valid for catalog tables created with
     # versioned=True; see catalog.py's snapshot section.
     as_of_version: int | None = None
+    # Or as of a wall-clock instant (unix seconds): resolves to the largest
+    # snapshot committed at or before it. Mutually exclusive with
+    # as_of_version.
+    as_of_timestamp: float | None = None
 
 
 def validate_partition_filter(
@@ -100,7 +104,21 @@ class HiveInput:
         reader (PushedFilters / ReadSchema); limit stays logical so
         CollectLimit can short-circuit.
         """
-        df, partition_keys = self._load(spec.table, spec.as_of_version)
+        as_of = spec.as_of_version
+        if spec.as_of_timestamp is not None:
+            if as_of is not None:
+                raise SnapshotError(
+                    "as_of_version and as_of_timestamp are mutually exclusive"
+                )
+            if self.catalog is None or not self.catalog.table_exists(spec.table):
+                raise SnapshotError(
+                    f"as_of_timestamp requires a versioned catalog table; "
+                    f"{spec.table} is not in the catalog"
+                )
+            # version 0 (an instant before the first retained commit) reads
+            # as the empty view — _load returns the empty-manifest frame
+            as_of = self.catalog.version_at(spec.table, spec.as_of_timestamp)
+        df, partition_keys = self._load(spec.table, as_of)
 
         if spec.partition_filter:
             validate_partition_filter(

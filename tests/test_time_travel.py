@@ -157,6 +157,56 @@ def test_versioned_read_before_first_commit_is_empty(spark, warehouse):
     assert set(df.columns) == {"id", "v", "k"}
 
 
+def test_as_of_timestamp_resolves_to_latest_earlier_commit(spark, warehouse):
+    cat = _mk_versioned(warehouse, partitioned=False)
+    out = HiveOutput(spark, cat)
+    inp = HiveInput(spark, cat)
+    out.write_table(WriteSpec("default.tt"),
+                    _rows(spark, [(1, 1.0, "a")]).drop("k"))
+    t1 = cat.list_snapshots("default.tt")[0]["committed_at"]
+    out.write_table(WriteSpec("default.tt"),
+                    _rows(spark, [(2, 2.0, "a")]).drop("k"))
+
+    assert cat.version_at("default.tt", t1) == 1
+    assert cat.version_at("default.tt", t1 - 10) == 0
+    assert cat.version_at("default.tt", t1 + 1e9) == 2
+    got = inp.read_table(
+        ScanSpec(table="default.tt", as_of_timestamp=t1)
+    ).collect()
+    assert [r.id for r in got] == [1]
+    # pre-first-commit instant reads as the empty view
+    empty = inp.read_table(
+        ScanSpec(table="default.tt", as_of_timestamp=t1 - 10)
+    )
+    assert empty.count() == 0
+    # both time-travel selectors at once is a usage error
+    import pytest as _pytest
+
+    with _pytest.raises(SnapshotError):
+        inp.read_table(
+            ScanSpec(table="default.tt", as_of_version=1, as_of_timestamp=t1)
+        )
+
+
+def test_snapshots_cli_lists_history(spark, warehouse, capsys):
+    from hive_io_experimental_spark.cli import main as cli_main
+
+    cat = _mk_versioned(warehouse, partitioned=False)
+    out = HiveOutput(spark, cat)
+    out.write_table(WriteSpec("default.tt"),
+                    _rows(spark, [(1, 1.0, "a")]).drop("k"))
+    out.write_table(WriteSpec("default.tt"),
+                    _rows(spark, [(2, 2.0, "a")]).drop("k"))
+    rc = cli_main(
+        ["snapshots", "--table", "default.tt", "--warehouse", warehouse],
+        stop_session=False,
+    )
+    assert rc == 0
+    lines = capsys.readouterr().out.splitlines()
+    assert len(lines) == 2
+    assert lines[0].startswith(" v1\t") and lines[1].startswith("*v2\t")
+
+
 def test_stats_follow_current_snapshot(spark, warehouse):
     cat = _mk_versioned(warehouse, partitioned=True)
     out = HiveOutput(spark, cat)
