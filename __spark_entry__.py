@@ -774,6 +774,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         default_rate=0.1,
     ).select("doc_id", "lang")
 
+    q["token_entropy"] = lambda spark, sf: text.token_entropy(
+        _t(spark, sf, "documents")
+    ).orderBy("doc_id")
+
     # ---- training export: packing / mixtures / representatives ----
     q["pack_sequences"] = lambda spark, sf: (
         packing.pack_sequences(_t(spark, sf, "documents"))
@@ -1608,6 +1612,34 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY lang.lang_pred ORDER BY lang_pred"""
 
     # ---- dedup ----
+    # entropy folds Σ c·log2(c) as a dot product over the SORTED count
+    # array — the verified sequential-fold twin of Spark's aggregate()
+    # (same addition order), so the doubles match before the round(6)
+    o["token_entropy"] = """
+        WITH d AS (SELECT doc_id,
+                          list_filter(string_split_regex(lower(text),
+                              '[^\\p{L}\\p{N}]+'), x -> x <> '') AS toks
+                   FROM documents),
+        e AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+        p AS (SELECT doc_id, list_sort(list(CAST(cnt AS DOUBLE))) AS cs
+              FROM c GROUP BY 1),
+        s AS (SELECT doc_id,
+                     CAST(CAST(list_sum(cs) AS DOUBLE) AS BIGINT) AS n_tokens,
+                     CAST(len(cs) AS BIGINT) AS n_uniq,
+                     list_dot_product(cs, list_transform(cs, x -> log2(x)))
+                       AS clog
+              FROM p)
+        SELECT doc_id, n_tokens, n_uniq,
+               ROUND(log2(CAST(n_tokens AS DOUBLE)) - clog / n_tokens, 6)
+                 AS token_entropy,
+               CASE WHEN n_uniq > 1
+                    THEN ROUND((log2(CAST(n_tokens AS DOUBLE))
+                                - clog / n_tokens)
+                               / log2(CAST(n_uniq AS DOUBLE)), 6)
+               END AS norm_entropy
+        FROM s ORDER BY doc_id"""
+
     # shared token-cost expression for the packing/mixture oracles:
     # est_bpe_tokens (token_counts oracle) + 1 end-of-document token
     _PACK_T = """

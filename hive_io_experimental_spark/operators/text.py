@@ -192,6 +192,67 @@ def _token_count_columns(text) -> dict:
     }
 
 
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy of the word-token distribution — the
+    diversity axis of quality scoring (low entropy = repetitive/templated
+    text; the Gopher-style repetition rules in doc_repetition catch local
+    loops, entropy catches global skew).
+
+    Computed in exact-count form H = log2(n) - (Σ c·log2 c)/n so the only
+    float inputs are log2 of INTEGER counts — identical in every engine —
+    and the Σ is a SEQUENTIAL fold over the SORTED count array (the repo's
+    determinism recipe for double sums: same addition order on both
+    engines and on every rerun, where an unordered aggregate sum would be
+    partial-agg-order dependent). The final round(6) absorbs libm
+    last-ulp freedom. norm_entropy divides by the max possible
+    log2(n_uniq), NULL for single-token docs (0/0).
+
+    Plan shape: explode → count per (doc, token) → collect+fold per doc.
+    Two shuffles on doc-sized keys; the (doc, token) count is map-side
+    combinable and the collected array is one doc's distinct-token counts
+    (bounded by doc length), never corpus-wide state.
+    """
+    toks = word_tokens(F.col(text_col))
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok")
+    )
+    counts = exploded.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("c")).alias("_cs")
+    )
+    n = F.aggregate(
+        F.col("_cs"), F.lit(0).cast("long"), lambda a, c: a + c
+    )
+    clog = F.aggregate(
+        F.col("_cs"),
+        F.lit(0.0),
+        lambda a, c: a + c.cast("double") * F.log2(c.cast("double")),
+    )
+    stats = per_doc.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size("_cs").cast("long").alias("n_uniq"),
+        clog.alias("_clog"),
+    )
+    h = F.log2(F.col("n_tokens").cast("double")) - F.col("_clog") / F.col(
+        "n_tokens"
+    )
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "n_uniq",
+        F.round(h, 6).alias("token_entropy"),
+        F.when(
+            F.col("n_uniq") > 1,
+            F.round(h / F.log2(F.col("n_uniq").cast("double")), 6),
+        ).alias("norm_entropy"),
+    )
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     text_col: str = "text",

@@ -115,6 +115,24 @@ def test_token_budget_mix_respects_budgets(spark, docs):
     assert again == {(r.doc_id, r.source) for r in mixed.collect()}
 
 
+def test_token_entropy_known_values(spark):
+    from hive_io_experimental_spark.operators import text as textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # uniform over 4 -> H = 2.0, norm = 1.0
+            (2, "a a a a"),          # single token -> H = 0, norm NULL
+            (3, "a a b b"),          # uniform over 2 -> H = 1.0, norm = 1.0
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textops.token_entropy(docs).collect()}
+    assert rows[1].token_entropy == 2.0 and rows[1].norm_entropy == 1.0
+    assert rows[2].token_entropy == 0.0 and rows[2].norm_entropy is None
+    assert rows[3].token_entropy == 1.0 and rows[3].n_tokens == 4
+    assert rows[3].n_uniq == 2
+
+
 def test_exact_dup_representatives_picks_lowest_id(spark):
     docs = spark.createDataFrame(
         [(5, "same", "s"), (2, "same", "s"), (9, "other", "s")],
