@@ -610,6 +610,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "supplier"), _t(spark, sf, "orders"),
         _t(spark, sf, "lineitem"),
     )
+    q["order_price_bands"] = lambda spark, sf: relational.order_price_bands(
+        _t(spark, sf, "orders")
+    )
     q["orders_by_month"] = lambda spark, sf: relational.orders_by_month(
         _t(spark, sf, "orders")
     )
@@ -1265,6 +1268,24 @@ def oracle_sql() -> dict[str, str]:
                             AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
         GROUP BY s_name
         ORDER BY numwait DESC, s_name ASC LIMIT 20"""
+
+    o["order_price_bands"] = """
+        WITH b AS (
+          SELECT o_orderpriority,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+                   AS price,
+                 NTILE(4) OVER w AS band,
+                 PERCENT_RANK() OVER w AS pr,
+                 CUME_DIST() OVER w AS cd
+          FROM orders
+          WINDOW w AS (PARTITION BY o_orderpriority
+                       ORDER BY CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                                     AS DOUBLE) DESC, o_orderkey ASC))
+        SELECT o_orderpriority, band, COUNT(*) AS n_orders,
+               MIN(price) AS min_price, MAX(price) AS max_price,
+               ROUND(MIN(pr), 6) AS first_pct_rank,
+               ROUND(MAX(cd), 6) AS last_cume_dist
+        FROM b GROUP BY 1, 2 ORDER BY 1, 2"""
 
     o["orders_by_month"] = """
         SELECT epoch_us(date_trunc('month', o_orderdate)) // 1000000 AS month_epoch,

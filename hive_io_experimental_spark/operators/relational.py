@@ -1262,6 +1262,42 @@ def waiting_orders(
     )
 
 
+def order_price_bands(orders: DataFrame, n_bands: int = 4) -> DataFrame:
+    """Ranking-window breadth: ntile quartiles + percent_rank + cume_dist of
+    order value WITHIN each priority class, summarized per band.
+
+    Windows partition by o_orderpriority (never a global ORDER BY — a
+    single-partition window is the classic scale trap), so each class
+    ranks independently after one shuffle. Band summaries use min/max of
+    the rank metrics — order-insensitive aggregates of values both engines
+    derive from identical integer rank arithmetic.
+    """
+    price = F.col("o_totalprice").cast("decimal(12,2)").cast("double")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("_price").desc(), F.col("o_orderkey").asc()
+    )
+    banded = orders.select(
+        "o_orderpriority", "o_orderkey", price.alias("_price")
+    ).select(
+        "o_orderpriority",
+        "_price",
+        F.ntile(n_bands).over(w).cast("long").alias("band"),
+        F.percent_rank().over(w).alias("_pr"),
+        F.cume_dist().over(w).alias("_cd"),
+    )
+    return (
+        banded.groupBy("o_orderpriority", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("_price").alias("min_price"),
+            F.max("_price").alias("max_price"),
+            F.round(F.min("_pr"), 6).alias("first_pct_rank"),
+            F.round(F.max("_cd"), 6).alias("last_cume_dist"),
+        )
+        .orderBy("o_orderpriority", "band")
+    )
+
+
 def run_sql(spark, sf_dir: str, query: str,
             tables: tuple[str, ...] = ("region", "nation", "customer",
                                        "supplier", "part", "orders",

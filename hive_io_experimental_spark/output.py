@@ -91,7 +91,7 @@ class HiveOutput:
         desc = TableDesc.parse(spec.table)
         schema = self.catalog.get_schema(desc)  # raises TableNotFoundError
         self._check_partition_spec(schema, spec)
-        df = self._conform(df, schema, spec)
+        df = self._apply_layout(self._conform(df, schema, spec), desc)
 
         if self.catalog.is_versioned(desc):
             self._write_versioned(desc, schema, spec, df)
@@ -155,7 +155,11 @@ class HiveOutput:
                 f"dynamic write needs partition columns {missing} in the data"
             )
         # conform first: a malformed frame must fail before any Spark job
-        body = self._conform(df, schema, WriteSpec(table), extra_cols=keys)
+        body = self._apply_layout(
+            self._conform(df, schema, WriteSpec(table), extra_cols=keys),
+            desc,
+            prefix_keys=keys,
+        )
         # distinct partition VALUES: driver-sized metadata, never rows.
         # Values come from the already-string-cast body columns, so the
         # registered spec and Spark's directory name agree by construction.
@@ -198,6 +202,25 @@ class HiveOutput:
                 self.catalog.drop_partition(desc, s)
             self.catalog.add_partition(desc, s, stats)
         return specs
+
+    def _apply_layout(
+        self, df: DataFrame, desc: TableDesc,
+        prefix_keys: tuple[str, ...] | list[str] = (),
+    ) -> DataFrame:
+        """Clustered layout: sort by the table's declared sort_cols WITHIN
+        each task (no shuffle added) so parquet/ORC row-group min/max stats
+        become selective for predicates on those columns.
+
+        Dynamic partitioned writes must pass the partition keys as
+        ``prefix_keys``: FileFormatWriter requires task rows ordered by the
+        dynamic partition columns and will inject its own (non-stable) sort
+        if they aren't — sorting by (keys..., sort_cols...) satisfies that
+        requirement up front, so no second sort runs and the per-directory
+        writers see rows already ordered by sort_cols."""
+        sort_cols = self.catalog.table_sort_cols(desc)
+        if sort_cols:
+            df = df.sortWithinPartitions(*prefix_keys, *sort_cols)
+        return df
 
     # -- versioned (snapshot / time travel) writes ---------------------------
     #
