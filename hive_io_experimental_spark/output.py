@@ -33,6 +33,7 @@ from hive_io_experimental_spark.catalog import Catalog, HiveStats, TableDesc
 from hive_io_experimental_spark.errors import (
     PartitionExistsError,
     PartitionSpecError,
+    SnapshotError,
     TableNotEmptyError,
     TypeMismatchError,
 )
@@ -303,6 +304,53 @@ class HiveOutput:
             ]
             note = "write_table"
         self.catalog.commit_snapshot(desc, version, manifest, note=note)
+
+    def append_table(
+        self, spec: WriteSpec, df: DataFrame, note: str = "append_table"
+    ) -> int:
+        """Versioned APPEND: commit a new snapshot whose manifest is the
+        prior file set PLUS one new immutable snap dir — read-back sees old
+        and new rows, history keeps every increment. Only meaningful for
+        versioned unpartitioned tables (a partitioned table appends by
+        writing a new partition; an unversioned unpartitioned table is
+        append-once by the must-be-empty rule). Returns the committed
+        version — and ``note`` rides into the snapshot metadata, which is
+        how the streaming sink makes batch replays idempotent
+        (streaming/snapshots.py).
+        """
+        from hive_io_experimental_spark.sources.formats import writer_options
+
+        desc = TableDesc.parse(spec.table)
+        schema = self.catalog.get_schema(desc)
+        if schema.partition_keys:
+            raise PartitionSpecError(
+                f"{desc} is partitioned — append new partitions via "
+                f"write_table/write_dynamic instead"
+            )
+        if not self.catalog.is_versioned(desc):
+            raise SnapshotError(
+                f"append_table requires a versioned table; {desc} is not "
+                f"(unversioned unpartitioned tables are append-once by the "
+                f"empty-table precondition)"
+            )
+        df = self._apply_layout(self._conform(df, schema, spec), desc)
+        location = self.catalog.table_location(desc)
+        fmt = self.catalog.table_format(desc)
+        version = self.catalog.next_version(desc)
+        prior = self.catalog.snapshot_manifest(desc)
+        snap_path = os.path.join(location, self._snap_name(version))
+        df.write.mode("errorifexists").options(
+            **writer_options(fmt)
+        ).format(fmt).save(snap_path)
+        manifest = self._manifest_dicts(prior)
+        manifest.append(
+            {
+                "values": {},
+                "location": snap_path,
+                "stats": vars(self._stats_for(snap_path, fmt, schema)),
+            }
+        )
+        return self.catalog.commit_snapshot(desc, version, manifest, note=note)
 
     def _write_dynamic_versioned(
         self, desc: TableDesc, schema: HiveTableSchema, body: DataFrame,

@@ -243,6 +243,72 @@ def test_snapshots_cli_lists_history(spark, warehouse, capsys):
     assert lines[0].startswith(" v1\t") and lines[1].startswith("*v2\t")
 
 
+def test_append_table_accumulates_versions(spark, warehouse):
+    cat = _mk_versioned(warehouse, partitioned=False)
+    out = HiveOutput(spark, cat)
+    inp = HiveInput(spark, cat)
+    out.append_table(WriteSpec("default.tt"),
+                     _rows(spark, [(1, 1.0, "a")]).drop("k"))
+    out.append_table(WriteSpec("default.tt"),
+                     _rows(spark, [(2, 2.0, "a")]).drop("k"))
+    assert sorted(
+        r.id for r in inp.read_table(ScanSpec(table="default.tt")).collect()
+    ) == [1, 2]
+    assert [
+        r.id
+        for r in inp.read_table(
+            ScanSpec(table="default.tt", as_of_version=1)
+        ).collect()
+    ] == [1]
+    # append on a partitioned or unversioned table is a usage error
+    from hive_io_experimental_spark.errors import PartitionSpecError
+
+    cat.create_table(
+        "default.plain2", HiveTableSchema((("id", T.LongType()),))
+    )
+    with pytest.raises(SnapshotError):
+        out.append_table(WriteSpec("default.plain2"),
+                         spark.createDataFrame([(1,)], "id long"))
+    cat2 = _mk_versioned(warehouse + "/p", partitioned=True)
+    with pytest.raises(PartitionSpecError):
+        HiveOutput(spark, cat2).append_table(
+            WriteSpec("default.tt"), _rows(spark, [(1, 1.0, "a")])
+        )
+
+
+def test_stream_batches_become_snapshots_idempotently(spark, warehouse, tmp_path):
+    from hive_io_experimental_spark.streaming.snapshots import (
+        append_snapshots_stream,
+        snapshot_batch_sink,
+    )
+
+    cat = _mk_versioned(warehouse, partitioned=False)
+    inp = HiveInput(spark, cat)
+    src = str(tmp_path / "src")
+    base = _rows(spark, [(1, 1.0, "a"), (2, 2.0, "a")]).drop("k")
+    base.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("id long, v double").parquet(src)
+    q = append_snapshots_stream(
+        stream, warehouse, "default.tt", str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+    v_after_stream = cat.current_version("default.tt")
+    assert v_after_stream >= 1
+    assert sorted(
+        r.id for r in inp.read_table(ScanSpec(table="default.tt")).collect()
+    ) == [1, 2]
+    # replaying an already-committed batch_id must be a no-op...
+    sink = snapshot_batch_sink(warehouse, "default.tt")
+    sink(base, 0)
+    assert cat.current_version("default.tt") == v_after_stream
+    # ...while a NEW batch_id appends one more version
+    sink(_rows(spark, [(3, 3.0, "a")]).drop("k"), 999)
+    assert cat.current_version("default.tt") == v_after_stream + 1
+    assert sorted(
+        r.id for r in inp.read_table(ScanSpec(table="default.tt")).collect()
+    ) == [1, 2, 3]
+
+
 def test_stats_follow_current_snapshot(spark, warehouse):
     cat = _mk_versioned(warehouse, partitioned=True)
     out = HiveOutput(spark, cat)
