@@ -310,6 +310,89 @@ def _merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _scan_multikey_pruned(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-gate round-trip for MULTI-LEVEL partition layout: write orders
+    into a table partitioned by (status, priority) with one dynamic job,
+    then scan with a filter touching BOTH keys (equality + IN). The filter
+    prunes two directory levels at plan time; the aggregate equals the
+    plain filtered aggregate over the source — the oracle."""
+    import tempfile
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.output import HiveOutput
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    wh = tempfile.mkdtemp(prefix="hio_gate_mk_")  # outlives the lazy scan
+    cat = Catalog(wh)
+    data_fields = tuple(
+        (f.name, f.dataType)
+        for f in orders.schema.fields
+        if f.name not in ("o_orderstatus", "o_orderpriority")
+    )
+    cat.create_table(
+        "default.orders_mk",
+        HiveTableSchema(
+            data_fields,
+            partition_keys=("o_orderstatus", "o_orderpriority"),
+        ),
+    )
+    HiveOutput(spark, cat).write_dynamic("default.orders_mk", orders)
+    scanned = HiveInput(spark, cat).read_table(
+        ScanSpec(
+            table="default.orders_mk",
+            partition_filter=(
+                "o_orderstatus = 'O' AND "
+                "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+            ),
+        )
+    )
+    return scanned.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_totalprice"),
+    ).orderBy("o_orderpriority")
+
+
+def _scan_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-gate round-trip for the JSON serde (storage-format parity,
+    output/OutputInfo.java:51-111 — the catalog's per-table format drives
+    BOTH the writer and the reader): project part through a json-format
+    catalog table and aggregate. Doubles survive JSON via shortest
+    round-trip formatting; the aggregate equals the source-side oracle."""
+    import tempfile
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    part = _t(spark, sf, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    wh = tempfile.mkdtemp(prefix="hio_gate_json_")  # outlives the lazy scan
+    cat = Catalog(wh)
+    cat.create_table(
+        "default.part_json",
+        HiveTableSchema(
+            tuple((f.name, f.dataType) for f in part.schema.fields)
+        ),
+        storage_format="json",
+    )
+    HiveOutput(spark, cat).write_table(WriteSpec("default.part_json"), part)
+    back = HiveInput(spark, cat).read_table(ScanSpec(table="default.part_json"))
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.col("p_retailprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_retail"),
+        F.round(F.min("p_retailprice"), 6).alias("min_retail"),
+        F.round(F.max("p_retailprice"), 6).alias("max_retail"),
+    ).orderBy("p_brand")
+
+
 def _merge_key_move(spark: SparkSession, sf: str) -> DataFrame:
     """Driver-gate round-trip for the full-scan MERGE variant
     (operators/merge.py scd1_merge_full): seed a status-partitioned orders
@@ -704,6 +787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["merge_upsert"] = _merge_upsert
     q["time_travel"] = _time_travel
     q["merge_key_move"] = _merge_key_move
+    q["scan_multikey_pruned"] = _scan_multikey_pruned
+    q["scan_json_roundtrip"] = _scan_json_roundtrip
     # bucketed co-located join: both exchanges eliminated by bucket layout.
     q["bucketed_join_volume"] = _bucketed_join_volume
     q["active_user_trends"] = lambda spark, sf: relational.active_user_trends(
@@ -2140,6 +2225,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(price AS DECIMAL(12,2))) AS DOUBLE)
                  AS sum_totalprice
         FROM m GROUP BY 1 ORDER BY 1"""
+
+    o["scan_multikey_pruned"] = """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_totalprice
+        FROM orders
+        WHERE o_orderstatus = 'O'
+          AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        GROUP BY 1 ORDER BY 1"""
+
+    o["scan_json_roundtrip"] = """
+        SELECT p_brand, COUNT(*) AS n_parts,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_retail,
+               ROUND(MIN(p_retailprice), 6) AS min_retail,
+               ROUND(MAX(p_retailprice), 6) AS max_retail
+        FROM part GROUP BY 1 ORDER BY 1"""
 
     # moved rows (okey%10==3) appear ONLY under status 'X' at double price;
     # every other row keeps its origin partition and price

@@ -309,6 +309,87 @@ def test_stream_batches_become_snapshots_idempotently(spark, warehouse, tmp_path
     ) == [1, 2, 3]
 
 
+def test_compaction_consolidates_files_and_keeps_history(spark, warehouse):
+    import glob
+    import os as _os
+
+    from hive_io_experimental_spark.operators.maintenance import (
+        compact_snapshots,
+    )
+
+    cat = _mk_versioned(warehouse, partitioned=False)
+    out = HiveOutput(spark, cat)
+    inp = HiveInput(spark, cat)
+    for i in range(1, 4):  # three appends -> three small file sets
+        out.append_table(
+            WriteSpec("default.tt"),
+            _rows(spark, [(i, float(i), "a")]).drop("k"),
+        )
+    assert len(cat.snapshot_manifest("default.tt")) == 3
+
+    v = compact_snapshots(spark, cat, "default.tt")
+    assert v == 4
+    manifest = cat.snapshot_manifest("default.tt")
+    assert len(manifest) == 1  # one consolidated location
+    files = [
+        f
+        for f in glob.glob(
+            _os.path.join(manifest[0].location, "*.parquet")
+        )
+        if not _os.path.basename(f).startswith("_")
+    ]
+    assert len(files) == 1  # coalesced to one file
+    assert sorted(
+        r.id for r in inp.read_table(ScanSpec(table="default.tt")).collect()
+    ) == [1, 2, 3]
+    # pre-compaction history still readable...
+    assert sorted(
+        r.id
+        for r in inp.read_table(
+            ScanSpec(table="default.tt", as_of_version=3)
+        ).collect()
+    ) == [1, 2, 3]
+    # ...until expiry reclaims the superseded small files
+    deleted = cat.expire_snapshots("default.tt", keep_last=1)
+    assert len(deleted) == 3
+    assert sorted(
+        r.id for r in inp.read_table(ScanSpec(table="default.tt")).collect()
+    ) == [1, 2, 3]
+
+
+def test_compaction_partitioned_one_file_per_partition(spark, warehouse):
+    import glob
+    import os as _os
+
+    from hive_io_experimental_spark.operators.maintenance import (
+        compact_snapshots,
+    )
+
+    cat = _mk_versioned(warehouse, partitioned=True)
+    out = HiveOutput(spark, cat)
+    inp = HiveInput(spark, cat)
+    out.write_dynamic(
+        "default.tt",
+        _rows(spark, [(1, 1.0, "a"), (2, 2.0, "b")]).repartition(4),
+    )
+    out.write_table(  # second version fragments partition a further
+        WriteSpec("default.tt", {"k": "a"}, drop_partition=True),
+        _rows(spark, [(1, 1.0, "a"), (3, 3.0, "a")]).drop("k").repartition(3),
+    )
+    compact_snapshots(spark, cat, "default.tt")
+    for p in cat.snapshot_manifest("default.tt"):
+        files = [
+            f
+            for f in glob.glob(_os.path.join(p.location, "*.parquet"))
+            if not _os.path.basename(f).startswith("_")
+        ]
+        assert len(files) == 1, (p.values, files)
+    assert sorted(
+        (r.id, r.k)
+        for r in inp.read_table(ScanSpec(table="default.tt")).collect()
+    ) == [(1, "a"), (2, "b"), (3, "a")]
+
+
 def test_stats_follow_current_snapshot(spark, warehouse):
     cat = _mk_versioned(warehouse, partitioned=True)
     out = HiveOutput(spark, cat)
