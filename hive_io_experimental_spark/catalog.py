@@ -243,6 +243,76 @@ class Catalog:
         """Declared clustered-layout columns (empty = unsorted writes)."""
         return tuple(self.get_table(desc).get("sort_cols", ()))
 
+    # -- schema evolution ----------------------------------------------------
+    #
+    # add/drop are metadata-only: no data files are rewritten. Reads resolve
+    # columns BY NAME against the catalog schema (input.py passes it to the
+    # scan), so files written before an add_column surface NULL for the new
+    # column, and files still carrying a dropped column simply stop
+    # projecting it — the by-name contract every columnar format here
+    # (parquet/orc/json) honors, and csv honors positionally because columns
+    # are only ever appended at the tail. Widening an existing column's type
+    # is intentionally NOT offered: Spark's vectorized parquet reader
+    # refuses file-vs-schema physical type mismatches, so a widen would be a
+    # rewrite, not metadata (the reference's widening, HiveType.java:242-249,
+    # applies to incoming WRITE values — that path already works via
+    # output._conform).
+
+    def add_column(
+        self, desc: TableDesc | str, name: str, data_type
+    ) -> None:
+        """Append a nullable data column to the table schema."""
+        desc = TableDesc.parse(desc) if isinstance(desc, str) else desc
+        with self._exclusive():
+            doc = self._load()
+            entry = self._entry_or_raise(doc, desc)
+            schema = HiveTableSchema.from_json(entry["schema"])
+            taken = {n for n, _ in schema.data_fields} | set(
+                schema.partition_keys
+            )
+            if name in taken:
+                raise ValueError(f"column already exists: {name}")
+            entry["schema"] = HiveTableSchema(
+                schema.data_fields + ((name, data_type),),
+                schema.partition_keys,
+            ).to_json()
+            self._save(doc)
+
+    def drop_column(self, desc: TableDesc | str, name: str) -> None:
+        """Remove a data column from the table schema (files keep the bytes;
+        scans stop projecting them)."""
+        desc = TableDesc.parse(desc) if isinstance(desc, str) else desc
+        with self._exclusive():
+            doc = self._load()
+            entry = self._entry_or_raise(doc, desc)
+            schema = HiveTableSchema.from_json(entry["schema"])
+            if entry.get("storage_format", "parquet") == "csv":
+                # csv maps columns POSITIONALLY: dropping any column would
+                # silently shift old files' remaining fields into the wrong
+                # names — a rewrite, not metadata. By-name formats only.
+                raise ValueError(
+                    "drop_column is unsupported on csv tables (positional "
+                    "serde); rewrite the table instead"
+                )
+            if name in schema.partition_keys:
+                raise ValueError(f"cannot drop partition key: {name}")
+            if name in entry.get("sort_cols", ()):
+                raise ValueError(
+                    f"cannot drop sort column {name}; clear the clustered "
+                    f"layout first"
+                )
+            remaining = tuple(
+                (n, t) for n, t in schema.data_fields if n != name
+            )
+            if len(remaining) == len(schema.data_fields):
+                raise ValueError(f"no such data column: {name}")
+            if not remaining:
+                raise ValueError("cannot drop the last data column")
+            entry["schema"] = HiveTableSchema(
+                remaining, schema.partition_keys
+            ).to_json()
+            self._save(doc)
+
     # -- partitions ----------------------------------------------------------
 
     @staticmethod
