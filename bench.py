@@ -186,11 +186,12 @@ def main() -> int:
             old = (prev.get("queries") or {}).get(name)
             if isinstance(old, (int, float)) and old > 0 and cur > 0:
                 prev_delta[name] = round(cur - old, 3)
+    # Key order matters: the driver archives only the TAIL of stdout, so the
+    # big per-query dicts go first and the scalar headline metrics last —
+    # a front-truncated capture still retains scan throughput and the total.
     result = {
-        "metric": "suite_seconds",
-        "value": total,
-        "unit": "sec",
         "queries": timings,
+        "prev_delta": prev_delta,
         "sf": sf,
         "scan_rows": n_rows,
         "scan_seconds": round(scan_s, 3),
@@ -199,8 +200,17 @@ def main() -> int:
         "scan_rows_per_s": round(n_rows / scan_s),
         "threads": threads,
         "runs_per_item": 2,
-        "prev_delta": prev_delta,
+        "n_failed": sum(1 for t in timings.values() if t < 0),
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
     }
+    # Persist the full structured result alongside the repo so round-over-
+    # round comparisons stay auditable even when the driver's stdout capture
+    # truncates the JSON line.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(result, f, indent=1)
     print(json.dumps(result))
     spark.stop()
     return 0

@@ -46,14 +46,54 @@ def _build_spark(threads: int | None):
     return get_spark("hivetail", master=master)
 
 
+def resolve_namespace(path: str, name: str) -> str:
+    """Resolve a warehouse location from a namespaces file.
+
+    Reference parity: TailerCmd resolves the metastore host/port from a
+    namespaces file when one is given (tailer/TailerCmd.java:276-284), a
+    JSON document mapping cluster name -> endpoints
+    (options/NamespaceOptions.java:68-84, ``{"data": {name: [...]}}``).
+    This engine's catalog endpoint is a warehouse directory, so entries are
+    warehouse paths. Divergence: the reference shuffles and picks a random
+    endpoint (thrift load balancing); warehouse paths are replicas of one
+    catalog, so the FIRST entry is used deterministically.
+    """
+    import json
+
+    with open(path) as f:
+        doc = json.load(f)
+    data = doc.get("data", {})
+    entries = data.get(name)
+    if not entries:
+        raise SystemExit(
+            f"namespace {name!r} not found in {path} "
+            f"(available: {sorted(data)})"
+        )
+    first = entries[0]
+    # tolerate the reference's host/port object shape for file-path entries
+    if isinstance(first, dict):
+        first = first.get("warehouse") or first.get("host")
+    if not isinstance(first, str):
+        raise SystemExit(f"namespace {name!r} entry is not a path: {first!r}")
+    return first
+
+
+def _resolve_warehouse(args: argparse.Namespace) -> str | None:
+    """--namespaces-file + --namespace beat --warehouse when both given."""
+    if getattr(args, "namespaces_file", None):
+        return resolve_namespace(args.namespaces_file, args.namespace)
+    return args.warehouse
+
+
 def cmd_tail(args: argparse.Namespace, print_rows: bool = True,
              stop_session: bool = True) -> int:
     spark = _build_spark(args.threads)
     catalog = None
-    if args.warehouse:
+    warehouse = _resolve_warehouse(args)
+    if warehouse:
         from hive_io_experimental_spark.catalog import Catalog
 
-        catalog = Catalog(args.warehouse)
+        catalog = Catalog(warehouse)
     spec = ScanSpec(
         table=args.table,
         columns=tuple(args.columns.split(",")) if args.columns else (),
@@ -132,8 +172,11 @@ def cmd_write(args: argparse.Namespace, stop_session: bool = True) -> int:
     from hive_io_experimental_spark.catalog import Catalog
     from hive_io_experimental_spark.output import HiveOutput, WriteSpec
 
+    warehouse = _resolve_warehouse(args)
+    if not warehouse:
+        raise SystemExit("write requires --warehouse or --namespaces-file")
     spark = _build_spark(args.threads)
-    catalog = Catalog(args.warehouse)
+    catalog = Catalog(warehouse)
     df = spark.read.parquet(args.source)
     part_values = {}
     if args.partition:
@@ -194,6 +237,12 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--table", required=True,
                         help="db.table (with --warehouse) or parquet path")
         sp.add_argument("--warehouse", help="warehouse dir with _catalog.json")
+        sp.add_argument("--namespaces-file",
+                        help="JSON file of named warehouses "
+                             '({"data": {name: [path, ...]}}); overrides '
+                             "--warehouse (NamespaceOptions parity)")
+        sp.add_argument("--namespace", default="silver",
+                        help="namespace name to resolve (default: silver)")
         sp.add_argument("--columns", help="comma-separated projection")
         sp.add_argument("--filter", help="partition filter expression")
         sp.add_argument("--limit", type=int, default=None,
@@ -215,7 +264,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     wr = sub.add_parser("write", help="write parquet source into a catalog table")
     wr.add_argument("--table", required=True)
-    wr.add_argument("--warehouse", required=True)
+    wr.add_argument("--warehouse")
+    wr.add_argument("--namespaces-file",
+                    help="JSON file of named warehouses; overrides --warehouse")
+    wr.add_argument("--namespace", default="silver")
     wr.add_argument("--source", required=True, help="source parquet path")
     wr.add_argument("--partition", help="k=v[,k=v...] static partition spec")
     wr.add_argument("--drop-partition", action="store_true")

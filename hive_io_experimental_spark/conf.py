@@ -74,6 +74,14 @@ RETRY_MAX_TRIES = _register(
 RETRY_INITIAL_DELAY_S = _register(
     "hiveio.retry.initial_delay_s", 10.0, float, "first retry backoff delay",
 )
+# merge operators collect distinct partition VALUES (not rows) to the
+# driver to plan partition-scoped rewrites; bounded by partition count by
+# construction, but a runaway partitioning scheme (e.g. partition-by-userid)
+# would make that list itself huge — fail fast instead of OOMing the driver
+MERGE_MAX_PARTITIONS = _register(
+    "hiveio.merge.max_partitions", 100_000, int,
+    "max distinct partition values a merge may plan over (driver-side list)",
+)
 # content-hash family for dedup/fingerprint operators: md5 (portable,
 # oracle-checkable) or xxhash64 (fast path at raw scale)
 HASH_FAMILY = _register(

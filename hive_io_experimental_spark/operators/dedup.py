@@ -105,21 +105,34 @@ def shingle_sets(
     )
 
 
+# Document-frequency cut applied to the shingle self-join by default: a
+# shingle shared by D documents emits D^2/2 pair rows, so one stop-phrase
+# shingle ("of the and", boilerplate headers) turns the join quadratic at
+# corpus scale while carrying near-zero similarity signal. 1000 docs is far
+# above any discriminative shingle's frequency and far below stop-phrase
+# frequency at 100 TB. Pass max_shingle_freq=None to ngram_jaccard_pairs for
+# the exact unbounded semantics.
+DEFAULT_MAX_SHINGLE_FREQ = 1000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.8,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard >= threshold.
 
-    Plan shape: explode shingles -> (optional df-cut) -> self-equi-join on
-    shingle -> count intersections per pair -> join sizes -> filter. The
-    self-join is the scale hazard; ``max_shingle_freq`` drops shingles that
-    appear in more than N docs (they generate N^2 pair rows but carry almost
-    no signal). Returns (a_id, b_id, jaccard) with a_id < b_id.
+    Plan shape: explode shingles -> df-cut -> self-equi-join on shingle ->
+    count intersections per pair -> join sizes -> filter. The self-join is
+    the scale hazard; ``max_shingle_freq`` (default-ON, see
+    DEFAULT_MAX_SHINGLE_FREQ) drops shingles that appear in more than N docs
+    BEFORE both the size and intersection computations, so jaccard is
+    computed over the reduced shingle space — the standard df-cut semantics.
+    ``None`` opts out (exact, unbounded). Returns (a_id, b_id, jaccard)
+    with a_id < b_id.
     """
     sh = shingle_sets(df, text_col, id_col, k)
     if max_shingle_freq is not None:

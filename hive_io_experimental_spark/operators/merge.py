@@ -54,6 +54,31 @@ def _quote(value: str) -> str:
     return "'" + value.replace("'", "''") + "'"
 
 
+def _distinct_partition_values(
+    spark: SparkSession, df: DataFrame, partition_col: str
+) -> set[str | None]:
+    """Collect DISTINCT partition values with a conf-registered cap.
+
+    Merge planning is driver-sized by design (partition VALUES, never
+    rows), but the bound is only as good as the partitioning scheme — cap
+    it (hiveio.merge.max_partitions) so a degenerate high-cardinality
+    partition column fails fast with a clear message instead of OOMing
+    the driver mid-collect.
+    """
+    from hive_io_experimental_spark import conf
+
+    cap = conf.MERGE_MAX_PARTITIONS.get(spark)
+    distinct = df.select(F.col(partition_col).cast("string")).distinct()
+    rows = distinct.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"merge touches more than {cap} distinct {partition_col!r} "
+            f"partition values (cap {conf.MERGE_MAX_PARTITIONS.key}); "
+            "repartition the table on a coarser key or raise the cap"
+        )
+    return {r[0] for r in rows}
+
+
 def scd1_merge_full(
     spark: SparkSession,
     catalog: Catalog,
@@ -95,12 +120,7 @@ def scd1_merge_full(
     out = HiveOutput(spark, catalog)
     desc = TableDesc.parse(table)
 
-    upd_parts = {
-        r[0]
-        for r in updates.select(
-            F.col(partition_col).cast("string")
-        ).distinct().collect()
-    }
+    upd_parts = _distinct_partition_values(spark, updates, partition_col)
     if any(pv is None for pv in upd_parts):
         raise ValueError(
             f"updates contain NULL {partition_col} values — null partitions "
@@ -110,17 +130,15 @@ def scd1_merge_full(
     key_locations = inp.read_table(
         ScanSpec(table=table, columns=(*key_cols, partition_col))
     )
-    hit_parts = {
-        r[0]
-        for r in key_locations.join(
+    hit_parts = _distinct_partition_values(
+        spark,
+        key_locations.join(
             F.broadcast(updates.select(*key_cols).distinct()),
             list(key_cols),
             "left_semi",
-        )
-        .select(F.col(partition_col).cast("string"))
-        .distinct()
-        .collect()
-    }
+        ),
+        partition_col,
+    )
     affected_existing = sorted(
         pv
         for pv in (upd_parts | hit_parts)
@@ -184,12 +202,10 @@ def scd1_merge(
     desc = TableDesc.parse(table)
     staging_name = f"{desc.database}.{desc.table}_merge_staging"
 
-    part_values = [
-        r[0]
-        for r in updates.select(
-            F.col(partition_col).cast("string")
-        ).distinct().collect()
-    ]
+    part_values = sorted(
+        _distinct_partition_values(spark, updates, partition_col),
+        key=lambda pv: (pv is None, pv),
+    )
     if any(pv is None for pv in part_values):
         raise ValueError(
             f"updates contain NULL {partition_col} values — null partitions "

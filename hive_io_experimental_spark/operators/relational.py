@@ -28,18 +28,60 @@ from pyspark.sql import functions as F
 
 
 def ensure_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
-    """Normalize the event-time column to TimestampType (microseconds).
+    """Normalize the event-time column to TimestampType (epoch microseconds).
 
-    Parquet files written by pandas carry TIMESTAMP(NANOS), which Spark reads
-    as long nanoseconds under spark.sql.legacy.parquet.nanosAsLong (session.py).
-    Floor-divide to micros — identical to DuckDB's nanos->micros truncation on
-    read, so both engines see the same microsecond instants.
+    This is the SINGLE entry point from whatever type storage hands us to the
+    engine's event-time currency (a TIMESTAMP whose ``unix_micros`` equals the
+    wall-clock microseconds since 1970-01-01 00:00:00). Storage drifts — the
+    same logical column has arrived as three physical types across rounds:
+
+    * ``bigint`` — TIMESTAMP(NANOS) parquet read under
+      spark.sql.legacy.parquet.nanosAsLong (session.py). Floor-divide to
+      micros, identical to DuckDB's nanos->micros truncation on read.
+    * ``timestamp_ntz`` — TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet
+      (pandas writers) under spark.sql.parquet.inferTimestampNTZ. Convert
+      tz-INDEPENDENTLY: take the NTZ wall-clock's offset from the NTZ epoch
+      directly, so the result is the same long in any session timezone and
+      matches DuckDB's naive-TIMESTAMP epoch() semantics.
+    * ``timestamp`` — already the currency; pass through.
+
+    Every operator that touches event time MUST route through here before
+    calling ``unix_micros`` (enforced by tests/test_operators.py's dtype
+    matrix) so the next storage drift breaks one function, not 15 queries.
     """
-    if dict(df.dtypes).get(ts_col) == "bigint":
+    dtype = dict(df.dtypes).get(ts_col)
+    if dtype == "bigint":
         return df.withColumn(
-            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+            ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
+        )
+    if dtype == "timestamp_ntz":
+        return df.withColumn(
+            ts_col,
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND, "
+                    f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)"
+                )
+            ),
         )
     return df
+
+
+def month_epoch(ts_col: str):
+    """Epoch seconds of the calendar-month start — timezone-INDEPENDENT.
+
+    ``date_trunc('month', <timestamp>)`` truncates in the SESSION timezone,
+    so its epoch value shifts when the driver host isn't UTC; the oracle
+    (DuckDB over naive timestamps) truncates the UTC wall clock. This
+    formulation stays in pure date arithmetic — epoch-us -> days-since-epoch
+    -> DATE -> month-truncated DATE -> days -> seconds — which no session
+    timezone touches, so Spark and the oracle agree under any TZ setting.
+    """
+    return F.expr(
+        "cast(unix_date(trunc(date_add(DATE'1970-01-01', "
+        f"cast(unix_micros(`{ts_col}`) div 86400000000 as int)), 'MM')) "
+        "as bigint) * 86400"
+    )
 
 
 def _amt(col):
@@ -296,9 +338,7 @@ def events_time_rollup(events: DataFrame) -> DataFrame:
     prep = e.select(
         F.expr("unix_micros(ts) div 3600000000 * 3600").alias("hour_epoch"),
         F.expr("unix_micros(ts) div 86400000000 * 86400").alias("day_epoch"),
-        F.expr("unix_micros(date_trunc('month', ts)) div 1000000").alias(
-            "month_epoch"
-        ),
+        month_epoch("ts").alias("month_epoch"),
         "value",
     )
     return (
@@ -397,14 +437,12 @@ def part_scalar_profile(part: DataFrame) -> DataFrame:
 def orders_by_month(orders: DataFrame) -> DataFrame:
     """Calendar-month aggregate of orders (date/time function surface).
 
-    o_orderdate arrives as long nanos (see ensure_event_time); month
-    truncation happens on proper UTC timestamps, output as epoch seconds so
-    the result is timezone- and engine-independent.
+    o_orderdate arrives in whatever physical type storage chose (see
+    ensure_event_time); month truncation uses pure date arithmetic
+    (month_epoch) so the result is timezone- and engine-independent.
     """
     orders = ensure_event_time(orders, "o_orderdate")
-    month = (
-        F.expr("unix_micros(date_trunc('MONTH', o_orderdate)) div 1000000")
-    ).alias("month_epoch")
+    month = month_epoch("o_orderdate").alias("month_epoch")
     return (
         orders.groupBy(month)
         .agg(

@@ -72,3 +72,53 @@ def test_write_then_tail_catalog_table(spark, sf_dir, warehouse, capsys):
     assert rc == 0
     out_lines = [l for l in capsys.readouterr().out.strip().splitlines() if l]
     assert len(out_lines) == 5
+
+
+def test_namespace_file_resolves_warehouse(spark, sf_dir, warehouse, tmp_path,
+                                           capsys):
+    """--namespaces-file + --namespace resolve the warehouse (TailerCmd
+    namespace path, NamespaceOptions parity)."""
+    import json
+
+    from hive_io_experimental_spark.cli import resolve_namespace
+
+    ns_file = tmp_path / "namespaces.json"
+    ns_file.write_text(json.dumps(
+        {"data": {"silver": [warehouse], "gold": ["/nonexistent"]}}
+    ))
+
+    assert resolve_namespace(str(ns_file), "silver") == warehouse
+    # reference host/port object shape also tolerated
+    obj_file = tmp_path / "ns2.json"
+    obj_file.write_text(json.dumps(
+        {"data": {"silver": [{"warehouse": warehouse}]}}
+    ))
+    assert resolve_namespace(str(obj_file), "silver") == warehouse
+
+    import pytest
+
+    with pytest.raises(SystemExit):
+        resolve_namespace(str(ns_file), "missing")
+
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "default.ns_regions",
+        HiveTableSchema((("r_regionkey", T.LongType()),
+                         ("r_name", T.StringType()))),
+    )
+    rc = main(
+        ["write", "--table", "default.ns_regions",
+         "--namespaces-file", str(ns_file),
+         "--source", f"{sf_dir}/region.parquet"],
+        stop_session=False,
+    )
+    assert rc == 0
+    rc = main(
+        ["tail", "--table", "default.ns_regions",
+         "--namespaces-file", str(ns_file), "--namespace", "silver",
+         "--columns", "r_name", "--limit", "3"],
+        stop_session=False,
+    )
+    assert rc == 0
+    out_lines = [l for l in capsys.readouterr().out.strip().splitlines() if l]
+    assert len(out_lines) == 3

@@ -94,3 +94,27 @@ def test_no_moves_matches_partition_local_merge(spark, warehouse):
         (3, "b"): "old3", (4, "c"): "new4",
     }
     assert not cat_full.table_exists("default.kv_merge_staging")
+
+
+def test_merge_partition_cap_fails_fast(spark, warehouse):
+    """hiveio.merge.max_partitions bounds the driver-side partition list."""
+    import pytest
+
+    from hive_io_experimental_spark import conf
+
+    cat = _mk(spark, warehouse)
+    updates = spark.createDataFrame(
+        [(10 + i, f"v{i}", f"p{i}") for i in range(5)],
+        "k long, v string, p string",
+    )
+    prev = conf.MERGE_MAX_PARTITIONS.get(spark)
+    conf.MERGE_MAX_PARTITIONS.set(spark, 3)
+    try:
+        with pytest.raises(ValueError, match="more than 3 distinct"):
+            scd1_merge(spark, cat, "default.kv", updates,
+                       key_cols=("k",), partition_col="p")
+        with pytest.raises(ValueError, match="more than 3 distinct"):
+            scd1_merge_full(spark, cat, "default.kv", updates,
+                            key_cols=("k",), partition_col="p")
+    finally:
+        conf.MERGE_MAX_PARTITIONS.set(spark, prev)

@@ -875,3 +875,101 @@ def test_event_dwell_gaps(spark):
     assert rows["click"]["n_gaps"] == 1 and rows["click"]["avg_gap_s"] == 10.0
     assert rows["view"]["n_gaps"] == 1 and rows["view"]["max_gap_s"] == 30.0
     assert "purchase" not in rows
+
+
+# ---------------------------------------------------------------------------
+# ensure_event_time: the single entry from storage types to event time
+# ---------------------------------------------------------------------------
+
+def test_ensure_event_time_dtype_matrix(spark):
+    """Same instants through every physical type storage has handed us.
+
+    The helper is the ONLY sanctioned path from a raw ts column to the
+    engine's epoch-micros currency; this matrix pins each branch (bigint
+    nanos, timestamp_ntz, timestamp) to identical unix_micros output, so
+    the next storage drift fails here first.
+    """
+    us_values = [0, 1_700_000_000_123_456, 86_399_999_999]
+    base = spark.createDataFrame([(v,) for v in us_values], "us long")
+
+    as_bigint = base.selectExpr("us * 1000 AS ts")           # nanos-as-long
+    as_ntz = base.selectExpr(
+        "timestampadd(MICROSECOND, us, TIMESTAMP_NTZ'1970-01-01') AS ts"
+    )
+    as_ltz = base.selectExpr("timestamp_micros(us) AS ts")
+
+    for df, dtype in ((as_bigint, "bigint"), (as_ntz, "timestamp_ntz"),
+                      (as_ltz, "timestamp")):
+        assert dict(df.dtypes)["ts"] == dtype
+        out = relational.ensure_event_time(df)
+        assert dict(out.dtypes)["ts"] == "timestamp"
+        got = sorted(r[0] for r in out.selectExpr("unix_micros(ts)").collect())
+        assert got == sorted(us_values), dtype
+
+
+def test_ensure_event_time_ntz_is_timezone_independent(spark):
+    """The NTZ branch must yield the same epoch micros under ANY session TZ.
+
+    date_trunc/cast-based conversions silently shift with
+    spark.sql.session.timeZone; the timestampdiff-from-NTZ-epoch formulation
+    must not."""
+    df = spark.createDataFrame([(123_456_789_000_000,)], "us long").selectExpr(
+        "timestampadd(MICROSECOND, us, TIMESTAMP_NTZ'1970-01-01') AS ts"
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        results = {}
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            out = relational.ensure_event_time(df)
+            results[tz] = out.selectExpr("unix_micros(ts)").first()[0]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert set(results.values()) == {123_456_789_000_000}, results
+
+
+def test_month_epoch_is_timezone_independent(spark):
+    df = spark.createDataFrame(
+        [("2024-03-15 17:30:00",)], "s string"
+    ).selectExpr("cast(s AS TIMESTAMP_NTZ) AS ts")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        vals = set()
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            out = relational.ensure_event_time(df).select(
+                relational.month_epoch("ts").alias("m")
+            )
+            vals.add(out.first()["m"])
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    # 2024-03-01 00:00:00 UTC = 1709251200, regardless of session TZ
+    assert vals == {1709251200}
+
+
+# ---------------------------------------------------------------------------
+# ngram jaccard: default df-cut bounds the hot-shingle self-join
+# ---------------------------------------------------------------------------
+
+def test_ngram_jaccard_hot_shingle_bounded(spark):
+    """A shingle shared by every doc must not produce O(n^2) pairs.
+
+    50 docs share one boilerplate shingle but are otherwise unique; with the
+    df-cut at 10 the boilerplate shingle is dropped, so NO pairs survive —
+    the unbounded variant would emit 50*49/2 candidate pairs from it.
+    """
+    boiler = "all rights reserved worldwide"
+    texts = [f"unique{i} distinct{i} words{i} {boiler}" for i in range(50)]
+    df = docs_df(spark, texts)
+    bounded = dedup.ngram_jaccard_pairs(
+        df, k=3, threshold=0.1, max_shingle_freq=10
+    )
+    assert bounded.count() == 0
+    unbounded = dedup.ngram_jaccard_pairs(
+        df, k=3, threshold=0.1, max_shingle_freq=None
+    )
+    assert unbounded.count() > 0
+
+    # the default is ON (scale-safe): a >DEFAULT_MAX_SHINGLE_FREQ hot
+    # shingle would be cut without any explicit opt-in
+    assert dedup.DEFAULT_MAX_SHINGLE_FREQ is not None

@@ -77,9 +77,15 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        rec = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        report[name] = rec
         t0 = time.perf_counter()
         try:
             sdf = fn(spark, sf_dir)
@@ -87,10 +93,13 @@ def main() -> int:
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:
             failures.append(name)
+            rec["err"] = f"spark error: {exc}"
             print(f"FAIL {name}: spark error: {exc}")
             continue
         spark_t = time.perf_counter() - t0
+        rec["spark_rows"] = len(s_rows)
         if name not in oracles:
+            rec["err"] = "no oracle (rows-only check)"
             print(f"skip {name}: no oracle ({len(s_rows)} rows, {spark_t:.1f}s)")
             continue
         try:
@@ -99,16 +108,21 @@ def main() -> int:
             d_rows = res.fetchall()
         except Exception as exc:
             failures.append(name)
+            rec["err"] = f"duckdb error: {exc}"
             print(f"FAIL {name}: duckdb error: {exc}")
             continue
+        rec["oracle_rows"] = len(d_rows)
+        rec["schema_match"] = sorted(s_cols) == sorted(d_cols)
+        rec["rows_match"] = len(s_rows) == len(d_rows)
         problems = []
-        if sorted(s_cols) != sorted(d_cols):
+        if not rec["schema_match"]:
             problems.append(f"columns {sorted(s_cols)} vs {sorted(d_cols)}")
-        if len(s_rows) != len(d_rows):
+        if not rec["rows_match"]:
             problems.append(f"rowcount {len(s_rows)} vs {len(d_rows)}")
         if not problems:
             sn = normalize(s_rows, s_cols)
             dn = normalize(d_rows, d_cols)
+            rec["hash_match"] = sn == dn
             if sn != dn:
                 diff = [
                     (a, b) for a, b in zip(sn, dn) if a != b
@@ -119,6 +133,19 @@ def main() -> int:
             print(f"FAIL {name}: {'; '.join(problems)}")
         else:
             print(f"ok   {name}: {len(s_rows)} rows ({spark_t:.1f}s spark)")
+
+    if not only:  # full runs persist the whole map for the round record
+        import json
+        import os
+
+        out = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "CORRECTNESS_LOCAL.json",
+        )
+        with open(out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "vanilla": vanilla,
+                       "results": report}, f, indent=1)
+        print(f"wrote {out}")
 
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
     spark.stop()
