@@ -884,9 +884,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         .orderBy("shard")
     )
-    # greedy (no-split) packing is sequential per shard — not
-    # SQL-expressible; its invariants are property-tested instead
-    # (tests/test_packing.py), and the gate records rows-only.
+    # greedy (no-split) packing: oracle is a recursive-CTE state machine
+    # stepping each shard one document per level; invariants also
+    # property-tested in tests/test_packing.py.
     q["pack_sequences_greedy"] = lambda spark, sf: (
         packing.pack_sequences_greedy(_t(spark, sf, "documents"))
         .groupBy("shard")
@@ -928,9 +928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash_pairs"] = lambda spark, sf: dedup.simhash_pairs(
         _t(spark, sf, "documents"), max_hamming=3
     )
-    # NOTE: no oracle_sql entry for dedup_clusters — connected components is
-    # iterative (not SQL-expressible); clustering semantics are pinned by
-    # the chained-duplicate unit test instead.
+    # oracle: recursive-CTE reachability closure over the same LSH pairs —
+    # min reachable id per component == the min-label-propagation fixpoint.
     q["dedup_clusters"] = lambda spark, sf: dedup.duplicate_clusters(
         _t(spark, sf, "documents")
     )
@@ -993,9 +992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_frame_sample"] = lambda spark, sf: multimodal.frame_sample_plan(
         multimodal.attach_binary_payload(_t(spark, sf, "documents"))
     )
-    # NOTE: no oracle_sql entry for multimodal_features — byte-level blob
-    # iteration (bincount/entropy) is not expressible in DuckDB SQL; golden
-    # values are asserted in tests/test_operators.py instead.
+    # oracle: hex-expand the blob to per-byte rows in DuckDB (hex() +
+    # list_transform chunking), then the same count/mean/entropy math.
     q["multimodal_features"] = lambda spark, sf: multimodal.extract_features(
         multimodal.attach_binary_payload(_t(spark, sf, "documents"))
     )
@@ -1830,6 +1828,46 @@ def oracle_sql() -> dict[str, str]:
         FROM o GROUP BY 1 ORDER BY 1"""
     )
 
+    # greedy next-fit packing IS oracle-expressible: the per-shard
+    # sequential state machine (current bin, fill) advances one document
+    # per recursion step; all shards step in parallel within one recursive
+    # CTE level, so depth = max docs/shard, not total docs.
+    o["pack_sequences_greedy"] = (
+        "WITH RECURSIVE "
+        + _PACK_T.format(src="", src2="", salt="pack:")
+        + """,
+        ord AS (SELECT doc_id, tokens, h % 32 AS shard,
+                       ROW_NUMBER() OVER (PARTITION BY h % 32
+                                          ORDER BY h, doc_id) AS rn
+                FROM t),
+        step(shard, rn, doc_id, tokens, bin_id, cur, fill) AS (
+            SELECT shard, rn, doc_id, tokens,
+                   0 AS bin_id,
+                   CASE WHEN tokens > 2048 THEN 1 ELSE 0 END AS cur,
+                   CASE WHEN tokens > 2048 THEN 0 ELSE tokens END AS fill
+            FROM ord WHERE rn = 1
+            UNION ALL
+            SELECT o.shard, o.rn, o.doc_id, o.tokens,
+                   CASE WHEN o.tokens > 2048
+                          THEN s.cur + CASE WHEN s.fill > 0 THEN 1 ELSE 0 END
+                        WHEN s.fill + o.tokens > 2048 THEN s.cur + 1
+                        ELSE s.cur END,
+                   CASE WHEN o.tokens > 2048
+                          THEN s.cur + CASE WHEN s.fill > 0 THEN 1 ELSE 0 END
+                               + 1
+                        WHEN s.fill + o.tokens > 2048 THEN s.cur + 1
+                        ELSE s.cur END,
+                   CASE WHEN o.tokens > 2048 THEN 0
+                        WHEN s.fill + o.tokens > 2048 THEN o.tokens
+                        ELSE s.fill + o.tokens END
+            FROM step s JOIN ord o ON o.shard = s.shard AND o.rn = s.rn + 1
+        )
+        SELECT shard, COUNT(*) AS n_docs,
+               CAST(MAX(bin_id) + 1 AS BIGINT) AS n_bins,
+               CAST(SUM(tokens) AS BIGINT) AS total_tokens
+        FROM step GROUP BY shard ORDER BY shard"""
+    )
+
     o["token_budget_mix"] = (
         "WITH "
         + _PACK_T.format(src="source,", src2="source,", salt="mix:")
@@ -1904,6 +1942,30 @@ def oracle_sql() -> dict[str, str]:
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id"""
+
+    # connected components over the SAME LSH candidate pairs, as a
+    # recursive reachability closure: within an (undirected) component the
+    # min reachable id IS the component label, which is exactly the
+    # operator's min-label-propagation fixpoint. Docs with no candidate
+    # edges label themselves.
+    o["dedup_clusters"] = f"""
+        WITH RECURSIVE {shingle_cte},
+        sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+        bands AS ({band_selects}),
+        pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.band_key = b.band_key
+                       AND a.doc_id < b.doc_id),
+        edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                  UNION SELECT b_id, a_id FROM pairs),
+        reach(id, root) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+        ),
+        comp AS (SELECT id, MIN(root) AS cluster_id FROM reach GROUP BY id)
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id"""
 
     o["dedup_simhash"] = f"""
         WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -2454,6 +2516,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, unnest(range(0, 4)) AS frame_slot,
                unnest(range(0, 4)) * step_s AS frame_time_s
         FROM s"""
+
+    # per-byte expansion of the payload blob: hex() the blob, chunk into
+    # 2-hex-char bytes, unnest to (doc_id, byte) rows, then the same
+    # histogram -> distinct/mean/entropy math as extract_features (both
+    # sides round to 6; `+ 0.0` folds IEEE -0.0 like the operator does)
+    o["multimodal_features"] = """
+        WITH b AS (SELECT doc_id, encode(text) AS blob FROM documents),
+        tot AS (SELECT doc_id, octet_length(blob) AS n FROM b),
+        bytes AS (SELECT doc_id,
+                         unnest(list_transform(range(0, octet_length(blob)),
+                             i -> CAST(('0x' || substr(hex(blob),
+                                        CAST(2 * i + 1 AS INT), 2)) AS INT)))
+                           AS byte
+                  FROM b),
+        counts AS (SELECT doc_id, byte, COUNT(*) AS c
+                   FROM bytes GROUP BY 1, 2),
+        agg AS (SELECT c.doc_id,
+                       COUNT(*) AS nd,
+                       ROUND(CAST(SUM(c.byte * c.c) AS DOUBLE) / t.n, 6)
+                         AS mean_byte,
+                       ROUND(-SUM((CAST(c.c AS DOUBLE) / t.n)
+                                  * log2(CAST(c.c AS DOUBLE) / t.n)), 6)
+                         + 0.0 AS ent
+                FROM counts c JOIN tot t USING (doc_id)
+                GROUP BY c.doc_id, t.n)
+        SELECT t.doc_id,
+               CAST(t.n AS BIGINT) AS n_bytes,
+               CAST(COALESCE(a.nd, 0) AS INT) AS n_distinct_bytes,
+               a.mean_byte AS mean_byte,
+               COALESCE(a.ent, 0.0) AS byte_entropy
+        FROM tot t LEFT JOIN agg a USING (doc_id)"""
 
     o["multimodal_decode"] = """
         SELECT doc_id,

@@ -285,9 +285,10 @@ def duplicate_clusters(
     iteration count. The asymptotically better alternating large-star/
     small-star algorithm drops in here if diameters ever get deep.
 
-    Iterative => no SQL oracle (driver records a rows-only check); the
-    clustering semantics are pinned by unit tests on chained duplicates.
-    Returns (doc_id, cluster_id).
+    Oracle-checked despite being iterative: DuckDB computes the same
+    labels as a recursive-CTE reachability closure (min reachable id per
+    component == this propagation's fixpoint); chained-duplicate unit
+    tests pin the semantics besides. Returns (doc_id, cluster_id).
     """
     pairs = minhash_lsh_candidates(
         df, text_col, id_col, num_perm, bands, k, hash_family

@@ -141,10 +141,15 @@ def extract_features(
             probs = counts / safe_n[:, None]
             with np.errstate(divide="ignore", invalid="ignore"):
                 plogp = np.where(present, probs * np.log2(probs), 0.0)
-            entropy = -plogp.sum(axis=1)
+            # round to 6 (the engine's float-output convention, same as
+            # jaccard/cosine) so the DuckDB oracle twin hash-matches the
+            # float sums; `+ 0.0` folds IEEE -0.0 (single-byte docs) to 0.0
+            entropy = np.round(-plogp.sum(axis=1), 6) + 0.0
             mean_byte = np.where(
                 lens > 0,
-                (counts * np.arange(256)[None, :]).sum(axis=1) / safe_n,
+                np.round(
+                    (counts * np.arange(256)[None, :]).sum(axis=1) / safe_n, 6
+                ),
                 np.nan,  # -> SQL NULL below: no bytes to average
             )
             out = pd.DataFrame(
