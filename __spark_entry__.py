@@ -45,11 +45,13 @@ from hive_io_experimental_spark.operators import (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # The driver supplies its own vanilla SparkSession; events.parquet is
-    # written with pandas' datetime64[ns] (parquet TIMESTAMP(NANOS)), which a
-    # default session refuses to read. The conf is runtime-settable, so apply
-    # it here rather than relying on session.get_spark() defaults. Operators
-    # normalize the resulting bigint via relational.ensure_event_time.
+    # The driver supplies its own vanilla SparkSession. The testdata's
+    # timestamp physical type has drifted across rounds — TIMESTAMP(NANOS)
+    # (refused by a default session without nanosAsLong) in rounds 1-2,
+    # TIMESTAMP(MICROS, isAdjustedToUTC=false) -> timestamp_ntz from round
+    # 3. Keep the nanos conf set (runtime-settable, harmless for micros
+    # files) so EITHER vintage reads; operators normalize whatever arrives
+    # via relational.ensure_event_time, the single event-time entry point.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

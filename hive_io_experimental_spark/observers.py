@@ -11,6 +11,16 @@ tailer/Stats.java:92-162). Spark-first translation:
     per-row callback (which would serialize the hot path through Python).
   * ``ScanMeter`` wraps an action with wall-clock timing and exposes the
     observed metrics as rows/s + MB/s, the tailer's Stats line.
+
+CONSCIOUS DIVERGENCE: the reference's observer fires beginReadRow/
+endReadRow + beginParse/endParse around EVERY record
+(input/HiveApiInputObserver.java:29-90 — begin/end hook pairs per read and
+per parse); this engine observes at scan granularity with one aggregate
+accumulator. Per-row Python callbacks would serialize the vectorized hot
+path (and even JVM-side per-row listeners defeat whole-stage codegen); the
+aggregate observer delivers the same operational signal — progress,
+throughput, row/byte counts — at zero marginal cost, which is the Spark
+idiom for this job.
 """
 
 from __future__ import annotations
