@@ -81,6 +81,26 @@ def _similarity_quality_topk(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_topk_bucketed(corpus, queries, k=10, num_planes=4)
 
 
+def _zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """Morton key over (l_partkey, l_suppkey) + the head of the clustered
+    order. Sorting by the key is what the sorted-layout write path would do
+    with sort_cols=("_z",); the gate checks the interleave bit-for-bit and
+    the resulting order deterministically (full key tie-break)."""
+    from hive_io_experimental_spark.functions.layout import zorder_key
+
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            zorder_key([F.col("l_partkey"), F.col("l_suppkey")]).alias(
+                "z_key"
+            ),
+        )
+        .orderBy("z_key", "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
 def _scan_partition_pruned(spark: SparkSession, sf: str) -> DataFrame:
     """Engine round-trip for the driver gate: write orders into a
     catalog-registered table partitioned by order status, then scan it back
@@ -816,6 +836,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["expanding_zscore"] = lambda spark, sf: profile.expanding_zscore(
         _t(spark, sf, "events")
     )
+    # pre-flight shuffle-key skew check: top event users by row share
+    q["key_skew_events"] = lambda spark, sf: profile.key_skew_profile(
+        _t(spark, sf, "events"), "user_id", top_k=10
+    )
+    # z-order layout key over (l_partkey, l_suppkey): first 100 rows of
+    # the clustered order — proves the Morton interleave bit-for-bit
+    q["zorder_layout"] = lambda spark, sf: _zorder_layout(spark, sf)
 
     # ---- text analysis ----
     q["text_metrics"] = lambda spark, sf: text.text_metrics(_t(spark, sf, "documents"))
@@ -2242,6 +2269,36 @@ def oracle_sql() -> dict[str, str]:
                ROUND(quantile_cont(value, 0.9), 6) AS p90,
                ROUND(quantile_cont(value, 0.99), 6) AS p99
         FROM events GROUP BY 1 ORDER BY 1"""
+
+    o["key_skew_events"] = """
+        WITH counts AS (SELECT CAST(user_id AS VARCHAR) AS key,
+                               COUNT(*) AS n_rows
+                        FROM events GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+                       COUNT(*) AS n_keys
+                FROM counts),
+        top AS (SELECT key, n_rows FROM counts
+                ORDER BY n_rows DESC, key ASC LIMIT 10)
+        SELECT ROW_NUMBER() OVER (ORDER BY n_rows DESC, key ASC) AS rank,
+               key, n_rows,
+               ROUND(CAST(n_rows AS DOUBLE) / total, 6) AS share,
+               ROUND(CAST(n_rows AS DOUBLE) * n_keys / total, 6)
+                 AS skew_vs_avg
+        FROM top, tot"""
+
+    # same Morton interleave as functions/layout.py:zorder_key — bit j of
+    # column i lands at output position j * 2 + i, low 16 bits each
+    _z_terms = " + ".join(
+        f"(((l_partkey & 65535) >> {j}) & 1) * {1 << (2 * j)} + "
+        f"(((l_suppkey & 65535) >> {j}) & 1) * {1 << (2 * j + 1)}"
+        for j in range(16)
+    )
+    o["zorder_layout"] = f"""
+        WITH z AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                          CAST({_z_terms} AS BIGINT) AS z_key
+                   FROM lineitem)
+        SELECT * FROM z
+        ORDER BY z_key, l_orderkey, l_linenumber LIMIT 100"""
 
     # SUM over BIGINT is HUGEINT in DuckDB — cast back so the result schema
     # matches Spark's long.

@@ -17,7 +17,7 @@ common/HiveStats.java:34-108) — column profiling is an engine extension
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -252,4 +252,53 @@ def expanding_zscore(
         .select("event_id", "user_id", "n_prior",
                 F.col("_z").alias("zscore"))
         .orderBy("event_id")
+    )
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str, top_k: int = 10
+) -> DataFrame:
+    """Heavy-hitter profile of a prospective shuffle/join key.
+
+    The pre-flight check every 100 TB join or aggregation wants: per-key
+    row counts, reduced to the ``top_k`` heaviest keys with their share of
+    the table and their ratio to the mean key size. A `skew_vs_avg` in the
+    hundreds says "salt this key or let AQE split it" BEFORE the job ships;
+    the reference has no analog (its stats surface is table-level rawSize,
+    HiveStats) — this is the engine's own scale tooling.
+
+    Plan shape: ONE groupBy(key) count (map-side partial aggregation
+    collapses hot keys per partition, so the shuffle carries at most
+    |partitions| x |distinct keys in partition| rows, never the raw table),
+    a single-row global summary broadcast back over the top-k rows. The
+    global top-k is computed with a single ORDER BY ... LIMIT on the
+    (already aggregated, small) per-key counts — Spark's TakeOrdered, no
+    full sort. Ties break toward the smaller key string so the result is
+    deterministic and oracle-stable.
+
+    Returns (rank, key, n_rows, share, skew_vs_avg), rank 1 = heaviest.
+    """
+    counts = df.groupBy(
+        F.col(key_col).cast("string").alias("key")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count(F.lit(1)).alias("_n_keys"),
+    )
+    top = (
+        counts.orderBy(F.col("n_rows").desc(), F.col("key").asc())
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key").asc())
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+            F.round(
+                F.col("n_rows") * F.col("_n_keys") / F.col("_total"), 6
+            ).alias("skew_vs_avg"),
+        )
     )

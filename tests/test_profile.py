@@ -35,3 +35,17 @@ def test_column_profile_null_accounting(spark):
     assert (r.n_rows, r.n_nonnull, r.n_null, r.n_distinct_keys) == (3, 2, 1, 3)
     assert r.min_value == 1.0 and r.max_value == 3.0
     assert r.median_value == 2.0  # interpolated between 1.0 and 3.0
+
+
+def test_key_skew_profile_ranks_heavy_hitters(spark):
+    from hive_io_experimental_spark.operators.profile import key_skew_profile
+
+    # key "a" holds 6 of 10 rows, "b" 3, "c" 1 -> avg key size 10/3
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)]
+    df = spark.createDataFrame(rows, "k string")
+    got = {r["rank"]: r for r in key_skew_profile(df, "k", top_k=2).collect()}
+    assert len(got) == 2
+    assert got[1]["key"] == "a" and got[1]["n_rows"] == 6
+    assert got[1]["share"] == 0.6
+    assert got[1]["skew_vs_avg"] == 1.8  # 6 / (10/3)
+    assert got[2]["key"] == "b" and got[2]["n_rows"] == 3

@@ -93,3 +93,40 @@ class TestPythonValueChecks:
     def test_int_into_float_ok(self):
         check_python_value(HiveType.FLOAT, 3)
         check_python_value(HiveType.DOUBLE, 3)
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    """Bit-exact Morton interleave vs a python reference, plus bounds."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hive_io_experimental_spark.functions.layout import zorder_key
+
+    def ref(vals, bits):
+        n = len(vals)
+        out = 0
+        for i, v in enumerate(vals):
+            v &= (1 << bits) - 1
+            for j in range(bits):
+                out |= ((v >> j) & 1) << (j * n + i)
+        return out
+
+    cases = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321),
+             (70000, 3)]  # 70000 overflows 16 bits -> masked
+    df = spark.createDataFrame(cases, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", zorder_key([F.col("a"), F.col("b")]).alias("z")
+        ).collect()
+    }
+    for a, b in cases:
+        assert got[(a, b)] == ref([a, b], 16), (a, b)
+
+    # z-locality: interleave of small coords < interleave of large coords
+    assert ref([1, 1], 16) < ref([200, 200], 16)
+
+    with pytest.raises(ValueError):
+        zorder_key([])
+    with pytest.raises(ValueError):
+        zorder_key([F.col("a")] * 4, bits=16)  # 64 bits > signed long
