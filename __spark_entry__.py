@@ -871,6 +871,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["top_quality_per_lang"] = lambda spark, sf: text.top_quality_per_lang(
         _t(spark, sf, "documents")
     )
+    q["lm_quality_scores"] = lambda spark, sf: text.unigram_lm_scores(
+        _t(spark, sf, "documents")
+    ).orderBy("doc_id")
     q["tfidf_top_terms"] = lambda spark, sf: text.tfidf_top_terms(
         _t(spark, sf, "documents")
     )
@@ -2336,6 +2339,23 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN oc ON o_custkey = c_custkey
         WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) > t.avg_bal
           AND COALESCE(n_orders, 0) <= 5
+        GROUP BY 1 ORDER BY 1"""
+
+    # per-token bits rounded to 6 then summed as DECIMAL(18,6): exact,
+    # order-independent accumulation so both engines hash identically
+    o["lm_quality_scores"] = f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        tk AS (SELECT doc_id, unnest(toks) AS token FROM d),
+        vocab AS (SELECT token, COUNT(*) AS c FROM tk GROUP BY 1),
+        tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM vocab),
+        bits AS (SELECT token,
+                        CAST(ROUND(-log2(c / n), 6) AS DECIMAL(18,6))
+                          AS b
+                 FROM vocab, tot)
+        SELECT t.doc_id,
+               COUNT(*) AS n_tokens,
+               ROUND(CAST(SUM(b.b) AS DOUBLE) / COUNT(*), 6) AS avg_bits
+        FROM tk t JOIN bits b USING (token)
         GROUP BY 1 ORDER BY 1"""
 
     o["tfidf_top_terms"] = f"""

@@ -655,3 +655,55 @@ def cross_source_leakage(
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
         .orderBy("source_a", "source_b")
     )
+
+
+def unigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Self-trained unigram LM score (bits per token) per document.
+
+    The classic cheap LM-quality filter for pretraining corpora: fit a
+    unigram model on the corpus itself (token probability = corpus
+    frequency), then score each document by its average negative log2
+    token probability. Boilerplate and natural prose score low bits/token
+    (common words), gibberish and random strings score high — threshold on
+    ``avg_bits`` to drop junk without any external model.
+
+    Plan shape for 100 TB: ONE explode -> groupBy(token) count (map-side
+    combined) builds the vocab; the per-token score joins tokens back to
+    the vocab ON TOKEN — the same hash partitioning the count shuffle
+    already produced — then ONE groupBy(doc) sums. No driver-side state;
+    vocab never needs to be broadcast (though AQE will when it fits).
+
+    Determinism across engines: per-token bits are rounded to 6 and summed
+    as exact DECIMAL(18,6) — order-independent, so the value hash is
+    stable under any partitioning (same trick as label_centroid_stats).
+    Docs with zero tokens produce no row (no tokens to average).
+
+    Returns (doc_id, n_tokens, avg_bits), avg_bits rounded to 6.
+    """
+    tok = spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_tokens(F.col(text_col))).alias("token"),
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("_c"))
+    total = vocab.agg(F.sum("_c").alias("_n"))
+    bits = (
+        vocab.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            F.round(-F.log2(F.col("_c") / F.col("_n")), 6)
+            .cast("decimal(18,6)")
+            .alias("_bits"),
+        )
+    )
+    return (
+        tok.join(bits, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("_bits").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_bits"),
+        )
+    )

@@ -973,3 +973,22 @@ def test_ngram_jaccard_hot_shingle_bounded(spark):
     # the default is ON (scale-safe): a >DEFAULT_MAX_SHINGLE_FREQ hot
     # shingle would be cut without any explicit opt-in
     assert dedup.DEFAULT_MAX_SHINGLE_FREQ is not None
+
+
+def test_unigram_lm_scores_flags_rare_token_docs(spark):
+    """Common-word docs score fewer bits/token than rare-word docs."""
+    import math
+
+    df = docs_df(
+        spark,
+        ["the the the the", "the the the zzyzxq", ""],  # empty -> no row
+    )
+    rows = {r["doc_id"]: r for r in text.unigram_lm_scores(df).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0]["n_tokens"] == 4 and rows[1]["n_tokens"] == 4
+    # corpus: 'the' x7 (p=7/8), 'zzyzxq' x1 (p=1/8)
+    b_the = round(-math.log2(7 / 8), 6)
+    b_rare = round(-math.log2(1 / 8), 6)
+    assert rows[0]["avg_bits"] == round(b_the, 6)
+    assert rows[1]["avg_bits"] == round((3 * b_the + b_rare) / 4, 6)
+    assert rows[1]["avg_bits"] > rows[0]["avg_bits"]
