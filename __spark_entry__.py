@@ -830,6 +830,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["numeric_outliers"] = lambda spark, sf: profile.numeric_outliers(
         _t(spark, sf, "events"), numeric_col="value", id_col="event_id"
     )
+    q["robust_outliers"] = lambda spark, sf: profile.robust_outliers(
+        _t(spark, sf, "events"), numeric_col="value", id_col="event_id"
+    )
     q["event_type_percentiles"] = lambda spark, sf: profile.group_percentiles(
         _t(spark, sf, "events")
     )
@@ -1629,6 +1632,16 @@ def oracle_sql() -> dict[str, str]:
                  list_transform(items[1:10], s -> s[3]), '>') AS path,
                n_events
         FROM g ORDER BY user_id"""
+
+    o["robust_outliers"] = """
+        WITH m AS (SELECT quantile_cont(value, 0.5) AS med FROM events),
+        md AS (SELECT med, quantile_cont(abs(value - med), 0.5) AS mad
+               FROM events, m GROUP BY med)
+        SELECT event_id AS id, value,
+               ROUND(0.6745 * (value - med) / mad, 6) AS robust_z
+        FROM events, md
+        WHERE abs(ROUND(0.6745 * (value - med) / mad, 6)) > 3.5
+        ORDER BY id"""
 
     o["numeric_outliers"] = """
         WITH s AS (SELECT COUNT(value) AS n,

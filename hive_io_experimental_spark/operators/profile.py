@@ -302,3 +302,54 @@ def key_skew_profile(
             ).alias("skew_vs_avg"),
         )
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    numeric_col: str,
+    id_col: str,
+    z: float = 3.5,
+) -> DataFrame:
+    """Rows whose value is an outlier by the robust (median/MAD) criterion.
+
+    mean/std outlier gates (numeric_outliers) break down exactly when
+    outliers are worst — a few extreme values inflate the std until
+    nothing trips the gate (masking). The robust variant uses the median
+    and the Median Absolute Deviation: modified z = 0.6745 * (v - median)
+    / MAD (Iglewicz-Hoaglin), flagged when |z| > 3.5. Both statistics have
+    a 50% breakdown point, so the gate holds no matter how wild the tail.
+
+    Plan shape: exact interpolated percentile (same definition both
+    engines: quantile_cont) computed twice — median of values, then median
+    of absolute deviations — each a single aggregate; the 1-row stats
+    broadcast back over the scan, the filter a pure map. Two passes over
+    the column is the price of exactness; at 100 TB swap in
+    approx_percentile with the same plan shape.
+
+    Returns (id, value, robust_z) ordered by id; empty when MAD = 0
+    degenerates (over half the values identical) — the caller should fall
+    back to numeric_outliers then.
+    """
+    v = F.col(numeric_col)
+    med = df.agg(
+        F.expr(f"percentile({numeric_col}, 0.5)").alias("_med")
+    )
+    mad = (
+        df.crossJoin(F.broadcast(med))
+        .select(F.abs(v - F.col("_med")).alias("_ad"), "_med")
+        .groupBy("_med")
+        .agg(F.expr("percentile(_ad, 0.5)").alias("_mad"))
+    )
+    rz = F.round(
+        F.try_divide(F.lit(0.6745) * (v - F.col("_med")), F.col("_mad")), 6
+    )
+    return (
+        df.crossJoin(F.broadcast(mad))
+        .select(
+            F.col(id_col).alias("id"),
+            v.alias("value"),
+            rz.alias("robust_z"),
+        )
+        .filter(F.abs(F.col("robust_z")) > z)
+        .orderBy("id")
+    )

@@ -49,3 +49,20 @@ def test_key_skew_profile_ranks_heavy_hitters(spark):
     assert got[1]["share"] == 0.6
     assert got[1]["skew_vs_avg"] == 1.8  # 6 / (10/3)
     assert got[2]["key"] == "b" and got[2]["n_rows"] == 3
+
+
+def test_robust_outliers_resists_masking(spark):
+    """One huge outlier must not mask itself (it would under mean/std)."""
+    from hive_io_experimental_spark.operators.profile import (
+        numeric_outliers,
+        robust_outliers,
+    )
+
+    vals = [float(v) for v in (10, 11, 9, 10, 12, 8, 10, 11, 9, 100000)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v double"
+    )
+    robust = robust_outliers(df, "v", "id").collect()
+    assert [r["id"] for r in robust] == [9]  # the 100000 row
+    # classic z masks it: std ~ 31k, z of the outlier ~ 2.85 < 3
+    assert numeric_outliers(df, "v", "id", z=3.0).count() == 0
