@@ -81,6 +81,25 @@ def _similarity_quality_topk(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_topk_bucketed(corpus, queries, k=10, num_planes=4)
 
 
+def _similarity_ivf_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Build a persisted IVF index in a scratch warehouse, query from it."""
+    import tempfile
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators import similarity
+
+    wh = tempfile.mkdtemp(prefix="hio_ivf_wh_")
+    cat = Catalog(wh)
+    emb = _t(spark, sf, "embeddings")
+    similarity.ivf_build_index(
+        spark, cat, "default.emb_ivf", emb, n_centroids=8
+    )
+    return similarity.ivf_query_index(
+        spark, cat, "default.emb_ivf", emb,
+        emb.filter(F.col("vec_id") % 100 == 0), k=5,
+    ).orderBy("query_id", "rank")
+
+
 def _zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
     """Morton key over (l_partkey, l_suppkey) + the head of the clustered
     order. Sorting by the key is what the sorted-layout write path would do
@@ -999,6 +1018,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "embeddings").filter(F.col("vec_id") % 100 == 0),
         k=5,
     )
+    # index lifecycle gate: persist the trained quantizer as a catalog
+    # table, then serve the query from the STORED index (rows-only check —
+    # k-means; equality with the in-memory path is pinned by
+    # test_ivf_index_persist_and_query)
+    q["similarity_ivf_index"] = _similarity_ivf_index
     q["similarity_topk_bucketed"] = lambda spark, sf: similarity.cosine_topk_bucketed(
         _t(spark, sf, "embeddings"),
         _t(spark, sf, "embeddings").filter(F.col("vec_id") % 100 == 0),

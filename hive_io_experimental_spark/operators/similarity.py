@@ -317,6 +317,31 @@ def ivf_topk_trained(
     Spherical (unit-normalized, cosine-assignment) k-means matches the
     cosine search metric.
     """
+    cent_df = fit_spherical_kmeans(
+        corpus, n_centroids, seed, max_iter, sample_per_centroid,
+        vec_col, id_col,
+    )
+    return _ivf_search(corpus, queries, cent_df, k, nprobe, vec_col, id_col)
+
+
+def fit_spherical_kmeans(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    seed: int = 7,
+    max_iter: int = 10,
+    sample_per_centroid: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Train the IVF coarse quantizer; returns (cid, cv array<double>).
+
+    Bounded, deterministic: at most ``sample_per_centroid * n_centroids``
+    vectors reach the driver (hash-stride sample, id-sorted so the fit is
+    independent of scan order), Lloyd iterations run driver-local in
+    numpy, and the output is a few-KB DataFrame ready to broadcast or
+    persist (see ivf_build_index). See ivf_topk_trained for the design
+    rationale.
+    """
     import numpy as np
 
     from hive_io_experimental_spark import conf as _conf
@@ -360,11 +385,76 @@ def ivf_topk_trained(
                 cents[c] = m / nm
 
     spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(
+    return spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cid long, cv array<double>",
     )
-    return _ivf_search(corpus, queries, cent_df, k, nprobe, vec_col, id_col)
+
+
+def ivf_build_index(
+    spark,
+    catalog,
+    index_table: str,
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    seed: int = 7,
+    max_iter: int = 10,
+    sample_per_centroid: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Train and PERSIST an IVF coarse quantizer as a catalog table.
+
+    The index lifecycle a warehouse needs: train once (expensive-ish scan
+    + driver fit), store the few-KB centroid table under the catalog's
+    write policies, then serve any number of queries from the stored
+    quantizer without refitting (ivf_query_index). Rebuilding after
+    corpus drift is just calling this again with drop semantics — the
+    snapshot/versioning machinery applies to index tables like any other
+    table. (FAISS persists its quantizer inside the index file; a
+    catalog-registered table is this engine's equivalent, and keeps the
+    index queryable AS DATA — auditable with plain SQL.)
+    """
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    cents = fit_spherical_kmeans(
+        corpus, n_centroids, seed, max_iter, sample_per_centroid,
+        vec_col, id_col,
+    )
+    # rebuild = drop + recreate: the unpartitioned write path enforces the
+    # reference's table-must-be-empty precondition, so index refreshes go
+    # through an explicit drop — never a silent in-place overwrite
+    if catalog.table_exists(index_table):
+        catalog.drop_table(index_table, delete_data=True)
+    catalog.create_table(
+        index_table,
+        HiveTableSchema((
+            ("cid", T.LongType()),
+            ("cv", T.ArrayType(T.DoubleType())),
+        )),
+    )
+    HiveOutput(spark, catalog).write_table(WriteSpec(table=index_table), cents)
+
+
+def ivf_query_index(
+    spark,
+    catalog,
+    index_table: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k search against a quantizer persisted by ivf_build_index."""
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+
+    cents = HiveInput(spark, catalog).read_table(ScanSpec(table=index_table))
+    return _ivf_search(corpus, queries, cents, k, nprobe, vec_col, id_col)
 
 
 def _assign_pandas(

@@ -992,3 +992,49 @@ def test_unigram_lm_scores_flags_rare_token_docs(spark):
     assert rows[0]["avg_bits"] == round(b_the, 6)
     assert rows[1]["avg_bits"] == round((3 * b_the + b_rare) / 4, 6)
     assert rows[1]["avg_bits"] > rows[0]["avg_bits"]
+
+
+def test_ivf_index_persist_and_query(spark, sf_dir, warehouse):
+    """Index lifecycle: build persists the quantizer as a catalog table;
+    querying the stored index returns EXACTLY what the in-memory trained
+    search returns (same centroids -> same candidates -> same ranks);
+    rebuild drops and replaces."""
+    from pyspark.sql import functions as F
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_query_index,
+        ivf_topk_trained,
+    )
+
+    cat = Catalog(warehouse)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+
+    ivf_build_index(spark, cat, "default.emb_ivf", emb, n_centroids=4)
+    # the index is plain data: 4 centroid rows, auditable via scan
+    assert cat.table_exists("default.emb_ivf")
+
+    stored = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_query_index(
+            spark, cat, "default.emb_ivf", emb, queries, k=5, nprobe=2
+        ).collect()
+    }
+    direct = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk_trained(
+            emb, queries, k=5, n_centroids=4, nprobe=2
+        ).collect()
+    }
+    assert stored == direct and stored
+
+    # rebuild with different width replaces the stored quantizer
+    ivf_build_index(spark, cat, "default.emb_ivf", emb, n_centroids=2)
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+
+    n_cents = HiveInput(spark, cat).read_table(
+        ScanSpec(table="default.emb_ivf")
+    ).count()
+    assert n_cents == 2
