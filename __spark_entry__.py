@@ -978,6 +978,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_lsh"] = lambda spark, sf: dedup.minhash_lsh_candidates(
         _t(spark, sf, "documents")
     )
+    # one-row LSH parameter audit: candidate precision/recall vs exact
+    # jaccard truth — the pre-flight check before a corpus-scale dedup run
+    q["dedup_lsh_quality"] = lambda spark, sf: dedup.lsh_quality_report(
+        _t(spark, sf, "documents"), threshold=0.5
+    )
     q["dedup_simhash"] = lambda spark, sf: dedup.simhash(_t(spark, sf, "documents"))
     q["dedup_simhash_pairs"] = lambda spark, sf: dedup.simhash_pairs(
         _t(spark, sf, "documents"), max_hamming=3
@@ -2035,6 +2040,50 @@ def oracle_sql() -> dict[str, str]:
         comp AS (SELECT id, MIN(root) AS cluster_id FROM reach GROUP BY id)
         SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.id"""
+
+    # candidate precision/recall of the banded-LSH pair set vs exact
+    # jaccard truth at 0.5 (both sides df-cut like the operators' defaults)
+    o["dedup_lsh_quality"] = f"""
+        WITH {shingle_cte},
+        sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+        bands AS ({band_selects}),
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id),
+        shc AS (SELECT * FROM sh WHERE shingle IN (
+                    SELECT shingle FROM sh GROUP BY shingle
+                    HAVING COUNT(*) <= 1000)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+                  FROM shc a JOIN shc b
+                    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        truth AS (SELECT a_id, b_id FROM inter
+                  JOIN sizes sa ON a_id = sa.doc_id
+                  JOIN sizes sb ON b_id = sb.doc_id
+                  WHERE ROUND(i / (sa.n + sb.n - i), 6) >= 0.5),
+        j AS (SELECT c.a_id AS ca, t.a_id AS ta
+              FROM cand c FULL JOIN truth t
+                ON c.a_id = t.a_id AND c.b_id = t.b_id)
+        SELECT CAST(COUNT(ca) AS BIGINT) AS n_candidates,
+               CAST(COUNT(ta) AS BIGINT) AS n_true,
+               CAST(SUM(CASE WHEN ca IS NOT NULL AND ta IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               CASE WHEN COUNT(ca) = 0 THEN NULL
+                    ELSE ROUND(SUM(CASE WHEN ca IS NOT NULL
+                                        AND ta IS NOT NULL
+                                        THEN 1 ELSE 0 END)
+                               / CAST(COUNT(ca) AS DOUBLE), 6) END
+                 AS candidate_precision,
+               CASE WHEN COUNT(ta) = 0 THEN NULL
+                    ELSE ROUND(SUM(CASE WHEN ca IS NOT NULL
+                                        AND ta IS NOT NULL
+                                        THEN 1 ELSE 0 END)
+                               / CAST(COUNT(ta) AS DOUBLE), 6) END
+                 AS candidate_recall
+        FROM j"""
+
 
     o["dedup_simhash"] = f"""
         WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

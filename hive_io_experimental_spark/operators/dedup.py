@@ -607,3 +607,50 @@ def embedding_neardup(
         .select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def lsh_quality_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    num_perm: int = 16,
+    bands: int = 4,
+    hash_family: str | None = None,
+) -> DataFrame:
+    """One-row precision/recall audit of the MinHash-LSH candidate set.
+
+    LSH trades exactness for the banded equi-join; this report quantifies
+    the trade on the corpus at hand: candidates (minhash_lsh_candidates)
+    vs truth (ngram_jaccard_pairs >= threshold, default df-cut), joined
+    full-outer so one aggregate yields candidate count, true-pair count,
+    hits, candidate_precision and candidate_recall. Run it on a sample
+    before committing band/permutation parameters for a 100 TB dedup pass
+    — the plan is two bounded pair-sets and one join, nothing quadratic.
+
+    Returns (n_candidates, n_true, n_hits, candidate_precision,
+    candidate_recall); precision/recall NULL when the denominator is 0.
+    """
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, num_perm, bands, k, hash_family
+    ).select("a_id", "b_id", F.lit(1).alias("_c"))
+    truth = ngram_jaccard_pairs(
+        df, text_col, id_col, k, threshold
+    ).select("a_id", "b_id", F.lit(1).alias("_t"))
+    joined = cand.join(truth, ["a_id", "b_id"], "full_outer")
+    hits = F.sum(
+        F.when(F.col("_c").isNotNull() & F.col("_t").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return joined.agg(
+        F.count("_c").alias("n_candidates"),
+        F.count("_t").alias("n_true"),
+        hits.alias("n_hits"),
+        F.round(F.try_divide(hits, F.count("_c")), 6).alias(
+            "candidate_precision"
+        ),
+        F.round(F.try_divide(hits, F.count("_t")), 6).alias(
+            "candidate_recall"
+        ),
+    )

@@ -1038,3 +1038,16 @@ def test_ivf_index_persist_and_query(spark, sf_dir, warehouse):
         ScanSpec(table="default.emb_ivf")
     ).count()
     assert n_cents == 2
+
+
+def test_lsh_quality_report_perfect_on_exact_dupes(spark):
+    """Exact duplicates are found by BOTH LSH and jaccard truth -> the
+    report shows hits == truth (recall 1.0) on a duplicate-only corpus."""
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "completely different text about distributed query engines here"
+    df = docs_df(spark, [t1, t1, t2, t2])
+    row = dedup.lsh_quality_report(df, threshold=0.9).collect()[0]
+    assert row["n_true"] == 2  # (0,1) and (2,3)
+    assert row["n_hits"] == 2 and row["candidate_recall"] == 1.0
+    assert row["n_candidates"] >= 2
+    assert 0.0 < row["candidate_precision"] <= 1.0

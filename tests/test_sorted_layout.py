@@ -98,3 +98,57 @@ def test_sort_cols_must_be_data_columns(warehouse):
             HiveTableSchema((("v", T.LongType()),)),
             sort_cols=("nope",),
         )
+
+
+def test_zorder_layout_tightens_file_stats_on_both_dims(spark, tmp_path):
+    """Z-ordered files must have tighter per-file min/max ranges on BOTH
+    interleaved columns than arrival-order files — that tightness is
+    exactly what parquet row-group/file skipping prunes on at scale."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from hive_io_experimental_spark.functions.layout import zorder_key
+
+    n = 1 << 14
+    # two independent uniform dims; arrival order is row id (uncorrelated)
+    df = (
+        spark.range(n)
+        .select(
+            (F.xxhash64("id").bitwiseAND(F.lit(1023))).alias("a"),
+            (F.xxhash64("id", F.lit(1)).bitwiseAND(F.lit(1023))).alias("b"),
+        )
+    )
+
+    def file_spans(path, colname):
+        import pathlib
+        spans = []
+        for f in pathlib.Path(path).rglob("*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            names = [md.row_group(0).column(j).path_in_schema
+                     for j in range(md.num_columns)]
+            ci = names.index(colname)
+            lo = min(md.row_group(i).column(ci).statistics.min
+                     for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(ci).statistics.max
+                     for i in range(md.num_row_groups))
+            spans.append(hi - lo)
+        return spans
+
+    plain_dir = str(tmp_path / "plain")
+    z_dir = str(tmp_path / "zorder")
+    files = 16
+    df.repartition(files).write.parquet(plain_dir)
+    (
+        df.withColumn("_z", zorder_key([F.col("a"), F.col("b")], bits=10))
+        .repartitionByRange(files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.parquet(z_dir)
+    )
+
+    for col in ("a", "b"):
+        plain_avg = sum(file_spans(plain_dir, col)) / files
+        z_avg = sum(file_spans(z_dir, col)) / files
+        # arrival-order files each span ~the full 0..1023 domain; z-ordered
+        # files must cover a strictly smaller box on EVERY dimension
+        assert z_avg < plain_avg * 0.8, (col, z_avg, plain_avg)
