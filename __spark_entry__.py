@@ -81,6 +81,51 @@ def _similarity_quality_topk(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_topk_bucketed(corpus, queries, k=10, num_planes=4)
 
 
+def _snapshot_diff_cdc(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC gate: seed a versioned orders table (v1), double the 'F'
+    partition's prices (v2), emit the keyed snapshot diff. Every F-row
+    becomes an update_preimage/update_postimage pair — which is exactly
+    what the oracle derives from the source table directly."""
+    import tempfile
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators.diff import snapshot_diff
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    wh = tempfile.mkdtemp(prefix="hio_gate_cdc_")
+    cat = Catalog(wh)
+    data_fields = tuple(
+        (f.name, f.dataType)
+        for f in orders.schema.fields
+        if f.name != "o_orderstatus"
+    )
+    cat.create_table(
+        "default.orders_cdc",
+        HiveTableSchema(data_fields, partition_keys=("o_orderstatus",)),
+        versioned=True,
+    )
+    out = HiveOutput(spark, cat)
+    out.write_dynamic("default.orders_cdc", orders)
+    doubled = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 2)
+        .cast("double")
+        .alias("o_totalprice"),
+    )
+    out.write_table(
+        WriteSpec("default.orders_cdc", {"o_orderstatus": "F"},
+                  drop_partition=True),
+        doubled,
+    )
+    return snapshot_diff(
+        spark, cat, "default.orders_cdc", 1, 2, key_cols=("o_orderkey",)
+    )
+
+
 def _similarity_ivf_index(spark: SparkSession, sf: str) -> DataFrame:
     """Build a persisted IVF index in a scratch warehouse, query from it."""
     import tempfile
@@ -832,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # SCD1 MERGE: update+insert upsert through the partitioned write path.
     q["merge_upsert"] = _merge_upsert
     q["time_travel"] = _time_travel
+    q["snapshot_diff_cdc"] = _snapshot_diff_cdc
     q["merge_key_move"] = _merge_key_move
     q["scan_multikey_pruned"] = _scan_multikey_pruned
     q["scan_json_roundtrip"] = _scan_json_roundtrip
@@ -2556,6 +2602,21 @@ def oracle_sql() -> dict[str, str]:
     # v1 = plain per-status aggregate; v2 = the same with 'F' prices doubled
     # (the snapshot the versioned write superseded must still read back
     # exactly as v1 — time travel over immutable file sets)
+    # keyed snapshot diff of the v1->v2 price-doubling: every 'F' order is
+    # exactly one preimage (original price) + one postimage (doubled)
+    o["snapshot_diff_cdc"] = """
+        WITH f AS (SELECT o_orderkey, o_totalprice,
+                          CAST(o_orderstatus AS VARCHAR) AS o_orderstatus
+                   FROM orders WHERE o_orderstatus = 'F')
+        SELECT o_orderkey, o_totalprice, o_orderstatus,
+               'update_preimage' AS _change_type
+        FROM f
+        UNION ALL
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DOUBLE),
+               o_orderstatus, 'update_postimage'
+        FROM f"""
+
     o["time_travel"] = """
         SELECT o_orderstatus, COUNT(*) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)

@@ -1,0 +1,96 @@
+"""Snapshot diff (CDC) semantics — operators/diff.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hive_io_experimental_spark.catalog import Catalog
+from hive_io_experimental_spark.operators.diff import snapshot_diff
+from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+from hive_io_experimental_spark.schema import HiveTableSchema
+
+
+def _mk(spark, warehouse, v1_rows, v2_rows):
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "default.cdc",
+        HiveTableSchema((("id", T.LongType()), ("v", T.StringType()))),
+        versioned=True,
+    )
+    out = HiveOutput(spark, cat)
+    out.write_table(
+        WriteSpec("default.cdc"),
+        spark.createDataFrame(v1_rows, "id long, v string"),
+    )
+    out.write_table(
+        WriteSpec("default.cdc"),
+        spark.createDataFrame(v2_rows, "id long, v string"),
+    )
+    return cat
+
+
+def test_keyed_diff_classifies_all_change_types(spark, warehouse):
+    cat = _mk(
+        spark, warehouse,
+        [(1, "same"), (2, "old"), (3, "gone")],
+        [(1, "same"), (2, "new"), (4, "born")],
+    )
+    got = sorted(
+        (r["id"], r["_change_type"], r["v"])
+        for r in snapshot_diff(
+            spark, cat, "default.cdc", 1, 2, key_cols=("id",)
+        ).collect()
+    )
+    assert got == [
+        (2, "update_postimage", "new"),
+        (2, "update_preimage", "old"),
+        (3, "delete", "gone"),
+        (4, "insert", "born"),
+    ]
+
+
+def test_unkeyed_diff_is_multiset(spark, warehouse):
+    cat = _mk(
+        spark, warehouse,
+        [(1, "a"), (1, "a"), (2, "b")],
+        [(1, "a"), (2, "b"), (2, "b")],
+    )
+    got = sorted(
+        (r["id"], r["_change_type"])
+        for r in snapshot_diff(spark, cat, "default.cdc", 1, 2).collect()
+    )
+    # one copy of (1,a) removed, one extra (2,b) added — multiset semantics
+    assert got == [(1, "delete"), (2, "insert")]
+
+
+def test_keyed_diff_rejects_unknown_key(spark, warehouse):
+    cat = _mk(spark, warehouse, [(1, "a")], [(1, "a")])
+    with pytest.raises(ValueError, match="key columns not in table"):
+        snapshot_diff(spark, cat, "default.cdc", 1, 2, key_cols=("nope",))
+
+
+def test_keyed_diff_null_keys_and_values(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "default.cdc",
+        HiveTableSchema((("id", T.LongType()), ("v", T.StringType()))),
+        versioned=True,
+    )
+    out = HiveOutput(spark, cat)
+    df1 = spark.createDataFrame([(None, "x"), (1, None)], "id long, v string")
+    df2 = spark.createDataFrame([(None, "y"), (1, None)], "id long, v string")
+    out.write_table(WriteSpec("default.cdc"), df1)
+    out.write_table(WriteSpec("default.cdc"), df2)
+    got = sorted(
+        (r["id"], r["_change_type"], r["v"])
+        for r in snapshot_diff(
+            spark, cat, "default.cdc", 1, 2, key_cols=("id",)
+        ).collect()
+    )
+    # null key matches null key (null-safe join); (1,NULL) row unchanged
+    assert got == [
+        (None, "update_postimage", "y"),
+        (None, "update_preimage", "x"),
+    ]
