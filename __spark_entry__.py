@@ -967,6 +967,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         default_rate=0.1,
     ).select("doc_id", "lang")
 
+    # deterministic train/val/test assignment, summarized per (split, lang)
+    q["train_val_test_split"] = lambda spark, sf: (
+        sampling.hash_split(_t(spark, sf, "documents"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
     q["token_entropy"] = lambda spark, sf: text.token_entropy(
         _t(spark, sf, "documents")
     ).orderBy("doc_id")
@@ -1860,6 +1868,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang_pred, quality_score, rank FROM r WHERE rank <= 25"""
 
     _SAMPLE_H = _H64.format(x="'sample:' || CAST(doc_id AS VARCHAR)")
+    # cumulative thresholds in sorted(label) order: test<100, train<9900
+    _SPLIT_H = _H64.format(x="'split:' || CAST(doc_id AS VARCHAR)")
+    o["train_val_test_split"] = f"""
+        WITH s AS (SELECT lang,
+                          CASE WHEN ({_SPLIT_H}) % 10000 < 100 THEN 'test'
+                               WHEN ({_SPLIT_H}) % 10000 < 9900 THEN 'train'
+                               ELSE 'val' END AS split
+                   FROM documents)
+        SELECT split, lang, COUNT(*) AS n_docs
+        FROM s GROUP BY 1, 2 ORDER BY 1, 2"""
     o["stratified_sample_docs"] = f"""
         SELECT doc_id, lang FROM documents
         WHERE ({_SAMPLE_H}) % 10000 <

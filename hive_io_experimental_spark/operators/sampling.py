@@ -62,3 +62,47 @@ def hash_stratified_sample(
         else F.lit(int(round(default_rate * RATE_DENOM)))
     )
     return df.filter(bucket < threshold)
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    salt: str = "split:",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a deterministic train/val/test split label.
+
+    The reproducibility contract training pipelines need: the split is a
+    pure function of (salt, row key) — re-runs, re-partitions, and other
+    engines (the DuckDB oracle) assign the IDENTICAL label; adding rows
+    never reassigns existing ones (no RNG, no global state, no shuffle —
+    one codegen projection at any scale). Fractions are applied as exact
+    integer thresholds out of RATE_DENOM on the same md5 bucket the
+    sampling gate uses; labels are assigned in sorted-name order over
+    cumulative ranges so the mapping is unambiguous. Fractions must sum
+    to 1 within 1/RATE_DENOM.
+    """
+    if fractions is None:
+        fractions = {"test": 0.01, "train": 0.98, "val": 0.01}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1.0 / RATE_DENOM:
+        raise ValueError(f"split fractions sum to {total}, expected 1.0")
+    bucket = F.pmod(
+        portable_hash64(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+        F.lit(RATE_DENOM),
+    )
+    expr = None
+    cum = 0
+    items = sorted(fractions.items())
+    for name, frac in items[:-1]:
+        cum += int(round(frac * RATE_DENOM))
+        cond = bucket < F.lit(cum)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(split_col, expr)

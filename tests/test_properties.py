@@ -101,3 +101,27 @@ def test_incremental_rollup_associativity(spark, values, split):
         incremental.merge_rollup_states(*shards)
     ).collect()
     assert one_shot == merged
+
+
+def test_hash_split_deterministic_partition_and_stable(spark):
+    """hash_split: labels partition the corpus, are stable across reruns
+    and across adding rows, and fractions must sum to 1."""
+    import pytest
+
+    from hive_io_experimental_spark.operators.sampling import hash_split
+
+    df = spark.range(2000).selectExpr("id AS doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    assert a == b  # rerun-stable
+    assert set(a.values()) <= {"train", "val", "test"}
+    # adding rows never reassigns existing ones
+    bigger = spark.range(4000).selectExpr("id AS doc_id")
+    c = {r["doc_id"]: r["split"] for r in hash_split(bigger).collect()}
+    assert all(c[k] == v for k, v in a.items())
+    # roughly the requested proportions (hash-uniform; loose bounds)
+    n_train = sum(1 for v in a.values() if v == "train")
+    assert 0.9 < n_train / len(a) <= 1.0
+
+    with pytest.raises(ValueError, match="sum to"):
+        hash_split(df, fractions={"train": 0.5, "val": 0.1}).collect()
