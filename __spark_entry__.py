@@ -81,6 +81,18 @@ def _similarity_quality_topk(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_topk_bucketed(corpus, queries, k=10, num_planes=4)
 
 
+def _analyze_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-column stats over part (int/string columns — double
+    min/max string forms are engine-formatted, so the gate sticks to
+    types whose casts agree byte-for-byte)."""
+    from hive_io_experimental_spark.analyze import column_stats_df
+
+    return column_stats_df(
+        _t(spark, sf, "part"),
+        columns=("p_partkey", "p_name", "p_brand", "p_size"),
+    ).orderBy("column_name")
+
+
 def _snapshot_diff_cdc(spark: SparkSession, sf: str) -> DataFrame:
     """CDC gate: seed a versioned orders table (v1), double the 'F'
     partition's prices (v2), emit the keyed snapshot diff. Every F-row
@@ -895,6 +907,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["numeric_outliers"] = lambda spark, sf: profile.numeric_outliers(
         _t(spark, sf, "events"), numeric_col="value", id_col="event_id"
     )
+    # ANALYZE: one-pass exact column statistics (catalog-persistable via
+    # analyze.analyze_table; the gate checks the stats computation itself)
+    q["analyze_columns"] = lambda spark, sf: _analyze_columns(spark, sf)
     q["robust_outliers"] = lambda spark, sf: profile.robust_outliers(
         _t(spark, sf, "events"), numeric_col="value", id_col="event_id"
     )
@@ -1715,6 +1730,21 @@ def oracle_sql() -> dict[str, str]:
                  list_transform(items[1:10], s -> s[3]), '>') AS path,
                n_events
         FROM g ORDER BY user_id"""
+
+    _an = """
+        SELECT '{c}' AS column_name,
+               COUNT({c}) AS n_nonnull,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_str,
+               CAST(MAX({c}) AS VARCHAR) AS max_str
+        FROM part"""
+    o["analyze_columns"] = (
+        " UNION ALL ".join(
+            _an.format(c=c)
+            for c in ("p_partkey", "p_name", "p_brand", "p_size")
+        )
+        + " ORDER BY column_name"
+    )
 
     o["robust_outliers"] = """
         WITH m AS (SELECT quantile_cont(value, 0.5) AS med FROM events),

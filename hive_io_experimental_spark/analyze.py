@@ -1,0 +1,92 @@
+"""ANALYZE TABLE: one-pass column statistics persisted in the catalog.
+
+The reference's statistics stop at table-level counters (numRows/rawSize,
+common/HiveStats.java:34-108, surfaced by HiveUtils.statsOf); a warehouse
+also wants per-COLUMN statistics — null counts, distinct counts, min/max —
+for capacity planning, data-quality monitoring, and join-size estimation.
+This module computes them in ONE aggregate job over the table (4 exact
+aggregate expressions per column, all map-side combined: one shuffle of a
+single row regardless of table size) and stores the result in the catalog
+entry next to the schema, where any later session reads it without
+touching the data.
+
+Exact ndv (countDistinct) is used rather than an HLL sketch so the result
+is engine-reproducible (the DuckDB oracle computes the identical number);
+at raw 100 TB swap `exact=False` for approx_count_distinct — same plan
+shape, bounded error, one fewer shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_io_experimental_spark.catalog import Catalog, TableDesc
+from hive_io_experimental_spark.input import HiveInput, ScanSpec
+
+
+def column_stats_df(
+    df: DataFrame, columns: tuple[str, ...] = (), exact: bool = True
+) -> DataFrame:
+    """(column_name, n_nonnull, n_distinct, min_str, max_str) per column.
+
+    min/max are stored as strings (catalog JSON is type-erased, like every
+    metastore's stats blob); numeric ordering still applies before the
+    cast. One wide aggregate -> one output row, pivoted driver-side into
+    per-column rows (|columns| rows — metadata-sized).
+    """
+    cols = tuple(columns) or tuple(df.columns)
+    aggs = []
+    for c in cols:
+        v = F.col(c)
+        aggs += [
+            F.count(v).alias(f"__n_{c}"),
+            (
+                F.countDistinct(v)
+                if exact
+                else F.approx_count_distinct(v)
+            ).alias(f"__d_{c}"),
+            F.min(v).cast("string").alias(f"__lo_{c}"),
+            F.max(v).cast("string").alias(f"__hi_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    spark = df.sparkSession
+    out = [
+        (c, row[f"__n_{c}"], row[f"__d_{c}"], row[f"__lo_{c}"],
+         row[f"__hi_{c}"])
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        out,
+        "column_name string, n_nonnull long, n_distinct long, "
+        "min_str string, max_str string",
+    )
+
+
+def analyze_table(
+    spark: SparkSession,
+    catalog: Catalog,
+    table: str,
+    columns: tuple[str, ...] = (),
+    exact: bool = True,
+) -> dict[str, dict]:
+    """Compute and persist column statistics for a catalog table.
+
+    Returns the stats dict that was stored ({column: {n_nonnull,
+    n_distinct, min, max}}). Reruns overwrite — ANALYZE is idempotent
+    by definition.
+    """
+    desc = TableDesc.parse(table)
+    df = HiveInput(spark, catalog).read_table(ScanSpec(table=table))
+    rows = column_stats_df(df, columns, exact).collect()
+    stats = {
+        r["column_name"]: {
+            "n_nonnull": r["n_nonnull"],
+            "n_distinct": r["n_distinct"],
+            "min": r["min_str"],
+            "max": r["max_str"],
+        }
+        for r in rows
+    }
+    catalog.set_column_stats(desc, stats)
+    return stats

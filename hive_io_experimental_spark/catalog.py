@@ -239,6 +239,25 @@ class Catalog:
         field existed."""
         return self.get_table(desc).get("storage_format", "parquet")
 
+    def set_column_stats(
+        self, desc: TableDesc | str, stats: dict[str, dict]
+    ) -> None:
+        """Store ANALYZE output ({column: {n_nonnull, n_distinct, min,
+        max, ...}}) in the table entry. The reference's stats surface
+        stops at table-level counters (common/HiveStats.java:34-108);
+        column-level stats are the engine's extension — driver-sized
+        metadata, same durability as the schema."""
+        desc = TableDesc.parse(desc) if isinstance(desc, str) else desc
+        with self._exclusive():
+            doc = self._load()
+            entry = self._entry_or_raise(doc, desc)
+            entry["column_stats"] = stats
+            self._save(doc)
+
+    def get_column_stats(self, desc: TableDesc | str) -> dict[str, dict]:
+        """ANALYZE output previously stored; {} if never analyzed."""
+        return self.get_table(desc).get("column_stats", {})
+
     def table_sort_cols(self, desc: TableDesc | str) -> tuple[str, ...]:
         """Declared clustered-layout columns (empty = unsorted writes)."""
         return tuple(self.get_table(desc).get("sort_cols", ()))

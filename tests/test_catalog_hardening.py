@@ -94,3 +94,38 @@ def test_concurrent_writers_lose_no_partitions(tmp_path):
         )
     got = {tuple(p.values.items()) for p in cat.list_partitions("db.t")}
     assert len(got) == 2 * n_each
+
+
+def test_analyze_table_persists_column_stats(spark, warehouse, sf_dir):
+    """ANALYZE computes exact stats in one pass and persists them in the
+    catalog; a fresh Catalog instance reads them without touching data."""
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.analyze import analyze_table
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "default.an",
+        HiveTableSchema((("id", T.LongType()), ("s", T.StringType()))),
+    )
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (3, "a")], "id long, s string"
+    )
+    HiveOutput(spark, cat).write_table(WriteSpec("default.an"), df)
+
+    stats = analyze_table(spark, cat, "default.an")
+    assert stats["id"] == {
+        "n_nonnull": 4, "n_distinct": 3, "min": "1", "max": "3",
+    }
+    assert stats["s"]["n_nonnull"] == 3 and stats["s"]["n_distinct"] == 2
+
+    # durable: a brand-new catalog handle sees them, data untouched
+    assert Catalog(warehouse).get_column_stats("default.an") == stats
+    # never analyzed -> {}
+    cat.create_table(
+        "default.empty_an", HiveTableSchema((("x", T.LongType()),))
+    )
+    assert cat.get_column_stats("default.empty_an") == {}
