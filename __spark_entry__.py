@@ -957,6 +957,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lm_quality_scores"] = lambda spark, sf: text.unigram_lm_scores(
         _t(spark, sf, "documents")
     ).orderBy("doc_id")
+    # sliding-window chunks (64-token windows, 16 overlap — small enough
+    # that the synthetic docs actually produce multi-chunk output)
+    q["chunk_documents"] = lambda spark, sf: text.chunk_documents(
+        _t(spark, sf, "documents"), chunk_tokens=64, overlap=16
+    ).orderBy("doc_id", "chunk_id")
     q["tfidf_top_terms"] = lambda spark, sf: text.tfidf_top_terms(
         _t(spark, sf, "documents")
     )
@@ -2520,6 +2525,25 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) > t.avg_bal
           AND COALESCE(n_orders, 0) <= 5
         GROUP BY 1 ORDER BY 1"""
+
+    # stride 48 = 64 - 16; list_slice is 1-based inclusive, so the window
+    # [start+1, start+64] mirrors Spark's slice(toks, start+1, 64)
+    o["chunk_documents"] = f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        t AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+        c AS (SELECT doc_id, toks, n,
+                     unnest(range(0, CAST(ceil(n / 48.0) AS BIGINT)))
+                       AS chunk_id
+              FROM t)
+        SELECT doc_id, chunk_id,
+               chunk_id * 48 AS start_token,
+               CAST(len(list_slice(toks, chunk_id * 48 + 1,
+                                   chunk_id * 48 + 64)) AS BIGINT)
+                 AS n_tokens,
+               array_to_string(list_slice(toks, chunk_id * 48 + 1,
+                                          chunk_id * 48 + 64), ' ')
+                 AS chunk_text
+        FROM c ORDER BY doc_id, chunk_id"""
 
     # per-token bits rounded to 6 then summed as DECIMAL(18,6): exact,
     # order-independent accumulation so both engines hash identically

@@ -707,3 +707,57 @@ def unigram_lm_scores(
             ).alias("avg_bits"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window token chunks per document (pretraining prep).
+
+    Long documents are cut into windows of ``chunk_tokens`` tokens
+    advancing by ``stride = chunk_tokens - overlap``, so consecutive
+    chunks share ``overlap`` tokens of context; the tail chunk may be
+    shorter. Zero-token documents emit nothing.
+
+    Plan shape: tokenize ONCE per document in a projection, THEN explode
+    the chunk-index sequence and slice the materialized token array per
+    chunk — the explode boundary keeps the tokenizer from being re-inlined
+    into per-chunk evaluation (the interpreted-HOF trap documented in
+    functions/textfns.py). Pure narrow ops: no shuffle at any scale.
+
+    Returns (doc_id, chunk_id, start_token, n_tokens, chunk_text).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap {overlap} must be smaller than chunk_tokens "
+            f"{chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    toks = spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        word_tokens(F.col(text_col)).alias("_toks"),
+    ).withColumn("_n", F.size("_toks")).filter(F.col("_n") > 0)
+    chunks = toks.select(
+        "doc_id",
+        "_toks",
+        "_n",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.col("_n") / F.lit(stride)).cast("long") - 1,
+            )
+        ).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * F.lit(stride)
+    piece = F.slice(F.col("_toks"), start + 1, chunk_tokens)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        start.alias("start_token"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

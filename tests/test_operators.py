@@ -1051,3 +1051,29 @@ def test_lsh_quality_report_perfect_on_exact_dupes(spark):
     assert row["n_hits"] == 2 and row["candidate_recall"] == 1.0
     assert row["n_candidates"] >= 2
     assert 0.0 < row["candidate_precision"] <= 1.0
+
+
+def test_chunk_documents_sliding_window(spark):
+    """Chunk boundaries, overlap, tail shortening, and empty-doc drop."""
+    import pytest
+
+    ten = " ".join(f"w{i}" for i in range(10))
+    df = docs_df(spark, [ten, "a b c", ""])
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["start_token"], r["n_tokens"],
+         r["chunk_text"])
+        for r in text.chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    )
+    # doc 0: 10 tokens, stride 3 -> starts 0,3,6,9; tail has 1 token
+    assert [r[:4] for r in rows if r[0] == 0] == [
+        (0, 0, 0, 4), (0, 1, 3, 4), (0, 2, 6, 4), (0, 3, 9, 1),
+    ]
+    assert rows[0][4] == "w0 w1 w2 w3" and rows[1][4] == "w3 w4 w5 w6"
+    # doc 1: 3 tokens -> one short chunk; doc 2: empty -> absent
+    assert [r[:4] for r in rows if r[0] == 1] == [(1, 0, 0, 3)]
+    assert not [r for r in rows if r[0] == 2]
+    # consecutive chunks share exactly `overlap` tokens
+    assert rows[0][4].split()[-1] == rows[1][4].split()[0]
+
+    with pytest.raises(ValueError, match="must be smaller"):
+        text.chunk_documents(df, chunk_tokens=4, overlap=4)
