@@ -69,10 +69,60 @@ def merge_rollup_states(*states: DataFrame) -> DataFrame:
 
 
 def finalize_rollup(state: DataFrame) -> DataFrame:
-    """Publish the user-facing rollup from partial state (one pure map)."""
-    return state.select(
-        "hour_epoch",
-        "event_type",
-        "n_events",
-        (F.col("sum_value_e4") / F.lit(float(_E4))).alias("sum_value"),
-    ).orderBy("hour_epoch", "event_type")
+    """Publish the user-facing rollup from partial state (one pure map).
+
+    Groups whose events were fully retracted by CDC deltas
+    (rollup_delta_from_cdc) carry n_events = 0 — dropped here: a
+    published rollup row with zero events is a tombstone, not a result.
+    """
+    return (
+        state.filter(F.col("n_events") > 0)
+        .select(
+            "hour_epoch",
+            "event_type",
+            "n_events",
+            (F.col("sum_value_e4") / F.lit(float(_E4))).alias("sum_value"),
+        )
+        .orderBy("hour_epoch", "event_type")
+    )
+
+
+def rollup_delta_from_cdc(
+    cdc: DataFrame, ts_col: str = "ts",
+    change_col: str = "_change_type",
+) -> DataFrame:
+    """Signed partial state from a CDC stream (operators/diff.py shape).
+
+    Completes the continuous-aggregate contract for CORRECTIONS, not just
+    appends: inserts and update_postimages contribute +1/+value,
+    deletes and update_preimages contribute -1/-value, so
+    ``merge_rollup_states(state, rollup_delta_from_cdc(diff))`` equals
+    the from-scratch rollup of the corrected table EXACTLY — integer
+    accumulators make retraction lossless (the float-sum version of this
+    drifts, which is why the state is e4 fixed-point). Unknown change
+    types raise at plan build (fail fast, not silent miscounts).
+
+    Same single-shuffle plan shape as hourly_rollup_state.
+    """
+    ev = ensure_event_time(cdc, ts_col)
+    sign = (
+        F.when(
+            F.col(change_col).isin("insert", "update_postimage"), F.lit(1)
+        )
+        .when(
+            F.col(change_col).isin("delete", "update_preimage"), F.lit(-1)
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(F.lit("unknown change type: "), F.col(change_col))
+            ).cast("int")
+        )
+    )
+    hour_epoch = (
+        F.expr(f"unix_micros({ts_col}) div 3600000000") * F.lit(3600)
+    ).alias("hour_epoch")
+    v_e4 = (F.col("value").cast("decimal(14,4)") * _E4).cast("long")
+    return ev.groupBy(hour_epoch, F.col("event_type")).agg(
+        F.sum(sign).alias("n_events"),
+        F.sum(sign * v_e4).alias("sum_value_e4"),
+    )

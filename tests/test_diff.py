@@ -94,3 +94,43 @@ def test_keyed_diff_null_keys_and_values(spark, warehouse):
         (None, "update_postimage", "y"),
         (None, "update_preimage", "x"),
     ]
+
+
+def test_cdc_delta_corrects_rollup_exactly(spark):
+    """state(v1) ⊕ delta(cdc v1->v2) == state(v2), bit-exact."""
+    from hive_io_experimental_spark.operators import incremental
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, "
+                  "value double, ms long"
+        ).selectExpr("event_id", "user_id", "event_type", "value",
+                     "timestamp_millis(ms) AS ts")
+
+    v1 = ev([(1, 1, "click", 1.5, 0), (2, 1, "click", 2.25, 1000),
+             (3, 2, "buy", 10.0, 3_600_000)])
+    # v2: event 2's value corrected to 9.75, event 3 deleted, event 4 added
+    v2 = ev([(1, 1, "click", 1.5, 0), (2, 1, "click", 9.75, 1000),
+             (4, 3, "buy", 5.0, 7_200_000)])
+
+    cdc = (
+        ev([(2, 1, "click", 2.25, 1000), (3, 2, "buy", 10.0, 3_600_000)])
+        .withColumn("_change_type", F.expr(
+            "CASE event_id WHEN 2 THEN 'update_preimage' ELSE 'delete' END"))
+        .unionByName(
+            ev([(2, 1, "click", 9.75, 1000), (4, 3, "buy", 5.0, 7_200_000)])
+            .withColumn("_change_type", F.expr(
+                "CASE event_id WHEN 2 THEN 'update_postimage' "
+                "ELSE 'insert' END")))
+    )
+
+    merged = incremental.merge_rollup_states(
+        incremental.hourly_rollup_state(v1),
+        incremental.rollup_delta_from_cdc(cdc),
+    ).filter(F.col("n_events") > 0)
+    fresh = incremental.hourly_rollup_state(v2)
+    m = {(r["hour_epoch"], r["event_type"]): (r["n_events"], r["sum_value_e4"])
+         for r in merged.collect()}
+    f = {(r["hour_epoch"], r["event_type"]): (r["n_events"], r["sum_value_e4"])
+         for r in fresh.collect()}
+    assert m == f and m
