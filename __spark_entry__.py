@@ -1147,14 +1147,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # keep their oracle twins and are verified by tools/check_oracle.py, whose
 # full-map output is committed as CORRECTNESS_LOCAL.json each round.
 _CHECK_FIRST = [
-    # §2 scan surface
+    # §2 scan surface (S1-S4, S6/S7 serde, S10 stats)
     "scan_projection", "scan_filter", "scan_topk",
-    # relational core (joins/aggs/windows/rollup/pivot/setops/SQL)
+    "scan_partition_pruned", "scan_csv_nulls", "table_stats",
+    # §2 write surface (W1 write+readback, W3/W6 merge, versioning)
+    "write_readback", "merge_upsert", "time_travel",
+    # relational core (joins/aggs/windows/rollup/pivot/SQL)
     "pricing_summary", "top_revenue_orders", "nation_revenue",
-    "promo_revenue", "customer_order_ranks", "join_semi", "join_anti",
-    "revenue_rollup", "orders_by_month", "orders_month_growth",
-    "brand_size_pivot", "event_user_setops", "sql_q6_revenue",
-    "sql_q17_small_qty", "sql_q19_disjunctive", "order_value_deciles",
+    "customer_order_ranks", "join_semi",
+    "revenue_rollup", "orders_by_month",
+    "brand_size_pivot", "sql_q6_revenue",
+    "sql_q19_disjunctive",
     "event_props_json",
     # temporal / event-time family
     "events_hourly", "events_hourly_salted", "events_time_rollup",

@@ -125,3 +125,41 @@ def test_hash_split_deterministic_partition_and_stable(spark):
 
     with pytest.raises(ValueError, match="sum to"):
         hash_split(df, fractions={"train": 0.5, "val": 0.1}).collect()
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    n_tokens=st.integers(min_value=0, max_value=120),
+    chunk=st.integers(min_value=2, max_value=16),
+    overlap=st.integers(min_value=0, max_value=8),
+)
+def test_chunk_documents_covers_and_reconstructs(spark, n_tokens, chunk,
+                                                 overlap):
+    """For ANY (doc length, chunk size, overlap<chunk): chunks cover every
+    token exactly once after overlap removal, i.e. dropping the first
+    `overlap` tokens of every non-first chunk and concatenating in
+    chunk_id order reproduces the original token stream."""
+    from hypothesis import assume
+
+    from hive_io_experimental_spark.operators import text as text_ops
+
+    assume(overlap < chunk)
+    tokens = [f"t{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame(
+        [(1, " ".join(tokens))], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["chunk_id"], r["start_token"], r["chunk_text"])
+        for r in text_ops.chunk_documents(
+            df, chunk_tokens=chunk, overlap=overlap
+        ).collect()
+    )
+    if n_tokens == 0:
+        assert rows == []
+        return
+    rebuilt = []
+    for cid, start, ctext in rows:
+        toks = ctext.split()
+        assert start == cid * (chunk - overlap)
+        rebuilt.extend(toks if cid == 0 else toks[overlap:])
+    assert rebuilt == tokens
