@@ -198,6 +198,55 @@ def cmd_write(args: argparse.Namespace, stop_session: bool = True) -> int:
     return 0
 
 
+def cmd_analyze(args: argparse.Namespace, stop_session: bool = True) -> int:
+    """ANALYZE TABLE: compute + persist column stats, print them."""
+    from hive_io_experimental_spark.analyze import analyze_table
+    from hive_io_experimental_spark.catalog import Catalog
+
+    warehouse = _resolve_warehouse(args)
+    if not warehouse:
+        raise SystemExit("analyze requires --warehouse or --namespaces-file")
+    spark = _build_spark(args.threads)
+    catalog = Catalog(warehouse)
+    columns = tuple(args.columns.split(",")) if args.columns else ()
+    stats = analyze_table(spark, catalog, args.table, columns,
+                          exact=not args.approx)
+    print("column\tn_nonnull\tn_distinct\tmin\tmax")
+    for name in sorted(stats):
+        s = stats[name]
+        print(f"{name}\t{s['n_nonnull']}\t{s['n_distinct']}"
+              f"\t{s['min']}\t{s['max']}")
+    if stop_session:
+        spark.stop()
+    return 0
+
+
+def cmd_diff(args: argparse.Namespace, stop_session: bool = True) -> int:
+    """Print the CDC rows between two snapshots of a versioned table."""
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators.diff import snapshot_diff
+
+    warehouse = _resolve_warehouse(args)
+    if not warehouse:
+        raise SystemExit("diff requires --warehouse or --namespaces-file")
+    spark = _build_spark(args.threads)
+    catalog = Catalog(warehouse)
+    keys = tuple(args.keys.split(",")) if args.keys else ()
+    changes = snapshot_diff(
+        spark, catalog, args.table, args.from_version, args.to_version,
+        key_cols=keys,
+    )
+    n = 0
+    for row in changes.toLocalIterator():
+        print(args.separator.join("" if v is None else str(v) for v in row))
+        n += 1
+    print(f"# {n} change rows {args.table} "
+          f"v{args.from_version}->v{args.to_version}", file=sys.stderr)
+    if stop_session:
+        spark.stop()
+    return 0
+
+
 def cmd_snapshots(args: argparse.Namespace) -> int:
     """List (and optionally expire) a versioned table's snapshot history.
 
@@ -278,6 +327,31 @@ def build_parser() -> argparse.ArgumentParser:
         help="dump the engine option registry (AllOptions parity)",
     )
 
+    an = sub.add_parser(
+        "analyze", help="compute + persist column statistics for a table"
+    )
+    an.add_argument("--table", required=True)
+    an.add_argument("--warehouse")
+    an.add_argument("--namespaces-file")
+    an.add_argument("--namespace", default="silver")
+    an.add_argument("--columns", help="comma-separated subset (default all)")
+    an.add_argument("--approx", action="store_true",
+                    help="approx_count_distinct instead of exact ndv")
+    an.add_argument("--threads", type=int, default=None)
+
+    di = sub.add_parser(
+        "diff", help="print CDC rows between two snapshots"
+    )
+    di.add_argument("--table", required=True)
+    di.add_argument("--warehouse")
+    di.add_argument("--namespaces-file")
+    di.add_argument("--namespace", default="silver")
+    di.add_argument("--from-version", type=int, required=True)
+    di.add_argument("--to-version", type=int, required=True)
+    di.add_argument("--keys", help="comma-separated key columns (keyed CDC)")
+    di.add_argument("--separator", default="\t")
+    di.add_argument("--threads", type=int, default=None)
+
     snap = sub.add_parser(
         "snapshots", help="list a versioned table's snapshot history"
     )
@@ -298,6 +372,10 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         return cmd_tail(args, print_rows=False, stop_session=stop_session)
     if args.command == "write":
         return cmd_write(args, stop_session=stop_session)
+    if args.command == "analyze":
+        return cmd_analyze(args, stop_session=stop_session)
+    if args.command == "diff":
+        return cmd_diff(args, stop_session=stop_session)
     if args.command == "snapshots":
         return cmd_snapshots(args)
     if args.command == "conf-options":

@@ -122,3 +122,44 @@ def test_namespace_file_resolves_warehouse(spark, sf_dir, warehouse, tmp_path,
     assert rc == 0
     out_lines = [l for l in capsys.readouterr().out.strip().splitlines() if l]
     assert len(out_lines) == 3
+
+
+def test_cli_analyze_and_diff(spark, warehouse, capsys):
+    """analyze prints + persists stats; diff prints the CDC stream."""
+    from pyspark.sql import types as T
+
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "default.cdc_cli",
+        HiveTableSchema((("id", T.LongType()), ("v", T.StringType()))),
+        versioned=True,
+    )
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+
+    out = HiveOutput(spark, cat)
+    out.write_table(WriteSpec("default.cdc_cli"),
+                    spark.createDataFrame([(1, "a"), (2, "b")],
+                                          "id long, v string"))
+    out.write_table(WriteSpec("default.cdc_cli"),
+                    spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")],
+                                          "id long, v string"))
+
+    rc = main(["analyze", "--table", "default.cdc_cli",
+               "--warehouse", warehouse], stop_session=False)
+    assert rc == 0
+    out_text = capsys.readouterr().out
+    assert "id\t3\t3\t1\t3" in out_text  # n_nonnull, ndv, min, max
+    assert Catalog(warehouse).get_column_stats("default.cdc_cli")["id"][
+        "n_distinct"] == 3
+
+    rc = main(["diff", "--table", "default.cdc_cli",
+               "--warehouse", warehouse,
+               "--from-version", "1", "--to-version", "2",
+               "--keys", "id"], stop_session=False)
+    assert rc == 0
+    lines = sorted(l for l in capsys.readouterr().out.strip().splitlines())
+    assert lines == [
+        "2\tB\tupdate_postimage",
+        "2\tb\tupdate_preimage",
+        "3\tc\tinsert",
+    ]
