@@ -219,6 +219,53 @@ def _scan_partition_pruned(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _repartition_migrate(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-layout migration gate: seed a status-partitioned orders
+    table, migrate it to priority-partitioning (repartition_table), then
+    aggregate through a partition filter ON THE NEW KEY — equal to the
+    plain filtered aggregate over the source, which is the oracle."""
+    import tempfile
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators.maintenance import (
+        repartition_table,
+    )
+    from hive_io_experimental_spark.output import HiveOutput
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    wh = tempfile.mkdtemp(prefix="hio_gate_mig_")
+    cat = Catalog(wh)
+    data_fields = tuple(
+        (f.name, f.dataType)
+        for f in orders.schema.fields
+        if f.name != "o_orderstatus"
+    )
+    cat.create_table(
+        "default.orders_mig",
+        HiveTableSchema(data_fields, partition_keys=("o_orderstatus",)),
+    )
+    HiveOutput(spark, cat).write_dynamic("default.orders_mig", orders)
+    repartition_table(
+        spark, cat, "default.orders_mig", "default.orders_by_prio",
+        partition_keys=("o_orderpriority",),
+    )
+    scanned = HiveInput(spark, cat).read_table(
+        ScanSpec(
+            table="default.orders_by_prio",
+            partition_filter="o_orderpriority = '1-URGENT'",
+        )
+    )
+    return scanned.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_totalprice"),
+    )
+
+
 def _write_readback(spark: SparkSession, sf: str) -> DataFrame:
     """Driver-gate round-trip for the write pipeline: run the nation-revenue
     aggregate, write it through HiveOutput (table-exists + empty-table
@@ -881,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # filter prunes directories at plan time (reference
     # HiveApiInputFormat.java:290-309).
     q["scan_partition_pruned"] = _scan_partition_pruned
+    q["repartition_migrate"] = _repartition_migrate
     # S6/S7: delimited-text serde round-trip with '\N' null conventions.
     q["scan_csv_nulls"] = _scan_csv_nulls
     # continuous-aggregate maintenance: two-batch incremental rollup whose
@@ -1700,6 +1748,12 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
                  AS sum_totalprice
         FROM orders WHERE o_orderstatus = 'F'"""
+
+    o["repartition_migrate"] = """
+        SELECT COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_totalprice
+        FROM orders WHERE o_orderpriority = '1-URGENT'"""
 
     # write + read-back must reproduce the aggregate that was written
     o["write_readback"] = o["nation_revenue"]

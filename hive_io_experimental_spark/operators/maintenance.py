@@ -56,3 +56,62 @@ def compact_snapshots(
             WriteSpec(table), current.coalesce(max(1, target_files))
         )
     return catalog.current_version(desc)
+
+
+def repartition_table(
+    spark: SparkSession,
+    catalog: Catalog,
+    src_table: str,
+    dst_table: str,
+    partition_keys: tuple[str, ...],
+    storage_format: str | None = None,
+    sort_cols: tuple[str, ...] = (),
+    versioned: bool = False,
+) -> int:
+    """Migrate a table to a NEW partition layout in one dynamic write.
+
+    The layout-evolution escape hatch every warehouse eventually needs:
+    the original partition choice stops matching the query pattern (too
+    granular -> small files; wrong column -> no pruning) and the table
+    must be rewritten partitioned differently. This reads the CURRENT
+    content through the engine's scan (projection of all columns,
+    partition values materialized as ordinary columns), registers
+    ``dst_table`` with the new partition keys — which must be existing
+    columns — and lands every new partition in ONE dynamic-partition job
+    (a thousand partitions cost one shuffle, not a thousand writes).
+    The source table is untouched; cut-over (rename/drop) stays an
+    explicit caller decision, as in every production migration.
+
+    Returns the number of partitions registered on the destination.
+    """
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    src_desc = TableDesc.parse(src_table)
+    df = HiveInput(spark, catalog).read_table(ScanSpec(table=src_table))
+    missing = set(partition_keys) - set(df.columns)
+    if missing:
+        raise ValueError(
+            f"new partition keys not in table columns: {sorted(missing)}"
+        )
+    # partition values travel as strings (catalog contract); everything
+    # else keeps its scanned type
+    data_fields = tuple(
+        (f.name, f.dataType)
+        for f in df.schema.fields
+        if f.name not in partition_keys
+    )
+    fmt = storage_format or catalog.table_format(src_desc)
+    catalog.create_table(
+        dst_table,
+        HiveTableSchema(data_fields, partition_keys=tuple(partition_keys)),
+        storage_format=fmt,
+        versioned=versioned,
+        sort_cols=sort_cols,
+    )
+    body = df.withColumns(
+        {k: df[k].cast(T.StringType()) for k in partition_keys}
+    )
+    specs = HiveOutput(spark, catalog).write_dynamic(dst_table, body)
+    return len(specs)

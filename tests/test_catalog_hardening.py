@@ -129,3 +129,61 @@ def test_analyze_table_persists_column_stats(spark, warehouse, sf_dir):
         "default.empty_an", HiveTableSchema((("x", T.LongType()),))
     )
     assert cat.get_column_stats("default.empty_an") == {}
+
+
+def test_repartition_table_migrates_layout(spark, warehouse):
+    """Content survives a partition-layout migration bit-for-bit, and the
+    new key actually prunes."""
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+    from hive_io_experimental_spark.operators.maintenance import (
+        repartition_table,
+    )
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "default.byk",
+        HiveTableSchema(
+            (("id", T.LongType()), ("grp", T.StringType())),
+            partition_keys=("k",),
+        ),
+    )
+    out = HiveOutput(spark, cat)
+    out.write_table(
+        WriteSpec("default.byk", {"k": "a"}),
+        spark.createDataFrame([(1, "x"), (2, "y")], "id long, grp string"),
+    )
+    out.write_table(
+        WriteSpec("default.byk", {"k": "b"}),
+        spark.createDataFrame([(3, "x")], "id long, grp string"),
+    )
+
+    n = repartition_table(
+        spark, cat, "default.byk", "default.bygrp", partition_keys=("grp",)
+    )
+    assert n == 2  # grp in {x, y}
+
+    inp = HiveInput(spark, cat)
+    src = {(r["id"], r["k"], r["grp"])
+           for r in inp.read_table(ScanSpec(table="default.byk")).collect()}
+    dst = {(r["id"], r["k"], r["grp"])
+           for r in inp.read_table(ScanSpec(table="default.bygrp")).collect()}
+    assert src == dst and len(src) == 3
+
+    # the new key prunes: partition filter on grp is accepted and correct
+    only_x = inp.read_table(
+        ScanSpec(table="default.bygrp", partition_filter="grp = 'x'")
+    )
+    assert sorted(r["id"] for r in only_x.collect()) == [1, 3]
+    # source untouched
+    assert cat.table_exists("default.byk")
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not in table columns"):
+        repartition_table(spark, cat, "default.byk", "default.bad",
+                          partition_keys=("nope",))
