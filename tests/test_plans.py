@@ -106,3 +106,52 @@ def test_partition_filter_prunes_directories(spark, warehouse):
     pf = partition_filters(scan)
     assert any("ds" in f for f in pf), f"no partition pruning in plan: {pf}"
     assert scan.count() == 2
+
+
+def test_join_advisor_broadcast_shuffle_and_salt(spark, warehouse):
+    """Advisor reads only catalog metadata: broadcast for a small side,
+    shuffle otherwise, salting when ANALYZE shows hot keys."""
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.analyze import analyze_table
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.plans.advisor import (
+        suggest_join_strategy,
+    )
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    cat = Catalog(warehouse)
+    out = HiveOutput(spark, cat)
+    for name in ("dim", "fact"):
+        cat.create_table(
+            f"default.{name}",
+            HiveTableSchema((("k", T.LongType()), ("v", T.StringType()))),
+        )
+    out.write_table(
+        WriteSpec("default.dim"),
+        spark.createDataFrame([(i, "d") for i in range(10)],
+                              "k long, v string"),
+    )
+    # fact: 3000 rows over 2 distinct keys -> 1500 rows/key (hot)
+    out.write_table(
+        WriteSpec("default.fact"),
+        spark.createDataFrame([(i % 2, "f") for i in range(3000)],
+                              "k long, v string"),
+    )
+
+    adv = suggest_join_strategy(cat, "default.dim", "default.fact", "k")
+    assert adv.strategy == "broadcast_left"
+    assert not adv.salt_recommended and 0 < adv.left_bytes < adv.right_bytes
+
+    # force the shuffle path with a 1-byte threshold; no column stats yet
+    adv = suggest_join_strategy(cat, "default.dim", "default.fact", "k",
+                                broadcast_bytes=1)
+    assert adv.strategy == "shuffle" and adv.rows_per_key is None
+    assert "analyze_table" in adv.reason
+
+    analyze_table(spark, cat, "default.fact")
+    adv = suggest_join_strategy(cat, "default.dim", "default.fact", "k",
+                                broadcast_bytes=1)
+    assert adv.strategy == "shuffle" and adv.salt_recommended
+    assert adv.rows_per_key == 1500.0
