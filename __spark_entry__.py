@@ -1114,6 +1114,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_clusters"] = lambda spark, sf: dedup.duplicate_clusters(
         _t(spark, sf, "documents")
     )
+    # end-to-end pipeline: survivors = min-id member of every cluster
+    q["dedup_corpus"] = lambda spark, sf: dedup.dedup_corpus(
+        _t(spark, sf, "documents")
+    ).select("doc_id", "lang", "source")
     # threshold 0.45: the synthetic embeddings are near-orthogonal random
     # vectors (max pairwise cosine ~0.5-0.6), so a production-style 0.97
     # would be degenerately empty at every SF.
@@ -2196,6 +2200,14 @@ def oracle_sql() -> dict[str, str]:
         comp AS (SELECT id, MIN(root) AS cluster_id FROM reach GROUP BY id)
         SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.id"""
+
+    # survivors of the end-to-end dedup = min doc_id per cluster label
+    o["dedup_corpus"] = f"""
+        WITH RECURSIVE labels AS ({o['dedup_clusters']}),
+        keep AS (SELECT MIN(doc_id) AS doc_id FROM labels
+                 GROUP BY cluster_id)
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN keep USING (doc_id)"""
 
     # candidate precision/recall of the banded-LSH pair set vs exact
     # jaccard truth at 0.5 (both sides df-cut like the operators' defaults)

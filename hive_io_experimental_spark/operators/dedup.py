@@ -654,3 +654,37 @@ def lsh_quality_report(
             "candidate_recall"
         ),
     )
+
+
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    max_iter: int = 20,
+    hash_family: str | None = None,
+) -> DataFrame:
+    """End-to-end near-dedup: keep one representative per duplicate cluster.
+
+    The one-call pipeline a corpus build actually runs: MinHash-LSH
+    candidates -> connected components (duplicate_clusters) -> keep the
+    min-id member of each cluster. Exact duplicates collapse through the
+    same path (identical texts share every band). Returns the surviving
+    rows of ``df`` (all columns) — the deduplicated corpus, ready to feed
+    curation/packing.
+
+    Plan: the cluster labels are (doc_id, cluster_id) metadata; survivors
+    are selected with one aggregate on cluster_id and a semi join back to
+    the corpus — no row payloads move through the clustering itself.
+    """
+    clusters = duplicate_clusters(
+        df, text_col, id_col, num_perm, bands, k, max_iter, hash_family
+    )
+    keep = (
+        clusters.groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select(F.col("keep_id").alias(id_col))
+    )
+    return df.join(keep, id_col, "left_semi")

@@ -1077,3 +1077,19 @@ def test_chunk_documents_sliding_window(spark):
 
     with pytest.raises(ValueError, match="must be smaller"):
         text.chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_dedup_corpus_keeps_one_per_cluster(spark):
+    """Chained near-dups collapse to the min-id survivor; unique docs
+    survive untouched; all columns come through."""
+    t = "the quick brown fox jumps over the lazy dog every single day"
+    df = spark.createDataFrame(
+        [(10, t, "en"), (11, t, "en"), (12, t + " extra", "en"),
+         (20, "completely different text on another topic entirely okay",
+          "de")],
+        "doc_id long, text string, lang string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup.dedup_corpus(df).collect())
+    assert 10 in kept and 20 in kept
+    assert 11 not in kept  # exact dup of 10
+    assert set(dedup.dedup_corpus(df).columns) == {"doc_id", "text", "lang"}
