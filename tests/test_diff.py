@@ -134,3 +134,65 @@ def test_cdc_delta_corrects_rollup_exactly(spark):
     f = {(r["hour_epoch"], r["event_type"]): (r["n_events"], r["sum_value_e4"])
          for r in fresh.collect()}
     assert m == f and m
+
+
+def test_stream_snapshots_cdc_rollup_pipeline(spark, warehouse):
+    """Four subsystems agree end-to-end: micro-batches appended as
+    snapshot versions -> snapshot_diff(v, v+1) recovers each batch as
+    inserts -> folding rollup deltas over the diffs equals the one-shot
+    rollup of the final table."""
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+    from hive_io_experimental_spark.operators import incremental
+    from hive_io_experimental_spark.output import HiveOutput  # noqa: F401
+    from hive_io_experimental_spark.schema import HiveTableSchema
+    from hive_io_experimental_spark.streaming.snapshots import (
+        snapshot_batch_sink,
+    )
+
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "default.ev",
+        HiveTableSchema((
+            ("event_id", T.LongType()), ("user_id", T.LongType()),
+            ("event_type", T.StringType()), ("value", T.DoubleType()),
+            ("ts", T.TimestampType()),
+        )),
+        versioned=True,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, "
+                  "value double, ms long"
+        ).selectExpr("event_id", "user_id", "event_type", "value",
+                     "timestamp_millis(ms) AS ts")
+
+    sink = snapshot_batch_sink(warehouse, "default.ev")
+    b1 = [(1, 1, "click", 1.5, 0), (2, 2, "buy", 10.0, 3_600_000)]
+    b2 = [(3, 1, "click", 2.5, 1000)]
+    sink(batch(b1), 0)
+    sink(batch(b2), 1)
+    sink(batch(b2), 1)  # replay after recovery: must be idempotent
+    assert cat.current_version("default.ev") == 2
+
+    # each version-to-version diff is exactly that batch, as inserts
+    d1 = snapshot_diff(spark, cat, "default.ev", 1, 2, key_cols=("event_id",))
+    assert sorted((r["event_id"], r["_change_type"]) for r in d1.collect()) \
+        == [(3, "insert")]
+
+    # folding CDC deltas over an initial state == one-shot rollup
+    state = incremental.hourly_rollup_state(batch(b1))
+    folded = incremental.merge_rollup_states(
+        state, incremental.rollup_delta_from_cdc(d1)
+    )
+    final = HiveInput(spark, cat).read_table(ScanSpec(table="default.ev"))
+    fresh = incremental.hourly_rollup_state(final)
+    f1 = {(r["hour_epoch"], r["event_type"]): (r["n_events"],
+                                               r["sum_value_e4"])
+          for r in folded.collect()}
+    f2 = {(r["hour_epoch"], r["event_type"]): (r["n_events"],
+                                               r["sum_value_e4"])
+          for r in fresh.collect()}
+    assert f1 == f2 and f1
