@@ -682,10 +682,14 @@ def unigram_lm_scores(
 
     Returns (doc_id, n_tokens, avg_bits), avg_bits rounded to 6.
     """
+    # tok feeds two plan branches (vocab count + the scoring join);
+    # persist so tokenization runs once — at warehouse scale the
+    # equivalent is a checkpointed token table (same note as the shingle
+    # table in dedup.ngram_jaccard_pairs)
     tok = spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_tokens(F.col(text_col))).alias("token"),
-    )
+    ).persist()
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("_c"))
     total = vocab.agg(F.sum("_c").alias("_n"))
     bits = (
