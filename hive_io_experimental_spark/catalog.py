@@ -210,6 +210,15 @@ class Catalog:
             raise TableNotFoundError(f"no such table: {desc}")
         return entry
 
+    def list_tables(self, database: str | None = None) -> list[str]:
+        """All registered ``db.table`` keys (metastore get_all_tables
+        parity), optionally filtered to one database, sorted."""
+        doc = self._load()
+        keys = sorted(doc["tables"])
+        if database is not None:
+            keys = [k for k in keys if k.split(".", 1)[0] == database]
+        return keys
+
     def get_table(self, desc: TableDesc | str) -> dict:
         desc = TableDesc.parse(desc) if isinstance(desc, str) else desc
         doc = self._load()

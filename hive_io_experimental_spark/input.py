@@ -242,3 +242,38 @@ class HiveInput:
         # whatever Hive-style dirs Spark discovers.
         df = self.spark.read.parquet(table)
         return df, ()
+
+
+def register_catalog_views(
+    spark, catalog, database: str | None = None,
+    as_of: dict[str, int] | None = None,
+) -> list[str]:
+    """Register every catalog table as a Spark temp view named after the
+    table (``db.table`` -> view ``table``), reading through the engine's
+    own scan path — per-table serde, partition columns, and (optionally)
+    snapshot versions are honored, which a raw ``spark.read.parquet``
+    over the directory would get wrong for csv/json/versioned tables.
+
+    ``as_of`` pins named tables to historical versions ({table_name:
+    version}) so plain SQL can query time travel. Returns the view names
+    registered; plain ``spark.sql(...)`` then works over them (the
+    engine's catalog-backed SQL surface — the reference has no SQL at
+    all, SURVEY §2.2).
+    """
+    from hive_io_experimental_spark.catalog import TableDesc
+
+    inp = HiveInput(spark, catalog)
+    names: list[str] = []
+    for key in catalog.list_tables():
+        desc = TableDesc.parse(key)
+        if database is not None and desc.database != database:
+            continue
+        version = (as_of or {}).get(desc.table)
+        df = inp.read_table(
+            ScanSpec(table=key, as_of_version=version)
+            if version is not None
+            else ScanSpec(table=key)
+        )
+        df.createOrReplaceTempView(desc.table)
+        names.append(desc.table)
+    return names

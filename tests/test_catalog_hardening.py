@@ -187,3 +187,47 @@ def test_repartition_table_migrates_layout(spark, warehouse):
     with pytest.raises(ValueError, match="not in table columns"):
         repartition_table(spark, cat, "default.byk", "default.bad",
                           partition_keys=("nope",))
+
+
+def test_register_catalog_views_sql_over_catalog(spark, warehouse):
+    """SQL over catalog tables honors serde and snapshot pinning."""
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import register_catalog_views
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "default.kv_csv",
+        HiveTableSchema((("id", T.LongType()), ("v", T.StringType()))),
+        storage_format="csv",
+    )
+    cat.create_table(
+        "default.versioned_t",
+        HiveTableSchema((("id", T.LongType()),)),
+        versioned=True,
+    )
+    out = HiveOutput(spark, cat)
+    out.write_table(
+        WriteSpec("default.kv_csv"),
+        spark.createDataFrame([(1, "a"), (2, None)], "id long, v string"),
+    )
+    out.write_table(WriteSpec("default.versioned_t"),
+                    spark.createDataFrame([(1,)], "id long"))
+    out.write_table(WriteSpec("default.versioned_t"),
+                    spark.createDataFrame([(2,), (3,)], "id long"))
+
+    names = register_catalog_views(spark, cat)
+    assert set(names) == {"kv_csv", "versioned_t"}
+    # csv serde round-trips NULL (the \N convention) through plain SQL
+    rows = spark.sql(
+        "SELECT id, v FROM kv_csv ORDER BY id"
+    ).collect()
+    assert [(r.id, r.v) for r in rows] == [(1, "a"), (2, None)]
+    # current version by default...
+    assert spark.sql("SELECT COUNT(*) c FROM versioned_t").first().c == 2
+    # ...and pinnable to history for time-travel SQL
+    register_catalog_views(spark, cat, as_of={"versioned_t": 1})
+    assert spark.sql("SELECT COUNT(*) c FROM versioned_t").first().c == 1
