@@ -247,6 +247,31 @@ def cmd_diff(args: argparse.Namespace, stop_session: bool = True) -> int:
     return 0
 
 
+def cmd_sql(args: argparse.Namespace, stop_session: bool = True) -> int:
+    """Ad-hoc SQL over the warehouse: catalog tables become views, the
+    query streams to stdout (bounded by --limit)."""
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import register_catalog_views
+
+    warehouse = _resolve_warehouse(args)
+    if not warehouse:
+        raise SystemExit("sql requires --warehouse or --namespaces-file")
+    spark = _build_spark(args.threads)
+    names = register_catalog_views(spark, Catalog(warehouse))
+    df = spark.sql(args.query)
+    if args.limit:
+        df = df.limit(args.limit)
+    print(args.separator.join(df.columns))
+    n = 0
+    for row in df.toLocalIterator():
+        print(args.separator.join("" if v is None else str(v) for v in row))
+        n += 1
+    print(f"# {n} rows over views: {', '.join(names)}", file=sys.stderr)
+    if stop_session:
+        spark.stop()
+    return 0
+
+
 def cmd_snapshots(args: argparse.Namespace) -> int:
     """List (and optionally expire) a versioned table's snapshot history.
 
@@ -352,6 +377,16 @@ def build_parser() -> argparse.ArgumentParser:
     di.add_argument("--separator", default="\t")
     di.add_argument("--threads", type=int, default=None)
 
+    sq = sub.add_parser("sql", help="run SQL over the warehouse's tables")
+    sq.add_argument("--query", required=True)
+    sq.add_argument("--warehouse")
+    sq.add_argument("--namespaces-file")
+    sq.add_argument("--namespace", default="silver")
+    sq.add_argument("--limit", type=int, default=1000,
+                    help="row cap for stdout (0 = unlimited)")
+    sq.add_argument("--separator", default="\t")
+    sq.add_argument("--threads", type=int, default=None)
+
     snap = sub.add_parser(
         "snapshots", help="list a versioned table's snapshot history"
     )
@@ -372,6 +407,8 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         return cmd_tail(args, print_rows=False, stop_session=stop_session)
     if args.command == "write":
         return cmd_write(args, stop_session=stop_session)
+    if args.command == "sql":
+        return cmd_sql(args, stop_session=stop_session)
     if args.command == "analyze":
         return cmd_analyze(args, stop_session=stop_session)
     if args.command == "diff":

@@ -163,3 +163,24 @@ def test_cli_analyze_and_diff(spark, warehouse, capsys):
         "2\tb\tupdate_preimage",
         "3\tc\tinsert",
     ]
+
+
+def test_cli_sql_over_warehouse(spark, warehouse, capsys):
+    from pyspark.sql import types as T
+
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "default.nums", HiveTableSchema((("n", T.LongType()),))
+    )
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+
+    HiveOutput(spark, cat).write_table(
+        WriteSpec("default.nums"),
+        spark.createDataFrame([(i,) for i in range(10)], "n long"),
+    )
+    rc = main(["sql", "--warehouse", warehouse,
+               "--query", "SELECT SUM(n) AS s, COUNT(*) AS c FROM nums"],
+              stop_session=False)
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == ["s\tc", "45\t10"]
