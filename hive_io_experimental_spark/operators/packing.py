@@ -263,3 +263,32 @@ def exact_dup_representatives(
         .filter(F.col("_rn") == 1)
         .select("doc_id", "text_md5", "n_copies")
     )
+
+
+def export_sorted_shards(
+    df: DataFrame,
+    sort_cols: tuple[str, ...],
+    n_shards: int,
+    out_dir: str,
+    fmt: str = "parquet",
+) -> None:
+    """Total-order shard export: every row of part-i sorts <= part-(i+1).
+
+    The training-export step after curation/packing: consumers stream
+    shards in file order and see a globally sorted corpus (e.g. by
+    curriculum score or pack id) without any single node ever holding a
+    global sort. repartitionByRange samples the sort key to cut balanced
+    range boundaries (one pass), then each shard sorts locally —
+    spill-safe at any scale, and Spark's part-file numbering preserves
+    the range order on disk. NULL sort keys sort first (Spark default),
+    in the first shard.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    (
+        df.repartitionByRange(n_shards, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("errorifexists")
+        .format(fmt)
+        .save(out_dir)
+    )

@@ -143,3 +143,42 @@ def test_exact_dup_representatives_picks_lowest_id(spark):
         for r in packing.exact_dup_representatives(docs).collect()
     }
     assert rows == {2: 2, 9: 1}
+
+
+def test_export_sorted_shards_total_order(spark, tmp_path):
+    """Cross-file ordering: max(sort key) of part-i <= min of part-(i+1)."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    from hive_io_experimental_spark.operators.packing import (
+        export_sorted_shards,
+    )
+
+    out = str(tmp_path / "shards")
+    df = spark.range(10_000).selectExpr(
+        "xxhash64(id) % 1000 AS score", "id"
+    )
+    export_sorted_shards(df, ("score", "id"), n_shards=8, out_dir=out)
+
+    files = sorted(
+        p for p in pathlib.Path(out).glob("part-*.parquet")
+    )
+    assert len(files) == 8
+    prev_max = None
+    total = 0
+    for f in files:
+        t = pq.read_table(str(f)).to_pydict()
+        scores = t["score"]
+        total += len(scores)
+        assert scores == sorted(scores)  # within-file sorted
+        if prev_max is not None and scores:
+            assert scores[0] >= prev_max  # cross-file range order
+        if scores:
+            prev_max = scores[-1]
+    assert total == 10_000
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_shards"):
+        export_sorted_shards(df, ("score",), 0, out + "_bad")
