@@ -339,3 +339,58 @@ def test_e4_quantization_matches_spark_decimal_cast(spark):
         for v in vals
     ]
     assert spark_e4 == python_e4
+
+
+def test_stateless_text_ops_run_on_streams(spark, tmp_path):
+    """The stateless curation surface (metrics, quality gate, PII redact,
+    chunking, split assignment) applies UNCHANGED to a streaming
+    DataFrame and produces exactly the batch results — the property that
+    lets one curation codepath serve both backfill and ingest."""
+    import pathlib
+
+    from hive_io_experimental_spark.operators import text as text_ops
+    from hive_io_experimental_spark.operators.sampling import hash_split
+
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog repeatedly today"),
+        (2, "contact me at jane.doe@example.com or 555-123-4567 thanks"),
+        (3, "word " * 40),
+    ]
+    batch_df = spark.createDataFrame(docs, "doc_id long, text string")
+    batch_df.write.parquet(str(src_dir / "b0"))
+
+    def curate(df):
+        metrics = text_ops.text_metrics(df)
+        chunks = text_ops.chunk_documents(df, chunk_tokens=8, overlap=2)
+        split = hash_split(df).select("doc_id", "split")
+        red = text_ops.redact_pii(df).select("doc_id", "redacted")
+        return metrics, chunks, split, red
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src_dir / "b0")
+    )
+    got = {}
+
+    def sink(bdf, _bid):
+        m, c, s, r = curate(bdf)
+        got["metrics"] = {tuple(x) for x in m.collect()}
+        got["chunks"] = {tuple(x) for x in c.collect()}
+        got["split"] = {tuple(x) for x in s.collect()}
+        got["redact"] = {tuple(x) for x in r.collect()}
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    m, c, s, r = curate(batch_df)
+    assert got["metrics"] == {tuple(x) for x in m.collect()}
+    assert got["chunks"] == {tuple(x) for x in c.collect()}
+    assert got["split"] == {tuple(x) for x in s.collect()}
+    assert got["redact"] == {tuple(x) for x in r.collect()}
+    assert got["chunks"]  # doc 3 chunks into several windows
