@@ -879,6 +879,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["asof_purchase_click"] = lambda spark, sf: temporal.purchase_click_asof(
         _t(spark, sf, "events")
     )
+    q["asof_signup_next_click"] = lambda spark, sf: temporal.signup_next_click_asof(
+        _t(spark, sf, "events")
+    )
     q["range_join_signup_purchase"] = lambda spark, sf: temporal.signup_purchase_window(
         _t(spark, sf, "events")
     )
@@ -1693,6 +1696,17 @@ def oracle_sql() -> dict[str, str]:
                p.purchase_us - c.click_us AS gap_us
         FROM p ASOF LEFT JOIN c
           ON p.user_id = c.user_id AND p.purchase_us >= c.click_us"""
+
+    # forward as-of: DuckDB ASOF with >= flipped to <=
+    o["asof_signup_next_click"] = """
+        WITH s AS (SELECT event_id, user_id, epoch_us(ts) AS signup_us
+                   FROM events WHERE event_type = 'signup'),
+             c AS (SELECT DISTINCT user_id, epoch_us(ts) AS click_us
+                   FROM events WHERE event_type = 'click')
+        SELECT s.event_id, s.user_id, s.signup_us, c.click_us,
+               c.click_us - s.signup_us AS lag_us
+        FROM s ASOF LEFT JOIN c
+          ON s.user_id = c.user_id AND s.signup_us <= c.click_us"""
 
     o["range_join_signup_purchase"] = """
         WITH s AS (SELECT event_id AS signup_id, user_id, epoch_us(ts) AS signup_us

@@ -36,15 +36,30 @@ def asof_join(
     right_ts: str = "ts",
     right_values: tuple[str, ...] = (),
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
-    """For every left row, attach the right row with the greatest
-    ``right_ts <= left_ts`` within the same ``on`` key (backward as-of,
-    inclusive — DuckDB's ``ASOF LEFT JOIN`` semantics).
+    """For every left row, attach the matching right row by time within
+    the same ``on`` key — pandas ``merge_asof`` surface, one shuffle.
 
-    Right rows must be unique per (on, right_ts) — pre-aggregate if not, or
-    the carried values are order-dependent. Returns all left columns plus
-    ``<right_ts><suffix>`` and ``<v><suffix>`` for each requested value.
+    ``direction``: 'backward' = greatest ``right_ts <= left_ts``
+    (inclusive — DuckDB's ``ASOF LEFT JOIN``); 'forward' = smallest
+    ``right_ts >= left_ts``; 'nearest' = whichever of the two is closer
+    (ties to backward). ``tolerance_us`` (epoch microseconds) voids any
+    match farther than the tolerance — the matched columns come back
+    NULL, the left row survives.
+
+    Every direction is the same union+window formulation: ONE hash
+    shuffle on the key, with the forward carry just the descending-order
+    twin of the backward carry ('nearest' evaluates both orders over the
+    single shuffled partition — two in-partition sorts, still one
+    exchange). Right rows must be unique per (on, right_ts) —
+    pre-aggregate if not, or the carried values are order-dependent.
+    Returns all left columns plus ``<right_ts><suffix>`` and
+    ``<v><suffix>`` for each requested value.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
     lcols = left.columns
     l = left.withColumn("_tag", F.lit(1))
     r = right.select(
@@ -54,23 +69,58 @@ def asof_join(
     ).withColumn("_rts", F.col(left_ts)).withColumn("_tag", F.lit(0))
 
     unioned = l.unionByName(r, allowMissingColumns=True)
-    # rows-frame, right rows sorted before left at equal ts (tag 0 < 1), so
-    # an equal-timestamp right row IS visible to the left row (inclusive).
-    w = (
+    # rows-frame; right rows sort before left at equal ts (tag 0 < 1) in
+    # BOTH orders, so an equal-timestamp right row IS visible (inclusive).
+    w_back = (
         Window.partitionBy(on)
         .orderBy(F.col(left_ts).asc(), F.col("_tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.withColumn(
-        f"{right_ts}{suffix}", F.last(F.col("_rts"), ignorenulls=True).over(w)
+    w_fwd = (
+        Window.partitionBy(on)
+        .orderBy(F.col(left_ts).desc(), F.col("_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for v in right_values:
-        carried = carried.withColumn(
-            f"{v}{suffix}",
-            F.last(
+
+    # gap arithmetic works for TIMESTAMP(_NTZ) and raw epoch-long ts alike
+    ts_dtype = dict(left.dtypes).get(left_ts, "")
+    _us = (
+        F.unix_micros if ts_dtype.startswith("timestamp") else (lambda c: c)
+    )
+
+    def _carry(w) -> dict:
+        picked = {"_mts": F.last(F.col("_rts"), ignorenulls=True).over(w)}
+        for v in right_values:
+            picked[v] = F.last(
                 F.when(F.col("_tag") == 0, F.col(v)), ignorenulls=True
-            ).over(w),
+            ).over(w)
+        return picked
+
+    if direction == "backward":
+        picks = _carry(w_back)
+    elif direction == "forward":
+        picks = _carry(w_fwd)
+    else:
+        back, fwd = _carry(w_back), _carry(w_fwd)
+        lus = _us(F.col(left_ts))
+        gap_b = lus - _us(back["_mts"])
+        gap_f = _us(fwd["_mts"]) - lus
+        use_back = back["_mts"].isNotNull() & (
+            fwd["_mts"].isNull() | (gap_b <= gap_f)
         )
+        picks = {
+            k: F.when(use_back, back[k]).otherwise(fwd[k])
+            for k in back
+        }
+
+    if tolerance_us is not None:
+        gap = F.abs(_us(F.col(left_ts)) - _us(picks["_mts"]))
+        ok = picks["_mts"].isNotNull() & (gap <= tolerance_us)
+        picks = {k: F.when(ok, c) for k, c in picks.items()}
+
+    carried = unioned.withColumn(f"{right_ts}{suffix}", picks["_mts"])
+    for v in right_values:
+        carried = carried.withColumn(f"{v}{suffix}", picks[v])
     out_cols = lcols + [f"{right_ts}{suffix}"] + [f"{v}{suffix}" for v in right_values]
     return carried.filter(F.col("_tag") == 1).select(*out_cols)
 
@@ -143,6 +193,36 @@ def purchase_click_asof(events: DataFrame) -> DataFrame:
         "purchase_us",
         F.col("click_us_asof").alias("click_us"),
         (F.col("purchase_us") - F.col("click_us_asof")).alias("gap_us"),
+    )
+
+
+def signup_next_click_asof(events: DataFrame) -> DataFrame:
+    """Per signup event: the FIRST click at-or-after it by the same user
+    (forward as-of join — time-to-first-action, the activation metric).
+    Output (event_id, user_id, signup_us, click_us, lag_us); click_us NULL
+    when the user never clicked afterwards.
+    """
+    from hive_io_experimental_spark.operators.relational import ensure_event_time
+
+    ev = ensure_event_time(events)
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("signup_us")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.unix_micros(F.col("ts")).alias("click_us"))
+        .distinct()
+    )
+    out = asof_join(
+        signups, clicks, on="user_id", left_ts="signup_us",
+        right_ts="click_us", direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "signup_us",
+        F.col("click_us_asof").alias("click_us"),
+        (F.col("click_us_asof") - F.col("signup_us")).alias("lag_us"),
     )
 
 

@@ -104,3 +104,54 @@ def test_gapfill_hourly_fills_and_carries_forward(spark):
     # 'b' before its first observation: LOCF is NULL (nothing to carry)
     assert rows[(0, "b")]["sum_value_locf"] is None
     assert rows[(7200, "b")]["sum_value_locf"] == 5.0
+
+
+def test_asof_join_forward_nearest_tolerance(spark):
+    import pytest
+
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 205, "p2"), (1, 320, "p3"), (2, 50, "p4")],
+        "k long, ts long, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 200, 20.0), (1, 300, 30.0)],
+        "k long, ts long, v double",
+    )
+
+    fwd = {
+        r["name"]: (r["ts_asof"], r["v_asof"])
+        for r in asof_join(left, right, on="k", right_values=("v",),
+                           direction="forward").collect()
+    }
+    assert fwd["p1"] == (100, 10.0)   # equal ts inclusive
+    assert fwd["p2"] == (300, 30.0)   # next at-or-after 205
+    assert fwd["p3"] == (None, None)  # nothing after 320
+    assert fwd["p4"] == (None, None)  # no key
+
+    near = {
+        r["name"]: r["ts_asof"]
+        for r in asof_join(left, right, on="k", right_values=("v",),
+                           direction="nearest").collect()
+    }
+    assert near["p1"] == 100
+    assert near["p2"] == 200   # gap 5 back vs 95 forward
+    assert near["p3"] == 300   # only backward exists
+    assert near["p4"] is None
+
+    tol = {
+        r["name"]: r["ts_asof"]
+        for r in asof_join(left, right, on="k", right_values=("v",),
+                           direction="nearest", tolerance_us=10).collect()
+    }
+    assert tol["p1"] == 100 and tol["p2"] == 200  # gaps 0 and 5 pass
+    assert tol["p3"] is None                      # gap 20 > 10 -> voided
+
+    # nearest tie (equidistant) resolves backward
+    tie = asof_join(
+        spark.createDataFrame([(1, 250, "t")], "k long, ts long, name string"),
+        right, on="k", right_values=("v",), direction="nearest",
+    ).collect()[0]
+    assert tie["ts_asof"] == 200
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on="k", direction="sideways")
