@@ -1127,6 +1127,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_embedding"] = lambda spark, sf: dedup.embedding_neardup(
         _t(spark, sf, "embeddings"), threshold=0.45
     )
+    # components over the embedding near-dup graph (paraphrase clusters)
+    q["dedup_embedding_clusters"] = lambda spark, sf: dedup.embedding_dup_clusters(
+        _t(spark, sf, "embeddings"), threshold=0.45
+    )
 
     # ---- similarity search ----
     q["similarity_topk"] = lambda spark, sf: similarity.cosine_topk(
@@ -2307,6 +2311,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.vec_id AS a_id, b.vec_id AS b_id, {cos_expr} AS cosine
         FROM v a JOIN v b ON a.vec_id < b.vec_id
         WHERE {cos_expr} >= 0.45"""
+
+    # reachability closure over the same cosine pair graph — the
+    # embedding-space twin of dedup_clusters' oracle
+    o["dedup_embedding_clusters"] = f"""
+        WITH RECURSIVE
+        v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+                  FROM v a JOIN v b ON a.vec_id < b.vec_id
+                  WHERE {cos_expr} >= 0.45),
+        edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                  UNION SELECT b_id, a_id FROM pairs),
+        reach(id, root) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+        ),
+        comp AS (SELECT id, MIN(root) AS cluster_id FROM reach GROUP BY id)
+        SELECT em.vec_id, COALESCE(c.cluster_id, em.vec_id) AS cluster_id
+        FROM embeddings em LEFT JOIN comp c ON em.vec_id = c.id"""
 
     qcos = (
         "ROUND(list_dot_product(q.v, c.v) / "

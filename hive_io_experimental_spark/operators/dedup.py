@@ -293,6 +293,23 @@ def duplicate_clusters(
     pairs = minhash_lsh_candidates(
         df, text_col, id_col, num_perm, bands, k, hash_family
     )
+    return label_components(
+        pairs, df.select(F.col(id_col).alias("id")), max_iter
+    ).withColumnsRenamed({"id": "doc_id", "label": "cluster_id"})
+
+
+def label_components(
+    pairs: DataFrame, ids: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components by min-label propagation (the shared engine
+    behind duplicate_clusters and embedding_dup_clusters).
+
+    ``pairs``: (a_id, b_id) undirected edges; ``ids``: single-column
+    ``id`` frame naming every node (isolated nodes label themselves).
+    Per round: one edges-x-labels equi-join + one groupBy — key-partitioned
+    shuffles only, lineage truncated per round (localCheckpoint). Returns
+    (id, label) with label = min id reachable.
+    """
     edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
     edges = (
         edges.union(
@@ -301,9 +318,7 @@ def duplicate_clusters(
         .distinct()
         .persist()
     )
-    labels = df.select(F.col(id_col).alias("id")).withColumn(
-        "label", F.col("id")
-    )
+    labels = ids.withColumn("label", F.col("id"))
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -327,9 +342,28 @@ def duplicate_clusters(
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select(
-        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    return labels
+
+
+def embedding_dup_clusters(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.97,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Semantic duplicate clusters: connected components over the
+    embedding-cosine near-dup graph (embedding_neardup pairs). The
+    embedding-space twin of duplicate_clusters — text near-dups catch
+    copies, embedding clusters catch paraphrases/translations. Returns
+    (vec_id, cluster_id), cluster id = min vec id reachable.
+    """
+    pairs = embedding_neardup(df, vec_col, id_col, threshold).select(
+        "a_id", "b_id"
     )
+    return label_components(
+        pairs, df.select(F.col(id_col).alias("id")), max_iter
+    ).withColumnsRenamed({"id": "vec_id", "label": "cluster_id"})
 
 
 # ---------------------------------------------------------------------------
