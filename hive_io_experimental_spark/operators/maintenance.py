@@ -115,3 +115,61 @@ def repartition_table(
     )
     specs = HiveOutput(spark, catalog).write_dynamic(dst_table, body)
     return len(specs)
+
+
+def catalog_fsck(catalog: Catalog) -> dict:
+    """Metadata <-> filesystem consistency report (fsck for the warehouse).
+
+    The drift every long-lived warehouse accumulates: partitions whose
+    directory vanished (manual deletes, failed restores) and data
+    directories no catalog entry references (killed jobs' leftovers,
+    manual copies). Driver-sized metadata walk, no Spark session.
+
+    Returns {"missing_partition_dirs": [(table, partition_values)...],
+    "orphan_partition_dirs": [(table, path)...], "missing_table_dirs":
+    [table...]}: empty lists = clean. Repair stays an explicit caller
+    decision (drop_partition for the missing, add_partition or delete
+    for the orphans) — an fsck that auto-repairs is how metadata loss
+    compounds.
+    """
+    import os
+
+    report = {
+        "missing_partition_dirs": [],
+        "orphan_partition_dirs": [],
+        "missing_table_dirs": [],
+    }
+    for key in catalog.list_tables():
+        desc = TableDesc.parse(key)
+        location = catalog.table_location(desc)
+        schema = catalog.get_schema(desc)
+        parts = catalog.list_partitions(desc)
+        if not os.path.isdir(location):
+            if parts or not schema.partition_keys:
+                report["missing_table_dirs"].append(key)
+            continue
+        registered = set()
+        for p in parts:
+            registered.add(os.path.normpath(p.location))
+            if not os.path.isdir(p.location):
+                report["missing_partition_dirs"].append((key, p.values))
+        if schema.partition_keys:
+            # one level per partition key: walk registered depth only
+            depth = len(schema.partition_keys)
+            stack = [(location, 0)]
+            while stack:
+                d, lvl = stack.pop()
+                for name in sorted(os.listdir(d)):
+                    sub = os.path.join(d, name)
+                    if not os.path.isdir(sub) or name.startswith(
+                        ("_", ".")
+                    ):
+                        continue
+                    if lvl + 1 == depth:
+                        if os.path.normpath(sub) not in registered:
+                            report["orphan_partition_dirs"].append(
+                                (key, sub)
+                            )
+                    else:
+                        stack.append((sub, lvl + 1))
+    return report

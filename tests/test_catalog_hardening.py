@@ -231,3 +231,45 @@ def test_register_catalog_views_sql_over_catalog(spark, warehouse):
     # ...and pinnable to history for time-travel SQL
     register_catalog_views(spark, cat, as_of={"versioned_t": 1})
     assert spark.sql("SELECT COUNT(*) c FROM versioned_t").first().c == 1
+
+
+def test_catalog_fsck_reports_drift(spark, warehouse):
+    """Missing partition dirs and orphan dirs are reported, clean is []."""
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators.maintenance import catalog_fsck
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "default.fsck_t",
+        HiveTableSchema((("id", T.LongType()),), partition_keys=("p",)),
+    )
+    out = HiveOutput(spark, cat)
+    for pv in ("a", "b"):
+        out.write_table(
+            WriteSpec("default.fsck_t", {"p": pv}),
+            spark.createDataFrame([(1,)], "id long"),
+        )
+
+    rep = catalog_fsck(cat)
+    assert rep == {"missing_partition_dirs": [],
+                   "orphan_partition_dirs": [],
+                   "missing_table_dirs": []}
+
+    # delete one registered dir; plant one orphan dir
+    loc = cat.table_location("default.fsck_t")
+    shutil.rmtree(os.path.join(loc, "p=a"))
+    os.makedirs(os.path.join(loc, "p=zzz"))
+
+    rep = catalog_fsck(cat)
+    assert rep["missing_partition_dirs"] == [("default.fsck_t", {"p": "a"})]
+    assert [(t, os.path.basename(p))
+            for t, p in rep["orphan_partition_dirs"]] == [
+        ("default.fsck_t", "p=zzz")
+    ]

@@ -1093,3 +1093,17 @@ def test_dedup_corpus_keeps_one_per_cluster(spark):
     assert 10 in kept and 20 in kept
     assert 11 not in kept  # exact dup of 10
     assert set(dedup.dedup_corpus(df).columns) == {"doc_id", "text", "lang"}
+
+
+def test_embedding_dup_clusters_chain(spark):
+    """Chained cosine near-dups (A~B, B~C, A!~C) share one cluster."""
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.96, 0.28]), (3, [0.85, 0.53]),
+        (9, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["cluster_id"]
+           for r in dedup.embedding_dup_clusters(df, threshold=0.95).collect()}
+    # 1~2 (cos ~.96+), 2~3 (cos ~.96), 1~3 only ~.85 -> still one chain
+    assert got[1] == got[2] == got[3] == 1
+    assert got[9] == 9
