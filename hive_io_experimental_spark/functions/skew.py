@@ -42,3 +42,39 @@ def salted_count(
     kname = keyed.columns[0]
     partial = keyed.groupBy(kname, "_salt").agg(F.count(F.lit(1)).alias("_c"))
     return partial.groupBy(kname).agg(F.sum("_c").alias("cnt"))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: tuple[str, ...] | list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join that survives hot keys on the BIG side.
+
+    The classic replicate-and-salt: every big-side row gets a random salt
+    in [0, n_salts); the small side is replicated once per salt value so
+    each (key, salt) pair still finds its match. The hot key's rows now
+    land on ``n_salts`` reducers instead of one. Results are identical to
+    ``big.join(small, keys, how)`` — salting changes placement, never
+    content.
+
+    Use when AQE's skew-join can't help: the first shuffle of a
+    stream-stream or bucketed pipeline, or a `how='left'` join whose hot
+    NULL/default key floods one task. The small side must be small enough
+    to replicate ``n_salts`` times (it was probably broadcastable — use
+    this when it is NOT, i.e. tens-of-GB dimension vs TB facts).
+    ``how``: 'inner' or 'left' (the big side is preserved).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    overlap = set(keys) & {"_salt"}
+    if overlap:
+        raise ValueError("'_salt' collides with a join key")
+    b = with_salt(big, n_salts)
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    joined = b.join(s, [*keys, "_salt"], how)
+    return joined.drop("_salt")

@@ -50,3 +50,35 @@ def test_salted_count_matches_plain(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salted equi-join returns exactly the plain join's multiset, both
+    inner and left, including unmatched big-side rows."""
+    import pytest
+
+    from hive_io_experimental_spark.functions.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, i) for i in range(500)]          # hot key 1
+        + [(2, i) for i in range(5)] + [(9, 0)],  # 9 has no match
+        "k long, payload long",
+    )
+    small = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "unused")], "k long, name string"
+    )
+
+    for how in ("inner", "left"):
+        plain = sorted(
+            (r["k"], r["payload"], r["name"])
+            for r in big.join(small, ["k"], how).collect()
+        )
+        salted = sorted(
+            (r["k"], r["payload"], r["name"])
+            for r in salted_join(big, small, ["k"], n_salts=8,
+                                 how=how).collect()
+        )
+        assert salted == plain and len(plain) >= 505
+
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, ["k"], how="right")
