@@ -282,8 +282,9 @@ def duplicate_clusters(
     Scale shape: per round one equi-join (edges x labels) + one groupBy —
     all key-partitioned shuffles, no driver materialization; lineage is
     truncated each round (localCheckpoint) so plans don't grow with
-    iteration count. The asymptotically better alternating large-star/
-    small-star algorithm drops in here if diameters ever get deep.
+    iteration count. For deep chains swap in label_components_star
+    (O(log^2 n) rounds, equivalence-tested) — same (pairs, ids)
+    contract.
 
     Oracle-checked despite being iterative: DuckDB computes the same
     labels as a recursive-CTE reachability closure (min reachable id per
@@ -722,3 +723,85 @@ def dedup_corpus(
         .select(F.col("keep_id").alias(id_col))
     )
     return df.join(keep, id_col, "left_semi")
+
+
+def label_components_star(
+    pairs: DataFrame, ids: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star.
+
+    The documented upgrade path from label_components: min-label
+    propagation converges in O(diameter) rounds, which hurts when
+    duplicate chains run long; the alternating-star algorithm (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") contracts paths
+    toward each component's minimum in O(log^2 n) rounds regardless of
+    diameter.
+
+      large-star: every node points its LARGER neighbors at the minimum
+                  of its closed neighborhood;
+      small-star: every node and its smaller neighbors re-attach to that
+                  minimum.
+
+    Both steps are one groupBy + one join over the edge list — the same
+    shuffle shape as a propagation round, just fewer rounds. Same output
+    contract as label_components: (id, label), label = component min.
+    """
+    sym = pairs.select(
+        F.col("a_id").alias("u"), F.col("b_id").alias("v")
+    ).union(
+        pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v"))
+    ).filter(F.col("u") != F.col("v")).distinct()
+
+    edges = sym.persist()
+    for _ in range(max_iter):
+        # large-star over the symmetric closure
+        m_large = edges.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            edges.join(m_large, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # keep (u, m) self-attachment so isolated-after-large nodes survive
+        large = large.union(
+            m_large.select(F.col("u"), F.col("m").alias("v"))
+        ).filter(F.col("u") != F.col("v")).distinct()
+
+        sym2 = large.union(
+            large.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        # small-star: neighbors <= u (plus u) re-attach to the minimum
+        small_n = sym2.filter(F.col("v") < F.col("u"))
+        m_small = small_n.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            small_n.join(m_small, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m_small.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        new_edges = small.union(
+            small.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct().localCheckpoint()
+
+        # converged when the canonical (undirected) edge set is stable
+        before = edges.filter(F.col("u") < F.col("v"))
+        after = new_edges.filter(F.col("u") < F.col("v"))
+        changed = (
+            before.exceptAll(after).limit(1).count()
+            + after.exceptAll(before).limit(1).count()
+        )
+        edges.unpersist()
+        edges = new_edges.persist()
+        if changed == 0:
+            break
+
+    roots = edges.filter(F.col("v") < F.col("u")).groupBy("u").agg(
+        F.min("v").alias("label")
+    ).select(F.col("u").alias("id"), "label")
+    out = ids.join(roots, "id", "left").select(
+        "id", F.coalesce(F.col("label"), F.col("id")).alias("label")
+    )
+    edges.unpersist()
+    return out

@@ -1107,3 +1107,37 @@ def test_embedding_dup_clusters_chain(spark):
     # 1~2 (cos ~.96+), 2~3 (cos ~.96), 1~3 only ~.85 -> still one chain
     assert got[1] == got[2] == got[3] == 1
     assert got[9] == 9
+
+
+def test_label_components_star_matches_propagation(spark):
+    """Alternating-star components equal min-label propagation on a menu
+    of shapes: chain, star, two cliques, isolated nodes."""
+    import random
+
+    from hive_io_experimental_spark.operators.dedup import (
+        label_components,
+        label_components_star,
+    )
+
+    rng = random.Random(7)
+    cases = [
+        [(i, i + 1) for i in range(10, 20)],            # long chain
+        [(0, i) for i in range(1, 8)],                   # star
+        [(1, 2), (2, 3), (1, 3), (7, 8), (8, 9)],        # two cliques
+        [],                                              # no edges
+        [(rng.randrange(30), rng.randrange(30)) for _ in range(40)],
+    ]
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        nodes = sorted({n for e in edges for n in e} | set(range(3)))
+        pairs = spark.createDataFrame(
+            edges or [(0, 0)], "a_id long, b_id long"
+        )
+        if not edges:
+            pairs = pairs.filter("a_id <> a_id")  # empty frame, kept schema
+        ids = spark.createDataFrame([(n,) for n in nodes], "id long")
+        prop = {r["id"]: r["label"]
+                for r in label_components(pairs, ids).collect()}
+        star = {r["id"]: r["label"]
+                for r in label_components_star(pairs, ids).collect()}
+        assert star == prop, edges
