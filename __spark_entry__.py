@@ -1038,6 +1038,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         default_rate=0.1,
     ).select("doc_id", "lang")
 
+    # per-row weighted acceptance (weight = length-derived score)
+    q["weighted_sample_docs"] = lambda spark, sf: (
+        sampling.hash_weighted_sample(
+            _t(spark, sf, "documents").withColumn(
+                "w", F.least(F.lit(1.0), F.col("n_chars") / F.lit(2000.0))
+            ),
+            "w",
+        ).select("doc_id", "n_chars")
+    )
     # deterministic train/val/test assignment, summarized per (split, lang)
     q["train_val_test_split"] = lambda spark, sf: (
         sampling.hash_split(_t(spark, sf, "documents"))
@@ -1982,6 +1991,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang_pred, quality_score, rank FROM r WHERE rank <= 25"""
 
     _SAMPLE_H = _H64.format(x="'sample:' || CAST(doc_id AS VARCHAR)")
+    _WSAMPLE_H = _H64.format(x="'wsample:' || CAST(doc_id AS VARCHAR)")
+    o["weighted_sample_docs"] = f"""
+        SELECT doc_id, n_chars FROM documents
+        WHERE ({_WSAMPLE_H}) % 10000 <
+              CAST(ROUND(LEAST(1.0, GREATEST(0.0, n_chars / 2000.0))
+                         * 10000) AS INT)"""
+
     # cumulative thresholds in sorted(label) order: test<100, train<9900
     _SPLIT_H = _H64.format(x="'split:' || CAST(doc_id AS VARCHAR)")
     o["train_val_test_split"] = f"""

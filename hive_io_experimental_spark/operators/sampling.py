@@ -106,3 +106,30 @@ def hash_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(split_col, expr)
+
+
+def hash_weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "wsample:",
+) -> DataFrame:
+    """Keep each row with probability = its OWN weight, deterministically.
+
+    Per-row acceptance sampling for quality-weighted corpus construction
+    (keep probability = quality score in [0,1]): the same hash-gate
+    contract as hash_stratified_sample, with the threshold taken from the
+    row's weight column instead of a stratum table. Weights are clamped
+    to [0,1] and applied at RATE_DENOM granularity; same key+salt =>
+    same verdict on every rerun and every engine.
+    """
+    bucket = F.pmod(
+        portable_hash64(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+        F.lit(RATE_DENOM),
+    )
+    threshold = F.round(
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0),
+                                       F.col(weight_col).cast("double")))
+        * RATE_DENOM
+    ).cast("int")
+    return df.filter(bucket < threshold)

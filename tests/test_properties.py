@@ -163,3 +163,27 @@ def test_chunk_documents_covers_and_reconstructs(spark, n_tokens, chunk,
         assert start == cid * (chunk - overlap)
         rebuilt.extend(toks if cid == 0 else toks[overlap:])
     assert rebuilt == tokens
+
+
+def test_hash_weighted_sample_deterministic_and_monotone(spark):
+    from hive_io_experimental_spark.operators.sampling import (
+        hash_weighted_sample,
+    )
+
+    df = spark.range(4000).selectExpr(
+        "id AS doc_id", "(id % 100) / 100.0 AS w"
+    )
+    a = sorted(r["doc_id"] for r in
+               hash_weighted_sample(df, "w").collect())
+    b = sorted(r["doc_id"] for r in
+               hash_weighted_sample(df, "w").collect())
+    assert a == b  # rerun-stable
+    # weight 0 never kept, weight ~1 kept at ~rate 0.99
+    zero = [d for d in a if d % 100 == 0]
+    assert zero == []
+    hi = sum(1 for d in a if d % 100 == 99)
+    assert hi > 25  # of 40 rows at w=.99
+    # acceptance rate grows with weight overall
+    lo_rate = sum(1 for d in a if d % 100 < 20) / 800
+    hi_rate = sum(1 for d in a if d % 100 >= 80) / 800
+    assert hi_rate > lo_rate + 0.4
