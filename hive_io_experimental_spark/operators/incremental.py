@@ -126,3 +126,44 @@ def rollup_delta_from_cdc(
         F.sum(sign).alias("n_events"),
         F.sum(sign * v_e4).alias("sum_value_e4"),
     )
+
+
+def hourly_distinct_state(
+    events: DataFrame, ts_col: str = "ts", id_col: str = "user_id",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Mergeable DISTINCT-COUNT state: one HLL sketch per (hour, type).
+
+    count-distinct is the aggregate exact incremental state CANNOT carry
+    (distinct is not a sum); the standard answer is a mergeable sketch.
+    Spark's Datasketches HLL (hll_sketch_agg) gives ~1-2% error at
+    lg_k=12 with a 4 KB-bounded binary state per group — the state table
+    stays (hours x types) rows no matter how many events fold in, and
+    sketches from any batching merge to the IDENTICAL sketch the one-shot
+    aggregate builds (merge-exactness, pinned by test). Plan shape: same
+    single partial-aggregated shuffle as hourly_rollup_state.
+    """
+    ev = ensure_event_time(events, ts_col)
+    hour_epoch = (
+        F.expr(f"unix_micros({ts_col}) div 3600000000") * F.lit(3600)
+    ).alias("hour_epoch")
+    return ev.groupBy(hour_epoch, F.col("event_type")).agg(
+        F.hll_sketch_agg(F.col(id_col), F.lit(lg_k)).alias("user_sketch")
+    )
+
+
+def merge_distinct_states(*states: DataFrame) -> DataFrame:
+    """state ⊕ state for the HLL tier: union + re-merge sketches."""
+    unioned = reduce(DataFrame.unionByName, states)
+    return unioned.groupBy("hour_epoch", "event_type").agg(
+        F.hll_union_agg("user_sketch").alias("user_sketch")
+    )
+
+
+def finalize_distinct(state: DataFrame) -> DataFrame:
+    """Publish (hour_epoch, event_type, approx_distinct_users)."""
+    return state.select(
+        "hour_epoch",
+        "event_type",
+        F.hll_sketch_estimate("user_sketch").alias("approx_distinct_users"),
+    ).orderBy("hour_epoch", "event_type")

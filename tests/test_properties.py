@@ -187,3 +187,44 @@ def test_hash_weighted_sample_deterministic_and_monotone(spark):
     lo_rate = sum(1 for d in a if d % 100 < 20) / 800
     hi_rate = sum(1 for d in a if d % 100 >= 80) / 800
     assert hi_rate > lo_rate + 0.4
+
+
+def test_hll_distinct_state_merge_exactness(spark):
+    """Sketches merged from ANY batching equal the one-shot sketch's
+    estimates exactly, and the estimate is close to truth."""
+    from pyspark.sql import functions as F
+
+    from hive_io_experimental_spark.operators import incremental
+
+    df = spark.range(20_000).selectExpr(
+        "id AS event_id",
+        "id % 500 AS user_id",
+        "CASE WHEN id % 2 = 0 THEN 'click' ELSE 'buy' END AS event_type",
+        "timestamp_millis(1700000000000 + (id % 3) * 3600000) AS ts",
+    )
+    b1 = df.filter("event_id % 2 = 0")
+    b2 = df.filter("event_id % 2 = 1")
+
+    merged = incremental.finalize_distinct(
+        incremental.merge_distinct_states(
+            incremental.hourly_distinct_state(b1),
+            incremental.hourly_distinct_state(b2),
+        )
+    )
+    oneshot = incremental.finalize_distinct(
+        incremental.hourly_distinct_state(df)
+    )
+    m = {(r[0], r[1]): r[2] for r in merged.collect()}
+    o = {(r[0], r[1]): r[2] for r in oneshot.collect()}
+    assert m == o and len(m) == 6  # 3 hours x 2 types
+
+    true = {
+        (r["hour_epoch"], r["event_type"]): r["d"]
+        for r in df.selectExpr(
+            "unix_micros(ts) div 3600000000 * 3600 AS hour_epoch",
+            "event_type", "user_id",
+        ).groupBy("hour_epoch", "event_type")
+        .agg(F.countDistinct("user_id").alias("d")).collect()
+    }
+    for k, est in m.items():
+        assert abs(est - true[k]) / true[k] < 0.05, (k, est, true[k])
