@@ -33,6 +33,7 @@ from hive_io_experimental_spark.input import HiveInput, ScanSpec
 from hive_io_experimental_spark.operators import (
     curate,
     dedup,
+    incremental,
     multimodal,
     packing,
     profile,
@@ -1038,6 +1039,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         default_rate=0.1,
     ).select("doc_id", "lang")
 
+    # NOTE: no oracle_sql for distinct_users_hll — the estimate is
+    # Datasketches-HLL-specific (deterministic, but DuckDB's approx HLL
+    # differs); merge-exactness and 5%-of-truth accuracy are pinned in
+    # tests/test_properties.py. The exact twin is events_hourly.n_users.
+    q["distinct_users_hll"] = lambda spark, sf: incremental.finalize_distinct(
+        incremental.hourly_distinct_state(_t(spark, sf, "events"))
+    )
     # per-row weighted acceptance (weight = length-derived score)
     q["weighted_sample_docs"] = lambda spark, sf: (
         sampling.hash_weighted_sample(
