@@ -1014,6 +1014,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["chunk_documents"] = lambda spark, sf: text.chunk_documents(
         _t(spark, sf, "documents"), chunk_tokens=64, overlap=16
     ).orderBy("doc_id", "chunk_id")
+    # cross-document boilerplate windows (8 tokens, >=2 docs)
+    q["repeated_paragraphs"] = lambda spark, sf: text.repeated_paragraphs(
+        _t(spark, sf, "documents"), chunk_tokens=8, min_docs=2
+    )
     q["tfidf_top_terms"] = lambda spark, sf: text.tfidf_top_terms(
         _t(spark, sf, "documents")
     )
@@ -2675,6 +2679,28 @@ def oracle_sql() -> dict[str, str]:
                                           chunk_id * 48 + 64), ' ')
                  AS chunk_text
         FROM c ORDER BY doc_id, chunk_id"""
+
+    # non-overlapping 8-token windows, full windows only, grouped by md5
+    o["repeated_paragraphs"] = f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        t AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+        c AS (SELECT doc_id,
+                     array_to_string(list_slice(toks, chunk_id * 8 + 1,
+                                                chunk_id * 8 + 8), ' ')
+                       AS chunk_text,
+                     len(list_slice(toks, chunk_id * 8 + 1,
+                                    chunk_id * 8 + 8)) AS n_tokens
+              FROM (SELECT doc_id, toks, n,
+                           unnest(range(0, CAST(ceil(n / 8.0) AS BIGINT)))
+                             AS chunk_id
+                    FROM t)),
+        full_c AS (SELECT * FROM c WHERE n_tokens = 8)
+        SELECT md5(chunk_text) AS chunk_hash,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(*) AS n_occurrences,
+               MIN(chunk_text) AS sample_chunk
+        FROM full_c GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+        ORDER BY n_docs DESC, chunk_hash ASC"""
 
     # per-token bits rounded to 6 then summed as DECIMAL(18,6): exact,
     # order-independent accumulation so both engines hash identically

@@ -259,6 +259,15 @@ def cmd_sql(args: argparse.Namespace, stop_session: bool = True) -> int:
     spark = _build_spark(args.threads)
     names = register_catalog_views(spark, Catalog(warehouse))
     df = spark.sql(args.query)
+    if args.explain:
+        print(df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        ))
+        if stop_session:
+            spark.stop()
+        return 0
     if args.limit:
         df = df.limit(args.limit)
     print(args.separator.join(df.columns))
@@ -384,6 +393,8 @@ def build_parser() -> argparse.ArgumentParser:
     sq.add_argument("--namespace", default="silver")
     sq.add_argument("--limit", type=int, default=1000,
                     help="row cap for stdout (0 = unlimited)")
+    sq.add_argument("--explain", action="store_true",
+                    help="print the formatted physical plan instead of rows")
     sq.add_argument("--separator", default="\t")
     sq.add_argument("--threads", type=int, default=None)
 

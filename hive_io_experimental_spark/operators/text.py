@@ -765,3 +765,41 @@ def chunk_documents(
         F.size(piece).cast("long").alias("n_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def repeated_paragraphs(
+    df: DataFrame,
+    chunk_tokens: int = 32,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boilerplate detector: token windows recurring across many documents.
+
+    The chunk-granularity complement to document near-dedup: licenses,
+    navigation bars, and template footers repeat VERBATIM across
+    otherwise-distinct documents and survive doc-level dedup entirely.
+    Slide non-overlapping ``chunk_tokens`` windows over every document
+    (chunk_documents with overlap=0), hash the window text, and keep
+    hashes seen in at least ``min_docs`` DISTINCT documents. Emitting the
+    md5 (not the text) keeps the result row narrow; join back on the
+    hash to locate/strip occurrences.
+
+    Returns (chunk_hash, n_docs, n_occurrences, sample_chunk) ordered by
+    n_docs desc — sample_chunk is the lexicographically-min occurrence,
+    deterministic in both engines.
+    """
+    chunks = chunk_documents(
+        df, chunk_tokens=chunk_tokens, overlap=0,
+        text_col=text_col, id_col=id_col,
+    ).filter(F.col("n_tokens") == chunk_tokens)  # drop ragged tails
+    return (
+        chunks.groupBy(F.md5(F.col("chunk_text")).alias("chunk_hash"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("chunk_text").alias("sample_chunk"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_docs").desc(), F.col("chunk_hash").asc())
+    )

@@ -1141,3 +1141,19 @@ def test_label_components_star_matches_propagation(spark):
         star = {r["id"]: r["label"]
                 for r in label_components_star(pairs, ids).collect()}
         assert star == prop, edges
+
+
+def test_repeated_paragraphs_finds_boilerplate(spark):
+    """A footer shared by 3 docs is flagged; unique bodies are not."""
+    footer = " ".join(f"legal{i}" for i in range(8))
+    df = docs_df(
+        spark,
+        [f"unique body {i} words here and there {footer}" for i in range(3)]
+        + ["totally different text with no shared window at all"],
+    )
+    rows = text.repeated_paragraphs(
+        df, chunk_tokens=4, min_docs=3
+    ).collect()
+    assert rows, "footer windows must be detected"
+    assert all(r["n_docs"] >= 3 for r in rows)
+    assert any("legal" in r["sample_chunk"] for r in rows)
