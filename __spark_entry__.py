@@ -82,6 +82,28 @@ def _similarity_quality_topk(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_topk_bucketed(corpus, queries, k=10, num_planes=4)
 
 
+def _data_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    """Contract audit over orders — every rule type exercised in ONE
+    aggregate pass; the oracle recomputes each count independently."""
+    from hive_io_experimental_spark.operators.expectations import (
+        check_expectations,
+    )
+
+    return check_expectations(
+        _t(spark, sf, "orders"),
+        [
+            {"type": "not_null", "column": "o_custkey"},
+            {"type": "unique", "column": "o_orderkey"},
+            {"type": "accepted_values", "column": "o_orderstatus",
+             "values": ["F", "O", "P"]},
+            {"type": "in_range", "column": "o_totalprice",
+             "min": 0.0, "max": 1_000_000.0},
+            {"type": "matches", "column": "o_orderpriority",
+             "pattern": "^[1-5]-"},
+        ],
+    ).orderBy("rule_id")
+
+
 def _analyze_columns(spark: SparkSession, sf: str) -> DataFrame:
     """Exact per-column stats over part (int/string columns — double
     min/max string forms are engine-formatted, so the gate sticks to
@@ -962,6 +984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ANALYZE: one-pass exact column statistics (catalog-persistable via
     # analyze.analyze_table; the gate checks the stats computation itself)
     q["analyze_columns"] = lambda spark, sf: _analyze_columns(spark, sf)
+    # declarative data-quality audit, one aggregate pass over orders
+    q["data_expectations"] = lambda spark, sf: _data_expectations(spark, sf)
     q["robust_outliers"] = lambda spark, sf: profile.robust_outliers(
         _t(spark, sf, "events"), numeric_col="value", id_col="event_id"
     )
@@ -1835,6 +1859,41 @@ def oracle_sql() -> dict[str, str]:
                  list_transform(items[1:10], s -> s[3]), '>') AS path,
                n_events
         FROM g ORDER BY user_id"""
+
+    o["data_expectations"] = """
+        SELECT 0 AS rule_id, 'o_custkey' AS column, 'not_null' AS rule,
+               COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_violations,
+               COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) = 0 AS passed
+        FROM orders
+        UNION ALL
+        SELECT 1, 'o_orderkey', 'unique',
+               COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey),
+               COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) = 0
+        FROM orders
+        UNION ALL
+        SELECT 2, 'o_orderstatus', 'accepted_values([''F'', ''O'', ''P''])',
+               COUNT(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                          OR o_orderstatus IS NULL THEN 1 END),
+               COUNT(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                          OR o_orderstatus IS NULL THEN 1 END) = 0
+        FROM orders
+        UNION ALL
+        SELECT 3, 'o_totalprice', 'in_range[0.0, 1000000.0]',
+               COUNT(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                          OR o_totalprice > 1000000 THEN 1 END),
+               COUNT(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                          OR o_totalprice > 1000000 THEN 1 END) = 0
+        FROM orders
+        UNION ALL
+        SELECT 4, 'o_orderpriority', 'matches(^[1-5]-)',
+               COUNT(CASE WHEN o_orderpriority IS NULL
+                          OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                          THEN 1 END),
+               COUNT(CASE WHEN o_orderpriority IS NULL
+                          OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                          THEN 1 END) = 0
+        FROM orders
+        ORDER BY rule_id"""
 
     _an = """
         SELECT '{c}' AS column_name,

@@ -1157,3 +1157,40 @@ def test_repeated_paragraphs_finds_boilerplate(spark):
     assert rows, "footer windows must be detected"
     assert all(r["n_docs"] >= 3 for r in rows)
     assert any("legal" in r["sample_chunk"] for r in rows)
+
+
+def test_check_expectations_all_rule_types(spark):
+    import pytest
+
+    from hive_io_experimental_spark.operators.expectations import (
+        check_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5, "x1"), (2, "b", 50, "x2"), (2, None, -1, "zz"),
+         (4, "d", 10, "x9")],
+        "id long, s string, v long, code string",
+    )
+    rules = [
+        {"type": "not_null", "column": "s"},
+        {"type": "unique", "column": "id"},
+        {"type": "accepted_values", "column": "s", "values": ["a", "b", "d"]},
+        {"type": "in_range", "column": "v", "min": 0, "max": 20},
+        {"type": "matches", "column": "code", "pattern": "^x[0-9]$"},
+    ]
+    got = {r["rule_id"]: (r["n_violations"], r["passed"])
+           for r in check_expectations(df, rules).collect()}
+    assert got[0] == (1, False)  # one null s
+    assert got[1] == (1, False)  # id=2 twice -> 1 duplicate
+    assert got[2] == (1, False)  # the NULL s fails accepted_values
+    assert got[3] == (2, False)  # 50 and -1 out of range
+    assert got[4] == (1, False)  # "zz" doesn't match
+    clean = check_expectations(
+        df.filter("id = 1"), [{"type": "not_null", "column": "s"}]
+    ).collect()[0]
+    assert clean["passed"] is True and clean["n_violations"] == 0
+
+    with pytest.raises(ValueError, match="unknown expectation"):
+        check_expectations(df, [{"type": "sparkles", "column": "s"}])
+    with pytest.raises(ValueError, match="no expectations"):
+        check_expectations(df, [])
