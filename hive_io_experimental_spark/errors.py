@@ -67,3 +67,19 @@ class PartitionFilterError(HiveIOError):
     Reference: the filter is evaluated by the metastore over partition keys
     only (input/HiveApiInputFormat.java:290-309), so data columns are illegal.
     """
+
+
+class ExpectationsFailedError(HiveIOError):
+    """A write's declared data-quality expectations found violations.
+
+    Engine extension (no reference analog — its write preconditions stop
+    at schema/partition policy): carries the per-rule report rows so the
+    caller can log or quarantine without re-running the audit."""
+
+    def __init__(self, failures: list) -> None:
+        self.failures = failures
+        detail = "; ".join(
+            f"{f['column']} {f['rule']}: {f['n_violations']} violations"
+            for f in failures
+        )
+        super().__init__(f"write expectations failed: {detail}")

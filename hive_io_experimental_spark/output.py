@@ -78,6 +78,11 @@ class WriteSpec:
     table: str
     partition_values: dict[str, str] = field(default_factory=dict)
     drop_partition: bool = False
+    # data-quality contract gating the write (engine extension; see
+    # operators/expectations.py rule forms): any rule with violations
+    # aborts BEFORE bytes land, raising ExpectationsFailedError with the
+    # per-rule report. Costs one extra aggregate pass over the input.
+    expectations: tuple[dict, ...] = ()
 
 
 class HiveOutput:
@@ -92,6 +97,8 @@ class HiveOutput:
         desc = TableDesc.parse(spec.table)
         schema = self.catalog.get_schema(desc)  # raises TableNotFoundError
         self._check_partition_spec(schema, spec)
+        if spec.expectations:
+            self._check_expectations(df, spec)
         df = self._apply_layout(self._conform(df, schema, spec), desc)
 
         if self.catalog.is_versioned(desc):
@@ -410,6 +417,25 @@ class HiveOutput:
         return specs
 
     # -- policy checks -------------------------------------------------------
+
+    @staticmethod
+    def _check_expectations(df: DataFrame, spec: WriteSpec) -> None:
+        """Run the declared data contract; abort the write on violations."""
+        from hive_io_experimental_spark.errors import ExpectationsFailedError
+        from hive_io_experimental_spark.operators.expectations import (
+            check_expectations,
+        )
+
+        from pyspark.sql import functions as F
+
+        failures = [
+            r.asDict()
+            for r in check_expectations(df, list(spec.expectations))
+            .filter(~F.col("passed"))
+            .collect()
+        ]
+        if failures:
+            raise ExpectationsFailedError(failures)
 
     @staticmethod
     def _check_partition_spec(schema: HiveTableSchema, spec: WriteSpec) -> None:

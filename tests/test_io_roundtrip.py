@@ -467,3 +467,39 @@ def test_write_dynamic_rejects_unsafe_partition_values(spark, warehouse):
             raise AssertionError(f"expected PartitionSpecError for {bad!r}")
         except PartitionSpecError:
             pass
+
+
+def test_write_expectations_gate(spark, warehouse):
+    """A declared contract aborts the write BEFORE bytes land; a clean
+    frame writes through."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.errors import ExpectationsFailedError
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "default.gated",
+        HiveTableSchema((("id", T.LongType()), ("v", T.StringType()))),
+    )
+    out = HiveOutput(spark, cat)
+    rules = ({"type": "not_null", "column": "v"},
+             {"type": "unique", "column": "id"})
+
+    bad = spark.createDataFrame([(1, "a"), (1, None)], "id long, v string")
+    with pytest.raises(ExpectationsFailedError) as exc:
+        out.write_table(WriteSpec("default.gated", expectations=rules), bad)
+    assert {f["rule"] for f in exc.value.failures} == {"not_null", "unique"}
+    # nothing landed: the table directory was never even created
+    import os
+
+    assert not os.path.isdir(cat.table_location("default.gated"))
+
+    good = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    out.write_table(WriteSpec("default.gated", expectations=rules), good)
+    assert HiveInput(spark, cat).read_table(
+        ScanSpec(table="default.gated")).count() == 2
