@@ -281,6 +281,56 @@ def cmd_sql(args: argparse.Namespace, stop_session: bool = True) -> int:
     return 0
 
 
+def cmd_fsck(args: argparse.Namespace) -> int:
+    """Metadata vs filesystem consistency report (no Spark session)."""
+    import json as _json
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators.maintenance import catalog_fsck
+
+    warehouse = _resolve_warehouse(args)
+    if not warehouse:
+        raise SystemExit("fsck requires --warehouse or --namespaces-file")
+    report = catalog_fsck(Catalog(warehouse))
+    print(_json.dumps(report, indent=1))
+    clean = not any(report.values())
+    print(f"# {'clean' if clean else 'DRIFT FOUND'}", file=sys.stderr)
+    return 0 if clean else 1
+
+
+def cmd_check(args: argparse.Namespace, stop_session: bool = True) -> int:
+    """Audit a table against a JSON rules file (expectations.py forms)."""
+    import json as _json
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+    from hive_io_experimental_spark.operators.expectations import (
+        check_expectations,
+    )
+
+    with open(args.rules) as f:
+        rules = _json.load(f)
+    spark = _build_spark(args.threads)
+    warehouse = _resolve_warehouse(args)
+    if warehouse:
+        df = HiveInput(spark, Catalog(warehouse)).read_table(
+            ScanSpec(table=args.table)
+        )
+    else:  # raw parquet path mode, like tail
+        df = spark.read.parquet(args.table)
+    rows = check_expectations(df, rules).collect()
+    failed = 0
+    for r in rows:
+        mark = "ok  " if r["passed"] else "FAIL"
+        failed += 0 if r["passed"] else 1
+        print(f"{mark} {r['column']}\t{r['rule']}\t{r['n_violations']}")
+    print(f"# {len(rows) - failed}/{len(rows)} expectations passed",
+          file=sys.stderr)
+    if stop_session:
+        spark.stop()
+    return 0 if failed == 0 else 1
+
+
 def cmd_snapshots(args: argparse.Namespace) -> int:
     """List (and optionally expire) a versioned table's snapshot history.
 
@@ -398,6 +448,25 @@ def build_parser() -> argparse.ArgumentParser:
     sq.add_argument("--separator", default="\t")
     sq.add_argument("--threads", type=int, default=None)
 
+    fs = sub.add_parser(
+        "fsck", help="metadata vs filesystem consistency report"
+    )
+    fs.add_argument("--warehouse")
+    fs.add_argument("--namespaces-file")
+    fs.add_argument("--namespace", default="silver")
+
+    ck = sub.add_parser(
+        "check", help="audit a table against a JSON expectations file"
+    )
+    ck.add_argument("--table", required=True,
+                    help="db.table (with --warehouse) or parquet path")
+    ck.add_argument("--rules", required=True,
+                    help="JSON list of expectation rule objects")
+    ck.add_argument("--warehouse")
+    ck.add_argument("--namespaces-file")
+    ck.add_argument("--namespace", default="silver")
+    ck.add_argument("--threads", type=int, default=None)
+
     snap = sub.add_parser(
         "snapshots", help="list a versioned table's snapshot history"
     )
@@ -424,6 +493,10 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         return cmd_analyze(args, stop_session=stop_session)
     if args.command == "diff":
         return cmd_diff(args, stop_session=stop_session)
+    if args.command == "fsck":
+        return cmd_fsck(args)
+    if args.command == "check":
+        return cmd_check(args, stop_session=stop_session)
     if args.command == "snapshots":
         return cmd_snapshots(args)
     if args.command == "conf-options":

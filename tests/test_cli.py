@@ -184,3 +184,42 @@ def test_cli_sql_over_warehouse(spark, warehouse, capsys):
     assert rc == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert out == ["s\tc", "45\t10"]
+
+
+def test_cli_fsck_and_check(spark, warehouse, tmp_path, capsys):
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "default.ops_t",
+        HiveTableSchema((("id", T.LongType()),), partition_keys=("p",)),
+    )
+    HiveOutput(spark, cat).write_table(
+        WriteSpec("default.ops_t", {"p": "a"}),
+        spark.createDataFrame([(1,), (1,)], "id long"),
+    )
+
+    assert main(["fsck", "--warehouse", warehouse]) == 0
+    capsys.readouterr()
+    shutil.rmtree(os.path.join(cat.table_location("default.ops_t"), "p=a"))
+    assert main(["fsck", "--warehouse", warehouse]) == 1
+    out = capsys.readouterr().out
+    assert "missing_partition_dirs" in out and "ops_t" in out
+
+    rules = tmp_path / "rules.json"
+    rules.write_text(json.dumps([{"type": "unique", "column": "id"},
+                                 {"type": "not_null", "column": "id"}]))
+    # raw-path mode over a parquet file with a duplicate id -> exit 1
+    src = str(tmp_path / "dup.parquet")
+    spark.createDataFrame([(1,), (1,)], "id long").write.parquet(src)
+    rc = main(["check", "--table", src, "--rules", str(rules)],
+              stop_session=False)
+    assert rc == 1
+    out = capsys.readouterr().out
+    assert "FAIL id\tunique\t1" in out and "ok   id\tnot_null\t0" in out
