@@ -920,6 +920,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["funnel_signup_click_purchase"] = lambda spark, sf: relational.funnel_counts(
         _t(spark, sf, "events")
     )
+    # integer-only diagnostic twins: localize any external-harness funnel
+    # divergence to (a) per-step time extraction, (b) cascade counting, or
+    # (c) the 3-row melt/labels — see funnel_step_counts docstring
+    q["funnel_step_counts"] = lambda spark, sf: relational.funnel_step_counts(
+        _t(spark, sf, "events")
+    )
+    q["funnel_user_extrema"] = lambda spark, sf: relational.funnel_user_extrema(
+        _t(spark, sf, "events")
+    )
     q["trailing_purchase_stats"] = lambda spark, sf: relational.trailing_purchase_stats(
         _t(spark, sf, "events")
     )
@@ -1263,16 +1272,21 @@ _CHECK_FIRST = [
     "brand_size_pivot", "sql_q6_revenue",
     "sql_q19_disjunctive",
     "event_props_json",
-    # temporal / event-time family
-    "events_hourly", "events_hourly_salted", "events_time_rollup",
+    # temporal / event-time family (+ integer-only funnel diagnostics that
+    # localize the r2-r4 driver-env funnel divergence; see funnel_step_counts)
+    "events_hourly", "events_time_rollup",
     "sessionize_events", "asof_purchase_click",
     "range_join_signup_purchase", "event_dwell_stats", "gapfill_hourly",
-    "funnel_signup_click_purchase", "trailing_purchase_stats",
-    "user_event_paths", "retention_cohorts", "active_user_trends",
+    "funnel_signup_click_purchase", "funnel_step_counts",
+    "funnel_user_extrema", "trailing_purchase_stats",
+    "retention_cohorts",
     "incremental_rollup", "expanding_zscore",
+    # r4-family representatives rotated into the window (ADVICE r4):
+    # CDC/versioning and data-quality gating
+    "snapshot_diff_cdc", "data_expectations",
     # dedup family
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding",
+    "dedup_simhash", "dedup_embedding",
     # similarity family
     "similarity_topk", "similarity_lsh_buckets",
     "similarity_topk_bucketed", "similarity_quality_topk",
@@ -1800,12 +1814,48 @@ def oracle_sql() -> dict[str, str]:
                           AND t2 IS NOT NULL AND t1 < t2
                          THEN 1 ELSE 0 END) AS n2
               FROM m)
-        SELECT 1 AS step_index, 'signup' AS step, n0 AS n_users FROM c
+        SELECT 1 AS step_index, 'signup' AS step,
+               CAST(n0 AS BIGINT) AS n_users FROM c
         UNION ALL
-        SELECT 2, 'click', n1 FROM c
+        SELECT 2, 'click', CAST(n1 AS BIGINT) FROM c
         UNION ALL
-        SELECT 3, 'purchase', n2 FROM c
+        SELECT 3, 'purchase', CAST(n2 AS BIGINT) FROM c
         ORDER BY step_index"""
+
+    _FUNNEL_MINS = """
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup'
+                        THEN epoch_us(ts) END) AS t0,
+               MIN(CASE WHEN event_type = 'click'
+                        THEN epoch_us(ts) END) AS t1,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(ts) END) AS t2
+        FROM events
+        WHERE event_type IN ('signup', 'click', 'purchase')
+        GROUP BY user_id"""
+
+    o["funnel_step_counts"] = f"""
+        WITH m AS ({_FUNNEL_MINS})
+        SELECT
+          CAST(SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n0,
+          CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL
+                         AND t0 < t1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t0 < t1
+                         AND t2 IS NOT NULL AND t1 < t2
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        FROM m"""
+
+    o["funnel_user_extrema"] = f"""
+        WITH m AS ({_FUNNEL_MINS})
+        SELECT
+          COUNT(t0) AS cnt_t0, MIN(t0) AS min_t0, MAX(t0) AS max_t0,
+          CAST(SUM(t0) AS BIGINT) AS sum_t0,
+          COUNT(t1) AS cnt_t1, MIN(t1) AS min_t1, MAX(t1) AS max_t1,
+          CAST(SUM(t1) AS BIGINT) AS sum_t1,
+          COUNT(t2) AS cnt_t2, MIN(t2) AS min_t2, MAX(t2) AS max_t2,
+          CAST(SUM(t2) AS BIGINT) AS sum_t2
+        FROM m"""
 
     o["table_stats"] = "SELECT COUNT(*) AS num_rows FROM lineitem"
 
@@ -2093,7 +2143,7 @@ def oracle_sql() -> dict[str, str]:
              met AS ({o['text_metrics']})
         SELECT lang.lang_pred AS lang_pred,
                COUNT(*) AS n_docs,
-               SUM(tok.est_bpe_tokens) AS sum_bpe_tokens,
+               CAST(SUM(tok.est_bpe_tokens) AS BIGINT) AS sum_bpe_tokens,
                CAST(SUM(CAST(met.quality_score AS DECIMAL(10,6))) AS DOUBLE)
                  / COUNT(*) AS avg_quality
         FROM lang
@@ -2602,14 +2652,19 @@ def oracle_sql() -> dict[str, str]:
                ROUND(COUNT(*) / SUM(cnt), 6) AS distinct_gram_ratio
         FROM c GROUP BY doc_id"""
 
+    # integer-exact by design: quality_score is 6-decimal-quantized, so the
+    # e6-scaled BIGINT sum is exact in both engines; sums of integers are
+    # CAST to BIGINT because DuckDB's SUM(int) widens to HUGEINT, which
+    # pandas/arrow materialization turns into float64/object (the r2-r4
+    # driver-only funnel/source_mix hash divergence).
     o["source_mix"] = f"""
         WITH tok AS ({{tok}}), met AS ({{met}})
         SELECT d.source AS source, COUNT(*) AS n_docs,
-               SUM(tok.est_bpe_tokens) AS sum_bpe_tokens,
-               CAST(SUM(CAST(met.quality_score AS DECIMAL(10,6))) AS DOUBLE)
-                 / COUNT(*) AS avg_quality,
-               CAST(SUM(CAST(met.n_tokens AS DECIMAL(18,0))) AS DOUBLE)
-                 / COUNT(*) AS avg_tokens
+               CAST(SUM(tok.est_bpe_tokens) AS BIGINT) AS sum_bpe_tokens,
+               CAST(SUM(CAST(CAST(met.quality_score AS DECIMAL(10,6))
+                             * 1000000 AS BIGINT)) AS BIGINT)
+                 AS sum_quality_e6,
+               CAST(SUM(met.n_tokens) AS BIGINT) AS sum_tokens
         FROM documents d
         JOIN tok ON d.doc_id = tok.doc_id
         JOIN met ON d.doc_id = met.doc_id

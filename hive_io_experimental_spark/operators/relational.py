@@ -631,14 +631,7 @@ def funnel_counts(
     column math on the aggregate row. Times compared as epoch micros —
     timezone-free. Returns (step_index, step, n_users) with step_index 1-N.
     """
-    ev = ensure_event_time(events, ts_col)
-    us = F.unix_micros(F.col(ts_col))
-    mins = ev.filter(F.col(type_col).isin(*steps)).groupBy(user_col).agg(
-        *[
-            F.min(F.when(F.col(type_col) == s, us)).alias(f"t{i}")
-            for i, s in enumerate(steps)
-        ]
-    )
+    mins = _funnel_mins(events, steps, user_col, type_col, ts_col)
     # completed_k = all of t0..tk present and strictly increasing
     conds = []
     for k in range(len(steps)):
@@ -676,6 +669,87 @@ def funnel_counts(
         .select("step_index", "step", "n_users")
         .orderBy("step_index")
     )
+
+
+def _funnel_mins(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Shared funnel stage-1: per-user first-touch epoch-micros per step."""
+    ev = ensure_event_time(events, ts_col)
+    us = F.unix_micros(F.col(ts_col))
+    return ev.filter(F.col(type_col).isin(*steps)).groupBy(user_col).agg(
+        *[
+            F.min(F.when(F.col(type_col) == s, us)).alias(f"t{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+
+
+def funnel_step_counts(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("signup", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Diagnostic twin of funnel_counts: the same per-step cascade counts
+    as ONE row of BIGINT columns (n0..nK), with no melt, no step-name
+    strings, no broadcast join.
+
+    Purpose: when an external harness disagrees with funnel_counts, this
+    gate isolates whether the divergence is in the integer computation
+    (this also fails) or in the melt/labels/hash of the 3-row shape (only
+    funnel_counts fails). Integers hash identically across engines.
+    """
+    mins = _funnel_mins(events, steps, user_col, type_col, ts_col)
+    conds = []
+    for k in range(len(steps)):
+        c = F.col("t0").isNotNull()
+        for j in range(1, k + 1):
+            c = c & F.col(f"t{j}").isNotNull() & (
+                F.col(f"t{j-1}") < F.col(f"t{j}")
+            )
+        conds.append(c)
+    return mins.agg(
+        *[
+            F.sum(F.when(conds[k], 1).otherwise(0))
+            .cast("long")
+            .alias(f"n{k}")
+            for k in range(len(steps))
+        ]
+    )
+
+
+def funnel_user_extrema(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("signup", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Diagnostic: extrema of the funnel's per-user first-touch times.
+
+    One row of pure BIGINTs — for each step i: how many users have a
+    first touch (cnt_t{i}), and the min/max/sum of those epoch-micros.
+    If an external harness disagrees with funnel_counts, these integers
+    localize WHICH step's time extraction diverges (timestamp decode,
+    timezone, or truncation) before any cascade comparison happens.
+    """
+    mins = _funnel_mins(events, steps, user_col, type_col, ts_col)
+    aggs = []
+    for i in range(len(steps)):
+        t = F.col(f"t{i}")
+        aggs += [
+            F.count(t).alias(f"cnt_t{i}"),
+            F.min(t).alias(f"min_t{i}"),
+            F.max(t).alias(f"max_t{i}"),
+            F.sum(t).alias(f"sum_t{i}"),
+        ]
+    return mins.agg(*aggs)
 
 
 def event_props_stats(events: DataFrame, json_col: str = "props",

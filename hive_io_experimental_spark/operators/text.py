@@ -589,9 +589,13 @@ def source_mix(
 
     Same single-pass shape as corpus_language_stats: all metric
     expressions ride the scan projection, then ONE groupBy on the
-    low-cardinality source key. Quality averaged via exact decimal sum +
-    one double division (order-independent, engine-stable).
-    Returns (source, n_docs, sum_bpe_tokens, avg_quality, avg_tokens).
+    low-cardinality source key. Every aggregate is an exact integer:
+    quality_score is already quantized to 6 decimals, so it is carried
+    as an e6-scaled BIGINT sum — both engines bit-agree on integer sums,
+    whereas a trailing double division can land on a half-ulp boundary
+    and diverge per engine. Consumers divide: avg_quality =
+    sum_quality_e6 / 1e6 / n_docs; avg_tokens = sum_tokens / n_docs.
+    Returns (source, n_docs, sum_bpe_tokens, sum_quality_e6, sum_tokens).
     """
     text = F.col(text_col)
     per_doc = spread(df).select(
@@ -600,18 +604,16 @@ def source_mix(
         _metric_columns(text)["quality_score"].alias("quality_score"),
         _metric_columns(text)["n_tokens"].alias("n_tokens"),
     )
-    q_dec = F.col("quality_score").cast("decimal(10,6)")
+    q_e6 = (
+        F.col("quality_score").cast("decimal(10,6)") * 1_000_000
+    ).cast("long")
     return (
         per_doc.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("est_bpe_tokens").alias("sum_bpe_tokens"),
-            (F.sum(q_dec).cast("double") / F.count(F.lit(1)))
-            .alias("avg_quality"),
-            (
-                F.sum(F.col("n_tokens").cast("decimal(18,0)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("avg_tokens"),
+            F.sum(q_e6).alias("sum_quality_e6"),
+            F.sum(F.col("n_tokens").cast("long")).alias("sum_tokens"),
         )
         .orderBy("source")
     )

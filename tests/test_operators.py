@@ -669,7 +669,7 @@ def test_doc_repetition_flags_boilerplate(spark):
     assert rows[2]["n_grams"] == 3 and rows[2]["distinct_gram_ratio"] == 1.0
 
 
-def test_source_mix_groups_and_averages(spark):
+def test_source_mix_groups_and_sums(spark):
     from hive_io_experimental_spark.operators import text as text_ops
 
     df = spark.createDataFrame(
@@ -680,10 +680,49 @@ def test_source_mix_groups_and_averages(spark):
         ],
         "doc_id long, text string, source string",
     )
-    rows = {r["source"]: r for r in text_ops.source_mix(df).collect()}
+    out = text_ops.source_mix(df)
+    # integer-exact contract: no double column in the gate output
+    assert [f.dataType.simpleString() for f in out.schema.fields
+            if f.name != "source"] == ["bigint"] * 4
+    rows = {r["source"]: r for r in out.collect()}
     assert rows["a"]["n_docs"] == 2 and rows["b"]["n_docs"] == 1
-    assert rows["a"]["avg_tokens"] == 4.0
-    assert rows["b"]["avg_tokens"] == 2.0
+    assert rows["a"]["sum_tokens"] == 8  # avg 4.0 over 2 docs
+    assert rows["b"]["sum_tokens"] == 2
+    # quality is e6-quantized: sum/1e6/n_docs reconstructs the average
+    assert 0 <= rows["a"]["sum_quality_e6"] / 1e6 / 2 <= 1
+
+
+def test_funnel_diagnostics_consistent(spark):
+    """The integer diagnostic gates must agree with funnel_counts on the
+    same input (step_counts == the melted n_users; extrema counts bound
+    the step-0 funnel count)."""
+    from hive_io_experimental_spark.operators.relational import (
+        funnel_counts,
+        funnel_step_counts,
+        funnel_user_extrema,
+    )
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # u1 completes in order; u2 purchase-before-click; u3 signup only
+    for i, (u, typ, off) in enumerate([
+        (1, "signup", 0), (1, "click", 10), (1, "purchase", 20),
+        (2, "signup", 0), (2, "purchase", 5), (2, "click", 8),
+        (3, "signup", 0),
+    ]):
+        rows.append((i, u, typ, base + dt.timedelta(minutes=off)))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    funnel = {r.step: r.n_users for r in funnel_counts(df).collect()}
+    sc = funnel_step_counts(df).collect()[0]
+    assert (sc.n0, sc.n1, sc.n2) == (
+        funnel["signup"], funnel["click"], funnel["purchase"]
+    ) == (3, 2, 1)
+    ex = funnel_user_extrema(df).collect()[0]
+    assert ex.cnt_t0 == 3 and ex.cnt_t1 == 2 and ex.cnt_t2 == 2
+    assert ex.min_t0 <= ex.max_t0 and ex.sum_t0 >= ex.max_t0
 
 
 def test_group_percentiles_interpolation(spark):

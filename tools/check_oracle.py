@@ -103,6 +103,26 @@ def main() -> int:
             print(f"skip {name}: no oracle ({len(s_rows)} rows, {spark_t:.1f}s)")
             continue
         try:
+            # Portability lint FIRST: our fetchall() turns HUGEINT into a
+            # Python int (matches Spark's BIGINT repr), but a harness that
+            # materializes via pandas/arrow gets float64/object instead —
+            # exactly the r2-r4 driver-only funnel/source_mix divergence.
+            # DuckDB widens SUM(int) to HUGEINT, so any uncast SUM is a
+            # latent driver-side hash mismatch this replica cannot see.
+            rel_types = [str(t) for t in con.sql(oracles[name]).types]
+            hazards = [
+                t for t in rel_types
+                if t in ("HUGEINT", "UHUGEINT", "FLOAT")
+                or t.startswith("DECIMAL")
+            ]
+            if hazards:
+                failures.append(name)
+                rec["err"] = f"oracle type hazard: {hazards}"
+                print(
+                    f"FAIL {name}: oracle emits non-portable types "
+                    f"{hazards} (CAST to BIGINT/DOUBLE in the SQL)"
+                )
+                continue
             res = con.execute(oracles[name])
             d_cols = [c[0] for c in res.description]
             d_rows = res.fetchall()
