@@ -18,7 +18,8 @@ way to strip scheduler noise from a steady-state benchmark.
 Prints ONE JSON line:
   {"metric": "suite_seconds", "value": N, "unit": "sec",
    "queries": {...}, "sf": ..., "scan_mb_per_s": ..., "scan_rows_per_s": ...,
-   "prev_delta": {...}}   # seconds vs the latest BENCH_r*.json, per query
+   "prev_delta": {...}}   # cur/prev time ratio per query that moved >1.3x,
+                          # vs the last committed BENCH_LOCAL.json
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all cores).
@@ -52,10 +53,37 @@ def _timed_min(fn, runs: int = 2) -> float:
 
 
 def _latest_prev_bench(here: str) -> dict | None:
-    """Newest driver-recorded BENCH_r{N}.json, if any."""
+    """The previous round's full per-query map.
+
+    Preference order: the last COMMITTED BENCH_LOCAL.json (the auditable
+    round record — `git show` so a re-run within a round still diffs
+    against the prior round, not against itself), then the on-disk
+    BENCH_LOCAL.json, then the newest driver-recorded BENCH_r{N}.json.
+    The driver record archives only the tail of the bench stdout, so its
+    "parsed" field is usually null — it is the last resort, not the first.
+    """
     import glob
     import re
+    import subprocess
 
+    try:
+        doc = json.loads(
+            subprocess.run(
+                ["git", "-C", here, "show", "HEAD:BENCH_LOCAL.json"],
+                capture_output=True, text=True, timeout=30, check=True,
+            ).stdout
+        )
+        if doc.get("queries"):
+            return doc
+    except (OSError, ValueError, subprocess.SubprocessError):
+        pass
+    try:
+        with open(os.path.join(here, "BENCH_LOCAL.json")) as f:
+            doc = json.load(f)
+        if doc.get("queries"):
+            return doc
+    except (OSError, ValueError):
+        pass
     best_n, best_path = -1, None
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
@@ -68,8 +96,10 @@ def _latest_prev_bench(here: str) -> dict | None:
             doc = json.load(f)
     except (OSError, ValueError):
         return None
-    # the driver wraps this script's JSON line under "parsed"
-    return doc.get("parsed", doc)
+    # the driver wraps this script's JSON line under "parsed" (often null,
+    # because only the stdout tail survives)
+    parsed = doc.get("parsed") or {}
+    return parsed if parsed.get("queries") else None
 
 
 def _dir_bytes(path: str) -> int:
@@ -185,7 +215,11 @@ def main() -> int:
         for name, cur in timings.items():
             old = (prev.get("queries") or {}).get(name)
             if isinstance(old, (int, float)) and old > 0 and cur > 0:
-                prev_delta[name] = round(cur - old, 3)
+                ratio = cur / old
+                # only report material movement (>1.3x either way) — the
+                # VM's CPU-steal noise makes smaller swings meaningless
+                if ratio >= 1.3 or ratio <= 1 / 1.3:
+                    prev_delta[name] = round(ratio, 2)
     # Key order matters: the driver archives only the TAIL of stdout, so the
     # big per-query dicts go first and the scalar headline metrics last —
     # a front-truncated capture still retains scan throughput and the total.

@@ -57,6 +57,16 @@ class ScanSpec:
     # snapshot committed at or before it. Mutually exclusive with
     # as_of_version.
     as_of_timestamp: float | None = None
+    # Skip unreadable files instead of failing the scan — parity with the
+    # reference simple-API iterator, which logs and skips a split whose
+    # reader cannot be created (input/HiveInput.java:150-199). Maps to the
+    # file-source ignoreCorruptFiles option so the skip happens per-file
+    # in the tasks, not as a session-wide conf mutation. Fully effective
+    # for catalog tables (schema pinned by the catalog, like the
+    # reference's metastore, so no footer is read at plan time); a bare
+    # path must still infer its schema from footers, and a corrupt footer
+    # can fail that inference before the option applies.
+    ignore_corrupt_files: bool = False
 
 
 def validate_partition_filter(
@@ -118,7 +128,9 @@ class HiveInput:
             # version 0 (an instant before the first retained commit) reads
             # as the empty view — _load returns the empty-manifest frame
             as_of = self.catalog.version_at(spec.table, spec.as_of_timestamp)
-        df, partition_keys = self._load(spec.table, as_of)
+        df, partition_keys = self._load(
+            spec.table, as_of, spec.ignore_corrupt_files
+        )
 
         if spec.partition_filter:
             validate_partition_filter(
@@ -194,7 +206,10 @@ class HiveInput:
     # -- helpers -------------------------------------------------------------
 
     def _load(
-        self, table: str, as_of_version: int | None = None
+        self,
+        table: str,
+        as_of_version: int | None = None,
+        ignore_corrupt_files: bool = False,
     ) -> tuple[DataFrame, tuple[str, ...]]:
         if self.catalog is not None and self.catalog.table_exists(table):
             from hive_io_experimental_spark.sources.formats import reader_options
@@ -203,6 +218,8 @@ class HiveInput:
             location = self.catalog.table_location(table)
             fmt = self.catalog.table_format(table)
             reader = self.spark.read.options(**reader_options(fmt))
+            if ignore_corrupt_files:
+                reader = reader.option("ignoreCorruptFiles", "true")
             if self.catalog.is_versioned(table):
                 # Time travel: the scan's file set is the chosen snapshot's
                 # manifest. All leaf snap dirs feed ONE FileScan; basePath
@@ -240,7 +257,10 @@ class HiveInput:
             )
         # Bare path mode: read parquet directly; partition columns are
         # whatever Hive-style dirs Spark discovers.
-        df = self.spark.read.parquet(table)
+        reader = self.spark.read
+        if ignore_corrupt_files:
+            reader = reader.option("ignoreCorruptFiles", "true")
+        df = reader.parquet(table)
         return df, ()
 
 
@@ -254,21 +274,34 @@ def register_catalog_views(
     snapshot versions are honored, which a raw ``spark.read.parquet``
     over the directory would get wrong for csv/json/versioned tables.
 
-    ``as_of`` pins named tables to historical versions ({table_name:
-    version}) so plain SQL can query time travel. Returns the view names
+    ``as_of`` pins named tables to historical versions so plain SQL can
+    query time travel; keys may be the full ``db.table`` string (always
+    unambiguous) or the bare table name. Returns the view names
     registered; plain ``spark.sql(...)`` then works over them (the
     engine's catalog-backed SQL surface — the reference has no SQL at
     all, SURVEY §2.2).
+
+    Two tables with the same bare name in different databases would
+    silently shadow each other (last registered wins), so that case
+    raises — pass ``database=`` to disambiguate.
     """
     from hive_io_experimental_spark.catalog import TableDesc
 
     inp = HiveInput(spark, catalog)
     names: list[str] = []
+    sources: dict[str, str] = {}  # view name -> full db.table it came from
     for key in catalog.list_tables():
         desc = TableDesc.parse(key)
         if database is not None and desc.database != database:
             continue
-        version = (as_of or {}).get(desc.table)
+        if desc.table in sources:
+            raise HiveIOError(
+                f"duplicate view name {desc.table!r}: both "
+                f"{sources[desc.table]!r} and {key!r} map to it — pass "
+                f"database= to register one database's tables"
+            )
+        sources[desc.table] = key
+        version = (as_of or {}).get(key, (as_of or {}).get(desc.table))
         df = inp.read_table(
             ScanSpec(table=key, as_of_version=version)
             if version is not None

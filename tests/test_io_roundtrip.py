@@ -503,3 +503,57 @@ def test_write_expectations_gate(spark, warehouse):
     out.write_table(WriteSpec("default.gated", expectations=rules), good)
     assert HiveInput(spark, cat).read_table(
         ScanSpec(table="default.gated")).count() == 2
+
+
+def test_ignore_corrupt_files_skips_truncated_part(spark, warehouse):
+    """Reference parity: the simple-API iterator skips a split whose reader
+    cannot be created (HiveInput.java:150-199). ScanSpec.ignore_corrupt_files
+    maps that to the file-source ignoreCorruptFiles option; the catalog pins
+    the schema (like the reference's metastore), so no footer is read at
+    plan time and the skip is purely per-task."""
+    import glob
+    import os
+
+    cat = Catalog(warehouse)
+    cat.create_table("default.damaged", F1_SCHEMA)
+    out = HiveOutput(spark, cat)
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "i1 int, d1 double"
+    ).coalesce(2)
+    out.write_table(WriteSpec(table="default.damaged"), df)
+
+    loc = cat.table_location("default.damaged")
+    parts = sorted(glob.glob(os.path.join(loc, "**", "*.parquet"),
+                             recursive=True))
+    assert len(parts) >= 2
+    # truncate one part to half its size: unreadable footer; drop the stale
+    # Hadoop .crc so the failure is the corruption itself, not the checksum
+    with open(parts[0], "r+b") as f:
+        f.truncate(os.path.getsize(parts[0]) // 2)
+    for crc in glob.glob(os.path.join(os.path.dirname(parts[0]), ".*.crc")):
+        os.remove(crc)
+
+    hi = HiveInput(spark, cat)
+    with pytest.raises(Exception):
+        hi.read_table(ScanSpec(table="default.damaged")).count()
+    n = hi.read_table(
+        ScanSpec(table="default.damaged", ignore_corrupt_files=True)
+    ).count()
+    assert 0 < n < 100  # the healthy part survives, the truncated one skips
+
+
+def test_register_catalog_views_raises_on_shadowed_name(spark, warehouse):
+    from hive_io_experimental_spark.errors import HiveIOError
+    from hive_io_experimental_spark.input import register_catalog_views
+
+    cat = Catalog(warehouse)
+    cat.create_table("db1.dup", F1_SCHEMA)
+    cat.create_table("db2.dup", F1_SCHEMA)
+    out = HiveOutput(spark, cat)
+    df = spark.createDataFrame([(1, 1.1)], "i1 int, d1 double")
+    out.write_table(WriteSpec(table="db1.dup"), df)
+    out.write_table(WriteSpec(table="db2.dup"), df)
+    with pytest.raises(HiveIOError, match="duplicate view name"):
+        register_catalog_views(spark, cat)
+    # database= disambiguates
+    assert register_catalog_views(spark, cat, database="db1") == ["dup"]
