@@ -162,7 +162,9 @@ def _snapshot_diff_cdc(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _similarity_ivf_index(spark: SparkSession, sf: str) -> DataFrame:
-    """Build a persisted IVF index in a scratch warehouse, query from it."""
+    """Build a persisted IVF index in a scratch warehouse, then prove the
+    stored-index lifecycle round-trips exactly (centroid fidelity + serve
+    fidelity) as integer mismatch counts with an exact SQL oracle."""
     import tempfile
 
     from hive_io_experimental_spark.catalog import Catalog
@@ -174,10 +176,10 @@ def _similarity_ivf_index(spark: SparkSession, sf: str) -> DataFrame:
     similarity.ivf_build_index(
         spark, cat, "default.emb_ivf", emb, n_centroids=8
     )
-    return similarity.ivf_query_index(
+    return similarity.ivf_index_consistency_check(
         spark, cat, "default.emb_ivf", emb,
-        emb.filter(F.col("vec_id") % 100 == 0), k=5,
-    ).orderBy("query_id", "rank")
+        emb.filter(F.col("vec_id") % 100 == 0), k=5, n_centroids=8,
+    )
 
 
 def _zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
@@ -1076,12 +1078,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         default_rate=0.1,
     ).select("doc_id", "lang")
 
-    # NOTE: no oracle_sql for distinct_users_hll — the estimate is
-    # Datasketches-HLL-specific (deterministic, but DuckDB's approx HLL
-    # differs); merge-exactness and 5%-of-truth accuracy are pinned in
-    # tests/test_properties.py. The exact twin is events_hourly.n_users.
-    q["distinct_users_hll"] = lambda spark, sf: incremental.finalize_distinct(
-        incremental.hourly_distinct_state(_t(spark, sf, "events"))
+    # The HLL estimates are Datasketches-specific bytes, so the gate checks
+    # the sketch tier's accuracy CONTRACT instead: every per-group estimate
+    # within 3 standard HLL errors of exact, plus exact integer group
+    # structure both engines reproduce (r4 verdict: invariant oracles for
+    # the rows-only gates). Merge-exactness stays in tests/test_properties.py.
+    q["distinct_users_hll"] = lambda spark, sf: (
+        incremental.distinct_accuracy_check(_t(spark, sf, "events"))
     )
     # per-row weighted acceptance (weight = length-derived score)
     q["weighted_sample_docs"] = lambda spark, sf: (
@@ -1202,18 +1205,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "embeddings").filter(F.col("vec_id") % 100 == 0),
         k=5,
     )
-    # NOTE: no oracle_sql entry for similarity_ivf_trained — KMeans fitting
-    # is iterative (not SQL-expressible); correctness is bounded by the
-    # recall-vs-brute-force test in tests/test_operators.py instead.
-    q["similarity_ivf_trained"] = lambda spark, sf: similarity.ivf_topk_trained(
+    # KMeans fitting is iterative (not SQL-expressible), so the gate checks
+    # the index's quality CONTRACT: recall@k vs the exact brute-force top-k
+    # must clear a floor, with exact integer cardinalities both engines
+    # reproduce (r4 verdict: invariant oracles for the rows-only gates).
+    # nprobe=4 of 8 lists: measured recall 0.60 (sf0.001) / 0.88 (sf0.01)
+    # against the 0.5 floor — tiny corpora need wider probes; at scale the
+    # list count grows and nprobe/lists shrinks
+    q["similarity_ivf_trained"] = lambda spark, sf: similarity.ivf_recall_check(
         _t(spark, sf, "embeddings"),
         _t(spark, sf, "embeddings").filter(F.col("vec_id") % 100 == 0),
         k=5,
+        nprobe=4,
     )
     # index lifecycle gate: persist the trained quantizer as a catalog
-    # table, then serve the query from the STORED index (rows-only check —
-    # k-means; equality with the in-memory path is pinned by
-    # test_ivf_index_persist_and_query)
+    # table, then prove (a) stored centroids == deterministic refit
+    # bit-for-bit and (b) serving from the stored index == the in-memory
+    # path, as integer mismatch counts with an exact oracle
     q["similarity_ivf_index"] = _similarity_ivf_index
     q["similarity_topk_bucketed"] = lambda spark, sf: similarity.cosine_topk_bucketed(
         _t(spark, sf, "embeddings"),
@@ -2993,6 +3001,37 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+    # invariant oracle (r4 verdict task 4): the HLL estimate bytes are
+    # engine-specific, but the group structure and exact distinct sums are
+    # exact in both engines, and the accuracy bound is an invariant the
+    # Spark side must prove (n_out_of_bound = 0)
+    o["distinct_users_hll"] = """
+        WITH g AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch,
+                          event_type,
+                          COUNT(DISTINCT user_id) AS nd
+                   FROM events GROUP BY 1, 2)
+        SELECT COUNT(*) AS n_groups,
+               CAST(SUM(nd) AS BIGINT) AS sum_exact_users,
+               CAST(0 AS BIGINT) AS n_out_of_bound
+        FROM g"""
+
+    # invariant oracles for the trained/persisted IVF gates: k-means is not
+    # SQL-expressible, but the cardinalities are exact and the quality /
+    # fidelity contracts are invariants the Spark side must prove
+    o["similarity_ivf_trained"] = """
+        WITH q AS (SELECT COUNT(*) AS nq FROM embeddings
+                   WHERE vec_id % 100 = 0)
+        SELECT CAST(nq AS BIGINT) AS n_queries,
+               CAST(nq * 5 AS BIGINT) AS n_exact_results,
+               TRUE AS recall_ok
+        FROM q"""
+
+    o["similarity_ivf_index"] = """
+        SELECT (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+               CAST(8 AS BIGINT) AS n_centroids,
+               CAST(0 AS BIGINT) AS n_centroid_mismatch,
+               CAST(0 AS BIGINT) AS n_serve_mismatch"""
 
     # csv serde round-trip == the same aggregate over the parquet source
     o["scan_csv_nulls"] = """

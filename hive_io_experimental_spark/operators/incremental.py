@@ -167,3 +167,55 @@ def finalize_distinct(state: DataFrame) -> DataFrame:
         "event_type",
         F.hll_sketch_estimate("user_sketch").alias("approx_distinct_users"),
     ).orderBy("hour_epoch", "event_type")
+
+
+def distinct_accuracy_check(
+    events: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "user_id",
+    lg_k: int = 12,
+    sigma: float = 3.0,
+) -> DataFrame:
+    """Cross-engine invariant for the HLL tier: the sketch estimates are
+    engine-specific bytes, but their ACCURACY CONTRACT is checkable — every
+    per-group estimate must land within sigma standard HLL errors
+    (1.04/sqrt(2^lg_k)) of the exact distinct count. Returns ONE row of
+    integers an exact-SQL oracle reproduces independently:
+
+      n_groups        — (hour, type) groups (exact, both engines);
+      sum_exact_users — sum of exact per-group distinct counts (exact);
+      n_out_of_bound  — groups whose HLL estimate violates the bound
+                        (invariant: 0; a broken sketch pipeline makes
+                        this positive and the gate hash-fails).
+
+    The estimate itself stays covered by merge-exactness and accuracy
+    property tests; this gate makes the sketch tier oracle-checkable
+    without pretending DuckDB could reproduce Datasketches bytes.
+    """
+    import math
+
+    est = finalize_distinct(
+        hourly_distinct_state(events, ts_col, id_col, lg_k)
+    )
+    ev = ensure_event_time(events, ts_col)
+    hour_epoch = (
+        F.expr(f"unix_micros({ts_col}) div 3600000000") * F.lit(3600)
+    ).alias("hour_epoch")
+    exact = ev.groupBy(hour_epoch, F.col("event_type")).agg(
+        F.countDistinct(id_col).alias("nd")
+    )
+    rel = sigma * 1.04 / math.sqrt(2 ** lg_k)
+    j = est.join(exact, ["hour_epoch", "event_type"], "full")
+    bound = F.greatest(F.col("nd") * F.lit(rel), F.lit(2.0))
+    violated = (
+        F.col("nd").isNull()
+        | F.col("approx_distinct_users").isNull()
+        | (F.abs(F.col("approx_distinct_users") - F.col("nd")) > bound)
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("nd").cast("long").alias("sum_exact_users"),
+        F.sum(F.when(violated, 1).otherwise(0)).cast("long").alias(
+            "n_out_of_bound"
+        ),
+    )

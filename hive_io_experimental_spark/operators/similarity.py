@@ -457,6 +457,134 @@ def ivf_query_index(
     return _ivf_search(corpus, queries, cents, k, nprobe, vec_col, id_col)
 
 
+def ivf_recall_check(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    seed: int = 7,
+    max_iter: int = 10,
+    min_avg_recall: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cross-engine invariant for the trained-IVF path: k-means centroids
+    are not SQL-expressible, but the index's QUALITY CONTRACT is — the
+    IVF top-k must recover at least ``min_avg_recall`` of the exact
+    brute-force top-k. Returns ONE row an exact-SQL oracle reproduces:
+
+      n_queries       — query vectors (exact, both engines);
+      n_exact_results — n_queries * k, the recall denominator (exact —
+                        the brute-force path always fills k for any
+                        corpus with >= k non-self vectors);
+      recall_ok       — TRUE iff micro-averaged recall@k >= the floor
+                        (invariant; a degraded quantizer flips it and
+                        the gate hash-fails).
+
+    Runs BOTH the approximate and the exact search, so the gate times the
+    full quality-audit workload, not a toy.
+    """
+    approx = ivf_topk_trained(
+        corpus, queries, k, n_centroids, nprobe, seed, max_iter,
+        vec_col=vec_col, id_col=id_col,
+    ).select("query_id", "neighbor_id")
+    exact = cosine_topk(corpus, queries, k, vec_col, id_col).select(
+        "query_id", "neighbor_id"
+    )
+    joined = exact.join(
+        approx.withColumn("_hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return joined.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_exact_results"),
+        (
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            / F.count(F.lit(1))
+            >= F.lit(min_avg_recall)
+        ).alias("recall_ok"),
+    )
+
+
+def ivf_index_consistency_check(
+    spark,
+    catalog,
+    index_table: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    seed: int = 7,
+    max_iter: int = 10,
+    sample_per_centroid: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cross-engine invariant for the PERSISTED index lifecycle: after
+    ivf_build_index, the stored quantizer must be bit-identical to a
+    deterministic refit (parquet round-trips doubles exactly), and
+    serving from the stored index must return exactly what the in-memory
+    trained path returns. Returns ONE row of integers:
+
+      n_vectors           — corpus size (exact, both engines);
+      n_centroids         — stored centroid rows (the build parameter);
+      n_centroid_mismatch — stored vs refit centroid vectors that differ
+                            (invariant: 0 — persistence fidelity);
+      n_serve_mismatch    — (query_id, rank) slots where stored-index
+                            serving disagrees with the in-memory path
+                            (invariant: 0 — read-path fidelity).
+    """
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+
+    stored = HiveInput(spark, catalog).read_table(
+        ScanSpec(table=index_table)
+    )
+    refit = fit_spherical_kmeans(
+        corpus, n_centroids, seed, max_iter, sample_per_centroid,
+        vec_col, id_col,
+    )
+    cent_mismatch = (
+        stored.select("cid", F.col("cv").alias("cv_stored"))
+        .join(refit.select("cid", F.col("cv").alias("cv_refit")), "cid",
+              "full")
+        .filter(
+            F.col("cv_stored").isNull()
+            | F.col("cv_refit").isNull()
+            | (F.col("cv_stored") != F.col("cv_refit"))
+        )
+    )
+    served = ivf_query_index(
+        spark, catalog, index_table, corpus, queries, k, nprobe,
+        vec_col, id_col,
+    ).select("query_id", "rank", F.col("neighbor_id").alias("n_stored"))
+    mem = ivf_topk_trained(
+        corpus, queries, k, n_centroids, nprobe, seed, max_iter,
+        sample_per_centroid, vec_col, id_col,
+    ).select("query_id", "rank", F.col("neighbor_id").alias("n_mem"))
+    serve_mismatch = served.join(mem, ["query_id", "rank"], "full").filter(
+        F.col("n_stored").isNull()
+        | F.col("n_mem").isNull()
+        | (F.col("n_stored") != F.col("n_mem"))
+    )
+
+    nv = corpus.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    nc = stored.agg(F.count(F.lit(1)).cast("long").alias("n_centroids"))
+    cm = cent_mismatch.agg(
+        F.count(F.lit(1)).cast("long").alias("n_centroid_mismatch")
+    )
+    sm = serve_mismatch.agg(
+        F.count(F.lit(1)).cast("long").alias("n_serve_mismatch")
+    )
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(cm))
+        .crossJoin(F.broadcast(sm))
+    )
+
+
 def _assign_pandas(
     side: DataFrame, sid: str, vname: str, nrmname: str,
     cent_rows: list, keep: int,
