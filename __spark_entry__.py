@@ -182,6 +182,56 @@ def _similarity_ivf_index(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _dedup_df_cut_bound(spark: SparkSession, sf: str) -> DataFrame:
+    """Pathological-corpus proof that the shingle df-cut bounds the
+    candidate-pair join: 400 generated docs, half sharing one boilerplate
+    sentence (the scale-killer — C(200,2)=19,900 pairs from one phrase),
+    plus 20 engineered true near-dup pairs. With max_shingle_freq=10 the
+    boilerplate shingles are dropped BEFORE the self-join, so exactly the
+    20 engineered pairs survive as candidates. Emits (n_docs,
+    n_candidate_pairs) — the oracle recomputes both from the same
+    generated corpus in SQL, so the bound is cross-engine-proven, not
+    asserted. The quadratic bound itself is also pinned by
+    test_ngram_df_cut_bounds_candidate_pairs."""
+    from hive_io_experimental_spark.operators import dedup
+
+    i = F.col("doc_id")
+    grp = (i - i % 20).cast("long")
+    corpus = spark.range(400).select(
+        F.col("id").alias("doc_id")
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.when(
+                i % 2 == 0,
+                F.lit("alpha beta gamma delta epsilon zeta eta theta"),
+            ).otherwise(F.lit("")),
+            F.when(
+                i % 20 < 2,
+                F.concat_ws(
+                    " ",
+                    F.concat(F.lit("p"), grp), F.concat(F.lit("q"), grp),
+                    F.concat(F.lit("r"), grp), F.concat(F.lit("s"), grp),
+                ),
+            ).otherwise(F.lit("")),
+            F.concat_ws(
+                " ",
+                F.concat(F.lit("u"), i), F.concat(F.lit("v"), i),
+                F.concat(F.lit("w"), i), F.concat(F.lit("x"), i),
+            ),
+        ).alias("text"),
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        corpus, threshold=0.0, max_shingle_freq=10
+    )
+    nd = corpus.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    np_ = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidate_pairs")
+    )
+    return nd.crossJoin(F.broadcast(np_))
+
+
 def _zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
     """Morton key over (l_partkey, l_suppkey) + the head of the clustered
     order. Sorting by the key is what the sorted-layout write path would do
@@ -1157,6 +1207,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = lambda spark, sf: dedup.ngram_jaccard_pairs(
         _t(spark, sf, "documents"), threshold=0.8
     )
+    # 100 TB bound proof: df-cut keeps the shingle self-join linear on a
+    # corpus engineered to make it quadratic (see _dedup_df_cut_bound)
+    q["dedup_df_cut_bound"] = _dedup_df_cut_bound
     q["dedup_minhash_lsh"] = lambda spark, sf: dedup.minhash_lsh_candidates(
         _t(spark, sf, "documents")
     )
@@ -2320,6 +2373,34 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON a_id = sa.doc_id
         JOIN sizes sb ON b_id = sb.doc_id
         WHERE ROUND(inter / (sa.n + sb.n - inter), 6) >= 0.8"""
+
+    # same generated corpus as _dedup_df_cut_bound, same df-cut join shape
+    # as dedup_ngram_jaccard — proves the candidate bound cross-engine
+    o["dedup_df_cut_bound"] = f"""
+        WITH docs AS (
+          SELECT i AS doc_id,
+                 concat_ws(' ',
+                   CASE WHEN i % 2 = 0
+                        THEN 'alpha beta gamma delta epsilon zeta eta theta'
+                        ELSE '' END,
+                   CASE WHEN i % 20 < 2
+                        THEN 'p' || (i - i % 20) || ' q' || (i - i % 20) ||
+                             ' r' || (i - i % 20) || ' s' || (i - i % 20)
+                        ELSE '' END,
+                   'u' || i || ' v' || i || ' w' || i || ' x' || i
+                 ) AS text
+          FROM range(400) t(i)),
+        tk AS (SELECT doc_id, {_TOKS} AS toks FROM docs),
+        sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM tk),
+        shc AS (SELECT * FROM sh WHERE shingle IN (
+                    SELECT shingle FROM sh GROUP BY shingle
+                    HAVING COUNT(*) <= 10)),
+        inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                  FROM shc a JOIN shc b
+                    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT (SELECT COUNT(*) FROM docs) AS n_docs,
+               (SELECT COUNT(*) FROM inter) AS n_candidate_pairs"""
 
     sig_cols = ", ".join(
         f"MIN(md5('{i}:' || shingle)) AS sig_{i}" for i in range(16)

@@ -1233,3 +1233,31 @@ def test_check_expectations_all_rule_types(spark):
         check_expectations(df, [{"type": "sparkles", "column": "s"}])
     with pytest.raises(ValueError, match="no expectations"):
         check_expectations(df, [])
+
+
+def test_ngram_df_cut_bounds_candidate_pairs(spark):
+    """100 TB bound: one stop-phrase shared by half the corpus must NOT
+    produce a quadratic candidate set when the df-cut is on (default), and
+    the cut candidate count stays under n_docs * max_shingle_freq."""
+    from hive_io_experimental_spark.operators import dedup
+
+    n, maxf = 200, 5
+    rows = [
+        (
+            i,
+            ("common boilerplate header shared by half the corpus "
+             if i % 2 == 0 else "")
+            + f"u{i} v{i} w{i} x{i}",
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncut = dedup.ngram_jaccard_pairs(
+        df, threshold=0.0, max_shingle_freq=None
+    ).count()
+    cut = dedup.ngram_jaccard_pairs(
+        df, threshold=0.0, max_shingle_freq=maxf
+    ).count()
+    half = n // 2
+    assert uncut >= half * (half - 1) // 2  # quadratic without the cut
+    assert cut <= n * maxf                  # linear bound with it
