@@ -2870,7 +2870,9 @@ def oracle_sql() -> dict[str, str]:
         WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
         t AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
         c AS (SELECT doc_id, toks, n,
-                     unnest(range(0, CAST(ceil(n / 48.0) AS BIGINT)))
+                     unnest(range(0, CASE WHEN n <= 64 THEN 1
+                                   ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT)
+                                        + 1 END))
                        AS chunk_id
               FROM t)
         SELECT doc_id, chunk_id,

@@ -660,7 +660,10 @@ def cross_source_leakage(
 
 
 def unigram_lm_scores(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cache_tokens: bool = False,
 ) -> DataFrame:
     """Self-trained unigram LM score (bits per token) per document.
 
@@ -684,24 +687,34 @@ def unigram_lm_scores(
 
     Returns (doc_id, n_tokens, avg_bits), avg_bits rounded to 6.
     """
-    # tok feeds two plan branches (vocab count + the scoring join);
-    # persist so tokenization runs once — at warehouse scale the
-    # equivalent is a checkpointed token table (same note as the shingle
-    # table in dedup.ngram_jaccard_pairs)
+    # tok feeds two plan branches (vocab count + the scoring join). No
+    # implicit persist: a cached block a one-shot caller can never
+    # unpersist leaks for the session lifetime, so the default re-runs
+    # tokenization per branch (a narrow map that rides each scan).
+    # Iterative callers scoring the same corpus repeatedly opt in with
+    # cache_tokens=True and OWN the cache — unpersist via
+    # spark.catalog.clearCache() or rebuild the frame; at warehouse scale
+    # the real answer is a checkpointed token table (same note as the
+    # shingle table in dedup.ngram_jaccard_pairs).
     tok = spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_tokens(F.col(text_col))).alias("token"),
-    ).persist()
+    )
+    if cache_tokens:
+        tok = tok.persist()
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("_c"))
-    total = vocab.agg(F.sum("_c").alias("_n"))
-    bits = (
-        vocab.crossJoin(F.broadcast(total))
-        .select(
-            "token",
-            F.round(-F.log2(F.col("_c") / F.col("_n")), 6)
-            .cast("decimal(18,6)")
-            .alias("_bits"),
-        )
+    # corpus total via a global window, not agg+crossJoin: the window rides
+    # the already-aggregated vocab in one pass, where the crossJoin form
+    # re-derived vocab (and re-tokenized) just to produce the 1-row total.
+    # The single-partition window frame holds only the aggregated vocab.
+    from pyspark.sql import Window
+
+    _wall = Window.partitionBy()
+    bits = vocab.select(
+        "token",
+        F.round(-F.log2(F.col("_c") / F.sum("_c").over(_wall)), 6)
+        .cast("decimal(18,6)")
+        .alias("_bits"),
     )
     return (
         tok.join(bits, "token")
@@ -727,7 +740,12 @@ def chunk_documents(
     Long documents are cut into windows of ``chunk_tokens`` tokens
     advancing by ``stride = chunk_tokens - overlap``, so consecutive
     chunks share ``overlap`` tokens of context; the tail chunk may be
-    shorter. Zero-token documents emit nothing.
+    shorter. Zero-token documents emit nothing. A chunk is only emitted
+    if it contributes at least one NEW token: the last chunk index is
+    ceil((n - chunk_tokens)/stride), not ceil(n/stride) - 1, which would
+    append a tail window fully contained in its predecessor whenever
+    n <= last_start + chunk_tokens — duplicated tail tokens in training
+    data.
 
     Plan shape: tokenize ONCE per document in a projection, THEN explode
     the chunk-index sequence and slice the materialized token array per
@@ -747,16 +765,16 @@ def chunk_documents(
         F.col(id_col).alias("doc_id"),
         word_tokens(F.col(text_col)).alias("_toks"),
     ).withColumn("_n", F.size("_toks")).filter(F.col("_n") > 0)
+    last_idx = F.when(
+        F.col("_n") <= chunk_tokens, F.lit(0).cast("long")
+    ).otherwise(
+        F.ceil((F.col("_n") - chunk_tokens) / F.lit(stride)).cast("long")
+    )
     chunks = toks.select(
         "doc_id",
         "_toks",
         "_n",
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.ceil(F.col("_n") / F.lit(stride)).cast("long") - 1,
-            )
-        ).alias("chunk_id"),
+        F.explode(F.sequence(F.lit(0), last_idx)).alias("chunk_id"),
     )
     start = F.col("chunk_id") * F.lit(stride)
     piece = F.slice(F.col("_toks"), start + 1, chunk_tokens)

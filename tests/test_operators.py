@@ -1103,9 +1103,10 @@ def test_chunk_documents_sliding_window(spark):
          r["chunk_text"])
         for r in text.chunk_documents(df, chunk_tokens=4, overlap=1).collect()
     )
-    # doc 0: 10 tokens, stride 3 -> starts 0,3,6,9; tail has 1 token
+    # doc 0: 10 tokens, stride 3 -> starts 0,3,6; a 4th window at 9 would
+    # be fully contained in [6,10) and is NOT emitted (no new tokens)
     assert [r[:4] for r in rows if r[0] == 0] == [
-        (0, 0, 0, 4), (0, 1, 3, 4), (0, 2, 6, 4), (0, 3, 9, 1),
+        (0, 0, 0, 4), (0, 1, 3, 4), (0, 2, 6, 4),
     ]
     assert rows[0][4] == "w0 w1 w2 w3" and rows[1][4] == "w3 w4 w5 w6"
     # doc 1: 3 tokens -> one short chunk; doc 2: empty -> absent

@@ -158,9 +158,14 @@ def test_chunk_documents_covers_and_reconstructs(spark, n_tokens, chunk,
         assert rows == []
         return
     rebuilt = []
+    prev_end = 0
     for cid, start, ctext in rows:
         toks = ctext.split()
         assert start == cid * (chunk - overlap)
+        # every emitted chunk must contribute at least one new token
+        # (no tail window fully contained in its predecessor)
+        assert start + len(toks) > prev_end
+        prev_end = start + len(toks)
         rebuilt.extend(toks if cid == 0 else toks[overlap:])
     assert rebuilt == tokens
 
