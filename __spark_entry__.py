@@ -1021,6 +1021,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # continuous-aggregate maintenance: two-batch incremental rollup whose
     # state round-trips a catalog table, vs the one-shot oracle.
     q["incremental_rollup"] = _incremental_rollup
+    # quantile tier of the incremental-state family: two half-batches of
+    # histogram state merged (⊕ == one-shot, exact integer counts), then
+    # p50/p95 lower bounds read off the merged state
+    q["percentile_state_rollup"] = lambda spark, sf: (
+        incremental.percentiles_from_histogram(
+            incremental.merge_histogram_states(
+                incremental.hourly_histogram_state(
+                    _t(spark, sf, "events").filter(F.col("event_id") % 2 == 0)
+                ),
+                incremental.hourly_histogram_state(
+                    _t(spark, sf, "events").filter(F.col("event_id") % 2 == 1)
+                ),
+            )
+        )
+    )
     # SCD1 MERGE: update+insert upsert through the partitioned write path.
     q["merge_upsert"] = _merge_upsert
     q["time_travel"] = _time_travel
@@ -1210,6 +1225,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 100 TB bound proof: df-cut keeps the shingle self-join linear on a
     # corpus engineered to make it quadratic (see _dedup_df_cut_bound)
     q["dedup_df_cut_bound"] = _dedup_df_cut_bound
+    # live-ingestion shape: dedup an incoming batch against the stored
+    # corpus's fingerprints (anti-join on 128-bit keys, batch-bounded)
+    q["dedup_incremental_batch"] = lambda spark, sf: dedup.dedup_against_corpus(
+        _t(spark, sf, "documents").filter(F.col("doc_id") % 7 == 0),
+        _t(spark, sf, "documents").filter(F.col("doc_id") % 7 != 0),
+    )
     q["dedup_minhash_lsh"] = lambda spark, sf: dedup.minhash_lsh_candidates(
         _t(spark, sf, "documents")
     )
@@ -2349,6 +2370,45 @@ def oracle_sql() -> dict[str, str]:
         SELECT md5({_NORM}) AS text_hash, MIN(doc_id) AS kept_id,
                COUNT(*) AS dup_count
         FROM documents GROUP BY 1"""
+
+    # incoming batch (doc_id % 7 = 0) minus corpus fingerprints, with
+    # batch-internal min-id representative selection
+    o["dedup_incremental_batch"] = f"""
+        WITH batch AS (SELECT md5({_NORM}) AS fp, MIN(doc_id) AS id
+                       FROM documents WHERE doc_id % 7 = 0 GROUP BY 1),
+        seen AS (SELECT DISTINCT md5({_NORM}) AS fp
+                 FROM documents WHERE doc_id % 7 <> 0)
+        SELECT id, fp FROM batch
+        WHERE fp NOT IN (SELECT fp FROM seen)"""
+
+    # histogram quantile state: same e4 fixed point as expanding_zscore,
+    # integer bucket counts (merge-exact), percentile = smallest bucket
+    # whose cumulative count reaches ceil(p * total); every output column
+    # CAST to BIGINT (DuckDB SUM widening)
+    o["percentile_state_rollup"] = """
+        WITH b AS (SELECT event_type,
+                          CAST(floor(CAST(CAST(value AS DECIMAL(14,4)) * 10000
+                                          AS BIGINT) / 10000.0) AS BIGINT)
+                            AS bucket
+                   FROM events WHERE value IS NOT NULL),
+        per AS (SELECT event_type, bucket, COUNT(*) AS n
+                FROM b GROUP BY 1, 2),
+        cum AS (SELECT event_type, bucket,
+                       CAST(SUM(n) OVER (PARTITION BY event_type
+                                         ORDER BY bucket) AS BIGINT) AS cum,
+                       CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+                         AS total
+                FROM per),
+        p50 AS (SELECT event_type, 'p50' AS p, MIN(bucket) AS bucket
+                FROM cum WHERE cum >= CAST(ceil(0.5 * total) AS BIGINT)
+                GROUP BY 1),
+        p95 AS (SELECT event_type, 'p95' AS p, MIN(bucket) AS bucket
+                FROM cum WHERE cum >= CAST(ceil(0.95 * total) AS BIGINT)
+                GROUP BY 1),
+        u AS (SELECT * FROM p50 UNION ALL SELECT * FROM p95)
+        SELECT event_type, p, bucket,
+               CAST(bucket * 10000 AS BIGINT) AS lower_bound_e4
+        FROM u ORDER BY event_type, p"""
 
     shingle_cte = f"""
         docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

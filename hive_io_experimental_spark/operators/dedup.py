@@ -83,6 +83,60 @@ def exact_dedup(
     )
 
 
+def dedup_against_corpus(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str | None = None,
+) -> DataFrame:
+    """Incremental exact dedup: the shape a LIVE ingestion pipeline runs.
+
+    A 100 TB corpus is never re-deduped whole; each new batch is checked
+    against the fingerprints of what is already stored. Two steps, both
+    bounded by the BATCH size on the probe side:
+
+      1. batch-internal: keep the min-id representative per normalized
+         text within ``incoming`` (one shuffle on the fingerprint);
+      2. corpus-exclusion: anti-join the survivors against the corpus's
+         DISTINCT fingerprint set on the same 128-bit key.
+
+    At scale the corpus side is a stored fingerprint table (exact_dedup's
+    output persisted per batch — no full-corpus rescan); here it is
+    derived inline so the operator is self-contained. The anti-join
+    shuffles only fingerprints (32-hex strings), never document text.
+    Returns surviving (id, fp) rows of ``incoming``.
+
+    Reference analog: none (the reference has no dedup at all, SURVEY
+    §2.2); this is the training-data extension surface.
+    """
+    from hive_io_experimental_spark.functions.hashing import fast_hash64
+
+    family = resolve_family(incoming, hash_family)
+
+    def fp_of(df: DataFrame) -> DataFrame:
+        norm = normalize_text(F.col(text_col))
+        if family == "md5":
+            key = F.md5(norm).alias("fp")
+        else:
+            key = F.concat(
+                F.lpad(F.hex(fast_hash64(norm, seed=42)), 16, "0"),
+                F.lpad(F.hex(fast_hash64(norm, seed=1337)), 16, "0"),
+            ).alias("fp")
+        return df.select(key, F.col(id_col).alias("id"))
+
+    batch_reps = (
+        fp_of(incoming)
+        .groupBy("fp")
+        .agg(F.min("id").alias("id"))
+    )
+    seen = fp_of(corpus).select("fp").distinct()
+    return (
+        batch_reps.join(seen, "fp", "left_anti")
+        .select("id", "fp")
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard
 # ---------------------------------------------------------------------------

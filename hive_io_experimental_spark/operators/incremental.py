@@ -169,6 +169,101 @@ def finalize_distinct(state: DataFrame) -> DataFrame:
     ).orderBy("hour_epoch", "event_type")
 
 
+_HIST_BUCKET_E4 = 10_000  # histogram bucket width: 1.0 value unit (e4)
+
+
+def hourly_histogram_state(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_e4: int = _HIST_BUCKET_E4,
+) -> DataFrame:
+    """Mergeable VALUE-DISTRIBUTION state: (hour, type, bucket) counts.
+
+    The quantile member of the incremental-state family (exact sums →
+    hourly_rollup_state, distinct → HLL sketches, distribution → this).
+    Unlike a t-digest/KLL sketch, a fixed-width histogram over the e4
+    fixed-point value is EXACT cross-engine arithmetic: bucket =
+    floor(value_e4 / bucket_e4), counts are integers, merge is count
+    addition — so Incremental(b1) ⊕ Incremental(b2) == OneShot(b1 ∪ b2)
+    identically, and any percentile read off the histogram is wrong by at
+    most one bucket width. State cardinality is (hours × types × occupied
+    buckets) regardless of event count. One partial-aggregated shuffle.
+    """
+    ev = ensure_event_time(events, ts_col).filter(
+        F.col(value_col).isNotNull()
+    )
+    hour_epoch = (
+        F.expr(f"unix_micros({ts_col}) div 3600000000") * F.lit(3600)
+    ).alias("hour_epoch")
+    v_e4 = (F.col(value_col).cast("decimal(14,4)") * _E4).cast("long")
+    bucket = F.floor(v_e4 / F.lit(float(bucket_e4))).cast("long").alias(
+        "bucket"
+    )
+    return ev.groupBy(hour_epoch, F.col("event_type"), bucket).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def merge_histogram_states(*states: DataFrame) -> DataFrame:
+    """state ⊕ state for the histogram tier: union + re-sum counts."""
+    unioned = reduce(DataFrame.unionByName, states)
+    return unioned.groupBy("hour_epoch", "event_type", "bucket").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+
+
+def percentiles_from_histogram(
+    state: DataFrame,
+    ps: tuple[float, ...] = (0.5, 0.95),
+    bucket_e4: int = _HIST_BUCKET_E4,
+) -> DataFrame:
+    """Per-type percentile LOWER BOUNDS from histogram state (any time
+    range — hours aggregate away by count addition).
+
+    For each p: the smallest bucket whose cumulative count reaches
+    ceil(p * total). Everything is integer except the p*total product,
+    which both engines compute as the same IEEE double — the result is
+    exact modulo one bucket width, with NO per-event data touched: this
+    is the read path of the incremental state, O(types × buckets).
+    Returns (event_type, p, bucket, lower_bound_e4) ordered.
+    """
+    from pyspark.sql import Window as W
+
+    per = state.groupBy("event_type", "bucket").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+    w_cum = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_tot = W.partitionBy("event_type")
+    cum = per.select(
+        "event_type",
+        "bucket",
+        F.sum("n").over(w_cum).cast("long").alias("cum"),
+        F.sum("n").over(w_tot).cast("long").alias("total"),
+    )
+    outs = []
+    for p in ps:
+        rank = F.ceil(F.lit(float(p)) * F.col("total")).cast("long")
+        outs.append(
+            cum.filter(F.col("cum") >= rank)
+            .groupBy("event_type")
+            .agg(F.min("bucket").alias("bucket"))
+            .select(
+                "event_type",
+                F.lit(f"p{int(p * 100)}").alias("p"),
+                "bucket",
+                (F.col("bucket") * bucket_e4).cast("long").alias(
+                    "lower_bound_e4"
+                ),
+            )
+        )
+    return reduce(DataFrame.unionByName, outs).orderBy("event_type", "p")
+
+
 def distinct_accuracy_check(
     events: DataFrame,
     ts_col: str = "ts",

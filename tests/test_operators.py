@@ -1262,3 +1262,61 @@ def test_ngram_df_cut_bounds_candidate_pairs(spark):
     half = n // 2
     assert uncut >= half * (half - 1) // 2  # quadratic without the cut
     assert cut <= n * maxf                  # linear bound with it
+
+
+def test_dedup_against_corpus_batch_and_corpus_exclusion(spark):
+    """Incremental dedup: batch-internal dups collapse to min id; anything
+    already in the corpus is excluded; novel docs survive."""
+    corpus = docs_df(spark, ["seen text one", "seen text two"])
+    incoming = spark.createDataFrame(
+        [
+            (10, "seen text one"),       # exists in corpus -> dropped
+            (11, "fresh document a"),    # novel -> survives
+            (12, "fresh document a"),    # batch-internal dup of 11 -> dropped
+            (13, "fresh document b"),    # novel -> survives
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r.id for r in dedup.dedup_against_corpus(incoming, corpus).collect()
+    )
+    assert got == [11, 13]
+
+
+def test_histogram_state_merge_exact_and_percentile_bound(spark):
+    """Quantile tier invariants: merged half-batches == one-shot histogram
+    exactly (integer counts), and the p-lower-bound is within one bucket
+    of the true percentile value."""
+    import datetime as dt
+
+    from hive_io_experimental_spark.operators import incremental as inc
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, "load", base + dt.timedelta(minutes=i), float(v))
+        for i, v in enumerate([0.5, 1.5, 2.5, 3.5, 4.5, 5.5, 6.5, 7.5, 8.5, 9.5])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    one_shot = inc.hourly_histogram_state(df)
+    merged = inc.merge_histogram_states(
+        inc.hourly_histogram_state(df.filter(F.col("event_id") % 2 == 0)),
+        inc.hourly_histogram_state(df.filter(F.col("event_id") % 2 == 1)),
+    )
+    key = lambda r: (r.hour_epoch, r.event_type, r.bucket)
+    assert sorted(map(key, one_shot.collect())) == sorted(
+        map(key, merged.collect())
+    )
+    assert {(r.bucket, r.n) for r in one_shot.collect()} == {
+        (r.bucket, r.n) for r in merged.collect()
+    }
+
+    ps = {
+        (r.event_type, r.p): r.lower_bound_e4 / 10_000.0
+        for r in inc.percentiles_from_histogram(merged).collect()
+    }
+    # true p50 of 10 values = 5th smallest = 4.5 -> bucket [4,5); p95 ->
+    # 10th value 9.5 -> bucket [9,10)
+    assert ps[("load", "p50")] == 4.0
+    assert ps[("load", "p95")] == 9.0
