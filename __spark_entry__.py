@@ -1130,6 +1130,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cross_source_leakage"] = lambda spark, sf: text.cross_source_leakage(
         _t(spark, sf, "documents")
     )
+    # pre-training decontamination: clear the training slice against a
+    # held-out benchmark slice on winnowing fingerprints
+    q["benchmark_decontamination"] = lambda spark, sf: (
+        text.benchmark_decontamination(
+            _t(spark, sf, "documents").filter(F.col("doc_id") % 5 != 0),
+            _t(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0),
+        )
+    )
     # flagship composition: quality gate ∩ dedup keep-list ∩ stratified
     # sample, all deterministic -> the curated-corpus manifest.
     q["curate_corpus"] = lambda spark, sf: curate.curate_corpus(
@@ -2782,6 +2790,22 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_shared_fps
         FROM sfp a JOIN sfp b ON a.fp = b.fp AND a.source < b.source
         GROUP BY 1, 2 ORDER BY 1, 2"""
+
+    # winnowing fps computed once over all documents, then split into the
+    # training (% 5 <> 0) and benchmark (% 5 = 0) slices; every training
+    # doc appears, zero-hit docs with n_shared_fps = 0
+    o["benchmark_decontamination"] = f"""
+        WITH fps AS ({o['doc_winnowing']}),
+        bench AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 5 = 0),
+        train AS (SELECT doc_id, fp FROM fps WHERE doc_id % 5 <> 0),
+        hits AS (SELECT doc_id, COUNT(*) AS n_shared_fps
+                 FROM train WHERE fp IN (SELECT fp FROM bench)
+                 GROUP BY 1)
+        SELECT d.doc_id AS doc_id,
+               CAST(COALESCE(h.n_shared_fps, 0) AS BIGINT) AS n_shared_fps,
+               COALESCE(h.n_shared_fps, 0) >= 1 AS contaminated
+        FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 5 <> 0) d
+        LEFT JOIN hits h ON d.doc_id = h.doc_id"""
 
     # non-distinct trigram shingles (the repetition scorer needs counts,
     # unlike the dedup shingle CTE which dedups)

@@ -619,6 +619,59 @@ def source_mix(
     )
 
 
+def benchmark_decontamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Test-set contamination filter: flag training documents that share
+    winnowing fingerprints with a held-out benchmark corpus.
+
+    The decontamination step every serious pretraining pipeline runs
+    before training (the complement of cross_source_leakage, which audits
+    source PAIRS; this clears one corpus against one benchmark). The
+    winnowing guarantee makes the flag meaningful: any verbatim overlap
+    of length >= k + window - 1 chars yields at least one shared
+    fingerprint, so contaminated=false bounds the longest possible
+    benchmark substring leak.
+
+    Plan shape: fingerprints on each side ride their own scans; the
+    benchmark's DISTINCT fp set is tiny relative to the corpus (benchmarks
+    are small by nature) so Spark/AQE broadcasts it into the probe join —
+    the training corpus never shuffles. Returns every training doc id:
+    (doc_id, n_shared_fps, contaminated).
+    """
+    dfp = winnowing_fingerprints(docs, text_col, id_col, k, window)
+    bfp = (
+        winnowing_fingerprints(benchmark, text_col, id_col, k, window)
+        .select("fp")
+        .distinct()
+    )
+    hits = (
+        dfp.join(bfp, "fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+    ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    return (
+        ids.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared_fps"), F.lit(0)).cast("long").alias(
+                "n_shared_fps"
+            ),
+            (
+                F.coalesce(F.col("n_shared_fps"), F.lit(0))
+                >= F.lit(min_shared)
+            ).alias("contaminated"),
+        )
+    )
+
+
 def cross_source_leakage(
     df: DataFrame,
     source_col: str = "source",

@@ -1320,3 +1320,26 @@ def test_histogram_state_merge_exact_and_percentile_bound(spark):
     # 10th value 9.5 -> bucket [9,10)
     assert ps[("load", "p50")] == 4.0
     assert ps[("load", "p95")] == 9.0
+
+
+def test_benchmark_decontamination_flags_verbatim_overlap(spark):
+    """A training doc embedding a benchmark sentence verbatim must be
+    flagged; an unrelated doc must not; zero-fp (short) docs appear with
+    n_shared_fps = 0."""
+    bench = docs_df(spark, ["the secret benchmark answer is forty two"])
+    train = spark.createDataFrame(
+        [
+            (10, "padding text then the secret benchmark answer is forty "
+                 "two and more padding"),
+            (11, "completely unrelated prose about gardening and weather"),
+            (12, "hi"),  # too short for any full winnowing window
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_shared_fps, r.contaminated)
+        for r in text.benchmark_decontamination(train, bench).collect()
+    }
+    assert got[10][1] is True and got[10][0] >= 1
+    assert got[11] == (0, False)
+    assert got[12] == (0, False)

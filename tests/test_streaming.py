@@ -394,3 +394,51 @@ def test_stateless_text_ops_run_on_streams(spark, tmp_path):
     assert got["split"] == {tuple(x) for x in s.collect()}
     assert got["redact"] == {tuple(x) for x in r.collect()}
     assert got["chunks"]  # doc 3 chunks into several windows
+
+
+def test_histogram_state_streaming_fold_matches_batch(spark, sf_dir, tmp_path):
+    """The histogram quantile tier is streaming-compatible by construction:
+    folding per-microbatch states into a running state table via
+    merge_histogram_states must equal the one-shot batch histogram, and
+    the percentiles read off the folded state must match exactly."""
+    from hive_io_experimental_spark.operators import incremental as inc
+
+    events_path = f"{sf_dir}/events.parquet"
+    stream = read_events_stream(spark, events_path)
+
+    acc = {"state": None}
+
+    def fold(bdf, _bid):
+        s = inc.hourly_histogram_state(bdf)
+        acc["state"] = (
+            s if acc["state"] is None
+            else inc.merge_histogram_states(acc["state"], s)
+        )
+        # materialize now: bdf is only valid within the micro-batch
+        acc["state"] = spark.createDataFrame(
+            acc["state"].collect(), acc["state"].schema
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt_hist"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    batch = inc.hourly_histogram_state(spark.read.parquet(events_path))
+    key = lambda r: (r.hour_epoch, r.event_type, r.bucket, r.n)
+    assert sorted(map(key, batch.collect())) == sorted(
+        map(key, acc["state"].collect())
+    )
+
+    ps_stream = {
+        (r.event_type, r.p): r.lower_bound_e4
+        for r in inc.percentiles_from_histogram(acc["state"]).collect()
+    }
+    ps_batch = {
+        (r.event_type, r.p): r.lower_bound_e4
+        for r in inc.percentiles_from_histogram(batch).collect()
+    }
+    assert ps_stream == ps_batch and ps_stream
