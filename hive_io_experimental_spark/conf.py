@@ -116,6 +116,26 @@ RECORD_BUFFER_FLUSH = _register(
     "hiveio.tail.record_buffer_flush", 1000, int,
     "rows buffered between stdout flushes in the tail CLI",
 )
+# shingle document-frequency cut (operators/dedup.py DEFAULT_MAX_SHINGLE_FREQ)
+SHINGLE_MAX_FREQ = _register(
+    "hiveio.dedup.max_shingle_freq", 1000, int,
+    "drop shingles appearing in more docs than this before the pair join "
+    "(0 = exact/unbounded semantics)",
+)
+# histogram quantile state bucket width in e4 fixed-point units
+# (operators/incremental.py _HIST_BUCKET_E4)
+HIST_BUCKET_E4 = _register(
+    "hiveio.incremental.hist_bucket_e4", 10_000, int,
+    "value-histogram bucket width in e4 fixed-point units (percentile "
+    "error bound = one bucket)",
+)
+# skip-unreadable-splits scan default (ScanSpec.ignore_corrupt_files;
+# HiveInput.java:150-199 skip semantics)
+IGNORE_CORRUPT_FILES = _register(
+    "hiveio.input.ignore_corrupt_files", False, _parse_bool,
+    "default for ScanSpec.ignore_corrupt_files: skip unreadable files "
+    "instead of failing the scan",
+)
 
 
 def all_options() -> dict[str, Option]:

@@ -128,9 +128,12 @@ class HiveInput:
             # version 0 (an instant before the first retained commit) reads
             # as the empty view — _load returns the empty-manifest frame
             as_of = self.catalog.version_at(spec.table, spec.as_of_timestamp)
-        df, partition_keys = self._load(
-            spec.table, as_of, spec.ignore_corrupt_files
+        from hive_io_experimental_spark import conf as _conf
+
+        ignore_corrupt = spec.ignore_corrupt_files or (
+            _conf.IGNORE_CORRUPT_FILES.get(self.spark)
         )
+        df, partition_keys = self._load(spec.table, as_of, ignore_corrupt)
 
         if spec.partition_filter:
             validate_partition_filter(

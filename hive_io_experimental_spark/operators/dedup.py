@@ -168,6 +168,10 @@ def shingle_sets(
 # the exact unbounded semantics.
 DEFAULT_MAX_SHINGLE_FREQ = 1000
 
+# sentinel: "not passed" — resolves to the hiveio.dedup.max_shingle_freq
+# session conf (default 1000); None stays the explicit exact/unbounded opt-out
+_SHINGLE_FREQ_FROM_CONF = object()
+
 
 def ngram_jaccard_pairs(
     df: DataFrame,
@@ -175,7 +179,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.8,
-    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+    max_shingle_freq: int | None = _SHINGLE_FREQ_FROM_CONF,  # type: ignore[assignment]
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard >= threshold.
 
@@ -188,6 +192,11 @@ def ngram_jaccard_pairs(
     ``None`` opts out (exact, unbounded). Returns (a_id, b_id, jaccard)
     with a_id < b_id.
     """
+    if max_shingle_freq is _SHINGLE_FREQ_FROM_CONF:
+        from hive_io_experimental_spark import conf as _conf
+
+        freq = _conf.SHINGLE_MAX_FREQ.get(df.sparkSession)
+        max_shingle_freq = freq if freq > 0 else None
     sh = shingle_sets(df, text_col, id_col, k)
     if max_shingle_freq is not None:
         freq_ok = (

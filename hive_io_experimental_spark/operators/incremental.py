@@ -176,7 +176,7 @@ def hourly_histogram_state(
     events: DataFrame,
     ts_col: str = "ts",
     value_col: str = "value",
-    bucket_e4: int = _HIST_BUCKET_E4,
+    bucket_e4: int | None = None,
 ) -> DataFrame:
     """Mergeable VALUE-DISTRIBUTION state: (hour, type, bucket) counts.
 
@@ -190,6 +190,10 @@ def hourly_histogram_state(
     most one bucket width. State cardinality is (hours × types × occupied
     buckets) regardless of event count. One partial-aggregated shuffle.
     """
+    if bucket_e4 is None:
+        from hive_io_experimental_spark import conf as _conf
+
+        bucket_e4 = _conf.HIST_BUCKET_E4.get(events.sparkSession)
     ev = ensure_event_time(events, ts_col).filter(
         F.col(value_col).isNotNull()
     )
@@ -216,7 +220,7 @@ def merge_histogram_states(*states: DataFrame) -> DataFrame:
 def percentiles_from_histogram(
     state: DataFrame,
     ps: tuple[float, ...] = (0.5, 0.95),
-    bucket_e4: int = _HIST_BUCKET_E4,
+    bucket_e4: int | None = None,
 ) -> DataFrame:
     """Per-type percentile LOWER BOUNDS from histogram state (any time
     range — hours aggregate away by count addition).
@@ -230,6 +234,10 @@ def percentiles_from_histogram(
     """
     from pyspark.sql import Window as W
 
+    if bucket_e4 is None:
+        from hive_io_experimental_spark import conf as _conf
+
+        bucket_e4 = _conf.HIST_BUCKET_E4.get(state.sparkSession)
     per = state.groupBy("event_type", "bucket").agg(
         F.sum("n").cast("long").alias("n")
     )

@@ -31,3 +31,51 @@ def test_cli_conf_options(capsys):
     out = capsys.readouterr().out
     assert "hiveio.output.drop_partition" in out
     assert "hiveio.retry.max_tries" in out
+
+
+def test_shingle_freq_conf_drives_df_cut(spark):
+    """hiveio.dedup.max_shingle_freq: unset -> default cut; 0 -> exact
+    (unbounded) semantics; explicit argument always wins."""
+    from hive_io_experimental_spark.operators import dedup
+
+    n = 30
+    rows = [
+        (i, "shared boilerplate words appearing in every single document "
+            + f"u{i} v{i} w{i}")
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    try:
+        conf.SHINGLE_MAX_FREQ.set(spark, 5)  # boilerplate df=30 > 5 -> cut
+        assert dedup.ngram_jaccard_pairs(df, threshold=0.0).count() == 0
+        conf.SHINGLE_MAX_FREQ.set(spark, 0)  # 0 -> exact: quadratic pairs
+        assert (
+            dedup.ngram_jaccard_pairs(df, threshold=0.0).count()
+            == n * (n - 1) // 2
+        )
+        # explicit argument overrides the conf
+        assert (
+            dedup.ngram_jaccard_pairs(
+                df, threshold=0.0, max_shingle_freq=5
+            ).count()
+            == 0
+        )
+    finally:
+        spark.conf.unset(conf.SHINGLE_MAX_FREQ.key)
+
+
+def test_hist_bucket_conf_drives_bucket_width(spark):
+    import datetime as dt
+
+    from hive_io_experimental_spark.operators import incremental as inc
+
+    df = spark.createDataFrame(
+        [(1, "t", dt.datetime(2024, 1, 1), 3.7)],
+        "event_id long, event_type string, ts timestamp, value double",
+    )
+    assert inc.hourly_histogram_state(df).collect()[0].bucket == 3
+    try:
+        conf.HIST_BUCKET_E4.set(spark, 5_000)  # 0.5-unit buckets
+        assert inc.hourly_histogram_state(df).collect()[0].bucket == 7
+    finally:
+        spark.conf.unset(conf.HIST_BUCKET_E4.key)
