@@ -331,6 +331,81 @@ def cmd_check(args: argparse.Namespace, stop_session: bool = True) -> int:
     return 0 if failed == 0 else 1
 
 
+def _table_df(spark, args, table: str):
+    """db.table through the catalog when a warehouse is given, else a raw
+    parquet path — same resolution as cmd_check."""
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+
+    warehouse = _resolve_warehouse(args)
+    if warehouse:
+        return HiveInput(spark, Catalog(warehouse)).read_table(
+            ScanSpec(table=table)
+        )
+    return spark.read.parquet(table)
+
+
+def cmd_dedup(args: argparse.Namespace, stop_session: bool = True) -> int:
+    """Exact dedup of a table, or incremental dedup against a corpus.
+
+    Without --against: print (text_hash, kept_id, dup_count) groups.
+    With --against: print surviving (id, fp) of the incoming batch after
+    batch-internal dedup + corpus fingerprint exclusion."""
+    from hive_io_experimental_spark.operators import dedup as dedup_ops
+
+    spark = _build_spark(args.threads)
+    incoming = _table_df(spark, args, args.table)
+    if args.against:
+        out = dedup_ops.dedup_against_corpus(
+            incoming,
+            _table_df(spark, args, args.against),
+            text_col=args.text_col,
+            id_col=args.id_col,
+        )
+    else:
+        out = dedup_ops.exact_dedup(
+            incoming, text_col=args.text_col, id_col=args.id_col
+        )
+    print(args.separator.join(out.columns))
+    n = 0
+    for row in out.toLocalIterator():
+        print(args.separator.join("" if v is None else str(v) for v in row))
+        n += 1
+    print(f"# {n} rows", file=sys.stderr)
+    if stop_session:
+        spark.stop()
+    return 0
+
+
+def cmd_decontaminate(
+    args: argparse.Namespace, stop_session: bool = True
+) -> int:
+    """Clear a training table against a benchmark corpus on winnowing
+    fingerprints; print flagged docs, exit 1 if any are contaminated
+    (gate semantics, like cmd_check)."""
+    from hive_io_experimental_spark.operators import text as text_ops
+
+    spark = _build_spark(args.threads)
+    out = text_ops.benchmark_decontamination(
+        _table_df(spark, args, args.table),
+        _table_df(spark, args, args.benchmark),
+        text_col=args.text_col,
+        id_col=args.id_col,
+        min_shared=args.min_shared,
+    )
+    if not args.all:
+        out = out.filter(out.contaminated)
+    print(args.separator.join(out.columns))
+    n_bad = 0
+    for row in out.toLocalIterator():
+        print(args.separator.join("" if v is None else str(v) for v in row))
+        n_bad += 1 if row["contaminated"] else 0
+    print(f"# {n_bad} contaminated docs", file=sys.stderr)
+    if stop_session:
+        spark.stop()
+    return 0 if n_bad == 0 else 1
+
+
 def cmd_snapshots(args: argparse.Namespace) -> int:
     """List (and optionally expire) a versioned table's snapshot history.
 
@@ -467,6 +542,40 @@ def build_parser() -> argparse.ArgumentParser:
     ck.add_argument("--namespace", default="silver")
     ck.add_argument("--threads", type=int, default=None)
 
+    dd = sub.add_parser(
+        "dedup", help="exact dedup, or incremental dedup against a corpus"
+    )
+    dd.add_argument("--table", required=True,
+                    help="db.table (with --warehouse) or parquet path")
+    dd.add_argument("--against", default=None,
+                    help="corpus table/path for incremental batch dedup")
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--warehouse")
+    dd.add_argument("--namespaces-file")
+    dd.add_argument("--namespace", default="silver")
+    dd.add_argument("--separator", default="\t")
+    dd.add_argument("--threads", type=int, default=None)
+
+    dc = sub.add_parser(
+        "decontaminate",
+        help="flag training docs sharing winnowing fps with a benchmark",
+    )
+    dc.add_argument("--table", required=True,
+                    help="training db.table or parquet path")
+    dc.add_argument("--benchmark", required=True,
+                    help="benchmark db.table or parquet path")
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--min-shared", type=int, default=1)
+    dc.add_argument("--all", action="store_true",
+                    help="print every doc, not just contaminated ones")
+    dc.add_argument("--warehouse")
+    dc.add_argument("--namespaces-file")
+    dc.add_argument("--namespace", default="silver")
+    dc.add_argument("--separator", default="\t")
+    dc.add_argument("--threads", type=int, default=None)
+
     snap = sub.add_parser(
         "snapshots", help="list a versioned table's snapshot history"
     )
@@ -497,6 +606,10 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         return cmd_fsck(args)
     if args.command == "check":
         return cmd_check(args, stop_session=stop_session)
+    if args.command == "dedup":
+        return cmd_dedup(args, stop_session=stop_session)
+    if args.command == "decontaminate":
+        return cmd_decontaminate(args, stop_session=stop_session)
     if args.command == "snapshots":
         return cmd_snapshots(args)
     if args.command == "conf-options":

@@ -223,3 +223,48 @@ def test_cli_fsck_and_check(spark, warehouse, tmp_path, capsys):
     assert rc == 1
     out = capsys.readouterr().out
     assert "FAIL id\tunique\t1" in out and "ok   id\tnot_null\t0" in out
+
+
+def test_cli_dedup_and_decontaminate(spark, tmp_path, capsys):
+    batch = tmp_path / "batch"
+    corpus = tmp_path / "corpus"
+    spark.createDataFrame(
+        [
+            (10, "seen text one"),
+            (11, "fresh document a"),
+            (12, "fresh document a"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(str(batch))
+    spark.createDataFrame(
+        [(1, "seen text one"), (2, "other corpus text")],
+        "doc_id long, text string",
+    ).write.parquet(str(corpus))
+
+    rc = main(
+        ["dedup", "--table", str(batch), "--against", str(corpus)],
+        stop_session=False,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t") == ["id", "fp"]
+    assert [l.split("\t")[0] for l in out[1:]] == ["11"]
+
+    # decontaminate: batch doc 10 reproduces corpus doc 1 verbatim -> flag,
+    # exit 1 (gate semantics)
+    rc = main(
+        ["decontaminate", "--table", str(batch), "--benchmark", str(corpus)],
+        stop_session=False,
+    )
+    assert rc == 1
+    out = capsys.readouterr().out.strip().splitlines()
+    flagged = {l.split("\t")[0] for l in out[1:]}
+    assert "10" in flagged and "11" not in flagged
+
+    # exact mode (no --against): groups with counts
+    rc = main(["dedup", "--table", str(batch)], stop_session=False)
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t") == ["text_hash", "kept_id", "dup_count"]
+    counts = {l.split("\t")[1]: l.split("\t")[2] for l in out[1:]}
+    assert counts["11"] == "2" and counts["10"] == "1"
