@@ -1360,7 +1360,6 @@ _CHECK_FIRST = [
     "customer_order_ranks", "join_semi",
     "revenue_rollup", "orders_by_month",
     "brand_size_pivot", "sql_q6_revenue",
-    "sql_q19_disjunctive",
     "event_props_json",
     # temporal / event-time family (+ integer-only funnel diagnostics that
     # localize the r2-r4 driver-env funnel divergence; see funnel_step_counts)
@@ -1368,12 +1367,13 @@ _CHECK_FIRST = [
     "sessionize_events", "asof_purchase_click",
     "range_join_signup_purchase", "event_dwell_stats", "gapfill_hourly",
     "funnel_signup_click_purchase", "funnel_step_counts",
-    "funnel_user_extrema", "trailing_purchase_stats",
+    "funnel_user_extrema",
     "retention_cohorts",
     "incremental_rollup", "expanding_zscore",
-    # r4-family representatives rotated into the window (ADVICE r4):
-    # CDC/versioning and data-quality gating
+    # family representatives rotated into the window (ADVICE r4): CDC/
+    # versioning, data-quality gating, multimodal plumbing, token packing
     "snapshot_diff_cdc", "data_expectations",
+    "multimodal_decode", "token_budget_mix",
     # dedup family
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_embedding",
