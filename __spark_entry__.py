@@ -736,6 +736,66 @@ def _time_travel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _compact_small_files(spark: SparkSession, sf: str) -> DataFrame:
+    """Maintenance gate (operators/maintenance.py compact_snapshots): seed a
+    versioned lang-partitioned documents table deliberately fragmented
+    (repartition(8) before the dynamic write puts every task's slice of
+    every lang into its own file — the streaming-append small-files
+    pathology), compact, then emit per-lang content aggregates plus the
+    post-compaction data-file count read from the committed manifest's
+    directories. The compaction CONTRACT is the oracle: content identical
+    to the source (per-lang counts and char sums) and exactly ONE data
+    file per partition."""
+    import os
+    import tempfile
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators import maintenance
+    from hive_io_experimental_spark.output import HiveOutput
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "source", "n_chars", "lang"
+    )
+    wh = tempfile.mkdtemp(prefix="hio_gate_compact_")  # outlives the scan
+    cat = Catalog(wh)
+    data_fields = tuple(
+        (f.name, f.dataType)
+        for f in docs.schema.fields
+        if f.name != "lang"
+    )
+    cat.create_table(
+        "default.docs_c",
+        HiveTableSchema(data_fields, partition_keys=("lang",)),
+        versioned=True,
+    )
+    HiveOutput(spark, cat).write_dynamic(
+        "default.docs_c", docs.repartition(8)
+    )
+    maintenance.compact_snapshots(spark, cat, "default.docs_c")
+    # per-partition file counts from the committed manifest: driver-side
+    # metadata listing (#partitions dirs), not a data scan
+    counts = []
+    for p in cat.snapshot_manifest("default.docs_c"):
+        n = len(
+            [
+                f
+                for f in os.listdir(p.location)
+                if not f.startswith(("_", "."))
+            ]
+        )
+        counts.append((p.values["lang"], n))
+    files_df = spark.createDataFrame(counts, "lang string, data_files long")
+    body = HiveInput(spark, cat).read_table(
+        ScanSpec(table="default.docs_c")
+    )
+    agg = body.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+    )
+    return agg.join(files_df, "lang").orderBy("lang")
+
+
 def _scan_csv_nulls(spark: SparkSession, sf: str) -> DataFrame:
     """Driver-gate round-trip for the delimited-text serde (reference S6/S7:
     BytesParser '\\N' and empty-field null conventions,
@@ -1039,6 +1099,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # SCD1 MERGE: update+insert upsert through the partitioned write path.
     q["merge_upsert"] = _merge_upsert
     q["time_travel"] = _time_travel
+    # maintenance: small-files compaction of a versioned table (content
+    # preserved + one file per partition, proven via the manifest)
+    q["compact_small_files"] = _compact_small_files
     q["snapshot_diff_cdc"] = _snapshot_diff_cdc
     q["merge_key_move"] = _merge_key_move
     q["scan_multikey_pruned"] = _scan_multikey_pruned
@@ -1242,6 +1305,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_lsh"] = lambda spark, sf: dedup.minhash_lsh_candidates(
         _t(spark, sf, "documents")
     )
+    # candidate -> verify two-stage pipeline: the same LSH candidates
+    # confirmed by exact normalized edit similarity (JVM levenshtein),
+    # run ONLY on the candidate pairs — never all-pairs
+    q["dedup_verified_pairs"] = lambda spark, sf: dedup.verified_near_duplicates(
+        _t(spark, sf, "documents"), threshold=0.8
+    )
     # one-row LSH parameter audit: candidate precision/recall vs exact
     # jaccard truth — the pre-flight check before a corpus-scale dedup run
     q["dedup_lsh_quality"] = lambda spark, sf: dedup.lsh_quality_report(
@@ -1270,6 +1339,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_embedding_clusters"] = lambda spark, sf: dedup.embedding_dup_clusters(
         _t(spark, sf, "embeddings"), threshold=0.45
     )
+    # exact-substring pass (Lee et al. 2022 ExactSubstr, re-shaped for
+    # Spark as stride-1 window fingerprints): per-source accounting of
+    # tokens covered by cross-document duplicated 16-token windows —
+    # all-integer output, bit-exact across engines
+    q["dedup_span_stats"] = lambda spark, sf: dedup.span_dedup_stats(
+        _t(spark, sf, "documents"), window_tokens=16
+    )
+    # hottest duplicated spans (the "what boilerplate is in my corpus"
+    # report); overlapping windows catch spans at arbitrary offsets,
+    # unlike the stride-W repeated_paragraphs chunk hash
+    q["dedup_span_hot"] = lambda spark, sf: dedup.duplicated_spans(
+        _t(spark, sf, "documents"), window_tokens=16
+    ).limit(20)
+    # the actionable half: corpus rewritten with duplicated-span tokens
+    # removed (tokenizer-normalized text out)
+    q["dedup_span_strip"] = lambda spark, sf: dedup.strip_duplicated_spans(
+        _t(spark, sf, "documents"), window_tokens=16
+    ).orderBy("doc_id")
 
     # ---- similarity search ----
     q["similarity_topk"] = lambda spark, sf: similarity.cosine_topk(
@@ -1353,8 +1440,10 @@ _CHECK_FIRST = [
     # §2 scan surface (S1-S4, S6/S7 serde, S10 stats)
     "scan_projection", "scan_filter", "scan_topk",
     "scan_partition_pruned", "scan_csv_nulls", "table_stats",
-    # §2 write surface (W1 write+readback, W3/W6 merge, versioning)
-    "write_readback", "merge_upsert", "time_travel",
+    # §2 write surface (W1 write+readback, W3/W6 merge, versioning) +
+    # maintenance (r5 rotation: compaction contract gate; similarity_topk
+    # rotated out — hash-green r4, family keeps 3 window reps)
+    "write_readback", "merge_upsert", "time_travel", "compact_small_files",
     # relational core (joins/aggs/windows/rollup/pivot/SQL)
     "pricing_summary", "top_revenue_orders", "nation_revenue",
     "customer_order_ranks", "join_semi",
@@ -1374,11 +1463,12 @@ _CHECK_FIRST = [
     # versioning, data-quality gating, multimodal plumbing, token packing
     "snapshot_diff_cdc", "data_expectations",
     "multimodal_decode", "token_budget_mix",
-    # dedup family
+    # dedup family (r5 rotation: span_stats = new exact-substring family
+    # rep; dedup_simhash rotated out — hash-green r4, family keeps 4 reps)
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_embedding",
+    "dedup_span_stats", "dedup_embedding",
     # similarity family
-    "similarity_topk", "similarity_lsh_buckets",
+    "similarity_lsh_buckets",
     "similarity_topk_bucketed", "similarity_quality_topk",
     # text-analysis family
     "text_metrics", "token_counts", "tfidf_top_terms", "source_mix",
@@ -2489,6 +2579,27 @@ def oracle_sql() -> dict[str, str]:
           ON a.band = b.band AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id"""
 
+    # candidate->verify twin: the LSH candidate CTE above, then the same
+    # normalized-edit-similarity formula on candidate pairs only
+    o["dedup_verified_pairs"] = f"""
+        WITH cands AS ({o['dedup_minhash_lsh']}),
+        nt AS (SELECT doc_id, substr({_NORM}, 1, 2000) AS norm
+               FROM documents)
+        SELECT a_id, b_id,
+               ROUND(CASE WHEN greatest(len(a.norm), len(b.norm)) = 0
+                          THEN 1.0
+                          ELSE 1.0 - levenshtein(a.norm, b.norm)
+                               / greatest(len(a.norm), len(b.norm)) END,
+                     6) AS edit_sim
+        FROM cands
+        JOIN nt a ON a_id = a.doc_id
+        JOIN nt b ON b_id = b.doc_id
+        WHERE ROUND(CASE WHEN greatest(len(a.norm), len(b.norm)) = 0
+                         THEN 1.0
+                         ELSE 1.0 - levenshtein(a.norm, b.norm)
+                              / greatest(len(a.norm), len(b.norm)) END,
+                    6) >= 0.8"""
+
     # connected components over the SAME LSH candidate pairs, as a
     # recursive reachability closure: within an (undirected) component the
     # min reachable id IS the component label, which is exactly the
@@ -2594,6 +2705,76 @@ def oracle_sql() -> dict[str, str]:
         SELECT a_id, b_id,
                CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
         FROM p WHERE bit_count(xor(sa, sb)) <= 3"""
+
+    # shared CTE prefix for the exact-substring (span) gates: stride-1
+    # 16-token windows, md5 fingerprints, cross-doc duplicated hashes and
+    # the distinct token positions they cover (operators/dedup.py
+    # span_occurrences/_dup_positions twins)
+    _SPAN_CTES = f"""
+        d AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+        t AS (SELECT doc_id, source, toks, len(toks) AS n FROM d),
+        occ AS (SELECT doc_id,
+                       unnest(range(0, greatest(n - 15, 0))) AS start, toks
+                FROM t),
+        s AS (SELECT doc_id, start,
+                     md5(array_to_string(
+                         list_slice(toks, start + 1, start + 16), ' ')) AS h
+              FROM occ),
+        dup AS (SELECT h FROM s
+                GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        cov AS (SELECT DISTINCT doc_id, start + u AS pos
+                FROM (SELECT doc_id, start, unnest(range(0, 16)) AS u
+                      FROM s JOIN dup USING (h)))"""
+
+    o["dedup_span_stats"] = f"""
+        WITH {_SPAN_CTES},
+        per_doc AS (SELECT doc_id, COUNT(*) AS dup_tokens
+                    FROM cov GROUP BY doc_id)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN COALESCE(dup_tokens, 0) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+               CAST(SUM(n) AS BIGINT) AS total_tokens,
+               CAST(SUM(COALESCE(dup_tokens, 0)) AS BIGINT) AS dup_tokens
+        FROM t LEFT JOIN per_doc USING (doc_id)
+        GROUP BY source ORDER BY source"""
+
+    o["dedup_span_hot"] = f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        t AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+        occ AS (SELECT doc_id,
+                       unnest(range(0, greatest(n - 15, 0))) AS start, toks
+                FROM t),
+        sp AS (SELECT doc_id,
+                      array_to_string(
+                          list_slice(toks, start + 1, start + 16), ' ') AS span
+               FROM occ),
+        g AS (SELECT md5(span) AS span_hash,
+                     CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                     CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                     MIN(span) AS sample_span
+              FROM sp GROUP BY md5(span)
+              HAVING COUNT(DISTINCT doc_id) >= 2)
+        SELECT span_hash, n_docs, n_occurrences, sample_span
+        FROM g ORDER BY n_docs DESC, span_hash LIMIT 20"""
+
+    o["dedup_span_strip"] = f"""
+        WITH {_SPAN_CTES},
+        tokpos AS (SELECT doc_id, unnest(range(0, n)) AS pos, toks FROM t),
+        tok AS (SELECT doc_id, pos, toks[pos + 1] AS tok FROM tokpos),
+        kept AS (SELECT tok.doc_id, pos, tok
+                 FROM tok ANTI JOIN cov USING (doc_id, pos)),
+        rebuilt AS (SELECT doc_id,
+                           array_to_string(list(tok ORDER BY pos), ' ')
+                             AS clean_text,
+                           COUNT(*) AS n_kept
+                    FROM kept GROUP BY doc_id)
+        SELECT t.doc_id,
+               COALESCE(clean_text, '') AS clean_text,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(n - COALESCE(n_kept, 0) AS BIGINT) AS n_removed
+        FROM t LEFT JOIN rebuilt USING (doc_id)
+        ORDER BY doc_id"""
 
     cos_expr = (
         "ROUND(list_dot_product(a.v, b.v) / "
@@ -3134,6 +3315,15 @@ def oracle_sql() -> dict[str, str]:
                CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DOUBLE),
                o_orderstatus, 'update_postimage'
         FROM f"""
+
+    # compaction contract: content identical to source, exactly one data
+    # file per partition after the rewrite (the constant IS the invariant)
+    o["compact_small_files"] = """
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(1 AS BIGINT) AS data_files
+        FROM documents GROUP BY lang ORDER BY lang"""
 
     o["time_travel"] = """
         SELECT o_orderstatus, COUNT(*) AS n_orders,

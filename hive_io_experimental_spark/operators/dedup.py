@@ -868,3 +868,265 @@ def label_components_star(
     )
     edges.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Exact substring (span) duplication — overlapping token windows
+# ---------------------------------------------------------------------------
+#
+# Doc-level dedup (exact/minhash/simhash above) removes documents that are
+# near-copies of each other, but leaves VERBATIM SPANS that recur inside
+# otherwise-distinct documents: quoted passages, licenses, syndicated
+# paragraphs. Public results on web corpora show such repeated substrings
+# are a large fraction of training tokens and measurably hurt models
+# ("Deduplicating Training Data Makes Language Models Better", Lee et al.
+# 2022 — their suffix-array ExactSubstr pass). A distributed suffix array
+# is a poor fit for Spark; the standard scale-out equivalent is the
+# stride-1 sliding token-window fingerprint: every duplicated substring of
+# length >= W contains at least one duplicated W-token window, so window
+# granularity gives the same detection guarantee with plain groupBy/join
+# shuffles. This differs from repeated_paragraphs (text.py) in exactly one
+# way that matters: windows overlap (stride 1, not W), so a span repeated
+# at ARBITRARY offsets in two documents is still caught.
+#
+# Scale shape: the occurrence table is O(total tokens) rows of
+# (id, start, 32-char hash); the only shuffles are a groupBy on the
+# high-cardinality span hash and a join back on the same key — both
+# uniformly distributed by construction. The W-factor position explode
+# happens ONLY on occurrences already known duplicated (post-join), so the
+# worst case is bounded by W x duplicated-occurrences, not W x corpus.
+
+
+def span_occurrences(
+    df: DataFrame,
+    window_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_text: bool = False,
+) -> DataFrame:
+    """(id, start, span_hash[, span_text]) for every stride-1 window.
+
+    ``start`` is the 0-based token offset. Documents shorter than
+    ``window_tokens`` emit nothing. ``keep_text=False`` (default) ships
+    only the md5 through the shuffle — at 100 TB the window text is ~100
+    bytes vs a 32-byte hash, and nothing downstream needs the text except
+    human-facing samples.
+    """
+    spans = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(word_shingles(F.col(text_col), window_tokens)).alias(
+            "start", "span_text"
+        ),
+    )
+    cols = ["id", "start", F.md5("span_text").alias("span_hash")]
+    if keep_text:
+        cols.append(F.col("span_text"))
+    return spans.select(*cols)
+
+
+def duplicated_spans(
+    df: DataFrame,
+    window_tokens: int = 16,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Window fingerprints recurring in >= ``min_docs`` distinct documents.
+
+    Returns (span_hash, n_docs, n_occurrences, sample_span) ordered by
+    n_docs desc, hash asc; ``sample_span`` is the lexicographically-min
+    occurrence text (deterministic in any engine). Join back to
+    span_occurrences on the hash to locate offsets.
+    """
+    occ = span_occurrences(
+        df, window_tokens, text_col, id_col, keep_text=True
+    )
+    return (
+        occ.groupBy("span_hash")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("span_text").alias("sample_span"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_docs").desc(), F.col("span_hash").asc())
+    )
+
+
+def _dup_positions(
+    df: DataFrame,
+    window_tokens: int,
+    min_docs: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, pos) distinct token positions covered by a duplicated window."""
+    occ = span_occurrences(df, window_tokens, text_col, id_col)
+    dup = (
+        occ.groupBy("span_hash")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("span_hash")
+    )
+    # join BEFORE the position explode: only duplicated occurrences pay
+    # the W-factor fan-out
+    return (
+        occ.join(dup, "span_hash")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(
+                    F.col("start"),
+                    F.col("start") + F.lit(window_tokens - 1),
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    window_tokens: int = 16,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group duplicated-span token accounting (all-integer output).
+
+    For each ``group_col`` value: document count, documents containing at
+    least one duplicated span, total tokens, and tokens covered by some
+    duplicated W-window (the fraction ExactSubstr-style trimming would
+    remove). Integer columns only, so cross-engine comparison is exact.
+    """
+    cov = _dup_positions(df, window_tokens, min_docs, text_col, id_col)
+    per_doc = cov.groupBy("id").agg(F.count(F.lit(1)).alias("dup_tokens"))
+    toks = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.size(word_tokens(F.col(text_col))).alias("n_tokens"),
+    )
+    return (
+        toks.join(per_doc, "id", "left")
+        .select(
+            "grp",
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+        )
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("dup_tokens") > 0).cast("long")).alias("dup_docs"),
+            F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+            F.sum(F.col("dup_tokens").cast("long")).alias("dup_tokens"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    window_tokens: int = 16,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove every token covered by a cross-document duplicated window.
+
+    The actionable half of span_dedup_stats: returns
+    (doc_id, clean_text, n_tokens, n_removed) where ``clean_text`` is the
+    surviving tokens rejoined in order (tokenizer-normalized — lowercase,
+    punctuation-split — like every hash path in this module). Documents
+    whose tokens are ALL duplicated come back with an empty clean_text
+    rather than disappearing, so the caller can apply a min-length filter
+    explicitly.
+    """
+    cov = _dup_positions(df, window_tokens, min_docs, text_col, id_col)
+    toks = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(word_tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    kept = toks.join(cov, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.size(word_tokens(F.col(text_col))).alias("n_tokens"),
+    )
+    return base.join(rebuilt, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# candidate -> verify: exact confirmation of LSH candidates
+# ---------------------------------------------------------------------------
+
+def verified_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    max_chars: int = 2000,
+    hash_family: str | None = None,
+) -> DataFrame:
+    """LSH candidates confirmed by exact normalized edit similarity.
+
+    The standard two-stage near-dup pipeline: a cheap recall-oriented
+    candidate generator (banded MinHash LSH) followed by an exact,
+    precision-oriented verifier that runs ONLY on candidate pairs —
+    edit_sim = 1 - levenshtein(a, b) / max(len(a), len(b)) over the
+    normalized text. Returns (a_id, b_id, edit_sim) with edit_sim >=
+    ``threshold``, a_id < b_id.
+
+    Scale shape: the verifier's cost is O(candidates x max_chars^2), NOT
+    O(corpus^2) — ``max_chars`` truncates the comparison window so one
+    pathological mega-doc pair cannot stall a task (at 100 TB the
+    candidate set is the LSH output, already banded and bounded). The
+    levenshtein is a JVM built-in; no Python in the loop. Both-empty
+    texts count as identical (edit_sim 1.0).
+    """
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_perm, bands, k, hash_family
+    )
+    texts = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.substring(normalize_text(F.col(text_col)), 1, max_chars).alias(
+            "norm"
+        ),
+    )
+    ta = texts.alias("ta")
+    tb = texts.alias("tb")
+    joined = cands.join(ta, F.col("a_id") == F.col("ta.id")).join(
+        tb, F.col("b_id") == F.col("tb.id")
+    )
+    denom = F.greatest(
+        F.length(F.col("ta.norm")), F.length(F.col("tb.norm"))
+    )
+    sim = F.when(denom == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0)
+        - F.levenshtein(F.col("ta.norm"), F.col("tb.norm")) / denom
+    )
+    return (
+        joined.select(
+            "a_id", "b_id", F.round(sim, 6).alias("edit_sim")
+        )
+        .filter(F.col("edit_sim") >= threshold)
+    )

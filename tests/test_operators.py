@@ -1343,3 +1343,67 @@ def test_benchmark_decontamination_flags_verbatim_overlap(spark):
     assert got[10][1] is True and got[10][0] >= 1
     assert got[11] == (0, False)
     assert got[12] == (0, False)
+
+
+# ---------------------------------------------------------------------------
+# exact substring (span) duplication
+# ---------------------------------------------------------------------------
+
+def test_duplicated_spans_detects_offset_shifted_span(spark):
+    # d0 and d1 share "aaa bbb ccc ddd" at DIFFERENT offsets (0 vs 2) —
+    # the case stride-W paragraph hashing misses and stride-1 must catch
+    df = docs_df(
+        spark,
+        [
+            "aaa bbb ccc ddd eee fff",
+            "xxx yyy aaa bbb ccc ddd zzz",
+            "unrelated tokens entirely different content here",
+        ],
+    )
+    got = dedup.duplicated_spans(df, window_tokens=4).collect()
+    assert len(got) == 1
+    assert got[0].n_docs == 2 and got[0].n_occurrences == 2
+    assert got[0].sample_span == "aaa bbb ccc ddd"
+
+
+def test_span_dedup_stats_counts_covered_tokens(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "aaa bbb ccc ddd eee fff", "web"),
+            (1, "xxx yyy aaa bbb ccc ddd zzz", "web"),
+            (2, "unrelated tokens entirely different content here", "books"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        r.source: r
+        for r in dedup.span_dedup_stats(df, window_tokens=4).collect()
+    }
+    assert rows["web"].n_docs == 2 and rows["web"].dup_docs == 2
+    # d0: positions 0-3 of 6; d1: positions 2-5 of 7
+    assert rows["web"].total_tokens == 13 and rows["web"].dup_tokens == 8
+    assert rows["books"].dup_docs == 0 and rows["books"].dup_tokens == 0
+
+
+def test_strip_duplicated_spans_keeps_order_and_empty_docs(spark):
+    df = docs_df(
+        spark,
+        [
+            "aaa bbb ccc ddd eee fff",
+            "xxx yyy aaa bbb ccc ddd zzz",
+            "aaa bbb ccc ddd",      # fully covered -> empty clean_text
+        ],
+    )
+    got = {r.doc_id: r for r in dedup.strip_duplicated_spans(df, window_tokens=4).collect()}
+    assert got[0].clean_text == "eee fff" and got[0].n_removed == 4
+    assert got[1].clean_text == "xxx yyy zzz" and got[1].n_removed == 4
+    assert got[2].clean_text == "" and got[2].n_removed == 4
+    assert got[2].n_tokens == 4
+
+
+def test_verified_near_duplicates_confirms_exact_pair(spark):
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = docs_df(spark, [t, t, "unrelated totally different text goes right here"])
+    got = dedup.verified_near_duplicates(df, threshold=0.9).collect()
+    assert [(r.a_id, r.b_id) for r in got] == [(0, 1)]
+    assert got[0].edit_sim == 1.0
