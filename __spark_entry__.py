@@ -1096,6 +1096,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
     )
+    # heavy-hitter member of the incremental-state family: bounded top-k
+    # sketch built on two batches, merged with re-truncation, read as the
+    # global top-20 with exact integer bounds — deterministic integer
+    # arithmetic throughout, so the oracle is an exact SQL twin of the
+    # whole state->merge->read pipeline (not an invariant check)
+    q["topk_sketch_rollup"] = lambda spark, sf: (
+        incremental.heavy_hitters_from_sketch(
+            incremental.merge_topk_sketches(
+                incremental.topk_sketch_state(
+                    _t(spark, sf, "events").filter(
+                        F.col("event_id") % 2 == 0
+                    ),
+                    k=16,
+                ),
+                incremental.topk_sketch_state(
+                    _t(spark, sf, "events").filter(
+                        F.col("event_id") % 2 == 1
+                    ),
+                    k=16,
+                ),
+                k=16,
+            ),
+            top_n=20,
+        )
+    )
     # SCD1 MERGE: update+insert upsert through the partitioned write path.
     q["merge_upsert"] = _merge_upsert
     q["time_travel"] = _time_travel
@@ -2483,6 +2508,51 @@ def oracle_sql() -> dict[str, str]:
     # integer bucket counts (merge-exact), percentile = smallest bucket
     # whose cumulative count reaches ceil(p * total); every output column
     # CAST to BIGINT (DuckDB SUM widening)
+    # exact twin of the bounded top-k sketch pipeline: per-shard counts,
+    # deterministic (count desc, key asc) truncation at k=16 with residual
+    # dm = max dropped count, absent-key bound substitution on merge, then
+    # the global top-20 read (operators/incremental.py topk_sketch_state /
+    # merge_topk_sketches / heavy_hitters_from_sketch)
+    o["topk_sketch_rollup"] = """
+        WITH
+        ca AS (SELECT user_id % 8 AS shard, user_id AS key,
+                      CAST(COUNT(*) AS BIGINT) AS lo
+               FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2),
+        ra AS (SELECT shard, key, lo,
+                      ROW_NUMBER() OVER (PARTITION BY shard
+                                         ORDER BY lo DESC, key) AS rk
+               FROM ca),
+        ka AS (SELECT shard, key, lo, lo AS hi FROM ra WHERE rk <= 16),
+        da AS (SELECT shard, CAST(MAX(lo) AS BIGINT) AS dm
+               FROM ra WHERE rk > 16 GROUP BY shard),
+        cb AS (SELECT user_id % 8 AS shard, user_id AS key,
+                      CAST(COUNT(*) AS BIGINT) AS lo
+               FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2),
+        rb AS (SELECT shard, key, lo,
+                      ROW_NUMBER() OVER (PARTITION BY shard
+                                         ORDER BY lo DESC, key) AS rk
+               FROM cb),
+        kb AS (SELECT shard, key, lo, lo AS hi FROM rb WHERE rk <= 16),
+        db AS (SELECT shard, CAST(MAX(lo) AS BIGINT) AS dm
+               FROM rb WHERE rk > 16 GROUP BY shard),
+        m AS (SELECT COALESCE(a.shard, b.shard) AS shard,
+                     COALESCE(a.key, b.key) AS key,
+                     COALESCE(a.lo, 0) + COALESCE(b.lo, 0) AS lo,
+                     COALESCE(a.hi, da.dm, 0)
+                       + COALESCE(b.hi, db.dm, 0) AS hi
+              FROM ka a FULL JOIN kb b
+                ON a.shard = b.shard AND a.key = b.key
+              LEFT JOIN da ON da.shard = COALESCE(a.shard, b.shard)
+              LEFT JOIN db ON db.shard = COALESCE(a.shard, b.shard)),
+        rm AS (SELECT shard, key, lo, hi,
+                      ROW_NUMBER() OVER (PARTITION BY shard
+                                         ORDER BY lo DESC, key) AS rk
+               FROM m)
+        SELECT key, CAST(SUM(lo) AS BIGINT) AS est_min,
+               CAST(SUM(hi) AS BIGINT) AS est_max
+        FROM rm WHERE rk <= 16
+        GROUP BY key ORDER BY est_min DESC, key LIMIT 20"""
+
     o["percentile_state_rollup"] = """
         WITH b AS (SELECT event_type,
                           CAST(floor(CAST(CAST(value AS DECIMAL(14,4)) * 10000

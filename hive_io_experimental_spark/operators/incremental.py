@@ -322,3 +322,163 @@ def distinct_accuracy_check(
             "n_out_of_bound"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# heavy-hitter tier: mergeable bounded top-k sketch
+# ---------------------------------------------------------------------------
+#
+# The frequent-items member of the incremental-state family (exact sums ->
+# hourly_rollup_state, distinct -> HLL, distribution -> histogram, heavy
+# hitters -> this). A Misra-Gries-style bounded summary re-shaped for
+# deterministic cross-engine arithmetic: per hash-shard, keep the exact
+# top-k keys by count plus one residual row recording the largest dropped
+# count (dm). The guarantee is the classic one — for any key absent from a
+# shard's kept set, its true count in that shard is <= dm — so every
+# reported key carries exact integer bounds lo <= true <= hi, and any key
+# whose true total exceeds the sum of its shard's dm bounds MUST appear.
+# Unlike HLL (whose sketch bytes are engine-specific), every step here is
+# integer counts + deterministic (count desc, key asc) ranking, so the
+# whole pipeline — state, merge, top-n read — has an exact SQL twin and a
+# HASH oracle, not an invariant one.
+#
+# State cardinality: n_shards x (k+1) rows per batch regardless of data
+# volume; merge cost is state-sized, never data-sized.
+
+
+def topk_sketch_state(
+    df: DataFrame,
+    key_col: str = "user_id",
+    k: int = 32,
+    n_shards: int = 8,
+) -> DataFrame:
+    """One batch -> bounded top-k state: (shard, key, lo, hi) kept rows
+    (lo == hi == exact in-batch count) plus one residual row per shard
+    (key NULL, lo 0, hi = largest dropped count). ``key_col`` must be a
+    non-negative integer column (shard = key mod n_shards, reproducible
+    in any engine; hash string keys to int64 first)."""
+    from pyspark.sql import Window as W
+
+    c = df.groupBy(
+        F.pmod(F.col(key_col), F.lit(n_shards)).alias("shard"),
+        F.col(key_col).alias("key"),
+    ).agg(F.count(F.lit(1)).alias("lo"))
+    w = W.partitionBy("shard").orderBy(F.col("lo").desc(), F.col("key").asc())
+    r = c.select("shard", "key", "lo", F.row_number().over(w).alias("rk"))
+    kept = r.filter(F.col("rk") <= k).select(
+        "shard", "key", "lo", F.col("lo").alias("hi")
+    )
+    resid = (
+        r.filter(F.col("rk") > k)
+        .groupBy("shard")
+        .agg(F.max("lo").alias("dm"))
+        .select(
+            "shard",
+            F.lit(None).cast("long").alias("key"),
+            F.lit(0).cast("long").alias("lo"),
+            F.col("dm").cast("long").alias("hi"),
+        )
+    )
+    return kept.unionByName(resid)
+
+
+def merge_topk_sketches(a: DataFrame, b: DataFrame, k: int = 32) -> DataFrame:
+    """state ⊕ state with re-truncation to k kept keys per shard.
+
+    Per (shard, key): lo adds; hi adds, substituting the other state's
+    shard dm where the key is absent (it could have hidden just under
+    that state's truncation line). Re-truncation keeps the top-k by
+    (lo desc, key asc) and folds every dropped key's hi into the new
+    residual: dm' = max(dm_a + dm_b, max dropped hi) — so the absent-key
+    bound stays valid for keys unseen by either state AND keys truncated
+    here. Associative in the bound (never under-states), deterministic
+    in the values."""
+    from pyspark.sql import Window as W
+
+    def split(s: DataFrame):
+        return (
+            s.filter(F.col("key").isNotNull()),
+            s.filter(F.col("key").isNull()).select(
+                "shard", F.col("hi").alias("dm")
+            ),
+        )
+
+    ka, da = split(a)
+    kb, db = split(b)
+    j = (
+        ka.withColumnRenamed("lo", "lo_a")
+        .withColumnRenamed("hi", "hi_a")
+        .join(
+            kb.withColumnRenamed("lo", "lo_b").withColumnRenamed(
+                "hi", "hi_b"
+            ),
+            ["shard", "key"],
+            "full",
+        )
+        .join(da, "shard", "left")
+        .withColumnRenamed("dm", "dm_a")
+        .join(db, "shard", "left")
+        .withColumnRenamed("dm", "dm_b")
+    )
+    m = j.select(
+        "shard",
+        "key",
+        (F.coalesce("lo_a", F.lit(0)) + F.coalesce("lo_b", F.lit(0))).alias(
+            "lo"
+        ),
+        (
+            F.coalesce("hi_a", "dm_a", F.lit(0))
+            + F.coalesce("hi_b", "dm_b", F.lit(0))
+        ).alias("hi"),
+    )
+    w = W.partitionBy("shard").orderBy(F.col("lo").desc(), F.col("key").asc())
+    r = m.select("*", F.row_number().over(w).alias("rk"))
+    kept = r.filter(F.col("rk") <= k).select("shard", "key", "lo", "hi")
+    dropped_max = (
+        r.filter(F.col("rk") > k).groupBy("shard").agg(
+            F.max("hi").alias("drop_hi")
+        )
+    )
+    dm_base = (
+        da.select("shard", F.col("dm").alias("dm_a"))
+        .join(db.select("shard", F.col("dm").alias("dm_b")), "shard", "full")
+        .select(
+            "shard",
+            (
+                F.coalesce("dm_a", F.lit(0)) + F.coalesce("dm_b", F.lit(0))
+            ).alias("dm_sum"),
+        )
+    )
+    resid = (
+        dm_base.join(dropped_max, "shard", "full")
+        .select(
+            "shard",
+            F.lit(None).cast("long").alias("key"),
+            F.lit(0).cast("long").alias("lo"),
+            F.greatest(
+                F.coalesce("dm_sum", F.lit(0)),
+                F.coalesce("drop_hi", F.lit(0)),
+            ).cast("long").alias("hi"),
+        )
+        .filter(F.col("hi") > 0)
+    )
+    return kept.unionByName(resid)
+
+
+def heavy_hitters_from_sketch(state: DataFrame, top_n: int = 20) -> DataFrame:
+    """Read path: global top-n reported keys with exact integer bounds.
+
+    Sums each key's per-shard bounds (a key lives in exactly one shard,
+    so this is a projection, not an estimate-combination) and returns
+    (key, est_min, est_max) ordered by est_min desc, key asc — a total
+    order, so LIMIT is deterministic."""
+    return (
+        state.filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(
+            F.sum("lo").cast("long").alias("est_min"),
+            F.sum("hi").cast("long").alias("est_max"),
+        )
+        .orderBy(F.col("est_min").desc(), F.col("key").asc())
+        .limit(top_n)
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from hive_io_experimental_spark.operators import dedup, multimodal, relational, similarity, text
+from hive_io_experimental_spark.operators import dedup, incremental, multimodal, relational, similarity, text
 
 
 def docs_df(spark, texts):
@@ -1407,3 +1407,28 @@ def test_verified_near_duplicates_confirms_exact_pair(spark):
     got = dedup.verified_near_duplicates(df, threshold=0.9).collect()
     assert [(r.a_id, r.b_id) for r in got] == [(0, 1)]
     assert got[0].edit_sim == 1.0
+
+
+def test_topk_sketch_bounds_and_merge(spark):
+    # skewed key stream: key 1 dominates, keys 2..30 are the tail
+    rows = [(i, 1) for i in range(60)] + [
+        (100 + 10 * k + j, k) for k in range(2, 31) for j in range(k % 5 + 1)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long")
+    a = incremental.topk_sketch_state(
+        df.filter(F.col("event_id") % 2 == 0), k=4, n_shards=4
+    )
+    b = incremental.topk_sketch_state(
+        df.filter(F.col("event_id") % 2 == 1), k=4, n_shards=4
+    )
+    merged = incremental.merge_topk_sketches(a, b, k=4)
+    hits = incremental.heavy_hitters_from_sketch(merged, top_n=10).collect()
+    truth = {
+        r.user_id: r.n
+        for r in df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # every reported key's true count sits inside its [est_min, est_max]
+    for r in hits:
+        assert r.est_min <= truth[r.key] <= r.est_max, (r, truth[r.key])
+    # the dominant key is reported first with an exact bound
+    assert hits[0].key == 1 and hits[0].est_min == 60 == hits[0].est_max
