@@ -442,3 +442,60 @@ def test_histogram_state_streaming_fold_matches_batch(spark, sf_dir, tmp_path):
         for r in inc.percentiles_from_histogram(batch).collect()
     }
     assert ps_stream == ps_batch and ps_stream
+
+
+def test_topk_sketch_streaming_fold_bounds_hold(spark, sf_dir, tmp_path):
+    """The heavy-hitter tier folds per-microbatch sketches into a running
+    bounded state. Unlike the exact tiers the merge is lossy by design, so
+    the streaming proof checks the sketch CONTRACT instead of equality:
+    state cardinality stays <= n_shards x (k+1) however many batches fold
+    in, and every reported key's EXACT count sits inside its [est_min,
+    est_max] bounds. Three single-file micro-batches force two real
+    merge_topk_sketches folds."""
+    from hive_io_experimental_spark.operators import incremental as inc
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = str(tmp_path / "events")
+    # 3 files -> maxFilesPerTrigger=1 -> 3 micro-batches, 2 merges
+    src.withColumn("b", F.col("event_id") % 3).repartition(
+        3, "b"
+    ).drop("b").write.mode("overwrite").parquet(d)
+    stream = read_events_stream(spark, d, max_files_per_trigger=1)
+
+    K, S = 16, 8
+    acc = {"state": None, "batches": 0}
+
+    def fold(bdf, _bid):
+        s = inc.topk_sketch_state(bdf, key_col="user_id", k=K, n_shards=S)
+        acc["state"] = (
+            s if acc["state"] is None
+            else inc.merge_topk_sketches(acc["state"], s, k=K)
+        )
+        acc["state"] = spark.createDataFrame(
+            acc["state"].collect(), acc["state"].schema
+        )
+        acc["batches"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt_topk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    state = acc["state"]
+    assert acc["batches"] >= 2  # the merge path really ran
+    assert state.count() <= S * (K + 1)
+    hits = inc.heavy_hitters_from_sketch(state, top_n=20).collect()
+    assert hits
+    truth = {
+        r.user_id: r.n
+        for r in src.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in hits:
+        assert r.est_min <= truth[r.key] <= r.est_max, (r, truth[r.key])
+    mins = [r.est_min for r in hits]
+    assert mins == sorted(mins, reverse=True)
