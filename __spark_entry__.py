@@ -1268,6 +1268,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents")
     ).orderBy("doc_id")
 
+    # distribution matching: resample the non-src0 corpus so its length
+    # profile (100-char buckets) matches src0's — integer-exact per-bucket
+    # acceptance thresholds, hash-gated rows (operators/sampling.py
+    # distribution_matched_sample)
+    def _distmatch(spark, sf):
+        docs = _t(spark, sf, "documents").withColumn(
+            "len_bucket", F.expr("n_chars div 100")
+        )
+        return (
+            sampling.distribution_matched_sample(
+                docs.filter(F.col("source") != "src0"),
+                docs.filter(F.col("source") == "src0"),
+                "len_bucket",
+            )
+            .select("doc_id", "source", "n_chars")
+            .orderBy("doc_id")
+        )
+
+    q["distmatch_sample_docs"] = _distmatch
+
     # ---- training export: packing / mixtures / representatives ----
     q["pack_sequences"] = lambda spark, sf: (
         packing.pack_sequences(_t(spark, sf, "documents"))
@@ -2315,6 +2335,33 @@ def oracle_sql() -> dict[str, str]:
                                                  doc_id ASC) AS rank
               FROM j)
         SELECT doc_id, lang_pred, quality_score, rank FROM r WHERE rank <= 25"""
+
+    # distribution-matched sampler twin: same integer threshold arithmetic
+    # (10000 * ref_n * piv_src) // (src_n * piv_ref), same double-ratio
+    # pivot ordering, same salted hash gate
+    _DMATCH_H = _H64.format(x="'distmatch:' || CAST(doc_id AS VARCHAR)")
+    o["distmatch_sample_docs"] = f"""
+        WITH srcd AS (SELECT doc_id, source, n_chars,
+                             n_chars // 100 AS len_bucket
+                      FROM documents WHERE source <> 'src0'),
+        refd AS (SELECT n_chars // 100 AS len_bucket
+                 FROM documents WHERE source = 'src0'),
+        sc AS (SELECT len_bucket, CAST(COUNT(*) AS BIGINT) AS src_n
+               FROM srcd GROUP BY 1),
+        rc AS (SELECT len_bucket, CAST(COUNT(*) AS BIGINT) AS ref_n
+               FROM refd GROUP BY 1),
+        j AS (SELECT sc.len_bucket, src_n, ref_n
+              FROM sc JOIN rc USING (len_bucket)),
+        piv AS (SELECT src_n AS piv_src, ref_n AS piv_ref FROM j
+                ORDER BY ref_n / src_n DESC, len_bucket LIMIT 1),
+        thr AS (SELECT len_bucket,
+                       (10000 * ref_n * piv_src) // (src_n * piv_ref)
+                         AS thr
+                FROM j CROSS JOIN piv)
+        SELECT doc_id, source, n_chars
+        FROM srcd JOIN thr USING (len_bucket)
+        WHERE ({_DMATCH_H}) % 10000 < thr
+        ORDER BY doc_id"""
 
     _SAMPLE_H = _H64.format(x="'sample:' || CAST(doc_id AS VARCHAR)")
     _WSAMPLE_H = _H64.format(x="'wsample:' || CAST(doc_id AS VARCHAR)")

@@ -133,3 +133,81 @@ def hash_weighted_sample(
         * RATE_DENOM
     ).cast("int")
     return df.filter(bucket < threshold)
+
+
+def distribution_matched_sample(
+    df: DataFrame,
+    ref: DataFrame,
+    bucket_col: str,
+    key_col: str = "doc_id",
+    salt: str = "distmatch:",
+) -> DataFrame:
+    """Resample ``df`` so ``bucket_col``'s distribution matches ``ref``'s.
+
+    The domain/length-balancing operator: given a reference corpus whose
+    bucketed feature distribution (length decile, quality band, domain)
+    is the target, keep the LARGEST deterministic subset of ``df`` whose
+    bucket proportions match it. Per bucket b the acceptance is
+
+        a_b = (ref_n_b / src_n_b) / (ref_n_M / src_n_M)
+
+    where M is the bucket maximizing ref_n/src_n (its acceptance is 1 —
+    the binding constraint). Thresholds are computed with INTEGER
+    arithmetic only — floor(10000 * ref_n_b * src_n_M / (src_n_b *
+    ref_n_M)) — so both engines agree bit-for-bit; the per-row gate is
+    the same salted md5 hash-mod used by every sampler here. Buckets
+    absent from ``ref`` are dropped (target mass 0); buckets absent from
+    ``df`` simply can't contribute. The count aggregation and the
+    threshold table are state-sized (one row per bucket) and broadcast
+    back onto the scan — one partial-agg shuffle over each input, zero
+    shuffles on the kept-rows path.
+
+    Note: the integer product 10000 * ref_n_b * src_n_M must fit int64 —
+    fine up to ~10^7-row buckets on both sides; switch the threshold
+    arithmetic to DECIMAL(38,0) beyond that.
+    """
+    src_counts = df.groupBy(bucket_col).agg(
+        F.count(F.lit(1)).alias("src_n")
+    )
+    ref_counts = ref.groupBy(bucket_col).agg(
+        F.count(F.lit(1)).alias("ref_n")
+    )
+    j = src_counts.join(ref_counts, bucket_col)
+    # pivot bucket M = argmax ref_n/src_n: double ratio order with bucket
+    # tiebreak — deterministic, and both engines compute the same binary64
+    pivot = (
+        j.orderBy(
+            (F.col("ref_n") / F.col("src_n")).desc(),
+            F.col(bucket_col).asc(),
+        )
+        .limit(1)
+        .select(
+            F.col("src_n").alias("piv_src"), F.col("ref_n").alias("piv_ref")
+        )
+    )
+    thresholds = (
+        j.crossJoin(F.broadcast(pivot))
+        .select(
+            bucket_col,
+            (
+                F.lit(RATE_DENOM)
+                * F.col("ref_n").cast("long")
+                * F.col("piv_src").cast("long")
+            ).alias("num"),
+            (
+                F.col("src_n").cast("long") * F.col("piv_ref").cast("long")
+            ).alias("den"),
+        )
+        .select(bucket_col, F.expr("num div den").alias("thr"))
+    )
+    bucket = F.pmod(
+        portable_hash64(
+            F.concat(F.lit(salt), F.col(key_col).cast("string"))
+        ),
+        F.lit(RATE_DENOM),
+    )
+    return (
+        df.join(F.broadcast(thresholds), bucket_col)
+        .filter(bucket < F.col("thr"))
+        .select(*df.columns)
+    )

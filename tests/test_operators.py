@@ -1432,3 +1432,32 @@ def test_topk_sketch_bounds_and_merge(spark):
         assert r.est_min <= truth[r.key] <= r.est_max, (r, truth[r.key])
     # the dominant key is reported first with an exact bound
     assert hits[0].key == 1 and hits[0].est_min == 60 == hits[0].est_max
+
+
+def test_distribution_matched_sample_pivot_and_determinism(spark):
+    from hive_io_experimental_spark.operators.sampling import (
+        distribution_matched_sample,
+    )
+
+    # source skewed 80/20 to bucket 0; reference uniform 20/20
+    src = spark.createDataFrame(
+        [(i, 0 if i < 80 else 1) for i in range(100)], "doc_id long, b int"
+    )
+    ref = spark.createDataFrame(
+        [(1000 + i, i % 2) for i in range(40)], "doc_id long, b int"
+    )
+    out = distribution_matched_sample(src, ref, "b")
+    got = {
+        r.b: r.n
+        for r in out.groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # pivot = bucket 1 (ref/src 0.5/0.2 vs 0.25/0.8): kept in full
+    assert got[1] == 20
+    # bucket 0 thinned by thr = (10000*20*20)//(80*20) = 2500 -> ~25% of 80
+    assert 10 <= got.get(0, 0) <= 30
+    # deterministic: rerun picks the identical rows
+    ids1 = {r.doc_id for r in out.collect()}
+    ids2 = {
+        r.doc_id for r in distribution_matched_sample(src, ref, "b").collect()
+    }
+    assert ids1 == ids2
