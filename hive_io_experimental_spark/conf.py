@@ -136,6 +136,23 @@ IGNORE_CORRUPT_FILES = _register(
     "default for ScanSpec.ignore_corrupt_files: skip unreadable files "
     "instead of failing the scan",
 )
+# exact-substring span dedup window (operators/dedup.py span_occurrences):
+# every duplicated substring of >= this many tokens contains a duplicated
+# window, so smaller = more sensitive and more state
+SPAN_WINDOW_TOKENS = _register(
+    "hiveio.dedup.span_window_tokens", 16, int,
+    "token-window width for exact-substring (span) duplicate detection",
+)
+# heavy-hitter sketch tier sizing (operators/incremental.py
+# topk_sketch_state): error bound scales with 1/k, state with k x shards
+TOPK_SKETCH_K = _register(
+    "hiveio.incremental.topk_k", 32, int,
+    "kept keys per shard in the bounded top-k sketch state",
+)
+TOPK_SKETCH_SHARDS = _register(
+    "hiveio.incremental.topk_shards", 8, int,
+    "hash shards in the bounded top-k sketch state",
+)
 
 
 def all_options() -> dict[str, Option]:

@@ -899,7 +899,7 @@ def label_components_star(
 
 def span_occurrences(
     df: DataFrame,
-    window_tokens: int = 16,
+    window_tokens: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     keep_text: bool = False,
@@ -910,8 +910,13 @@ def span_occurrences(
     ``window_tokens`` emit nothing. ``keep_text=False`` (default) ships
     only the md5 through the shuffle — at 100 TB the window text is ~100
     bytes vs a 32-byte hash, and nothing downstream needs the text except
-    human-facing samples.
+    human-facing samples. ``window_tokens=None`` resolves the
+    ``hiveio.dedup.span_window_tokens`` session conf (default 16).
     """
+    if window_tokens is None:
+        from hive_io_experimental_spark import conf as _conf
+
+        window_tokens = _conf.SPAN_WINDOW_TOKENS.get(df.sparkSession)
     spans = spread(df).select(
         F.col(id_col).alias("id"),
         F.posexplode(word_shingles(F.col(text_col), window_tokens)).alias(
@@ -926,7 +931,7 @@ def span_occurrences(
 
 def duplicated_spans(
     df: DataFrame,
-    window_tokens: int = 16,
+    window_tokens: int | None = None,
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -955,12 +960,16 @@ def duplicated_spans(
 
 def _dup_positions(
     df: DataFrame,
-    window_tokens: int,
+    window_tokens: int | None,
     min_docs: int,
     text_col: str,
     id_col: str,
 ) -> DataFrame:
     """(id, pos) distinct token positions covered by a duplicated window."""
+    if window_tokens is None:
+        from hive_io_experimental_spark import conf as _conf
+
+        window_tokens = _conf.SPAN_WINDOW_TOKENS.get(df.sparkSession)
     occ = span_occurrences(df, window_tokens, text_col, id_col)
     dup = (
         occ.groupBy("span_hash")
@@ -987,7 +996,7 @@ def _dup_positions(
 
 def span_dedup_stats(
     df: DataFrame,
-    window_tokens: int = 16,
+    window_tokens: int | None = None,
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -1027,7 +1036,7 @@ def span_dedup_stats(
 
 def strip_duplicated_spans(
     df: DataFrame,
-    window_tokens: int = 16,
+    window_tokens: int | None = None,
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",

@@ -349,15 +349,23 @@ def distinct_accuracy_check(
 def topk_sketch_state(
     df: DataFrame,
     key_col: str = "user_id",
-    k: int = 32,
-    n_shards: int = 8,
+    k: int | None = None,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """One batch -> bounded top-k state: (shard, key, lo, hi) kept rows
     (lo == hi == exact in-batch count) plus one residual row per shard
     (key NULL, lo 0, hi = largest dropped count). ``key_col`` must be a
     non-negative integer column (shard = key mod n_shards, reproducible
-    in any engine; hash string keys to int64 first)."""
+    in any engine; hash string keys to int64 first). ``k``/``n_shards``
+    default to the hiveio.incremental.topk_k / topk_shards confs."""
     from pyspark.sql import Window as W
+
+    from hive_io_experimental_spark import conf as _conf
+
+    if k is None:
+        k = _conf.TOPK_SKETCH_K.get(df.sparkSession)
+    if n_shards is None:
+        n_shards = _conf.TOPK_SKETCH_SHARDS.get(df.sparkSession)
 
     c = df.groupBy(
         F.pmod(F.col(key_col), F.lit(n_shards)).alias("shard"),
@@ -382,7 +390,9 @@ def topk_sketch_state(
     return kept.unionByName(resid)
 
 
-def merge_topk_sketches(a: DataFrame, b: DataFrame, k: int = 32) -> DataFrame:
+def merge_topk_sketches(
+    a: DataFrame, b: DataFrame, k: int | None = None
+) -> DataFrame:
     """state ⊕ state with re-truncation to k kept keys per shard.
 
     Per (shard, key): lo adds; hi adds, substituting the other state's
@@ -394,6 +404,11 @@ def merge_topk_sketches(a: DataFrame, b: DataFrame, k: int = 32) -> DataFrame:
     here. Associative in the bound (never under-states), deterministic
     in the values."""
     from pyspark.sql import Window as W
+
+    if k is None:
+        from hive_io_experimental_spark import conf as _conf
+
+        k = _conf.TOPK_SKETCH_K.get(a.sparkSession)
 
     def split(s: DataFrame):
         return (

@@ -233,3 +233,45 @@ def test_hll_distinct_state_merge_exactness(spark):
     }
     for k, est in m.items():
         assert abs(est - true[k]) / true[k] < 0.05, (k, est, true[k])
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=25), min_size=5,
+                  max_size=60),
+    split=st.integers(min_value=1, max_value=6),
+    k=st.integers(min_value=2, max_value=5),
+)
+def test_topk_sketch_bounds_always_valid(spark, keys, split, k):
+    """For ANY key stream, ANY batch split, and ANY sketch capacity: every
+    key the merged sketch reports carries bounds containing its exact
+    count, and the span-dedup-style guarantee holds — a key whose true
+    count strictly exceeds every shard's residual bound must be reported."""
+    from hive_io_experimental_spark.operators import incremental as inc
+
+    rows = [(i, kk) for i, kk in enumerate(keys)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long")
+    a = inc.topk_sketch_state(
+        df.filter(f"event_id % {split + 1} = 0"), k=k, n_shards=3
+    )
+    b = inc.topk_sketch_state(
+        df.filter(f"event_id % {split + 1} <> 0"), k=k, n_shards=3
+    )
+    merged = inc.merge_topk_sketches(a, b, k=k)
+    rep = {
+        r.key: (r.est_min, r.est_max)
+        for r in inc.heavy_hitters_from_sketch(merged, top_n=100).collect()
+    }
+    truth: dict[int, int] = {}
+    for kk in keys:
+        truth[kk] = truth.get(kk, 0) + 1
+    for key, (lo, hi) in rep.items():
+        assert lo <= truth[key] <= hi, (key, lo, hi, truth[key])
+    # residual bound per shard of the merged state
+    resid = {
+        r.shard: r.hi
+        for r in merged.filter("key IS NULL").collect()
+    }
+    for key, n in truth.items():
+        if n > resid.get(key % 3, 0):
+            assert key in rep, (key, n, resid)
