@@ -970,7 +970,10 @@ def _dup_positions(
         from hive_io_experimental_spark import conf as _conf
 
         window_tokens = _conf.SPAN_WINDOW_TOKENS.get(df.sparkSession)
-    occ = span_occurrences(df, window_tokens, text_col, id_col)
+    # occ feeds two plan branches (the dup-hash groupBy and the join back);
+    # persist so the tokenize+window pass runs once — at warehouse scale
+    # the equivalent is a checkpoint of the occurrence table.
+    occ = span_occurrences(df, window_tokens, text_col, id_col).persist()
     dup = (
         occ.groupBy("span_hash")
         .agg(F.countDistinct("id").alias("n_docs"))
