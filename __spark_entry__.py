@@ -1470,6 +1470,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_features"] = lambda spark, sf: multimodal.extract_features(
         multimodal.attach_binary_payload(_t(spark, sf, "documents"))
     )
+    # binary-level dedup: content-defined chunk boundaries (rolling-hash
+    # cuts) + cross-payload duplicate-chunk byte accounting — the storage
+    # dedup twin of the text span pass; oracle recomputes the identical
+    # polynomial hash over hex-expanded bytes
+    q["multimodal_cdc_stats"] = lambda spark, sf: multimodal.cdc_dedup_stats(
+        multimodal.attach_binary_payload(_t(spark, sf, "documents"))
+    )
 
     return _front_load(q)
 
@@ -3603,6 +3610,57 @@ def oracle_sql() -> dict[str, str]:
     # 2-hex-char bytes, unnest to (doc_id, byte) rows, then the same
     # histogram -> distinct/mean/entropy math as extract_features (both
     # sides round to 6; `+ 0.0` folds IEEE -0.0 like the operator does)
+    # content-defined chunking twin: same polynomial rolling hash
+    # H(p) = sum b[p-i] * 31^i over the trailing 8 bytes (coefficients
+    # expanded — 31^0..31^7), cut after H % 64 == 0, chunk fingerprint =
+    # md5 of the chunk's uppercase-hex slice (operators/multimodal.py
+    # cdc_chunks / cdc_dedup_stats)
+    o["multimodal_cdc_stats"] = """
+        WITH b AS (SELECT doc_id, encode(text) AS blob FROM documents),
+        hx AS (SELECT doc_id, hex(blob) AS h, octet_length(blob) AS n
+               FROM b),
+        bs AS (SELECT doc_id, n,
+                      list_transform(range(0, n),
+                          i -> CAST(('0x' || substr(h,
+                                     CAST(2 * i + 1 AS INT), 2)) AS BIGINT))
+                        AS bl
+               FROM hx WHERE n >= 8),
+        pos AS (SELECT doc_id, bl, unnest(range(7, n)) AS p FROM bs),
+        hsh AS (SELECT doc_id, p,
+                       bl[p + 1] + 31 * bl[p] + 961 * bl[p - 1]
+                       + 29791 * bl[p - 2] + 923521 * bl[p - 3]
+                       + 28629151 * bl[p - 4] + 887503681 * bl[p - 5]
+                       + 27512614111 * bl[p - 6] AS hv
+                FROM pos),
+        cuts AS (SELECT doc_id, p + 1 AS start FROM hsh
+                 WHERE hv % 64 = 0),
+        starts AS (SELECT doc_id, 0 AS start FROM hx
+                   UNION ALL
+                   SELECT c.doc_id, c.start
+                   FROM cuts c JOIN hx USING (doc_id)
+                   WHERE c.start < hx.n),
+        sized AS (SELECT s.doc_id, s.start,
+                         COALESCE(LEAD(s.start) OVER (
+                             PARTITION BY s.doc_id ORDER BY s.start),
+                             x.n) - s.start AS length
+                  FROM starts s JOIN hx x USING (doc_id)),
+        ch AS (SELECT z.doc_id,
+                      z.length,
+                      md5(substr(x.h, CAST(2 * z.start + 1 AS INT),
+                                 CAST(2 * z.length AS INT))) AS chunk_hash
+               FROM sized z JOIN hx x USING (doc_id)),
+        dup AS (SELECT chunk_hash FROM ch
+                GROUP BY chunk_hash
+                HAVING COUNT(DISTINCT doc_id) >= 2)
+        SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM ch) AS n_chunks,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM ch
+           WHERE chunk_hash IN (SELECT chunk_hash FROM dup))
+            AS n_dup_occurrences,
+          (SELECT CAST(COALESCE(SUM(length), 0) AS BIGINT) FROM ch
+           WHERE chunk_hash IN (SELECT chunk_hash FROM dup)) AS dup_bytes,
+          (SELECT CAST(SUM(length) AS BIGINT) FROM ch) AS total_bytes"""
+
     o["multimodal_features"] = """
         WITH b AS (SELECT doc_id, encode(text) AS blob FROM documents),
         tot AS (SELECT doc_id, octet_length(blob) AS n FROM b),

@@ -218,3 +218,144 @@ def frame_sample_plan(
         "frame_slot",
         (F.col("frame_slot") * F.col("step_s")).alias("frame_time_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking: binary-level dedup units
+# ---------------------------------------------------------------------------
+
+CDC_SCHEMA = (
+    "doc_id long, chunk_idx long, start long, length long, chunk_hash string"
+)
+
+
+def cdc_chunks(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    window: int = 8,
+    base: int = 31,
+    mask: int = 63,
+) -> DataFrame:
+    """Content-defined chunk boundaries + chunk fingerprints per payload.
+
+    The binary counterpart of the text span pass: fixed-offset chunking
+    breaks on any byte insertion, so storage/transfer dedup systems cut
+    chunks where a ROLLING HASH of the trailing ``window`` bytes hits a
+    mask (content-defined chunking; public rsync/LBFS lineage) — an
+    inserted byte only reshapes the chunks it touches, and identical
+    regions elsewhere keep identical fingerprints.
+
+    Deterministic, engine-portable formulation: H(p) = sum_{i=0}^{w-1}
+    b[p-i] * base^i (exact int64 — no modular wraparound at these sizes),
+    a cut lands AFTER every position where H % (mask+1) == 0, and the
+    chunk fingerprint is md5 of the chunk's UPPERCASE HEX (portable to
+    the SQL twin, which cannot md5 blob slices). Average chunk length ~=
+    mask+1 bytes. No min/max chunk clamps: those need a sequential scan
+    state that breaks position-locality; at ingest scale, clamp by
+    re-chunking oversized chunks downstream if needed.
+
+    Execution shape: Arrow-batched mapInPandas, numpy rolling hash per
+    payload (the right granularity — real media payloads are MBs), zero
+    shuffle; only (offsets, 32-char hash) rows flow out. A payload
+    shorter than ``window`` (or empty) is one chunk.
+    """
+    import numpy as np
+
+    cols = spread(df).select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    )
+    weights = None
+
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        nonlocal weights
+        if weights is None:
+            weights = np.array(
+                [base ** (window - 1 - j) for j in range(window)],
+                dtype=np.int64,
+            )
+        for pdf in batches:
+            ids, idxs, starts, lengths, hashes = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                if n >= window:
+                    a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                    h = (
+                        np.lib.stride_tricks.sliding_window_view(a, window)
+                        @ weights
+                    )
+                    # h[j] is H(p) at p = j + window - 1
+                    cut_after = np.nonzero(h % (mask + 1) == 0)[0] + window
+                    cuts = cut_after[cut_after < n]
+                    st = np.concatenate(([0], cuts))
+                else:
+                    st = np.array([0], dtype=np.int64)
+                en = np.concatenate((st[1:], [n]))
+                hexs = b.hex().upper()
+                for i, (s, e) in enumerate(zip(st, en)):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    starts.append(int(s))
+                    lengths.append(int(e - s))
+                    hashes.append(
+                        hashlib.md5(
+                            hexs[2 * s : 2 * e].encode("ascii")
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "chunk_idx": idxs,
+                    "start": starts,
+                    "length": lengths,
+                    "chunk_hash": hashes,
+                }
+            )
+
+    return cols.mapInPandas(chunk, CDC_SCHEMA)
+
+
+def cdc_dedup_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    window: int = 8,
+    base: int = 31,
+    mask: int = 63,
+) -> DataFrame:
+    """One-row binary-dedup accounting over content-defined chunks.
+
+    (n_chunks, n_dup_occurrences, dup_bytes, total_bytes) where a chunk
+    occurrence is "dup" when its fingerprint appears in >= 2 DISTINCT
+    payloads — dup_bytes is what chunk-level storage dedup would not
+    store twice. All integers; one groupBy-on-hash shuffle."""
+    # ch feeds three plan branches (dup groupBy, the semi join, totals);
+    # persist so the Arrow chunking pass runs once
+    ch = cdc_chunks(df, payload_col, id_col, window, base, mask).persist()
+    dup = (
+        ch.groupBy("chunk_hash")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("chunk_hash")
+    )
+    marked = ch.join(dup, "chunk_hash", "left_semi")
+    return (
+        ch.agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("length").cast("long").alias("total_bytes"),
+        )
+        .crossJoin(
+            F.broadcast(
+                marked.agg(
+                    F.count(F.lit(1)).alias("n_dup_occurrences"),
+                    F.coalesce(F.sum("length"), F.lit(0))
+                    .cast("long")
+                    .alias("dup_bytes"),
+                )
+            )
+        )
+        .select("n_chunks", "n_dup_occurrences", "dup_bytes", "total_bytes")
+    )

@@ -1461,3 +1461,38 @@ def test_distribution_matched_sample_pivot_and_determinism(spark):
         r.doc_id for r in distribution_matched_sample(src, ref, "b").collect()
     }
     assert ids1 == ids2
+
+
+def test_cdc_chunks_survive_prefix_insertion(spark):
+    """The defining CDC property: inserting bytes at the front only
+    reshapes the chunks up to the first content-defined cut after the
+    edit — later chunk fingerprints are IDENTICAL, which is exactly why
+    fixed-offset chunking can't do storage dedup and CDC can."""
+    import hashlib
+
+    base = "".join(
+        hashlib.md5(f"seed{i}".encode()).hexdigest() for i in range(20)
+    )  # 640 deterministic pseudo-random chars -> ~10 chunks at mask 63
+    df = spark.createDataFrame(
+        [(0, base), (1, "INSERTED-PREFIX-" + base)], "doc_id long, text string"
+    )
+    ch = multimodal.cdc_chunks(
+        multimodal.attach_binary_payload(df)
+    ).collect()
+    a = [r.chunk_hash for r in sorted(
+        (r for r in ch if r.doc_id == 0), key=lambda r: r.chunk_idx)]
+    b = [r.chunk_hash for r in sorted(
+        (r for r in ch if r.doc_id == 1), key=lambda r: r.chunk_idx)]
+    # chunk streams re-synchronize: the common suffix covers most chunks
+    suffix = 0
+    while suffix < min(len(a), len(b)) and a[-1 - suffix] == b[-1 - suffix]:
+        suffix += 1
+    assert len(a) >= 4  # the corpus actually chunked
+    assert suffix >= len(a) - 2, (suffix, len(a), len(b))
+    # offsets/lengths tile each payload exactly
+    for doc, text in ((0, base), (1, "INSERTED-PREFIX-" + base)):
+        rows = sorted((r for r in ch if r.doc_id == doc), key=lambda r: r.chunk_idx)
+        assert rows[0].start == 0
+        assert sum(r.length for r in rows) == len(text)
+        for x, y in zip(rows, rows[1:]):
+            assert y.start == x.start + x.length
