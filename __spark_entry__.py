@@ -1264,6 +1264,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .orderBy("split", "lang")
     )
 
+    # CUBE completes the multi-aggregate trio (ROLLUP revenue_rollup,
+    # GROUPING SETS events_time_rollup)
+    q["order_cube_summary"] = lambda spark, sf: relational.order_cube_summary(
+        _t(spark, sf, "orders")
+    )
+    # audience overlap: exact pairwise distinct-user intersections +
+    # jaccard between event-type segments
+    q["segment_user_overlap"] = lambda spark, sf: relational.segment_user_overlap(
+        _t(spark, sf, "events")
+    )
+
     q["token_entropy"] = lambda spark, sf: text.token_entropy(
         _t(spark, sf, "documents")
     ).orderBy("doc_id")
@@ -3439,6 +3450,39 @@ def oracle_sql() -> dict[str, str]:
                CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DOUBLE),
                o_orderstatus, 'update_postimage'
         FROM f"""
+
+    # CUBE twin — Spark grouping_id bit order: first cube column is the
+    # most significant bit
+    o["order_cube_summary"] = """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) * 2
+                    + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_totalprice
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY gid, o_orderstatus, o_orderpriority"""
+
+    o["segment_user_overlap"] = """
+        WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        sizes AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+                  FROM tu GROUP BY 1),
+        pair AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                        CAST(COUNT(*) AS BIGINT) AS users_both
+                 FROM tu a JOIN tu b
+                   ON a.user_id = b.user_id
+                      AND a.event_type < b.event_type
+                 GROUP BY 1, 2)
+        SELECT type_a, type_b,
+               sa.n_users AS users_a, sb.n_users AS users_b, users_both,
+               ROUND(users_both
+                     / (sa.n_users + sb.n_users - users_both), 6)
+                 AS jaccard
+        FROM pair
+        JOIN sizes sa ON type_a = sa.event_type
+        JOIN sizes sb ON type_b = sb.event_type
+        ORDER BY type_a, type_b"""
 
     # compaction contract: content identical to source, exactly one data
     # file per partition after the rewrite (the constant IS the invariant)

@@ -1426,3 +1426,83 @@ def table_stats(df: DataFrame) -> DataFrame:
     """HiveStats-shaped row-count stats (numRows; sizes come from the
     catalog, common/HiveStats.java:34-108) as a degenerate aggregate."""
     return df.agg(F.count(F.lit(1)).alias("num_rows"))
+
+
+def order_cube_summary(orders: DataFrame) -> DataFrame:
+    """Full CUBE over (status, priority): every subtotal combination in
+    one pass — the third member of the multi-aggregate trio (ROLLUP in
+    revenue_rollup, GROUPING SETS in events_time_rollup, CUBE here). One
+    Expand + one shuffle regardless of the 4 grouping combinations;
+    grouping_id tags which dimensions each row aggregates away. Money is
+    exact decimal summed then presented as double (engine convention)."""
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_totalprice"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "gid", "n_orders",
+            "sum_totalprice",
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+def segment_user_overlap(events: DataFrame) -> DataFrame:
+    """Audience overlap between every pair of event-type segments.
+
+    For each unordered pair of event types: exact distinct-user counts of
+    each segment, the intersection, and the Jaccard overlap — the
+    audience-analysis primitive behind "how much do these cohorts
+    overlap". Plan shape: ONE distinct (type, user) pass (shuffle on
+    user), a self-equi-join on user_id (co-partitioned by the distinct's
+    hash partitioning — no extra exchange on the probe side), then a
+    groupBy on the type pair whose cardinality is types^2 — state-sized.
+    At 100 TB the exact path is fine whenever (type, user) distinct fits
+    a shuffle; the sketch path for when it doesn't is the HLL tier
+    (union-mergeable; intersections via inclusion-exclusion)."""
+    tu = events.select("event_type", "user_id").distinct().persist()
+    sizes = tu.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    a = tu.alias("a")
+    b = tu.alias("b")
+    both = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("users_both"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        both.join(sa, F.col("type_a") == F.col("sa.event_type"))
+        .join(sb, F.col("type_b") == F.col("sb.event_type"))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("sa.n_users").alias("users_a"),
+            F.col("sb.n_users").alias("users_b"),
+            "users_both",
+            F.round(
+                F.col("users_both")
+                / (
+                    F.col("sa.n_users")
+                    + F.col("sb.n_users")
+                    - F.col("users_both")
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
