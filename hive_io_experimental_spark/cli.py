@@ -377,6 +377,43 @@ def cmd_dedup(args: argparse.Namespace, stop_session: bool = True) -> int:
     return 0
 
 
+def cmd_spans(args: argparse.Namespace, stop_session: bool = True) -> int:
+    """Exact-substring (span) duplication over a corpus.
+
+    --mode stats: per-group duplicated-token accounting (integers);
+    --mode hot:   hottest cross-document spans;
+    --mode strip: the corpus rewritten with duplicated-span tokens removed."""
+    from hive_io_experimental_spark.operators import dedup as dedup_ops
+
+    spark = _build_spark(args.threads)
+    df = _table_df(spark, args, args.table)
+    if args.mode == "stats":
+        out = dedup_ops.span_dedup_stats(
+            df, window_tokens=args.window, min_docs=args.min_docs,
+            text_col=args.text_col, id_col=args.id_col,
+            group_col=args.group_col,
+        )
+    elif args.mode == "hot":
+        out = dedup_ops.duplicated_spans(
+            df, window_tokens=args.window, min_docs=args.min_docs,
+            text_col=args.text_col, id_col=args.id_col,
+        ).limit(args.limit)
+    else:
+        out = dedup_ops.strip_duplicated_spans(
+            df, window_tokens=args.window, min_docs=args.min_docs,
+            text_col=args.text_col, id_col=args.id_col,
+        )
+    print(args.separator.join(out.columns))
+    n = 0
+    for row in out.toLocalIterator():
+        print(args.separator.join("" if v is None else str(v) for v in row))
+        n += 1
+    print(f"# {n} rows", file=sys.stderr)
+    if stop_session:
+        spark.stop()
+    return 0
+
+
 def cmd_decontaminate(
     args: argparse.Namespace, stop_session: bool = True
 ) -> int:
@@ -557,6 +594,29 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("--separator", default="\t")
     dd.add_argument("--threads", type=int, default=None)
 
+    sp = sub.add_parser(
+        "spans",
+        help="exact-substring span duplication: stats / hot spans / strip",
+    )
+    sp.add_argument("--table", required=True,
+                    help="db.table (with --warehouse) or parquet path")
+    sp.add_argument("--mode", choices=("stats", "hot", "strip"),
+                    default="stats")
+    sp.add_argument("--window", type=int, default=None,
+                    help="token-window width (default: session conf)")
+    sp.add_argument("--min-docs", type=int, default=2)
+    sp.add_argument("--limit", type=int, default=20,
+                    help="rows for --mode hot")
+    sp.add_argument("--group-col", default="source",
+                    help="grouping column for --mode stats")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--warehouse")
+    sp.add_argument("--namespaces-file")
+    sp.add_argument("--namespace", default="silver")
+    sp.add_argument("--separator", default="\t")
+    sp.add_argument("--threads", type=int, default=None)
+
     dc = sub.add_parser(
         "decontaminate",
         help="flag training docs sharing winnowing fps with a benchmark",
@@ -608,6 +668,8 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         return cmd_check(args, stop_session=stop_session)
     if args.command == "dedup":
         return cmd_dedup(args, stop_session=stop_session)
+    if args.command == "spans":
+        return cmd_spans(args, stop_session=stop_session)
     if args.command == "decontaminate":
         return cmd_decontaminate(args, stop_session=stop_session)
     if args.command == "snapshots":

@@ -268,3 +268,36 @@ def test_cli_dedup_and_decontaminate(spark, tmp_path, capsys):
     assert out[0].split("\t") == ["text_hash", "kept_id", "dup_count"]
     counts = {l.split("\t")[1]: l.split("\t")[2] for l in out[1:]}
     assert counts["11"] == "2" and counts["10"] == "1"
+
+
+def test_cli_spans_stats_and_strip(spark, tmp_path, capsys):
+    t = tmp_path / "docs"
+    spark.createDataFrame(
+        [
+            (0, "aaa bbb ccc ddd eee fff", "web"),
+            (1, "xxx yyy aaa bbb ccc ddd zzz", "web"),
+            (2, "unrelated tokens entirely different content here", "books"),
+        ],
+        "doc_id long, text string, source string",
+    ).write.parquet(str(t))
+
+    rc = main(
+        ["spans", "--table", str(t), "--mode", "stats", "--window", "4"],
+        stop_session=False,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t") == [
+        "source", "n_docs", "dup_docs", "total_tokens", "dup_tokens",
+    ]
+    rows = {l.split("\t")[0]: l.split("\t") for l in out[1:]}
+    assert rows["web"][4] == "8" and rows["books"][4] == "0"
+
+    rc = main(
+        ["spans", "--table", str(t), "--mode", "strip", "--window", "4"],
+        stop_session=False,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    by_id = {l.split("\t")[0]: l.split("\t") for l in out[1:]}
+    assert by_id["0"][1] == "eee fff"
