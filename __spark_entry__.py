@@ -796,6 +796,64 @@ def _compact_small_files(spark: SparkSession, sf: str) -> DataFrame:
     return agg.join(files_df, "lang").orderBy("lang")
 
 
+def _schema_evolution_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Metadata-only schema evolution through the engine's own I/O path
+    (catalog.add_column): write even-keyed orders with two columns, evolve
+    the table, append odd-keyed orders with the added o_orderpriority
+    column, then aggregate the full scan. The contract — old files are
+    NEVER rewritten and surface NULL for the added column via by-name
+    resolution — is exactly what the oracle's CASE over the source
+    reproduces."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    orders = _t(spark, sf, "orders")
+    wh = tempfile.mkdtemp(prefix="hio_gate_evo_")  # outlives the lazy scan
+    cat = Catalog(wh)
+    cat.create_table(
+        "default.orders_ev",
+        HiveTableSchema(
+            (("o_orderkey", T.LongType()), ("o_totalprice", T.DoubleType()))
+        ),
+        versioned=True,
+    )
+    out = HiveOutput(spark, cat)
+    out.append_table(
+        WriteSpec("default.orders_ev"),
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ),
+    )
+    cat.add_column("default.orders_ev", "o_orderpriority", T.StringType())
+    out.append_table(
+        WriteSpec("default.orders_ev"),
+        orders.filter(F.col("o_orderkey") % 2 != 0).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ),
+    )
+    body = HiveInput(spark, cat).read_table(
+        ScanSpec(table="default.orders_ev")
+    )
+    return (
+        body.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("<pre-evolution>"))
+            .alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_totalprice"),
+        )
+        .orderBy("priority")
+    )
+
+
 def _scan_csv_nulls(spark: SparkSession, sf: str) -> DataFrame:
     """Driver-gate round-trip for the delimited-text serde (reference S6/S7:
     BytesParser '\\N' and empty-field null conventions,
@@ -1128,6 +1186,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # preserved + one file per partition, proven via the manifest)
     q["compact_small_files"] = _compact_small_files
     q["snapshot_diff_cdc"] = _snapshot_diff_cdc
+    # metadata-only schema evolution: old files surface NULL for the
+    # added column, no rewrite
+    q["schema_evolution_scan"] = _schema_evolution_scan
     q["merge_key_move"] = _merge_key_move
     q["scan_multikey_pruned"] = _scan_multikey_pruned
     q["scan_json_roundtrip"] = _scan_json_roundtrip
@@ -3450,6 +3511,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DOUBLE),
                o_orderstatus, 'update_postimage'
         FROM f"""
+
+    # schema-evolution twin: the engine's NULL backfill for pre-evolution
+    # files equals a CASE on the write split
+    o["schema_evolution_scan"] = """
+        SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-evolution>'
+                    ELSE o_orderpriority END AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_totalprice
+        FROM orders GROUP BY 1 ORDER BY 1"""
 
     # CUBE twin — Spark grouping_id bit order: first cube column is the
     # most significant bit
