@@ -155,3 +155,54 @@ def test_join_advisor_broadcast_shuffle_and_salt(spark, warehouse):
                                 broadcast_bytes=1)
     assert adv.strategy == "shuffle" and adv.salt_recommended
     assert adv.rows_per_key == 1500.0
+
+
+def test_distmatch_kept_path_broadcasts_thresholds(spark, sf_dir):
+    """The kept-rows path must join the (state-sized) per-bucket threshold
+    table via broadcast — no shuffle of the corpus."""
+    from hive_io_experimental_spark.operators.sampling import (
+        distribution_matched_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "len_bucket", F.expr("n_chars div 100")
+    )
+    out = distribution_matched_sample(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "len_bucket",
+    )
+    from hive_io_experimental_spark.plans.inspect import explain_str
+
+    rep = scan_plan_report(out)
+    assert rep["num_broadcasts"] >= 1
+    assert "CartesianProduct" not in explain_str(out)
+
+
+def test_cdc_chunking_no_shuffle_before_group(spark, sf_dir):
+    """Chunk extraction itself is shuffle-free (Arrow map stage); the only
+    exchanges in cdc_chunks' plan are none at all."""
+    from hive_io_experimental_spark.operators import multimodal
+
+    ch = multimodal.cdc_chunks(
+        multimodal.attach_binary_payload(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        )
+    )
+    # spread() may add one round-robin exchange to widen a single-file
+    # input; beyond that the chunk extraction is exchange-free
+    rep = scan_plan_report(ch)
+    assert rep["num_exchanges"] <= 1
+
+
+def test_span_pipeline_no_cartesian(spark, sf_dir):
+    """The span stats plan joins on the high-cardinality span hash and the
+    (id, pos) pair — never a cartesian product."""
+    from hive_io_experimental_spark.operators import dedup
+
+    out = dedup.span_dedup_stats(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), window_tokens=16
+    )
+    from hive_io_experimental_spark.plans.inspect import explain_str
+
+    assert "CartesianProduct" not in explain_str(out)
