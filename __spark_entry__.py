@@ -1084,6 +1084,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["gapfill_hourly"] = lambda spark, sf: temporal.gapfill_hourly(
         _t(spark, sf, "events")
     )
+    # linear interpolation across silent hours (edges stay NULL)
+    q["gapfill_interpolated"] = lambda spark, sf: temporal.gapfill_interpolate(
+        _t(spark, sf, "events")
+    )
     q["sessionize_events"] = lambda spark, sf: relational.sessionize(
         _t(spark, sf, "events")
     )
@@ -3673,6 +3677,51 @@ def oracle_sql() -> dict[str, str]:
                      / COUNT(*), 6) AS accuracy
         FROM pick WHERE vr = 1
         GROUP BY 1 ORDER BY 1"""
+
+    # interpolation twin: bracketing (hour, value) pairs via IGNORE NULLS
+    # windows over the same grid; observed hours pass through exact
+    o["gapfill_interpolated"] = """
+        WITH agg AS (
+          SELECT (epoch_us(ts) // 3600000000) * 3600 AS h, event_type AS t,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS s
+          FROM events GROUP BY 1, 2),
+        bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM agg),
+        types AS (SELECT DISTINCT t AS event_type FROM agg),
+        grid AS (SELECT unnest(range(lo, hi + 1, 3600)) AS hour_epoch,
+                        event_type
+                 FROM bounds CROSS JOIN types),
+        g AS (SELECT grid.hour_epoch AS hour_epoch,
+                     grid.event_type AS event_type,
+                     COALESCE(agg.n, 0) AS n_events,
+                     agg.s AS sum_value
+              FROM grid LEFT JOIN agg
+                ON grid.hour_epoch = agg.h AND grid.event_type = agg.t),
+        br AS (SELECT *,
+                      last_value(CASE WHEN sum_value IS NOT NULL
+                                      THEN hour_epoch END IGNORE NULLS)
+                        OVER (PARTITION BY event_type ORDER BY hour_epoch
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS ph,
+                      last_value(sum_value IGNORE NULLS)
+                        OVER (PARTITION BY event_type ORDER BY hour_epoch
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS pv,
+                      first_value(CASE WHEN sum_value IS NOT NULL
+                                       THEN hour_epoch END IGNORE NULLS)
+                        OVER (PARTITION BY event_type ORDER BY hour_epoch
+                              ROWS BETWEEN CURRENT ROW
+                                       AND UNBOUNDED FOLLOWING) AS nh,
+                      first_value(sum_value IGNORE NULLS)
+                        OVER (PARTITION BY event_type ORDER BY hour_epoch
+                              ROWS BETWEEN CURRENT ROW
+                                       AND UNBOUNDED FOLLOWING) AS nv
+               FROM g)
+        SELECT hour_epoch, event_type, n_events, sum_value,
+               CASE WHEN sum_value IS NOT NULL THEN sum_value
+                    ELSE ROUND(pv + (nv - pv) * (hour_epoch - ph)
+                               / (nh - ph), 6) END AS sum_value_interp
+        FROM br ORDER BY hour_epoch, event_type"""
 
     o["gapfill_hourly"] = """
         WITH agg AS (

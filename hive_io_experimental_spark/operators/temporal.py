@@ -357,3 +357,58 @@ def gapfill_hourly(events: DataFrame) -> DataFrame:
         )
         .orderBy("hour_epoch", "event_type")
     )
+
+
+def gapfill_interpolate(events: DataFrame) -> DataFrame:
+    """Linearly interpolated gap-fill: silent hours get the straight line
+    between the nearest known values on each side.
+
+    The interpolation member of the gapfill family (zero-fill and LOCF in
+    gapfill_hourly). Edges stay NULL — before the first or after the last
+    observation there is nothing to interpolate toward, and inventing a
+    value there is a correctness bug, not a feature. The bracketing
+    (hour, value) pairs ride two IGNORE-NULLS window passes over the
+    calendar-sized grid (never the event data), so the added cost is
+    grid-sized regardless of event volume. Interpolated values round to
+    6 (the engine's float-output convention); observed hours pass their
+    exact aggregate through untouched.
+    """
+    from pyspark.sql import Window as W
+
+    base = gapfill_hourly(events)
+    w_back = (
+        W.partitionBy("event_type")
+        .orderBy("hour_epoch")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        W.partitionBy("event_type")
+        .orderBy("hour_epoch")
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    known = F.when(
+        F.col("sum_value").isNotNull(),
+        F.struct(
+            F.col("hour_epoch").alias("h"), F.col("sum_value").alias("v")
+        ),
+    )
+    prev = F.last(known, ignorenulls=True).over(w_back)
+    nxt = F.first(known, ignorenulls=True).over(w_fwd)
+    interp = F.when(
+        F.col("sum_value").isNotNull(), F.col("sum_value")
+    ).otherwise(
+        F.round(
+            prev["v"]
+            + (nxt["v"] - prev["v"])
+            * (F.col("hour_epoch") - prev["h"])
+            / (nxt["h"] - prev["h"]),
+            6,
+        )
+    )
+    return base.select(
+        "hour_epoch",
+        "event_type",
+        "n_events",
+        "sum_value",
+        interp.alias("sum_value_interp"),
+    ).orderBy("hour_epoch", "event_type")
