@@ -16,6 +16,10 @@ from hive_io_experimental_spark.streaming.lsh import (
     minhash_band_stream,
     minhash_lsh_dedup_stream,
 )
+from hive_io_experimental_spark.streaming.topk import (
+    latest_topk,
+    topk_stateful,
+)
 
 __all__ = [
     "read_events_stream",
@@ -24,4 +28,6 @@ __all__ = [
     "signup_purchase_stream_join",
     "minhash_band_stream",
     "minhash_lsh_dedup_stream",
+    "topk_stateful",
+    "latest_topk",
 ]

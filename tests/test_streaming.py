@@ -499,3 +499,51 @@ def test_topk_sketch_streaming_fold_bounds_hold(spark, sf_dir, tmp_path):
         assert r.est_min <= truth[r.key] <= r.est_max, (r, truth[r.key])
     mins = [r.est_min for r in hits]
     assert mins == sorted(mins, reverse=True)
+
+
+def test_topk_stateful_matches_bounds_and_stays_bounded(spark, sf_dir, tmp_path):
+    """Native stateful streaming top-k (applyInPandasWithState): fold the
+    same 3-file stream the foreachBatch test uses, reduce the update-mode
+    sink to the freshest per-shard view, and hold the sketch contract:
+    <= k keys per shard, exact counts inside every [lo, hi], and the
+    per-shard state seq advanced once per micro-batch."""
+    from hive_io_experimental_spark.streaming.topk import (
+        latest_topk,
+        topk_stateful,
+    )
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = str(tmp_path / "events_tk")
+    src.withColumn("b", F.col("event_id") % 3).repartition(
+        3, "b"
+    ).drop("b").write.mode("overwrite").parquet(d)
+    stream = read_events_stream(spark, d, max_files_per_trigger=1)
+
+    K, S = 16, 8
+    q = (
+        topk_stateful(stream, key_col="user_id", k=K, n_shards=S)
+        .writeStream.format("memory")
+        .queryName("topk_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tk2"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    final = latest_topk(spark.table("topk_sink")).collect()
+    per_shard: dict[int, list] = {}
+    for r in final:
+        per_shard.setdefault(r.shard, []).append(r)
+    assert per_shard
+    truth = {
+        r.user_id: r.n
+        for r in src.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for shard, rows in per_shard.items():
+        assert len(rows) <= K
+        assert all(r.seq >= 1 for r in rows)
+        for r in rows:
+            assert r.lo <= truth[r.key] <= r.hi, (r, truth[r.key])
