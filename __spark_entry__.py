@@ -1329,6 +1329,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .orderBy("split", "lang")
     )
 
+    # unpivot/melt: the inverse reshape of brand_size_pivot
+    q["pricing_summary_unpivot"] = lambda spark, sf: (
+        relational.pricing_summary_unpivot(_t(spark, sf, "lineitem"))
+    )
     # CUBE completes the multi-aggregate trio (ROLLUP revenue_rollup,
     # GROUPING SETS events_time_rollup)
     q["order_cube_summary"] = lambda spark, sf: relational.order_cube_summary(
@@ -3525,6 +3529,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
                  AS sum_totalprice
         FROM orders GROUP BY 1 ORDER BY 1"""
+
+    # unpivot twin: portable UNION-ALL melt of the Q1 sums (DuckDB's
+    # UNPIVOT exists but the union form pins identical NULL semantics)
+    o["pricing_summary_unpivot"] = """
+        WITH w AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_qty,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_base_price,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (CAST(1 AS DECIMAL(4,2))
+                             - CAST(l_discount AS DECIMAL(4,2))))
+                      AS DOUBLE) AS sum_disc_price,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (CAST(1 AS DECIMAL(4,2))
+                             - CAST(l_discount AS DECIMAL(4,2)))
+                          * (CAST(1 AS DECIMAL(4,2))
+                             + CAST(l_tax AS DECIMAL(4,2))))
+                      AS DOUBLE) AS sum_charge
+          FROM lineitem GROUP BY 1, 2)
+        SELECT l_returnflag, l_linestatus, 'sum_qty' AS metric,
+               sum_qty AS value FROM w
+        UNION ALL
+        SELECT l_returnflag, l_linestatus, 'sum_base_price', sum_base_price
+        FROM w
+        UNION ALL
+        SELECT l_returnflag, l_linestatus, 'sum_disc_price', sum_disc_price
+        FROM w
+        UNION ALL
+        SELECT l_returnflag, l_linestatus, 'sum_charge', sum_charge FROM w
+        ORDER BY l_returnflag, l_linestatus, metric"""
 
     # CUBE twin — Spark grouping_id bit order: first cube column is the
     # most significant bit

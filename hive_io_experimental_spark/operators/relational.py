@@ -1506,3 +1506,21 @@ def segment_user_overlap(events: DataFrame) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+def pricing_summary_unpivot(lineitem: DataFrame) -> DataFrame:
+    """Wide -> long reshape of the Q1 aggregate (the unpivot/melt surface,
+    the inverse of brand_size_pivot's pivot). The four exact-decimal sum
+    measures melt into (flag, status, metric, value) rows; unpivot is a
+    zero-shuffle projection+Expand over the already-aggregated rows, so
+    the reshape itself adds no exchange however large the input was."""
+    wide = pricing_summary(lineitem)
+    return (
+        wide.unpivot(
+            ["l_returnflag", "l_linestatus"],
+            ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"],
+            "metric",
+            "value",
+        )
+        .orderBy("l_returnflag", "l_linestatus", "metric")
+    )
