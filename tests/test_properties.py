@@ -275,3 +275,43 @@ def test_topk_sketch_bounds_always_valid(spark, keys, split, k):
     for key, n in truth.items():
         if n > resid.get(key % 3, 0):
             assert key in rep, (key, n, resid)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    off_a=st.integers(min_value=0, max_value=12),
+    off_b=st.integers(min_value=0, max_value=12),
+    span_words=st.integers(min_value=4, max_value=8),
+)
+def test_span_dedup_detects_shared_window_at_any_offsets(
+    spark, off_a, off_b, span_words
+):
+    """The span-window guarantee: any shared run of >= window tokens is
+    detected regardless of where it sits in each document, because every
+    duplicated substring of length >= W contains a duplicated W-window.
+    Filler tokens are doc-unique so the shared span is the only overlap."""
+    from hive_io_experimental_spark.operators import dedup
+
+    w = 4
+    shared = " ".join(f"shared{i}" for i in range(span_words))
+    a = " ".join(
+        [f"fa{i}" for i in range(off_a)] + [shared] + ["enda", "endaa"]
+    )
+    b = " ".join(
+        [f"fb{i}" for i in range(off_b)] + [shared] + ["endb", "endbb"]
+    )
+    df = spark.createDataFrame(
+        [(0, a), (1, b)], "doc_id long, text string"
+    )
+    hot = dedup.duplicated_spans(df, window_tokens=w).collect()
+    assert hot, (a, b)
+    assert all(r.n_docs == 2 for r in hot)
+    per_doc = {
+        r.doc_id: r
+        for r in dedup.strip_duplicated_spans(df, window_tokens=w).collect()
+    }
+    # every token of the shared span (and nothing of the unique filler
+    # ends) is removed from both docs
+    for doc in (0, 1):
+        assert per_doc[doc].n_removed == span_words
+        assert "shared" not in per_doc[doc].clean_text
