@@ -796,6 +796,63 @@ def _compact_small_files(spark: SparkSession, sf: str) -> DataFrame:
     return agg.join(files_df, "lang").orderBy("lang")
 
 
+def _zone_map_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Stats-driven partition skipping on a NON-partition column: seed a
+    type-partitioned events table, ANALYZE per-partition [min, max] zone
+    maps for ``value`` (analyze.analyze_partition_ranges), then scan with
+    a range predicate. The gate emits the aggregate AND the
+    partitions-scanned count from the same zone_prune the engine's scan
+    uses — the oracle recomputes both from the source (a partition is
+    scannable iff its max value clears the threshold), so the driver
+    verifies the pruning decision itself cross-engine, not just the
+    filtered rows."""
+    import tempfile
+
+    from hive_io_experimental_spark.analyze import analyze_partition_ranges
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import zone_prune
+    from hive_io_experimental_spark.output import HiveOutput
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    wh = tempfile.mkdtemp(prefix="hio_gate_zone_")  # outlives the lazy scan
+    cat = Catalog(wh)
+    cat.create_table(
+        "default.ev_z",
+        HiveTableSchema(
+            (
+                ("event_id", T.LongType()),
+                ("user_id", T.LongType()),
+                ("value", T.DoubleType()),
+            ),
+            partition_keys=("event_type",),
+        ),
+    )
+    HiveOutput(spark, cat).write_dynamic("default.ev_z", ev)
+    analyze_partition_ranges(spark, cat, "default.ev_z", ("value",))
+    preds = (("value", ">=", 350.0),)
+    parts = cat.list_partitions("default.ev_z")
+    kept = zone_prune(parts, preds)
+    body = HiveInput(spark, cat).read_table(
+        ScanSpec(table="default.ev_z", range_predicates=preds)
+    )
+    return body.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            (F.col("value").cast("decimal(12,4)") * 10000).cast("long")
+        ).alias("sum_value_e4"),
+    ).select(
+        "n_rows",
+        "sum_value_e4",
+        F.lit(len(kept)).cast("long").alias("partitions_scanned"),
+        F.lit(len(parts)).cast("long").alias("partitions_total"),
+    )
+
+
 def _schema_evolution_scan(spark: SparkSession, sf: str) -> DataFrame:
     """Metadata-only schema evolution through the engine's own I/O path
     (catalog.add_column): write even-keyed orders with two columns, evolve
@@ -1193,6 +1250,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # metadata-only schema evolution: old files surface NULL for the
     # added column, no rewrite
     q["schema_evolution_scan"] = _schema_evolution_scan
+    # zone maps: partition skipping on a non-partition column, pruning
+    # decision cross-checked against the source
+    q["zone_map_scan"] = _zone_map_scan
     q["merge_key_move"] = _merge_key_move
     q["scan_multikey_pruned"] = _scan_multikey_pruned
     q["scan_json_roundtrip"] = _scan_json_roundtrip
@@ -3519,6 +3579,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DOUBLE),
                o_orderstatus, 'update_postimage'
         FROM f"""
+
+    # zone-map twin: a partition survives pruning iff its max clears the
+    # threshold; rows and the e4-exact sum come from the same predicate
+    o["zone_map_scan"] = """
+        WITH r AS (SELECT event_type, MAX(value) AS hi
+                   FROM events GROUP BY 1)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,4)) * 10000
+                             AS BIGINT)) AS BIGINT) AS sum_value_e4,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM r
+                WHERE hi >= 350.0) AS partitions_scanned,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM r)
+                 AS partitions_total
+        FROM events WHERE value >= 350.0"""
 
     # schema-evolution twin: the engine's NULL backfill for pre-evolution
     # files equals a CASE on the write split

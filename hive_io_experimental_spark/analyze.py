@@ -90,3 +90,51 @@ def analyze_table(
     }
     catalog.set_column_stats(desc, stats)
     return stats
+
+
+def analyze_partition_ranges(
+    spark: SparkSession,
+    catalog: Catalog,
+    table: str,
+    columns: tuple[str, ...],
+) -> int:
+    """Compute and persist per-PARTITION zone maps for ``columns``.
+
+    The partition-granularity member of the ANALYZE family: one aggregate
+    job (groupBy partition keys, min/max per column — map-side combined,
+    one shuffle whose output is partition-count-sized), persisted into
+    each partition's catalog entry as {column: [min, max]} with NULLs
+    excluded. Scans with ``ScanSpec.range_predicates`` then skip
+    partitions whose ranges exclude the predicate — file skipping on
+    NON-partition columns, which directory pruning cannot do. Values are
+    stored as plain numbers/strings (catalog JSON); like any metastore
+    stats they go stale after new writes — re-run after loads, exactly
+    like ANALYZE. Returns the number of partitions stamped.
+    """
+    desc = TableDesc.parse(table)
+    schema = catalog.get_schema(desc)
+    pkeys = list(schema.partition_keys)
+    if not pkeys:
+        raise ValueError(
+            f"{table} is unpartitioned: zone maps prune partitions, use "
+            f"analyze_table for table-level min/max"
+        )
+    df = HiveInput(spark, catalog).read_table(ScanSpec(table=table))
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.min(F.col(c)).alias(f"__lo_{c}"),
+            F.max(F.col(c)).alias(f"__hi_{c}"),
+        ]
+    rows = df.groupBy(*pkeys).agg(*aggs).collect()
+    n = 0
+    for r in rows:
+        values = {k: str(r[k]) for k in pkeys}
+        ranges = {}
+        for c in columns:
+            lo, hi = r[f"__lo_{c}"], r[f"__hi_{c}"]
+            if lo is not None and hi is not None:
+                ranges[c] = [lo, hi]
+        catalog.set_partition_ranges(desc, values, ranges)
+        n += 1
+    return n

@@ -30,7 +30,11 @@ try:  # POSIX file locking; absent on some platforms -> single-writer only
 except ImportError:  # pragma: no cover
     fcntl = None  # type: ignore[assignment]
 
-from hive_io_experimental_spark.errors import SnapshotError, TableNotFoundError
+from hive_io_experimental_spark.errors import (
+    PartitionSpecError,
+    SnapshotError,
+    TableNotFoundError,
+)
 from hive_io_experimental_spark.retry import RetryPolicy, backoff_retry
 from hive_io_experimental_spark.schema import HiveTableSchema
 
@@ -73,11 +77,18 @@ class HiveStats:
 
 @dataclass
 class PartitionInfo:
-    """One Hive-style partition: ordered string values + location + stats."""
+    """One Hive-style partition: ordered string values + location + stats.
+
+    ``ranges`` is the optional zone map: {column: [min, max]} over the
+    partition's DATA columns (nulls excluded), written by
+    analyze.analyze_partition_ranges and consulted by the scan's
+    range-predicate pruning (input.zone_prune). Absent = never prune.
+    """
 
     values: dict[str, str]
     location: str
     stats: HiveStats = field(default_factory=HiveStats)
+    ranges: dict = field(default_factory=dict)
 
 
 # Catalog I/O retry: the reference's BackoffRetryTask shape (retry.py), but
@@ -357,6 +368,7 @@ class Catalog:
                 values=p["values"],
                 location=p["location"],
                 stats=HiveStats(**p.get("stats", {})),
+                ranges=p.get("ranges", {}),
             )
             for p in entry["partitions"]
         ]
@@ -390,6 +402,29 @@ class Catalog:
                 }
             )
             self._save(doc)
+
+    def set_partition_ranges(
+        self,
+        desc: TableDesc | str,
+        values: dict[str, str],
+        ranges: dict,
+    ) -> None:
+        """Store a partition's zone map ({column: [min, max]}, nulls
+        excluded at computation time). Stale ranges after new writes are
+        the caller's concern — re-run analyze_partition_ranges, exactly
+        like rerunning ANALYZE after a load."""
+        desc = TableDesc.parse(desc) if isinstance(desc, str) else desc
+        with self._exclusive():
+            doc = self._load()
+            entry = self._entry_or_raise(doc, desc)
+            for p in entry["partitions"]:
+                if p["values"] == values:
+                    p["ranges"] = ranges
+                    self._save(doc)
+                    return
+            raise PartitionSpecError(
+                f"no partition {values} on {desc} to set ranges for"
+            )
 
     def drop_partition(self, desc: TableDesc | str, values: dict[str, str]) -> bool:
         desc = TableDesc.parse(desc) if isinstance(desc, str) else desc

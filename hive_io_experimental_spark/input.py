@@ -57,6 +57,15 @@ class ScanSpec:
     # snapshot committed at or before it. Mutually exclusive with
     # as_of_version.
     as_of_timestamp: float | None = None
+    # Zone-map pruning: conjunction of (column, op, literal) comparisons
+    # over DATA columns, e.g. (("value", ">=", 350.0),). The predicate is
+    # ALWAYS applied to the scan (semantics never change); when the
+    # catalog carries partition ranges (analyze_partition_ranges), whole
+    # partitions whose [min, max] cannot satisfy a term are skipped at
+    # plan time — stats-driven skipping on non-partition columns, which
+    # directory pruning cannot do. Structured terms (not a SQL string) so
+    # the interval check needs no expression parsing. Ops: < <= > >= =.
+    range_predicates: tuple = ()
     # Skip unreadable files instead of failing the scan — parity with the
     # reference simple-API iterator, which logs and skips a split whose
     # reader cannot be created (input/HiveInput.java:150-199). Maps to the
@@ -141,6 +150,9 @@ class HiveInput:
             )
             df = df.filter(F.expr(spec.partition_filter))
 
+        if spec.range_predicates:
+            df = self._apply_range_predicates(spec, as_of, df, partition_keys)
+
         if spec.columns:
             missing = [c for c in spec.columns if c not in df.columns]
             if missing:
@@ -207,6 +219,45 @@ class HiveInput:
         return self.catalog.stats_of(spec.table, parts)
 
     # -- helpers -------------------------------------------------------------
+
+    def _apply_range_predicates(
+        self, spec: ScanSpec, as_of, df: DataFrame,
+        partition_keys: tuple[str, ...],
+    ) -> DataFrame:
+        """Apply range predicates; prune zone-map-excluded partitions.
+
+        The data filter is unconditional (pruning never changes
+        semantics). Pruning compiles to a partition-value filter, which
+        Catalyst turns into directory pruning — no bespoke file-listing
+        machinery, the skip rides the same path as partition_filter.
+        Versioned as-of reads skip pruning (ranges describe the CURRENT
+        content) — conservative, never wrong.
+        """
+        cond = None
+        for c, op, v in spec.range_predicates:
+            term = _range_term(c, op, v)
+            cond = term if cond is None else (cond & term)
+        if (
+            partition_keys
+            and as_of is None
+            and self.catalog is not None
+            and self.catalog.table_exists(spec.table)
+            and not (
+                self.catalog.is_versioned(spec.table)
+                and spec.as_of_timestamp is not None
+            )
+        ):
+            parts = self.catalog.list_partitions(spec.table)
+            kept = zone_prune(parts, spec.range_predicates)
+            if len(kept) < len(parts):
+                keep = F.lit(False)
+                for p in kept:
+                    term = F.lit(True)
+                    for k, v in p.values.items():
+                        term = term & (F.col(k) == F.lit(v))
+                    keep = keep | term
+                df = df.filter(keep)
+        return df.filter(cond)
 
     def _load(
         self,
@@ -313,3 +364,60 @@ def register_catalog_views(
         df.createOrReplaceTempView(desc.table)
         names.append(desc.table)
     return names
+
+
+def _range_term(col: str, op: str, v):
+    c = F.col(col)
+    if op == ">":
+        return c > F.lit(v)
+    if op == ">=":
+        return c >= F.lit(v)
+    if op == "<":
+        return c < F.lit(v)
+    if op == "<=":
+        return c <= F.lit(v)
+    if op in ("=", "=="):
+        return c == F.lit(v)
+    raise HiveIOError(f"unsupported range predicate op: {op!r}")
+
+
+def _range_excludes(rng, op: str, v) -> bool:
+    """Can NO value in [lo, hi] satisfy (x op v)? Conservative: unknown
+    range or incomparable types keep the partition."""
+    if not rng or len(rng) != 2:
+        return False
+    lo, hi = rng
+    try:
+        if op == ">":
+            return hi <= v
+        if op == ">=":
+            return hi < v
+        if op == "<":
+            return lo >= v
+        if op == "<=":
+            return lo > v
+        if op in ("=", "=="):
+            return v < lo or hi < v
+    except TypeError:
+        return False
+    return False
+
+
+def zone_prune(partitions, predicates) -> list:
+    """Partitions whose zone maps cannot rule out the conjunction.
+
+    A partition is skipped iff SOME term is provably unsatisfiable over
+    that partition's stored [min, max] (NULLs never satisfy a comparison,
+    so null-excluded ranges are safe). Partitions without ranges for a
+    referenced column always survive — staleness or missing ANALYZE can
+    only cost performance, never rows.
+    """
+    kept = []
+    for p in partitions:
+        ranges = getattr(p, "ranges", {}) or {}
+        if any(
+            _range_excludes(ranges.get(c), op, v) for c, op, v in predicates
+        ):
+            continue
+        kept.append(p)
+    return kept

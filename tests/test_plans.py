@@ -206,3 +206,67 @@ def test_span_pipeline_no_cartesian(spark, sf_dir):
     from hive_io_experimental_spark.plans.inspect import explain_str
 
     assert "CartesianProduct" not in explain_str(out)
+
+
+def test_zone_map_scan_prunes_partitions_and_keeps_rows(spark, warehouse):
+    """Zone maps skip partitions on a NON-partition column: after ANALYZE,
+    a range-predicate scan reads strictly fewer files (the excluded
+    partition's directory is gone from the plan) and still returns
+    exactly the rows a plain filter returns."""
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.analyze import analyze_partition_ranges
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import (
+        HiveInput,
+        ScanSpec,
+        zone_prune,
+    )
+    from hive_io_experimental_spark.output import HiveOutput
+
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "default.zm",
+        HiveTableSchema(
+            (("id", T.LongType()), ("v", T.DoubleType())),
+            partition_keys=("p",),
+        ),
+    )
+    df = spark.createDataFrame(
+        [(1, 10.0, "low"), (2, 20.0, "low"), (3, 900.0, "high"),
+         (4, 950.0, "high")],
+        "id long, v double, p string",
+    )
+    HiveOutput(spark, cat).write_dynamic("default.zm", df)
+    analyze_partition_ranges(spark, cat, "default.zm", ("v",))
+
+    parts = cat.list_partitions("default.zm")
+    assert all(p.ranges.get("v") for p in parts)
+    preds = (("v", ">", 100.0),)
+    assert {p.values["p"] for p in zone_prune(parts, preds)} == {"high"}
+
+    inp = HiveInput(spark, cat)
+    pruned = inp.read_table(ScanSpec(table="default.zm",
+                                     range_predicates=preds))
+    assert sorted(r.id for r in pruned.collect()) == [3, 4]
+    # the pruning compiled to a real PartitionFilter (Catalyst folds the
+    # kept-partition OR down to p = high), so the low partition's files
+    # never enter the scan
+    from hive_io_experimental_spark.plans.inspect import explain_str
+
+    txt = explain_str(pruned)
+    assert "PartitionFilters" in txt and "p#" in txt
+    assert "= high" in txt and "= low" not in txt
+    # impossible predicate -> zero partitions, zero rows, no error
+    none = inp.read_table(
+        ScanSpec(table="default.zm", range_predicates=(("v", ">", 99999.0),))
+    )
+    assert none.count() == 0
+    # stale/missing ranges only cost performance, never rows
+    cat.set_partition_ranges("default.zm", {"p": "high"}, {})
+    again = inp.read_table(
+        ScanSpec(table="default.zm", range_predicates=preds)
+    )
+    assert sorted(r.id for r in again.collect()) == [3, 4]
