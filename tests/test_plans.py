@@ -270,3 +270,40 @@ def test_zone_map_scan_prunes_partitions_and_keeps_rows(spark, warehouse):
         ScanSpec(table="default.zm", range_predicates=preds)
     )
     assert sorted(r.id for r in again.collect()) == [3, 4]
+
+
+def test_dynamic_partition_pruning_through_engine_scan(spark, warehouse):
+    """Catalyst's dynamic partition pruning fires through the engine's own
+    catalog-backed scan: a selective broadcast dim join on the partition
+    column injects a runtime IN-subquery PartitionFilter, so only the
+    matching partition directories are read — the join-time counterpart
+    of static directory pruning, free because the scan is a plain
+    FileScan Catalyst understands."""
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+    from hive_io_experimental_spark.output import HiveOutput
+    from hive_io_experimental_spark.plans.inspect import explain_str
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "default.ev_dpp",
+        HiveTableSchema(
+            (("event_id", T.LongType()), ("value", T.DoubleType())),
+            partition_keys=("event_type",),
+        ),
+    )
+    ev = spark.createDataFrame(
+        [(i, float(i), t) for i, t in enumerate(["a", "b", "c"] * 10)],
+        "event_id long, value double, event_type string",
+    )
+    HiveOutput(spark, cat).write_dynamic("default.ev_dpp", ev)
+    fact = HiveInput(spark, cat).read_table(ScanSpec(table="default.ev_dpp"))
+    dim = spark.createDataFrame(
+        [("a", 1.5), ("zzz", 0.1)], "event_type string, boost double"
+    ).filter(F.col("boost") > 1.0)
+    j = fact.join(dim, "event_type").agg(F.count(F.lit(1)).alias("n"))
+    assert "dynamicpruning" in explain_str(j).lower()
+    assert j.collect()[0].n == 10
