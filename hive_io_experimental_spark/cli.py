@@ -209,6 +209,15 @@ def cmd_analyze(args: argparse.Namespace, stop_session: bool = True) -> int:
     spark = _build_spark(args.threads)
     catalog = Catalog(warehouse)
     columns = tuple(args.columns.split(",")) if args.columns else ()
+    if args.ranges:
+        from hive_io_experimental_spark.analyze import (
+            analyze_partition_ranges,
+        )
+
+        n = analyze_partition_ranges(
+            spark, catalog, args.table, tuple(args.ranges.split(","))
+        )
+        print(f"# zone maps stamped on {n} partitions", file=sys.stderr)
     stats = analyze_table(spark, catalog, args.table, columns,
                           exact=not args.approx)
     print("column\tn_nonnull\tn_distinct\tmin\tmax")
@@ -533,6 +542,9 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("--columns", help="comma-separated subset (default all)")
     an.add_argument("--approx", action="store_true",
                     help="approx_count_distinct instead of exact ndv")
+    an.add_argument("--ranges",
+                    help="also stamp per-partition [min,max] zone maps "
+                         "for these comma-separated columns")
     an.add_argument("--threads", type=int, default=None)
 
     di = sub.add_parser(
