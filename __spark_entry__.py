@@ -426,6 +426,54 @@ def _incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _bloom_membership(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom membership tier end-to-end: state on two half-batches of
+    click users, ⊕-merged, then read against the distinct purchase users,
+    reported beside the exact answer. All integers; hash equality with
+    the SQL twin proves bit-identical filter words AND the no-false-
+    negative contract (maybe_member >= is_member row by row)."""
+    from hive_io_experimental_spark.operators import incremental
+
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    merged = incremental.merge_bloom_states(
+        incremental.bloom_state(
+            clicks.filter(F.col("event_id") % 2 == 0), "user_id",
+            m_bits=16384, k_hashes=4,
+        ),
+        incremental.bloom_state(
+            clicks.filter(F.col("event_id") % 2 == 1), "user_id",
+            m_bits=16384, k_hashes=4,
+        ),
+    )
+    probes = ev.filter(F.col("event_type") == "purchase")
+    maybe = incremental.bloom_membership(
+        merged, probes, "user_id", m_bits=16384, k_hashes=4
+    )
+    exact = (
+        probes.select(F.col("user_id").alias("key"))
+        .distinct()
+        .join(
+            clicks.select(F.col("user_id").alias("key")).distinct()
+            .withColumn("is_member", F.lit(1)),
+            "key",
+            "left",
+        )
+        .select(
+            "key", F.coalesce("is_member", F.lit(0)).cast("long").alias(
+                "is_member"
+            )
+        )
+    )
+    return (
+        maybe.join(exact, "key")
+        .select(
+            F.col("key").alias("user_id"), "maybe_member", "is_member"
+        )
+        .orderBy("user_id")
+    )
+
+
 def _bucketed_join_volume(spark: SparkSession, sf: str) -> DataFrame:
     """Driver-gate round-trip for bucketed co-located joins
     (sources/bucketing.py): write orders and customer bucketed by custkey
@@ -1148,6 +1196,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sessionize_events"] = lambda spark, sf: relational.sessionize(
         _t(spark, sf, "events")
     )
+    # sweep-line interval overlap: peak concurrent sessions per hour via
+    # the two-level prefix sum (per-hour windows + tiny hour-base rollup),
+    # never one global ORDER BY over all boundaries
+    q["max_concurrent_sessions"] = lambda spark, sf: (
+        temporal.max_concurrent_sessions(_t(spark, sf, "events"))
+    )
+    # first-order Markov transition matrix over per-user event sequences;
+    # probabilities as exact integer e6 ratios
+    q["event_transitions"] = lambda spark, sf: temporal.event_transitions(
+        _t(spark, sf, "events")
+    )
     q["funnel_signup_click_purchase"] = lambda spark, sf: relational.funnel_counts(
         _t(spark, sf, "events")
     )
@@ -1238,6 +1297,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 k=16,
             ),
             top_n=20,
+        )
+    )
+    # membership member of the incremental-state family: bloom filter
+    # built on two half-batches of click users, OR-merged (⊕ == one-shot),
+    # read against the distinct purchase users. Probes are md5-derived
+    # (functions/hashing.portable_hash64), masks 32-bit words — the whole
+    # build/merge/read pipeline has an exact SQL twin. is_member is the
+    # exact answer; hash equality proves maybe >= is (no false negatives).
+    q["bloom_membership"] = _bloom_membership
+    # the runtime-filter pattern: bloom on a selective dimension pre-
+    # filters the fact side before its join shuffle. Deliberately small
+    # m (1024 bits) so false positives are visible; n_missed hashes to 0.
+    q["bloom_join_prune"] = lambda spark, sf: (
+        incremental.bloom_prune_stats(
+            _t(spark, sf, "orders"),
+            "o_custkey",
+            _t(spark, sf, "customer").filter(
+                F.col("c_mktsegment") == "BUILDING"
+            ),
+            "c_custkey",
+            m_bits=1024,
+            k_hashes=3,
         )
     )
     # SCD1 MERGE: update+insert upsert through the partitioned write path.
@@ -1343,6 +1424,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cross_source_leakage"] = lambda spark, sf: text.cross_source_leakage(
         _t(spark, sf, "documents")
     )
+    # search-engine build path: term -> (df, tf, capped posting prefix);
+    # the cap is applied by rank BEFORE collecting (hot terms never
+    # materialize corpus-sized postings in one task)
+    q["inverted_index"] = lambda spark, sf: text.inverted_index(
+        _t(spark, sf, "documents")
+    )
+    # search-engine read path: conjunctive AND query, filter-before-
+    # shuffle, ranked by total tf with a deterministic total order
+    q["keyword_search"] = lambda spark, sf: text.keyword_search(
+        _t(spark, sf, "documents"), ["data", "join", "window"]
+    )
     # pre-training decontamination: clear the training slice against a
     # held-out benchmark slice on winnowing fingerprints
     q["benchmark_decontamination"] = lambda spark, sf: (
@@ -1363,6 +1455,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rates={"de": 1.0, "en": 0.5, "zh": 0.25},
         default_rate=0.1,
     ).select("doc_id", "lang")
+    # per-source quota cap (the web-corpus "max docs per domain" rule):
+    # hash-lottery rank within source, deterministic under any partitioning
+    q["source_quota_sample"] = lambda spark, sf: (
+        sampling.quota_cap_sample(_t(spark, sf, "documents"), cap=20)
+        .select("source", "doc_id", "quota_rk")
+        .orderBy("source", "quota_rk")
+    )
 
     # The HLL estimates are Datasketches-specific bytes, so the gate checks
     # the sketch tier's accuracy CONTRACT instead: every per-group estimate
@@ -1646,7 +1745,10 @@ _CHECK_FIRST = [
     # localize the r2-r4 driver-env funnel divergence; see funnel_step_counts)
     "events_hourly", "events_time_rollup",
     "sessionize_events", "asof_purchase_click",
-    "range_join_signup_purchase", "event_dwell_stats", "gapfill_hourly",
+    # r5 continuation rotation: sweep-line concurrency in (new interval-
+    # overlap op); event_dwell_stats out — hash-green r2-r4
+    "range_join_signup_purchase", "max_concurrent_sessions",
+    "gapfill_hourly",
     "funnel_signup_click_purchase", "funnel_step_counts",
     "funnel_user_extrema",
     "retention_cohorts",
@@ -1655,9 +1757,14 @@ _CHECK_FIRST = [
     # versioning, data-quality gating, multimodal plumbing, token packing
     "snapshot_diff_cdc", "data_expectations",
     "multimodal_decode", "token_budget_mix",
+    # sketch-tier family rep: bloom runtime-filter (r5 continuation; the
+    # whole build/⊕/read pipeline hashes against its SQL twin)
+    "bloom_join_prune",
     # dedup family (r5 rotation: span_stats = new exact-substring family
-    # rep; dedup_simhash rotated out — hash-green r4, family keeps 4 reps)
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    # rep; dedup_simhash rotated out — hash-green r4, family keeps 4 reps;
+    # r5 continuation: dedup_minhash_lsh out — hash-green r2-r4, family
+    # keeps 4 window reps)
+    "dedup_exact", "dedup_ngram_jaccard",
     "dedup_span_stats", "dedup_embedding",
     # similarity family
     "similarity_lsh_buckets",
@@ -2167,6 +2274,53 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_events
         FROM g GROUP BY user_id ORDER BY user_id"""
 
+    # sweep-line twin: the oracle may use ONE global running sum (DuckDB,
+    # small data); the Spark side decomposes the same prefix sum by hour
+    # (operators/temporal.py max_concurrent_sessions) — identical values.
+    # Closed intervals: ORDER BY (t, delta DESC, user) puts starts before
+    # ends at the same instant.
+    o["max_concurrent_sessions"] = """
+        WITH g AS (
+          SELECT user_id, event_id, epoch_us(ts) AS t_us,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                      > 1800000000 THEN 1 ELSE 0 END AS new_session
+          FROM events),
+        s AS (SELECT user_id, t_us,
+                     SUM(new_session) OVER (PARTITION BY user_id
+                                            ORDER BY t_us, event_id)
+                       AS session_no
+              FROM g),
+        iv AS (SELECT user_id, session_no,
+                      MIN(t_us) AS s_us, MAX(t_us) AS e_us
+               FROM s GROUP BY 1, 2),
+        d AS (SELECT s_us AS t_us, 1 AS delta, user_id FROM iv
+              UNION ALL
+              SELECT e_us, -1, user_id FROM iv),
+        r AS (SELECT t_us,
+                     CAST(SUM(delta) OVER (ORDER BY t_us, delta DESC,
+                                           user_id) AS BIGINT) AS conc
+              FROM d)
+        SELECT (t_us // 3600000000) * 3600 AS hour_epoch,
+               CAST(MAX(conc) AS BIGINT) AS max_concurrent
+        FROM r GROUP BY 1 ORDER BY 1"""
+
+    # first-order Markov transitions; prob_e6 is integer division against
+    # the BIGINT-cast row total (DuckDB SUM OVER widens to HUGEINT)
+    o["event_transitions"] = """
+        WITH p AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS to_type
+          FROM events),
+        c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+              FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+               CAST(n * 1000000 //
+                    CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+                    AS BIGINT) AS prob_e6
+        FROM c ORDER BY from_type, to_type"""
+
     o["funnel_signup_click_purchase"] = """
         WITH m AS (SELECT user_id,
                           MIN(CASE WHEN event_type = 'signup'
@@ -2536,6 +2690,49 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 'zh' THEN 2500
                         ELSE 1000 END"""
 
+    # per-source quota cap: hash-lottery rank within source (same md5 H64
+    # family as every sampler), ranks > 20 drop
+    o["source_quota_sample"] = f"""
+        WITH r AS (
+          SELECT source, doc_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY {_H64.format(x="'quota:' || CAST(doc_id AS VARCHAR)")},
+                            doc_id) AS quota_rk
+          FROM documents)
+        SELECT source, doc_id, CAST(quota_rk AS BIGINT) AS quota_rk
+        FROM r WHERE quota_rk <= 20 ORDER BY source, quota_rk"""
+
+    # inverted index twin: same tokenization fragment, posting prefix
+    # capped by rank-before-aggregation exactly as the Spark plan does
+    o["inverted_index"] = f"""
+        WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        t AS (SELECT doc_id, unnest(toks) AS token FROM docs),
+        tf AS (SELECT token, doc_id, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        capped AS (SELECT token, doc_id,
+                          ROW_NUMBER() OVER (PARTITION BY token
+                                             ORDER BY doc_id) AS rk
+                   FROM tf),
+        post AS (SELECT token,
+                        string_agg(CAST(doc_id AS VARCHAR), ','
+                                   ORDER BY doc_id) AS postings
+                 FROM capped WHERE rk <= 20 GROUP BY token),
+        st AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+                      CAST(SUM(tf) AS BIGINT) AS tf_total
+               FROM tf GROUP BY token)
+        SELECT st.token AS term, st.df, st.tf_total, post.postings
+        FROM st JOIN post ON post.token = st.token ORDER BY term"""
+
+    o["keyword_search"] = f"""
+        WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        t AS (SELECT doc_id, unnest(toks) AS token FROM docs),
+        q AS (SELECT doc_id, COUNT(DISTINCT token) AS n_terms,
+                     CAST(COUNT(*) AS BIGINT) AS tf_total
+              FROM t WHERE token IN ('data', 'join', 'window')
+              GROUP BY doc_id)
+        SELECT doc_id, tf_total FROM q WHERE n_terms = 3
+        ORDER BY tf_total DESC, doc_id LIMIT 50"""
+
     o["corpus_language_stats"] = f"""
         WITH lang AS ({o['lang_id']}),
              tok AS ({o['token_counts']}),
@@ -2746,6 +2943,84 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(hi) AS BIGINT) AS est_max
         FROM rm WHERE rk <= 16
         GROUP BY key ORDER BY est_min DESC, key LIMIT 20"""
+
+    # exact twin of the bloom membership tier (operators/incremental.py
+    # bloom_state / merge_bloom_states / bloom_membership): the oracle
+    # builds ONE filter over the distinct click users — bitwise-OR merge
+    # is idempotent, so the Spark side's two-half ⊕ must equal it word
+    # for word; probe i position = H64('bloom<i>:<key>') % m over 32-bit
+    # words, m=16384, k=4
+    _BLOOM_H = _H64.format(
+        x="'bloom' || CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)"
+    )
+    o["bloom_membership"] = f"""
+        WITH ck AS (SELECT DISTINCT user_id FROM events
+                    WHERE event_type = 'click' AND user_id IS NOT NULL),
+        pk AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        ix AS (SELECT unnest(range(4)) AS i),
+        cpos AS (SELECT {_BLOOM_H} % 16384 AS pos FROM ck CROSS JOIN ix),
+        words AS (SELECT pos // 32 AS word,
+                         bit_or(CAST(1 AS BIGINT)
+                                << CAST(pos % 32 AS INTEGER)) AS bits
+                  FROM cpos GROUP BY 1),
+        ppos AS (SELECT user_id, {_BLOOM_H} % 16384 AS pos
+                 FROM pk CROSS JOIN ix),
+        hits AS (SELECT p.user_id,
+                        CASE WHEN (COALESCE(w.bits, 0) &
+                                   (CAST(1 AS BIGINT)
+                                    << CAST(p.pos % 32 AS INTEGER))) <> 0
+                             THEN 1 ELSE 0 END AS hit
+                 FROM ppos p LEFT JOIN words w ON w.word = p.pos // 32),
+        maybe AS (SELECT user_id, CAST(MIN(hit) AS BIGINT) AS maybe_member
+                  FROM hits GROUP BY 1)
+        SELECT m.user_id, m.maybe_member,
+               CAST(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS is_member
+        FROM maybe m LEFT JOIN ck c ON c.user_id = m.user_id
+        ORDER BY m.user_id"""
+
+    # runtime-filter twin: bloom on the BUILDING customers (m=1024, k=3 —
+    # small on purpose so false positives appear), fact = orders custkeys;
+    # n_missed must be 0 (no false negatives)
+    _BLOOM_K = _H64.format(
+        x="'bloom' || CAST(i AS VARCHAR) || ':' || CAST(key AS VARCHAR)"
+    )
+    o["bloom_join_prune"] = f"""
+        WITH dk AS (SELECT DISTINCT c_custkey AS key FROM customer
+                    WHERE c_mktsegment = 'BUILDING'),
+        ix AS (SELECT unnest(range(3)) AS i),
+        dpos AS (SELECT {_BLOOM_K} % 1024 AS pos FROM dk CROSS JOIN ix),
+        words AS (SELECT pos // 32 AS word,
+                         bit_or(CAST(1 AS BIGINT)
+                                << CAST(pos % 32 AS INTEGER)) AS bits
+                  FROM dpos GROUP BY 1),
+        fk AS (SELECT DISTINCT o_custkey AS key FROM orders
+               WHERE o_custkey IS NOT NULL),
+        fpos AS (SELECT key, {_BLOOM_K} % 1024 AS pos
+                 FROM fk CROSS JOIN ix),
+        fh AS (SELECT f.key,
+                      CASE WHEN (COALESCE(w.bits, 0) &
+                                 (CAST(1 AS BIGINT)
+                                  << CAST(f.pos % 32 AS INTEGER))) <> 0
+                           THEN 1 ELSE 0 END AS hit
+               FROM fpos f LEFT JOIN words w ON w.word = f.pos // 32),
+        fm AS (SELECT key, MIN(hit) AS maybe FROM fh GROUP BY 1),
+        fl AS (SELECT o.o_custkey,
+                      COALESCE(fm.maybe, 0) AS pass_bloom,
+                      CASE WHEN dk2.key IS NOT NULL THEN 1 ELSE 0 END
+                        AS joins
+               FROM orders o
+               LEFT JOIN fm ON fm.key = o.o_custkey
+               LEFT JOIN dk dk2 ON dk2.key = o.o_custkey)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_fact,
+               CAST(SUM(pass_bloom) AS BIGINT) AS n_pass,
+               CAST(SUM(joins) AS BIGINT) AS n_joined,
+               CAST(SUM(CASE WHEN pass_bloom = 1 AND joins = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+               CAST(SUM(CASE WHEN pass_bloom = 0 AND joins = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
+        FROM fl"""
 
     o["percentile_state_rollup"] = """
         WITH b AS (SELECT event_type,

@@ -497,3 +497,208 @@ def heavy_hitters_from_sketch(state: DataFrame, top_n: int = 20) -> DataFrame:
         .orderBy(F.col("est_min").desc(), F.col("key").asc())
         .limit(top_n)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom membership tier
+# ---------------------------------------------------------------------------
+# The set-membership member of the incremental-state family (exact sums ->
+# hourly_rollup_state, distinct -> HLL, distribution -> histogram, heavy
+# hitters -> top-k sketch, membership -> this). State is the filter's bit
+# array stored as (word, bits) rows — 32 bits per word so every mask stays
+# a small positive BIGINT in any engine (no sign-bit games at 1<<63).
+# Hash probes are portable_hash64 of 'bloom<i>:<key>' (md5-derived, bit-
+# identical in DuckDB), so the whole tier — build, ⊕ merge, membership
+# read — has an exact SQL twin and a HASH oracle, like the top-k sketch
+# and unlike HLL (engine-opaque bytes).
+#
+# Guarantees: NO false negative ever (a key folded into any merged batch
+# always reads maybe_member=1); false-positive rate ~ (1-e^(-k*n/m))^k.
+# Merge is bitwise OR — associative, commutative, idempotent — so batches
+# land in any order and re-delivery is harmless (at-least-once safe).
+# State size is m/32 rows regardless of data volume.
+#
+# The classic 100 TB use is the runtime filter: build the bloom on a
+# selective dimension's keys (small), broadcast it, and pre-filter the
+# fact table BEFORE its shuffle — bloom_prune_stats measures exactly that
+# plan (rows passing the filter vs rows actually joining; missed == 0 is
+# the no-false-negative contract).
+
+_BLOOM_WORD_BITS = 32
+
+
+def _bloom_pos(key_col, i_col, m_bits: int):
+    """Bit position of hash probe i for a key: portable md5 position in
+    [0, m_bits). Twin: H64('bloom' || i || ':' || key) % m_bits."""
+    from hive_io_experimental_spark.functions.hashing import portable_hash64
+
+    return F.pmod(
+        portable_hash64(
+            F.concat(
+                F.lit("bloom"),
+                i_col.cast("string"),
+                F.lit(":"),
+                key_col.cast("string"),
+            )
+        ),
+        F.lit(m_bits),
+    ).alias("pos")
+
+
+def _bloom_word_mask():
+    """Word index + single-bit mask of a materialized `pos` column; masks
+    stay < 2^32 (positive BIGINT in every engine). Built lazily — Column
+    construction needs an active session."""
+    word = F.floor(F.col("pos") / _BLOOM_WORD_BITS).cast("long").alias(
+        "word"
+    )
+    mask = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, {_BLOOM_WORD_BITS})"
+        " AS INT))"
+    ).alias("mask")
+    return word, mask
+
+
+def bloom_state(
+    df: DataFrame,
+    key_col: str = "user_id",
+    m_bits: int | None = None,
+    k_hashes: int | None = None,
+) -> DataFrame:
+    """One batch -> bloom filter state: (word BIGINT, bits BIGINT) rows.
+
+    Distinct keys first (shrinks the k-way explode), then k md5-derived
+    probe positions per key, OR-folded per 32-bit word. One partial-
+    aggregated shuffle on word; state cardinality <= m/32 + occupancy,
+    independent of batch size. ``m_bits``/``k_hashes`` default to the
+    hiveio.sketch.bloom_m_bits / bloom_k confs.
+    """
+    from hive_io_experimental_spark import conf as _conf
+
+    if m_bits is None:
+        m_bits = _conf.BLOOM_M_BITS.get(df.sparkSession)
+    if k_hashes is None:
+        k_hashes = _conf.BLOOM_K_HASHES.get(df.sparkSession)
+    keys = df.select(F.col(key_col).alias("key")).where(
+        F.col("key").isNotNull()
+    ).distinct()
+    probes = keys.select(
+        "key", F.explode(F.array(*[F.lit(i) for i in range(k_hashes)])).alias("i")
+    ).select(_bloom_pos(F.col("key"), F.col("i"), m_bits))
+    word, mask = _bloom_word_mask()
+    return (
+        probes.select(word, mask)
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def merge_bloom_states(*states: DataFrame) -> DataFrame:
+    """state ⊕ state: union + per-word bitwise OR (associative,
+    commutative, idempotent — re-delivered batches are no-ops)."""
+    unioned = reduce(DataFrame.unionByName, states)
+    return unioned.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_membership(
+    state: DataFrame,
+    probes: DataFrame,
+    probe_col: str = "user_id",
+    m_bits: int | None = None,
+    k_hashes: int | None = None,
+) -> DataFrame:
+    """Read path: (key, maybe_member) for each distinct probe key.
+
+    Each probe fans out to its k (word, mask) pairs, joins the state on
+    word — the state is filter-sized, so it is BROADCAST; the probe side
+    never shuffles — and a key is a member iff every probed bit is set.
+    maybe_member=1 may be a false positive; 0 is definitive.
+    """
+    from hive_io_experimental_spark import conf as _conf
+
+    if m_bits is None:
+        m_bits = _conf.BLOOM_M_BITS.get(state.sparkSession)
+    if k_hashes is None:
+        k_hashes = _conf.BLOOM_K_HASHES.get(state.sparkSession)
+    keys = probes.select(F.col(probe_col).alias("key")).where(
+        F.col("key").isNotNull()
+    ).distinct()
+    fan = keys.select(
+        "key", F.explode(F.array(*[F.lit(i) for i in range(k_hashes)])).alias("i")
+    ).select("key", _bloom_pos(F.col("key"), F.col("i"), m_bits))
+    word, mask = _bloom_word_mask()
+    hit = (
+        fan.select("key", word, mask)
+        .join(F.broadcast(state), "word", "left")
+        .select(
+            "key",
+            F.when(
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+                != 0,
+                F.lit(1),
+            ).otherwise(F.lit(0)).alias("hit"),
+        )
+    )
+    return hit.groupBy("key").agg(
+        F.min("hit").cast("long").alias("maybe_member")
+    )
+
+
+def bloom_prune_stats(
+    fact: DataFrame,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    m_bits: int | None = None,
+    k_hashes: int | None = None,
+) -> DataFrame:
+    """Runtime-filter audit: build a bloom on the dimension's keys, pre-
+    filter the fact side with it, and compare against the exact semi join.
+
+    Returns ONE row of integer counters:
+      n_fact       fact rows scanned
+      n_pass       fact rows surviving the broadcast bloom pre-filter
+      n_joined     fact rows that actually match the dimension (exact)
+      n_false_pos  rows the bloom let through that do not join
+      n_missed     joining rows the bloom dropped — MUST be 0 (the
+                   no-false-negative contract; the driver gate hashes it)
+
+    This is the shuffle-avoidance pattern at 100 TB: n_fact - n_pass rows
+    never enter the join exchange. The bloom state itself is broadcast;
+    only the surviving rows shuffle.
+    """
+    keyed = fact.select(F.col(fact_key).alias("fkey"))
+    member = bloom_membership(
+        bloom_state(dim, dim_key, m_bits, k_hashes),
+        keyed, "fkey", m_bits, k_hashes,
+    )
+    dkeys = dim.select(F.col(dim_key).alias("key")).distinct()
+    flags = (
+        keyed.join(F.broadcast(member), keyed.fkey == member.key, "left")
+        .select(
+            "fkey",
+            F.coalesce("maybe_member", F.lit(0)).alias("pass_bloom"),
+        )
+        .join(
+            F.broadcast(dkeys.select(F.col("key").alias("jkey"))),
+            F.col("fkey") == F.col("jkey"),
+            "left",
+        )
+        .select(
+            "pass_bloom",
+            F.when(F.col("jkey").isNotNull(), 1).otherwise(0).alias("joins"),
+        )
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_fact"),
+        F.sum("pass_bloom").cast("long").alias("n_pass"),
+        F.sum("joins").cast("long").alias("n_joined"),
+        F.sum(
+            F.when((F.col("pass_bloom") == 1) & (F.col("joins") == 0), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_false_pos"),
+        F.sum(
+            F.when((F.col("pass_bloom") == 0) & (F.col("joins") == 1), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_missed"),
+    )

@@ -15,7 +15,7 @@ this is a training-data-pipeline extension.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hive_io_experimental_spark.functions.hashing import portable_hash64
@@ -210,4 +210,41 @@ def distribution_matched_sample(
         df.join(F.broadcast(thresholds), bucket_col)
         .filter(bucket < F.col("thr"))
         .select(*df.columns)
+    )
+
+
+def quota_cap_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    cap: int = 50,
+    key_col: str = "doc_id",
+    salt: str = "quota:",
+) -> DataFrame:
+    """Cap each group at ``cap`` rows, picked deterministically.
+
+    The per-domain/per-source cap every web-corpus pipeline applies so a
+    single crawl host cannot dominate the training mix. Selection is a
+    hash lottery, not "first N seen": rows rank within their group by
+    (md5-hash(salt || key), key) and ranks > cap drop — the SAME rows
+    survive under any partitioning, any engine (exact DuckDB twin), and
+    any input order, and the kept set is a uniform without-replacement
+    draw per group. One shuffle on group_col for the rank window; groups
+    above ~10^7 rows would want a pre-filter by hash threshold first
+    (cap/|group| estimate) before the exact rank — noted, not needed at
+    cap sizes quotas use. Returns surviving rows (all columns) plus the
+    in-group rank ``quota_rk``.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_quota_h"), F.col(key_col)
+    )
+    return (
+        df.withColumn(
+            "_quota_h",
+            portable_hash64(
+                F.concat(F.lit(salt), F.col(key_col).cast("string"))
+            ),
+        )
+        .withColumn("quota_rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("quota_rk") <= cap)
+        .drop("_quota_h")
     )

@@ -412,3 +412,149 @@ def gapfill_interpolate(events: DataFrame) -> DataFrame:
         "sum_value",
         interp.alias("sum_value_interp"),
     ).orderBy("hour_epoch", "event_type")
+
+
+def session_intervals(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Per-user session intervals (user_id, session_start_us, session_end_us).
+
+    Same gap rule as relational.sessionize (new session when the in-user
+    gap exceeds ``gap_minutes``), but materializing each session's closed
+    [start, end] epoch-micros interval instead of per-user counts. Two
+    window passes + one aggregate, all partitioned by user_id — ONE
+    shuffle on user_id total.
+    """
+    from hive_io_experimental_spark.operators.relational import (
+        ensure_event_time,
+    )
+
+    ev = ensure_event_time(events)
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    flagged = ev.select(
+        "user_id",
+        us.alias("t_us"),
+        F.when((us - F.lag(us).over(w)) > gap_us, 1)
+        .otherwise(0)
+        .alias("new_session"),
+        F.col("event_id"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.select(
+        "user_id", "t_us", F.sum("new_session").over(w2).alias("session_no")
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.min("t_us").cast("long").alias("session_start_us"),
+        F.max("t_us").cast("long").alias("session_end_us"),
+    )
+
+
+def max_concurrent_sessions(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Peak concurrent sessions per hour — sweep-line over session
+    intervals with a two-level prefix sum, NOT a single global window.
+
+    The classic formulation (running SUM over one global ORDER BY) puts
+    every boundary row in one window partition — a single-task sort at
+    100 TB. Instead the sweep decomposes by hour bucket:
+
+      1. boundary deltas: +1 at session start, -1 at session end
+         (closed intervals: starts sort before ends at the same instant,
+         so a single-event session still counts as 1).
+      2. in-bucket running sum, window partitioned BY HOUR — parallel.
+      3. bucket base = running total of per-hour delta sums over the
+         tiny (hours × 1) aggregate — the only serial step, sized by
+         distinct hours, not by events.
+      concurrency at a boundary = bucket base + in-bucket prefix.
+
+    Output: (hour_epoch, max_concurrent) for hours with boundary
+    activity, ordered. All-integer arithmetic; within a tie group
+    (same instant, same delta sign) the running sum is monotonic, so the
+    per-hour MAX is order-independent and deterministic cross-engine.
+    """
+    sess = session_intervals(events, gap_minutes)
+    starts = sess.select(
+        F.col("session_start_us").alias("t_us"),
+        F.lit(1).alias("delta"),
+        "user_id",
+    )
+    ends = sess.select(
+        F.col("session_end_us").alias("t_us"),
+        F.lit(-1).alias("delta"),
+        "user_id",
+    )
+    deltas = starts.unionByName(ends).select(
+        "t_us",
+        "delta",
+        "user_id",
+        (F.col("t_us") - F.pmod("t_us", F.lit(3_600_000_000)))
+        .alias("hour_us"),
+    )
+    w_in = (
+        Window.partitionBy("hour_us")
+        .orderBy(F.col("t_us"), F.col("delta").desc(), F.col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run_in = deltas.select(
+        "hour_us", F.sum("delta").over(w_in).alias("run_in")
+    )
+    per_hour = deltas.groupBy("hour_us").agg(
+        F.sum("delta").alias("hour_tot")
+    )
+    w_base = Window.orderBy("hour_us").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    base = per_hour.select(
+        "hour_us",
+        F.coalesce(F.sum("hour_tot").over(w_base), F.lit(0)).alias("base"),
+    )
+    return (
+        run_in.join(F.broadcast(base), "hour_us")
+        .groupBy("hour_us")
+        .agg(F.max(F.col("base") + F.col("run_in")).cast("long").alias(
+            "max_concurrent"
+        ))
+        .select(
+            (F.col("hour_us") / 1_000_000).cast("long").alias("hour_epoch"),
+            "max_concurrent",
+        )
+        .orderBy("hour_epoch")
+    )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    sequence: (from_type, to_type, n, prob_e6).
+
+    One shuffle on user_id for the lead() window, then a small groupBy.
+    prob_e6 = (n * 1_000_000) div row-total of from_type — integer
+    division, exact cross-engine (no double ratios in the gate).
+    """
+    from hive_io_experimental_spark.operators.relational import (
+        ensure_event_time,
+    )
+
+    ev = ensure_event_time(events)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("n * 1000000 div sum(n) over (partition by from_type)")
+        .cast("long")
+        .alias("prob_e6"),
+    ).orderBy("from_type", "to_type")

@@ -876,3 +876,93 @@ def repeated_paragraphs(
         .filter(F.col("n_docs") >= min_docs)
         .orderBy(F.col("n_docs").desc(), F.col("chunk_hash").asc())
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 20,
+) -> DataFrame:
+    """Build a term -> postings inverted index: (term, df, tf_total,
+    postings) with the posting list capped at ``max_postings`` doc ids.
+
+    The search-engine build step as a pure relational plan: explode
+    tokens -> (term, doc) tf pairs [shuffle 1, map-side partial] ->
+    per-term stats [shuffle 2, vocabulary-sized]. The posting cap is
+    applied BY RANK BEFORE COLLECTING (row_number over doc_id, filter,
+    then collect ≤ cap ids) — a hot term's postings never materialize
+    corpus-sized in one task, which is what makes the build safe at
+    100 TB; full postings would be written sharded (term, shard) instead.
+    postings is the comma-joined numerically-sorted id prefix — a string
+    both engines produce byte-identically.
+    """
+    from pyspark.sql import Window as W
+
+    toks = spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_tokens(F.col(text_col))).alias("token"),
+    )
+    tf_pairs = toks.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    stats = tf_pairs.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("tf_total"),
+    )
+    w = W.partitionBy("token").orderBy("doc_id")
+    postings = (
+        tf_pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= max_postings)
+        .groupBy("token")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return (
+        stats.join(postings, "token")
+        .select(
+            F.col("token").alias("term"), "df", "tf_total", "postings"
+        )
+        .orderBy("term")
+    )
+
+
+def keyword_search(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 50,
+) -> DataFrame:
+    """Conjunctive (AND) keyword search: documents containing EVERY query
+    term, ranked by total term frequency.
+
+    The read path of the inverted index, expressed directly over the
+    corpus: the token explode is filtered to the |terms| query tokens
+    FIRST (predicate before the shuffle — candidate volume is postings-
+    sized, not corpus-sized), then one groupBy per candidate doc checks
+    the AND via countDistinct(term) == |terms|. Deterministic total
+    order (tf_total desc, doc_id) before the LIMIT.
+    """
+    toks = spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_tokens(F.col(text_col))).alias("token"),
+    ).filter(F.col("token").isin(list(terms)))
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.countDistinct("token").alias("n_terms"),
+            F.count(F.lit(1)).cast("long").alias("tf_total"),
+        )
+        .filter(F.col("n_terms") == len(terms))
+        .select("doc_id", "tf_total")
+        .orderBy(F.col("tf_total").desc(), "doc_id")
+        .limit(top_k)
+    )

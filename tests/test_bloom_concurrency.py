@@ -1,0 +1,185 @@
+"""Bloom membership tier, sweep-line concurrency, transitions, quota cap.
+
+The bloom contract under test is the one the runtime-filter pattern relies
+on at scale: NO false negative ever (a pruned fact row can always be
+dropped safely), merge is OR (associative/commutative/idempotent — at-
+least-once delivery safe), and state size is bounded by m, not by data.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from hive_io_experimental_spark.operators import incremental as inc
+from hive_io_experimental_spark.operators import sampling, temporal
+
+
+def _keys(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "user_id long")
+
+
+def test_bloom_no_false_negatives_and_merge_oneshot(spark):
+    a = _keys(spark, range(0, 60))
+    b = _keys(spark, range(40, 100))
+    m, k = 512, 3
+    merged = inc.merge_bloom_states(
+        inc.bloom_state(a, "user_id", m, k),
+        inc.bloom_state(b, "user_id", m, k),
+    )
+    oneshot = inc.bloom_state(
+        _keys(spark, range(0, 100)), "user_id", m, k
+    )
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in oneshot.collect()
+    }
+    # idempotence: folding a state into itself changes nothing
+    again = inc.merge_bloom_states(merged, merged)
+    assert {tuple(r) for r in again.collect()} == {
+        tuple(r) for r in merged.collect()
+    }
+    # every inserted key reads maybe_member = 1 (no false negatives)
+    mem = inc.bloom_membership(
+        merged, _keys(spark, range(0, 100)), "user_id", m, k
+    )
+    assert all(r.maybe_member == 1 for r in mem.collect())
+
+
+def test_bloom_state_is_bounded_by_m(spark):
+    m, k = 256, 4
+    state = inc.bloom_state(_keys(spark, range(10_000)), "user_id", m, k)
+    rows = state.collect()
+    assert len(rows) <= m // 32
+    # saturated filter: every word's bits fit in 32 bits and are positive
+    assert all(0 < r.bits < (1 << 32) for r in rows)
+
+
+def test_bloom_prune_stats_contract(spark):
+    fact = _keys(spark, list(range(0, 1000)) * 2).withColumnRenamed(
+        "user_id", "fkey"
+    )
+    dim = _keys(spark, range(0, 50)).withColumnRenamed("user_id", "dkey")
+    row = inc.bloom_prune_stats(
+        fact, "fkey", dim, "dkey", m_bits=256, k_hashes=3
+    ).collect()[0]
+    assert row.n_fact == 2000
+    assert row.n_joined == 100  # 50 keys x 2 occurrences
+    assert row.n_missed == 0  # the no-false-negative contract
+    assert row.n_pass == row.n_joined + row.n_false_pos
+    assert row.n_pass <= row.n_fact
+
+
+def test_max_concurrent_sessions_hand_case(spark):
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ev(uid, minutes, eid):
+        return (uid, base + dt.timedelta(minutes=minutes), eid)
+
+    rows = [
+        # three users whose sessions overlap inside hour 10:
+        # u1 [0, 20], u2 [10, 30], u3 [15, 25] -> peak 3
+        ev(1, 0, 1), ev(1, 20, 2),
+        ev(2, 10, 3), ev(2, 30, 4),
+        ev(3, 15, 5), ev(3, 25, 6),
+        # u4: session spanning into hour 11 [50, 70] — concurrency carries
+        # across the bucket boundary via the hour-base prefix
+        ev(4, 50, 7), ev(4, 70, 8),
+        # u5: point session inside hour 11 at minute 65 while u4 is open
+        ev(5, 65, 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long"
+    )
+    got = {
+        r.hour_epoch: r.max_concurrent
+        for r in temporal.max_concurrent_sessions(df).collect()
+    }
+    h10 = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert got == {h10: 3, h10 + 3600: 2}
+
+
+def test_event_transitions_hand_case(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base + dt.timedelta(minutes=i), i + 1, t)
+        for i, t in enumerate(["a", "b", "a", "b"])
+    ] + [
+        (2, base + dt.timedelta(minutes=i), 100 + i, t)
+        for i, t in enumerate(["a", "a"])
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {
+        (r.from_type, r.to_type): (r.n, r.prob_e6)
+        for r in temporal.event_transitions(df).collect()
+    }
+    # from 'a': a->b twice, a->a once; from 'b': b->a once
+    assert got[("a", "b")] == (2, 666666)
+    assert got[("a", "a")] == (1, 333333)
+    assert got[("b", "a")] == (1, 1000000)
+
+
+def test_quota_cap_sample_deterministic_and_capped(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    capped = sampling.quota_cap_sample(docs, cap=7)
+    sizes = {
+        r.source: r.n
+        for r in capped.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    orig = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert sizes == {s: min(7, n) for s, n in orig.items()}
+    # rerun picks the identical rows, and under a different partitioning
+    a = {tuple(r) for r in capped.select("source", "doc_id").collect()}
+    b = {
+        tuple(r)
+        for r in sampling.quota_cap_sample(docs.repartition(13), cap=7)
+        .select("source", "doc_id")
+        .collect()
+    }
+    assert a == b
+
+
+def test_inverted_index_build_and_search(spark):
+    from hive_io_experimental_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha"),
+            (2, "beta gamma"),
+            (3, "alpha delta"),
+            (4, "beta beta beta"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = {r.term: (r.df, r.tf_total, r.postings)
+           for r in T.inverted_index(docs).collect()}
+    assert idx["alpha"] == (2, 3, "1,3")
+    assert idx["beta"] == (3, 5, "1,2,4")
+    assert idx["delta"] == (1, 1, "3")
+    # posting cap keeps the numerically-first ids
+    capped = {r.term: r.postings
+              for r in T.inverted_index(docs, max_postings=2).collect()}
+    assert capped["beta"] == "1,2"
+    # AND semantics: only doc 1 has both alpha and beta; ranked by tf
+    hits = [(r.doc_id, r.tf_total)
+            for r in T.keyword_search(docs, ["alpha", "beta"]).collect()]
+    assert hits == [(1, 3)]
+
+
+def test_inverted_index_posting_order_is_numeric(spark):
+    from hive_io_experimental_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(i, "zeta") for i in (2, 10, 1, 30)], "doc_id long, text string"
+    )
+    row = T.inverted_index(docs).collect()[0]
+    assert row.postings == "1,2,10,30"  # numeric, not lexicographic

@@ -547,3 +547,50 @@ def test_topk_stateful_matches_bounds_and_stays_bounded(spark, sf_dir, tmp_path)
         assert all(r.seq >= 1 for r in rows)
         for r in rows:
             assert r.lo <= truth[r.key] <= r.hi, (r, truth[r.key])
+
+
+def test_bloom_state_streaming_fold_matches_batch(spark, sf_dir, tmp_path):
+    """The bloom membership tier streams: OR-folding per-microbatch
+    states must equal the one-shot batch filter WORD FOR WORD (OR is
+    associative/commutative/idempotent, so any micro-batching — including
+    at-least-once re-delivery — lands on the identical bit array), and
+    membership reads off the folded state must keep the no-false-negative
+    contract for every streamed key."""
+    from hive_io_experimental_spark.operators import incremental as inc
+
+    events_path = f"{sf_dir}/events.parquet"
+    stream = read_events_stream(spark, events_path)
+
+    m, k = 2048, 3
+    acc = {"state": None}
+
+    def fold(bdf, _bid):
+        s = inc.bloom_state(bdf, "user_id", m, k)
+        acc["state"] = (
+            s if acc["state"] is None
+            else inc.merge_bloom_states(acc["state"], s)
+        )
+        acc["state"] = spark.createDataFrame(
+            acc["state"].collect(), acc["state"].schema
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt_bloom"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    batch_events = spark.read.parquet(events_path)
+    batch = inc.bloom_state(batch_events, "user_id", m, k)
+    assert sorted(map(tuple, batch.collect())) == sorted(
+        map(tuple, acc["state"].collect())
+    )
+
+    mem = inc.bloom_membership(
+        acc["state"],
+        batch_events.select("user_id").distinct(),
+        "user_id", m, k,
+    )
+    assert mem.filter(F.col("maybe_member") == 0).count() == 0
