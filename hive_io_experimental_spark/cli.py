@@ -423,6 +423,38 @@ def cmd_spans(args: argparse.Namespace, stop_session: bool = True) -> int:
     return 0
 
 
+def cmd_search(args: argparse.Namespace, stop_session: bool = True) -> int:
+    """Keyword search over a corpus, or print its inverted index.
+
+    With --terms: conjunctive (AND) search, ranked by total term
+    frequency. Without: the term -> (df, tf_total, postings) index, the
+    posting prefix capped at --max-postings ids."""
+    from hive_io_experimental_spark.operators import text as text_ops
+
+    spark = _build_spark(args.threads)
+    df = _table_df(spark, args, args.table)
+    if args.terms:
+        terms = [t for t in args.terms.split(",") if t]
+        out = text_ops.keyword_search(
+            df, terms, text_col=args.text_col, id_col=args.id_col,
+            top_k=args.top_k,
+        )
+    else:
+        out = text_ops.inverted_index(
+            df, text_col=args.text_col, id_col=args.id_col,
+            max_postings=args.max_postings,
+        )
+    print(args.separator.join(out.columns))
+    n = 0
+    for row in out.toLocalIterator():
+        print(args.separator.join("" if v is None else str(v) for v in row))
+        n += 1
+    print(f"# {n} rows", file=sys.stderr)
+    if stop_session:
+        spark.stop()
+    return 0
+
+
 def cmd_decontaminate(
     args: argparse.Namespace, stop_session: bool = True
 ) -> int:
@@ -648,6 +680,24 @@ def build_parser() -> argparse.ArgumentParser:
     dc.add_argument("--separator", default="\t")
     dc.add_argument("--threads", type=int, default=None)
 
+    se = sub.add_parser(
+        "search",
+        help="conjunctive keyword search, or print the inverted index",
+    )
+    se.add_argument("--table", required=True,
+                    help="db.table (with --warehouse) or parquet path")
+    se.add_argument("--terms", default=None,
+                    help="comma-separated AND terms; omit to print index")
+    se.add_argument("--top-k", type=int, default=50)
+    se.add_argument("--max-postings", type=int, default=20)
+    se.add_argument("--text-col", default="text")
+    se.add_argument("--id-col", default="doc_id")
+    se.add_argument("--warehouse")
+    se.add_argument("--namespaces-file")
+    se.add_argument("--namespace", default="silver")
+    se.add_argument("--separator", default="\t")
+    se.add_argument("--threads", type=int, default=None)
+
     snap = sub.add_parser(
         "snapshots", help="list a versioned table's snapshot history"
     )
@@ -684,6 +734,8 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         return cmd_spans(args, stop_session=stop_session)
     if args.command == "decontaminate":
         return cmd_decontaminate(args, stop_session=stop_session)
+    if args.command == "search":
+        return cmd_search(args, stop_session=stop_session)
     if args.command == "snapshots":
         return cmd_snapshots(args)
     if args.command == "conf-options":

@@ -301,3 +301,33 @@ def test_cli_spans_stats_and_strip(spark, tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     by_id = {l.split("\t")[0]: l.split("\t") for l in out[1:]}
     assert by_id["0"][1] == "eee fff"
+
+
+def test_cli_search_index_and_query(spark, tmp_path, capsys):
+    t = tmp_path / "docs_search"
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha"),
+            (2, "beta gamma"),
+            (3, "alpha delta"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(str(t))
+
+    # index mode: term -> df, tf_total, postings
+    rc = main(["search", "--table", str(t)], stop_session=False)
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t") == ["term", "df", "tf_total", "postings"]
+    rows = {l.split("\t")[0]: l.split("\t") for l in out[1:]}
+    assert rows["alpha"][1:] == ["2", "3", "1,3"]
+
+    # query mode: AND of alpha,beta -> only doc 1
+    rc = main(
+        ["search", "--table", str(t), "--terms", "alpha,beta"],
+        stop_session=False,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t") == ["doc_id", "tf_total"]
+    assert [l.split("\t") for l in out[1:]] == [["1", "3"]]
