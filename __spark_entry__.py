@@ -1196,6 +1196,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sessionize_events"] = lambda spark, sf: relational.sessionize(
         _t(spark, sf, "events")
     )
+    # hopping (sliding) windows via Spark's native window-with-slide —
+    # Catalyst owns the covering-window expansion, partial aggregation
+    # applies before the single shuffle
+    q["events_hopping"] = lambda spark, sf: relational.events_hopping(
+        _t(spark, sf, "events")
+    )
     # sweep-line interval overlap: peak concurrent sessions per hour via
     # the two-level prefix sum (per-hour windows + tiny hour-base rollup),
     # never one global ORDER BY over all boundaries
@@ -1423,6 +1429,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["cross_source_leakage"] = lambda spark, sf: text.cross_source_leakage(
         _t(spark, sf, "documents")
+    )
+    # second-order LM quality filter: self-trained conditional bigram
+    # bits-per-transition (catches common-words-in-odd-order boilerplate
+    # the unigram scorer misses)
+    q["bigram_lm_scores"] = lambda spark, sf: text.bigram_lm_scores(
+        _t(spark, sf, "documents")
+    )
+    # incremental indexing: index ⊕ index over disjoint halves must equal
+    # the one-shot full-corpus index (same oracle SQL) — df/tf add, and
+    # first-P of the union of two first-P prefixes is first-P of the union
+    q["inverted_index_merged"] = lambda spark, sf: text.merge_inverted_indexes(
+        text.inverted_index(
+            _t(spark, sf, "documents").filter(F.col("doc_id") % 2 == 0)
+        ),
+        text.inverted_index(
+            _t(spark, sf, "documents").filter(F.col("doc_id") % 2 == 1)
+        ),
     )
     # search-engine build path: term -> (df, tf, capped posting prefix);
     # the cap is applied by rank BEFORE collecting (hot terms never
@@ -2214,6 +2237,23 @@ def oracle_sql() -> dict[str, str]:
                COUNT(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
+    # hopping-window twin: the 60m/15m windows covering an event are
+    # starts floor(t/900)*900 - j*900 for j in 0..3 — the explicit explode
+    # of the expansion Spark's native window operator performs
+    o["events_hopping"] = """
+        WITH e AS (SELECT epoch_us(ts) AS t_us, event_type,
+                          CAST(CAST(value AS DECIMAL(14,4)) * 10000
+                               AS BIGINT) AS v_e4
+                   FROM events),
+        j AS (SELECT unnest(range(4)) AS j),
+        w AS (SELECT ((t_us // 900000000) - j) * 900 AS window_start,
+                     event_type, v_e4
+              FROM e CROSS JOIN j)
+        SELECT window_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(v_e4) AS BIGINT) AS sum_value_e4
+        FROM w GROUP BY 1, 2 ORDER BY 1, 2"""
+
     o["events_time_rollup"] = """
         WITH e AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch,
                           (epoch_us(ts) // 86400000000) * 86400 AS day_epoch,
@@ -2722,6 +2762,32 @@ def oracle_sql() -> dict[str, str]:
                FROM tf GROUP BY token)
         SELECT st.token AS term, st.df, st.tf_total, post.postings
         FROM st JOIN post ON post.token = st.token ORDER BY term"""
+
+    # bigram LM twin: same tokenization, bigrams formed over 1-based list
+    # positions, MLE conditional bits rounded to 6 and summed as exact
+    # DECIMAL(18,6) (the unigram scorer's determinism trick)
+    o["bigram_lm_scores"] = f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        bg0 AS (SELECT doc_id,
+                       list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i+1])
+                         AS bgs
+                FROM d WHERE len(toks) >= 2),
+        occ AS (SELECT doc_id, unnest(bgs) AS bg FROM bg0),
+        cb AS (SELECT bg, COUNT(*) AS cb FROM occ GROUP BY 1),
+        cc AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS cc
+               FROM occ GROUP BY 1),
+        bits AS (SELECT cb.bg,
+                        CAST(ROUND(-log2(cb.cb / cc.cc), 6)
+                             AS DECIMAL(18,6)) AS b
+                 FROM cb JOIN cc ON cc.w1 = split_part(cb.bg, ' ', 1))
+        SELECT o.doc_id, COUNT(*) AS n_bigrams,
+               ROUND(CAST(SUM(b.b) AS DOUBLE) / COUNT(*), 6) AS avg_bits
+        FROM occ o JOIN bits b USING (bg) GROUP BY 1 ORDER BY 1"""
+
+    # ⊕-merged index must equal the one-shot full-corpus index exactly
+    # (disjoint doc halves), so it shares the inverted_index twin
+    o["inverted_index_merged"] = o["inverted_index"]
 
     o["keyword_search"] = f"""
         WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

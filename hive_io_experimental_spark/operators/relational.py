@@ -1524,3 +1524,43 @@ def pricing_summary_unpivot(lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus", "metric")
     )
+
+
+def events_hopping(
+    events: DataFrame,
+    window_minutes: int = 60,
+    slide_minutes: int = 15,
+) -> DataFrame:
+    """Hopping (sliding) window counts: ``window_minutes`` windows
+    advancing every ``slide_minutes`` — each event lands in
+    window/slide overlapping windows.
+
+    Uses Spark's native windowing (F.window with a slide), which expands
+    events to their covering windows map-side and partial-aggregates
+    before the single shuffle — the plan a hand-rolled offset explode
+    would build, with Catalyst owning the expansion. Window starts are
+    epoch-aligned; because every real-world timezone offset is a
+    multiple of 15 minutes, the emitted epoch starts are identical under
+    any session timezone (same tz-independence contract as month_epoch).
+    Returns (window_start, event_type, n_events, sum_value_e4) ordered —
+    value sums in exact e4 fixed-point like the rollup family.
+    """
+    ev = ensure_event_time(events)
+    win = F.window("ts", f"{window_minutes} minutes", f"{slide_minutes} minutes")
+    v_e4 = (F.col("value").cast("decimal(14,4)") * 10_000).cast("long")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(v_e4).cast("long").alias("sum_value_e4"),
+        )
+        .select(
+            (F.unix_micros(F.col("w.start")) / 1_000_000)
+            .cast("long")
+            .alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value_e4",
+        )
+        .orderBy("window_start", "event_type")
+    )

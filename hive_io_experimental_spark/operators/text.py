@@ -966,3 +966,113 @@ def keyword_search(
         .orderBy(F.col("tf_total").desc(), "doc_id")
         .limit(top_k)
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Self-trained bigram LM score (bits per transition) per document.
+
+    The second-order sibling of unigram_lm_scores: fit conditional
+    P(w2|w1) = c(w1 w2) / c(w1 ·) on the corpus itself (MLE over bigram
+    occurrences — every observed bigram has nonzero probability because
+    the model is fit on the scored corpus), then score each document by
+    its average negative log2 transition probability. Catches repetitive
+    boilerplate that unigram misses (common words in uncommon orders
+    score high) at the cost of a bigram-vocabulary-sized model.
+
+    Plan shape: tokenization materialized BELOW a spread() exchange, then
+    positions exploded and each bigram formed by plain codegen element
+    access — never an interpreted HOF lambda re-evaluating the tokenizer
+    per position (the documented CollapseProject trap). Two vocabulary
+    aggregations (bigram counts, context counts) + one scoring join +
+    one per-doc sum; every shuffle carries (key, count) pairs, not text.
+
+    Determinism: per-transition bits rounded to 6 and summed as exact
+    DECIMAL(18,6) — order-independent hash like unigram_lm_scores.
+    Docs with < 2 tokens emit no row.
+
+    Returns (doc_id, n_bigrams, avg_bits).
+    """
+    prepared = spread(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            word_tokens(F.col(text_col)).alias("_toks"),
+        )
+    ).filter(F.size("_toks") >= 2)
+    occ = prepared.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.size("_toks") - F.lit(2))
+        ).alias("i"),
+        F.col("_toks"),
+    ).select(
+        "doc_id",
+        F.expr("_toks[i]").alias("w1"),
+        F.expr("concat(_toks[i], ' ', _toks[i + 1])").alias("bg"),
+    )
+    cb = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("_cb"))
+    cc = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("_cc"))
+    bits = (
+        cb.withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
+        .join(cc, "w1")
+        .select(
+            "bg",
+            F.round(-F.log2(F.col("_cb") / F.col("_cc")), 6)
+            .cast("decimal(18,6)")
+            .alias("_bits"),
+        )
+    )
+    return (
+        occ.join(bits, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("_bits").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_bits"),
+        )
+    )
+
+
+def merge_inverted_indexes(
+    a: DataFrame, b: DataFrame, max_postings: int = 20
+) -> DataFrame:
+    """index ⊕ index for inverted_index outputs built over DISJOINT
+    document sets (the incremental-indexing contract: each batch indexes
+    new doc ids).
+
+    df and tf_total add; the merged posting prefix is exact — each side
+    kept its numerically-first ``max_postings`` ids, and for disjoint id
+    sets the first-P of the union of two first-P prefixes IS the first-P
+    of the full union. Merge cost is index-sized (vocabulary rows), never
+    corpus-sized: one shuffle on term.
+    """
+    u = a.unionByName(b)
+    return (
+        u.groupBy("term")
+        .agg(
+            F.sum("df").cast("long").alias("df"),
+            F.sum("tf_total").cast("long").alias("tf_total"),
+            F.array_join(
+                F.slice(
+                    F.array_sort(
+                        F.flatten(
+                            F.collect_list(
+                                F.transform(
+                                    F.split("postings", ","),
+                                    lambda x: x.cast("long"),
+                                )
+                            )
+                        )
+                    ),
+                    1,
+                    max_postings,
+                ).cast("array<string>"),
+                ",",
+            ).alias("postings"),
+        )
+        .orderBy("term")
+    )

@@ -183,3 +183,60 @@ def test_inverted_index_posting_order_is_numeric(spark):
     )
     row = T.inverted_index(docs).collect()[0]
     assert row.postings == "1,2,10,30"  # numeric, not lexicographic
+
+
+def test_bigram_lm_repetition_scores_low(spark):
+    from hive_io_experimental_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1+2: the dominant 'a b' transition context
+            (1, "a b a b a b a b"),
+            (2, "a b a b"),
+            # doc 3: same words, novel transitions (b b, a a)
+            (3, "b b a a"),
+            (4, "solo"),  # < 2 tokens: no row
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: (r.n_bigrams, float(r.avg_bits))
+            for r in T.bigram_lm_scores(docs).collect()}
+    assert 4 not in rows
+    assert rows[1][0] == 7 and rows[2][0] == 3 and rows[3][0] == 3
+    # predictable alternation scores fewer bits than novel transitions
+    assert rows[1][1] < rows[3][1]
+
+
+def test_merge_inverted_indexes_equals_oneshot(spark, sf_dir):
+    from hive_io_experimental_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merged = T.merge_inverted_indexes(
+        T.inverted_index(docs.filter(F.col("doc_id") % 2 == 0)),
+        T.inverted_index(docs.filter(F.col("doc_id") % 2 == 1)),
+    )
+    oneshot = T.inverted_index(docs)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, oneshot.collect())
+    )
+
+
+def test_events_hopping_covering_windows(spark):
+    from hive_io_experimental_spark.operators import relational
+
+    base = dt.datetime(2024, 1, 1, 10, 7, 0)  # inside the 10:00 hour
+    df = spark.createDataFrame(
+        [(1, base, 1, "click", 2.5)],
+        "user_id long, ts timestamp, event_id long, event_type string,"
+        " value double",
+    )
+    rows = sorted(
+        (r.window_start, r.n_events, r.sum_value_e4)
+        for r in relational.events_hopping(df).collect()
+    )
+    t = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    slide_floor = t - t % 900
+    # one event -> exactly 4 covering 60m/15m windows, newest start first
+    assert rows == [
+        (slide_floor - j * 900, 1, 25000) for j in range(3, -1, -1)
+    ]
