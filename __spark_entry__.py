@@ -1447,6 +1447,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents").filter(F.col("doc_id") % 2 == 1)
         ),
     )
+    # relevance-ranked (OR) search: BM25 with Robertson +1 idf over the
+    # same query terms as keyword_search's AND gate
+    q["bm25_search"] = lambda spark, sf: text.bm25_search(
+        _t(spark, sf, "documents"), ["data", "join", "window"]
+    )
+    # exact phrase occurrence counts via row-local k-gram formation (no
+    # positional self-joins)
+    q["phrase_search"] = lambda spark, sf: text.phrase_search(
+        _t(spark, sf, "documents"), "row column sort"
+    )
     # search-engine build path: term -> (df, tf, capped posting prefix);
     # the cap is applied by rank BEFORE collecting (hot terms never
     # materialize corpus-sized postings in one task)
@@ -2798,6 +2808,51 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY doc_id)
         SELECT doc_id, tf_total FROM q WHERE n_terms = 3
         ORDER BY tf_total DESC, doc_id LIMIT 50"""
+
+    # BM25 twin: per-term contributions rounded to 6 and summed as exact
+    # DECIMAL(18,6) (order-independent), Robertson +1 idf, avgdl as the
+    # same double division both engines perform
+    o["bm25_search"] = f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+        corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+                   FROM dl),
+        tk AS (SELECT doc_id, unnest(toks) AS token FROM d),
+        tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM tk WHERE token IN ('data', 'join', 'window')
+               GROUP BY 1, 2),
+        dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+                  FROM tf GROUP BY 1),
+        contrib AS (SELECT tf.doc_id,
+                           CAST(ROUND(
+                             ln((corpus.n - dfreq.df + 0.5)
+                                / (dfreq.df + 0.5) + 1.0)
+                             * (tf.tf * 2.2)
+                             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                               / corpus.avgdl)),
+                             6) AS DECIMAL(18,6)) AS s
+                    FROM tf
+                    JOIN dfreq ON dfreq.token = tf.token
+                    JOIN dl ON dl.doc_id = tf.doc_id
+                    CROSS JOIN corpus)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+               CAST(SUM(s) AS DOUBLE) AS score
+        FROM contrib GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT 50"""
+
+    # phrase twin: 3-gram strings over 1-based inclusive list slices
+    o["phrase_search"] = f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (SELECT doc_id,
+                     unnest(CASE WHEN len(toks) >= 3 THEN
+                              list_transform(range(1, len(toks) - 1),
+                                i -> array_to_string(toks[i:i+2], ' '))
+                            ELSE [] END) AS gram
+              FROM d)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM g WHERE gram = 'row column sort'
+        GROUP BY 1 ORDER BY 1"""
 
     o["corpus_language_stats"] = f"""
         WITH lang AS ({o['lang_id']}),

@@ -1076,3 +1076,125 @@ def merge_inverted_indexes(
         )
         .orderBy("term")
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 50,
+) -> DataFrame:
+    """BM25-ranked (disjunctive) keyword search: top ``top_k`` documents
+    scoring any query term, Robertson idf (+1 variant, always positive).
+
+      idf(t)    = ln((N - df + 0.5) / (df + 0.5) + 1)
+      score(d)  = Σ_t idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Plan shape: one full-corpus pass for document lengths (dl) and the
+    corpus aggregates (N, avgdl — a 1-row broadcast); the term explode is
+    filtered to the query tokens BEFORE its shuffle, so the scored
+    candidate set is postings-sized. Determinism: per-term contributions
+    rounded to 6 and summed as exact DECIMAL(18,6) (order-independent —
+    the lm-scorer trick), final ordering (score desc, doc_id) total.
+    Returns (doc_id, n_terms_hit, score).
+    """
+    prepared = spread(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            word_tokens(F.col(text_col)).alias("_toks"),
+        )
+    )
+    dl = prepared.select("doc_id", F.size("_toks").alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("_n"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("_avgdl"),
+    )
+    tf = (
+        prepared.select(
+            "doc_id", F.explode("_toks").alias("token")
+        )
+        .filter(F.col("token").isin(list(terms)))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(dfreq, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("_n") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))
+                ),
+                6,
+            ).cast("decimal(18,6)").alias("_s"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+            F.sum("_s").cast("double").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(top_k)
+    )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search: per-document occurrence counts of a token
+    phrase (adjacent, in order).
+
+    Row-local k-gram formation — each candidate position's k-token slice
+    is joined to a string and compared to the phrase — so the whole
+    operator is one explode + one aggregate with NO positional self-joins
+    (the k-1 (doc,pos) equi-joins a positional index would do). The slice
+    rides the exploded position as a codegen expression over the bound
+    token array, never an interpreted HOF lambda. Documents shorter than
+    the phrase are skipped at the filter.
+    Returns (doc_id, n_occurrences) for matching docs, ordered.
+    """
+    p_toks = [t for t in phrase.lower().split() if t]
+    k = len(p_toks)
+    if k == 0:
+        raise ValueError("empty phrase")
+    target = " ".join(p_toks)
+    prepared = spread(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            word_tokens(F.col(text_col)).alias("_toks"),
+        )
+    ).filter(F.size("_toks") >= k)
+    grams = prepared.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.size("_toks") - F.lit(k))
+        ).alias("i"),
+        "_toks",
+    ).select(
+        "doc_id",
+        F.expr(f"array_join(slice(_toks, i + 1, {k}), ' ')").alias("gram"),
+    )
+    return (
+        grams.filter(F.col("gram") == target)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy("doc_id")
+    )

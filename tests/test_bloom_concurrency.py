@@ -240,3 +240,43 @@ def test_events_hopping_covering_windows(spark):
     assert rows == [
         (slide_floor - j * 900, 1, 25000) for j in range(3, -1, -1)
     ]
+
+
+def test_bm25_ranks_rarer_term_higher(spark):
+    from hive_io_experimental_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common rare"),
+            (2, "common other words here"),
+            (3, "common stuff and more things"),
+            (4, "filler filler filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = [(r.doc_id, r.n_terms_hit, r.score)
+            for r in T.bm25_search(docs, ["common", "rare"]).collect()]
+    # doc 1 hits both terms and 'rare' has higher idf -> ranked first
+    assert rows[0][0] == 1 and rows[0][1] == 2
+    assert {d for d, _, _ in rows} == {1, 2, 3}
+    assert all(s > 0 for _, _, s in rows)
+    # total order: scores non-increasing
+    assert all(rows[i][2] >= rows[i + 1][2] for i in range(len(rows) - 1))
+
+
+def test_phrase_search_adjacent_in_order_only(spark):
+    from hive_io_experimental_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big red fox"),          # exact match
+            (2, "big red red fox"),      # adjacency broken
+            (3, "red fox big"),          # order broken
+            (4, "the big red fox saw a big red fox"),  # two occurrences
+            (5, "big red"),              # shorter than phrase
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_occurrences
+           for r in T.phrase_search(docs, "big red fox").collect()}
+    assert got == {1: 1, 4: 2}
