@@ -1305,6 +1305,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             top_n=20,
         )
     )
+    # drift monitoring: PSI between two histogram-tier states (reference
+    # vs current split) — a state read over pre-aggregated integers, not
+    # an event re-scan
+    q["value_drift_psi"] = lambda spark, sf: (
+        profile.histogram_drift(
+            incremental.hourly_histogram_state(
+                _t(spark, sf, "events").filter(F.col("event_id") % 2 == 0)
+            ),
+            incremental.hourly_histogram_state(
+                _t(spark, sf, "events").filter(F.col("event_id") % 2 == 1)
+            ),
+        )
+    )
     # membership member of the incremental-state family: bloom filter
     # built on two half-batches of click users, OR-merged (⊕ == one-shot),
     # read against the distinct purchase users. Probes are md5-derived
@@ -3142,6 +3155,45 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CASE WHEN pass_bloom = 0 AND joins = 1
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
         FROM fl"""
+
+    # PSI drift twin: same e4/10000 histogram buckets per half, add-one
+    # smoothing over the union bucket count, contributions rounded to 6
+    # and summed as exact DECIMAL(18,6)
+    o["value_drift_psi"] = """
+        WITH b AS (SELECT event_type, event_id % 2 AS half,
+                          CAST(floor(CAST(CAST(value AS DECIMAL(14,4))
+                                          * 10000 AS BIGINT) / 10000.0)
+                               AS BIGINT) AS bucket
+                   FROM events WHERE value IS NOT NULL),
+        r AS (SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS nr
+              FROM b WHERE half = 0 GROUP BY 1, 2),
+        c AS (SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS nc
+              FROM b WHERE half = 1 GROUP BY 1, 2),
+        j AS (SELECT COALESCE(r.event_type, c.event_type) AS event_type,
+                     COALESCE(r.bucket, c.bucket) AS bucket,
+                     COALESCE(nr, 0) AS nr, COALESCE(nc, 0) AS nc
+              FROM r FULL JOIN c
+                ON r.event_type = c.event_type AND r.bucket = c.bucket),
+        p AS (SELECT event_type, nr, nc,
+                     COUNT(*) OVER (PARTITION BY event_type) AS b_cnt,
+                     CAST(SUM(nr) OVER (PARTITION BY event_type)
+                          AS BIGINT) AS tr,
+                     CAST(SUM(nc) OVER (PARTITION BY event_type)
+                          AS BIGINT) AS tc
+              FROM j),
+        con AS (SELECT event_type, nr, nc,
+                       CAST(ROUND(
+                         ((nc + 1.0) / (tc + b_cnt)
+                          - (nr + 1.0) / (tr + b_cnt))
+                         * ln(((nc + 1.0) / (tc + b_cnt))
+                              / ((nr + 1.0) / (tr + b_cnt))), 6)
+                            AS DECIMAL(18,6)) AS psi_c
+                FROM p)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(nr) AS BIGINT) AS n_ref,
+               CAST(SUM(nc) AS BIGINT) AS n_cur,
+               CAST(SUM(psi_c) AS DOUBLE) AS psi
+        FROM con GROUP BY 1 ORDER BY 1"""
 
     o["percentile_state_rollup"] = """
         WITH b AS (SELECT event_type,

@@ -353,3 +353,65 @@ def robust_outliers(
         .filter(F.abs(F.col("robust_z")) > z)
         .orderBy("id")
     )
+
+
+def histogram_drift(
+    ref_state: DataFrame, cur_state: DataFrame
+) -> DataFrame:
+    """Population Stability Index between two histogram-tier states
+    (operators/incremental.py hourly_histogram_state shape): per
+    event_type, PSI = Σ_b (p_cur − p_ref) · ln(p_cur / p_ref) over the
+    union of occupied buckets, add-one smoothed so one-sided buckets stay
+    finite: p = (n_b + 1) / (N + B), B = union bucket count.
+
+    The drift monitor a training pipeline runs between a reference
+    corpus/window and the current one — PSI < 0.1 is conventionally
+    stable, > 0.25 drifted. Because the inputs are the MERGEABLE
+    histogram states, drift over any time range is a state read, not an
+    event re-scan: O(types × buckets) work on pre-aggregated integers.
+    Determinism: per-bucket contributions round to 6 and sum as exact
+    DECIMAL(18,6) (order-independent hash); counts are exact integers.
+    Returns (event_type, n_buckets, n_ref, n_cur, psi) ordered.
+    """
+    r = ref_state.groupBy("event_type", "bucket").agg(
+        F.sum("n").cast("long").alias("nr")
+    )
+    c = cur_state.groupBy("event_type", "bucket").agg(
+        F.sum("n").cast("long").alias("nc")
+    )
+    joined = r.join(c, ["event_type", "bucket"], "full").select(
+        "event_type",
+        "bucket",
+        F.coalesce("nr", F.lit(0)).alias("nr"),
+        F.coalesce("nc", F.lit(0)).alias("nc"),
+    )
+    w = Window.partitionBy("event_type")
+    per = joined.select(
+        "event_type",
+        "bucket",
+        "nr",
+        "nc",
+        F.count(F.lit(1)).over(w).alias("_b"),
+        F.sum("nr").over(w).alias("_tr"),
+        F.sum("nc").over(w).alias("_tc"),
+    )
+    pr = (F.col("nr") + 1) / (F.col("_tr") + F.col("_b"))
+    pc = (F.col("nc") + 1) / (F.col("_tc") + F.col("_b"))
+    contrib = per.select(
+        "event_type",
+        "nr",
+        "nc",
+        F.round((pc - pr) * F.log(pc / pr), 6)
+        .cast("decimal(18,6)")
+        .alias("_psi"),
+    )
+    return (
+        contrib.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum("nr").cast("long").alias("n_ref"),
+            F.sum("nc").cast("long").alias("n_cur"),
+            F.sum("_psi").cast("double").alias("psi"),
+        )
+        .orderBy("event_type")
+    )

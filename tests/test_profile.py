@@ -66,3 +66,33 @@ def test_robust_outliers_resists_masking(spark):
     assert [r["id"] for r in robust] == [9]  # the 100000 row
     # classic z masks it: std ~ 31k, z of the outlier ~ 2.85 < 3
     assert numeric_outliers(df, "v", "id", z=3.0).count() == 0
+
+
+def test_histogram_drift_psi_properties(spark):
+    from hive_io_experimental_spark.operators import incremental as inc
+    from hive_io_experimental_spark.operators import profile as prof
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+
+    def events(vals, etype):
+        return spark.createDataFrame(
+            [(i, base, i, etype, float(v)) for i, v in enumerate(vals)],
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double",
+        )
+
+    same = events([1.0, 2.0, 3.0] * 10, "a")
+    h = inc.hourly_histogram_state(same)
+    # identical distributions -> PSI exactly 0 (every contribution is 0)
+    row = prof.histogram_drift(h, h).collect()[0]
+    assert row.psi == 0.0 and row.n_ref == 30 and row.n_cur == 30
+    # disjoint supports -> large positive PSI
+    lo = inc.hourly_histogram_state(events([1.0] * 30, "a"))
+    hi = inc.hourly_histogram_state(events([9.0] * 30, "a"))
+    drifted = prof.histogram_drift(lo, hi).collect()[0]
+    assert drifted.psi > 1.0
+    # symmetry of PSI under swap (the formula is antisymmetric per term
+    # but the sum is invariant: (pc-pr)ln(pc/pr) == (pr-pc)ln(pr/pc))
+    swapped = prof.histogram_drift(hi, lo).collect()[0]
+    assert abs(drifted.psi - swapped.psi) < 1e-9
