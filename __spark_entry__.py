@@ -1196,6 +1196,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sessionize_events"] = lambda spark, sf: relational.sessionize(
         _t(spark, sf, "events")
     )
+    # log-compaction read: each user's newest event is their current
+    # state (deterministic total order (ts, event_id) within the key)
+    q["latest_events"] = lambda spark, sf: (
+        relational.latest_by_key(
+            relational.ensure_event_time(_t(spark, sf, "events")),
+            ["user_id"],
+            ["ts", "event_id"],
+        ).select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        ).orderBy("user_id")
+    )
     # hopping (sliding) windows via Spark's native window-with-slide —
     # Catalyst owns the covering-window expansion, partial aggregation
     # applies before the single shuffle
@@ -1303,6 +1317,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 k=16,
             ),
             top_n=20,
+        )
+    )
+    # embedding-space drift: per-label centroid L2 shift between the two
+    # parity halves of the embeddings table (the vector counterpart of
+    # the PSI value monitor)
+    q["embedding_drift"] = lambda spark, sf: (
+        similarity.embedding_centroid_drift(
+            _t(spark, sf, "embeddings").filter(F.col("vec_id") % 2 == 0),
+            _t(spark, sf, "embeddings").filter(F.col("vec_id") % 2 == 1),
         )
     )
     # drift monitoring: PSI between two histogram-tier states (reference
@@ -2259,6 +2282,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value,
                COUNT(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+    o["latest_events"] = """
+        WITH r AS (SELECT user_id, event_id, event_type,
+                          epoch_us(ts) AS ts_us,
+                          ROW_NUMBER() OVER (PARTITION BY user_id
+                                             ORDER BY ts DESC,
+                                                      event_id DESC) AS rk
+                   FROM events)
+        SELECT user_id, event_id, event_type, ts_us
+        FROM r WHERE rk = 1 ORDER BY user_id"""
 
     # hopping-window twin: the 60m/15m windows covering an event are
     # starts floor(t/900)*900 - j*900 for j in 0..3 — the explicit explode
@@ -3918,6 +3951,36 @@ def oracle_sql() -> dict[str, str]:
                        AS rank
               FROM scored)
         SELECT doc_id, token, tf, df, tfidf, rank FROM r WHERE rank <= 3"""
+
+    # centroid drift twin: per-(half, label, dim) decimal-exact means,
+    # squared deltas rounded to 6 and summed exactly before the sqrt
+    o["embedding_drift"] = """
+        WITH v AS (SELECT vec_id, label,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE))
+                            AS v
+                   FROM embeddings),
+        d AS (SELECT label, vec_id % 2 AS half, u AS dim, v[u] AS x
+              FROM v, UNNEST(range(1, len(v) + 1)) AS t(u)),
+        cent AS (SELECT label, half, dim,
+                        CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6)))
+                             AS DOUBLE) / COUNT(*) AS c
+                 FROM d GROUP BY 1, 2, 3),
+        j AS (SELECT a.label, a.dim, a.c AS ca, b.c AS cb
+              FROM cent a JOIN cent b
+                ON a.label = b.label AND a.dim = b.dim
+               AND a.half = 0 AND b.half = 1),
+        s AS (SELECT label,
+                     CAST(SUM(CAST(ROUND((ca - cb) * (ca - cb), 6)
+                                   AS DECIMAL(18,6))) AS DOUBLE) AS ss
+              FROM j GROUP BY 1),
+        n AS (SELECT label,
+                     CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_ref,
+                     CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_cur
+              FROM v GROUP BY 1)
+        SELECT n.label, n.n_ref, n.n_cur, ROUND(sqrt(s.ss), 6) AS l2_shift
+        FROM n LEFT JOIN s ON s.label = n.label ORDER BY n.label"""
 
     o["label_centroid_stats"] = """
         WITH v AS (SELECT vec_id, label,

@@ -1564,3 +1564,29 @@ def events_hopping(
         )
         .orderBy("window_start", "event_type")
     )
+
+
+def latest_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """Keep each key's latest row — the CDC/log-compaction read: given an
+    append-only change log, the current state is the newest row per key.
+
+    ``order_cols`` must be a deterministic total order within a key
+    (e.g. [ts, event_id]) or the kept row is engine-dependent; ties on
+    the full order tuple would be nondeterministic, which is why the
+    caller passes a tiebreaker column. One shuffle on the key for the
+    rank window; at warehouse scale this is the dedup step a MERGE-based
+    ingest runs before applying a batch (merge.scd1_merge composes it).
+    Returns the input columns of the surviving rows.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )

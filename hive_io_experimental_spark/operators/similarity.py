@@ -894,3 +894,74 @@ def knn_label_accuracy(
         )
         .orderBy("label")
     )
+
+
+def embedding_centroid_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-space drift monitor: per label, the L2 distance between
+    the reference corpus's centroid and the current one's.
+
+    The vector-space counterpart of the PSI value monitor
+    (profile.histogram_drift): an embedding pipeline re-checks that each
+    class's representation hasn't moved between snapshots/batches before
+    trusting thresholds tuned on the reference. Plan: one posexplode +
+    (label, dim) aggregate per side — shuffle volume is rows × dims
+    scalar pairs with map-side partials, centroid tables are |labels| ×
+    dims rows.
+
+    Determinism: per-dim means use the decimal-exact sum trick
+    (label_centroid_stats); squared dim deltas round to 6 and sum as
+    DECIMAL(18,6), so the final sqrt sees a bit-identical total in any
+    partitioning/engine. Returns (label, n_ref, n_cur, l2_shift).
+    """
+    def dims(df: DataFrame) -> DataFrame:
+        v = spread(df).select(
+            F.col(label_col).alias("label"), _as_double(vec_col).alias("_v")
+        )
+        return (
+            v.select("label", F.posexplode("_v").alias("dim", "x"))
+            .groupBy("label", "dim")
+            .agg(
+                (
+                    F.sum(F.round(F.col("x"), 6).cast("decimal(18,6)"))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                ).alias("c")
+            )
+        )
+
+    a = dims(ref).withColumnRenamed("c", "ca")
+    b = dims(cur).withColumnRenamed("c", "cb")
+    shift = (
+        a.join(b, ["label", "dim"])
+        .select(
+            "label",
+            F.round(
+                (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")), 6
+            ).cast("decimal(18,6)").alias("sq"),
+        )
+        .groupBy("label")
+        .agg(F.round(F.sqrt(F.sum("sq").cast("double")), 6).alias("l2_shift"))
+    )
+    nr = ref.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ref")
+    )
+    nc = cur.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cur")
+    )
+    return (
+        nr.join(nc, "label", "full")
+        .join(shift, "label", "left")
+        .select(
+            "label",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+            "l2_shift",
+        )
+        .orderBy("label")
+    )

@@ -280,3 +280,42 @@ def test_phrase_search_adjacent_in_order_only(spark):
     got = {r.doc_id: r.n_occurrences
            for r in T.phrase_search(docs, "big red fox").collect()}
     assert got == {1: 1, 4: 2}
+
+
+def test_embedding_centroid_drift(spark):
+    from hive_io_experimental_spark.operators import similarity as S
+
+    def vecs(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+
+    ref = vecs([(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0),
+                (3, [0.0, 5.0], 1)])
+    # label 0 shifted by (0, 3); label 1 identical
+    cur = vecs([(4, [1.0, 3.0], 0), (5, [1.0, 3.0], 0),
+                (6, [0.0, 5.0], 1)])
+    got = {r.label: (r.n_ref, r.n_cur, r.l2_shift)
+           for r in S.embedding_centroid_drift(ref, cur).collect()}
+    assert got[0] == (2, 2, 3.0)
+    assert got[1] == (1, 1, 0.0)
+
+
+def test_latest_by_key_keeps_newest(spark):
+    from hive_io_experimental_spark.operators import relational
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, base, 1, "signup"),
+            (1, base + dt.timedelta(hours=1), 2, "click"),
+            # same ts as event 2: event_id tiebreaker keeps the higher id
+            (1, base + dt.timedelta(hours=1), 3, "purchase"),
+            (2, base, 4, "view"),
+        ],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    got = {r.user_id: (r.event_id, r.event_type)
+           for r in relational.latest_by_key(
+               df, ["user_id"], ["ts", "event_id"]).collect()}
+    assert got == {1: (3, "purchase"), 2: (4, "view")}
