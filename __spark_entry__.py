@@ -1319,6 +1319,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             top_n=20,
         )
     )
+    # cross-series coupling: Pearson between every pair of event types'
+    # zero-completed hourly count series, exact integer moments
+    q["series_correlation"] = lambda spark, sf: profile.series_correlation(
+        _t(spark, sf, "events")
+    )
     # embedding-space drift: per-label centroid L2 shift between the two
     # parity halves of the embeddings table (the vector counterpart of
     # the PSI value monitor)
@@ -3188,6 +3193,37 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CASE WHEN pass_bloom = 0 AND joins = 1
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
         FROM fl"""
+
+    # Pearson twin: zero-completed hour × type grid, exact BIGINT moments,
+    # one double formula per pair (variance product multiplied as doubles
+    # — the BIGINT product overflows)
+    o["series_correlation"] = """
+        WITH c AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS h,
+                          event_type, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1, 2),
+        hrs AS (SELECT DISTINCT h FROM c),
+        ty AS (SELECT DISTINCT event_type FROM c),
+        grid AS (SELECT hrs.h, ty.event_type,
+                        COALESCE(c.n, 0) AS n
+                 FROM hrs CROSS JOIN ty
+                 LEFT JOIN c ON c.h = hrs.h
+                            AND c.event_type = ty.event_type),
+        m AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_hours,
+                     CAST(SUM(a.n) AS BIGINT) AS sx,
+                     CAST(SUM(b.n) AS BIGINT) AS sy,
+                     CAST(SUM(a.n * b.n) AS BIGINT) AS sxy,
+                     CAST(SUM(a.n * a.n) AS BIGINT) AS sx2,
+                     CAST(SUM(b.n * b.n) AS BIGINT) AS sy2
+              FROM grid a JOIN grid b
+                ON a.h = b.h AND a.event_type < b.event_type
+              GROUP BY 1, 2)
+        SELECT type_a, type_b, n_hours,
+               ROUND((n_hours * sxy - sx * sy)
+                     / sqrt(CAST(n_hours * sx2 - sx * sx AS DOUBLE)
+                            * CAST(n_hours * sy2 - sy * sy AS DOUBLE)),
+                     6) AS corr
+        FROM m ORDER BY type_a, type_b"""
 
     # PSI drift twin: same e4/10000 histogram buckets per half, add-one
     # smoothing over the union bucket count, contributions rounded to 6

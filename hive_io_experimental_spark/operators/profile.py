@@ -415,3 +415,80 @@ def histogram_drift(
         )
         .orderBy("event_type")
     )
+
+
+def series_correlation(
+    events: DataFrame, ts_col: str = "ts"
+) -> DataFrame:
+    """Pearson correlation between every pair of event types' hourly
+    count series — the "do purchases track clicks?" diagnostic.
+
+    The hour × type grid is completed with zeros first (a silent hour IS
+    a data point; correlating only co-active hours overstates coupling),
+    then each unordered type pair joins on the hour key — shuffle volume
+    is series-length × pairs, state-sized, never event-sized, because
+    counts are pre-aggregated before the pair join.
+
+    Every moment (Σx, Σy, Σxy, Σx², Σy²) is an exact BIGINT, so the
+    final Pearson formula is one deterministic double expression per
+    pair, rounded to 6. Returns (type_a, type_b, n_hours, corr) ordered;
+    corr is NULL for a constant series (zero variance).
+    """
+    from hive_io_experimental_spark.operators.relational import (
+        ensure_event_time,
+    )
+
+    ev = ensure_event_time(events, ts_col)
+    hour_epoch = (
+        F.expr(f"unix_micros({ts_col}) div 3600000000") * F.lit(3600)
+    ).alias("hour_epoch")
+    counts = ev.groupBy(hour_epoch, F.col("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    hours = counts.select("hour_epoch").distinct()
+    types = counts.select("event_type").distinct()
+    grid = (
+        hours.crossJoin(F.broadcast(types))
+        .join(counts, ["hour_epoch", "event_type"], "left")
+        .select(
+            "hour_epoch",
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+    )
+    a = grid.select(
+        "hour_epoch",
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("x"),
+    )
+    b = grid.select(
+        "hour_epoch",
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("y"),
+    )
+    m = (
+        a.join(b, "hour_epoch")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("sy2"),
+        )
+    )
+    num = m.n_hours * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = m.n_hours * F.col("sx2") - F.col("sx") * F.col("sx")
+    vary = m.n_hours * F.col("sy2") - F.col("sy") * F.col("sy")
+    # variances multiply as doubles: each fits a BIGINT exactly (and a
+    # double losslessly below 2^53) but their PRODUCT overflows int64
+    return m.select(
+        "type_a",
+        "type_b",
+        "n_hours",
+        F.round(
+            num / F.sqrt(varx.cast("double") * vary.cast("double")), 6
+        ).alias("corr"),
+    ).orderBy("type_a", "type_b")

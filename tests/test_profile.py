@@ -96,3 +96,30 @@ def test_histogram_drift_psi_properties(spark):
     # but the sum is invariant: (pc-pr)ln(pc/pr) == (pr-pc)ln(pr/pc))
     swapped = prof.histogram_drift(hi, lo).collect()[0]
     assert abs(drifted.psi - swapped.psi) < 1e-9
+
+
+def test_series_correlation_perfect_and_anti(spark):
+    from hive_io_experimental_spark.operators import profile as prof
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # type 'a' counts 1,2,3 per hour; 'b' = 2x (perfect corr);
+    # 'c' = reversed (perfect anticorr)
+    for h, (na, nb, nc) in enumerate([(1, 2, 3), (2, 4, 2), (3, 6, 1)]):
+        t = base + dt.timedelta(hours=h)
+        for etype, n in (("a", na), ("b", nb), ("c", nc)):
+            for _ in range(n):
+                eid += 1
+                rows.append((eid, t, eid, etype, 1.0))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    got = {(r.type_a, r.type_b): r.corr
+           for r in prof.series_correlation(df).collect()}
+    assert got[("a", "b")] == 1.0
+    assert got[("a", "c")] == -1.0
+    assert got[("b", "c")] == -1.0
