@@ -426,6 +426,65 @@ def _incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _erase_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-gate round-trip for key erasure (operators/merge.py
+    erase_keys): seed an event_type-partitioned table from events, erase
+    every user with user_id % 100 == 7 by KEY (the erasure request never
+    names partitions), then read back per-partition survivor counts plus
+    a proof column counting remaining target rows (must be 0 everywhere).
+    The oracle reconstructs the survivor counts by filtering the source."""
+    import tempfile
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators.merge import erase_keys
+    from hive_io_experimental_spark.operators.relational import (
+        ensure_event_time,
+    )
+    from hive_io_experimental_spark.output import HiveOutput
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    ev = ensure_event_time(_t(spark, sf, "events")).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_type",
+    )
+    wh = tempfile.mkdtemp(prefix="hio_gate_erase_")  # outlives the lazy scan
+    cat = Catalog(wh)
+    data_fields = tuple(
+        (f.name, f.dataType)
+        for f in ev.schema.fields
+        if f.name != "event_type"
+    )
+    cat.create_table(
+        "default.events_erase",
+        HiveTableSchema(data_fields, partition_keys=("event_type",)),
+    )
+    HiveOutput(spark, cat).write_dynamic("default.events_erase", ev)
+    targets = (
+        ev.filter(F.col("user_id") % 100 == 7)
+        .select("user_id")
+        .distinct()
+    )
+    erase_keys(
+        spark, cat, "default.events_erase", targets,
+        key_cols=("user_id",), partition_col="event_type",
+    )
+    remaining = HiveInput(spark, cat).read_table(
+        ScanSpec(table="default.events_erase")
+    )
+    return (
+        remaining.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                F.when(F.col("user_id") % 100 == 7, 1).otherwise(0)
+            ).cast("long").alias("n_target_rows"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _bloom_membership(spark: SparkSession, sf: str) -> DataFrame:
     """Bloom membership tier end-to-end: state on two half-batches of
     click users, ⊕-merged, then read against the distinct purchase users,
@@ -1370,6 +1429,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # SCD1 MERGE: update+insert upsert through the partitioned write path.
     q["merge_upsert"] = _merge_upsert
+    # key-addressed DELETE (right-to-be-forgotten): projected key-location
+    # scan -> partition-scoped rewrite; n_target_rows hashes to 0
+    q["erase_keys"] = _erase_keys
     q["time_travel"] = _time_travel
     # maintenance: small-files compaction of a versioned table (content
     # preserved + one file per partition, proven via the manifest)
@@ -2287,6 +2349,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value,
                COUNT(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+    # erasure twin: survivors reconstructed by filtering the source; the
+    # proof column is identically 0
+    o["erase_keys"] = """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(0 AS BIGINT) AS n_target_rows
+        FROM events WHERE user_id % 100 <> 7
+        GROUP BY event_type ORDER BY event_type"""
 
     o["latest_events"] = """
         WITH r AS (SELECT user_id, event_id, event_type,

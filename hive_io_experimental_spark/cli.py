@@ -423,6 +423,44 @@ def cmd_spans(args: argparse.Namespace, stop_session: bool = True) -> int:
     return 0
 
 
+def cmd_erase(args: argparse.Namespace, stop_session: bool = True) -> int:
+    """Key-addressed DELETE (right-to-be-forgotten) from a catalog table:
+    every row whose --key-col value is in --values is removed, wherever
+    it lives; prints the audit record (partitions touched, rows erased).
+    """
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators.merge import erase_keys
+
+    spark = _build_spark(args.threads)
+    warehouse = _resolve_warehouse(args)
+    if not warehouse:
+        raise SystemExit("erase requires --warehouse or --namespaces-file")
+    cat = Catalog(warehouse)
+    values = [v for v in args.values.split(",") if v]
+    try:
+        rows = [(int(v),) for v in values]
+        dtype = T.LongType()
+    except ValueError:
+        rows = [(v,) for v in values]
+        dtype = T.StringType()
+    keys = spark.createDataFrame(
+        rows, schema=T.StructType([T.StructField(args.key_col, dtype)])
+    )
+    stats = erase_keys(
+        spark, cat, args.table, keys,
+        key_cols=(args.key_col,), partition_col=args.partition_col,
+    )
+    print(
+        f"erased {stats['n_erased']} rows across "
+        f"{stats['n_partitions']} partitions"
+    )
+    if stop_session:
+        spark.stop()
+    return 0
+
+
 def cmd_search(args: argparse.Namespace, stop_session: bool = True) -> int:
     """Keyword search over a corpus, or print its inverted index.
 
@@ -680,6 +718,20 @@ def build_parser() -> argparse.ArgumentParser:
     dc.add_argument("--separator", default="\t")
     dc.add_argument("--threads", type=int, default=None)
 
+    er = sub.add_parser(
+        "erase",
+        help="key-addressed delete (right-to-be-forgotten) from a table",
+    )
+    er.add_argument("--table", required=True, help="db.table")
+    er.add_argument("--key-col", required=True)
+    er.add_argument("--values", required=True,
+                    help="comma-separated key values to erase")
+    er.add_argument("--partition-col", required=True)
+    er.add_argument("--warehouse")
+    er.add_argument("--namespaces-file")
+    er.add_argument("--namespace", default="silver")
+    er.add_argument("--threads", type=int, default=None)
+
     se = sub.add_parser(
         "search",
         help="conjunctive keyword search, or print the inverted index",
@@ -736,6 +788,8 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         return cmd_decontaminate(args, stop_session=stop_session)
     if args.command == "search":
         return cmd_search(args, stop_session=stop_session)
+    if args.command == "erase":
+        return cmd_erase(args, stop_session=stop_session)
     if args.command == "snapshots":
         return cmd_snapshots(args)
     if args.command == "conf-options":

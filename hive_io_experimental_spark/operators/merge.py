@@ -244,3 +244,100 @@ def scd1_merge(
         out.write_dynamic(table, staged, drop_partitions=True)
     finally:
         catalog.drop_table(staging_name, delete_data=True)
+
+
+def erase_keys(
+    spark: SparkSession,
+    catalog: Catalog,
+    table: str,
+    keys: DataFrame,
+    key_cols: tuple[str, ...],
+    partition_col: str,
+) -> dict:
+    """Right-to-be-forgotten DELETE: remove every row of ``table`` whose
+    ``key_cols`` tuple appears in ``keys``, wherever it lives.
+
+    The erasure request names keys, never partitions — finding the rows
+    is the operator's job, shaped like scd1_merge_full's key lookup:
+
+      1. ONE projection-pruned scan of (key_cols, partition_col) only,
+         left-semi joined against the broadcast key set, yields the hit
+         partitions (cap-guarded driver metadata);
+      2. only those partitions are read back and anti-joined against the
+         keys; survivors swap in via the staging hop + dynamic overwrite
+         (the same read-overwrite hazard dance as merge);
+      3. a partition whose every row is erased ends EMPTY — the dynamic
+         swap never writes it, so its registration and directory are
+         dropped explicitly (the scd1_merge_full drained-partition rule;
+         without it erased rows would survive in untouched directories).
+
+    Cost: one projected full scan + one rewrite of affected partitions —
+    the floor for key-addressed deletes without a key index. Returns
+    {"n_partitions": affected, "n_erased": rows removed} — the audit
+    record an erasure workflow must retain.
+    """
+    import os
+    import shutil
+
+    inp = HiveInput(spark, catalog)
+    out = HiveOutput(spark, catalog)
+    desc = TableDesc.parse(table)
+
+    key_set = keys.select(*key_cols).distinct()
+    key_locations = inp.read_table(
+        ScanSpec(table=table, columns=(*key_cols, partition_col))
+    )
+    hit_parts = sorted(
+        pv
+        for pv in _distinct_partition_values(
+            spark,
+            key_locations.join(
+                F.broadcast(key_set), list(key_cols), "left_semi"
+            ),
+            partition_col,
+        )
+        if pv is not None
+        and catalog.partition_exists(desc, {partition_col: pv})
+    )
+    if not hit_parts:
+        return {"n_partitions": 0, "n_erased": 0}
+
+    in_list = ", ".join(_quote(pv) for pv in hit_parts)
+    current = inp.read_table(
+        ScanSpec(
+            table=table,
+            partition_filter=f"{partition_col} IN ({in_list})",
+        )
+    )
+    survivors = current.join(F.broadcast(key_set), list(key_cols), "left_anti")
+    n_before = current.count()
+
+    staging_name = f"{desc.database}.{desc.table}_erase_staging"
+    if catalog.table_exists(staging_name):
+        catalog.drop_table(staging_name, delete_data=True)
+    catalog.create_table(
+        staging_name, catalog.get_schema(desc),
+        storage_format=catalog.table_format(desc),
+    )
+    try:
+        out.write_dynamic(staging_name, survivors)
+        staged = inp.read_table(ScanSpec(table=staging_name))
+        n_after = staged.count()
+        written = {
+            s[partition_col]
+            for s in out.write_dynamic(table, staged, drop_partitions=True)
+        }
+    finally:
+        catalog.drop_table(staging_name, delete_data=True)
+
+    for pv in hit_parts:
+        if pv not in written:
+            values = {partition_col: pv}
+            location = Catalog.partition_path(
+                catalog.table_location(desc), values
+            )
+            catalog.drop_partition(desc, values)
+            if os.path.isdir(location):
+                shutil.rmtree(location, ignore_errors=True)
+
+    return {"n_partitions": len(hit_parts), "n_erased": n_before - n_after}

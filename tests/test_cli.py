@@ -331,3 +331,43 @@ def test_cli_search_index_and_query(spark, tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert out[0].split("\t") == ["doc_id", "tf_total"]
     assert [l.split("\t") for l in out[1:]] == [["1", "3"]]
+
+
+def test_cli_erase_by_key(spark, warehouse, capsys):
+    from pyspark.sql import types as T
+
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "default.kv_erase",
+        HiveTableSchema(
+            (("k", T.LongType()), ("v", T.StringType())),
+            partition_keys=("p",),
+        ),
+    )
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+
+    HiveOutput(spark, cat).write_table(
+        WriteSpec("default.kv_erase", {"p": "a"}),
+        spark.createDataFrame(
+            [(1, "x"), (2, "y"), (3, "z")], "k long, v string"
+        ),
+    )
+    rc = main(
+        [
+            "erase", "--table", "default.kv_erase",
+            "--key-col", "k", "--values", "1,3",
+            "--partition-col", "p", "--warehouse", warehouse,
+        ],
+        stop_session=False,
+    )
+    assert rc == 0
+    assert "erased 2 rows across 1 partitions" in capsys.readouterr().out
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+
+    left = {
+        r.k
+        for r in HiveInput(spark, cat)
+        .read_table(ScanSpec(table="default.kv_erase"))
+        .collect()
+    }
+    assert left == {2}

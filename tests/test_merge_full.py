@@ -118,3 +118,50 @@ def test_merge_partition_cap_fails_fast(spark, warehouse):
                             key_cols=("k",), partition_col="p")
     finally:
         conf.MERGE_MAX_PARTITIONS.set(spark, prev)
+
+
+def test_erase_keys_deletes_across_partitions(spark, warehouse):
+    from hive_io_experimental_spark.operators.merge import erase_keys
+
+    cat = _mk(spark, warehouse)
+    # key 1 lives in partition a, key 3 in partition b — the request
+    # names only keys; partition b drains completely
+    stats = erase_keys(
+        spark, cat, "default.kv",
+        spark.createDataFrame([(1,), (3,)], "k long"),
+        key_cols=("k",), partition_col="p",
+    )
+    assert stats == {"n_partitions": 2, "n_erased": 2}
+    left = {
+        (r.k, r.v, r.p)
+        for r in HiveInput(spark, cat)
+        .read_table(ScanSpec(table="default.kv"))
+        .collect()
+    }
+    assert left == {(2, "old2", "a")}
+    # drained partition is gone: registration AND directory
+    from hive_io_experimental_spark.catalog import TableDesc
+
+    desc = TableDesc.parse("default.kv")
+    assert not cat.partition_exists(desc, {"p": "b"})
+    assert not os.path.isdir(
+        Catalog.partition_path(cat.table_location(desc), {"p": "b"})
+    )
+
+
+def test_erase_keys_absent_key_is_noop(spark, warehouse):
+    from hive_io_experimental_spark.operators.merge import erase_keys
+
+    cat = _mk(spark, warehouse)
+    stats = erase_keys(
+        spark, cat, "default.kv",
+        spark.createDataFrame([(99,)], "k long"),
+        key_cols=("k",), partition_col="p",
+    )
+    assert stats == {"n_partitions": 0, "n_erased": 0}
+    n = (
+        HiveInput(spark, cat)
+        .read_table(ScanSpec(table="default.kv"))
+        .count()
+    )
+    assert n == 3
