@@ -1298,6 +1298,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["funnel_user_extrema"] = lambda spark, sf: relational.funnel_user_extrema(
         _t(spark, sf, "events")
     )
+    # sequential conversion-window funnel: step k within 24h AFTER the
+    # matched step k-1 time (true sequential matching, not first-touch)
+    q["funnel_time_boxed"] = lambda spark, sf: relational.funnel_time_boxed(
+        _t(spark, sf, "events")
+    )
     q["trailing_purchase_stats"] = lambda spark, sf: relational.trailing_purchase_stats(
         _t(spark, sf, "events")
     )
@@ -2542,6 +2547,31 @@ def oracle_sql() -> dict[str, str]:
                          AND t2 IS NOT NULL AND t1 < t2
                         THEN 1 ELSE 0 END) AS BIGINT) AS n2
         FROM m"""
+
+    # sequential time-boxed funnel twin: per-step matched-time tables
+    # chained with the 24h window, strict-after predicate
+    o["funnel_time_boxed"] = """
+        WITH s0 AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
+                    WHERE event_type = 'signup' GROUP BY 1),
+        s1 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+               FROM events e JOIN s0 ON s0.user_id = e.user_id
+               WHERE e.event_type = 'click'
+                 AND epoch_us(e.ts) > s0.t
+                 AND epoch_us(e.ts) <= s0.t + 86400000000
+               GROUP BY 1),
+        s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+               FROM events e JOIN s1 ON s1.user_id = e.user_id
+               WHERE e.event_type = 'purchase'
+                 AND epoch_us(e.ts) > s1.t
+                 AND epoch_us(e.ts) <= s1.t + 86400000000
+               GROUP BY 1)
+        SELECT 1 AS step_index, 'signup' AS step,
+               CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS n_users
+        UNION ALL
+        SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s1) AS BIGINT)
+        UNION ALL
+        SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+        ORDER BY step_index"""
 
     o["funnel_user_extrema"] = f"""
         WITH m AS ({_FUNNEL_MINS})

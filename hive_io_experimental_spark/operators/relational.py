@@ -1590,3 +1590,62 @@ def latest_by_key(
         .filter(F.col("_rk") == 1)
         .drop("_rk")
     )
+
+
+def funnel_time_boxed(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("signup", "click", "purchase"),
+    window_hours: int = 24,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sequential time-boxed funnel: step k must occur within
+    ``window_hours`` AFTER the user's matched step k-1 time.
+
+    Unlike funnel_counts (first-touch: global per-step mins compared),
+    this is true sequential matching — t_k is the user's EARLIEST step-k
+    event strictly after t_{k-1} and within the window, so a click that
+    precedes the signup can't satisfy step 2 and a conversion window is
+    enforced between consecutive steps (the semantics product analytics
+    tools call a conversion window).
+
+    Plan shape: one aggregate for t_0, then per subsequent step one
+    co-partitioned join (user key) + windowed min — (steps-1) joins, all
+    hash-partitioned on the same user key so exchange reuse keeps the
+    re-shuffles cheap; no window functions, no per-user state, no driver
+    actions (the per-step counts union into ONE lazy plan). Returns
+    (step_index, step, n_users) with BIGINT counts, ordered.
+    """
+    ev = ensure_event_time(events, ts_col)
+    us = F.unix_micros(F.col(ts_col))
+    w_us = window_hours * 3600 * 1_000_000
+    matched = (
+        ev.filter(F.col(type_col) == steps[0])
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(us).alias("t"))
+    )
+    stages = [matched]
+    for step in steps[1:]:
+        matched = (
+            ev.filter(F.col(type_col) == step)
+            .select(F.col(user_col).alias("u"), us.alias("e"))
+            .join(matched, "u")
+            .filter(
+                (F.col("e") > F.col("t")) & (F.col("e") <= F.col("t") + w_us)
+            )
+            .groupBy("u")
+            .agg(F.min("e").alias("t"))
+        )
+        stages.append(matched)
+    counts = [
+        s.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(i + 1).alias("step_index"),
+            F.lit(steps[i]).alias("step"),
+            "n_users",
+        )
+        for i, s in enumerate(stages)
+    ]
+    from functools import reduce as _reduce
+
+    return _reduce(DataFrame.unionByName, counts).orderBy("step_index")

@@ -319,3 +319,31 @@ def test_latest_by_key_keeps_newest(spark):
            for r in relational.latest_by_key(
                df, ["user_id"], ["ts", "event_id"]).collect()}
     assert got == {1: (3, "purchase"), 2: (4, "view")}
+
+
+def test_funnel_time_boxed_window_semantics(spark):
+    from hive_io_experimental_spark.operators import relational
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(uid, hours, eid, etype):
+        return (uid, base + dt.timedelta(hours=hours), eid, etype)
+
+    rows = [
+        # u1 converts fully inside 24h windows
+        ev(1, 0, 1, "signup"), ev(1, 5, 2, "click"), ev(1, 10, 3, "purchase"),
+        # u2: click 30h after signup -> outside the window, funnel stops
+        ev(2, 0, 4, "signup"), ev(2, 30, 5, "click"), ev(2, 31, 6, "purchase"),
+        # u3: click BEFORE signup then nothing after -> step 2 not matched
+        ev(3, 5, 7, "click"), ev(3, 10, 8, "signup"),
+        # u4: purchase within 24h of signup but BEFORE the click -> the
+        # sequential match needs purchase after the matched click
+        ev(4, 0, 9, "signup"), ev(4, 2, 10, "purchase"), ev(4, 4, 11, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {r.step_index: r.n_users
+           for r in relational.funnel_time_boxed(df).collect()}
+    # signups: u1, u2, u3, u4; windowed clicks: u1, u4; purchases: u1
+    assert got == {1: 4, 2: 2, 3: 1}
