@@ -307,3 +307,52 @@ def test_dynamic_partition_pruning_through_engine_scan(spark, warehouse):
     j = fact.join(dim, "event_type").agg(F.count(F.lit(1)).alias("n"))
     assert "dynamicpruning" in explain_str(j).lower()
     assert j.collect()[0].n == 10
+
+
+def test_bloom_membership_broadcasts_state(spark, sf_dir):
+    from hive_io_experimental_spark.operators import incremental as inc
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    state = inc.bloom_state(ev, "user_id", m_bits=4096, k_hashes=3)
+    mem = inc.bloom_membership(
+        state, ev.select("user_id").distinct(), "user_id",
+        m_bits=4096, k_hashes=3,
+    )
+    rep = scan_plan_report(mem, execute=True)
+    # the filter-sized state joins as a broadcast; probes never shuffle
+    # for the join itself (their only exchanges are the two aggregates)
+    assert rep["num_broadcasts"] >= 1
+    assert rep["wholestage_codegen"]
+
+
+def test_keyword_search_filters_before_shuffle(spark, sf_dir):
+    from hive_io_experimental_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = T.keyword_search(docs, ["data", "join"])
+    rep = scan_plan_report(out)
+    # candidate volume is postings-sized: explode -> filter -> ONE
+    # aggregate shuffle (+ the top-k sort); no join exchanges
+    assert rep["num_exchanges"] <= 3
+    assert sorted(rep["read_columns"]) == ["doc_id", "text"]
+
+
+def test_quota_cap_single_shuffle(spark, sf_dir):
+    from hive_io_experimental_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sampling.quota_cap_sample(docs, cap=5).select("source", "doc_id")
+    rep = scan_plan_report(out)
+    # one hash shuffle on the group for the rank window, nothing else
+    assert rep["num_exchanges"] == 1
+
+
+def test_series_correlation_broadcasts_type_grid(spark, sf_dir):
+    from hive_io_experimental_spark.operators import profile as prof
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rep = scan_plan_report(prof.series_correlation(ev), execute=True)
+    # the tiny type list broadcasts into the grid completion; the pair
+    # join is hour-keyed — no cartesian over event rows
+    assert rep["num_broadcasts"] >= 1
+    assert "CartesianProduct" not in str(rep)

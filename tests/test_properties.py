@@ -315,3 +315,43 @@ def test_span_dedup_detects_shared_window_at_any_offsets(
     for doc in (0, 1):
         assert per_doc[doc].n_removed == span_words
         assert "shared" not in per_doc[doc].clean_text
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10_000),
+                  min_size=1, max_size=60),
+    split=st.integers(min_value=2, max_value=5),
+    m=st.sampled_from([128, 512, 2048]),
+    k=st.integers(min_value=1, max_value=5),
+)
+def test_bloom_contract_no_false_negatives_any_batching(
+    spark, keys, split, m, k
+):
+    """The bloom tier's contract on adversarial inputs: however a key set
+    is batched into states, the ⊕-fold equals the one-shot filter word
+    for word (OR is associative/commutative/idempotent), and EVERY
+    inserted key reads maybe_member=1 — the no-false-negative guarantee
+    the runtime-filter join pruning relies on to be safe."""
+    from functools import reduce
+
+    from hive_io_experimental_spark.operators import incremental as inc
+
+    def frame(vals):
+        return spark.createDataFrame([(v,) for v in vals], "user_id long")
+
+    batches = [
+        [v for i, v in enumerate(keys) if i % split == j]
+        for j in range(split)
+    ]
+    states = [
+        inc.bloom_state(frame(b), "user_id", m, k)
+        for b in batches if b
+    ]
+    folded = reduce(inc.merge_bloom_states, states)
+    oneshot = inc.bloom_state(frame(keys), "user_id", m, k)
+    assert sorted(map(tuple, folded.collect())) == sorted(
+        map(tuple, oneshot.collect())
+    )
+    mem = inc.bloom_membership(folded, frame(keys), "user_id", m, k)
+    assert all(r.maybe_member == 1 for r in mem.collect())
