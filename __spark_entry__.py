@@ -1718,6 +1718,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = lambda spark, sf: dedup.ngram_jaccard_pairs(
         _t(spark, sf, "documents"), threshold=0.8
     )
+    # asymmetric containment |A∩B|/min(|A|,|B|): catches a short doc
+    # quoted whole inside a long one (low jaccard, containment ~1)
+    q["dedup_containment"] = lambda spark, sf: (
+        dedup.ngram_containment_pairs(
+            _t(spark, sf, "documents"), threshold=0.9
+        )
+    )
     # 100 TB bound proof: df-cut keeps the shingle self-join linear on a
     # corpus engineered to make it quadratic (see _dedup_df_cut_bound)
     q["dedup_df_cut_bound"] = _dedup_df_cut_bound
@@ -3412,6 +3419,25 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON a_id = sa.doc_id
         JOIN sizes sb ON b_id = sb.doc_id
         WHERE ROUND(inter / (sa.n + sb.n - inter), 6) >= 0.8"""
+
+    # containment twin: same shingles and df-cut, ratio over the smaller set
+    o["dedup_containment"] = f"""
+        WITH {shingle_cte},
+        shc AS (SELECT * FROM sh WHERE shingle IN (
+                    SELECT shingle FROM sh GROUP BY shingle
+                    HAVING COUNT(*) <= 1000)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+                  FROM shc a JOIN shc b
+                    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT a_id, b_id,
+               ROUND(inter / LEAST(sa.n, sb.n), 6) AS containment
+        FROM inter
+        JOIN sizes sa ON a_id = sa.doc_id
+        JOIN sizes sb ON b_id = sb.doc_id
+        WHERE ROUND(inter / LEAST(sa.n, sb.n), 6) >= 0.9
+        ORDER BY a_id, b_id"""
 
     # same generated corpus as _dedup_df_cut_bound, same df-cut join shape
     # as dedup_ngram_jaccard — proves the candidate bound cross-engine

@@ -1142,3 +1142,64 @@ def verified_near_duplicates(
         )
         .filter(F.col("edit_sim") >= threshold)
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.9,
+    max_shingle_freq: int | None = _SHINGLE_FREQ_FROM_CONF,  # type: ignore[assignment]
+) -> DataFrame:
+    """All pairs where the smaller document's shingle set is >=
+    ``threshold`` contained in the other's: containment = |A∩B| /
+    min(|A|, |B|).
+
+    The asymmetric sibling of ngram_jaccard_pairs: a short document
+    quoted whole inside a long one has low Jaccard (the union is large)
+    but containment ~1 — the quote-inclusion / boilerplate-wrapper case
+    symmetric dedup misses. Same plan shape and df-cut bound as the
+    Jaccard operator (shingle explode -> df-cut -> self-equi-join ->
+    per-pair counts); only the final ratio differs. Returns
+    (a_id, b_id, containment) with a_id < b_id, rounded to 6.
+    """
+    if max_shingle_freq is _SHINGLE_FREQ_FROM_CONF:
+        from hive_io_experimental_spark import conf as _conf
+
+        freq = _conf.SHINGLE_MAX_FREQ.get(df.sparkSession)
+        max_shingle_freq = freq if freq > 0 else None
+    sh = shingle_sets(df, text_col, id_col, k)
+    if max_shingle_freq is not None:
+        freq_ok = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(freq_ok, "shingle")
+    sh = sh.persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    cont = F.round(
+        F.col("inter") / F.least(F.col("sa.n"), F.col("sb.n")), 6
+    )
+    return (
+        inter.join(sa, F.col("a_id") == F.col("sa.id"))
+        .join(sb, F.col("b_id") == F.col("sb.id"))
+        .select("a_id", "b_id", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+        .orderBy("a_id", "b_id")
+    )

@@ -347,3 +347,26 @@ def test_funnel_time_boxed_window_semantics(spark):
            for r in relational.funnel_time_boxed(df).collect()}
     # signups: u1, u2, u3, u4; windowed clicks: u1, u4; purchases: u1
     assert got == {1: 4, 2: 2, 3: 1}
+
+
+def test_containment_catches_quoted_subset(spark):
+    from hive_io_experimental_spark.operators import dedup
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    wrapper = (
+        "intro words here first " + quote + " and then a very long tail "
+        "of unrelated filler content continuing on and on with more words"
+    )
+    docs = spark.createDataFrame(
+        [(1, quote), (2, wrapper), (3, "completely different text body")],
+        "doc_id long, text string",
+    )
+    cont = {(r.a_id, r.b_id): r.containment
+            for r in dedup.ngram_containment_pairs(
+                docs, threshold=0.9).collect()}
+    # doc 1's shingles all appear in doc 2 -> containment 1.0
+    assert cont.get((1, 2)) == 1.0
+    # jaccard on the same pair is well below 0.8 (the union is large)
+    jac = {(r.a_id, r.b_id)
+           for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    assert (1, 2) not in jac
