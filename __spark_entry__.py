@@ -1895,8 +1895,10 @@ _CHECK_FIRST = [
     "sessionize_events", "asof_purchase_click",
     # r5 continuation rotation: sweep-line concurrency in (new interval-
     # overlap op); event_dwell_stats out — hash-green r2-r4
+    # r5 continuation rotation 2: PSI drift monitor in (new monitoring
+    # family); gapfill_hourly out — hash-green r2-r4, family keeps reps
     "range_join_signup_purchase", "max_concurrent_sessions",
-    "gapfill_hourly",
+    "value_drift_psi",
     "funnel_signup_click_purchase", "funnel_step_counts",
     "funnel_user_extrema",
     "retention_cohorts",
