@@ -426,6 +426,58 @@ def _incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _bloom_index_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-lookup partition skipping via per-partition BLOOM indexes
+    (analyze.analyze_partition_blooms + input.bloom_prune): seed a
+    type-partitioned events table, stamp a bloom of each partition's
+    distinct event_ids (m=65536, k=3), then probe event_id = 42 — a key
+    that lives in exactly one partition, which a [min, max] zone map
+    could never exclude. The gate emits the filtered rows AND the
+    engine's pruning decision; the oracle rebuilds the same md5 bloom
+    per partition in SQL and recomputes which partitions pass, so even
+    a bloom false positive is verified cross-engine bit-for-bit."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.analyze import analyze_partition_blooms
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import bloom_prune
+    from hive_io_experimental_spark.output import HiveOutput
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "event_type")
+    wh = tempfile.mkdtemp(prefix="hio_gate_bloomix_")  # outlives the scan
+    cat = Catalog(wh)
+    cat.create_table(
+        "default.ev_bx",
+        HiveTableSchema(
+            (("event_id", T.LongType()), ("user_id", T.LongType())),
+            partition_keys=("event_type",),
+        ),
+    )
+    HiveOutput(spark, cat).write_dynamic("default.ev_bx", ev)
+    analyze_partition_blooms(
+        spark, cat, "default.ev_bx", ("event_id",),
+        m_bits=65536, k_hashes=3,
+    )
+    preds = (("event_id", "=", 42),)
+    parts = cat.list_partitions("default.ev_bx")
+    kept = bloom_prune(parts, preds)
+    body = HiveInput(spark, cat).read_table(
+        ScanSpec(table="default.ev_bx", range_predicates=preds)
+    )
+    return body.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("user_id").cast("long").alias("sum_user_id"),
+    ).select(
+        "n_rows",
+        "sum_user_id",
+        F.lit(len(kept)).cast("long").alias("partitions_scanned"),
+        F.lit(len(parts)).cast("long").alias("partitions_total"),
+    )
+
+
 def _erase_keys(spark: SparkSession, sf: str) -> DataFrame:
     """Driver-gate round-trip for key erasure (operators/merge.py
     erase_keys): seed an event_type-partitioned table from events, erase
@@ -1448,6 +1500,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # zone maps: partition skipping on a non-partition column, pruning
     # decision cross-checked against the source
     q["zone_map_scan"] = _zone_map_scan
+    # bloom indexes: point-lookup partition skipping where zone maps
+    # can't exclude; pruning decision recomputed in SQL bit-for-bit
+    q["bloom_index_scan"] = _bloom_index_scan
     q["merge_key_move"] = _merge_key_move
     q["scan_multikey_pruned"] = _scan_multikey_pruned
     q["scan_json_roundtrip"] = _scan_json_roundtrip
@@ -2363,6 +2418,43 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value,
                COUNT(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+    # bloom-index twin: rebuild each partition's md5 bloom over distinct
+    # event_ids and recompute the probe decision — partitions_scanned
+    # matches the engine's bloom_prune INCLUDING any false positive
+    _BIX_H = _H64.format(
+        x="'bloom' || CAST(i AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)"
+    )
+    o["bloom_index_scan"] = f"""
+        WITH ids AS (SELECT DISTINCT event_type, event_id FROM events),
+        ix AS (SELECT unnest(range(3)) AS i),
+        pos AS (SELECT event_type, {_BIX_H} % 65536 AS pos
+                FROM ids CROSS JOIN ix),
+        words AS (SELECT event_type, pos // 32 AS word,
+                         bit_or(CAST(1 AS BIGINT)
+                                << CAST(pos % 32 AS INTEGER)) AS bits
+                  FROM pos GROUP BY 1, 2),
+        probe AS (SELECT {_H64.format(
+                    x="'bloom' || CAST(i AS VARCHAR) || ':42'"
+                  )} % 65536 AS pos FROM ix),
+        types AS (SELECT DISTINCT event_type FROM events),
+        ph AS (SELECT t.event_type, p.pos FROM types t CROSS JOIN probe p),
+        hb AS (SELECT ph.event_type,
+                      CASE WHEN (COALESCE(w.bits, 0) &
+                                 (CAST(1 AS BIGINT)
+                                  << CAST(ph.pos % 32 AS INTEGER))) <> 0
+                           THEN 1 ELSE 0 END AS hit
+               FROM ph LEFT JOIN words w
+                 ON w.event_type = ph.event_type
+                AND w.word = ph.pos // 32),
+        pass AS (SELECT event_type, MIN(hit) AS p FROM hb GROUP BY 1)
+        SELECT
+          CAST((SELECT COUNT(*) FROM events WHERE event_id = 42)
+               AS BIGINT) AS n_rows,
+          CAST((SELECT SUM(user_id) FROM events WHERE event_id = 42)
+               AS BIGINT) AS sum_user_id,
+          CAST((SELECT SUM(p) FROM pass) AS BIGINT) AS partitions_scanned,
+          CAST((SELECT COUNT(*) FROM types) AS BIGINT) AS partitions_total"""
 
     # erasure twin: survivors reconstructed by filtering the source; the
     # proof column is identically 0

@@ -138,3 +138,75 @@ def analyze_partition_ranges(
         catalog.set_partition_ranges(desc, values, ranges)
         n += 1
     return n
+
+
+def analyze_partition_blooms(
+    spark: SparkSession,
+    catalog: Catalog,
+    table: str,
+    columns: tuple[str, ...],
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+) -> int:
+    """Compute and persist per-partition BLOOM indexes for ``columns`` —
+    the point-lookup member of the ANALYZE family.
+
+    Zone maps ([min, max]) cannot exclude an equality probe when the
+    partition's range is wide (a user_id looked up across a year of
+    partitions matches every range); a per-partition bloom of the
+    column's distinct values can. One job per column: distinct
+    (partition, value) pairs fan out to k md5 probes and OR-fold per
+    (partition, word) — the same portable bit math as the bloom state
+    tier (operators/incremental.py), so the driver-side probe in
+    input.bloom_prune reproduces positions exactly. State per partition
+    is <= m/32 words; stamped into the catalog as
+    {column: {m, k, words}}. Same staleness contract as zone maps.
+    Integer and string columns only (the probe hashes the value's
+    canonical string form). Returns partitions stamped.
+    """
+    from hive_io_experimental_spark.operators.incremental import (
+        _bloom_pos,
+        _bloom_word_mask,
+    )
+
+    desc = TableDesc.parse(table)
+    schema = catalog.get_schema(desc)
+    pkeys = list(schema.partition_keys)
+    if not pkeys:
+        raise ValueError(
+            f"{table} is unpartitioned: bloom indexes prune partitions"
+        )
+    df = HiveInput(spark, catalog).read_table(ScanSpec(table=table))
+    per_part: dict[tuple, dict] = {}
+    for c in columns:
+        keys = (
+            df.select(*pkeys, F.col(c).alias("key"))
+            .where(F.col("key").isNotNull())
+            .distinct()
+        )
+        probes = keys.select(
+            *pkeys,
+            F.explode(
+                F.array(*[F.lit(i) for i in range(k_hashes)])
+            ).alias("i"),
+            "key",
+        ).select(*pkeys, _bloom_pos(F.col("key"), F.col("i"), m_bits))
+        word, mask = _bloom_word_mask()
+        rows = (
+            probes.select(*pkeys, word, mask)
+            .groupBy(*pkeys, "word")
+            .agg(F.bit_or("mask").alias("bits"))
+            .collect()
+        )
+        for r in rows:
+            pv = tuple(str(r[k]) for k in pkeys)
+            col_bloom = per_part.setdefault(pv, {}).setdefault(
+                c, {"m": m_bits, "k": k_hashes, "words": {}}
+            )
+            col_bloom["words"][str(r["word"])] = r["bits"]
+    n = 0
+    for pv, blooms in per_part.items():
+        values = dict(zip(pkeys, pv))
+        catalog.set_partition_blooms(desc, values, blooms)
+        n += 1
+    return n

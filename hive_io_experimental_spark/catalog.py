@@ -83,12 +83,19 @@ class PartitionInfo:
     partition's DATA columns (nulls excluded), written by
     analyze.analyze_partition_ranges and consulted by the scan's
     range-predicate pruning (input.zone_prune). Absent = never prune.
+
+    ``blooms`` is the optional per-partition bloom index:
+    {column: {"m": bits, "k": probes, "words": {word: bits}}}, written by
+    analyze.analyze_partition_blooms and consulted by equality-predicate
+    pruning (input.bloom_prune) — point-lookup skipping where a [min,max]
+    range is too wide to exclude anything. Absent = never prune.
     """
 
     values: dict[str, str]
     location: str
     stats: HiveStats = field(default_factory=HiveStats)
     ranges: dict = field(default_factory=dict)
+    blooms: dict = field(default_factory=dict)
 
 
 # Catalog I/O retry: the reference's BackoffRetryTask shape (retry.py), but
@@ -369,6 +376,7 @@ class Catalog:
                 location=p["location"],
                 stats=HiveStats(**p.get("stats", {})),
                 ranges=p.get("ranges", {}),
+                blooms=p.get("blooms", {}),
             )
             for p in entry["partitions"]
         ]
@@ -424,6 +432,28 @@ class Catalog:
                     return
             raise PartitionSpecError(
                 f"no partition {values} on {desc} to set ranges for"
+            )
+
+    def set_partition_blooms(
+        self,
+        desc: TableDesc | str,
+        values: dict[str, str],
+        blooms: dict,
+    ) -> None:
+        """Store a partition's bloom index ({column: {m, k, words}}).
+        Same staleness contract as zone maps: re-run
+        analyze_partition_blooms after new writes."""
+        desc = TableDesc.parse(desc) if isinstance(desc, str) else desc
+        with self._exclusive():
+            doc = self._load()
+            entry = self._entry_or_raise(doc, desc)
+            for p in entry["partitions"]:
+                if p["values"] == values:
+                    p["blooms"] = blooms
+                    self._save(doc)
+                    return
+            raise PartitionSpecError(
+                f"no partition {values} on {desc} to set blooms for"
             )
 
     def drop_partition(self, desc: TableDesc | str, values: dict[str, str]) -> bool:

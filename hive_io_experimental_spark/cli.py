@@ -218,6 +218,15 @@ def cmd_analyze(args: argparse.Namespace, stop_session: bool = True) -> int:
             spark, catalog, args.table, tuple(args.ranges.split(","))
         )
         print(f"# zone maps stamped on {n} partitions", file=sys.stderr)
+    if args.blooms:
+        from hive_io_experimental_spark.analyze import (
+            analyze_partition_blooms,
+        )
+
+        n = analyze_partition_blooms(
+            spark, catalog, args.table, tuple(args.blooms.split(","))
+        )
+        print(f"# bloom indexes stamped on {n} partitions", file=sys.stderr)
     stats = analyze_table(spark, catalog, args.table, columns,
                           exact=not args.approx)
     print("column\tn_nonnull\tn_distinct\tmin\tmax")
@@ -615,6 +624,9 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("--ranges",
                     help="also stamp per-partition [min,max] zone maps "
                          "for these comma-separated columns")
+    an.add_argument("--blooms",
+                    help="also stamp per-partition bloom indexes (point-"
+                         "lookup skipping) for these comma-separated columns")
     an.add_argument("--threads", type=int, default=None)
 
     di = sub.add_parser(

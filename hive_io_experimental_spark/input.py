@@ -248,7 +248,10 @@ class HiveInput:
             )
         ):
             parts = self.catalog.list_partitions(spec.table)
-            kept = zone_prune(parts, spec.range_predicates)
+            kept = bloom_prune(
+                zone_prune(parts, spec.range_predicates),
+                spec.range_predicates,
+            )
             if len(kept) < len(parts):
                 keep = F.lit(False)
                 for p in kept:
@@ -417,6 +420,58 @@ def zone_prune(partitions, predicates) -> list:
         ranges = getattr(p, "ranges", {}) or {}
         if any(
             _range_excludes(ranges.get(c), op, v) for c, op, v in predicates
+        ):
+            continue
+        kept.append(p)
+    return kept
+
+
+def _bloom_excludes(bloom: dict, v) -> bool:
+    """True iff the partition bloom PROVES value ``v`` absent.
+
+    Reproduces the stamp side's probe positions exactly: md5 of
+    'bloom<i>:<value-as-string>', first 15 hex chars as an integer, mod
+    m (functions/hashing.portable_hash64's construction), 32-bit words.
+    A missing word or an unset bit at any probe is a definitive miss.
+    """
+    import hashlib
+
+    try:
+        m, k, words = bloom["m"], bloom["k"], bloom["words"]
+    except (KeyError, TypeError):
+        return False
+    for i in range(k):
+        digest = hashlib.md5(f"bloom{i}:{v}".encode()).hexdigest()
+        pos = int(digest[:15], 16) % m
+        word, bit = divmod(pos, 32)
+        if not (int(words.get(str(word), 0)) >> bit) & 1:
+            return True
+    return False
+
+
+def bloom_prune(partitions, predicates) -> list:
+    """Partitions whose bloom indexes cannot rule out the conjunction.
+
+    Complements zone_prune for EQUALITY predicates: a [min, max] range
+    rarely excludes a point probe (ids span every partition's range),
+    but the per-partition bloom of distinct values usually does. Same
+    safety contract: a partition is skipped only on a PROVEN miss (bloom
+    false positives keep partitions, never drop them), partitions
+    without a bloom for a referenced column always survive, and NULL
+    probes never prune (NULL satisfies no equality).
+    """
+    eq = [
+        (c, v)
+        for c, op, v in predicates
+        if op in ("=", "==") and v is not None
+    ]
+    if not eq:
+        return list(partitions)
+    kept = []
+    for p in partitions:
+        blooms = getattr(p, "blooms", {}) or {}
+        if any(
+            c in blooms and _bloom_excludes(blooms[c], v) for c, v in eq
         ):
             continue
         kept.append(p)

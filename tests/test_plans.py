@@ -356,3 +356,66 @@ def test_series_correlation_broadcasts_type_grid(spark, sf_dir):
     # join is hour-keyed — no cartesian over event rows
     assert rep["num_broadcasts"] >= 1
     assert "CartesianProduct" not in str(rep)
+
+
+def test_bloom_index_prunes_point_lookups(spark, warehouse):
+    """Per-partition bloom indexes skip partitions on EQUALITY probes a
+    [min, max] zone map cannot exclude (ids interleave across partitions
+    so every range covers every probe). The pruned scan returns exactly
+    the plain-filter rows, missing keys prune everything (modulo bloom
+    false positives — none at this size), and NULL/absent blooms never
+    prune."""
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.analyze import analyze_partition_blooms
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import (
+        HiveInput,
+        ScanSpec,
+        bloom_prune,
+    )
+    from hive_io_experimental_spark.output import HiveOutput
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "default.bx",
+        HiveTableSchema(
+            (("id", T.LongType()), ("v", T.LongType())),
+            partition_keys=("p",),
+        ),
+    )
+    # ids interleave: both partitions span [1, 1000] so zone maps are
+    # useless for any point probe; blooms are not
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1000, 11, "a"), (2, 20, "b"), (999, 21, "b")],
+        "id long, v long, p string",
+    )
+    HiveOutput(spark, cat).write_dynamic("default.bx", df)
+    analyze_partition_blooms(spark, cat, "default.bx", ("id",),
+                             m_bits=4096, k_hashes=3)
+
+    parts = cat.list_partitions("default.bx")
+    assert all(p.blooms.get("id") for p in parts)
+    assert {p.values["p"] for p in bloom_prune(parts, (("id", "=", 2),))} == {
+        "b"
+    }
+    assert bloom_prune(parts, (("id", "=", 123456),)) == []
+    # non-equality and NULL probes never consult the bloom
+    assert len(bloom_prune(parts, (("id", ">", 0),))) == 2
+    assert len(bloom_prune(parts, (("id", "=", None),))) == 2
+
+    inp = HiveInput(spark, cat)
+    got = inp.read_table(
+        ScanSpec(table="default.bx", range_predicates=(("id", "=", 2),))
+    ).collect()
+    assert [(r.id, r.v, r.p) for r in got] == [(2, 20, "b")]
+    # missing key: zero partitions survive, zero rows, no error
+    assert (
+        inp.read_table(
+            ScanSpec(
+                table="default.bx", range_predicates=(("id", "=", 123456),)
+            )
+        ).count()
+        == 0
+    )
