@@ -272,9 +272,15 @@ def erase_keys(
          without it erased rows would survive in untouched directories).
 
     Cost: one projected full scan + one rewrite of affected partitions —
-    the floor for key-addressed deletes without a key index. Returns
-    {"n_partitions": affected, "n_erased": rows removed} — the audit
-    record an erasure workflow must retain.
+    the floor for key-addressed deletes without a key index. WITH a key
+    index (analyze_partition_blooms stamped on the single key column and
+    a driver-sized key set), the location scan itself is pre-pruned: the
+    per-partition blooms are probed driver-side and only partitions that
+    MAY hold a key are read — a small erasure batch then touches a
+    handful of directories instead of scanning the table. Bloom false
+    positives only widen the scan, never the delete (the exact anti-join
+    decides rows). Returns {"n_partitions": affected, "n_erased": rows
+    removed} — the audit record an erasure workflow must retain.
     """
     import os
     import shutil
@@ -284,9 +290,20 @@ def erase_keys(
     desc = TableDesc.parse(table)
 
     key_set = keys.select(*key_cols).distinct()
-    key_locations = inp.read_table(
-        ScanSpec(table=table, columns=(*key_cols, partition_col))
+    loc_spec = ScanSpec(table=table, columns=(*key_cols, partition_col))
+    bloom_parts = _bloom_candidate_partitions(
+        spark, catalog, desc, key_set, key_cols, partition_col
     )
+    if bloom_parts is not None:
+        if not bloom_parts:
+            return {"n_partitions": 0, "n_erased": 0}
+        in_list = ", ".join(_quote(pv) for pv in bloom_parts)
+        loc_spec = ScanSpec(
+            table=table,
+            columns=(*key_cols, partition_col),
+            partition_filter=f"{partition_col} IN ({in_list})",
+        )
+    key_locations = inp.read_table(loc_spec)
     hit_parts = sorted(
         pv
         for pv in _distinct_partition_values(
@@ -341,3 +358,62 @@ def erase_keys(
                 shutil.rmtree(location, ignore_errors=True)
 
     return {"n_partitions": len(hit_parts), "n_erased": n_before - n_after}
+
+
+# driver-side key budget for the bloom-index fast path: above this the
+# full projected location scan is cheaper than materializing keys on the
+# driver (erasure batches are normally tiny)
+_BLOOM_PRUNE_MAX_KEYS = 1000
+
+
+def _bloom_candidate_partitions(
+    spark, catalog, desc, key_set, key_cols, partition_col
+):
+    """Partitions that MAY hold any of the keys, per the stamped bloom
+    index — or None when the fast path doesn't apply (multi-column key,
+    key set over budget, or no partition carries a bloom for the key).
+
+    Probe positions are computed once per key (k md5s), then tested
+    against each partition's words — O(keys x partitions) bit tests on
+    the driver, no Spark job. A partition without a bloom for the column
+    is always a candidate (staleness costs a read, never a missed
+    delete).
+    """
+    import hashlib
+
+    if len(key_cols) != 1:
+        return None
+    parts = catalog.list_partitions(desc)
+    with_bloom = [
+        p for p in parts if (p.blooms or {}).get(key_cols[0])
+    ]
+    if not with_bloom:
+        return None
+    rows = key_set.limit(_BLOOM_PRUNE_MAX_KEYS + 1).collect()
+    if len(rows) > _BLOOM_PRUNE_MAX_KEYS:
+        return None
+    keys = [r[0] for r in rows if r[0] is not None]
+
+    def probes(bloom, v):
+        m, k = bloom["m"], bloom["k"]
+        out = []
+        for i in range(k):
+            digest = hashlib.md5(f"bloom{i}:{v}".encode()).hexdigest()
+            out.append(divmod(int(digest[:15], 16) % m, 32))
+        return out
+
+    candidates = []
+    for p in parts:
+        bloom = (p.blooms or {}).get(key_cols[0])
+        if not bloom:
+            candidates.append(p.values[partition_col])
+            continue
+        words = bloom["words"]
+        for v in keys:
+            if all(
+                (int(words.get(str(w), 0)) >> b) & 1
+                for w, b in probes(bloom, v)
+            ):
+                candidates.append(p.values[partition_col])
+                break
+    return sorted(candidates)

@@ -165,3 +165,38 @@ def test_erase_keys_absent_key_is_noop(spark, warehouse):
         .count()
     )
     assert n == 3
+
+
+def test_erase_keys_uses_bloom_index_fast_path(spark, warehouse):
+    """With partition blooms stamped on the key column, the erasure's
+    location scan is pre-pruned driver-side: a key in partition b only
+    touches b, and an absent key erases nothing without a scan. The
+    delete result is identical to the unindexed path."""
+    from hive_io_experimental_spark.analyze import analyze_partition_blooms
+    from hive_io_experimental_spark.operators.merge import erase_keys
+
+    cat = _mk(spark, warehouse)
+    analyze_partition_blooms(
+        spark, cat, "default.kv", ("k",), m_bits=4096, k_hashes=3
+    )
+    stats = erase_keys(
+        spark, cat, "default.kv",
+        spark.createDataFrame([(3,)], "k long"),
+        key_cols=("k",), partition_col="p",
+    )
+    assert stats == {"n_partitions": 1, "n_erased": 1}
+    left = {
+        (r.k, r.p)
+        for r in HiveInput(spark, cat)
+        .read_table(ScanSpec(table="default.kv"))
+        .collect()
+    }
+    assert left == {(1, "a"), (2, "a")}
+    # absent key: the bloom proves no partition can hold it -> no-op
+    # without any Spark location scan
+    stats = erase_keys(
+        spark, cat, "default.kv",
+        spark.createDataFrame([(424242,)], "k long"),
+        key_cols=("k",), partition_col="p",
+    )
+    assert stats == {"n_partitions": 0, "n_erased": 0}
