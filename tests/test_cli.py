@@ -371,3 +371,32 @@ def test_cli_erase_by_key(spark, warehouse, capsys):
         .collect()
     }
     assert left == {2}
+
+
+def test_cli_analyze_blooms_stamps_index(spark, warehouse, capsys):
+    from pyspark.sql import types as T
+
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "default.bx_cli",
+        HiveTableSchema(
+            (("id", T.LongType()), ("v", T.StringType())),
+            partition_keys=("p",),
+        ),
+    )
+    from hive_io_experimental_spark.output import HiveOutput
+
+    HiveOutput(spark, cat).write_dynamic(
+        "default.bx_cli",
+        spark.createDataFrame(
+            [(1, "x", "a"), (2, "y", "b")], "id long, v string, p string"
+        ),
+    )
+    rc = main(
+        ["analyze", "--table", "default.bx_cli", "--blooms", "id",
+         "--warehouse", warehouse],
+        stop_session=False,
+    )
+    assert rc == 0
+    parts = Catalog(warehouse).list_partitions("default.bx_cli")
+    assert all(p.blooms.get("id", {}).get("words") for p in parts)

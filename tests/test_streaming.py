@@ -594,3 +594,40 @@ def test_bloom_state_streaming_fold_matches_batch(spark, sf_dir, tmp_path):
         "user_id", m, k,
     )
     assert mem.filter(F.col("maybe_member") == 0).count() == 0
+
+
+def test_inverted_index_streaming_fold_matches_batch(spark, sf_dir, tmp_path):
+    """Incremental indexing streams: each micro-batch's documents are a
+    disjoint doc_id set, so folding per-batch indexes through
+    merge_inverted_indexes must equal the one-shot full-corpus index —
+    term stats add and the rank-capped posting prefixes recompose
+    exactly (first-P of a union of disjoint first-P prefixes)."""
+    from hive_io_experimental_spark.operators import text as T
+
+    docs_path = f"{sf_dir}/documents.parquet"
+    stream = read_events_stream(spark, docs_path)
+
+    acc = {"idx": None}
+
+    def fold(bdf, _bid):
+        s = T.inverted_index(bdf)
+        acc["idx"] = (
+            s if acc["idx"] is None
+            else T.merge_inverted_indexes(acc["idx"], s)
+        )
+        acc["idx"] = spark.createDataFrame(
+            acc["idx"].collect(), acc["idx"].schema
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt_invidx"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    batch = T.inverted_index(spark.read.parquet(docs_path))
+    assert sorted(map(tuple, batch.collect())) == sorted(
+        map(tuple, acc["idx"].collect())
+    )
