@@ -2574,13 +2574,23 @@ def oracle_sql() -> dict[str, str]:
         d AS (SELECT s_us AS t_us, 1 AS delta, user_id FROM iv
               UNION ALL
               SELECT e_us, -1, user_id FROM iv),
-        r AS (SELECT t_us,
+        r AS (SELECT t_us // 3600000000 AS h, delta,
                      CAST(SUM(delta) OVER (ORDER BY t_us, delta DESC,
                                            user_id) AS BIGINT) AS conc
-              FROM d)
-        SELECT (t_us // 3600000000) * 3600 AS hour_epoch,
-               CAST(MAX(conc) AS BIGINT) AS max_concurrent
-        FROM r GROUP BY 1 ORDER BY 1"""
+              FROM d),
+        per AS (SELECT h,
+                       MAX(CASE WHEN delta = 1 THEN conc END) AS mstart,
+                       SUM(delta) AS tot
+                FROM r GROUP BY h),
+        b AS (SELECT h, mstart,
+                     CAST(COALESCE(SUM(tot) OVER (ORDER BY h
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT) AS base
+              FROM per)
+        SELECT h * 3600 AS hour_epoch,
+               CAST(GREATEST(base, COALESCE(mstart, base)) AS BIGINT)
+                 AS max_concurrent
+        FROM b ORDER BY 1"""
 
     # first-order Markov transitions; prob_e6 is integer division against
     # the BIGINT-cast row total (DuckDB SUM OVER widens to HUGEINT)
@@ -3420,9 +3430,12 @@ def oracle_sql() -> dict[str, str]:
                 ON a.h = b.h AND a.event_type < b.event_type
               GROUP BY 1, 2)
         SELECT type_a, type_b, n_hours,
-               ROUND((n_hours * sxy - sx * sy)
-                     / sqrt(CAST(n_hours * sx2 - sx * sx AS DOUBLE)
-                            * CAST(n_hours * sy2 - sy * sy AS DOUBLE)),
+               ROUND((CAST(n_hours AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n_hours AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n_hours AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
                      6) AS corr
         FROM m ORDER BY type_a, type_b"""
 

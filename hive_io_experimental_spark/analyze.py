@@ -169,6 +169,8 @@ def analyze_partition_blooms(
         _bloom_word_mask,
     )
 
+    from pyspark.sql import types as T
+
     desc = TableDesc.parse(table)
     schema = catalog.get_schema(desc)
     pkeys = list(schema.partition_keys)
@@ -176,6 +178,20 @@ def analyze_partition_blooms(
         raise ValueError(
             f"{table} is unpartitioned: bloom indexes prune partitions"
         )
+    # integer/string columns only: the scan-side probe hashes str(value),
+    # which only matches Spark's string cast for those types (a float's
+    # '42.0' or bool's 'True' would silently prune live partitions)
+    types_by_name = dict(schema.data_fields)
+    for c in columns:
+        t = types_by_name.get(c)
+        if not isinstance(
+            t, (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+                T.StringType)
+        ):
+            raise ValueError(
+                f"bloom index on {c!r} ({t.simpleString() if t else 'not a data column'}): "
+                "only integer and string columns are supported"
+            )
     df = HiveInput(spark, catalog).read_table(ScanSpec(table=table))
     per_part: dict[tuple, dict] = {}
     for c in columns:

@@ -448,12 +448,26 @@ def cmd_erase(args: argparse.Namespace, stop_session: bool = True) -> int:
         raise SystemExit("erase requires --warehouse or --namespaces-file")
     cat = Catalog(warehouse)
     values = [v for v in args.values.split(",") if v]
-    try:
+    # type the keys from the TABLE's schema, never by guessing from the
+    # literal: an all-digit value against a STRING key column ('0123' vs
+    # '123') must compare as a string, or the wrong rows get erased
+    schema = cat.get_schema(args.table)
+    col_type = dict(schema.data_fields).get(args.key_col)
+    if col_type is None:
+        raise SystemExit(
+            f"--key-col {args.key_col!r} is not a data column of {args.table}"
+        )
+    if isinstance(col_type, (T.LongType, T.IntegerType, T.ShortType)):
         rows = [(int(v),) for v in values]
         dtype = T.LongType()
-    except ValueError:
+    elif isinstance(col_type, T.StringType):
         rows = [(v,) for v in values]
         dtype = T.StringType()
+    else:
+        raise SystemExit(
+            f"erase supports integer or string key columns, "
+            f"{args.key_col!r} is {col_type.simpleString()}"
+        )
     keys = spark.createDataFrame(
         rows, schema=T.StructType([T.StructField(args.key_col, dtype)])
     )

@@ -156,12 +156,12 @@ TOPK_SKETCH_SHARDS = _register(
 # Bloom membership tier sizing (operators/incremental.py bloom_state):
 # false-positive rate ~ (1 - e^(-k*n/m))^k; state is m/32 word rows
 BLOOM_M_BITS = _register(
-    "hiveio.sketch.bloom_m_bits", 16_384, int,
+    "hiveio.incremental.bloom_m_bits", 16_384, int,
     "bloom filter width in bits (state = m/32 word rows; size to "
     "~10 bits per expected key for ~1% false positives)",
 )
 BLOOM_K_HASHES = _register(
-    "hiveio.sketch.bloom_k", 4, int,
+    "hiveio.incremental.bloom_k", 4, int,
     "independent hash probes per key in the bloom membership tier",
 )
 

@@ -433,9 +433,18 @@ def _bloom_excludes(bloom: dict, v) -> bool:
     'bloom<i>:<value-as-string>', first 15 hex chars as an integer, mod
     m (functions/hashing.portable_hash64's construction), 32-bit words.
     A missing word or an unset bit at any probe is a definitive miss.
+
+    Only int and str probe values are eligible: their Python str() form
+    matches the Spark string cast the stamp side hashed. Anything else
+    (float 42.0 -> '42.0' vs '42', bool True -> 'True' vs 'true') could
+    "prove" a miss for a value the partition actually holds — so those
+    types never prune (the zone_prune safety convention: unknown keeps
+    the partition).
     """
     import hashlib
 
+    if isinstance(v, bool) or not isinstance(v, (int, str)):
+        return False
     try:
         m, k, words = bloom["m"], bloom["k"], bloom["words"]
     except (KeyError, TypeError):

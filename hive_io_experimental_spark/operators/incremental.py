@@ -565,13 +565,16 @@ def bloom_state(
     m_bits: int | None = None,
     k_hashes: int | None = None,
 ) -> DataFrame:
-    """One batch -> bloom filter state: (word BIGINT, bits BIGINT) rows.
+    """One batch -> bloom filter state: (word, bits, m, k) rows.
 
     Distinct keys first (shrinks the k-way explode), then k md5-derived
     probe positions per key, OR-folded per 32-bit word. One partial-
     aggregated shuffle on word; state cardinality <= m/32 + occupancy,
     independent of batch size. ``m_bits``/``k_hashes`` default to the
-    hiveio.sketch.bloom_m_bits / bloom_k confs.
+    hiveio.incremental.bloom_m_bits / bloom_k confs and are CARRIED IN
+    THE STATE — merge and membership validate them, because probing or
+    OR-ing filters of different geometry would silently produce false
+    negatives (the one failure mode this tier promises never to have).
     """
     from hive_io_experimental_spark import conf as _conf
 
@@ -590,14 +593,64 @@ def bloom_state(
         probes.select(word, mask)
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
+        .select(
+            "word",
+            "bits",
+            F.lit(m_bits).cast("long").alias("m"),
+            F.lit(k_hashes).cast("long").alias("k"),
+        )
+    )
+
+
+def _bloom_geometry_guard(state: DataFrame, m_bits=None, k_hashes=None):
+    """1-row frame whose column evaluates to 0 normally and raises at
+    execution when the state mixes geometries (or disagrees with the
+    caller's explicit m/k) — cross-joined in so the check cannot be
+    optimized away and stays fully lazy."""
+    chk = state.agg(
+        F.countDistinct("m", "k").alias("_nmk"),
+        F.first("m").alias("_m"),
+        F.first("k").alias("_k"),
+    )
+    bad = F.col("_nmk") > 1
+    if m_bits is not None:
+        bad = bad | (
+            (F.col("_nmk") == 1)
+            & ((F.col("_m") != m_bits) | (F.col("_k") != k_hashes))
+        )
+    return chk.select(
+        F.when(
+            bad,
+            F.raise_error(
+                F.lit(
+                    "bloom filter geometry mismatch: states/probes built "
+                    "with different m_bits/k_hashes (silent false "
+                    "negatives) — rebuild with one geometry"
+                )
+            ).cast("int"),
+        ).otherwise(F.lit(0)).alias("_geom_ok")
     )
 
 
 def merge_bloom_states(*states: DataFrame) -> DataFrame:
     """state ⊕ state: union + per-word bitwise OR (associative,
-    commutative, idempotent — re-delivered batches are no-ops)."""
+    commutative, idempotent — re-delivered batches are no-ops). Raises
+    at execution if the states were built with different m/k — OR-ing
+    different geometries would manufacture false negatives."""
     unioned = reduce(DataFrame.unionByName, states)
-    return unioned.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    guard = _bloom_geometry_guard(unioned)
+    return (
+        unioned.groupBy("word")
+        .agg(
+            F.bit_or("bits").alias("bits"),
+            F.min("m").alias("m"),
+            F.min("k").alias("k"),
+        )
+        .crossJoin(F.broadcast(guard))
+        .select(
+            "word", "bits", (F.col("m") + F.col("_geom_ok")).alias("m"), "k"
+        )
+    )
 
 
 def bloom_membership(
@@ -612,7 +665,9 @@ def bloom_membership(
     Each probe fans out to its k (word, mask) pairs, joins the state on
     word — the state is filter-sized, so it is BROADCAST; the probe side
     never shuffles — and a key is a member iff every probed bit is set.
-    maybe_member=1 may be a false positive; 0 is definitive.
+    maybe_member=1 may be a false positive; 0 is definitive. Raises at
+    execution if the probe geometry disagrees with the state's stored
+    m/k (probing with the wrong geometry would silently false-negate).
     """
     from hive_io_experimental_spark import conf as _conf
 
@@ -620,6 +675,7 @@ def bloom_membership(
         m_bits = _conf.BLOOM_M_BITS.get(state.sparkSession)
     if k_hashes is None:
         k_hashes = _conf.BLOOM_K_HASHES.get(state.sparkSession)
+    guard = _bloom_geometry_guard(state, m_bits, k_hashes)
     keys = probes.select(F.col(probe_col).alias("key")).where(
         F.col("key").isNotNull()
     ).distinct()
@@ -629,14 +685,20 @@ def bloom_membership(
     word, mask = _bloom_word_mask()
     hit = (
         fan.select("key", word, mask)
-        .join(F.broadcast(state), "word", "left")
+        .join(F.broadcast(state.select("word", "bits")), "word", "left")
+        .crossJoin(F.broadcast(guard))
         .select(
             "key",
-            F.when(
-                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
-                != 0,
-                F.lit(1),
-            ).otherwise(F.lit(0)).alias("hit"),
+            (
+                F.when(
+                    F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(
+                        F.col("mask")
+                    )
+                    != 0,
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+                + F.col("_geom_ok")
+            ).alias("hit"),
         )
     )
     return hit.groupBy("key").agg(

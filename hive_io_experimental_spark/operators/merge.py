@@ -393,6 +393,11 @@ def _bloom_candidate_partitions(
     if len(rows) > _BLOOM_PRUNE_MAX_KEYS:
         return None
     keys = [r[0] for r in rows if r[0] is not None]
+    # int/str keys only: str(key) must equal the Spark string cast the
+    # stamp hashed (input._bloom_excludes convention); anything else
+    # falls back to the exact location scan
+    if any(isinstance(v, bool) or not isinstance(v, (int, str)) for v in keys):
+        return None
 
     def probes(bloom, v):
         m, k = bloom["m"], bloom["k"]

@@ -479,16 +479,18 @@ def series_correlation(
             F.sum(F.col("y") * F.col("y")).cast("long").alias("sy2"),
         )
     )
-    num = m.n_hours * F.col("sxy") - F.col("sx") * F.col("sy")
-    varx = m.n_hours * F.col("sx2") - F.col("sx") * F.col("sx")
-    vary = m.n_hours * F.col("sy2") - F.col("sy") * F.col("sy")
-    # variances multiply as doubles: each fits a BIGINT exactly (and a
-    # double losslessly below 2^53) but their PRODUCT overflows int64
+    # ALL products in double: the moments are exact BIGINTs, but their
+    # products (n·sxy, sx·sx, varx·vary) overflow int64 at the hourly
+    # volumes this operator exists for — cast each factor first, then
+    # the arithmetic is the deterministic IEEE sequence both engines run
+    n_d = F.col("n_hours").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = n_d * F.col("sxy").cast("double") - sx_d * sy_d
+    varx = n_d * F.col("sx2").cast("double") - sx_d * sx_d
+    vary = n_d * F.col("sy2").cast("double") - sy_d * sy_d
     return m.select(
         "type_a",
         "type_b",
         "n_hours",
-        F.round(
-            num / F.sqrt(varx.cast("double") * vary.cast("double")), 6
-        ).alias("corr"),
+        F.round(num / F.sqrt(varx * vary), 6).alias("corr"),
     ).orderBy("type_a", "type_b")

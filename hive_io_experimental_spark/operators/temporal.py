@@ -472,7 +472,11 @@ def max_concurrent_sessions(
       3. bucket base = running total of per-hour delta sums over the
          tiny (hours × 1) aggregate — the only serial step, sized by
          distinct hours, not by events.
-      concurrency at a boundary = bucket base + in-bucket prefix.
+      hour peak = base + max(0, prefix at the hour's best START) —
+      the hour opens at `base` concurrency (sessions carried in), only
+      a start can raise it, and an end's decrement must not be counted
+      before the peak is read (an end-only hour still peaked at `base`
+      while its carried-in sessions were open, not at base-1).
 
     Output: (hour_epoch, max_concurrent) for hours with boundary
     activity, ordered. All-integer arithmetic; within a tie group
@@ -503,7 +507,7 @@ def max_concurrent_sessions(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     run_in = deltas.select(
-        "hour_us", F.sum("delta").over(w_in).alias("run_in")
+        "hour_us", "delta", F.sum("delta").over(w_in).alias("run_in")
     )
     per_hour = deltas.groupBy("hour_us").agg(
         F.sum("delta").alias("hour_tot")
@@ -518,9 +522,20 @@ def max_concurrent_sessions(
     return (
         run_in.join(F.broadcast(base), "hour_us")
         .groupBy("hour_us")
-        .agg(F.max(F.col("base") + F.col("run_in")).cast("long").alias(
-            "max_concurrent"
-        ))
+        .agg(
+            (
+                F.min("base")
+                + F.greatest(
+                    F.lit(0),
+                    F.coalesce(
+                        F.max(
+                            F.when(F.col("delta") == 1, F.col("run_in"))
+                        ),
+                        F.lit(0),
+                    ),
+                )
+            ).cast("long").alias("max_concurrent")
+        )
         .select(
             (F.col("hour_us") / 1_000_000).cast("long").alias("hour_epoch"),
             "max_concurrent",

@@ -934,6 +934,28 @@ def inverted_index(
     )
 
 
+
+
+def _normalize_query_terms(terms) -> list[str]:
+    """Query terms through the SAME tokenization the corpus gets: lower-
+    case, split on non-letter/digit runs, flatten, dedupe preserving
+    order. 'Apple' matches the corpus token 'apple'; "don't" becomes
+    ['don', 't'] exactly like word_tokens produces; duplicate inputs
+    collapse so AND counting stays satisfiable. Raises on an empty
+    result — silently matching nothing helps nobody."""
+    import re
+
+    out: list[str] = []
+    for t in terms:
+        # [^\W_] == letters+digits (unicode), the Python twin of the
+        # tokenizer's [\p{L}\p{N}]+ runs
+        out.extend(m for m in re.findall(r"[^\W_]+", str(t).lower()))
+    uniq = list(dict.fromkeys(out))
+    if not uniq:
+        raise ValueError(f"no searchable tokens in query terms: {terms!r}")
+    return uniq
+
+
 def keyword_search(
     df: DataFrame,
     terms: list[str],
@@ -948,9 +970,12 @@ def keyword_search(
     corpus: the token explode is filtered to the |terms| query tokens
     FIRST (predicate before the shuffle — candidate volume is postings-
     sized, not corpus-sized), then one groupBy per candidate doc checks
-    the AND via countDistinct(term) == |terms|. Deterministic total
+    the AND via countDistinct(term) == |terms|. Query terms pass through
+    the same normalization as the corpus (lowercase, letter/digit runs,
+    deduped) so 'Apple' finds 'apple'. Deterministic total
     order (tf_total desc, doc_id) before the LIMIT.
     """
+    terms = _normalize_query_terms(terms)
     toks = spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_tokens(F.col(text_col))).alias("token"),
@@ -1013,11 +1038,13 @@ def bigram_lm_scores(
         F.expr("_toks[i]").alias("w1"),
         F.expr("concat(_toks[i], ' ', _toks[i + 1])").alias("bg"),
     )
-    cb = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("_cb"))
+    # group by (bg, w1) — bg determines w1, so the counts are identical
+    # and the context join never depends on re-parsing the bigram string
+    # (which would silently break if the token joiner ever changed)
+    cb = occ.groupBy("bg", "w1").agg(F.count(F.lit(1)).alias("_cb"))
     cc = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("_cc"))
     bits = (
-        cb.withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
-        .join(cc, "w1")
+        cb.join(cc, "w1")
         .select(
             "bg",
             F.round(-F.log2(F.col("_cb") / F.col("_cc")), 6)
@@ -1099,8 +1126,10 @@ def bm25_search(
     candidate set is postings-sized. Determinism: per-term contributions
     rounded to 6 and summed as exact DECIMAL(18,6) (order-independent —
     the lm-scorer trick), final ordering (score desc, doc_id) total.
+    Query terms are normalized like the corpus (see keyword_search).
     Returns (doc_id, n_terms_hit, score).
     """
+    terms = _normalize_query_terms(terms)
     prepared = spread(
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -1171,7 +1200,11 @@ def phrase_search(
     the phrase are skipped at the filter.
     Returns (doc_id, n_occurrences) for matching docs, ordered.
     """
-    p_toks = [t for t in phrase.lower().split() if t]
+    # same normalization as the corpus tokenizer, WITHOUT deduping —
+    # repeated words in a phrase are positional ("badger badger")
+    import re as _re
+
+    p_toks = _re.findall(r"[^\W_]+", phrase.lower())
     k = len(p_toks)
     if k == 0:
         raise ValueError("empty phrase")

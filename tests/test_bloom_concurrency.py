@@ -370,3 +370,49 @@ def test_containment_catches_quoted_subset(spark):
     jac = {(r.a_id, r.b_id)
            for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()}
     assert (1, 2) not in jac
+
+
+def test_max_concurrent_counts_carried_in_sessions(spark):
+    """An hour whose only boundary events are session ENDS still peaked
+    at the carried-in concurrency while those sessions were open — the
+    end's decrement must not be read before the peak (review finding:
+    the naive per-hour max reported base-1 here)."""
+    base = dt.datetime(2024, 1, 1, 10, 50, 0)
+    rows = [
+        # one session [10:50, 11:10] spanning the hour boundary
+        (1, base, 1),
+        (1, base + dt.timedelta(minutes=20), 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long"
+    )
+    got = {r.hour_epoch: r.max_concurrent
+           for r in temporal.max_concurrent_sessions(df).collect()}
+    h10 = int(
+        base.replace(minute=0).replace(tzinfo=dt.timezone.utc).timestamp()
+    )
+    # hour 10: the session starts (peak 1); hour 11: only the end delta,
+    # but the session was still open -> peak 1, not 0
+    assert got == {h10: 1, h10 + 3600: 1}
+
+
+def test_search_normalizes_query_terms(spark):
+    from hive_io_experimental_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "apple pie with apple sauce"), (2, "don t stop believing")],
+        "doc_id long, text string",
+    )
+    # capitalization and duplicates in the query normalize away
+    hits = [(r.doc_id, r.tf_total)
+            for r in T.keyword_search(docs, ["Apple", "PIE", "apple"]).collect()]
+    assert hits == [(1, 3)]
+    # punctuation splits like the corpus tokenizer: "don't" -> don, t
+    assert [r.doc_id for r in T.phrase_search(docs, "Don't stop").collect()] \
+        == [2]
+    bm = T.bm25_search(docs, ["APPLE"])
+    assert [r.doc_id for r in bm.collect()] == [1]
+    import pytest
+
+    with pytest.raises(ValueError):
+        T.keyword_search(docs, ["!!!"])

@@ -400,3 +400,46 @@ def test_cli_analyze_blooms_stamps_index(spark, warehouse, capsys):
     assert rc == 0
     parts = Catalog(warehouse).list_partitions("default.bx_cli")
     assert all(p.blooms.get("id", {}).get("words") for p in parts)
+
+
+def test_cli_erase_types_keys_from_table_schema(spark, warehouse, capsys):
+    """String key columns compare as strings: erasing '0123' must not
+    touch the distinct key '123' (the all-digits value would coerce to
+    int 123 if the CLI guessed types from the literal)."""
+    from pyspark.sql import types as T
+
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "default.kv_str",
+        HiveTableSchema(
+            (("k", T.StringType()), ("v", T.StringType())),
+            partition_keys=("p",),
+        ),
+    )
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+
+    HiveOutput(spark, cat).write_table(
+        WriteSpec("default.kv_str", {"p": "a"}),
+        spark.createDataFrame(
+            [("0123", "x"), ("123", "y")], "k string, v string"
+        ),
+    )
+    rc = main(
+        [
+            "erase", "--table", "default.kv_str",
+            "--key-col", "k", "--values", "0123",
+            "--partition-col", "p", "--warehouse", warehouse,
+        ],
+        stop_session=False,
+    )
+    assert rc == 0
+    assert "erased 1 rows across 1 partitions" in capsys.readouterr().out
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+
+    left = {
+        r.k
+        for r in HiveInput(spark, cat)
+        .read_table(ScanSpec(table="default.kv_str"))
+        .collect()
+    }
+    assert left == {"123"}
