@@ -426,6 +426,63 @@ def _incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _join_size_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Metadata-only cost-based planning surface: ANALYZE both join
+    sides into a temp catalog, estimate |orders ⋈ customer| from the
+    persisted stats alone (n_l·n_r / max(ndv) — no scan at estimate
+    time), and emit it beside the actual join count. For an FK join the
+    estimate is exact, which the hash equality proves; the oracle
+    recomputes every quantity from the raw tables."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.analyze import (
+        analyze_table,
+        estimate_join_rows,
+    )
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    customer = _t(spark, sf, "customer").select("c_custkey")
+    wh = tempfile.mkdtemp(prefix="hio_gate_jse_")
+    cat = Catalog(wh)
+    out = HiveOutput(spark, cat)
+    cat.create_table(
+        "default.jse_orders",
+        HiveTableSchema(
+            (("o_orderkey", T.LongType()), ("o_custkey", T.LongType()))
+        ),
+    )
+    out.write_table(WriteSpec("default.jse_orders"), orders)
+    cat.create_table(
+        "default.jse_customer",
+        HiveTableSchema((("c_custkey", T.LongType()),)),
+    )
+    out.write_table(WriteSpec("default.jse_customer"), customer)
+    analyze_table(spark, cat, "default.jse_orders", ("o_custkey",))
+    analyze_table(spark, cat, "default.jse_customer", ("c_custkey",))
+    est = estimate_join_rows(
+        cat, "default.jse_orders", "o_custkey",
+        "default.jse_customer", "c_custkey",
+    )
+    actual = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).count()
+    return spark.createDataFrame(
+        [
+            (
+                est["n_left"], est["n_right"], est["ndv_left"],
+                est["ndv_right"], est["est_rows"], actual,
+            )
+        ],
+        "n_left long, n_right long, ndv_left long, ndv_right long,"
+        " est_rows long, actual_rows long",
+    )
+
+
 def _bloom_index_scan(spark: SparkSession, sf: str) -> DataFrame:
     """Point-lookup partition skipping via per-partition BLOOM indexes
     (analyze.analyze_partition_blooms + input.bloom_prune): seed a
@@ -1503,6 +1560,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # bloom indexes: point-lookup partition skipping where zone maps
     # can't exclude; pruning decision recomputed in SQL bit-for-bit
     q["bloom_index_scan"] = _bloom_index_scan
+    # cost-based planning: join size from persisted ANALYZE stats alone,
+    # exact for the FK join (proven against the real join count)
+    q["join_size_estimate"] = _join_size_estimate
     q["merge_key_move"] = _merge_key_move
     q["scan_multikey_pruned"] = _scan_multikey_pruned
     q["scan_json_roundtrip"] = _scan_json_roundtrip
@@ -2455,6 +2515,24 @@ def oracle_sql() -> dict[str, str]:
                AS BIGINT) AS sum_user_id,
           CAST((SELECT SUM(p) FROM pass) AS BIGINT) AS partitions_scanned,
           CAST((SELECT COUNT(*) FROM types) AS BIGINT) AS partitions_total"""
+
+    # planner-estimate twin: every stat recomputed from the raw tables,
+    # est = floor(n_l * n_r / max(ndv)) in exact integer arithmetic
+    o["join_size_estimate"] = """
+        WITH l AS (SELECT CAST(COUNT(o_custkey) AS BIGINT) AS n,
+                          CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS d
+                   FROM orders),
+        r AS (SELECT CAST(COUNT(c_custkey) AS BIGINT) AS n,
+                     CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS d
+              FROM customer),
+        a AS (SELECT CAST(COUNT(*) AS BIGINT) AS actual
+              FROM orders o JOIN customer c
+                ON o.o_custkey = c.c_custkey)
+        SELECT l.n AS n_left, r.n AS n_right,
+               l.d AS ndv_left, r.d AS ndv_right,
+               CAST(l.n * r.n // GREATEST(l.d, r.d) AS BIGINT) AS est_rows,
+               a.actual AS actual_rows
+        FROM l, r, a"""
 
     # erasure twin: survivors reconstructed by filtering the source; the
     # proof column is identically 0

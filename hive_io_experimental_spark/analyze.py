@@ -226,3 +226,43 @@ def analyze_partition_blooms(
         catalog.set_partition_blooms(desc, values, blooms)
         n += 1
     return n
+
+
+def estimate_join_rows(
+    catalog: Catalog,
+    left_table: str,
+    left_key: str,
+    right_table: str,
+    right_key: str,
+) -> dict:
+    """Metadata-only equi-join cardinality estimate from persisted
+    ANALYZE stats — the textbook formula a cost-based planner uses to
+    pick join order/strategy BEFORE touching data:
+
+        est = n_left · n_right / max(ndv_left, ndv_right)
+
+    (assumes containment of the smaller key domain in the larger and
+    uniform key frequency — exact when keys are unique on one side, the
+    FK-join case). Integer arithmetic (floor division) so the estimate
+    is engine-reproducible. No Spark session, no scan: reads only the
+    catalog's stored stats; raises if either table lacks ANALYZE stats
+    for its key (stale-stats staleness contract as everywhere else).
+    Returns {n_left, n_right, ndv_left, ndv_right, est_rows}.
+    """
+    ls = catalog.get_column_stats(left_table).get(left_key)
+    rs = catalog.get_column_stats(right_table).get(right_key)
+    if not ls or not rs:
+        raise ValueError(
+            f"estimate_join_rows needs ANALYZE stats for "
+            f"{left_table}.{left_key} and {right_table}.{right_key}"
+        )
+    n_l, n_r = int(ls["n_nonnull"]), int(rs["n_nonnull"])
+    d_l, d_r = int(ls["n_distinct"]), int(rs["n_distinct"])
+    denom = max(d_l, d_r)
+    return {
+        "n_left": n_l,
+        "n_right": n_r,
+        "ndv_left": d_l,
+        "ndv_right": d_r,
+        "est_rows": (n_l * n_r) // denom if denom else 0,
+    }

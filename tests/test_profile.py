@@ -123,3 +123,44 @@ def test_series_correlation_perfect_and_anti(spark):
     assert got[("a", "b")] == 1.0
     assert got[("a", "c")] == -1.0
     assert got[("b", "c")] == -1.0
+
+
+def test_estimate_join_rows_fk_exact_and_guards(spark, warehouse):
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.analyze import (
+        analyze_table,
+        estimate_join_rows,
+    )
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    cat = Catalog(warehouse)
+    out = HiveOutput(spark, cat)
+    cat.create_table(
+        "default.fact", HiveTableSchema((("k", T.LongType()),))
+    )
+    out.write_table(
+        WriteSpec("default.fact"),
+        spark.createDataFrame([(i % 4,) for i in range(40)], "k long"),
+    )
+    cat.create_table(
+        "default.dim", HiveTableSchema((("k", T.LongType()),))
+    )
+    out.write_table(
+        WriteSpec("default.dim"),
+        spark.createDataFrame([(i,) for i in range(8)], "k long"),
+    )
+    analyze_table(spark, cat, "default.fact", ("k",))
+    analyze_table(spark, cat, "default.dim", ("k",))
+    est = estimate_join_rows(cat, "default.fact", "k", "default.dim", "k")
+    # FK shape: dim key unique -> estimate equals the true join size (40)
+    assert est == {
+        "n_left": 40, "n_right": 8, "ndv_left": 4, "ndv_right": 8,
+        "est_rows": 40,
+    }
+    import pytest
+
+    with pytest.raises(ValueError):
+        estimate_join_rows(cat, "default.fact", "nope", "default.dim", "k")
