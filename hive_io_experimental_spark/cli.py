@@ -313,6 +313,16 @@ def cmd_fsck(args: argparse.Namespace) -> int:
     print(_json.dumps(report, indent=1))
     clean = not any(report.values())
     print(f"# {'clean' if clean else 'DRIFT FOUND'}", file=sys.stderr)
+    if getattr(args, "vacuum", False):
+        from hive_io_experimental_spark.operators.maintenance import (
+            vacuum_orphans,
+        )
+
+        vac = vacuum_orphans(Catalog(warehouse), dry_run=False)
+        print(
+            f"# vacuumed {vac['deleted']} orphan partition dirs",
+            file=sys.stderr,
+        )
     return 0 if clean else 1
 
 
@@ -671,6 +681,9 @@ def build_parser() -> argparse.ArgumentParser:
     fs = sub.add_parser(
         "fsck", help="metadata vs filesystem consistency report"
     )
+    fs.add_argument("--vacuum", action="store_true",
+                    help="delete the orphan partition dirs the report "
+                         "names (fsck's explicit repair arm)")
     fs.add_argument("--warehouse")
     fs.add_argument("--namespaces-file")
     fs.add_argument("--namespace", default="silver")

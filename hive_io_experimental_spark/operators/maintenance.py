@@ -173,3 +173,29 @@ def catalog_fsck(catalog: Catalog) -> dict:
                     else:
                         stack.append((sub, lvl + 1))
     return report
+
+
+def vacuum_orphans(catalog: Catalog, dry_run: bool = True) -> dict:
+    """Reclaim orphan partition directories catalog_fsck reported —
+    leftovers of killed jobs, failed restores, and manual copies that no
+    catalog entry references.
+
+    VACUUM is fsck's explicit repair arm, split from detection on
+    purpose (an fsck that auto-deletes is how a mis-registered warehouse
+    loses data): ``dry_run=True`` (the default) only lists what WOULD be
+    deleted; ``dry_run=False`` removes exactly the orphan directories
+    the report names — never a registered partition, never table roots,
+    never missing-dir entries (those are metadata repairs, not file
+    deletes). Driver-sized metadata walk + rmtree, no Spark session.
+    Returns {"orphans": [(table, path)...], "deleted": n}.
+    """
+    import shutil
+
+    report = catalog_fsck(catalog)
+    orphans = report["orphan_partition_dirs"]
+    deleted = 0
+    if not dry_run:
+        for _table, path in orphans:
+            shutil.rmtree(path, ignore_errors=True)
+            deleted += 1
+    return {"orphans": orphans, "deleted": deleted}

@@ -273,3 +273,44 @@ def test_catalog_fsck_reports_drift(spark, warehouse):
             for t, p in rep["orphan_partition_dirs"]] == [
         ("default.fsck_t", "p=zzz")
     ]
+
+
+def test_vacuum_orphans_deletes_only_unregistered_dirs(spark, warehouse):
+    import os
+
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators.maintenance import (
+        vacuum_orphans,
+    )
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "default.vac",
+        HiveTableSchema(
+            (("id", T.LongType()),), partition_keys=("p",)
+        ),
+    )
+    HiveOutput(spark, cat).write_table(
+        WriteSpec("default.vac", {"p": "keep"}),
+        spark.createDataFrame([(1,)], "id long"),
+    )
+    # plant an orphan partition directory the catalog never registered
+    loc = cat.table_location("default.vac")
+    orphan = os.path.join(loc, "p=orphan")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "junk.parquet"), "w").write("x")
+
+    dry = vacuum_orphans(cat)  # default dry_run: reports, deletes nothing
+    assert [p for _, p in dry["orphans"]] == [orphan]
+    assert dry["deleted"] == 0 and os.path.isdir(orphan)
+
+    wet = vacuum_orphans(cat, dry_run=False)
+    assert wet["deleted"] == 1
+    assert not os.path.isdir(orphan)
+    # the registered partition survives untouched
+    kept = os.path.join(loc, "p=keep")
+    assert os.path.isdir(kept) and os.listdir(kept)
