@@ -631,3 +631,51 @@ def test_inverted_index_streaming_fold_matches_batch(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, batch.collect())) == sorted(
         map(tuple, acc["idx"].collect())
     )
+
+
+def test_psi_drift_over_streamed_histogram_state(spark, sf_dir, tmp_path):
+    """The drift monitor composes with the streaming fold: PSI between a
+    static reference histogram and a state accumulated from micro-batch
+    folds equals PSI computed batch-vs-batch (the folded state IS the
+    batch state — proven above — so the read path sees identical
+    integers)."""
+    from hive_io_experimental_spark.operators import incremental as inc
+    from hive_io_experimental_spark.operators import profile as prof
+
+    events_path = f"{sf_dir}/events.parquet"
+    stream = read_events_stream(spark, events_path)
+
+    acc = {"state": None}
+
+    def fold(bdf, _bid):
+        s = inc.hourly_histogram_state(bdf)
+        acc["state"] = (
+            s if acc["state"] is None
+            else inc.merge_histogram_states(acc["state"], s)
+        )
+        acc["state"] = spark.createDataFrame(
+            acc["state"].collect(), acc["state"].schema
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt_psi"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    ref = inc.hourly_histogram_state(
+        spark.read.parquet(events_path).limit(2000)
+    )
+    via_stream = {
+        r.event_type: (r.psi, r.n_cur)
+        for r in prof.histogram_drift(ref, acc["state"]).collect()
+    }
+    via_batch = {
+        r.event_type: (r.psi, r.n_cur)
+        for r in prof.histogram_drift(
+            ref, inc.hourly_histogram_state(spark.read.parquet(events_path))
+        ).collect()
+    }
+    assert via_stream == via_batch and via_stream
