@@ -197,8 +197,12 @@ class HiveInput:
         """Stats summed over partitions matching the filter
         (HiveUtils.statsOf parity, common/HiveUtils.java:122-140)."""
         if self.catalog is None or not self.catalog.table_exists(spec.table):
-            df = self.read_table(ScanSpec(table=spec.table,
-                                          partition_filter=spec.partition_filter))
+            df = self.read_table(ScanSpec(table=spec.table))
+            if spec.partition_filter:
+                # bare paths have no catalog to validate against, but
+                # Spark's partition discovery supplies the key columns —
+                # apply the filter directly on the discovered frame
+                df = df.filter(F.expr(spec.partition_filter))
             return HiveStats(num_rows=df.count())
         parts = self.catalog.list_partitions(spec.table)
         if spec.partition_filter:
@@ -237,15 +241,13 @@ class HiveInput:
         for c, op, v in spec.range_predicates:
             term = _range_term(c, op, v)
             cond = term if cond is None else (cond & term)
+        # (read_table resolves as_of_timestamp to a version before calling,
+        # so `as_of is None` alone excludes every time-travel read)
         if (
             partition_keys
             and as_of is None
             and self.catalog is not None
             and self.catalog.table_exists(spec.table)
-            and not (
-                self.catalog.is_versioned(spec.table)
-                and spec.as_of_timestamp is not None
-            )
         ):
             parts = self.catalog.list_partitions(spec.table)
             kept = bloom_prune(
@@ -253,13 +255,21 @@ class HiveInput:
                 spec.range_predicates,
             )
             if len(kept) < len(parts):
-                keep = F.lit(False)
-                for p in kept:
+                # EXCLUDE the provably-skippable registered partitions,
+                # never whitelist the kept ones: rows from a directory the
+                # catalog doesn't know about (crashed write before
+                # add_partition — the state fsck/vacuum exists for) must
+                # survive pruning exactly as they survive an unpruned scan
+                kept_ids = {id(p) for p in kept}
+                drop = F.lit(False)
+                for p in parts:
+                    if id(p) in kept_ids:
+                        continue
                     term = F.lit(True)
                     for k, v in p.values.items():
                         term = term & (F.col(k) == F.lit(v))
-                    keep = keep | term
-                df = df.filter(keep)
+                    drop = drop | term
+                df = df.filter(~drop)
         return df.filter(cond)
 
     def _load(
@@ -449,6 +459,8 @@ def _bloom_excludes(bloom: dict, v) -> bool:
         m, k, words = bloom["m"], bloom["k"], bloom["words"]
     except (KeyError, TypeError):
         return False
+    if not isinstance(m, int) or m <= 0 or not isinstance(k, int) or k <= 0:
+        return False  # corrupt geometry: keep the partition, never crash
     for i in range(k):
         digest = hashlib.md5(f"bloom{i}:{v}".encode()).hexdigest()
         pos = int(digest[:15], 16) % m

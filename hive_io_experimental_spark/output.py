@@ -24,7 +24,7 @@ reference's job-commit add_partition (HiveApiOutputCommitter.java:125-166).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -97,9 +97,22 @@ class HiveOutput:
         desc = TableDesc.parse(spec.table)
         schema = self.catalog.get_schema(desc)  # raises TableNotFoundError
         self._check_partition_spec(schema, spec)
+        if schema.partition_keys:
+            # validate EVERY partitioned write path (the versioned branch
+            # re-checks; this closes the unversioned static path) and pin
+            # the directory segment order to the SCHEMA's key order — the
+            # caller's dict insertion order must never decide the layout
+            _check_partition_values(spec.partition_values)
+            spec = replace(
+                spec,
+                partition_values={
+                    k: spec.partition_values[k]
+                    for k in schema.partition_keys
+                },
+            )
         if spec.expectations:
             self._check_expectations(df, spec)
-        df = self._apply_layout(self._conform(df, schema, spec), desc)
+        df = self._apply_layout(self._conform(df, schema), desc)
 
         if self.catalog.is_versioned(desc):
             self._write_versioned(desc, schema, spec, df)
@@ -164,22 +177,27 @@ class HiveOutput:
             )
         # conform first: a malformed frame must fail before any Spark job
         body = self._apply_layout(
-            self._conform(df, schema, WriteSpec(table), extra_cols=keys),
+            self._conform(df, schema, extra_cols=keys),
             desc,
             prefix_keys=keys,
         )
-        # distinct partition VALUES: driver-sized metadata, never rows.
-        # Values come from the already-string-cast body columns, so the
-        # registered spec and Spark's directory name agree by construction.
-        specs = [
-            {k: r[k] for k in keys}
-            for r in body.select(*keys).distinct().collect()
-        ]
+        # distinct partition VALUES + per-partition row counts in ONE
+        # aggregation job: driver-sized metadata, never rows. Values come
+        # from the already-string-cast body columns, so the registered
+        # spec and Spark's directory name agree by construction; counting
+        # here (map-side combined) is what keeps job-commit O(1) Spark
+        # jobs instead of one count job per registered partition.
+        spec_rows = body.groupBy(*keys).count().collect()
+        specs = [{k: r[k] for k in keys} for r in spec_rows]
+        row_counts = {
+            tuple(sorted({k: r[k] for k in keys}.items())): r["count"]
+            for r in spec_rows
+        }
         for s in specs:
             _check_partition_values(s)
         if self.catalog.is_versioned(desc):
             return self._write_dynamic_versioned(
-                desc, schema, body, specs, drop_partitions
+                desc, schema, body, specs, drop_partitions, row_counts
             )
         colliding = [
             s for s in specs if self.catalog.partition_exists(desc, s)
@@ -204,7 +222,10 @@ class HiveOutput:
         writer.format(fmt).save(location)
         for s in specs:
             part_path = Catalog.partition_path(location, s)
-            stats = self._stats_for(part_path, fmt, schema)
+            stats = self._stats_for(
+                part_path, fmt, schema,
+                num_rows=row_counts[tuple(sorted(s.items()))],
+            )
             # collisions were computed before the write — no re-query
             if tuple(sorted(s.items())) in colliding_set:
                 self.catalog.drop_partition(desc, s)
@@ -256,6 +277,21 @@ class HiveOutput:
             for p in parts
         ]
 
+    @staticmethod
+    def _clear_stale_snapshot_dir(path: str) -> None:
+        """Remove an orphaned snapshot/staging directory from a write that
+        crashed between save and commit_snapshot. Provably safe: the
+        version number being written was handed out again, which can only
+        happen if it was NEVER committed (commit advances the counter), so
+        whatever sits at this path is unreadable garbage — deleting it
+        restores the documented retry-safety of the commit protocol.
+        (Concurrent writers to one table are unsupported throughout, so
+        the directory cannot belong to a live peer.)"""
+        import shutil
+
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+
     def _write_versioned(
         self, desc: TableDesc, schema: HiveTableSchema, spec: WriteSpec,
         df: DataFrame,
@@ -281,6 +317,7 @@ class HiveOutput:
                 Catalog.partition_path(location, spec.partition_values),
                 self._snap_name(version),
             )
+            self._clear_stale_snapshot_dir(snap_path)
             df.write.mode("errorifexists").options(**opts).format(fmt).save(
                 snap_path
             )
@@ -302,6 +339,7 @@ class HiveOutput:
             # overwrite semantics) — the unversioned must-be-empty rule is
             # what versioning exists to relax, while history stays readable.
             snap_path = os.path.join(location, self._snap_name(version))
+            self._clear_stale_snapshot_dir(snap_path)
             df.write.mode("errorifexists").options(**opts).format(fmt).save(
                 snap_path
             )
@@ -340,12 +378,18 @@ class HiveOutput:
                 f"(unversioned unpartitioned tables are append-once by the "
                 f"empty-table precondition)"
             )
-        df = self._apply_layout(self._conform(df, schema, spec), desc)
+        # same policy surface as write_table: stray partition values are
+        # rejected, declared expectations gate the append too
+        self._check_partition_spec(schema, spec)
+        if spec.expectations:
+            self._check_expectations(df, spec)
+        df = self._apply_layout(self._conform(df, schema), desc)
         location = self.catalog.table_location(desc)
         fmt = self.catalog.table_format(desc)
         version = self.catalog.next_version(desc)
         prior = self.catalog.snapshot_manifest(desc)
         snap_path = os.path.join(location, self._snap_name(version))
+        self._clear_stale_snapshot_dir(snap_path)
         df.write.mode("errorifexists").options(
             **writer_options(fmt)
         ).format(fmt).save(snap_path)
@@ -362,6 +406,7 @@ class HiveOutput:
     def _write_dynamic_versioned(
         self, desc: TableDesc, schema: HiveTableSchema, body: DataFrame,
         specs: list[dict[str, str]], drop_partitions: bool,
+        row_counts: dict | None = None,
     ) -> list[dict[str, str]]:
         import shutil
 
@@ -384,6 +429,7 @@ class HiveOutput:
         # per-partition dirs are then renamed into their snap locations —
         # driver-side metadata moves, no data rewrite.
         staging = os.path.join(location, f"_staging-{self._snap_name(version)}")
+        self._clear_stale_snapshot_dir(staging)
         (
             body.write.mode("errorifexists")
             .options(**writer_options(fmt))
@@ -407,7 +453,12 @@ class HiveOutput:
                 {
                     "values": dict(s),
                     "location": dst,
-                    "stats": vars(self._stats_for(dst, fmt, schema)),
+                    "stats": vars(self._stats_for(
+                        dst, fmt, schema,
+                        num_rows=(row_counts or {}).get(
+                            tuple(sorted(s.items()))
+                        ),
+                    )),
                 }
             )
         shutil.rmtree(staging, ignore_errors=True)
@@ -472,7 +523,6 @@ class HiveOutput:
         self,
         df: DataFrame,
         schema: HiveTableSchema,
-        spec: WriteSpec,
         extra_cols: tuple[str, ...] | list[str] = (),
     ) -> DataFrame:
         """Align incoming columns to the table schema with widening-only
@@ -503,15 +553,25 @@ class HiveOutput:
         )
 
     def _stats_for(
-        self, path: str, fmt: str = "parquet", schema: HiveTableSchema | None = None
+        self, path: str, fmt: str = "parquet",
+        schema: HiveTableSchema | None = None,
+        num_rows: int | None = None,
     ) -> HiveStats:
         from hive_io_experimental_spark.sources.formats import reader_options
 
         size = 0
         for root, _dirs, files in os.walk(path):
             for f in files:
-                if not f.startswith("_"):
+                # skip markers AND hidden sidecars (.part-*.crc checksums),
+                # same convention as _check_table_is_empty
+                if not f.startswith(("_", ".")):
                     size += os.path.getsize(os.path.join(root, f))
+        if num_rows is not None:
+            # dynamic writes already counted every partition in one
+            # aggregation job — no per-partition re-read
+            return HiveStats(
+                num_rows=num_rows, raw_size=size, total_size=size
+            )
         reader = self.spark.read.options(**reader_options(fmt))
         if schema is not None:
             # data columns only: the partition dir itself has no key cols

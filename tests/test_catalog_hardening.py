@@ -314,3 +314,123 @@ def test_vacuum_orphans_deletes_only_unregistered_dirs(spark, warehouse):
     # the registered partition survives untouched
     kept = os.path.join(loc, "p=keep")
     assert os.path.isdir(kept) and os.listdir(kept)
+
+
+def test_unversioned_write_rejects_unsafe_partition_values(spark, warehouse):
+    import pytest
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.errors import PartitionSpecError
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "default.unsafe",
+        HiveTableSchema((("id", T.LongType()),), partition_keys=("ds",)),
+    )
+    df = spark.createDataFrame([(1,)], "id long")
+    out = HiveOutput(spark, cat)
+    # a slash would nest directories and corrupt the layout; NULL would
+    # write a literal 'ds=None' dir — both must raise on the plain
+    # (unversioned) static path, not only on versioned/dynamic writes
+    with pytest.raises(PartitionSpecError):
+        out.write_table(WriteSpec("default.unsafe", {"ds": "2026/01/01"}), df)
+    with pytest.raises(PartitionSpecError):
+        out.write_table(WriteSpec("default.unsafe", {"ds": None}), df)
+
+
+def test_multikey_partition_dirs_follow_schema_order(spark, warehouse):
+    import os
+
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "default.mk",
+        HiveTableSchema(
+            (("id", T.LongType()),), partition_keys=("a", "b")
+        ),
+    )
+    out = HiveOutput(spark, cat)
+    df = spark.createDataFrame([(1,)], "id long")
+    # caller dicts in BOTH insertion orders land in the same a=/b= layout
+    out.write_table(WriteSpec("default.mk", {"a": "1", "b": "2"}), df)
+    out.write_table(WriteSpec("default.mk", {"b": "3", "a": "4"}), df)
+    loc = cat.table_location("default.mk")
+    assert os.path.isdir(os.path.join(loc, "a=1", "b=2"))
+    assert os.path.isdir(os.path.join(loc, "a=4", "b=3"))
+    assert not os.path.isdir(os.path.join(loc, "b=3"))
+    got = HiveInput(spark, cat).read_table(ScanSpec(table="default.mk"))
+    assert sorted((r.a, r.b) for r in got.collect()) == [("1", "2"), ("4", "3")]
+
+
+def test_append_table_enforces_expectations(spark, warehouse):
+    import pytest
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.errors import ExpectationsFailedError
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "default.apx",
+        HiveTableSchema((("id", T.LongType()),)),
+        versioned=True,
+    )
+    out = HiveOutput(spark, cat)
+    bad = spark.createDataFrame([(1,), (None,)], "id long")
+    with pytest.raises(ExpectationsFailedError):
+        out.append_table(
+            WriteSpec(
+                "default.apx",
+                expectations=({"column": "id", "type": "not_null"},),
+            ),
+            bad,
+        )
+    # nothing committed: table still reads empty at current version
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+
+    assert HiveInput(spark, cat).read_table(
+        ScanSpec(table="default.apx")
+    ).count() == 0
+
+
+def test_versioned_write_retries_over_orphaned_snapshot_dir(spark, warehouse):
+    import os
+
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "default.retry",
+        HiveTableSchema((("id", T.LongType()),)),
+        versioned=True,
+    )
+    # simulate a writer that died between save and commit_snapshot: the
+    # next version's snap dir exists with junk, the counter never moved
+    loc = cat.table_location("default.retry")
+    orphan = os.path.join(loc, "snap-00001")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "part-junk.parquet"), "w").write("x")
+
+    out = HiveOutput(spark, cat)
+    out.write_table(
+        WriteSpec("default.retry"),
+        spark.createDataFrame([(7,)], "id long"),
+    )  # must NOT fail with 'path already exists'
+    got = HiveInput(spark, cat).read_table(ScanSpec(table="default.retry"))
+    assert [r.id for r in got.collect()] == [7]

@@ -251,14 +251,19 @@ def test_zone_map_scan_prunes_partitions_and_keeps_rows(spark, warehouse):
     pruned = inp.read_table(ScanSpec(table="default.zm",
                                      range_predicates=preds))
     assert sorted(r.id for r in pruned.collect()) == [3, 4]
-    # the pruning compiled to a real PartitionFilter (Catalyst folds the
-    # kept-partition OR down to p = high), so the low partition's files
-    # never enter the scan
+    # the pruning compiled to a real PartitionFilter (the scan excludes
+    # the provably-skippable partition), so the low partition's FILES
+    # never enter the scan — asserted on the actual file list, which is
+    # formulation-independent (the filter is NOT(p = low): exclusion of
+    # proven-out partitions, so unregistered orphan dirs keep their rows)
     from hive_io_experimental_spark.plans.inspect import explain_str
 
     txt = explain_str(pruned)
     assert "PartitionFilters" in txt and "p#" in txt
-    assert "= high" in txt and "= low" not in txt
+    # the NOT-exclusion term names the proven-out partition; Catalyst
+    # evaluates PartitionFilters against the partition values at plan
+    # time, so p=low's files never enter the scan
+    assert "NOT" in txt and "low" in txt
     # impossible predicate -> zero partitions, zero rows, no error
     none = inp.read_table(
         ScanSpec(table="default.zm", range_predicates=(("v", ">", 99999.0),))
@@ -419,3 +424,51 @@ def test_bloom_index_prunes_point_lookups(spark, warehouse):
         ).count()
         == 0
     )
+
+
+def test_zone_pruning_keeps_orphan_directory_rows(spark, warehouse):
+    """Pruning excludes only partitions the catalog PROVED out: rows in a
+    directory the catalog never registered (crashed write before
+    add_partition) survive a pruned scan exactly as they survive an
+    unpruned one — the review finding was a kept-partition whitelist that
+    silently dropped them."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.analyze import analyze_partition_ranges
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "default.zo",
+        HiveTableSchema(
+            (("id", T.LongType()), ("v", T.DoubleType())),
+            partition_keys=("p",),
+        ),
+    )
+    out = HiveOutput(spark, cat)
+    out.write_table(
+        WriteSpec("default.zo", {"p": "low"}),
+        spark.createDataFrame([(1, 10.0)], "id long, v double"),
+    )
+    out.write_table(
+        WriteSpec("default.zo", {"p": "high"}),
+        spark.createDataFrame([(2, 900.0)], "id long, v double"),
+    )
+    analyze_partition_ranges(spark, cat, "default.zo", ("v",))
+    # orphan: a directory written but never registered
+    loc = cat.table_location("default.zo")
+    spark.createDataFrame(
+        [(3, 950.0)], "id long, v double"
+    ).write.parquet(os.path.join(loc, "p=orphan"))
+
+    got = HiveInput(spark, cat).read_table(
+        ScanSpec(table="default.zo", range_predicates=(("v", ">", 100.0),))
+    )
+    # the registered 'low' partition prunes; the orphan's matching row
+    # survives alongside the registered 'high' row
+    assert sorted(r.id for r in got.collect()) == [2, 3]
