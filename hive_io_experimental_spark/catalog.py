@@ -615,7 +615,8 @@ class Catalog:
         ]
 
     def expire_snapshots(
-        self, desc: TableDesc | str, keep_last: int = 1
+        self, desc: TableDesc | str, keep_last: int = 1,
+        clean_orphans: bool = False,
     ) -> list[str]:
         """Drop all but the last ``keep_last`` snapshots and delete data
         directories no retained snapshot references. Returns deleted paths.
@@ -624,6 +625,16 @@ class Catalog:
         (locations of retained ones) — a location shared with any retained
         version survives, so time travel over the retained window stays
         intact while storage stops growing without bound.
+
+        ``clean_orphans=True`` additionally reclaims ``snap-*`` /
+        ``_staging-*`` directories under the table tree that NO retained
+        snapshot references — the file sets of write attempts that lost
+        the optimistic-concurrency race or crashed before commit (every
+        attempt writes to a unique directory; only commit makes one
+        visible). Like Iceberg's remove-orphan-files action, this must not
+        run concurrently with in-flight writers to the same table: an
+        attempt that has written but not yet committed looks identical to
+        a lost one.
         """
         import shutil
 
@@ -635,21 +646,51 @@ class Catalog:
             entry = self._entry_or_raise(doc, desc)
             if not entry.get("versioned"):
                 raise SnapshotError(f"table {desc} is not versioned")
+            location = entry["location"]
             snaps = entry["snapshots"]
-            if len(snaps) <= keep_last:
+            if len(snaps) <= keep_last and not clean_orphans:
                 return []
-            expired, retained = snaps[:-keep_last], snaps[-keep_last:]
+            expired = snaps[:-keep_last] if len(snaps) > keep_last else []
+            retained = snaps[-keep_last:] if len(snaps) > keep_last else snaps
             keep_locs = {
-                p["location"] for s in retained for p in s["partitions"]
+                os.path.normpath(p["location"])
+                for s in retained
+                for p in s["partitions"]
             }
             drop_locs = {
-                p["location"] for s in expired for p in s["partitions"]
+                os.path.normpath(p["location"])
+                for s in expired
+                for p in s["partitions"]
             } - keep_locs
+            if clean_orphans:
+                drop_locs |= self._orphan_snapshot_dirs(location, keep_locs)
             entry["snapshots"] = retained
             self._save(doc)
         for loc in sorted(drop_locs):
             shutil.rmtree(loc, ignore_errors=True)
         return sorted(drop_locs)
+
+    @staticmethod
+    def _orphan_snapshot_dirs(location: str, keep_locs: set[str]) -> set[str]:
+        """snap-*/_staging-* dirs under ``location`` that no retained
+        snapshot references (driver-sized directory walk; snap dirs are
+        leaves, so the walk never descends into data files)."""
+        orphans: set[str] = set()
+        if not os.path.isdir(location):
+            return orphans
+        stack = [location]
+        while stack:
+            d = stack.pop()
+            for name in sorted(os.listdir(d)):
+                sub = os.path.join(d, name)
+                if not os.path.isdir(sub):
+                    continue
+                if name.startswith(("snap-", "_staging-")):
+                    if os.path.normpath(sub) not in keep_locs:
+                        orphans.add(os.path.normpath(sub))
+                elif not name.startswith(("_", ".")):
+                    stack.append(sub)
+        return orphans
 
     # -- stats ---------------------------------------------------------------
 

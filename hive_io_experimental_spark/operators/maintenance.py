@@ -187,15 +187,23 @@ def vacuum_orphans(catalog: Catalog, dry_run: bool = True) -> dict:
     the report names — never a registered partition, never table roots,
     never missing-dir entries (those are metadata repairs, not file
     deletes). Driver-sized metadata walk + rmtree, no Spark session.
-    Returns {"orphans": [(table, path)...], "deleted": n}.
+    Returns {"orphans": [(table, path)...], "deleted": n,
+    "failed": [(table, path)...]} — ``deleted`` counts only directories
+    VERIFIED gone afterwards; a delete that failed (permissions, races)
+    lands in ``failed`` instead of inflating the reclaim count.
     """
+    import os
     import shutil
 
     report = catalog_fsck(catalog)
     orphans = report["orphan_partition_dirs"]
     deleted = 0
+    failed: list = []
     if not dry_run:
-        for _table, path in orphans:
+        for table, path in orphans:
             shutil.rmtree(path, ignore_errors=True)
-            deleted += 1
-    return {"orphans": orphans, "deleted": deleted}
+            if os.path.isdir(path):
+                failed.append((table, path))
+            else:
+                deleted += 1
+    return {"orphans": orphans, "deleted": deleted, "failed": failed}

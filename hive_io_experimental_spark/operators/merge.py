@@ -280,7 +280,14 @@ def erase_keys(
     handful of directories instead of scanning the table. Bloom false
     positives only widen the scan, never the delete (the exact anti-join
     decides rows). Returns {"n_partitions": affected, "n_erased": rows
-    removed} — the audit record an erasure workflow must retain.
+    removed, "skipped_orphans": partition values holding key rows in
+    UNREGISTERED directories} — the audit record an erasure workflow must
+    retain. Orphan-dir hits cannot be erased by a partition-scoped rewrite
+    (there is no registration to swap); they are reported, never silently
+    dropped — run catalog_fsck/vacuum_orphans (or register the dirs) and
+    re-run the erasure. When any orphan dir exists under the table, the
+    bloom fast path is bypassed (orphan dirs carry no bloom stamps, so
+    pruning by the index could skip their rows unscanned).
     """
     import os
     import shutil
@@ -291,12 +298,16 @@ def erase_keys(
 
     key_set = keys.select(*key_cols).distinct()
     loc_spec = ScanSpec(table=table, columns=(*key_cols, partition_col))
-    bloom_parts = _bloom_candidate_partitions(
-        spark, catalog, desc, key_set, key_cols, partition_col
+    bloom_parts = (
+        None
+        if _orphan_partition_dirs(catalog, desc)
+        else _bloom_candidate_partitions(
+            spark, catalog, desc, key_set, key_cols, partition_col
+        )
     )
     if bloom_parts is not None:
         if not bloom_parts:
-            return {"n_partitions": 0, "n_erased": 0}
+            return {"n_partitions": 0, "n_erased": 0, "skipped_orphans": []}
         in_list = ", ".join(_quote(pv) for pv in bloom_parts)
         loc_spec = ScanSpec(
             table=table,
@@ -304,7 +315,7 @@ def erase_keys(
             partition_filter=f"{partition_col} IN ({in_list})",
         )
     key_locations = inp.read_table(loc_spec)
-    hit_parts = sorted(
+    all_hits = sorted(
         pv
         for pv in _distinct_partition_values(
             spark,
@@ -314,10 +325,23 @@ def erase_keys(
             partition_col,
         )
         if pv is not None
-        and catalog.partition_exists(desc, {partition_col: pv})
     )
+    hit_parts = [
+        pv
+        for pv in all_hits
+        if catalog.partition_exists(desc, {partition_col: pv})
+    ]
+    # Keys living in UNREGISTERED (orphan) directories cannot be erased by
+    # a partition-scoped rewrite — the catalog has no registration to swap.
+    # An RTBF operator must never drop those silently: they ride out in the
+    # audit record so the caller can catalog_fsck/vacuum_orphans and re-run.
+    skipped_orphans = [pv for pv in all_hits if pv not in set(hit_parts)]
     if not hit_parts:
-        return {"n_partitions": 0, "n_erased": 0}
+        return {
+            "n_partitions": 0,
+            "n_erased": 0,
+            "skipped_orphans": skipped_orphans,
+        }
 
     in_list = ", ".join(_quote(pv) for pv in hit_parts)
     current = inp.read_table(
@@ -357,7 +381,47 @@ def erase_keys(
             if os.path.isdir(location):
                 shutil.rmtree(location, ignore_errors=True)
 
-    return {"n_partitions": len(hit_parts), "n_erased": n_before - n_after}
+    return {
+        "n_partitions": len(hit_parts),
+        "n_erased": n_before - n_after,
+        "skipped_orphans": skipped_orphans,
+    }
+
+
+def _orphan_partition_dirs(catalog: Catalog, desc: TableDesc) -> list[str]:
+    """Partition-depth directories under the table location that no
+    catalog registration references (catalog_fsck's orphan walk, scoped to
+    one table). Driver-sized metadata walk, no Spark job."""
+    import os
+
+    location = catalog.table_location(desc)
+    schema = catalog.get_schema(desc)
+    depth = len(schema.partition_keys)
+    if not depth or not os.path.isdir(location):
+        return []
+    # versioned tables register snap-dir locations one level BELOW the
+    # partition dir — a partition dir counts as registered when it equals
+    # a registered location or contains one
+    registered = {
+        os.path.normpath(p.location) for p in catalog.list_partitions(desc)
+    }
+    covered = set(registered)
+    for loc in registered:
+        covered.add(os.path.dirname(loc))
+    orphans: list[str] = []
+    stack = [(location, 0)]
+    while stack:
+        d, lvl = stack.pop()
+        for name in sorted(os.listdir(d)):
+            sub = os.path.join(d, name)
+            if not os.path.isdir(sub) or name.startswith(("_", ".")):
+                continue
+            if lvl + 1 == depth:
+                if os.path.normpath(sub) not in covered:
+                    orphans.append(sub)
+            else:
+                stack.append((sub, lvl + 1))
+    return orphans
 
 
 # driver-side key budget for the bloom-index fast path: above this the

@@ -1065,41 +1065,63 @@ def bigram_lm_scores(
 
 
 def merge_inverted_indexes(
-    a: DataFrame, b: DataFrame, max_postings: int = 20
+    a: DataFrame, b: DataFrame, max_postings: int = 20,
+    id_kind: str = "long",
 ) -> DataFrame:
     """index ⊕ index for inverted_index outputs built over DISJOINT
     document sets (the incremental-indexing contract: each batch indexes
     new doc ids).
 
     df and tf_total add; the merged posting prefix is exact — each side
-    kept its numerically-first ``max_postings`` ids, and for disjoint id
-    sets the first-P of the union of two first-P prefixes IS the first-P
-    of the full union. Merge cost is index-sized (vocabulary rows), never
-    corpus-sized: one shuffle on term.
+    kept its first-``max_postings`` ids IN THE BUILD'S SORT ORDER, and for
+    disjoint id sets the first-P of the union of two first-P prefixes IS
+    the first-P of the full union. The merge must therefore sort the way
+    the build did: ``id_kind='long'`` (default) sorts numerically and
+    RAISES on a non-numeric posting instead of silently nulling it into a
+    corrupt prefix; ``id_kind='string'`` sorts lexicographically, matching
+    an index built over string doc ids (inverted_index sorts in the id
+    column's native type). Merge cost is index-sized (vocabulary rows),
+    never corpus-sized: one shuffle on term.
     """
+    if id_kind not in ("long", "string"):
+        raise ValueError(f"id_kind must be 'long' or 'string', got {id_kind!r}")
+    if id_kind == "long":
+        # assert_true returns NULL when the guard holds, so the when()
+        # falls through to the numeric cast; a bad id fails the job loudly
+        ids = F.transform(
+            F.split("postings", ","),
+            lambda x: F.when(
+                F.assert_true(
+                    x.rlike("^-?[0-9]+$"),
+                    F.concat(
+                        F.lit(
+                            "merge_inverted_indexes(id_kind='long') got "
+                            "non-numeric doc id '"
+                        ),
+                        x,
+                        F.lit("' — merge string-id indexes with "
+                              "id_kind='string'"),
+                    ),
+                ).isNull(),
+                x.cast("long"),
+            ),
+        )
+        prefix = F.slice(
+            F.array_sort(F.flatten(F.collect_list(ids))), 1, max_postings
+        ).cast("array<string>")
+    else:
+        prefix = F.slice(
+            F.array_sort(F.flatten(F.collect_list(F.split("postings", ",")))),
+            1,
+            max_postings,
+        )
     u = a.unionByName(b)
     return (
         u.groupBy("term")
         .agg(
             F.sum("df").cast("long").alias("df"),
             F.sum("tf_total").cast("long").alias("tf_total"),
-            F.array_join(
-                F.slice(
-                    F.array_sort(
-                        F.flatten(
-                            F.collect_list(
-                                F.transform(
-                                    F.split("postings", ","),
-                                    lambda x: x.cast("long"),
-                                )
-                            )
-                        )
-                    ),
-                    1,
-                    max_postings,
-                ).cast("array<string>"),
-                ",",
-            ).alias("postings"),
+            F.array_join(prefix, ",").alias("postings"),
         )
         .orderBy("term")
     )

@@ -262,13 +262,22 @@ class HiveOutput:
     # Optimistic concurrency: the version number is reserved via
     # next_version() before writing; commit_snapshot rejects a stale number,
     # leaving the loser's files as unreferenced orphans (never readable,
-    # reclaimed by expire_snapshots' retained-set difference — or simply
-    # overwritten into by the retry, which reuses the directory name only
-    # after taking the NEXT number). See catalog.py snapshot section.
+    # reclaimed by expire_snapshots(clean_orphans=True)). Every write
+    # ATTEMPT gets its own unique directory (snap-NNNNN-<token>), so a slow
+    # writer that computed version N before a peer committed N can never
+    # touch — let alone delete — the committed snapshot's data: the two
+    # attempts live in different directories and only commit_snapshot's
+    # compare-and-swap decides whose becomes version N. (Iceberg's model:
+    # unique file sets, metadata CAS, orphan-file cleanup as maintenance.)
 
     @staticmethod
     def _snap_name(version: int) -> str:
-        return f"snap-{version:05d}"
+        """Unique per-ATTEMPT snapshot dir name. The version prefix keeps
+        directories sortable/debuggable; the random suffix is what makes
+        concurrent attempts at the same version collision-free."""
+        import uuid
+
+        return f"snap-{version:05d}-{uuid.uuid4().hex[:8]}"
 
     @staticmethod
     def _manifest_dicts(parts) -> list[dict]:
@@ -276,21 +285,6 @@ class HiveOutput:
             {"values": p.values, "location": p.location, "stats": vars(p.stats)}
             for p in parts
         ]
-
-    @staticmethod
-    def _clear_stale_snapshot_dir(path: str) -> None:
-        """Remove an orphaned snapshot/staging directory from a write that
-        crashed between save and commit_snapshot. Provably safe: the
-        version number being written was handed out again, which can only
-        happen if it was NEVER committed (commit advances the counter), so
-        whatever sits at this path is unreadable garbage — deleting it
-        restores the documented retry-safety of the commit protocol.
-        (Concurrent writers to one table are unsupported throughout, so
-        the directory cannot belong to a live peer.)"""
-        import shutil
-
-        if os.path.isdir(path):
-            shutil.rmtree(path, ignore_errors=True)
 
     def _write_versioned(
         self, desc: TableDesc, schema: HiveTableSchema, spec: WriteSpec,
@@ -317,7 +311,6 @@ class HiveOutput:
                 Catalog.partition_path(location, spec.partition_values),
                 self._snap_name(version),
             )
-            self._clear_stale_snapshot_dir(snap_path)
             df.write.mode("errorifexists").options(**opts).format(fmt).save(
                 snap_path
             )
@@ -339,7 +332,6 @@ class HiveOutput:
             # overwrite semantics) — the unversioned must-be-empty rule is
             # what versioning exists to relax, while history stays readable.
             snap_path = os.path.join(location, self._snap_name(version))
-            self._clear_stale_snapshot_dir(snap_path)
             df.write.mode("errorifexists").options(**opts).format(fmt).save(
                 snap_path
             )
@@ -389,7 +381,6 @@ class HiveOutput:
         version = self.catalog.next_version(desc)
         prior = self.catalog.snapshot_manifest(desc)
         snap_path = os.path.join(location, self._snap_name(version))
-        self._clear_stale_snapshot_dir(snap_path)
         df.write.mode("errorifexists").options(
             **writer_options(fmt)
         ).format(fmt).save(snap_path)
@@ -429,7 +420,6 @@ class HiveOutput:
         # per-partition dirs are then renamed into their snap locations —
         # driver-side metadata moves, no data rewrite.
         staging = os.path.join(location, f"_staging-{self._snap_name(version)}")
-        self._clear_stale_snapshot_dir(staging)
         (
             body.write.mode("errorifexists")
             .options(**writer_options(fmt))

@@ -416,3 +416,34 @@ def test_search_normalizes_query_terms(spark):
 
     with pytest.raises(ValueError):
         T.keyword_search(docs, ["!!!"])
+
+
+def test_merge_inverted_indexes_string_ids(spark):
+    """String doc ids merge in the BUILD's (lexicographic) order with
+    id_kind='string' and equal the one-shot index; the default numeric
+    path raises instead of silently nulling string ids into a corrupt
+    prefix (ADVICE r5)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from hive_io_experimental_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [("d-10", "alpha beta"), ("d-9", "alpha gamma"),
+         ("d-2", "alpha beta beta"), ("d-11", "gamma")],
+        "doc_id string, text string",
+    )
+    a = T.inverted_index(docs.filter(F.col("doc_id").isin("d-10", "d-2")),
+                         max_postings=2)
+    b = T.inverted_index(docs.filter(F.col("doc_id").isin("d-9", "d-11")),
+                         max_postings=2)
+    merged = T.merge_inverted_indexes(a, b, max_postings=2,
+                                      id_kind="string")
+    oneshot = T.inverted_index(docs, max_postings=2)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, oneshot.collect())
+    )
+    with pytest.raises(SparkRuntimeException, match="non-numeric doc id"):
+        T.merge_inverted_indexes(a, b, max_postings=2).collect()
+    with pytest.raises(ValueError, match="id_kind"):
+        T.merge_inverted_indexes(a, b, id_kind="uuid")

@@ -434,3 +434,38 @@ def test_versioned_write_retries_over_orphaned_snapshot_dir(spark, warehouse):
     )  # must NOT fail with 'path already exists'
     got = HiveInput(spark, cat).read_table(ScanSpec(table="default.retry"))
     assert [r.id for r in got.collect()] == [7]
+
+
+def test_vacuum_orphans_reports_failed_deletes(spark, warehouse, monkeypatch):
+    """The reclaim count must reflect what actually disappeared: a delete
+    that fails lands in 'failed', never in 'deleted' (ADVICE r5)."""
+    import os
+    import shutil as _shutil
+
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators.maintenance import (
+        vacuum_orphans,
+    )
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "default.vacfail",
+        HiveTableSchema((("id", T.LongType()),), partition_keys=("p",)),
+    )
+    loc = cat.table_location("default.vacfail")
+    orphan = os.path.join(loc, "p=stuck")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "junk.parquet"), "w").write("x")
+
+    monkeypatch.setattr(_shutil, "rmtree",
+                        lambda *a, **k: None)  # delete silently no-ops
+    res = vacuum_orphans(cat, dry_run=False)
+    assert res["deleted"] == 0
+    assert res["failed"] == [("default.vacfail", orphan)]
+    monkeypatch.undo()
+    res = vacuum_orphans(cat, dry_run=False)
+    assert res["deleted"] == 1 and res["failed"] == []
+    assert not os.path.isdir(orphan)

@@ -131,7 +131,8 @@ def test_erase_keys_deletes_across_partitions(spark, warehouse):
         spark.createDataFrame([(1,), (3,)], "k long"),
         key_cols=("k",), partition_col="p",
     )
-    assert stats == {"n_partitions": 2, "n_erased": 2}
+    assert stats == {"n_partitions": 2, "n_erased": 2,
+                     "skipped_orphans": []}
     left = {
         (r.k, r.v, r.p)
         for r in HiveInput(spark, cat)
@@ -158,7 +159,8 @@ def test_erase_keys_absent_key_is_noop(spark, warehouse):
         spark.createDataFrame([(99,)], "k long"),
         key_cols=("k",), partition_col="p",
     )
-    assert stats == {"n_partitions": 0, "n_erased": 0}
+    assert stats == {"n_partitions": 0, "n_erased": 0,
+                     "skipped_orphans": []}
     n = (
         HiveInput(spark, cat)
         .read_table(ScanSpec(table="default.kv"))
@@ -184,7 +186,8 @@ def test_erase_keys_uses_bloom_index_fast_path(spark, warehouse):
         spark.createDataFrame([(3,)], "k long"),
         key_cols=("k",), partition_col="p",
     )
-    assert stats == {"n_partitions": 1, "n_erased": 1}
+    assert stats == {"n_partitions": 1, "n_erased": 1,
+                     "skipped_orphans": []}
     left = {
         (r.k, r.p)
         for r in HiveInput(spark, cat)
@@ -199,4 +202,56 @@ def test_erase_keys_uses_bloom_index_fast_path(spark, warehouse):
         spark.createDataFrame([(424242,)], "k long"),
         key_cols=("k",), partition_col="p",
     )
-    assert stats == {"n_partitions": 0, "n_erased": 0}
+    assert stats == {"n_partitions": 0, "n_erased": 0,
+                     "skipped_orphans": []}
+
+
+def test_erase_keys_reports_orphan_dir_hits(spark, warehouse):
+    """Keys living in UNREGISTERED partition directories cannot be erased
+    by a partition-scoped rewrite (no registration to swap) — an RTBF
+    operator must report them in the audit record, never drop them
+    silently. The registered copies of the same keys still erase."""
+    from hive_io_experimental_spark.operators.merge import erase_keys
+
+    cat = _mk(spark, warehouse)
+    loc = cat.table_location("default.kv")
+    orphan = os.path.join(loc, "p=ghost")
+    spark.createDataFrame([(1, "ghostrow")], "k long, v string").write.parquet(
+        orphan
+    )
+    stats = erase_keys(
+        spark, cat, "default.kv",
+        spark.createDataFrame([(1,)], "k long"),
+        key_cols=("k",), partition_col="p",
+    )
+    # key 1's registered copy (partition a) is erased; the orphan hit is
+    # surfaced for fsck/vacuum + re-run instead of vanishing
+    assert stats["n_partitions"] == 1 and stats["n_erased"] == 1
+    assert stats["skipped_orphans"] == ["ghost"]
+    survivors = _rows(spark, cat)
+    assert (1, "a") not in survivors and (2, "a") in survivors
+
+
+def test_erase_keys_orphan_dirs_bypass_bloom_fast_path(spark, warehouse):
+    """Orphan dirs carry no bloom stamps, so index pruning could skip
+    their rows unscanned — with any orphan dir present the operator must
+    fall back to the full location scan and still report the orphan hit."""
+    from hive_io_experimental_spark.analyze import analyze_partition_blooms
+    from hive_io_experimental_spark.operators.merge import erase_keys
+
+    cat = _mk(spark, warehouse)
+    analyze_partition_blooms(
+        spark, cat, "default.kv", ("k",), m_bits=4096, k_hashes=3
+    )
+    loc = cat.table_location("default.kv")
+    # the target key lives ONLY in the orphan dir: a bloom-pruned scan
+    # would see nothing at all
+    spark.createDataFrame([(777, "only-here")], "k long, v string") \
+        .write.parquet(os.path.join(loc, "p=ghost"))
+    stats = erase_keys(
+        spark, cat, "default.kv",
+        spark.createDataFrame([(777,)], "k long"),
+        key_cols=("k",), partition_col="p",
+    )
+    assert stats["n_partitions"] == 0 and stats["n_erased"] == 0
+    assert stats["skipped_orphans"] == ["ghost"]

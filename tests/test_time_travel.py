@@ -404,3 +404,62 @@ def test_stats_follow_current_snapshot(spark, warehouse):
         ScanSpec(table="default.tt", partition_filter="k = 'a'")
     )
     assert stats.num_rows == 1
+
+
+def test_lost_writer_cannot_clobber_committed_snapshot(
+    spark, warehouse, monkeypatch
+):
+    """The optimistic-concurrency hazard (ADVICE r5): a slow writer that
+    computed next_version N BEFORE a peer committed N must lose cleanly —
+    its files become unreferenced orphans and the committed snapshot's
+    data is never touched. (The old deterministic snap-dir naming +
+    pre-write rmtree deleted the winner's committed files.)"""
+    cat = _mk_versioned(warehouse, partitioned=False)
+    out = HiveOutput(spark, cat)
+    inp = HiveInput(spark, cat)
+    # peer B commits v1
+    out.write_table(
+        WriteSpec("default.tt"), _rows(spark, [(1, 1.0, "a")]).drop("k")
+    )
+    # writer A captured version 1 before B committed: force the stale
+    # number through the public write path
+    monkeypatch.setattr(Catalog, "next_version", lambda self, d: 1)
+    with pytest.raises(SnapshotError, match="conflict"):
+        out.write_table(
+            WriteSpec("default.tt"), _rows(spark, [(9, 9.0, "a")]).drop("k")
+        )
+    monkeypatch.undo()
+    # B's committed snapshot is fully intact
+    assert [r.id for r in inp.read_table(
+        ScanSpec(table="default.tt", as_of_version=1)
+    ).collect()] == [1]
+
+
+def test_expire_clean_orphans_reclaims_lost_attempt_dirs(
+    spark, warehouse, monkeypatch
+):
+    """expire_snapshots(clean_orphans=True) reclaims the unique attempt
+    dirs of lost/crashed writers — and never a retained snapshot's."""
+    cat = _mk_versioned(warehouse, partitioned=False)
+    out = HiveOutput(spark, cat)
+    inp = HiveInput(spark, cat)
+    out.write_table(
+        WriteSpec("default.tt"), _rows(spark, [(1, 1.0, "a")]).drop("k")
+    )
+    monkeypatch.setattr(Catalog, "next_version", lambda self, d: 1)
+    with pytest.raises(SnapshotError):
+        out.write_table(
+            WriteSpec("default.tt"), _rows(spark, [(9, 9.0, "a")]).drop("k")
+        )
+    monkeypatch.undo()
+    loc = cat.table_location("default.tt")
+    snap_dirs = [d for d in os.listdir(loc) if d.startswith("snap-")]
+    assert len(snap_dirs) == 2  # winner + loser orphan
+    deleted = cat.expire_snapshots("default.tt", keep_last=1,
+                                   clean_orphans=True)
+    assert len(deleted) == 1
+    assert [r.id for r in inp.read_table(
+        ScanSpec(table="default.tt")
+    ).collect()] == [1]
+    remaining = [d for d in os.listdir(loc) if d.startswith("snap-")]
+    assert len(remaining) == 1
