@@ -206,10 +206,13 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(freq_ok, "shingle")
-    # sh feeds three plan branches (sizes + both self-join sides); persist so
-    # shingling runs once. At warehouse scale the equivalent is a checkpoint
-    # of the shingle table — same idea, durable storage instead of block cache.
-    sh = sh.persist()
+    # sh feeds three plan branches (sizes + both self-join sides). No
+    # persist: an automatic cache the caller can never unpersist pins
+    # executor memory for the session lifetime (r5 audit). The self-join's
+    # two sides are identical subplans, so ReuseExchange serves the second
+    # from the first's shuffle output; only the cheap map-side shingling
+    # re-runs for the sizes branch. At warehouse scale the reuse knob is a
+    # checkpoint of the shingle table, owned by the caller.
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -305,9 +308,11 @@ def minhash_lsh_candidates(
     bucket size handles pathological ones.
     """
     sigs = minhash_signatures(df, text_col, id_col, num_perm, k, hash_family)
-    # both self-join sides read the band keys; persist so signatures compute
-    # once (they cost a full shingle pass each).
-    bk = minhash_band_keys(sigs, num_perm, bands).persist()
+    # both self-join sides read the band keys — identical subplans, so
+    # ReuseExchange serves the second side from the first's shuffle output
+    # (signatures are md5-deterministic either way). No persist: a cache
+    # the caller can never unpersist leaks for the session lifetime.
+    bk = minhash_band_keys(sigs, num_perm, bands)
     a = bk.alias("a")
     b = bk.alias("b")
     return (
@@ -506,13 +511,15 @@ def simhash_pairs(
             for c in range(bands)
         ]
     )
-    # persist: both self-join sides read the chunks; without it the whole
-    # simhash aggregation (a shuffle over every token) runs twice.
+    # both self-join sides read the chunks — identical subplans, so
+    # ReuseExchange serves the second side from the first's shuffle output
+    # (simhash is md5-deterministic either way). No persist: a cache the
+    # caller can never unpersist leaks for the session lifetime.
     exploded = sims.select(
         "id", "simhash", F.explode(chunks).alias("ck")
     ).select(
         "id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val")
-    ).persist()
+    )
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
@@ -970,10 +977,13 @@ def _dup_positions(
         from hive_io_experimental_spark import conf as _conf
 
         window_tokens = _conf.SPAN_WINDOW_TOKENS.get(df.sparkSession)
-    # occ feeds two plan branches (the dup-hash groupBy and the join back);
-    # persist so the tokenize+window pass runs once — at warehouse scale
-    # the equivalent is a checkpoint of the occurrence table.
-    occ = span_occurrences(df, window_tokens, text_col, id_col).persist()
+    # occ feeds two plan branches (the dup-hash groupBy and the join back).
+    # No persist: a cache the caller can never unpersist pins executor
+    # memory for the session lifetime; the tokenize+window pass is an
+    # expression-only map that re-runs once for the second branch. At
+    # warehouse scale the reuse knob is a caller-owned checkpoint of the
+    # occurrence table.
+    occ = span_occurrences(df, window_tokens, text_col, id_col)
     dup = (
         occ.groupBy("span_hash")
         .agg(F.countDistinct("id").alias("n_docs"))
@@ -1178,7 +1188,8 @@ def ngram_containment_pairs(
             .select("shingle")
         )
         sh = sh.join(freq_ok, "shingle")
-    sh = sh.persist()
+    # no persist — same ReuseExchange/ownership rationale as
+    # ngram_jaccard_pairs above
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

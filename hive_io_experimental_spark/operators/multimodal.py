@@ -332,9 +332,12 @@ def cdc_dedup_stats(
     occurrence is "dup" when its fingerprint appears in >= 2 DISTINCT
     payloads — dup_bytes is what chunk-level storage dedup would not
     store twice. All integers; one groupBy-on-hash shuffle."""
-    # ch feeds three plan branches (dup groupBy, the semi join, totals);
-    # persist so the Arrow chunking pass runs once
-    ch = cdc_chunks(df, payload_col, id_col, window, base, mask).persist()
+    # ch feeds three plan branches (dup groupBy, the semi join, totals).
+    # No persist — a cache the caller can never unpersist leaks for the
+    # session lifetime; the dup/semi-join branches share one shuffle via
+    # ReuseExchange and only the totals branch re-runs the (deterministic,
+    # Arrow-batched) chunking map.
+    ch = cdc_chunks(df, payload_col, id_col, window, base, mask)
     dup = (
         ch.groupBy("chunk_hash")
         .agg(F.countDistinct("doc_id").alias("n_docs"))

@@ -1,0 +1,141 @@
+"""No operator may leave cached blocks behind (r5 audit sweep).
+
+A library operator that persist()s an intermediate it never unpersists
+pins executor memory for the SESSION lifetime — exactly how the CLI and
+bench run — and the caller has no handle to free it. The swept operators
+now rely on ReuseExchange (self-joins with identical subplans read one
+shuffle output) or recompute a cheap deterministic map instead; the two
+iterative operators (label_components, _refine_edges) own their caches
+with paired unpersists. These tests pin the contract: materializing each
+operator adds ZERO entries to the context's persistent-RDD registry.
+
+(Assertions are measured as a DELTA against the registry size before the
+call: the shared test session may legitimately hold caches owned by other
+fixtures, and localCheckpoint blocks — used by the cluster operators —
+are freed by the ContextCleaner asynchronously.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def _docs(spark):
+    rows = [
+        (i, f"alpha beta gamma delta epsilon token{i % 7} zeta eta theta "
+            f"iota kappa word{i % 3} lambda mu", f"src{i % 2}")
+        for i in range(40)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+
+def _assert_no_new_cache(spark, build):
+    before = _n_persistent(spark)
+    build().collect()
+    assert _n_persistent(spark) == before
+
+
+def test_ngram_jaccard_pairs_leaves_no_cache(spark):
+    from hive_io_experimental_spark.operators import dedup
+
+    _assert_no_new_cache(
+        spark, lambda: dedup.ngram_jaccard_pairs(_docs(spark), threshold=0.2)
+    )
+
+
+def test_ngram_containment_pairs_leaves_no_cache(spark):
+    from hive_io_experimental_spark.operators import dedup
+
+    _assert_no_new_cache(
+        spark,
+        lambda: dedup.ngram_containment_pairs(_docs(spark), threshold=0.2),
+    )
+
+
+def test_minhash_lsh_candidates_leaves_no_cache(spark):
+    from hive_io_experimental_spark.operators import dedup
+
+    _assert_no_new_cache(
+        spark, lambda: dedup.minhash_lsh_candidates(_docs(spark))
+    )
+
+
+def test_simhash_pairs_leaves_no_cache(spark):
+    from hive_io_experimental_spark.operators import dedup
+
+    _assert_no_new_cache(
+        spark, lambda: dedup.simhash_pairs(_docs(spark), max_hamming=20)
+    )
+
+
+def test_span_dedup_stats_leaves_no_cache(spark):
+    from hive_io_experimental_spark.operators import dedup
+
+    _assert_no_new_cache(
+        spark,
+        lambda: dedup.span_dedup_stats(_docs(spark), window_tokens=5),
+    )
+
+
+def test_segment_user_overlap_leaves_no_cache(spark):
+    from hive_io_experimental_spark.operators import relational
+
+    ev = spark.createDataFrame(
+        [(i % 9, ["view", "click", "purchase"][i % 3]) for i in range(60)],
+        "user_id long, event_type string",
+    )
+    _assert_no_new_cache(
+        spark, lambda: relational.segment_user_overlap(ev)
+    )
+
+
+def test_cdc_dedup_stats_leaves_no_cache(spark):
+    from hive_io_experimental_spark.operators import multimodal
+
+    blobs = spark.createDataFrame(
+        [(i, bytes([i % 5] * 64) + b"shared-suffix" * 8) for i in range(20)],
+        "doc_id long, payload binary",
+    )
+    _assert_no_new_cache(
+        spark, lambda: multimodal.cdc_dedup_stats(blobs)
+    )
+
+
+def test_iterative_operators_release_their_caches(spark):
+    """label_components / duplicate_clusters own per-iteration caches with
+    paired unpersists — after materialization the registry must be back to
+    its pre-call size (localCheckpoint blocks excluded: freed async by the
+    ContextCleaner, but they are rdd-checkpoint entries, not persist())."""
+    import gc
+    import time
+
+    from hive_io_experimental_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "a_id long, b_id long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(1, 10)], "id long")
+    before = _n_persistent(spark)
+    result = dedup.label_components(pairs, ids)
+    result.collect()
+    del result
+    # The explicit persist()s (the edges frame) are unpersisted
+    # deterministically inside the operator; what MAY remain are the
+    # per-iteration localCheckpoint blocks (3 iterations on this graph),
+    # which the ContextCleaner reclaims asynchronously once the py4j
+    # wrappers are collected — poll toward zero but only REQUIRE the
+    # bounded-transient contract (blocks ≤ iterations, never the
+    # session-lifetime growth an unpaired persist() causes).
+    for _ in range(20):
+        if _n_persistent(spark) <= before:
+            break
+        gc.collect()  # drop py4j wrappers holding JVM references
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.25)
+    assert _n_persistent(spark) <= before + 3
