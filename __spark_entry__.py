@@ -1896,9 +1896,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hottest duplicated spans (the "what boilerplate is in my corpus"
     # report); overlapping windows catch spans at arbitrary offsets,
     # unlike the stride-W repeated_paragraphs chunk hash
+    # determinism sort lives HERE (gate wrapper), not in the operator:
+    # duplicated_spans returns unsorted (r5 audit — library callers at
+    # scale must not pay a global sort they didn't ask for), so the
+    # top-20 cut re-applies the report's (n_docs desc, span_hash) order
     q["dedup_span_hot"] = lambda spark, sf: dedup.duplicated_spans(
         _t(spark, sf, "documents"), window_tokens=16
-    ).limit(20)
+    ).orderBy(F.col("n_docs").desc(), F.col("span_hash").asc()).limit(20)
     # the actionable half: corpus rewritten with duplicated-span tokens
     # removed (tokenizer-normalized text out)
     q["dedup_span_strip"] = lambda spark, sf: dedup.strip_duplicated_spans(
@@ -1991,52 +1995,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # keep their oracle twins and are verified by tools/check_oracle.py, whose
 # full-map output is committed as CORRECTNESS_LOCAL.json each round.
 _CHECK_FIRST = [
-    # §2 scan surface (S1-S4, S6/S7 serde, S10 stats)
+    # ------------------------------------------------------------------
+    # r6 AGGRESSIVE ROTATION (r5 verdict task 1): with the r5 window
+    # 50/50 hash-green and every rotated-out veteran multi-round green,
+    # this round keeps 23 veterans (the full §2 I/O core + 1-2 reps per
+    # operator family) and rotates in 27 gates the driver has NEVER
+    # hash-checked — prioritizing the invariant-style oracles most likely
+    # to harbor another check-replication bug (sketch tiers, IVF index,
+    # bloom membership, search ranking, span/cdc, HUGEINT-risk sums).
+    # ------------------------------------------------------------------
+    # §2 scan surface (S1-S4, S6/S7 serde, S10 stats) — stays every round
     "scan_projection", "scan_filter", "scan_topk",
     "scan_partition_pruned", "scan_csv_nulls", "table_stats",
-    # §2 write surface (W1 write+readback, W3/W6 merge, versioning) +
-    # maintenance (r5 rotation: compaction contract gate; similarity_topk
-    # rotated out — hash-green r4, family keeps 3 window reps)
+    # §2 write surface (W1 write+readback, W3/W6 merge, versioning,
+    # compaction) — stays every round
     "write_readback", "merge_upsert", "time_travel", "compact_small_files",
-    # relational core (joins/aggs/windows/rollup/pivot/SQL)
-    "pricing_summary", "top_revenue_orders", "nation_revenue",
-    "customer_order_ranks", "join_semi",
-    "revenue_rollup", "orders_by_month",
-    "brand_size_pivot", "sql_q6_revenue",
-    "event_props_json",
-    # temporal / event-time family (+ integer-only funnel diagnostics that
-    # localize the r2-r4 driver-env funnel divergence; see funnel_step_counts)
-    "events_hourly", "events_time_rollup",
-    "sessionize_events", "asof_purchase_click",
-    # r5 continuation rotation: sweep-line concurrency in (new interval-
-    # overlap op); event_dwell_stats out — hash-green r2-r4
-    # r5 continuation rotation 2: PSI drift monitor in (new monitoring
-    # family); gapfill_hourly out — hash-green r2-r4, family keeps reps
-    "range_join_signup_purchase", "max_concurrent_sessions",
-    "value_drift_psi",
-    "funnel_signup_click_purchase", "funnel_step_counts",
-    "funnel_user_extrema",
-    "retention_cohorts",
-    "incremental_rollup", "expanding_zscore",
-    # family representatives rotated into the window (ADVICE r4): CDC/
-    # versioning, data-quality gating, multimodal plumbing, token packing
-    "snapshot_diff_cdc", "data_expectations",
-    "multimodal_decode", "token_budget_mix",
-    # sketch-tier family rep: bloom runtime-filter (r5 continuation; the
-    # whole build/⊕/read pipeline hashes against its SQL twin)
-    "bloom_join_prune",
-    # dedup family (r5 rotation: span_stats = new exact-substring family
-    # rep; dedup_simhash rotated out — hash-green r4, family keeps 4 reps;
-    # r5 continuation: dedup_minhash_lsh out — hash-green r2-r4, family
-    # keeps 4 window reps)
+    # never-checked §2-adjacent scan/write gates rotated IN
+    "scan_multikey_pruned", "merge_key_move",
+    "erase_keys",
+    # relational reps (veterans): Q1, top-k join, ROLLUP; rotated IN:
+    # CUBE (completes the grouping-sets trio) + UNPIVOT
+    "pricing_summary", "top_revenue_orders", "revenue_rollup",
+    "order_cube_summary",
+    # temporal/event veterans: hourly agg, sessions, the r2-r4-famous
+    # funnel, PSI monitor; rotated IN: audience overlap + correlation
+    "events_hourly", "sessionize_events",
+    "funnel_signup_click_purchase", "value_drift_psi",
+    "segment_user_overlap",
+    # sketch/incremental tier — ALL first-time: HLL distinct, histogram
+    # percentile ⊕, top-k heavy-hitter ⊕, bloom membership ⊕
+    "distinct_users_hll", "percentile_state_rollup",
+    "topk_sketch_rollup", "bloom_membership",
+    # dedup family veterans (exact + jaccard) + first-time: containment,
+    # df-cut bound proof, LSH->edit-distance verify, clusters, LSH quality
+    # audit, span hot/strip
     "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_span_stats", "dedup_embedding",
-    # similarity family
-    "similarity_lsh_buckets",
-    "similarity_topk_bucketed", "similarity_quality_topk",
-    # text-analysis family
-    "text_metrics", "token_counts", "tfidf_top_terms", "source_mix",
-    "stratified_sample_docs",
+    "dedup_containment", "dedup_df_cut_bound", "dedup_verified_pairs",
+    "dedup_clusters", "dedup_lsh_quality",
+    "dedup_span_hot", "dedup_span_strip",
+    # similarity: bucketed veteran + first-time persisted-IVF invariant
+    "similarity_topk_bucketed", "similarity_ivf_index",
+    # text veterans (metrics + the HUGEINT-root-cause source_mix) +
+    # first-time: corpus language stats (the HUGEINT sibling that failed
+    # only locally in r5), LM scorers, search stack (index, ⊕-merge,
+    # conjunctive, BM25, phrase), decontamination
+    "text_metrics", "source_mix",
+    "corpus_language_stats", "lm_quality_scores", "bigram_lm_scores",
+    "inverted_index", "inverted_index_merged",
+    "keyword_search", "bm25_search", "phrase_search",
+    "benchmark_decontamination",
+    # multimodal: Arrow-plumbing veteran + first-time CDC accounting
+    "multimodal_decode", "multimodal_cdc_stats",
 ]
 
 

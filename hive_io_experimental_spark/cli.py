@@ -411,6 +411,8 @@ def cmd_spans(args: argparse.Namespace, stop_session: bool = True) -> int:
     --mode stats: per-group duplicated-token accounting (integers);
     --mode hot:   hottest cross-document spans;
     --mode strip: the corpus rewritten with duplicated-span tokens removed."""
+    from pyspark.sql import functions as F
+
     from hive_io_experimental_spark.operators import dedup as dedup_ops
 
     spark = _build_spark(args.threads)
@@ -422,9 +424,14 @@ def cmd_spans(args: argparse.Namespace, stop_session: bool = True) -> int:
             group_col=args.group_col,
         )
     elif args.mode == "hot":
+        # "hottest" presentation order belongs to the CLI, not the
+        # operator (which returns unsorted); sort-then-limit keeps the
+        # cut deterministic
         out = dedup_ops.duplicated_spans(
             df, window_tokens=args.window, min_docs=args.min_docs,
             text_col=args.text_col, id_col=args.id_col,
+        ).orderBy(
+            F.col("n_docs").desc(), F.col("span_hash").asc()
         ).limit(args.limit)
     else:
         out = dedup_ops.strip_duplicated_spans(

@@ -122,6 +122,17 @@ SHINGLE_MAX_FREQ = _register(
     "drop shingles appearing in more docs than this before the pair join "
     "(0 = exact/unbounded semantics)",
 )
+# LSH band-bucket cap: a bucket holding B docs emits B^2/2 candidate pairs,
+# so one boilerplate-heavy bucket (identical headers/templates) turns the
+# band join quadratic — the same hazard class the shingle df-cut bounds.
+# Oversized buckets are dropped before the self-join (drop-and-report
+# semantics; a bucket this hot is boilerplate, and its members are still
+# pairable through their other, discriminative bands).
+LSH_MAX_BUCKET = _register(
+    "hiveio.dedup.max_lsh_bucket", 10_000, int,
+    "drop LSH band buckets holding more docs than this before the "
+    "candidate self-join (0 = unbounded)",
+)
 # histogram quantile state bucket width in e4 fixed-point units
 # (operators/incremental.py _HIST_BUCKET_E4)
 HIST_BUCKET_E4 = _register(

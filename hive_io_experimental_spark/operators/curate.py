@@ -50,5 +50,4 @@ def curate_corpus(
     return (
         sampled.join(good, "doc_id", "left_semi")
         .join(kept, "doc_id", "left_semi")
-        .orderBy("doc_id")
     )

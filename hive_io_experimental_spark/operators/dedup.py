@@ -299,20 +299,43 @@ def minhash_lsh_candidates(
     bands: int = 4,
     k: int = 3,
     hash_family: str | None = None,
+    max_bucket_size: int | None = _SHINGLE_FREQ_FROM_CONF,  # type: ignore[assignment]
 ) -> DataFrame:
     """Distinct candidate pairs (a_id < b_id) sharing >= 1 LSH band.
 
     Two shuffles total (signature groupBy + band-key join). At 100 TB the
-    band-key join is the skew point — identical boilerplate docs all land in
-    one bucket; AQE skew-join splitting handles moderate cases, a df-cut on
-    bucket size handles pathological ones.
+    band-key join is the skew point — identical boilerplate docs all land
+    in one bucket, and a bucket of B docs emits B^2/2 pairs. AQE skew-join
+    splitting handles moderate cases; the pathological case (a template
+    bucket holding a double-digit share of the corpus) is bounded by
+    ``max_bucket_size`` (default from the hiveio.dedup.max_lsh_bucket
+    conf): oversized buckets are dropped BEFORE the self-join, exactly the
+    shingle df-cut semantics — candidate volume per bucket is capped at
+    max_bucket_size^2/2, and the dropped bucket's members remain pairable
+    through their other bands. Pass ``max_bucket_size=None`` for unbounded
+    semantics. The cap's bucket-size aggregation shuffles on the same
+    (band, band_key) key as the join, so ReuseExchange serves it from the
+    join's shuffle output — the bound is close to free.
     """
+    if max_bucket_size is _SHINGLE_FREQ_FROM_CONF:
+        from hive_io_experimental_spark import conf as _conf
+
+        cap = _conf.LSH_MAX_BUCKET.get(df.sparkSession)
+        max_bucket_size = cap if cap > 0 else None
     sigs = minhash_signatures(df, text_col, id_col, num_perm, k, hash_family)
     # both self-join sides read the band keys — identical subplans, so
     # ReuseExchange serves the second side from the first's shuffle output
     # (signatures are md5-deterministic either way). No persist: a cache
     # the caller can never unpersist leaks for the session lifetime.
     bk = minhash_band_keys(sigs, num_perm, bands)
+    if max_bucket_size is not None:
+        ok = (
+            bk.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("band", "band_key")
+        )
+        bk = bk.join(ok, ["band", "band_key"])
     a = bk.alias("a")
     b = bk.alias("b")
     return (
@@ -961,7 +984,6 @@ def duplicated_spans(
             F.min("span_text").alias("sample_span"),
         )
         .filter(F.col("n_docs") >= min_docs)
-        .orderBy(F.col("n_docs").desc(), F.col("span_hash").asc())
     )
 
 
@@ -1043,7 +1065,6 @@ def span_dedup_stats(
             F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
             F.sum(F.col("dup_tokens").cast("long")).alias("dup_tokens"),
         )
-        .orderBy(group_col)
     )
 
 
@@ -1212,5 +1233,4 @@ def ngram_containment_pairs(
         .join(sb, F.col("b_id") == F.col("sb.id"))
         .select("a_id", "b_id", cont.alias("containment"))
         .filter(F.col("containment") >= threshold)
-        .orderBy("a_id", "b_id")
     )

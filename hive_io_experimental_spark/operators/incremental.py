@@ -83,7 +83,6 @@ def finalize_rollup(state: DataFrame) -> DataFrame:
             "n_events",
             (F.col("sum_value_e4") / F.lit(float(_E4))).alias("sum_value"),
         )
-        .orderBy("hour_epoch", "event_type")
     )
 
 
@@ -166,7 +165,7 @@ def finalize_distinct(state: DataFrame) -> DataFrame:
         "hour_epoch",
         "event_type",
         F.hll_sketch_estimate("user_sketch").alias("approx_distinct_users"),
-    ).orderBy("hour_epoch", "event_type")
+    )
 
 
 _HIST_BUCKET_E4 = 10_000  # histogram bucket width: 1.0 value unit (e4)
@@ -269,7 +268,7 @@ def percentiles_from_histogram(
                 ),
             )
         )
-    return reduce(DataFrame.unionByName, outs).orderBy("event_type", "p")
+    return reduce(DataFrame.unionByName, outs)
 
 
 def distinct_accuracy_check(

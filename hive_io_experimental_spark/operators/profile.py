@@ -89,7 +89,6 @@ def numeric_outliers(
             zscore.alias("zscore"),
         )
         .filter(F.abs(F.col("zscore")) > z)
-        .orderBy("id")
     )
 
 
@@ -139,7 +138,6 @@ def group_percentiles(
     return (
         df.groupBy(F.col(group_col).alias("grp"))
         .agg(*aggs)
-        .orderBy("grp")
     )
 
 
@@ -182,7 +180,6 @@ def value_decile_histogram(
             .cast("double")
             .alias("sum_value"),
         )
-        .orderBy("decile")
     )
 
 
@@ -251,7 +248,6 @@ def expanding_zscore(
         .filter(F.abs(F.col("_z")) > z)
         .select("event_id", "user_id", "n_prior",
                 F.col("_z").alias("zscore"))
-        .orderBy("event_id")
     )
 
 
@@ -351,7 +347,6 @@ def robust_outliers(
             rz.alias("robust_z"),
         )
         .filter(F.abs(F.col("robust_z")) > z)
-        .orderBy("id")
     )
 
 
@@ -413,7 +408,6 @@ def histogram_drift(
             F.sum("nc").cast("long").alias("n_cur"),
             F.sum("_psi").cast("double").alias("psi"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -493,4 +487,4 @@ def series_correlation(
         "type_b",
         "n_hours",
         F.round(num / F.sqrt(varx * vary), 6).alias("corr"),
-    ).orderBy("type_a", "type_b")
+    )

@@ -269,7 +269,7 @@ def event_user_setops(
         .select("user_id")
     )
     return (
-        high_purchasers.intersect(clickers).exceptAll(heavy_error).orderBy("user_id")
+        high_purchasers.intersect(clickers).exceptAll(heavy_error)
     )
 
 
@@ -319,7 +319,6 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             (F.sum("new_session") + 1).alias("n_sessions"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -568,7 +567,6 @@ def user_event_paths(
             ).alias("path"),
             "n_events",
         )
-        .orderBy("user_id")
     )
 
 

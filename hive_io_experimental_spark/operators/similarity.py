@@ -254,7 +254,7 @@ def ivf_topk(
     nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    use_pandas: bool = False,
+    use_pandas: bool = True,
 ) -> DataFrame:
     """IVF-flat approximate top-k: inverted-file search with a deterministic
     coarse quantizer.
@@ -269,11 +269,13 @@ def ivf_topk(
       3. each query probes its ``nprobe`` nearest centroids and scores only
          those lists -> candidates shrink by ~ncentroids/nprobe.
 
-    Scale notes: the assignment step is |corpus| x |centroids| — at real
-    scale run it as a mapInPandas BLAS pass against broadcast centroids
-    (same shape as embedding_neardup's candidate stage); the relational
-    form here keeps every intermediate oracle-checkable. Search is an
-    equi-join on centroid id: no theta join anywhere.
+    Scale notes: the assignment step is |corpus| x |centroids| — it runs
+    BY DEFAULT as a mapInPandas BLAS pass against broadcast centroids
+    (same shape as embedding_neardup's candidate stage, zero corpus-side
+    shuffle); ``use_pandas=False`` selects the relational form, which
+    keeps every intermediate oracle-checkable and serves as the
+    cross-check tier. Search is an equi-join on centroid id: no theta
+    join anywhere.
     """
     cents = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
         F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")
@@ -624,7 +626,10 @@ def _assign_pandas(
             out["cid"] = cids[order.ravel()]
             yield out
 
-    schema = f"{sid} long, {vname} array<double>, {nrmname} double, cid long"
+    sid_type = dict(side.dtypes)[sid]
+    schema = (
+        f"{sid} {sid_type}, {vname} array<double>, {nrmname} double, cid long"
+    )
     return side.mapInPandas(assign, schema)
 
 
@@ -636,12 +641,21 @@ def _ivf_search(
     nprobe: int,
     vec_col: str,
     id_col: str,
-    use_pandas: bool = False,
+    use_pandas: bool = True,
 ) -> DataFrame:
     """Shared IVF machinery: assign -> probe -> list-equi-join -> rank.
 
     ``centroids`` must have columns (cid, cv: array<double>).
-    ``use_pandas`` switches the assignment step to the Arrow/BLAS twin.
+
+    Assignment DEFAULTS to the Arrow/BLAS map-side twin (broadcast
+    centroid matrix, one matmul + argmax per batch, ZERO corpus-side
+    exchanges): the relational variant crossJoins the corpus against the
+    centroids and ranks with a window over ``sid`` — a shuffle of
+    corpus x n_centroids rows, an 8-64x amplification for an argmax at
+    100 TB (r5 audit). ``use_pandas=False`` keeps the relational form as
+    the oracle cross-check tier (every intermediate SQL-expressible);
+    equivalence of the two is pinned by
+    test_ivf_pandas_assignment_matches_relational.
     """
     cents = F.broadcast(centroids.withColumn("cnrm", l2_norm(F.col("cv"))))
 
@@ -808,7 +822,6 @@ def label_centroid_stats(
                 "n_nearest_own"
             ),
         )
-        .orderBy("label")
     )
 
 
@@ -892,7 +905,6 @@ def knn_label_accuracy(
                 "accuracy"
             ),
         )
-        .orderBy("label")
     )
 
 
@@ -963,5 +975,4 @@ def embedding_centroid_drift(
             F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
             "l2_shift",
         )
-        .orderBy("label")
     )

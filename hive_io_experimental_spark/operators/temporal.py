@@ -291,7 +291,6 @@ def event_dwell_stats(events: DataFrame) -> DataFrame:
             ).alias("avg_gap_s"),
             F.round(F.max("_gap_us") / 1_000_000.0, 6).alias("max_gap_s"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -355,7 +354,6 @@ def gapfill_hourly(events: DataFrame) -> DataFrame:
             F.col("_s").alias("sum_value"),
             F.last("_s", ignorenulls=True).over(w).alias("sum_value_locf"),
         )
-        .orderBy("hour_epoch", "event_type")
     )
 
 
@@ -411,7 +409,7 @@ def gapfill_interpolate(events: DataFrame) -> DataFrame:
         "n_events",
         "sum_value",
         interp.alias("sum_value_interp"),
-    ).orderBy("hour_epoch", "event_type")
+    )
 
 
 def session_intervals(
@@ -540,7 +538,6 @@ def max_concurrent_sessions(
             (F.col("hour_us") / 1_000_000).cast("long").alias("hour_epoch"),
             "max_concurrent",
         )
-        .orderBy("hour_epoch")
     )
 
 
@@ -572,4 +569,4 @@ def event_transitions(events: DataFrame) -> DataFrame:
         F.expr("n * 1000000 div sum(n) over (partition by from_type)")
         .cast("long")
         .alias("prob_e6"),
-    ).orderBy("from_type", "to_type")
+    )

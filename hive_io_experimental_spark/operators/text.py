@@ -422,7 +422,6 @@ def corpus_language_stats(
             (F.sum(q_dec).cast("double") / F.count(F.lit(1)))
             .alias("avg_quality"),
         )
-        .orderBy("lang_pred")
     )
 
 
@@ -615,7 +614,6 @@ def source_mix(
             F.sum(q_e6).alias("sum_quality_e6"),
             F.sum(F.col("n_tokens").cast("long")).alias("sum_tokens"),
         )
-        .orderBy("source")
     )
 
 
@@ -708,7 +706,6 @@ def cross_source_leakage(
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
-        .orderBy("source_a", "source_b")
     )
 
 
@@ -874,7 +871,6 @@ def repeated_paragraphs(
             F.min("chunk_text").alias("sample_chunk"),
         )
         .filter(F.col("n_docs") >= min_docs)
-        .orderBy(F.col("n_docs").desc(), F.col("chunk_hash").asc())
     )
 
 
@@ -930,7 +926,6 @@ def inverted_index(
         .select(
             F.col("token").alias("term"), "df", "tf_total", "postings"
         )
-        .orderBy("term")
     )
 
 
@@ -1123,7 +1118,6 @@ def merge_inverted_indexes(
             F.sum("tf_total").cast("long").alias("tf_total"),
             F.array_join(prefix, ",").alias("postings"),
         )
-        .orderBy("term")
     )
 
 
@@ -1251,5 +1245,4 @@ def phrase_search(
         grams.filter(F.col("gram") == target)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
-        .orderBy("doc_id")
     )

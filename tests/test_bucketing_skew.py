@@ -82,3 +82,59 @@ def test_salted_join_matches_plain_join(spark):
 
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(big, small, ["k"], how="right")
+
+
+def test_lsh_hot_bucket_cap_bounds_candidates(spark):
+    """Adversarial corpus: one template (identical text) holds 30% of the
+    docs, so all its band buckets are hot. Uncapped, that one template
+    emits B^2/2 candidate pairs; with the bucket cap the hot buckets are
+    dropped BEFORE the self-join, real near-dups elsewhere still surface,
+    and the pair volume is bounded (the df-cut semantics on band buckets;
+    hiveio.dedup.max_lsh_bucket is the knob)."""
+    from hive_io_experimental_spark.operators import dedup
+
+    template = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, template) for i in range(30)]
+    rows += [
+        (100 + i,
+         f"unique document number {i} carries distinct content token{i} "
+         f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}")
+        for i in range(68)
+    ]
+    # a genuine near-dup pair outside the hot bucket
+    near = ("genuine near duplicate content with shared shingle stream "
+            "one two three four five six seven eight nine ten")
+    rows += [(900, near), (901, near + " eleven")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    unbounded = dedup.minhash_lsh_candidates(docs, max_bucket_size=None)
+    capped = dedup.minhash_lsh_candidates(docs, max_bucket_size=20)
+    unb = {(r.a_id, r.b_id) for r in unbounded.collect()}
+    cap = {(r.a_id, r.b_id) for r in capped.collect()}
+
+    template_pairs_unb = {p for p in unb if p[0] < 30 and p[1] < 30}
+    template_pairs_cap = {p for p in cap if p[0] < 30 and p[1] < 30}
+    assert len(template_pairs_unb) == 30 * 29 // 2  # quadratic blow-up
+    assert template_pairs_cap == set()  # hot bucket dropped
+    assert (900, 901) in cap  # real near-dups still found
+    # every surviving bucket holds <= 20 docs -> global candidate bound
+    assert len(cap) <= len(unb) - len(template_pairs_unb)
+
+
+def test_lsh_bucket_cap_conf_knob(spark):
+    """The session conf drives the default cap; 0 disables it."""
+    from hive_io_experimental_spark import conf
+    from hive_io_experimental_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "same text in every single document here") for i in range(12)],
+        "doc_id long, text string",
+    )
+    prev = conf.LSH_MAX_BUCKET.get(spark)
+    try:
+        conf.LSH_MAX_BUCKET.set(spark, 5)
+        assert dedup.minhash_lsh_candidates(docs).count() == 0
+        conf.LSH_MAX_BUCKET.set(spark, 0)  # unbounded
+        assert dedup.minhash_lsh_candidates(docs).count() == 12 * 11 // 2
+    finally:
+        conf.LSH_MAX_BUCKET.set(spark, prev)

@@ -518,7 +518,7 @@ def test_ivf_pandas_assignment_matches_relational(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     rel = {
         (r.query_id, r.neighbor_id, r.rank)
-        for r in ivf_topk(emb, queries, k=5).collect()
+        for r in ivf_topk(emb, queries, k=5, use_pandas=False).collect()
     }
     blas = {
         (r.query_id, r.neighbor_id, r.rank)
@@ -795,15 +795,16 @@ def test_incremental_rollup_merge_is_exact(spark):
         "event_id long, event_type string, value double, ms long",
     ).selectExpr("event_id", "event_type", "value",
                  "timestamp_millis(ms) AS ts")
-    full = incremental.finalize_rollup(
+    key = lambda r: (r["hour_epoch"], r["event_type"])  # noqa: E731
+    full = sorted(incremental.finalize_rollup(
         incremental.hourly_rollup_state(df)
-    ).collect()
-    inc = incremental.finalize_rollup(
+    ).collect(), key=key)
+    inc = sorted(incremental.finalize_rollup(
         incremental.merge_rollup_states(
             incremental.hourly_rollup_state(df.filter("event_id % 2 = 0")),
             incremental.hourly_rollup_state(df.filter("event_id % 2 = 1")),
         )
-    ).collect()
+    ).collect(), key=key)
     assert full == inc
     by_key = {(r["hour_epoch"], r["event_type"]): r for r in full}
     assert by_key[(0, "click")]["sum_value"] == 10.5001

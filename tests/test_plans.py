@@ -472,3 +472,26 @@ def test_zone_pruning_keeps_orphan_directory_rows(spark, warehouse):
     # the registered 'low' partition prunes; the orphan's matching row
     # survives alongside the registered 'high' row
     assert sorted(r.id for r in got.collect()) == [2, 3]
+
+
+def test_ivf_assignment_is_map_side_by_default(spark, sf_dir):
+    """The IVF corpus->centroid assignment must not shuffle the corpus:
+    the default (BLAS mapInPandas against broadcast centroids) plans as a
+    pure map stage. Exchanges in the whole query: the spread() round-robin
+    widening (x2: corpus + query sides) and the final rank window on
+    query_id — and, critically, NO hashpartitioning on neighbor_id, which
+    is the signature of the relational crossJoin+window assignment
+    shuffling corpus x n_centroids rows (r5 audit)."""
+    from hive_io_experimental_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    df = ivf_topk(emb, queries, k=5)
+    rep = scan_plan_report(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(neighbor_id" not in plan
+    assert rep["num_exchanges"] <= 3
+    # the relational cross-check tier DOES pay the assignment shuffle
+    rel = ivf_topk(emb, queries, k=5, use_pandas=False)
+    rel_plan = rel._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(neighbor_id" in rel_plan

@@ -90,16 +90,17 @@ def test_incremental_rollup_associativity(spark, values, split):
         rows, "event_id long, event_type string, value double, ms long"
     ).selectExpr("event_id", "event_type", "value",
                  "timestamp_millis(ms) AS ts")
-    one_shot = incremental.finalize_rollup(
+    key = lambda r: (r["hour_epoch"], r["event_type"])  # noqa: E731
+    one_shot = sorted(incremental.finalize_rollup(
         incremental.hourly_rollup_state(df)
-    ).collect()
+    ).collect(), key=key)
     shards = [
         incremental.hourly_rollup_state(df.filter(f"event_id % {split} = {i}"))
         for i in range(split)
     ]
-    merged = incremental.finalize_rollup(
+    merged = sorted(incremental.finalize_rollup(
         incremental.merge_rollup_states(*shards)
-    ).collect()
+    ).collect(), key=key)
     assert one_shot == merged
 
 
