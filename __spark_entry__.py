@@ -962,7 +962,6 @@ def _compact_small_files(spark: SparkSession, sf: str) -> DataFrame:
     directories. The compaction CONTRACT is the oracle: content identical
     to the source (per-lang counts and char sums) and exactly ONE data
     file per partition."""
-    import os
     import tempfile
 
     from hive_io_experimental_spark.catalog import Catalog
@@ -989,18 +988,14 @@ def _compact_small_files(spark: SparkSession, sf: str) -> DataFrame:
         "default.docs_c", docs.repartition(8)
     )
     maintenance.compact_snapshots(spark, cat, "default.docs_c")
-    # per-partition file counts from the committed manifest: driver-side
-    # metadata listing (#partitions dirs), not a data scan
-    counts = []
-    for p in cat.snapshot_manifest("default.docs_c"):
-        n = len(
-            [
-                f
-                for f in os.listdir(p.location)
-                if not f.startswith(("_", "."))
-            ]
-        )
-        counts.append((p.values["lang"], n))
+    # per-partition file counts straight from the committed manifest
+    # (HiveStats.num_files, recorded by the writer's commit-time walk) —
+    # no post-hoc directory listing, which at warehouse partition counts
+    # would be a driver-side metadata walk per audit
+    counts = [
+        (p.values["lang"], p.stats.num_files)
+        for p in cat.snapshot_manifest("default.docs_c")
+    ]
     files_df = spark.createDataFrame(counts, "lang string, data_files long")
     body = HiveInput(spark, cat).read_table(
         ScanSpec(table="default.docs_c")
@@ -1852,6 +1847,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_lsh"] = lambda spark, sf: dedup.minhash_lsh_candidates(
         _t(spark, sf, "documents")
     )
+    # hot-bucket cap audit: one-row accounting of exactly what a given
+    # max_bucket_size would drop (buckets + member rows) — makes the
+    # cap's recall cost measurable instead of silent
+    q["dedup_lsh_bucket_report"] = lambda spark, sf: dedup.lsh_bucket_report(
+        _t(spark, sf, "documents"), max_bucket_size=3
+    )
     # candidate -> verify two-stage pipeline: the same LSH candidates
     # confirmed by exact normalized edit similarity (JVM levenshtein),
     # run ONLY on the candidate pairs — never all-pairs
@@ -1996,13 +1997,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # full-map output is committed as CORRECTNESS_LOCAL.json each round.
 _CHECK_FIRST = [
     # ------------------------------------------------------------------
-    # r6 AGGRESSIVE ROTATION (r5 verdict task 1): with the r5 window
-    # 50/50 hash-green and every rotated-out veteran multi-round green,
-    # this round keeps 23 veterans (the full §2 I/O core + 1-2 reps per
-    # operator family) and rotates in 27 gates the driver has NEVER
-    # hash-checked — prioritizing the invariant-style oracles most likely
-    # to harbor another check-replication bug (sketch tiers, IVF index,
-    # bloom membership, search ranking, span/cdc, HUGEINT-risk sums).
+    # r7 ROTATION (r6 verdict task 3): r6's 27 first-timers all came back
+    # hash-green, leaving 43 gates the driver has never checked (plus the
+    # new dedup_lsh_bucket_report). This window keeps the 16-gate core
+    # (full §2 I/O surface + one rep per operator family, all multi-round
+    # green) and rotates in 34 first-timers — the temporal/event tier the
+    # verdict named explicitly, the analyze/stats tier, text curation,
+    # sampling/splits, and the remaining dedup shapes. 10 heavy gates
+    # (packing, embedding clustering, zorder, migrations) wait for r8.
     # ------------------------------------------------------------------
     # §2 scan surface (S1-S4, S6/S7 serde, S10 stats) — stays every round
     "scan_projection", "scan_filter", "scan_topk",
@@ -2010,42 +2012,38 @@ _CHECK_FIRST = [
     # §2 write surface (W1 write+readback, W3/W6 merge, versioning,
     # compaction) — stays every round
     "write_readback", "merge_upsert", "time_travel", "compact_small_files",
-    # never-checked §2-adjacent scan/write gates rotated IN
-    "scan_multikey_pruned", "merge_key_move",
-    "erase_keys",
-    # relational reps (veterans): Q1, top-k join, ROLLUP; rotated IN:
-    # CUBE (completes the grouping-sets trio) + UNPIVOT
-    "pricing_summary", "top_revenue_orders", "revenue_rollup",
-    "order_cube_summary",
-    # temporal/event veterans: hourly agg, sessions, the r2-r4-famous
-    # funnel, PSI monitor; rotated IN: audience overlap + correlation
-    "events_hourly", "sessionize_events",
-    "funnel_signup_click_purchase", "value_drift_psi",
-    "segment_user_overlap",
-    # sketch/incremental tier — ALL first-time: HLL distinct, histogram
-    # percentile ⊕, top-k heavy-hitter ⊕, bloom membership ⊕
-    "distinct_users_hll", "percentile_state_rollup",
-    "topk_sketch_rollup", "bloom_membership",
-    # dedup family veterans (exact + jaccard) + first-time: containment,
-    # df-cut bound proof, LSH->edit-distance verify, clusters, LSH quality
-    # audit, span hot/strip
-    "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_containment", "dedup_df_cut_bound", "dedup_verified_pairs",
-    "dedup_clusters", "dedup_lsh_quality",
-    "dedup_span_hot", "dedup_span_strip",
-    # similarity: bucketed veteran + first-time persisted-IVF invariant
-    "similarity_topk_bucketed", "similarity_ivf_index",
-    # text veterans (metrics + the HUGEINT-root-cause source_mix) +
-    # first-time: corpus language stats (the HUGEINT sibling that failed
-    # only locally in r5), LM scorers, search stack (index, ⊕-merge,
-    # conjunctive, BM25, phrase), decontamination
-    "text_metrics", "source_mix",
-    "corpus_language_stats", "lm_quality_scores", "bigram_lm_scores",
-    "inverted_index", "inverted_index_merged",
-    "keyword_search", "bm25_search", "phrase_search",
-    "benchmark_decontamination",
-    # multimodal: Arrow-plumbing veteran + first-time CDC accounting
-    "multimodal_decode", "multimodal_cdc_stats",
+    # family reps (veterans, all multi-round green)
+    "pricing_summary", "events_hourly", "dedup_exact",
+    "text_metrics", "similarity_topk_bucketed", "multimodal_decode",
+    # temporal/event tier — ALL first-time (verdict-named): as-of join,
+    # gap-fill interpolation, latest-per-key, hopping windows, state
+    # transitions, time-boxed funnel, cross-series correlation, skew map
+    "asof_signup_next_click", "gapfill_interpolated", "latest_events",
+    "events_hopping", "event_transitions", "funnel_time_boxed",
+    "series_correlation", "key_skew_events",
+    # scan/layout tier — first-time: schema evolution, zone-map + bloom
+    # index pruning, JSON serde round-trip, bucketed co-located join,
+    # metadata join-size estimate
+    "schema_evolution_scan", "zone_map_scan", "bloom_index_scan",
+    "scan_json_roundtrip", "bucketed_join_volume", "join_size_estimate",
+    # analyze/profile tier — first-time: column stats, sigma + MAD
+    # outliers, per-type percentiles, embedding drift
+    "analyze_columns", "numeric_outliers", "robust_outliers",
+    "event_type_percentiles", "embedding_drift",
+    # text curation tier — first-time: PII redaction, quality filter,
+    # per-lang top-k, chunking, paragraph/doc repetition, leakage
+    "text_redact_pii", "text_quality_filter", "top_quality_per_lang",
+    "chunk_documents", "repeated_paragraphs", "doc_repetition",
+    "cross_source_leakage",
+    # sampling/split tier — first-time: per-source quota, weighted,
+    # hash-stable train/val/test
+    "source_quota_sample", "weighted_sample_docs", "train_val_test_split",
+    # relational: UNPIVOT (first-time)
+    "pricing_summary_unpivot",
+    # dedup: representatives, incremental batch, against-corpus, and the
+    # new hot-bucket cap audit — all first-time
+    "dedup_representatives", "dedup_incremental_batch", "dedup_corpus",
+    "dedup_lsh_bucket_report",
 ]
 
 
@@ -3679,6 +3677,21 @@ def oracle_sql() -> dict[str, str]:
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id"""
+
+    # cap-audit twin: bucket-size distribution + what a cap of 3 drops
+    o["dedup_lsh_bucket_report"] = f"""
+        WITH {shingle_cte},
+        sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+        bands AS ({band_selects}),
+        sizes AS (SELECT band, band_key, COUNT(*) AS n
+                  FROM bands GROUP BY 1, 2)
+        SELECT COUNT(*) AS n_buckets,
+               CAST(MAX(n) AS BIGINT) AS max_bucket,
+               CAST(COALESCE(SUM(CASE WHEN n > 3 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_dropped_buckets,
+               CAST(COALESCE(SUM(CASE WHEN n > 3 THEN n ELSE 0 END), 0)
+                    AS BIGINT) AS dropped_member_rows
+        FROM sizes"""
 
     # candidate->verify twin: the LSH candidate CTE above, then the same
     # normalized-edit-similarity formula on candidate pairs only

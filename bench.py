@@ -155,6 +155,8 @@ def main() -> int:
 
     # --- write benchmark (partitioned write+commit, OutputCmd shape) --------
     out_dir = tempfile.mkdtemp(prefix="hio_bench_out_")
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    write_rows_per_s = -1
     try:
         timings["write_partitioned"] = round(
             _timed_min(
@@ -168,6 +170,7 @@ def main() -> int:
             ),
             3,
         )
+        write_rows_per_s = round(n_orders / timings["write_partitioned"])
 
         # --- partition-filtered scan (get_partitions_by_filter path): the
         # filter prunes partition directories at plan time ------------------
@@ -232,6 +235,8 @@ def main() -> int:
         "scan_mb": round(scan_mb, 2),
         "scan_mb_per_s": round(scan_mb / scan_s, 2),
         "scan_rows_per_s": round(n_rows / scan_s),
+        "write_rows": n_orders,
+        "write_rows_per_s": write_rows_per_s,
         "threads": threads,
         "runs_per_item": 2,
         "n_failed": sum(1 for t in timings.values() if t < 0),

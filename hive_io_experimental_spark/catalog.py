@@ -62,17 +62,28 @@ class TableDesc:
 
 @dataclass
 class HiveStats:
-    """numRows / rawSize / totalSize counters (common/HiveStats.java:34-108)."""
+    """numRows / rawSize / totalSize counters (common/HiveStats.java:34-108).
+
+    ``num_files`` extends the reference trio with Hive's own numFiles
+    statistic: data files under the partition location, recorded at
+    commit time by the writer's existing file walk (output._stats_for).
+    Maintenance paths (compaction audits, small-file detection) read it
+    from the manifest instead of re-listing directories — at warehouse
+    partition counts a post-hoc listing walk is the expensive part.
+    Defaults to 0 so manifests persisted before the field existed load
+    unchanged (0 = unknown, never "no files")."""
 
     num_rows: int = 0
     raw_size: int = 0
     total_size: int = 0
+    num_files: int = 0
 
     def add(self, other: "HiveStats") -> None:
-        # HiveStats.add sums the three counters (HiveStats.java:90-94).
+        # HiveStats.add sums the counters (HiveStats.java:90-94).
         self.num_rows += other.num_rows
         self.raw_size += other.raw_size
         self.total_size += other.total_size
+        self.num_files += other.num_files
 
 
 @dataclass
@@ -617,6 +628,7 @@ class Catalog:
     def expire_snapshots(
         self, desc: TableDesc | str, keep_last: int = 1,
         clean_orphans: bool = False,
+        orphan_min_age_s: float = 3 * 3600.0,
     ) -> list[str]:
         """Drop all but the last ``keep_last`` snapshots and delete data
         directories no retained snapshot references. Returns deleted paths.
@@ -631,10 +643,13 @@ class Catalog:
         snapshot references — the file sets of write attempts that lost
         the optimistic-concurrency race or crashed before commit (every
         attempt writes to a unique directory; only commit makes one
-        visible). Like Iceberg's remove-orphan-files action, this must not
-        run concurrently with in-flight writers to the same table: an
-        attempt that has written but not yet committed looks identical to
-        a lost one.
+        visible). An IN-FLIGHT attempt (written but not yet committed)
+        looks identical to a lost one, so orphan candidates younger than
+        ``orphan_min_age_s`` (directory mtime; default 3h, Iceberg's
+        remove-orphan-files convention of an age threshold) are left
+        alone — a live writer commits long before that. Pass 0 only when
+        no concurrent writers can exist (single-writer maintenance
+        windows).
         """
         import shutil
 
@@ -663,7 +678,9 @@ class Catalog:
                 for p in s["partitions"]
             } - keep_locs
             if clean_orphans:
-                drop_locs |= self._orphan_snapshot_dirs(location, keep_locs)
+                drop_locs |= self._orphan_snapshot_dirs(
+                    location, keep_locs, min_age_s=orphan_min_age_s
+                )
             entry["snapshots"] = retained
             self._save(doc)
         for loc in sorted(drop_locs):
@@ -671,13 +688,20 @@ class Catalog:
         return sorted(drop_locs)
 
     @staticmethod
-    def _orphan_snapshot_dirs(location: str, keep_locs: set[str]) -> set[str]:
+    def _orphan_snapshot_dirs(
+        location: str, keep_locs: set[str], min_age_s: float = 0.0
+    ) -> set[str]:
         """snap-*/_staging-* dirs under ``location`` that no retained
         snapshot references (driver-sized directory walk; snap dirs are
-        leaves, so the walk never descends into data files)."""
+        leaves, so the walk never descends into data files). Dirs whose
+        mtime is within ``min_age_s`` of now are skipped: they may belong
+        to an in-flight write attempt that has not committed yet."""
+        import time
+
         orphans: set[str] = set()
         if not os.path.isdir(location):
             return orphans
+        cutoff = time.time() - min_age_s
         stack = [location]
         while stack:
             d = stack.pop()
@@ -686,8 +710,14 @@ class Catalog:
                 if not os.path.isdir(sub):
                     continue
                 if name.startswith(("snap-", "_staging-")):
-                    if os.path.normpath(sub) not in keep_locs:
-                        orphans.add(os.path.normpath(sub))
+                    if os.path.normpath(sub) in keep_locs:
+                        continue
+                    try:
+                        if os.path.getmtime(sub) > cutoff:
+                            continue  # too young — possible in-flight writer
+                    except OSError:
+                        continue  # raced with its writer/cleaner: leave it
+                    orphans.add(os.path.normpath(sub))
                 elif not name.startswith(("_", ".")):
                     stack.append(sub)
         return orphans

@@ -183,7 +183,8 @@ def cmd_write(args: argparse.Namespace, stop_session: bool = True) -> int:
         for kv in args.partition.split(","):
             k, _, v = kv.partition("=")
             part_values[k.strip()] = v.strip()
-    HiveOutput(spark, catalog).write_table(
+    out = HiveOutput(spark, catalog)
+    out.write_table(
         WriteSpec(
             table=args.table,
             partition_values=part_values,
@@ -193,6 +194,14 @@ def cmd_write(args: argparse.Namespace, stop_session: bool = True) -> int:
     )
     print(f"# wrote {args.source} -> {args.table} partition={part_values}",
           file=sys.stderr)
+    # tailer Stats CSV shape (rows,threads,MB,sec,rows/s,MB/s —
+    # Stats.java:133-151), metered during the write job (WriteMeter)
+    if out.last_write_stats is not None:
+        print(
+            "# write stats rows,threads,MB,seconds,rows/s,MB/s: "
+            + out.last_write_stats.csv_line(args.threads),
+            file=sys.stderr,
+        )
     if stop_session:
         spark.stop()
     return 0

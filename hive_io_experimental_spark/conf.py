@@ -125,13 +125,25 @@ SHINGLE_MAX_FREQ = _register(
 # LSH band-bucket cap: a bucket holding B docs emits B^2/2 candidate pairs,
 # so one boilerplate-heavy bucket (identical headers/templates) turns the
 # band join quadratic — the same hazard class the shingle df-cut bounds.
-# Oversized buckets are dropped before the self-join (drop-and-report
-# semantics; a bucket this hot is boilerplate, and its members are still
-# pairable through their other, discriminative bands).
+# Oversized buckets are dropped before the self-join; members stay pairable
+# only through their other, discriminative bands, so recall CAN degrade.
+# The drop is measurable, not silent: dedup.lsh_bucket_report(df, ...) runs
+# the same bucket aggregation at the same parameters and returns how many
+# buckets/member-rows the cap removes — run it before a capped corpus pass.
 LSH_MAX_BUCKET = _register(
     "hiveio.dedup.max_lsh_bucket", 10_000, int,
     "drop LSH band buckets holding more docs than this before the "
     "candidate self-join (0 = unbounded)",
+)
+# multi-branch intermediate reuse (functions/reuse.py): operators whose
+# intermediate feeds >1 non-identical downstream shuffle localCheckpoint it
+# so the map pass runs once; blocks are freed by the ContextCleaner when the
+# caller drops the result frame. 'recompute' keeps pure lineage (fault
+# tolerant on preemptible fleets) at the cost of re-running the map pass.
+REUSE_STRATEGY = _register(
+    "hiveio.reuse.strategy", "checkpoint", str,
+    "multi-branch intermediate reuse: 'checkpoint' (localCheckpoint, "
+    "operator-scoped, ContextCleaner-freed) or 'recompute' (pure lineage)",
 )
 # histogram quantile state bucket width in e4 fixed-point units
 # (operators/incremental.py _HIST_BUCKET_E4)

@@ -104,3 +104,30 @@ class ScanMeter:
             approx_mb=(got["approx_bytes"] or 0) / 1e6,
             seconds=seconds,
         )
+
+
+class WriteMeter(ScanMeter):
+    """Write-side meter: rows/bytes observed DURING the write job.
+
+    The reference wires its observer pairs around serialize/write of every
+    record (output/RecordWriterImpl.java:88-131) and meters both
+    directions (cmdline/.../benchmark/MetricsObserver.java:35-80). Same
+    conscious divergence as the scan side: one aggregate
+    ``DataFrame.observe`` on the frame the write action consumes — the
+    metrics ride the write job itself (no second pass over the data), and
+    per-row callbacks would serialize the vectorized path.
+
+    ``HiveOutput`` attaches one automatically; read
+    ``HiveOutput.last_write_stats`` after any write_table/write_dynamic
+    call, or ``stats().csv_line(threads)`` for the tailer's CSV shape.
+    """
+
+    _seq = 0
+
+    def __init__(self, name: str | None = None) -> None:
+        # Observation instances are single-use; uniquify the default name
+        # so back-to-back writes in one session never collide.
+        if name is None:
+            WriteMeter._seq += 1
+            name = f"write_meter_{WriteMeter._seq}"
+        super().__init__(name)

@@ -40,6 +40,7 @@ from hive_io_experimental_spark.functions.hashing import (
     resolve_family,
 )
 from hive_io_experimental_spark.functions.partitioning import spread
+from hive_io_experimental_spark.functions.reuse import reuse
 from hive_io_experimental_spark.functions.textfns import normalize_text, word_shingles, word_tokens
 
 
@@ -170,7 +171,7 @@ DEFAULT_MAX_SHINGLE_FREQ = 1000
 
 # sentinel: "not passed" — resolves to the hiveio.dedup.max_shingle_freq
 # session conf (default 1000); None stays the explicit exact/unbounded opt-out
-_SHINGLE_FREQ_FROM_CONF = object()
+_FROM_CONF = object()
 
 
 def ngram_jaccard_pairs(
@@ -179,7 +180,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.8,
-    max_shingle_freq: int | None = _SHINGLE_FREQ_FROM_CONF,  # type: ignore[assignment]
+    max_shingle_freq: int | None = _FROM_CONF,  # type: ignore[assignment]
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard >= threshold.
 
@@ -192,7 +193,7 @@ def ngram_jaccard_pairs(
     ``None`` opts out (exact, unbounded). Returns (a_id, b_id, jaccard)
     with a_id < b_id.
     """
-    if max_shingle_freq is _SHINGLE_FREQ_FROM_CONF:
+    if max_shingle_freq is _FROM_CONF:
         from hive_io_experimental_spark import conf as _conf
 
         freq = _conf.SHINGLE_MAX_FREQ.get(df.sparkSession)
@@ -206,13 +207,14 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(freq_ok, "shingle")
-    # sh feeds three plan branches (sizes + both self-join sides). No
-    # persist: an automatic cache the caller can never unpersist pins
-    # executor memory for the session lifetime (r5 audit). The self-join's
-    # two sides are identical subplans, so ReuseExchange serves the second
-    # from the first's shuffle output; only the cheap map-side shingling
-    # re-runs for the sizes branch. At warehouse scale the reuse knob is a
-    # checkpoint of the shingle table, owned by the caller.
+    # sh feeds three plan branches (sizes + both self-join sides). The
+    # self-join sides are identical subplans (ReuseExchange shares one
+    # shuffle), but the sizes groupBy shuffles on a different key, so it
+    # would re-run the whole shingling map pass — measured 1.5-3x on the
+    # family (BENCH_r06). reuse() localCheckpoints the shingle table so it
+    # materializes once; blocks are ContextCleaner-freed when the caller
+    # drops the result (functions/reuse.py; hiveio.reuse.strategy).
+    sh = reuse(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -299,7 +301,7 @@ def minhash_lsh_candidates(
     bands: int = 4,
     k: int = 3,
     hash_family: str | None = None,
-    max_bucket_size: int | None = _SHINGLE_FREQ_FROM_CONF,  # type: ignore[assignment]
+    max_bucket_size: int | None = _FROM_CONF,  # type: ignore[assignment]
 ) -> DataFrame:
     """Distinct candidate pairs (a_id < b_id) sharing >= 1 LSH band.
 
@@ -317,17 +319,18 @@ def minhash_lsh_candidates(
     (band, band_key) key as the join, so ReuseExchange serves it from the
     join's shuffle output — the bound is close to free.
     """
-    if max_bucket_size is _SHINGLE_FREQ_FROM_CONF:
+    if max_bucket_size is _FROM_CONF:
         from hive_io_experimental_spark import conf as _conf
 
         cap = _conf.LSH_MAX_BUCKET.get(df.sparkSession)
         max_bucket_size = cap if cap > 0 else None
     sigs = minhash_signatures(df, text_col, id_col, num_perm, k, hash_family)
-    # both self-join sides read the band keys — identical subplans, so
-    # ReuseExchange serves the second side from the first's shuffle output
-    # (signatures are md5-deterministic either way). No persist: a cache
-    # the caller can never unpersist leaks for the session lifetime.
-    bk = minhash_band_keys(sigs, num_perm, bands)
+    # band keys feed the bucket-cap aggregation plus both self-join sides;
+    # the cap's groupBy keys match the join but its post-join subplans
+    # diverge, so the signature groupBy re-ran per branch after the r5
+    # persist removal (2.93x, BENCH_r06). reuse() materializes the band
+    # keys once, operator-scoped (functions/reuse.py).
+    bk = reuse(minhash_band_keys(sigs, num_perm, bands))
     if max_bucket_size is not None:
         ok = (
             bk.groupBy("band", "band_key")
@@ -347,6 +350,59 @@ def minhash_lsh_candidates(
         )
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .distinct()
+    )
+
+
+def lsh_bucket_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    hash_family: str | None = None,
+    max_bucket_size: int | None = _FROM_CONF,  # type: ignore[assignment]
+) -> DataFrame:
+    """Audit twin of minhash_lsh_candidates' hot-bucket cap.
+
+    The cap silently changes recall (dropped buckets emit no candidate
+    pairs; members stay pairable only through their other bands), so this
+    reports exactly what the cap would drop at the SAME parameters — run
+    it before/alongside a capped candidate pass to make the drop visible
+    instead of probabilistic folklore. One row, all integers:
+
+      n_buckets            distinct (band, band_key) buckets
+      max_bucket           largest bucket's member count
+      n_dropped_buckets    buckets over ``max_bucket_size`` (0 if uncapped)
+      dropped_member_rows  (doc x band) rows inside dropped buckets
+
+    Cost: the signature groupBy plus one bucket-count shuffle — the same
+    aggregation the cap itself runs, no candidate join.
+    """
+    if max_bucket_size is _FROM_CONF:
+        from hive_io_experimental_spark import conf as _conf
+
+        cap = _conf.LSH_MAX_BUCKET.get(df.sparkSession)
+        max_bucket_size = cap if cap > 0 else None
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, k, hash_family)
+    sizes = (
+        minhash_band_keys(sigs, num_perm, bands)
+        .groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if max_bucket_size is None:
+        over = F.lit(False)
+    else:
+        over = F.col("n") > max_bucket_size
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").cast("long").alias("max_bucket"),
+        F.sum(F.when(over, 1).otherwise(0)).cast("long").alias(
+            "n_dropped_buckets"
+        ),
+        F.sum(F.when(over, F.col("n")).otherwise(0)).cast("long").alias(
+            "dropped_member_rows"
+        ),
     )
 
 
@@ -534,15 +590,14 @@ def simhash_pairs(
             for c in range(bands)
         ]
     )
-    # both self-join sides read the chunks — identical subplans, so
-    # ReuseExchange serves the second side from the first's shuffle output
-    # (simhash is md5-deterministic either way). No persist: a cache the
-    # caller can never unpersist leaks for the session lifetime.
-    exploded = sims.select(
+    # both self-join sides read the chunks; reuse() materializes the
+    # simhash+chunk frame once so the token-vote aggregation behind it
+    # does not re-run per branch (functions/reuse.py, r6 regression fix).
+    exploded = reuse(sims.select(
         "id", "simhash", F.explode(chunks).alias("ck")
     ).select(
         "id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val")
-    )
+    ))
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
@@ -999,13 +1054,12 @@ def _dup_positions(
         from hive_io_experimental_spark import conf as _conf
 
         window_tokens = _conf.SPAN_WINDOW_TOKENS.get(df.sparkSession)
-    # occ feeds two plan branches (the dup-hash groupBy and the join back).
-    # No persist: a cache the caller can never unpersist pins executor
-    # memory for the session lifetime; the tokenize+window pass is an
-    # expression-only map that re-runs once for the second branch. At
-    # warehouse scale the reuse knob is a caller-owned checkpoint of the
-    # occurrence table.
-    occ = span_occurrences(df, window_tokens, text_col, id_col)
+    # occ feeds two plan branches (the dup-hash groupBy and the join back)
+    # with different downstream shuffles, so the tokenize+window map pass
+    # re-ran per branch after the r5 persist removal (1.5x, BENCH_r06).
+    # reuse() materializes the occurrence table once, operator-scoped
+    # (functions/reuse.py; hiveio.reuse.strategy to opt out).
+    occ = reuse(span_occurrences(df, window_tokens, text_col, id_col))
     dup = (
         occ.groupBy("span_hash")
         .agg(F.countDistinct("id").alias("n_docs"))
@@ -1181,7 +1235,7 @@ def ngram_containment_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.9,
-    max_shingle_freq: int | None = _SHINGLE_FREQ_FROM_CONF,  # type: ignore[assignment]
+    max_shingle_freq: int | None = _FROM_CONF,  # type: ignore[assignment]
 ) -> DataFrame:
     """All pairs where the smaller document's shingle set is >=
     ``threshold`` contained in the other's: containment = |A∩B| /
@@ -1195,7 +1249,7 @@ def ngram_containment_pairs(
     per-pair counts); only the final ratio differs. Returns
     (a_id, b_id, containment) with a_id < b_id, rounded to 6.
     """
-    if max_shingle_freq is _SHINGLE_FREQ_FROM_CONF:
+    if max_shingle_freq is _FROM_CONF:
         from hive_io_experimental_spark import conf as _conf
 
         freq = _conf.SHINGLE_MAX_FREQ.get(df.sparkSession)
@@ -1209,8 +1263,8 @@ def ngram_containment_pairs(
             .select("shingle")
         )
         sh = sh.join(freq_ok, "shingle")
-    # no persist — same ReuseExchange/ownership rationale as
-    # ngram_jaccard_pairs above
+    # reuse() — same multi-branch rationale as ngram_jaccard_pairs above
+    sh = reuse(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

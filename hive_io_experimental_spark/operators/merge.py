@@ -298,13 +298,17 @@ def erase_keys(
 
     key_set = keys.select(*key_cols).distinct()
     loc_spec = ScanSpec(table=table, columns=(*key_cols, partition_col))
-    bloom_parts = (
-        None
-        if _orphan_partition_dirs(catalog, desc)
-        else _bloom_candidate_partitions(
-            spark, catalog, desc, key_set, key_cols, partition_col
-        )
+    # The orphan-dir walk (a full-tree driver listdir) gates ONLY the
+    # bloom fast path — orphan dirs carry no bloom stamps, so pruning by
+    # the index could skip their rows unscanned. Probe the index first
+    # (catalog metadata, no filesystem): when no bloom applies anyway,
+    # the exact location scan runs and the walk is skipped entirely, so
+    # the common unindexed erase pays no per-call tree listing.
+    bloom_parts = _bloom_candidate_partitions(
+        spark, catalog, desc, key_set, key_cols, partition_col
     )
+    if bloom_parts is not None and _orphan_partition_dirs(catalog, desc):
+        bloom_parts = None
     if bloom_parts is not None:
         if not bloom_parts:
             return {"n_partitions": 0, "n_erased": 0, "skipped_orphans": []}
@@ -391,7 +395,15 @@ def erase_keys(
 def _orphan_partition_dirs(catalog: Catalog, desc: TableDesc) -> list[str]:
     """Partition-depth directories under the table location that no
     catalog registration references (catalog_fsck's orphan walk, scoped to
-    one table). Driver-sized metadata walk, no Spark job."""
+    one table). Driver-sized metadata walk, no Spark job.
+
+    SCOPE: partition-DEPTH dirs only. On a versioned table, an orphan
+    snap-attempt dir nested INSIDE a registered partition dir (a lost
+    writer's attempt at a partition that also has a committed snapshot)
+    is invisible here and to erase_keys' skipped_orphans audit — but it
+    is also invisible to every read (scans resolve the committed snap
+    location, never siblings), so it holds no reachable rows to erase;
+    expire_snapshots(clean_orphans=True) reclaims it."""
     import os
 
     location = catalog.table_location(desc)

@@ -332,12 +332,14 @@ def cdc_dedup_stats(
     occurrence is "dup" when its fingerprint appears in >= 2 DISTINCT
     payloads — dup_bytes is what chunk-level storage dedup would not
     store twice. All integers; one groupBy-on-hash shuffle."""
-    # ch feeds three plan branches (dup groupBy, the semi join, totals).
-    # No persist — a cache the caller can never unpersist leaks for the
-    # session lifetime; the dup/semi-join branches share one shuffle via
-    # ReuseExchange and only the totals branch re-runs the (deterministic,
-    # Arrow-batched) chunking map.
-    ch = cdc_chunks(df, payload_col, id_col, window, base, mask)
+    # ch feeds three plan branches (dup groupBy, the semi join, totals)
+    # with non-identical downstream shuffles, so the Arrow-batched
+    # chunking map re-ran per branch after the r5 persist removal (1.69x,
+    # BENCH_r06). reuse() materializes the chunk table once,
+    # operator-scoped (functions/reuse.py; hiveio.reuse.strategy).
+    from hive_io_experimental_spark.functions.reuse import reuse
+
+    ch = reuse(cdc_chunks(df, payload_col, id_col, window, base, mask))
     dup = (
         ch.groupBy("chunk_hash")
         .agg(F.countDistinct("doc_id").alias("n_docs"))

@@ -1463,10 +1463,11 @@ def segment_user_overlap(events: DataFrame) -> DataFrame:
     At 100 TB the exact path is fine whenever (type, user) distinct fits
     a shuffle; the sketch path for when it doesn't is the HLL tier
     (union-mergeable; intersections via inclusion-exclusion)."""
-    # no persist: the self-join's two sides are identical subplans, so
-    # ReuseExchange serves the probe side from the distinct's shuffle
-    # output; an automatic cache the caller can never unpersist would pin
-    # executor memory for the session lifetime (r5 audit).
+    # no reuse()/persist needed here, unlike the dedup family: ALL THREE
+    # consumers (both self-join sides AND the sizes aggregation) read the
+    # distinct's exchange through identical subplans, so ReuseExchange
+    # serves every branch from one shuffle output — confirmed by this
+    # gate's absence from the r6 persist-removal regression list.
     tu = events.select("event_type", "user_id").distinct()
     sizes = tu.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users")

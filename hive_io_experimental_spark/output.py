@@ -91,6 +91,18 @@ class HiveOutput:
     def __init__(self, spark: SparkSession, catalog: Catalog) -> None:
         self.spark = spark
         self.catalog = catalog
+        # rows/bytes/wall-clock of the MOST RECENT write_table/write_dynamic,
+        # observed during the write job itself (observers.WriteMeter —
+        # RecordWriterImpl.java:88-131 observer parity). None until the
+        # first write completes; failed writes leave the previous value.
+        self.last_write_stats = None
+
+    def _metered(self, df: DataFrame):
+        """Attach a write meter; returns (observed_df, meter)."""
+        from hive_io_experimental_spark.observers import WriteMeter
+
+        meter = WriteMeter()
+        return meter.attach(df), meter
 
     def write_table(self, spec: WriteSpec, df: DataFrame) -> None:
         """Spec-check + widen + write + register: the full W1-W6 pipeline."""
@@ -113,9 +125,11 @@ class HiveOutput:
         if spec.expectations:
             self._check_expectations(df, spec)
         df = self._apply_layout(self._conform(df, schema), desc)
+        df, meter = self._metered(df)
 
         if self.catalog.is_versioned(desc):
             self._write_versioned(desc, schema, spec, df)
+            self.last_write_stats = meter.stats()
             return
 
         from hive_io_experimental_spark.sources.formats import writer_options
@@ -145,6 +159,7 @@ class HiveOutput:
         else:
             self._check_table_is_empty(location)
             df.write.mode("append").options(**opts).format(fmt).save(location)
+        self.last_write_stats = meter.stats()
 
     def write_dynamic(
         self, table: str, df: DataFrame, drop_partitions: bool = False
@@ -195,10 +210,16 @@ class HiveOutput:
         }
         for s in specs:
             _check_partition_values(s)
+        # meter attached AFTER the spec aggregation so the observation is
+        # bound to the write job alone (an Observation fires on the first
+        # action over its frame)
+        body, meter = self._metered(body)
         if self.catalog.is_versioned(desc):
-            return self._write_dynamic_versioned(
+            out = self._write_dynamic_versioned(
                 desc, schema, body, specs, drop_partitions, row_counts
             )
+            self.last_write_stats = meter.stats()
+            return out
         colliding = [
             s for s in specs if self.catalog.partition_exists(desc, s)
         ]
@@ -230,6 +251,7 @@ class HiveOutput:
             if tuple(sorted(s.items())) in colliding_set:
                 self.catalog.drop_partition(desc, s)
             self.catalog.add_partition(desc, s, stats)
+        self.last_write_stats = meter.stats()
         return specs
 
     def _apply_layout(
@@ -550,17 +572,20 @@ class HiveOutput:
         from hive_io_experimental_spark.sources.formats import reader_options
 
         size = 0
+        n_files = 0
         for root, _dirs, files in os.walk(path):
             for f in files:
                 # skip markers AND hidden sidecars (.part-*.crc checksums),
                 # same convention as _check_table_is_empty
                 if not f.startswith(("_", ".")):
                     size += os.path.getsize(os.path.join(root, f))
+                    n_files += 1
         if num_rows is not None:
             # dynamic writes already counted every partition in one
             # aggregation job — no per-partition re-read
             return HiveStats(
-                num_rows=num_rows, raw_size=size, total_size=size
+                num_rows=num_rows, raw_size=size, total_size=size,
+                num_files=n_files,
             )
         reader = self.spark.read.options(**reader_options(fmt))
         if schema is not None:
@@ -571,4 +596,6 @@ class HiveOutput:
                 )
             )
         rows = reader.format(fmt).load(path).count()
-        return HiveStats(num_rows=rows, raw_size=size, total_size=size)
+        return HiveStats(
+            num_rows=rows, raw_size=size, total_size=size, num_files=n_files
+        )

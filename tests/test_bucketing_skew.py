@@ -121,6 +121,33 @@ def test_lsh_hot_bucket_cap_bounds_candidates(spark):
     assert len(cap) <= len(unb) - len(template_pairs_unb)
 
 
+def test_lsh_bucket_report_accounts_for_drops(spark):
+    """lsh_bucket_report makes the cap's recall cost visible: on a corpus
+    where one template dominates, the report's dropped counts match the
+    hot buckets the cap removes — and an uncapped report drops nothing."""
+    from hive_io_experimental_spark.operators import dedup
+
+    template = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, template) for i in range(30)]
+    rows += [
+        (100 + i, f"unique doc {i} token{i} alpha{i} beta{i} gamma{i}")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = dedup.lsh_bucket_report(docs, max_bucket_size=20).first()
+    # identical docs share identical signatures -> all 4 of the template's
+    # band buckets hold 30 members and are over the cap
+    assert capped.n_dropped_buckets == 4
+    assert capped.dropped_member_rows == 4 * 30
+    assert capped.max_bucket == 30
+
+    uncapped = dedup.lsh_bucket_report(docs, max_bucket_size=None).first()
+    assert uncapped.n_dropped_buckets == 0
+    assert uncapped.dropped_member_rows == 0
+    assert uncapped.n_buckets == capped.n_buckets
+
+
 def test_lsh_bucket_cap_conf_knob(spark):
     """The session conf drives the default cap; 0 disables it."""
     from hive_io_experimental_spark import conf

@@ -455,8 +455,12 @@ def test_expire_clean_orphans_reclaims_lost_attempt_dirs(
     loc = cat.table_location("default.tt")
     snap_dirs = [d for d in os.listdir(loc) if d.startswith("snap-")]
     assert len(snap_dirs) == 2  # winner + loser orphan
+    # the seconds-old orphan is protected by the in-flight min-age guard…
+    assert cat.expire_snapshots("default.tt", keep_last=1,
+                                clean_orphans=True) == []
+    # …and reclaimed once past the age threshold (0 = maintenance window)
     deleted = cat.expire_snapshots("default.tt", keep_last=1,
-                                   clean_orphans=True)
+                                   clean_orphans=True, orphan_min_age_s=0)
     assert len(deleted) == 1
     assert [r.id for r in inp.read_table(
         ScanSpec(table="default.tt")
