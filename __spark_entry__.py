@@ -1738,6 +1738,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("split", "lang")
     )
+    # temperature-flattened language mixture (share ∝ n^0.5, the
+    # mBERT/XLM-R multilingual recipe): tau=0.5 evaluates the acceptance
+    # gate in pure int64 (bucket^2 * n < 10^8 * n_min), so the kept set
+    # is bit-identical cross-engine; summarized as per-lang kept counts
+    q["temperature_mixture_sample"] = lambda spark, sf: (
+        sampling.temperature_mixture_sample(
+            _t(spark, sf, "documents"), group_col="lang", temperature=0.5
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("lang")
+    )
 
     # unpivot/melt: the inverse reshape of brand_size_pivot
     q["pricing_summary_unpivot"] = lambda spark, sf: (
@@ -1945,6 +1957,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # path, as integer mismatch counts with an exact oracle
     q["similarity_ivf_index"] = _similarity_ivf_index
     q["similarity_topk_bucketed"] = lambda spark, sf: similarity.cosine_topk_bucketed(
+        _t(spark, sf, "embeddings"),
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") % 100 == 0),
+        k=10,
+    )
+    # int8 scalar quantization serving path: exact top-k over integer
+    # codes (scales cancel in cosine; int64 dot/norms -> bit-exact
+    # cross-engine, no tolerance needed). The 4x-smaller-corpus ANN tier.
+    q["similarity_quantized_topk"] = lambda spark, sf: similarity.quantized_cosine_topk(
         _t(spark, sf, "embeddings"),
         _t(spark, sf, "embeddings").filter(F.col("vec_id") % 100 == 0),
         k=10,
@@ -3069,6 +3089,22 @@ def oracle_sql() -> dict[str, str]:
               CAST(ROUND(LEAST(1.0, GREATEST(0.0, n_chars / 2000.0))
                          * 10000) AS INT)"""
 
+    # temperature mixture tau=0.5: the integer-exact product comparison
+    # (bucket^2 * n < 10^8 * n_min) — no floating point, engines agree
+    # bit-for-bit
+    _TEMP_H = _H64.format(x="'temp:' || CAST(doc_id AS VARCHAR)")
+    o["temperature_mixture_sample"] = f"""
+        WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents
+                        GROUP BY lang),
+        mn AS (SELECT MIN(n) AS n_min FROM counts),
+        kept AS (
+          SELECT d.lang FROM documents d
+          JOIN counts c USING (lang) CROSS JOIN mn
+          WHERE (({_TEMP_H}) % 10000) * (({_TEMP_H}) % 10000) * c.n
+                < 100000000 * mn.n_min)
+        SELECT lang, COUNT(*) AS n_kept FROM kept
+        GROUP BY lang ORDER BY lang"""
+
     # cumulative thresholds in sorted(label) order: test<100, train<9900
     _SPLIT_H = _H64.format(x="'split:' || CAST(doc_id AS VARCHAR)")
     o["train_val_test_split"] = f"""
@@ -4039,6 +4075,41 @@ def oracle_sql() -> dict[str, str]:
                             AS rank
                    FROM scored)
         SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10"""
+
+    # int8 quantized cosine: codes = floor(v/scale + 0.5), scale =
+    # max|v|/127 — IEEE-exact steps only, so codes and the all-integer
+    # dot/norm sums match Spark bit-for-bit (doubles hold ints exactly
+    # far beyond these magnitudes)
+    o["similarity_quantized_topk"] = """
+        WITH v0 AS (SELECT vec_id,
+                           list_transform(embedding,
+                                          x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+        s AS (SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) / 127.0
+                       AS scale
+              FROM v0),
+        codes AS (SELECT vec_id,
+                         CASE WHEN scale = 0
+                              THEN list_transform(v, x -> 0.0)
+                              ELSE list_transform(
+                                     v, x -> floor(x / scale + 0.5)) END
+                           AS c
+                  FROM s),
+        n AS (SELECT vec_id, c, list_dot_product(c, c) AS nn FROM codes),
+        scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                          ROUND(list_dot_product(q.c, c.c)
+                                / (sqrt(q.nn) * sqrt(c.nn)), 6) AS qcosine
+                   FROM n c JOIN n q
+                     ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id),
+        ranked AS (SELECT query_id, neighbor_id, qcosine,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY qcosine DESC,
+                                                      neighbor_id ASC)
+                            AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, qcosine, rank
+        FROM ranked WHERE rank <= 10"""
 
     o["sql_q17_small_qty"] = _SQL_Q17
 

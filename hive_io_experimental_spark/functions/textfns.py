@@ -30,6 +30,24 @@ def word_tokens(col: Column | str) -> Column:
     return F.array_remove(F.split(F.lower(_c(col)), r"[^\p{L}\p{N}]+"), "")
 
 
+def word_shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """k-word shingles from a PRE-TOKENIZED array column.
+
+    The shingling half of word_shingles, for callers that already hold a
+    materialized token table (the span-dedup operators share one token
+    pass across branches). ``toks`` should be a plain column reference —
+    the expression is referenced k+2 times, so an inlined expensive
+    expression would evaluate that many times per row.
+    """
+    n = F.size(toks)
+    n_shingles = n - (k - 1)
+    shifted = [F.slice(toks, i + 1, n_shingles) for i in range(k)]
+    joined = shifted[0]
+    for part in shifted[1:]:
+        joined = F.zip_with(joined, part, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(n >= k, joined).otherwise(F.array().cast("array<string>"))
+
+
 def word_shingles(col: Column | str, k: int = 3) -> Column:
     """k-word shingles (array<string>) built from word_tokens.
 
@@ -43,14 +61,7 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
 
     Returns an empty array for texts shorter than k words.
     """
-    toks = word_tokens(col)
-    n = F.size(toks)
-    n_shingles = n - (k - 1)
-    shifted = [F.slice(toks, i + 1, n_shingles) for i in range(k)]
-    joined = shifted[0]
-    for part in shifted[1:]:
-        joined = F.zip_with(joined, part, lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.when(n >= k, joined).otherwise(F.array().cast("array<string>"))
+    return word_shingles_from_tokens(word_tokens(col), k)
 
 
 def char_ngrams(col: Column | str, n: int = 3, pre_normalized: bool = False) -> Column:

@@ -41,7 +41,12 @@ from hive_io_experimental_spark.functions.hashing import (
 )
 from hive_io_experimental_spark.functions.partitioning import spread
 from hive_io_experimental_spark.functions.reuse import reuse
-from hive_io_experimental_spark.functions.textfns import normalize_text, word_shingles, word_tokens
+from hive_io_experimental_spark.functions.textfns import (
+    normalize_text,
+    word_shingles,
+    word_shingles_from_tokens,
+    word_tokens,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1042,24 +1047,52 @@ def duplicated_spans(
     )
 
 
-def _dup_positions(
-    df: DataFrame,
-    window_tokens: int | None,
-    min_docs: int,
-    text_col: str,
-    id_col: str,
-) -> DataFrame:
-    """(id, pos) distinct token positions covered by a duplicated window."""
+def _resolve_window(df: DataFrame, window_tokens: int | None) -> int:
     if window_tokens is None:
         from hive_io_experimental_spark import conf as _conf
 
         window_tokens = _conf.SPAN_WINDOW_TOKENS.get(df.sparkSession)
-    # occ feeds two plan branches (the dup-hash groupBy and the join back)
-    # with different downstream shuffles, so the tokenize+window map pass
-    # re-ran per branch after the r5 persist removal (1.5x, BENCH_r06).
-    # reuse() materializes the occurrence table once, operator-scoped
-    # (functions/reuse.py; hiveio.reuse.strategy to opt out).
-    occ = reuse(span_occurrences(df, window_tokens, text_col, id_col))
+    return window_tokens
+
+
+def _span_base(
+    df: DataFrame,
+    window_tokens: int,
+    text_col: str,
+    id_col: str,
+    extra_cols: tuple[tuple[str, str], ...] = (),
+) -> tuple[DataFrame, DataFrame]:
+    """Shared (token table, occurrence table) for the span operators.
+
+    ``base`` is (id[, extras], toks) — ONE tokenization pass, reuse()'d so
+    every downstream branch (occurrence windows, per-doc token counts, the
+    token re-explode in strip) reads the materialized arrays instead of
+    re-running the regex split per branch (the span ops previously
+    tokenized 2-3x). ``occ`` is (id, start, span_hash), derived from base
+    by LINEAGE, deliberately not checkpointed: the exploded window table
+    is ~W/2 x larger than the token arrays (every stride-1 window as a
+    row), so materializing it trades a cheap recompute (slice+concat+md5
+    over stored arrays, no tokenize) for multi-GB executor blocks that
+    linger until GC — measured as run-order-dependent noise at sf10.
+    Only the compact token table is worth the residency.
+    """
+    cols = [F.col(id_col).alias("id")]
+    cols += [F.col(src).alias(dst) for src, dst in extra_cols]
+    cols.append(word_tokens(F.col(text_col)).alias("toks"))
+    base = reuse(spread(df).select(*cols))
+    occ = base.select(
+        "id",
+        F.posexplode(
+            word_shingles_from_tokens(F.col("toks"), window_tokens)
+        ).alias("start", "span_text"),
+    ).select("id", "start", F.md5("span_text").alias("span_hash"))
+    return base, occ
+
+
+def _dup_positions_from_occ(
+    occ: DataFrame, window_tokens: int, min_docs: int
+) -> DataFrame:
+    """(id, pos) distinct token positions covered by a duplicated window."""
     dup = (
         occ.groupBy("span_hash")
         .agg(F.countDistinct("id").alias("n_docs"))
@@ -1083,6 +1116,19 @@ def _dup_positions(
     )
 
 
+def _dup_positions(
+    df: DataFrame,
+    window_tokens: int | None,
+    min_docs: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, pos) covered positions, building its own occurrence table."""
+    window_tokens = _resolve_window(df, window_tokens)
+    _, occ = _span_base(df, window_tokens, text_col, id_col)
+    return _dup_positions_from_occ(occ, window_tokens, min_docs)
+
+
 def span_dedup_stats(
     df: DataFrame,
     window_tokens: int | None = None,
@@ -1098,13 +1144,15 @@ def span_dedup_stats(
     duplicated W-window (the fraction ExactSubstr-style trimming would
     remove). Integer columns only, so cross-engine comparison is exact.
     """
-    cov = _dup_positions(df, window_tokens, min_docs, text_col, id_col)
-    per_doc = cov.groupBy("id").agg(F.count(F.lit(1)).alias("dup_tokens"))
-    toks = spread(df).select(
-        F.col(id_col).alias("id"),
-        F.col(group_col).alias("grp"),
-        F.size(word_tokens(F.col(text_col))).alias("n_tokens"),
+    window_tokens = _resolve_window(df, window_tokens)
+    base, occ = _span_base(
+        df, window_tokens, text_col, id_col,
+        extra_cols=((group_col, "grp"),),
     )
+    cov = _dup_positions_from_occ(occ, window_tokens, min_docs)
+    per_doc = cov.groupBy("id").agg(F.count(F.lit(1)).alias("dup_tokens"))
+    # n_tokens from the SHARED token table — no second tokenization pass
+    toks = base.select("id", "grp", F.size("toks").alias("n_tokens"))
     return (
         toks.join(per_doc, "id", "left")
         .select(
@@ -1139,10 +1187,13 @@ def strip_duplicated_spans(
     rather than disappearing, so the caller can apply a min-length filter
     explicitly.
     """
-    cov = _dup_positions(df, window_tokens, min_docs, text_col, id_col)
-    toks = spread(df).select(
-        F.col(id_col).alias("id"),
-        F.posexplode(word_tokens(F.col(text_col))).alias("pos", "tok"),
+    window_tokens = _resolve_window(df, window_tokens)
+    tok_table, occ = _span_base(df, window_tokens, text_col, id_col)
+    cov = _dup_positions_from_occ(occ, window_tokens, min_docs)
+    # both the position explode and the n_tokens branch read the SHARED
+    # token table (one tokenization pass for the whole operator)
+    toks = tok_table.select(
+        "id", F.posexplode("toks").alias("pos", "tok")
     )
     kept = toks.join(cov, ["id", "pos"], "left_anti")
     rebuilt = kept.groupBy("id").agg(
@@ -1155,10 +1206,7 @@ def strip_duplicated_spans(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    base = spread(df).select(
-        F.col(id_col).alias("id"),
-        F.size(word_tokens(F.col(text_col))).alias("n_tokens"),
-    )
+    base = tok_table.select("id", F.size("toks").alias("n_tokens"))
     return base.join(rebuilt, "id", "left").select(
         F.col("id").alias(id_col),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),

@@ -248,3 +248,78 @@ def quota_cap_sample(
         .filter(F.col("quota_rk") <= cap)
         .drop("_quota_h")
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    group_col: str = "lang",
+    temperature: float = 0.5,
+    key_col: str = "doc_id",
+    salt: str = "temp:",
+) -> DataFrame:
+    """Resample so group shares follow n^temperature (mixture flattening).
+
+    THE multilingual/source-balancing operator: with natural group sizes
+    n_b, the target mixture gives group b a share proportional to
+    n_b^tau. Keeping the maximum possible rows, the smallest group is
+    kept whole and every other group accepts rows with probability
+
+        a_b = (n_min / n_b)^(1 - tau)
+
+    (tau = 1 keeps the natural mixture, tau = 0 equalizes all groups —
+    the same temperature knob used for multilingual sampling in the
+    mBERT/XLM-R lineage of corpus recipes).
+
+    Determinism and cross-engine exactness: the per-row gate is the same
+    salted md5 hash-mod every sampler here uses. For the DEFAULT
+    tau = 0.5 the acceptance test is evaluated in pure int64 arithmetic —
+    keep iff bucket^2 * n_b < RATE_DENOM^2 * n_min, which is algebraically
+    bucket < RATE_DENOM * sqrt(n_min/n_b) with no floating point anywhere,
+    so any engine agrees bit-for-bit (the DuckDB oracle twin uses the
+    same product comparison). tau = 0 uses exact integer division. Other
+    temperatures go through pow(), whose last-ulp rounding is not
+    IEEE-pinned across libm implementations — fine in production, but an
+    exact cross-engine oracle should stick to {0, 0.5, 1}.
+
+    Plan shape: one state-sized count aggregation (rows = groups), its
+    1-row min crossJoined back as a broadcast, then a broadcast join of
+    the per-group counts onto the scan and a per-row filter — zero
+    shuffles on the kept-rows path, same as distribution_matched_sample.
+    Returns surviving rows (all input columns).
+    """
+    if not 0.0 <= temperature <= 1.0:
+        raise ValueError(
+            f"temperature must be in [0, 1], got {temperature}"
+        )
+    if temperature == 1.0:
+        return df
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    n_min = counts.agg(F.min("_n").alias("_n_min"))
+    sized = counts.crossJoin(F.broadcast(n_min))
+    bucket = F.pmod(
+        portable_hash64(
+            F.concat(F.lit(salt), F.col(key_col).cast("string"))
+        ),
+        F.lit(RATE_DENOM),
+    )
+    joined = df.join(F.broadcast(sized), group_col)
+    if temperature == 0.5:
+        # integer-exact: bucket^2 * n_b < RATE_DENOM^2 * n_min
+        keep = (
+            bucket * bucket * F.col("_n")
+            < F.lit(RATE_DENOM) * F.lit(RATE_DENOM) * F.col("_n_min")
+        )
+    elif temperature == 0.0:
+        keep = bucket < F.expr(
+            f"CAST({RATE_DENOM} * _n_min AS BIGINT) div _n"
+        )
+    else:
+        thr = F.floor(
+            F.lit(float(RATE_DENOM))
+            * F.pow(
+                F.col("_n_min").cast("double") / F.col("_n").cast("double"),
+                F.lit(1.0 - temperature),
+            )
+        )
+        keep = bucket < thr
+    return joined.filter(keep).select(*df.columns)

@@ -1497,3 +1497,125 @@ def test_cdc_chunks_survive_prefix_insertion(spark):
         assert sum(r.length for r in rows) == len(text)
         for x, y in zip(rows, rows[1:]):
             assert y.start == x.start + x.length
+
+
+def test_temperature_mixture_sample_flattens_and_is_exact(spark):
+    """tau=0.5 mixture: smallest group kept whole, larger groups
+    downsampled toward (n_min/n)^0.5 acceptance, kept shares strictly
+    flatter than natural, tau=1 is identity, tau=0 ~equalizes, and the
+    pick is deterministic across reruns (hash-gated, not RNG)."""
+    from hive_io_experimental_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    rows = (
+        [(i, "en") for i in range(1600)]
+        + [(2000 + i, "de") for i in range(400)]
+        + [(3000 + i, "sw") for i in range(100)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    kept = temperature_mixture_sample(docs, temperature=0.5)
+    by = {r.lang: r.n for r in kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # smallest group whole
+    assert by["sw"] == 100
+    # acceptance ~ sqrt(100/1600)=0.25 and sqrt(100/400)=0.5 — hash-gate
+    # binomial noise stays well within these bands at these sizes
+    assert 320 <= by["en"] <= 480
+    assert 160 <= by["de"] <= 240
+    # flatter than natural: en/sw ratio drops from 16x toward 4x
+    assert by["en"] / by["sw"] < 8
+    # deterministic rerun
+    again = {r.lang: r.n for r in temperature_mixture_sample(
+        docs, temperature=0.5).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert again == by
+
+    # tau=1: identity
+    assert temperature_mixture_sample(docs, temperature=1.0).count() == 2100
+    # tau=0: ~equal groups (integer-division threshold, hash noise)
+    eq = {r.lang: r.n for r in temperature_mixture_sample(
+        docs, temperature=0.0).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert eq["sw"] == 100
+    assert 60 <= eq["en"] <= 140 and 60 <= eq["de"] <= 140
+
+    # generic tau path (pow) between the exact anchors
+    mid = {r.lang: r.n for r in temperature_mixture_sample(
+        docs, temperature=0.75).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert by["en"] <= mid["en"] <= 1600
+
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_mixture_sample(docs, temperature=1.5)
+
+
+def test_quantize_embeddings_codes_and_roundtrip(spark, sf_dir):
+    """int8 quantization: codes bounded to [-127, 127], max code hits 127
+    (the max-|v| component by construction), zero vectors quantize to
+    all-zero codes with scale 0, and dequantized reconstruction error is
+    within scale/2 per component."""
+    import math
+
+    from hive_io_experimental_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = quantize_embeddings(emb)
+    stats = qdf.select(
+        F.array_max("codes").alias("mx"),
+        F.array_min("codes").alias("mn"),
+        "scale",
+        "vec_id",
+    ).collect()
+    assert all(-127 <= r.mn and r.mx <= 127 for r in stats)
+    assert all(max(r.mx, -r.mn) == 127 for r in stats if r.scale > 0)
+
+    # round-trip error bound: |v - code*scale| <= scale/2
+    orig = {r.vec_id: r.embedding for r in emb.collect()}
+    for r in dequantize_embeddings(qdf).collect():
+        scale = next(s.scale for s in stats if s.vec_id == r.vec_id)
+        for a, b in zip(orig[r.vec_id], r.embedding):
+            assert abs(float(a) - b) <= scale / 2 + 1e-12
+
+    # zero vector edge
+    z = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    zq = {r.vec_id: r for r in quantize_embeddings(z).collect()}
+    assert zq[1].scale == 0.0 and zq[1].codes == [0, 0, 0]
+    assert zq[2].codes == [64, -127, 32]
+    assert math.isclose(zq[2].scale, 2.0 / 127.0)
+
+
+def test_quantized_cosine_topk_matches_exact_ranking(spark, sf_dir):
+    """recall@10 of int8-quantized cosine vs exact fp32 on the test
+    embeddings: high overlap (quantization error is ~1/254 per
+    component), and the quality report's integers agree with a direct
+    overlap count."""
+    from hive_io_experimental_spark.operators.similarity import (
+        cosine_topk,
+        quantization_quality_report,
+        quantized_cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = cosine_topk(emb, queries, k=10)
+    quant = quantized_cosine_topk(emb, queries, k=10)
+    n_q = queries.count()
+    assert exact.count() == quant.count() == 10 * n_q
+    hits = exact.select("query_id", "neighbor_id").join(
+        quant.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+    ).count()
+    # int8 keeps >=80% of the exact neighbors on this data
+    assert hits >= 0.8 * 10 * n_q
+
+    rep = quantization_quality_report(emb, k=10, query_mod=50).first()
+    assert rep.n_queries == n_q and rep.k == 10
+    assert rep.total_hits == hits
