@@ -952,6 +952,71 @@ def _time_travel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _snapshot_rollback(spark: SparkSession, sf: str) -> DataFrame:
+    """Rollback gate (catalog.rollback_to_version): seed the same
+    versioned orders table as the time-travel gate (v1 dynamic write, v2
+    supersedes the 'F' partition with doubled prices), then ROLL BACK to
+    v1 — Iceberg semantics: a NEW v3 whose manifest re-references v1's
+    immutable snap dirs, with v2 still time-travel readable. The gate
+    aggregates v2 (as_of, doubled) and the post-rollback CURRENT (must
+    equal the plain v1 aggregate); the oracle recomputes both from the
+    source, so a rollback that mutated files, resolved to the wrong
+    manifest, or clobbered v2's history shows up as a value mismatch."""
+    import tempfile
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    wh = tempfile.mkdtemp(prefix="hio_gate_rb_")  # outlives the lazy scan
+    cat = Catalog(wh)
+    data_fields = tuple(
+        (f.name, f.dataType)
+        for f in orders.schema.fields
+        if f.name != "o_orderstatus"
+    )
+    cat.create_table(
+        "default.orders_rb",
+        HiveTableSchema(data_fields, partition_keys=("o_orderstatus",)),
+        versioned=True,
+    )
+    out = HiveOutput(spark, cat)
+    out.write_dynamic("default.orders_rb", orders)
+    doubled = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 2)
+        .cast("double")
+        .alias("o_totalprice"),
+    )
+    out.write_table(
+        WriteSpec("default.orders_rb", {"o_orderstatus": "F"},
+                  drop_partition=True),
+        doubled,
+    )
+    new_v = cat.rollback_to_version("default.orders_rb", 1)
+    assert new_v == 3 and cat.current_version("default.orders_rb") == 3
+    inp = HiveInput(spark, cat)
+
+    def _agg(df: DataFrame, version: int) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_totalprice"),
+        ).withColumn("version", F.lit(version))
+
+    v2 = inp.read_table(ScanSpec(table="default.orders_rb", as_of_version=2))
+    cur = inp.read_table(ScanSpec(table="default.orders_rb"))
+    return (
+        _agg(v2, 2)
+        .unionByName(_agg(cur, 3))
+        .orderBy("version", "o_orderstatus")
+    )
+
+
 def _compact_small_files(spark: SparkSession, sf: str) -> DataFrame:
     """Maintenance gate (operators/maintenance.py compact_snapshots): seed a
     versioned lang-partitioned documents table deliberately fragmented
@@ -1542,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scan -> partition-scoped rewrite; n_target_rows hashes to 0
     q["erase_keys"] = _erase_keys
     q["time_travel"] = _time_travel
+    q["snapshot_rollback"] = _snapshot_rollback
     # maintenance: small-files compaction of a versioned table (content
     # preserved + one file per partition, proven via the manifest)
     q["compact_small_files"] = _compact_small_files
@@ -4642,6 +4708,24 @@ def oracle_sql() -> dict[str, str]:
                              ELSE CAST(o_totalprice AS DECIMAL(12,2)) END)
                     AS DOUBLE) AS sum_totalprice,
                2 AS version
+        FROM orders GROUP BY 1
+        ORDER BY version, o_orderstatus"""
+
+    # rollback twin: version 2 = the doubled-'F' snapshot (time travel),
+    # version 3 = the post-rollback current, which must equal plain v1
+    o["snapshot_rollback"] = """
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                             THEN CAST(o_totalprice AS DECIMAL(12,2)) * 2
+                             ELSE CAST(o_totalprice AS DECIMAL(12,2)) END)
+                    AS DOUBLE) AS sum_totalprice,
+               2 AS version
+        FROM orders GROUP BY 1
+        UNION ALL
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_totalprice,
+               3 AS version
         FROM orders GROUP BY 1
         ORDER BY version, o_orderstatus"""
 

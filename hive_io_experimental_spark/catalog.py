@@ -625,6 +625,42 @@ class Catalog:
             for s in entry["snapshots"]
         ]
 
+    def rollback_to_version(
+        self, desc: TableDesc | str, version: int
+    ) -> int:
+        """Restore an earlier snapshot's content as a NEW version.
+
+        Iceberg rollback semantics: history is append-only — rolling back
+        to v does not delete v+1..current, it commits a new snapshot
+        whose manifest is a copy of v's partition list (file locations
+        are immutable snap dirs, so the copy re-references the same
+        files; nothing is rewritten or moved). Time travel keeps seeing
+        every version including the rolled-past ones, expire_snapshots
+        reclaims them on the normal schedule, and a concurrent writer's
+        commit_snapshot CAS still arbitrates races. Returns the NEW
+        current version. Raises SnapshotError for unknown/expired
+        ``version`` (metadata-only check; version 0 = the empty
+        pre-first-commit state, restorable like any other).
+        """
+        desc = TableDesc.parse(desc) if isinstance(desc, str) else desc
+        if version == 0:
+            manifest: list[dict] = []
+        else:
+            manifest = [
+                {
+                    "values": p.values,
+                    "location": p.location,
+                    "stats": vars(p.stats),
+                }
+                for p in self.snapshot_manifest(desc, version)
+            ]
+        return self.commit_snapshot(
+            desc,
+            self.next_version(desc),
+            manifest,
+            note=f"rollback to v{version}",
+        )
+
     def expire_snapshots(
         self, desc: TableDesc | str, keep_last: int = 1,
         clean_orphans: bool = False,

@@ -582,6 +582,12 @@ def cmd_snapshots(args: argparse.Namespace) -> int:
     from hive_io_experimental_spark.catalog import Catalog
 
     catalog = Catalog(args.warehouse)
+    if getattr(args, "rollback_to", None) is not None:
+        new_v = catalog.rollback_to_version(args.table, args.rollback_to)
+        print(
+            f"# rolled back to v{args.rollback_to} as new v{new_v}",
+            file=sys.stderr,
+        )
     if args.expire_keep_last is not None:
         deleted = catalog.expire_snapshots(
             args.table, keep_last=args.expire_keep_last
@@ -813,6 +819,11 @@ def build_parser() -> argparse.ArgumentParser:
     snap.add_argument(
         "--expire-keep-last", type=int, default=None,
         help="first expire all but the last N snapshots",
+    )
+    snap.add_argument(
+        "--rollback-to", type=int, default=None,
+        help="restore snapshot N's content as a NEW version "
+             "(append-only Iceberg rollback; runs before any expire)",
     )
     return p
 

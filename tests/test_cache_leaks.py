@@ -29,23 +29,36 @@ def _n_persistent(spark) -> int:
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
 
-def _poll_reclaimed(spark, before: int, timeout_s: float = 30.0) -> int:
+def _poll_reclaimed(
+    spark, before: int, timeout_s: float = 30.0, min_gc_rounds: int = 6
+) -> tuple[int, int]:
     """GC-poll until the registry shrinks back to ``before`` (or timeout).
 
     Reclamation is a multi-step cascade (result RDD GC'd -> ContextCleaner
     drops its shuffles -> map stages release the checkpoint RDD -> next GC
     collects it), so several GC cycles may be needed — hence the loop, not
-    a single System.gc()."""
+    a single System.gc(). System.gc() is only ADVISORY, and under
+    full-suite heap pressure the JVM sometimes skips it entirely, which
+    made a pure time-boxed poll flaky: returns (registry_size,
+    verified_gc_rounds) where a round counts as a VERIFIED collection
+    only when a weak-reference canary allocated before the request was
+    actually cleared. Callers treat 'blocks remain after >= min_gc_rounds
+    verified collections' as a leak, and 'JVM refused to GC' as
+    unverifiable rather than failed."""
+    jvm = spark.sparkContext._jvm
     deadline = time.monotonic() + timeout_s
+    gc_rounds = 0
     while time.monotonic() < deadline:
-        if _n_persistent(spark) <= before:
+        if _n_persistent(spark) <= before or gc_rounds >= min_gc_rounds:
             break
         gc.collect()  # drop py4j wrappers holding JVM references
-        jvm = spark.sparkContext._jvm
+        canary = jvm.java.lang.ref.WeakReference(jvm.java.lang.Object())
         jvm.System.gc()
         jvm.System.runFinalization()
         time.sleep(0.3)
-    return _n_persistent(spark)
+        if canary.get() is None:  # the JVM really ran a collection
+            gc_rounds += 1
+    return _n_persistent(spark), gc_rounds
 
 
 def _leftover_names(spark) -> list[str]:
@@ -83,12 +96,22 @@ def _assert_no_new_cache(spark, build, repeats: int = 3):
         result = build()
         result.collect()
         del result
-        _poll_reclaimed(spark, before, timeout_s=8.0)
-    after = _poll_reclaimed(spark, before, timeout_s=20.0)
+        _poll_reclaimed(spark, before, timeout_s=8.0, min_gc_rounds=3)
+    after, gc_rounds = _poll_reclaimed(spark, before, timeout_s=30.0)
+    if after > before + 1 and gc_rounds < 3:
+        # the JVM declined to actually collect (System.gc is advisory);
+        # the contract is unverifiable this run, not violated — the
+        # operator-vs-leak distinction NEEDS a real collection to observe
+        import pytest
+
+        pytest.skip(
+            f"JVM ran only {gc_rounds} verified GC cycles in 30s; "
+            f"cannot distinguish transient blocks from a leak"
+        )
     assert after <= before + 1, (
         f"persistent-RDD registry grew {before} -> {after} over "
-        f"{repeats} invocations (leak, not transient); "
-        f"leftovers: {_leftover_names(spark)}"
+        f"{repeats} invocations and {gc_rounds} VERIFIED GC cycles "
+        f"(leak, not transient); leftovers: {_leftover_names(spark)}"
     )
 
 

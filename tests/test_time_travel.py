@@ -467,3 +467,45 @@ def test_expire_clean_orphans_reclaims_lost_attempt_dirs(
     ).collect()] == [1]
     remaining = [d for d in os.listdir(loc) if d.startswith("snap-")]
     assert len(remaining) == 1
+
+
+def test_rollback_to_version_restores_content_appendonly(spark, warehouse):
+    """rollback_to_version: Iceberg semantics — a NEW version whose
+    manifest re-references the target's files; rolled-past versions stay
+    time-travel readable; rollback to 0 empties the current view; bad
+    versions raise; expire after rollback keeps the current view alive."""
+    cat = _mk_versioned(warehouse, partitioned=False)
+    out = HiveOutput(spark, cat)
+    inp = HiveInput(spark, cat)
+    out.write_table(WriteSpec("default.tt"),
+                    _rows(spark, [(1, 1.0, "a")]).drop("k"))
+    out.write_table(WriteSpec("default.tt"),
+                    _rows(spark, [(2, 2.0, "a")]).drop("k"))
+    assert cat.current_version("default.tt") == 2
+
+    new_v = cat.rollback_to_version("default.tt", 1)
+    assert new_v == 3 and cat.current_version("default.tt") == 3
+    # current == v1 content
+    assert [r.id for r in inp.read_table(
+        ScanSpec(table="default.tt")).collect()] == [1]
+    # rolled-past v2 still readable (append-only history)
+    assert [r.id for r in inp.read_table(
+        ScanSpec(table="default.tt", as_of_version=2)).collect()] == [2]
+    # note recorded
+    assert cat.list_snapshots("default.tt")[-1]["note"] == "rollback to v1"
+
+    # unknown / expired version raises, current untouched
+    with pytest.raises(SnapshotError):
+        cat.rollback_to_version("default.tt", 99)
+    assert cat.current_version("default.tt") == 3
+
+    # expire down to the rollback snapshot: v1's files survive because
+    # v3's manifest references them (deletion set = expired minus retained)
+    cat.expire_snapshots("default.tt", keep_last=1)
+    assert [r.id for r in inp.read_table(
+        ScanSpec(table="default.tt")).collect()] == [1]
+
+    # rollback to the empty pre-first-commit state
+    v4 = cat.rollback_to_version("default.tt", 0)
+    assert v4 == 4
+    assert inp.read_table(ScanSpec(table="default.tt")).count() == 0
