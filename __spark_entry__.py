@@ -2083,14 +2083,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # full-map output is committed as CORRECTNESS_LOCAL.json each round.
 _CHECK_FIRST = [
     # ------------------------------------------------------------------
-    # r7 ROTATION (r6 verdict task 3): r6's 27 first-timers all came back
-    # hash-green, leaving 43 gates the driver has never checked (plus the
-    # new dedup_lsh_bucket_report). This window keeps the 16-gate core
-    # (full §2 I/O surface + one rep per operator family, all multi-round
-    # green) and rotates in 34 first-timers — the temporal/event tier the
-    # verdict named explicitly, the analyze/stats tier, text curation,
-    # sampling/splits, and the remaining dedup shapes. 10 heavy gates
-    # (packing, embedding clustering, zorder, migrations) wait for r8.
+    # r8 ROTATION (r7 verdict task 1): r7's 34 first-timers all came back
+    # hash-green, leaving exactly 13 gates the driver has never checked —
+    # the 10 rotation stragglers plus the 3 gates r7 added after its own
+    # rotation. ALL 13 are in this window, which retires the
+    # self-reported-vs-driver-verified gap completely (169/169
+    # ever-checked once CORRECTNESS_r08 lands). The veteran slots go to
+    # the 16-gate core plus the STALEST veterans (r1-only checks) and
+    # every gate this round's code changes touch (broadcast guard,
+    # auto-sized LSH planes, write-meter timing).
     # ------------------------------------------------------------------
     # §2 scan surface (S1-S4, S6/S7 serde, S10 stats) — stays every round
     "scan_projection", "scan_filter", "scan_topk",
@@ -2101,35 +2102,30 @@ _CHECK_FIRST = [
     # family reps (veterans, all multi-round green)
     "pricing_summary", "events_hourly", "dedup_exact",
     "text_metrics", "similarity_topk_bucketed", "multimodal_decode",
-    # temporal/event tier — ALL first-time (verdict-named): as-of join,
-    # gap-fill interpolation, latest-per-key, hopping windows, state
-    # transitions, time-boxed funnel, cross-series correlation, skew map
-    "asof_signup_next_click", "gapfill_interpolated", "latest_events",
-    "events_hopping", "event_transitions", "funnel_time_boxed",
-    "series_correlation", "key_skew_events",
-    # scan/layout tier — first-time: schema evolution, zone-map + bloom
-    # index pruning, JSON serde round-trip, bucketed co-located join,
-    # metadata join-size estimate
-    "schema_evolution_scan", "zone_map_scan", "bloom_index_scan",
-    "scan_json_roundtrip", "bucketed_join_volume", "join_size_estimate",
-    # analyze/profile tier — first-time: column stats, sigma + MAD
-    # outliers, per-type percentiles, embedding drift
-    "analyze_columns", "numeric_outliers", "robust_outliers",
-    "event_type_percentiles", "embedding_drift",
-    # text curation tier — first-time: PII redaction, quality filter,
-    # per-lang top-k, chunking, paragraph/doc repetition, leakage
-    "text_redact_pii", "text_quality_filter", "top_quality_per_lang",
-    "chunk_documents", "repeated_paragraphs", "doc_repetition",
-    "cross_source_leakage",
-    # sampling/split tier — first-time: per-source quota, weighted,
-    # hash-stable train/val/test
-    "source_quota_sample", "weighted_sample_docs", "train_val_test_split",
-    # relational: UNPIVOT (first-time)
-    "pricing_summary_unpivot",
-    # dedup: representatives, incremental batch, against-corpus, and the
-    # new hot-bucket cap audit — all first-time
-    "dedup_representatives", "dedup_incremental_batch", "dedup_corpus",
-    "dedup_lsh_bucket_report",
+    # ---- the 13 never-driver-checked gates (verdict list, complete) ----
+    # storage/layout + lifecycle
+    "repartition_migrate", "zorder_layout", "snapshot_rollback",
+    # curation + token/text stats
+    "curate_corpus", "token_entropy",
+    # sampling + packing
+    "distmatch_sample_docs", "temperature_mixture_sample",
+    "pack_sequences", "pack_sequences_greedy",
+    # embedding tier
+    "dedup_embedding_clusters", "label_centroid_stats",
+    "knn_label_accuracy", "similarity_quantized_topk",
+    # ---- 21 veterans: r8-touched paths + the stalest (r1-only) gates ----
+    # similarity family: cosine_topk grew the broadcast-queries guard,
+    # the bucketed family auto-sizes planes — re-verify the whole tier
+    "similarity_topk", "similarity_quality_topk", "similarity_lsh_buckets",
+    "similarity_ivf_topk", "similarity_ivf_trained",
+    # r1-only checks, never re-verified since
+    "column_profile", "lang_id", "token_histogram", "doc_winnowing",
+    "doc_fingerprint", "multimodal_resize", "multimodal_frame_sample",
+    "multimodal_features",
+    # single-round veterans from r4/r5 windows
+    "active_user_trends", "dedup_simhash_pairs", "dedup_minhash_lsh",
+    "dedup_simhash", "bloom_join_prune", "snapshot_diff_cdc",
+    "data_expectations", "max_concurrent_sessions",
 ]
 
 

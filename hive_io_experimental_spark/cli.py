@@ -197,9 +197,14 @@ def cmd_write(args: argparse.Namespace, stop_session: bool = True) -> int:
     # tailer Stats CSV shape (rows,threads,MB,sec,rows/s,MB/s —
     # Stats.java:133-151), metered during the write job (WriteMeter)
     if out.last_write_stats is not None:
+        # same fallback as cmd_scan: without --threads, report the
+        # session's actual parallelism instead of rendering 'None'
+        threads = args.threads or int(
+            os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)
+        )
         print(
             "# write stats rows,threads,MB,seconds,rows/s,MB/s: "
-            + out.last_write_stats.csv_line(args.threads),
+            + out.last_write_stats.csv_line(threads),
             file=sys.stderr,
         )
     if stop_session:

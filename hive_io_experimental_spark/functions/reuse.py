@@ -49,4 +49,12 @@ def reuse(df: DataFrame) -> DataFrame:
     strategy = _conf.REUSE_STRATEGY.get(df.sparkSession).strip().lower()
     if strategy == "recompute":
         return df
+    if strategy != "checkpoint":
+        # Fail loud: a typo ('recmpute') silently falling through to the
+        # lineage-truncating checkpoint path would hand a user who opted
+        # into fault-tolerant recompute the opposite semantics.
+        raise ValueError(
+            f"hiveio.reuse.strategy must be 'checkpoint' or 'recompute', "
+            f"got {strategy!r}"
+        )
     return df.localCheckpoint(eager=False)

@@ -89,15 +89,32 @@ class ScanMeter:
     def __init__(self, name: str = "scan_meter") -> None:
         self.observation = Observation(name)
         self._t0: float | None = None
+        self._elapsed: float | None = None
 
     def attach(self, df: DataFrame) -> DataFrame:
         self._t0 = time.perf_counter()
+        self._elapsed = None
         return observed_scan(df, self.observation)
+
+    def mark_done(self) -> None:
+        """Freeze the wall-clock at the action boundary.
+
+        Call immediately after the metered action returns so that
+        follow-up driver work (stats re-reads, catalog registration)
+        is NOT billed to the observed job — the 'observed DURING the
+        write job' contract. Idempotent: the first call wins, so a
+        caller placing it after every write branch is safe."""
+        if self._t0 is not None and self._elapsed is None:
+            self._elapsed = time.perf_counter() - self._t0
 
     def stats(self) -> ScanStats:
         if self._t0 is None:
             raise RuntimeError("attach() was never called")
-        seconds = time.perf_counter() - self._t0
+        seconds = (
+            self._elapsed
+            if self._elapsed is not None
+            else time.perf_counter() - self._t0
+        )
         got = self.observation.get
         return ScanStats(
             n_rows=got["n_rows"] or 0,

@@ -293,8 +293,14 @@ def temperature_mixture_sample(
         )
     if temperature == 1.0:
         return df
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
-    n_min = counts.agg(F.min("_n").alias("_n_min"))
+    # collision-proof helper names: a caller column literally named _n or
+    # _n_min would make the broadcast-join references ambiguous and break
+    # the final select(*df.columns)
+    nc, mc = "_tms_n", "_tms_n_min"
+    while nc in df.columns or mc in df.columns:
+        nc, mc = nc + "_", mc + "_"
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias(nc))
+    n_min = counts.agg(F.min(nc).alias(mc))
     sized = counts.crossJoin(F.broadcast(n_min))
     bucket = F.pmod(
         portable_hash64(
@@ -306,18 +312,18 @@ def temperature_mixture_sample(
     if temperature == 0.5:
         # integer-exact: bucket^2 * n_b < RATE_DENOM^2 * n_min
         keep = (
-            bucket * bucket * F.col("_n")
-            < F.lit(RATE_DENOM) * F.lit(RATE_DENOM) * F.col("_n_min")
+            bucket * bucket * F.col(nc)
+            < F.lit(RATE_DENOM) * F.lit(RATE_DENOM) * F.col(mc)
         )
     elif temperature == 0.0:
         keep = bucket < F.expr(
-            f"CAST({RATE_DENOM} * _n_min AS BIGINT) div _n"
+            f"CAST({RATE_DENOM} * {mc} AS BIGINT) div {nc}"
         )
     else:
         thr = F.floor(
             F.lit(float(RATE_DENOM))
             * F.pow(
-                F.col("_n_min").cast("double") / F.col("_n").cast("double"),
+                F.col(mc).cast("double") / F.col(nc).cast("double"),
                 F.lit(1.0 - temperature),
             )
         )

@@ -60,13 +60,15 @@ def cosine_topk(
     """Exact top-k nearest corpus vectors per query vector, by cosine.
 
     Returns (query_id, neighbor_id, cosine, rank), self-matches excluded.
-    The join broadcasts the query side explicitly — at any realistic scale
-    queries << corpus, and this keeps the corpus scan shuffle-free.
+    The join broadcasts the query side explicitly — queries << corpus is
+    the contract, ENFORCED (> _MAX_BROADCAST_QUERIES raises, pointing at
+    cosine_topk_bucketed), and it keeps the corpus scan shuffle-free.
     """
     c = spread(corpus).select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
     if use_pandas:
         return _cosine_topk_pandas(c, q, k)
+    _require_small_query_side(q, "cosine_topk")
     c = c.withColumn("cnrm", l2_norm(F.col("cv")))
     q = q.withColumn("qnrm", l2_norm(F.col("qv")))
     cos = _pair_cosine("qv", "qnrm", "cv", "cnrm")
@@ -83,10 +85,30 @@ def cosine_topk(
     )
 
 
-# Cap on driver-collected/broadcast query vectors for the pandas top-k path
-# (~64 KB/vector at dim 64 -> ~4 GB worst case is already too big; the cap
-# keeps the closure well under typical task-serialization comfort).
+# Cap on driver-collected/broadcast query vectors for EVERY broadcast
+# top-k path — pandas closure AND the JVM F.broadcast(q) joins. An explicit
+# broadcast hint bypasses autoBroadcastJoinThreshold, so without this check
+# a large query side turns into an executor OOM instead of a helpful error
+# (~64 KB/vector at dim 64 -> ~4 GB worst case is already too big).
+# Reference discipline: strict precondition checks before work
+# (output/HiveApiOutputFormat.java:240-262).
 _MAX_BROADCAST_QUERIES = 65_536
+
+
+def _require_small_query_side(q: DataFrame, caller: str) -> None:
+    """Enforce the queries-<<-corpus contract before broadcasting.
+
+    limit(cap+1).count() stops the scan as soon as the cap is disproved,
+    so the guard costs one bounded job, never a full count of a large
+    query frame."""
+    n_q = q.limit(_MAX_BROADCAST_QUERIES + 1).count()
+    if n_q > _MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"{caller} broadcasts the query side to every task; got > "
+            f"{_MAX_BROADCAST_QUERIES} query vectors. Use "
+            f"cosine_topk_bucketed (LSH candidate generation) for large "
+            f"query sets."
+        )
 
 
 def _cosine_topk_pandas(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
@@ -96,19 +118,12 @@ def _cosine_topk_pandas(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
     collected once on the driver (queries are small by contract) and closed
     over — each executor computes Q x batch^T with BLAS. The contract is
     ENFORCED: more than ``_MAX_BROADCAST_QUERIES`` queries raises before
-    anything is collected — use :func:`cosine_topk_bucketed` (or the plain
-    JVM join) for large query sets.
+    anything is collected — use :func:`cosine_topk_bucketed` for large
+    query sets.
     """
     import numpy as np
 
-    n_q = q.limit(_MAX_BROADCAST_QUERIES + 1).count()
-    if n_q > _MAX_BROADCAST_QUERIES:
-        raise ValueError(
-            f"use_pandas top-k broadcasts the query matrix to every task; "
-            f"got > {_MAX_BROADCAST_QUERIES} query vectors. Use "
-            f"cosine_topk_bucketed (LSH) or the default JVM join path for "
-            f"large query sets."
-        )
+    _require_small_query_side(q, "cosine_topk(use_pandas=True)")
     q_rows = q.collect()
     q_ids = np.array([r["query_id"] for r in q_rows])
     q_mat = np.array([r["qv"] for r in q_rows], dtype=np.float64)
@@ -166,6 +181,7 @@ def hyperplane_lsh_buckets_pandas(
     num_planes: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """BLAS twin of :func:`hyperplane_lsh_buckets` for wide embeddings.
 
@@ -179,7 +195,8 @@ def hyperplane_lsh_buckets_pandas(
     """
     import numpy as np
 
-    dim = df.select(F.size(F.col(vec_col))).first()[0]
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col))).first()[0]
     planes = np.array(
         [[_plane_component(p, d) for p in range(num_planes)] for d in range(dim)],
         dtype=np.float64,
@@ -202,12 +219,40 @@ def hyperplane_lsh_buckets_pandas(
     return v.mapInPandas(bucketize, "id long, bucket long")
 
 
+# Auto-sized LSH: with a FIXED plane count, bucket occupancy grows
+# linearly with the corpus, so within-bucket pair work grows as
+# n^2 / 2^planes — quietly quadratic at scale (measured: knn_label_accuracy
+# was the worst gate at 100x data before auto-sizing, BENCH_SCALING_100X).
+_LSH_MIN_PLANES = 8        # floor: never fewer buckets than the r7 dial
+_LSH_TARGET_BUCKET_SIZE = 64  # ~64 bucket-mates: plenty of candidates for
+#   k<=10 top-k / k-NN votes, and within-bucket pair work stays ~64n
+#   (e.g. n=1e9 -> 24 planes, 16M buckets, 6.4e10 distributed pairs —
+#   versus n^2/256 = 3.9e15 at the old fixed dial)
+
+
+def resolve_num_planes(n: int, min_planes: int = _LSH_MIN_PLANES,
+                       target_bucket_size: int = _LSH_TARGET_BUCKET_SIZE) -> int:
+    """Scale-aware hyperplane count: max(min_planes, ceil(log2(n/target))).
+
+    Keeps expected bucket occupancy near ``target_bucket_size`` as the
+    corpus grows, so within-bucket pair work stays ~n * target instead of
+    n^2 / 2^min_planes. Clamped at 30 planes (2^30 buckets is beyond any
+    realistic corpus/target ratio; the clamp just guards the int shift).
+    """
+    import math
+
+    if n <= target_bucket_size:
+        return min_planes
+    return min(30, max(min_planes, math.ceil(math.log2(n / target_bucket_size))))
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     num_planes: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     use_pandas: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """(id, bucket) — sign-of-dot-product LSH bucket per vector.
 
@@ -219,14 +264,20 @@ def hyperplane_lsh_buckets(
     fold; at 100 TB this is a pure map over the corpus with zero shuffle.
     The fold is left-to-right, bit-identical to the oracle's
     list_dot_product. Vector dim is probed from the first row (embedding
-    columns are fixed-width by contract). ``use_pandas=True`` switches to
-    the Arrow/BLAS twin (:func:`hyperplane_lsh_buckets_pandas`) for wide
-    embeddings — same buckets, vectorized matmul instead of the fold.
+    columns are fixed-width by contract) unless the caller passes ``dim``
+    — operators that bucket two frames with one shared layout probe once
+    and pass it to both calls, saving a scheduled job per call.
+    ``use_pandas=True`` switches to the Arrow/BLAS twin
+    (:func:`hyperplane_lsh_buckets_pandas`) for wide embeddings — same
+    buckets, vectorized matmul instead of the fold.
     """
     if use_pandas:
-        return hyperplane_lsh_buckets_pandas(df, num_planes, vec_col, id_col)
+        return hyperplane_lsh_buckets_pandas(
+            df, num_planes, vec_col, id_col, dim=dim
+        )
     df = spread(df)
-    dim = df.select(F.size(F.col(vec_col))).first()[0]
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col))).first()[0]
     # One literal plane array per plane + a zip_with/aggregate fold. (Two
     # rejected alternatives, measured at sf0.1: md5-per-(plane,dim) inside
     # the lambda = 1M interpreted md5 calls, 6x slower; fully unrolled
@@ -703,7 +754,7 @@ def cosine_topk_bucketed(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    num_planes: int = 8,
+    num_planes: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -712,10 +763,27 @@ def cosine_topk_bucketed(
     Recall < 1 by construction (that is the approximation); the equi-join on
     bucket replaces the all-pairs product, turning an O(n^2) scan into a
     bucketed join both Catalyst and AQE know how to distribute.
+
+    ``num_planes=None`` (default) auto-sizes the bucket count from the
+    corpus cardinality (see resolve_num_planes) so bucket occupancy —
+    and with it within-bucket pair work — stays flat as the corpus grows
+    instead of going quadratic at a fixed dial. Pass an explicit int to
+    pin the bucket layout (oracle twins do). Corpus count and vector dim
+    come from ONE probe job, shared by both bucketing passes.
     """
     corpus = spread(corpus)
-    cb = hyperplane_lsh_buckets(corpus, num_planes, vec_col, id_col)
-    qb = hyperplane_lsh_buckets(queries, num_planes, vec_col, id_col)
+    probe = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size(F.col(vec_col))).alias("dim"),
+    ).first()
+    if num_planes is None:
+        num_planes = resolve_num_planes(probe["n"])
+    cb = hyperplane_lsh_buckets(
+        corpus, num_planes, vec_col, id_col, dim=probe["dim"]
+    )
+    qb = hyperplane_lsh_buckets(
+        queries, num_planes, vec_col, id_col, dim=probe["dim"]
+    )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")).join(
         cb.withColumnRenamed("id", "neighbor_id"), "neighbor_id"
     ).withColumn("cnrm", l2_norm(F.col("cv")))
@@ -828,7 +896,7 @@ def label_centroid_stats(
 def knn_label_accuracy(
     df: DataFrame,
     k: int = 5,
-    num_planes: int = 8,
+    num_planes: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str = "label",
@@ -840,18 +908,29 @@ def knn_label_accuracy(
 
     NO all-pairs product: candidates come from the same equi-join on the
     hyperplane bucket that backs cosine_topk_bucketed, so cost scales with
-    bucket occupancy, not n^2. Vectors alone in their bucket are
-    unclassifiable and excluded (reported coverage = n_classified).
-    Majority ties break toward the smaller label; neighbor ties toward the
-    smaller id. Returns (label, n_classified, n_correct, accuracy).
+    bucket occupancy, not n^2 — and ``num_planes=None`` (default)
+    auto-sizes the bucket count from the corpus cardinality
+    (resolve_num_planes) so occupancy stays near-constant as the corpus
+    grows; pass an int to pin the layout (oracle twins do). Vectors alone
+    in their bucket are unclassifiable and excluded (reported coverage =
+    n_classified). Majority ties break toward the smaller label; neighbor
+    ties toward the smaller id. Returns (label, n_classified, n_correct,
+    accuracy).
     """
     base = spread(df).select(
         F.col(id_col).alias("_id"),
         F.col(label_col).alias("_lbl"),
         _as_double(vec_col).alias("_v"),
     )
+    probe = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size(F.col("_v"))).alias("dim"),
+    ).first()
+    if num_planes is None:
+        num_planes = resolve_num_planes(probe["n"])
     bk = hyperplane_lsh_buckets(
-        base.withColumnRenamed("_v", vec_col), num_planes, vec_col, "_id"
+        base.withColumnRenamed("_v", vec_col), num_planes, vec_col, "_id",
+        dim=probe["dim"],
     ).withColumnRenamed("id", "_id")
     v = (
         base.join(bk, "_id")
@@ -1054,13 +1133,19 @@ def quantized_cosine_topk(
     dot stays < 2^37, nowhere near overflow), and the final
     divide+sqrt are correctly-rounded IEEE ops, making the ranking
     bit-reproducible across engines (exact DuckDB twin, no tolerance).
-    Same broadcast-queries shape as cosine_topk: the corpus scan stays
-    shuffle-free; at 100 TB the win is the 4x smaller corpus-side
+    Same broadcast-queries shape as cosine_topk — and the same ENFORCED
+    queries << corpus contract (> _MAX_BROADCAST_QUERIES raises before
+    any work; broadcast hints bypass autoBroadcastJoinThreshold, so an
+    unchecked large query side would OOM executors): the corpus scan
+    stays shuffle-free; at 100 TB the win is the 4x smaller corpus-side
     payload in memory and in the broadcast.
 
     Returns (query_id, neighbor_id, qcosine, rank), self-matches
     excluded, rank by (qcosine desc, neighbor_id asc).
     """
+    _require_small_query_side(
+        queries.select(F.col(id_col)), "quantized_cosine_topk"
+    )
     c = quantize_embeddings(spread(corpus), vec_col, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("codes").alias("cc")
     )
@@ -1109,9 +1194,13 @@ def quantization_quality_report(
 
     The pre-flight check before switching a serving path to quantized
     vectors: every ``query_mod``-th vector queries both rankings and the
-    report gives mean overlap@k plus the corpus-wide max per-component
-    reconstruction error bound (max scale / 2). All-integer overlap
-    counting; one row out.
+    report gives the overlap@k hit count plus the corpus-wide max
+    per-component reconstruction error bound (max scale / 2, from
+    quantize_embeddings). All-integer overlap counting; one row out of
+    ONE action — n_queries rides the same aggregation as the hit total
+    (left join from the query-id set, so zero-hit queries still count),
+    and the error bound is a broadcast-crossJoined 1-row aggregate, not
+    a separate driver count() job.
     """
     queries = df.filter(F.col(id_col) % query_mod == 0)
     exact = cosine_topk(df, queries, k, vec_col, id_col).select(
@@ -1125,12 +1214,24 @@ def quantization_quality_report(
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("hits"))
     )
-    n_queries = queries.select(F.col(id_col)).distinct().count()
-    agg = overlap.agg(
-        F.coalesce(F.sum("hits"), F.lit(0)).cast("long").alias("total_hits")
+    per_query = queries.select(F.col(id_col).alias("query_id")).join(
+        overlap, "query_id", "left"
     )
-    return agg.select(
-        F.lit(n_queries).cast("long").alias("n_queries"),
-        F.lit(k).cast("long").alias("k"),
-        "total_hits",
+    err_bound = quantize_embeddings(df, vec_col, id_col).agg(
+        (F.max("scale") / F.lit(2.0)).alias("max_err_bound")
+    )
+    return (
+        per_query.agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.coalesce(F.sum("hits"), F.lit(0))
+            .cast("long")
+            .alias("total_hits"),
+        )
+        .crossJoin(F.broadcast(err_bound))
+        .select(
+            "n_queries",
+            F.lit(k).cast("long").alias("k"),
+            "total_hits",
+            "max_err_bound",
+        )
     )

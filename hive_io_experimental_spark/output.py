@@ -128,7 +128,9 @@ class HiveOutput:
         df, meter = self._metered(df)
 
         if self.catalog.is_versioned(desc):
-            self._write_versioned(desc, schema, spec, df)
+            self._write_versioned(
+                desc, schema, spec, df, on_written=meter.mark_done
+            )
             self.last_write_stats = meter.stats()
             return
 
@@ -152,6 +154,7 @@ class HiveOutput:
             df.write.mode("overwrite" if exists else "errorifexists").options(
                 **opts
             ).format(fmt).save(part_path)
+            meter.mark_done()
             stats = self._stats_for(part_path, fmt, schema)
             if exists:
                 self.catalog.drop_partition(desc, spec.partition_values)
@@ -159,6 +162,7 @@ class HiveOutput:
         else:
             self._check_table_is_empty(location)
             df.write.mode("append").options(**opts).format(fmt).save(location)
+            meter.mark_done()
         self.last_write_stats = meter.stats()
 
     def write_dynamic(
@@ -216,7 +220,8 @@ class HiveOutput:
         body, meter = self._metered(body)
         if self.catalog.is_versioned(desc):
             out = self._write_dynamic_versioned(
-                desc, schema, body, specs, drop_partitions, row_counts
+                desc, schema, body, specs, drop_partitions, row_counts,
+                on_written=meter.mark_done,
             )
             self.last_write_stats = meter.stats()
             return out
@@ -241,6 +246,7 @@ class HiveOutput:
             .option("partitionOverwriteMode", "dynamic")
         )
         writer.format(fmt).save(location)
+        meter.mark_done()
         for s in specs:
             part_path = Catalog.partition_path(location, s)
             stats = self._stats_for(
@@ -310,7 +316,7 @@ class HiveOutput:
 
     def _write_versioned(
         self, desc: TableDesc, schema: HiveTableSchema, spec: WriteSpec,
-        df: DataFrame,
+        df: DataFrame, on_written=None,
     ) -> None:
         from hive_io_experimental_spark.sources.formats import writer_options
 
@@ -336,6 +342,8 @@ class HiveOutput:
             df.write.mode("errorifexists").options(**opts).format(fmt).save(
                 snap_path
             )
+            if on_written is not None:
+                on_written()
             stats = self._stats_for(snap_path, fmt, schema)
             manifest = self._manifest_dicts(
                 [p for p in prior if p.values != spec.partition_values]
@@ -357,6 +365,8 @@ class HiveOutput:
             df.write.mode("errorifexists").options(**opts).format(fmt).save(
                 snap_path
             )
+            if on_written is not None:
+                on_written()
             stats = self._stats_for(snap_path, fmt, schema)
             manifest = [
                 {"values": {}, "location": snap_path, "stats": vars(stats)}
@@ -419,7 +429,7 @@ class HiveOutput:
     def _write_dynamic_versioned(
         self, desc: TableDesc, schema: HiveTableSchema, body: DataFrame,
         specs: list[dict[str, str]], drop_partitions: bool,
-        row_counts: dict | None = None,
+        row_counts: dict | None = None, on_written=None,
     ) -> list[dict[str, str]]:
         import shutil
 
@@ -449,6 +459,8 @@ class HiveOutput:
             .format(fmt)
             .save(staging)
         )
+        if on_written is not None:
+            on_written()
         written = set()
         manifest = self._manifest_dicts(
             [p for p in prior if p.values not in specs]

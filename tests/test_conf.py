@@ -79,3 +79,22 @@ def test_hist_bucket_conf_drives_bucket_width(spark):
         assert inc.hourly_histogram_state(df).collect()[0].bucket == 7
     finally:
         spark.conf.unset(conf.HIST_BUCKET_E4.key)
+
+
+def test_reuse_rejects_unknown_strategy(spark):
+    """A typo in hiveio.reuse.strategy must fail loud, not silently hand
+    the user lineage-truncating checkpoint semantics when they thought
+    they opted into fault-tolerant 'recompute'."""
+    import pytest
+
+    from hive_io_experimental_spark.functions.reuse import reuse
+
+    df = spark.range(3)
+    try:
+        conf.REUSE_STRATEGY.set(spark, "recmpute")
+        with pytest.raises(ValueError, match="reuse.strategy"):
+            reuse(df)
+        conf.REUSE_STRATEGY.set(spark, "recompute")
+        assert reuse(df) is df  # pure lineage: frame passes through
+    finally:
+        spark.conf.unset(conf.REUSE_STRATEGY.key)

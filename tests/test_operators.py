@@ -1619,3 +1619,67 @@ def test_quantized_cosine_topk_matches_exact_ranking(spark, sf_dir):
     rep = quantization_quality_report(emb, k=10, query_mod=50).first()
     assert rep.n_queries == n_q and rep.k == 10
     assert rep.total_hits == hits
+
+
+def test_broadcast_topk_guard_rejects_large_query_side(spark):
+    """EVERY broadcast top-k path enforces the queries << corpus contract
+    (strict-precondition style, HiveApiOutputFormat.java:240-262): an
+    explicit broadcast hint bypasses autoBroadcastJoinThreshold, so a
+    too-large query side must raise — pointing at the bucketed variant —
+    BEFORE any join or collect, instead of OOMing executors."""
+    from hive_io_experimental_spark.operators import similarity
+
+    vec = F.array(F.lit(1.0), F.lit(2.0)).alias("embedding")
+    corpus = spark.range(10).select(F.col("id").alias("vec_id"), vec)
+    big = spark.range(similarity._MAX_BROADCAST_QUERIES + 1).select(
+        F.col("id").alias("vec_id"), vec
+    )
+    with pytest.raises(ValueError, match="cosine_topk_bucketed"):
+        similarity.cosine_topk(corpus, big, k=3)
+    with pytest.raises(ValueError, match="cosine_topk_bucketed"):
+        similarity.cosine_topk(corpus, big, k=3, use_pandas=True)
+    with pytest.raises(ValueError, match="cosine_topk_bucketed"):
+        similarity.quantized_cosine_topk(corpus, big, k=3)
+
+
+def test_resolve_num_planes_scales_with_corpus():
+    """Auto-sized LSH: the plane count tracks log2(n/target) so bucket
+    occupancy — and within-bucket pair work — stays near-flat as the
+    corpus grows, while small corpora keep the r7 dial (8 planes), which
+    also pins the oracle-twin bucket layout at sf0.01/sf0.1."""
+    from hive_io_experimental_spark.operators.similarity import (
+        resolve_num_planes,
+    )
+
+    assert resolve_num_planes(0) == 8
+    assert resolve_num_planes(500) == 8       # sf0.01: oracle-twin dial
+    assert resolve_num_planes(2_000) == 8     # sf0.1: bench dial unchanged
+    assert resolve_num_planes(20_000) == 9    # sf1
+    assert resolve_num_planes(200_000) == 12  # sf10
+    assert resolve_num_planes(10**9) == 24    # 1B vectors: 16M buckets
+    assert resolve_num_planes(2**40) == 30    # int-shift clamp
+
+
+def test_temperature_mixture_sample_collision_proof_helpers(spark):
+    """Caller columns named like the sampler's internal helpers must not
+    break the broadcast join or the final select(*df.columns)."""
+    from hive_io_experimental_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    rows = [(i, "en", 7, 8) for i in range(400)] + [
+        (1000 + i, "sw", 7, 8) for i in range(50)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, _tms_n long, _n long"
+    )
+    kept = temperature_mixture_sample(docs, temperature=0.5)
+    assert kept.columns == docs.columns
+    by = {
+        r.lang: r.n
+        for r in kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert by["sw"] == 50          # smallest group kept whole
+    assert 0 < by["en"] < 400      # larger group downsampled

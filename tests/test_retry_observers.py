@@ -120,3 +120,23 @@ def test_write_meter_observes_write_table(spark, warehouse, sf_dir):
     )
     out.write_dynamic("default.obs_dyn", nation)
     assert out.last_write_stats.n_rows == 25
+
+
+def test_write_meter_freezes_wall_clock_at_write_action(spark, sf_dir):
+    """mark_done pins elapsed at the action boundary: post-write driver
+    work (stats re-reads, catalog registration) is not billed to the
+    write job — the 'observed DURING the write job' contract — and
+    stats() is stable across later calls. mark_done is idempotent."""
+    import time as _time
+
+    from hive_io_experimental_spark.observers import WriteMeter
+
+    meter = WriteMeter()
+    df = meter.attach(spark.read.parquet(f"{sf_dir}/region.parquet"))
+    df.write.format("noop").mode("overwrite").save()
+    meter.mark_done()
+    s1 = meter.stats().seconds
+    _time.sleep(0.2)
+    assert meter.stats().seconds == s1  # frozen at the mark, not now()
+    meter.mark_done()                   # second call: first mark wins
+    assert meter.stats().seconds == s1
