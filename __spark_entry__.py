@@ -2035,6 +2035,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "embeddings").filter(F.col("vec_id") % 100 == 0),
         k=10,
     )
+    # the no-broadcast scale path for the int8 tier: LSH-bucketed
+    # candidates + exact int64 code scoring — where the guarded broadcast
+    # paths route large query sets. Query side deliberately DENSER
+    # (every 20th vector) than the broadcast gates: this operator exists
+    # for big query sets.
+    q["similarity_quantized_bucketed"] = lambda spark, sf: similarity.quantized_cosine_topk_bucketed(
+        _t(spark, sf, "embeddings"),
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") % 20 == 0),
+        k=10,
+    )
     q["label_centroid_stats"] = lambda spark, sf: similarity.label_centroid_stats(
         _t(spark, sf, "embeddings")
     )
@@ -2110,9 +2120,11 @@ _CHECK_FIRST = [
     # sampling + packing
     "distmatch_sample_docs", "temperature_mixture_sample",
     "pack_sequences", "pack_sequences_greedy",
-    # embedding tier
+    # embedding tier (+ the gate NEW this round — in the window from
+    # birth so it never joins a never-checked backlog, the r7 lesson)
     "dedup_embedding_clusters", "label_centroid_stats",
     "knn_label_accuracy", "similarity_quantized_topk",
+    "similarity_quantized_bucketed",
     # ---- 21 veterans: r8-touched paths + the stalest (r1-only) gates ----
     # similarity family: cosine_topk grew the broadcast-queries guard,
     # the bucketed family auto-sizes planes — re-verify the whole tier
@@ -2122,9 +2134,11 @@ _CHECK_FIRST = [
     "column_profile", "lang_id", "token_histogram", "doc_winnowing",
     "doc_fingerprint", "multimodal_resize", "multimodal_frame_sample",
     "multimodal_features",
-    # single-round veterans from r4/r5 windows
+    # single-round veterans from r4/r5 windows (snapshot_diff_cdc ceded
+    # its slot to the new quantized-bucketed gate — the versioned-write
+    # path already has four core reps in-window)
     "active_user_trends", "dedup_simhash_pairs", "dedup_minhash_lsh",
-    "dedup_simhash", "bloom_join_prune", "snapshot_diff_cdc",
+    "dedup_simhash", "bloom_join_prune",
     "data_expectations", "max_concurrent_sessions",
 ]
 
@@ -4164,6 +4178,47 @@ def oracle_sql() -> dict[str, str]:
                                 / (sqrt(q.nn) * sqrt(c.nn)), 6) AS qcosine
                    FROM n c JOIN n q
                      ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id),
+        ranked AS (SELECT query_id, neighbor_id, qcosine,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY qcosine DESC,
+                                                      neighbor_id ASC)
+                            AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, qcosine, rank
+        FROM ranked WHERE rank <= 10"""
+
+    # int8 codes + LSH bucket restriction (quantized_cosine_topk_bucketed):
+    # the same md5-derived 8-plane buckets as similarity_topk_bucketed
+    # (resolve_num_planes gives 8 at this corpus size) composed with the
+    # same IEEE-exact quantizer as similarity_quantized_topk — both stages
+    # deterministic, so the twin checks values with zero tolerance
+    o["similarity_quantized_bucketed"] = f"""
+        WITH v0 AS (SELECT vec_id,
+                           list_transform(embedding,
+                                          x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+        vp AS (SELECT vec_id, v, {plane_lists} FROM v0),
+        b AS (SELECT vec_id, v, CAST({plane_terms} AS BIGINT) AS bucket
+              FROM vp),
+        s AS (SELECT vec_id, bucket, v,
+                     list_max(list_transform(v, x -> abs(x))) / 127.0
+                       AS scale
+              FROM b),
+        codes AS (SELECT vec_id, bucket,
+                         CASE WHEN scale = 0
+                              THEN list_transform(v, x -> 0.0)
+                              ELSE list_transform(
+                                     v, x -> floor(x / scale + 0.5)) END
+                           AS c
+                  FROM s),
+        n AS (SELECT vec_id, bucket, c, list_dot_product(c, c) AS nn
+              FROM codes),
+        scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                          ROUND(list_dot_product(q.c, c.c)
+                                / (sqrt(q.nn) * sqrt(c.nn)), 6) AS qcosine
+                   FROM n c JOIN n q
+                     ON q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
+                        AND q.bucket = c.bucket),
         ranked AS (SELECT query_id, neighbor_id, qcosine,
                           ROW_NUMBER() OVER (PARTITION BY query_id
                                              ORDER BY qcosine DESC,

@@ -106,8 +106,9 @@ def _require_small_query_side(q: DataFrame, caller: str) -> None:
         raise ValueError(
             f"{caller} broadcasts the query side to every task; got > "
             f"{_MAX_BROADCAST_QUERIES} query vectors. Use "
-            f"cosine_topk_bucketed (LSH candidate generation) for large "
-            f"query sets."
+            f"cosine_topk_bucketed or quantized_cosine_topk_bucketed "
+            f"(LSH candidate generation, no broadcast) for large query "
+            f"sets."
         )
 
 
@@ -1152,17 +1153,43 @@ def quantized_cosine_topk(
     q = quantize_embeddings(queries, vec_col, id_col).select(
         F.col(id_col).alias("query_id"), F.col("codes").alias("qc")
     )
-    isum = lambda col: F.aggregate(  # noqa: E731 — int64 fold
-        col, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
-    )
     c = c.withColumn(
-        "cn", isum(F.transform(F.col("cc"), lambda x: x * x))
+        "cn", _int64_fold(F.transform(F.col("cc"), lambda x: x * x))
     )
     q = q.withColumn(
-        "qn", isum(F.transform(F.col("qc"), lambda x: x * x))
+        "qn", _int64_fold(F.transform(F.col("qc"), lambda x: x * x))
     )
-    dot = isum(F.zip_with(F.col("qc"), F.col("cc"), lambda a, b: a * b))
-    qcos = F.round(
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", _quantized_cosine().alias("qcosine")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _int64_fold(col):
+    """Exact int64 sum fold over an int array column (codes fit: max
+    |code| = 127, so even 4096-dim dots stay < 2^37)."""
+    return F.aggregate(
+        col, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+    )
+
+
+def _quantized_cosine():
+    """Cosine from int64 code dot/norm columns (qc/cc/qn/cn): the
+    per-vector quantization scales cancel, so this is exact integer
+    arithmetic up to the final correctly-rounded divide+sqrt."""
+    dot = _int64_fold(
+        F.zip_with(F.col("qc"), F.col("cc"), lambda a, b: a * b)
+    )
+    return F.round(
         F.try_divide(
             dot.cast("double"),
             F.sqrt(F.col("qn").cast("double"))
@@ -1170,10 +1197,64 @@ def quantized_cosine_topk(
         ),
         6,
     )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", qcos.alias("qcosine"))
+
+
+def quantized_cosine_topk_bucketed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k over int8 codes with LSH-bucketed candidates —
+    the production ANN shape for LARGE query sets at corpus scale.
+
+    This is where the guarded broadcast paths (cosine_topk,
+    quantized_cosine_topk) send callers whose query side exceeds the
+    broadcast cap: candidates come from an equi-join on the hyperplane
+    bucket (no query-side broadcast, no cap — Catalyst/AQE distribute
+    the join), the corpus payload is the 4x-smaller int8 codes, planes
+    auto-size with the corpus (resolve_num_planes) so bucket occupancy
+    stays flat as data grows, and within-bucket scoring is the same
+    exact int64 arithmetic as quantized_cosine_topk — scales cancel in
+    cosine, so the DuckDB twin checks values with zero tolerance.
+
+    Returns (query_id, neighbor_id, qcosine, rank); recall < 1 by
+    bucket construction, like cosine_topk_bucketed.
+    """
+    corpus = spread(corpus)
+    probe = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size(F.col(vec_col))).alias("dim"),
+    ).first()
+    if num_planes is None:
+        num_planes = resolve_num_planes(probe["n"])
+    cb = hyperplane_lsh_buckets(
+        corpus, num_planes, vec_col, id_col, dim=probe["dim"]
+    ).withColumnRenamed("id", "neighbor_id")
+    qb = hyperplane_lsh_buckets(
+        queries, num_planes, vec_col, id_col, dim=probe["dim"]
+    ).withColumnRenamed("id", "query_id").withColumnRenamed(
+        "bucket", "_qbucket"
     )
+    c = (
+        quantize_embeddings(corpus, vec_col, id_col)
+        .select(F.col(id_col).alias("neighbor_id"), F.col("codes").alias("cc"))
+        .join(cb, "neighbor_id")
+        .withColumn("cn", _int64_fold(F.transform(F.col("cc"), lambda x: x * x)))
+    )
+    q = (
+        quantize_embeddings(queries, vec_col, id_col)
+        .select(F.col(id_col).alias("query_id"), F.col("codes").alias("qc"))
+        .join(qb, "query_id")
+        .withColumn("qn", _int64_fold(F.transform(F.col("qc"), lambda x: x * x)))
+    )
+    scored = c.join(
+        q,
+        (F.col("bucket") == F.col("_qbucket"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).select("query_id", "neighbor_id", _quantized_cosine().alias("qcosine"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("qcosine").desc(), F.col("neighbor_id").asc()
     )

@@ -1683,3 +1683,43 @@ def test_temperature_mixture_sample_collision_proof_helpers(spark):
     }
     assert by["sw"] == 50          # smallest group kept whole
     assert 0 < by["en"] < 400      # larger group downsampled
+
+
+def test_quantized_cosine_topk_bucketed_scores_and_restricts(spark, sf_dir):
+    """The no-broadcast int8 ANN path: every returned pair shares an LSH
+    bucket, ranks are contiguous per query, self-matches are excluded,
+    and the int8 scores agree EXACTLY with quantized_cosine_topk for
+    pairs both paths return (same quantizer, same fold)."""
+    from collections import defaultdict
+
+    from hive_io_experimental_spark.operators.similarity import (
+        hyperplane_lsh_buckets,
+        quantized_cosine_topk,
+        quantized_cosine_topk_bucketed,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    rows = quantized_cosine_topk_bucketed(emb, queries, k=10).collect()
+    assert rows
+    buckets = {r.id: r.bucket for r in hyperplane_lsh_buckets(emb).collect()}
+    byq = defaultdict(list)
+    for r in rows:
+        assert r.query_id != r.neighbor_id
+        assert buckets[r.query_id] == buckets[r.neighbor_id]
+        byq[r.query_id].append(r.rank)
+    for ranks in byq.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+    exact = {
+        (r.query_id, r.neighbor_id): r.qcosine
+        for r in quantized_cosine_topk(
+            emb, emb.filter(F.col("vec_id") % 20 == 0), k=10
+        ).collect()
+    }
+    shared = [
+        r for r in rows if (r.query_id, r.neighbor_id) in exact
+    ]
+    assert shared  # bucket restriction keeps a real slice of the exact set
+    for r in shared:
+        assert r.qcosine == exact[(r.query_id, r.neighbor_id)]

@@ -1,0 +1,78 @@
+"""Quantized-ANN promotion gate: recall@k of int8 cosine vs exact fp32
+at a REAL scale (default scaledata/sf1, 20k vectors / 400 queries), not
+just the sf0.01 fixture the pytest floor uses.
+
+The r7 verdict's promotion criterion for the quantized tier: measure
+quantization_quality_report end-to-end at sf1 and commit the report row
+alongside the scaling record. This writes/updates the
+"quantization_quality" key inside BENCH_SCALING.json:
+
+    {"dir": ..., "n_queries": ..., "k": ..., "total_hits": ...,
+     "recall_at_k": ..., "max_err_bound": ..., "threshold": 0.8,
+     "pass": true}
+
+Threshold: recall@10 >= 0.8, the same floor the unit test pins at
+sf0.01 (tests/test_operators.py::test_quantized_cosine_topk_*) — int8
+with per-vector scales loses at most ~1/254 per component, which on
+these embeddings keeps >=80% of the exact neighbor set.
+
+Usage: python tools/quantization_report.py [sf_dir] [--out FILE]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, ".")
+
+THRESHOLD = 0.8
+
+
+def main() -> int:
+    args = list(sys.argv[1:])
+    out_path = "BENCH_SCALING.json"
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "./scaledata/sf1"
+
+    from hive_io_experimental_spark import get_spark
+    from hive_io_experimental_spark.operators.similarity import (
+        quantization_quality_report,
+    )
+
+    spark = get_spark(
+        "quant-report", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    row = quantization_quality_report(emb, k=10, query_mod=50).first()
+    recall = row.total_hits / (row.n_queries * row.k)
+    report = {
+        "dir": sf_dir,
+        "n_queries": int(row.n_queries),
+        "k": int(row.k),
+        "total_hits": int(row.total_hits),
+        "recall_at_k": round(recall, 4),
+        "max_err_bound": round(float(row.max_err_bound), 6),
+        "threshold": THRESHOLD,
+        "pass": recall >= THRESHOLD,
+    }
+    spark.stop()
+
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            doc = json.load(f)
+    else:
+        doc = {}
+    doc["quantization_quality"] = report
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+    print(json.dumps(report))
+    return 0 if report["pass"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
