@@ -2045,6 +2045,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "embeddings").filter(F.col("vec_id") % 20 == 0),
         k=10,
     )
+    # IVF-SQ8: inverted-file pruning (same deterministic sampled
+    # quantizer as similarity_ivf_topk) + int8 in-list scoring — both
+    # stages SQL-expressible, so the twin composes them exactly
+    q["similarity_ivf_quantized"] = lambda spark, sf: similarity.ivf_quantized_topk(
+        _t(spark, sf, "embeddings"),
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") % 100 == 0),
+        k=5,
+    )
     q["label_centroid_stats"] = lambda spark, sf: similarity.label_centroid_stats(
         _t(spark, sf, "embeddings")
     )
@@ -2120,11 +2128,12 @@ _CHECK_FIRST = [
     # sampling + packing
     "distmatch_sample_docs", "temperature_mixture_sample",
     "pack_sequences", "pack_sequences_greedy",
-    # embedding tier (+ the gate NEW this round — in the window from
-    # birth so it never joins a never-checked backlog, the r7 lesson)
+    # embedding tier (+ the TWO gates new this round — in the window
+    # from birth so they never join a never-checked backlog, the r7
+    # lesson)
     "dedup_embedding_clusters", "label_centroid_stats",
     "knn_label_accuracy", "similarity_quantized_topk",
-    "similarity_quantized_bucketed",
+    "similarity_quantized_bucketed", "similarity_ivf_quantized",
     # ---- 21 veterans: r8-touched paths + the stalest (r1-only) gates ----
     # similarity family: cosine_topk grew the broadcast-queries guard,
     # the bucketed family auto-sizes planes — re-verify the whole tier
@@ -2134,12 +2143,13 @@ _CHECK_FIRST = [
     "column_profile", "lang_id", "token_histogram", "doc_winnowing",
     "doc_fingerprint", "multimodal_resize", "multimodal_frame_sample",
     "multimodal_features",
-    # single-round veterans from r4/r5 windows (snapshot_diff_cdc ceded
-    # its slot to the new quantized-bucketed gate — the versioned-write
-    # path already has four core reps in-window)
+    # single-round veterans from r4/r5 windows (snapshot_diff_cdc and
+    # max_concurrent_sessions ceded their slots to the two new quantized
+    # gates — the versioned-write and funnel families keep core reps
+    # in-window; both return in r9)
     "active_user_trends", "dedup_simhash_pairs", "dedup_minhash_lsh",
     "dedup_simhash", "bloom_join_prune",
-    "data_expectations", "max_concurrent_sessions",
+    "data_expectations",
 ]
 
 
@@ -4134,6 +4144,48 @@ def oracle_sql() -> dict[str, str]:
                             AS rank
                    FROM scored)
         SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5"""
+
+    # IVF-SQ8 twin: the similarity_ivf_topk assignment/probe CTEs
+    # composed with the int8 quantizer CTEs — candidates from the fp32
+    # coarse quantizer, scores from exact int64 code arithmetic
+    o["similarity_ivf_quantized"] = f"""
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        cents AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id % 50 = 0),
+        ca AS (SELECT s.vec_id, c.cid,
+                      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                         ORDER BY {_CCOS} DESC, c.cid ASC) AS rn
+               FROM v s CROSS JOIN cents c),
+        assigned AS (SELECT vec_id, cid FROM ca WHERE rn = 1),
+        qa AS (SELECT s.vec_id AS qid, c.cid,
+                      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                         ORDER BY {_CCOS} DESC, c.cid ASC) AS rn
+               FROM v s CROSS JOIN cents c WHERE s.vec_id % 100 = 0),
+        probe AS (SELECT qid, cid FROM qa WHERE rn <= 2),
+        sc AS (SELECT vec_id, v,
+                      list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+               FROM v),
+        codes AS (SELECT vec_id,
+                         CASE WHEN scale = 0
+                              THEN list_transform(v, x -> 0.0)
+                              ELSE list_transform(
+                                     v, x -> floor(x / scale + 0.5)) END AS c
+                  FROM sc),
+        n AS (SELECT vec_id, c, list_dot_product(c, c) AS nn FROM codes),
+        scored AS (SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+                          ROUND(list_dot_product(qn.c, an.c)
+                                / (sqrt(qn.nn) * sqrt(an.nn)), 6) AS qcosine
+                   FROM probe p
+                   JOIN assigned a ON p.cid = a.cid AND p.qid <> a.vec_id
+                   JOIN n an ON an.vec_id = a.vec_id
+                   JOIN n qn ON qn.vec_id = p.qid),
+        ranked AS (SELECT query_id, neighbor_id, qcosine,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY qcosine DESC,
+                                                      neighbor_id ASC) AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, qcosine, rank
+        FROM ranked WHERE rank <= 5"""
 
     o["similarity_topk_bucketed"] = f"""
         WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

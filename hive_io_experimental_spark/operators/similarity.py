@@ -685,30 +685,33 @@ def _assign_pandas(
     return side.mapInPandas(assign, schema)
 
 
-def _ivf_search(
+def _ivf_assign(
     corpus: DataFrame,
     queries: DataFrame,
     centroids: DataFrame,
-    k: int,
     nprobe: int,
     vec_col: str,
     id_col: str,
     use_pandas: bool = True,
-) -> DataFrame:
-    """Shared IVF machinery: assign -> probe -> list-equi-join -> rank.
+) -> tuple[DataFrame, DataFrame]:
+    """Shared assign/probe stage: returns (inverted, probes).
 
-    ``centroids`` must have columns (cid, cv: array<double>).
+    inverted: (cid, neighbor_id, nv, nnrm) — every corpus vector in its
+    nearest-centroid list; probes: (cid, query_id, qv, qnrm) — each
+    query replicated to its ``nprobe`` nearest lists. Assignment runs as
+    the Arrow/BLAS map-side pass by default (broadcast centroid matrix,
+    zero corpus-side exchange); ``use_pandas=False`` keeps the
+    relational (oracle cross-check) form. Both scoring tiers — fp32
+    (_ivf_search) and int8 (ivf_quantized_topk) — build on this.
 
-    Assignment DEFAULTS to the Arrow/BLAS map-side twin (broadcast
-    centroid matrix, one matmul + argmax per batch, ZERO corpus-side
-    exchanges): the relational variant crossJoins the corpus against the
-    centroids and ranks with a window over ``sid`` — a shuffle of
-    corpus x n_centroids rows, an 8-64x amplification for an argmax at
-    100 TB (r5 audit). ``use_pandas=False`` keeps the relational form as
-    the oracle cross-check tier (every intermediate SQL-expressible);
-    equivalence of the two is pinned by
-    test_ivf_pandas_assignment_matches_relational.
+    The probe table (queries x nprobe) is broadcast by the scoring
+    joins, so the queries-<<-corpus contract is enforced here once for
+    every IVF path — same strict-precondition discipline as the exact
+    broadcast top-ks.
     """
+    _require_small_query_side(
+        queries.select(F.col(id_col)), "IVF top-k (broadcast probes)"
+    )
     cents = F.broadcast(centroids.withColumn("cnrm", l2_norm(F.col("cv"))))
 
     def nearest(side: DataFrame, sid: str, vname: str, nrmname: str, keep: int):
@@ -736,7 +739,36 @@ def _ivf_search(
 
     inverted = nearest(c, "neighbor_id", "nv", "nnrm", keep=1)
     probes = nearest(q, "query_id", "qv", "qnrm", keep=nprobe)
+    return inverted, probes
 
+
+def _ivf_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int,
+    vec_col: str,
+    id_col: str,
+    use_pandas: bool = True,
+) -> DataFrame:
+    """Shared IVF machinery: assign -> probe -> list-equi-join -> rank.
+
+    ``centroids`` must have columns (cid, cv: array<double>).
+
+    Assignment DEFAULTS to the Arrow/BLAS map-side twin (broadcast
+    centroid matrix, one matmul + argmax per batch, ZERO corpus-side
+    exchanges): the relational variant crossJoins the corpus against the
+    centroids and ranks with a window over ``sid`` — a shuffle of
+    corpus x n_centroids rows, an 8-64x amplification for an argmax at
+    100 TB (r5 audit). ``use_pandas=False`` keeps the relational form as
+    the oracle cross-check tier (every intermediate SQL-expressible);
+    equivalence of the two is pinned by
+    test_ivf_pandas_assignment_matches_relational.
+    """
+    inverted, probes = _ivf_assign(
+        corpus, queries, centroids, nprobe, vec_col, id_col, use_pandas
+    )
     cos = _pair_cosine("qv", "qnrm", "nv", "nnrm")
     scored = (
         inverted.join(F.broadcast(probes), "cid")
@@ -805,6 +837,146 @@ def cosine_topk_bucketed(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+def ivf_quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    centroid_stride: int = 50,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    use_pandas: bool = True,
+) -> DataFrame:
+    """IVF-SQ8: inverted-file candidate pruning + int8 in-list scoring —
+    the memory-lean serving tier (the FAISS "IVF,SQ8" shape).
+
+    Assignment and probing run on fp32 against the deterministic sampled
+    coarse quantizer (identical candidate structure to :func:`ivf_topk`,
+    BLAS map-side by default); the FINAL scoring pass reads only the
+    4x-smaller int8 codes and runs the same exact int64 arithmetic as
+    quantized_cosine_topk (per-vector scales cancel in cosine). Both
+    stages are deterministic, so the DuckDB twin composes the IVF
+    assignment SQL with the quantizer SQL and checks values with zero
+    tolerance. At 100 TB the wins stack: candidates shrink by
+    ~ncentroids/nprobe AND the scored payload shrinks 4x.
+
+    Returns (query_id, neighbor_id, qcosine, rank).
+    """
+    cents = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")
+    )
+    inverted, probes = _ivf_assign(
+        corpus, queries, cents, nprobe, vec_col, id_col, use_pandas
+    )
+    return _ivf_quantized_score(
+        corpus, queries, inverted, probes, k, vec_col, id_col
+    )
+
+
+def _ivf_quantized_score(
+    corpus: DataFrame,
+    queries: DataFrame,
+    inverted: DataFrame,
+    probes: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared IVF-SQ8 scoring: join the int8 codes onto the inverted
+    lists / probe table and rank by the exact int64 quantized cosine.
+    Used by both the sampled-quantizer and trained-quantizer tiers."""
+    cq = (
+        quantize_embeddings(spread(corpus), vec_col, id_col)
+        .select(F.col(id_col).alias("neighbor_id"), F.col("codes").alias("cc"))
+        .withColumn("cn", _int64_fold(F.transform(F.col("cc"), lambda x: x * x)))
+    )
+    qq = (
+        quantize_embeddings(queries, vec_col, id_col)
+        .select(F.col(id_col).alias("query_id"), F.col("codes").alias("qc"))
+        .withColumn("qn", _int64_fold(F.transform(F.col("qc"), lambda x: x * x)))
+    )
+    inv = inverted.select("cid", "neighbor_id").join(cq, "neighbor_id")
+    prb = probes.select("cid", "query_id").join(qq, "query_id")
+    scored = (
+        inv.join(F.broadcast(prb), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _quantized_cosine().alias("qcosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_quantized_topk_trained(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    seed: int = 7,
+    max_iter: int = 10,
+    sample_per_centroid: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-SQ8 with the KMeans-TRAINED coarse quantizer — the quality
+    path of :func:`ivf_quantized_topk`, same relationship
+    :func:`ivf_topk_trained` has to :func:`ivf_topk`.
+
+    The quantizer is fit driver-local on a bounded deterministic sample
+    (fit_spherical_kmeans); candidates come from the trained lists;
+    scoring reads only the int8 codes (exact int64, scales cancel).
+    Iterative fitting is not SQL-expressible, so like ivf_topk_trained
+    this has NO DuckDB oracle — tests bound recall against the
+    brute-force baseline instead.
+    """
+    cents = fit_spherical_kmeans(
+        corpus, n_centroids, seed, max_iter, sample_per_centroid,
+        vec_col, id_col,
+    )
+    inverted, probes = _ivf_assign(
+        corpus, queries, cents, nprobe, vec_col, id_col
+    )
+    return _ivf_quantized_score(
+        corpus, queries, inverted, probes, k, vec_col, id_col
+    )
+
+
+def cosine_topk_auto(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quantized: bool = False,
+) -> DataFrame:
+    """Route top-k by MEASURED query-side size — the serving entry point
+    that never OOMs and never errors on shape.
+
+    <= _MAX_BROADCAST_QUERIES query vectors -> the exact broadcast path
+    (cosine_topk / quantized_cosine_topk: corpus scan stays
+    shuffle-free); larger -> the LSH-bucketed path (cosine_topk_bucketed
+    / quantized_cosine_topk_bucketed: equi-join on auto-sized buckets,
+    recall < 1 by construction — the documented trade for unbounded
+    query sets). The size probe is the same bounded
+    limit(cap+1).count() the guards use, so routing costs one early-stop
+    job. ``quantized=True`` serves from int8 codes on either route
+    (score column ``qcosine``; fp32 routes emit ``cosine``).
+    """
+    n_q = queries.limit(_MAX_BROADCAST_QUERIES + 1).count()
+    if n_q <= _MAX_BROADCAST_QUERIES:
+        fn = quantized_cosine_topk if quantized else cosine_topk
+        return fn(corpus, queries, k, vec_col, id_col)
+    fn = (
+        quantized_cosine_topk_bucketed if quantized else cosine_topk_bucketed
+    )
+    return fn(corpus, queries, k, None, vec_col, id_col)
 
 
 def label_centroid_stats(

@@ -1723,3 +1723,110 @@ def test_quantized_cosine_topk_bucketed_scores_and_restricts(spark, sf_dir):
     assert shared  # bucket restriction keeps a real slice of the exact set
     for r in shared:
         assert r.qcosine == exact[(r.query_id, r.neighbor_id)]
+
+
+def test_cosine_topk_auto_routes_by_query_count(spark, sf_dir):
+    """The routed entry point: small query sets get the exact broadcast
+    ranking (identical rows to cosine_topk); a query side past the
+    broadcast cap does NOT raise — it routes to the bucketed path and
+    returns ranked results."""
+    from hive_io_experimental_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    small = emb.filter(F.col("vec_id") % 50 == 0)
+    got = sorted(
+        map(tuple, similarity.cosine_topk_auto(emb, small, k=5).collect())
+    )
+    exact = sorted(
+        map(tuple, similarity.cosine_topk(emb, small, k=5).collect())
+    )
+    assert got == exact
+
+    vec = F.array(F.lit(1.0), F.lit(2.0)).alias("embedding")
+    corpus = spark.range(10).select(F.col("id").alias("vec_id"), vec)
+    big = spark.range(
+        100_000, 100_000 + similarity._MAX_BROADCAST_QUERIES + 1
+    ).select(F.col("id").alias("vec_id"), vec)
+    routed = similarity.cosine_topk_auto(corpus, big, k=3)
+    assert "cosine" in routed.columns and "rank" in routed.columns
+    assert routed.filter(F.col("rank") == 1).count() > 0
+
+
+def test_ivf_quantized_topk_candidates_and_scores(spark, sf_dir):
+    """IVF-SQ8: candidate pairs are exactly ivf_topk's (same coarse
+    quantizer, same lists), int8 scores agree EXACTLY with the quantized
+    fold wherever both paths rank a pair, and ranks are contiguous."""
+    from collections import defaultdict
+
+    from hive_io_experimental_spark.operators.similarity import (
+        ivf_quantized_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    rows = ivf_quantized_topk(emb, queries, k=5).collect()
+    assert rows
+    byq = defaultdict(list)
+    for r in rows:
+        assert r.query_id != r.neighbor_id
+        byq[r.query_id].append(r.rank)
+    for ranks in byq.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+    # same candidate structure as the fp32 IVF: with a generous k the
+    # two paths must return identical (query, neighbor) candidate sets —
+    # only the score metric differs
+    big_k = 1000
+    qset = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_quantized_topk(emb, queries, k=big_k).collect()
+    }
+    fset = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=big_k).collect()
+    }
+    assert qset == fset
+
+
+def test_ivf_quantized_topk_trained_recall_floor(spark, sf_dir):
+    """Trained-quantizer IVF-SQ8: like ivf_topk_trained, no SQL oracle
+    (iterative k-means) — so (a) bound recall@5 against the exact
+    brute-force baseline with the same loose floor as the fp32 trained
+    test (synthetic vectors make ANN recall weak by nature), and (b)
+    pin the CANDIDATE sets of the int8 and fp32 trained paths equal at
+    a generous k — same seed -> same centroids -> same inverted lists;
+    only the score metric differs."""
+    from hive_io_experimental_spark.operators.similarity import (
+        cosine_topk,
+        ivf_quantized_topk_trained,
+        ivf_topk_trained,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_quantized_topk_trained(
+            emb, queries, k=5, nprobe=4
+        ).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.3, f"recall {recall:.2f}"
+
+    big_k = 1000
+    qset = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_quantized_topk_trained(
+            emb, queries, k=big_k, nprobe=2
+        ).collect()
+    }
+    fset = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk_trained(emb, queries, k=big_k, nprobe=2).collect()
+    }
+    assert qset == fset
