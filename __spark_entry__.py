@@ -1856,6 +1856,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["distmatch_sample_docs"] = _distmatch
 
+    # DSIR importance resampling (hashed unigram+bigram bags, target =
+    # the src0 slice): per-bucket log-ratio quantized ONCE to e6 BIGINT,
+    # per-doc weight a pure int64 sum — order-independent, hash-exact
+    q["dsir_weights"] = lambda spark, sf: sampling.dsir_importance_weights(
+        _t(spark, sf, "documents"),
+        _t(spark, sf, "documents").filter(F.col("source") == "src0"),
+    )
+    q["dsir_select"] = lambda spark, sf: sampling.dsir_select(
+        _t(spark, sf, "documents"),
+        _t(spark, sf, "documents").filter(F.col("source") == "src0"),
+        n=100,
+    )
+
     # ---- training export: packing / mixtures / representatives ----
     q["pack_sequences"] = lambda spark, sf: (
         packing.pack_sequences(_t(spark, sf, "documents"))
@@ -2128,16 +2141,19 @@ _CHECK_FIRST = [
     # sampling + packing
     "distmatch_sample_docs", "temperature_mixture_sample",
     "pack_sequences", "pack_sequences_greedy",
-    # embedding tier (+ the TWO gates new this round — in the window
+    # embedding tier (+ the FOUR gates new this round — in the window
     # from birth so they never join a never-checked backlog, the r7
-    # lesson)
+    # lesson; dsir_* are the round's DSIR importance-resampling pair)
     "dedup_embedding_clusters", "label_centroid_stats",
     "knn_label_accuracy", "similarity_quantized_topk",
     "similarity_quantized_bucketed", "similarity_ivf_quantized",
-    # ---- 21 veterans: r8-touched paths + the stalest (r1-only) gates ----
+    "dsir_weights", "dsir_select",
+    # ---- 19 veterans: r8-touched paths + the stalest (r1-only) gates ----
     # similarity family: cosine_topk grew the broadcast-queries guard,
-    # the bucketed family auto-sizes planes — re-verify the whole tier
-    "similarity_topk", "similarity_quality_topk", "similarity_lsh_buckets",
+    # the bucketed family auto-sizes planes — re-verify the tier's
+    # exact + IVF reps (quality_topk/lsh_buckets ceded their slots to
+    # the dsir pair; both return in r9 — the tier keeps 7 reps in-window)
+    "similarity_topk",
     "similarity_ivf_topk", "similarity_ivf_trained",
     # r1-only checks, never re-verified since
     "column_profile", "lang_id", "token_histogram", "doc_winnowing",
@@ -3190,6 +3206,52 @@ def oracle_sql() -> dict[str, str]:
                 < 100000000 * mn.n_min)
         SELECT lang, COUNT(*) AS n_kept FROM kept
         GROUP BY lang ORDER BY lang"""
+
+    # DSIR importance weights: hashed unigram+bigram bags (portable md5
+    # buckets), per-bucket log-ratio quantized once to e6 BIGINT (the
+    # two divisions are of exactly-representable integers — IEEE-pinned;
+    # only ln() is libm, absorbed by the quantization), per-doc weight a
+    # pure int64 SUM — accumulation-order-independent, hash-exact
+    _DSIR_H = _H64.format(x="'dsir:' || gram")
+    o["dsir_weights"] = f"""
+        WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (SELECT doc_id,
+                     unnest(list_concat(toks,
+                       CASE WHEN len(toks) >= 2 THEN
+                         list_transform(range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i+1])
+                       ELSE [] END)) AS gram
+              FROM tk),
+        b AS (SELECT doc_id, ({_DSIR_H}) % 4096 AS bucket FROM g),
+        tb AS (SELECT b.bucket FROM b JOIN documents d USING (doc_id)
+               WHERE d.source = 'src0'),
+        sc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cs
+               FROM b GROUP BY 1),
+        tc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct
+               FROM tb GROUP BY 1),
+        tot AS (SELECT
+                  (SELECT CAST(COALESCE(SUM(cs), 0) AS BIGINT) FROM sc) AS ns,
+                  (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) FROM tc) AS nt),
+        r AS (SELECT sc.bucket,
+                     CAST(ROUND(ln((CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE)
+                                    / CAST(tot.nt + 4096 AS DOUBLE))
+                                   / (CAST(sc.cs + 1 AS DOUBLE)
+                                      / CAST(tot.ns + 4096 AS DOUBLE)))
+                               * 1000000.0) AS BIGINT) AS lr_e6
+              FROM sc LEFT JOIN tc USING (bucket) CROSS JOIN tot)
+        SELECT b.doc_id, COUNT(*) AS n_feats,
+               CAST(SUM(r.lr_e6) AS BIGINT) AS weight_e6
+        FROM b JOIN r USING (bucket)
+        GROUP BY 1"""
+
+    # selection half: deterministic top-100 by (weight desc, id asc)
+    o["dsir_select"] = f"""
+        WITH w AS ({o["dsir_weights"]})
+        SELECT doc_id, n_feats, weight_e6,
+               ROW_NUMBER() OVER (ORDER BY weight_e6 DESC, doc_id ASC)
+                 AS rank
+        FROM w
+        QUALIFY rank <= 100"""
 
     # cumulative thresholds in sorted(label) order: test<100, train<9900
     _SPLIT_H = _H64.format(x="'split:' || CAST(doc_id AS VARCHAR)")

@@ -329,3 +329,173 @@ def temperature_mixture_sample(
         )
         keep = bucket < thr
     return joined.filter(keep).select(*df.columns)
+
+
+def _dsir_gram_buckets(
+    df: DataFrame,
+    n_buckets: int,
+    text_col: str,
+    id_col: str,
+    salt: str,
+) -> DataFrame:
+    """(doc_id, bucket) — one row per word unigram AND bigram occurrence,
+    hashed into ``n_buckets`` with the portable md5 family.
+
+    The hashed bag-of-ngrams feature map of DSIR (Xie et al., 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    unigrams + bigrams, counted (not distinct — repetition is signal for
+    a bag-of-ngrams model). One tokenization pass per document; the
+    bigram array is built from the materialized token column so the
+    tokenizer is not re-evaluated per shingle position.
+    """
+    from hive_io_experimental_spark.functions.partitioning import spread
+    from hive_io_experimental_spark.functions.textfns import (
+        word_shingles_from_tokens,
+        word_tokens,
+    )
+
+    toks = spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        word_tokens(F.col(text_col)).alias("toks"),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.col("toks"), word_shingles_from_tokens(F.col("toks"), 2)
+            )
+        ).alias("gram"),
+    )
+    return grams.select(
+        "doc_id",
+        F.pmod(
+            portable_hash64(F.concat(F.lit(salt), F.col("gram"))),
+            F.lit(n_buckets),
+        ).alias("bucket"),
+    )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    smoothing: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir:",
+) -> DataFrame:
+    """Per-document importance weight toward a TARGET text distribution —
+    hashed-n-gram importance resampling (DSIR, Xie et al., 2023).
+
+    THE data-selection operator for pretraining pipelines: given a small
+    high-quality ``target`` sample (a domain, a curated corpus) and the
+    raw pool ``df``, score every raw document by how much more likely its
+    hashed n-gram bag is under the target distribution than under the
+    pool's own:
+
+        weight(d) = sum over gram occurrences g in d of
+                    log( p_target[bucket(g)] / p_pool[bucket(g)] )
+
+    with Laplace ``smoothing`` pseudo-counts per bucket. High-weight
+    documents look like the target; resampling by weight shifts the
+    pool's mixture toward it without training a classifier.
+
+    Cross-engine exactness: the per-BUCKET log-ratio is computed once
+    (<= n_buckets rows) from exactly-representable integer counts — the
+    two divisions and the multiply are IEEE-pinned, only ln() carries a
+    last-ulp libm caveat — then quantized to an e6-scaled BIGINT. The
+    per-DOCUMENT weight is a pure int64 SUM of those quantized ratios,
+    so it is independent of partitioning/accumulation order and the
+    DuckDB twin matches hash-exact (same discipline as the e6 trick in
+    source_mix and the tau=0.5 integer gate above).
+
+    Plan shape (100 TB): the pool's tokenize+explode stream is produced
+    TWICE — once for the distribution count, once for scoring — and
+    recomputed by lineage rather than materialized, deliberately: the
+    gram stream is strictly larger than the input text, so two cheap
+    codegen'd scans beat persisting it (the span-dedup memory trade,
+    functions/reuse.py notes). Both bucket-count aggregations collapse
+    to <= n_buckets rows; the ratio table is broadcast back onto the
+    gram stream; the final groupBy(doc_id) runs with map-side partial
+    aggregation. No shuffle ever carries document text — only
+    (doc_id, bucket) pairs. The reference has no selection surface
+    (SURVEY §2.2); extension operator.
+
+    Returns (doc_id, n_feats, weight_e6): gram-occurrence count and the
+    e6-scaled integer log-weight (weight = weight_e6 / 1e6).
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if smoothing < 1:
+        raise ValueError(
+            f"smoothing must be a positive integer pseudo-count, got {smoothing}"
+        )
+    a = int(smoothing)
+    src = _dsir_gram_buckets(df, n_buckets, text_col, id_col, salt)
+    tgt = _dsir_gram_buckets(target, n_buckets, text_col, id_col, salt)
+    sc = src.groupBy("bucket").agg(F.count(F.lit(1)).alias("cs"))
+    tc = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    totals = sc.agg(
+        F.coalesce(F.sum("cs"), F.lit(0)).alias("ns")
+    ).crossJoin(
+        F.broadcast(tc.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt")))
+    )
+    # p_t and p_s as divisions of exactly-representable integers: both
+    # engines produce bit-identical doubles, so the only cross-engine
+    # freedom is ln()'s last ulp — absorbed by the e6 quantization.
+    p_t = (F.col("ct") + F.lit(a)).cast("double") / (
+        F.col("nt") + F.lit(a * n_buckets)
+    ).cast("double")
+    p_s = (F.col("cs") + F.lit(a)).cast("double") / (
+        F.col("ns") + F.lit(a * n_buckets)
+    ).cast("double")
+    ratio = (
+        sc.join(tc, "bucket", "left")
+        .na.fill({"ct": 0})
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(F.log(p_t / p_s) * F.lit(1000000.0), 0)
+            .cast("long")
+            .alias("lr_e6"),
+        )
+    )
+    return (
+        src.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("lr_e6").alias("weight_e6"),
+        )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    n: int = 100,
+    n_buckets: int = 4096,
+    smoothing: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir:",
+) -> DataFrame:
+    """The selection half of DSIR: the ``n`` pool documents whose hashed
+    n-gram bags score highest against the target distribution.
+
+    Deterministic top-n (weight desc, doc_id asc — id breaks weight
+    ties), not Gumbel-perturbed sampling: reruns and engines agree
+    bit-for-bit, which is the repo-wide sampler contract. The global
+    order-by-limit compiles to TakeOrderedAndProject — every task keeps
+    a local n-row heap and the driver merges heaps, no full sort, no
+    single-partition shuffle — and the rank window then runs over the
+    <= n surviving rows only.
+
+    Returns (doc_id, n_feats, weight_e6, rank), rank 1 = best match.
+    """
+    w = dsir_importance_weights(
+        df, target, n_buckets, smoothing, text_col, id_col, salt
+    )
+    top = w.orderBy(F.col("weight_e6").desc(), F.col("doc_id").asc()).limit(n)
+    rank_w = Window.orderBy(F.col("weight_e6").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(rank_w).cast("long"))

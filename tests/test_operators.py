@@ -1830,3 +1830,57 @@ def test_ivf_quantized_topk_trained_recall_floor(spark, sf_dir):
         for r in ivf_topk_trained(emb, queries, k=big_k, nprobe=2).collect()
     }
     assert qset == fset
+
+
+def test_dsir_weights_favor_target_distribution(spark):
+    """DSIR semantics on a corpus with a REAL distribution shift: docs
+    drawn from the target-style vocabulary must out-weigh background
+    docs, selection must surface them first, and weights must be
+    invariant to input partitioning (the int64-sum exactness claim)."""
+    from hive_io_experimental_spark.operators.sampling import (
+        dsir_importance_weights,
+        dsir_select,
+    )
+
+    bg = "scan filter join group sort merge batch window"
+    shifted = "quantum flux lattice quantum flux spinor lattice gauge"
+    rows = [(i, bg if i < 40 else shifted) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.filter(F.col("doc_id") >= 45)  # 5 shifted docs as target
+
+    w = dsir_importance_weights(df, target, n_buckets=512)
+    got = {r.doc_id: r.weight_e6 for r in w.collect()}
+    assert len(got) == 50
+    mean_bg = sum(got[i] for i in range(40)) / 40
+    mean_shift = sum(got[i] for i in range(40, 50)) / 10
+    assert mean_shift > mean_bg > float("-inf")
+    # every shifted doc beats every background doc here (disjoint vocab)
+    assert min(got[i] for i in range(40, 50)) > max(
+        got[i] for i in range(40)
+    )
+
+    top = dsir_select(df, target, n=10, n_buckets=512).collect()
+    assert sorted(r.rank for r in top) == list(range(1, 11))
+    assert {r.doc_id for r in top} == set(range(40, 50))
+
+    # partitioning invariance: per-doc weight is a sum of per-bucket
+    # INTEGER quanta, so accumulation order cannot move it
+    got7 = {
+        r.doc_id: r.weight_e6
+        for r in dsir_importance_weights(
+            df.repartition(7), target.repartition(3), n_buckets=512
+        ).collect()
+    }
+    assert got7 == got
+
+
+def test_dsir_validates_parameters(spark):
+    from hive_io_experimental_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_importance_weights(df, df, n_buckets=1)
+    with pytest.raises(ValueError, match="smoothing"):
+        dsir_importance_weights(df, df, smoothing=0)
