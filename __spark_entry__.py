@@ -1935,6 +1935,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents").filter(F.col("doc_id") % 7 == 0),
         _t(spark, sf, "documents").filter(F.col("doc_id") % 7 != 0),
     )
+    # same live-ingestion shape with a Bloom bitmap in FRONT of the
+    # anti-join: exact output at any FP rate (no false negatives), only
+    # the maybe set pays the corpus join — oracle is the plain anti-join
+    q["dedup_bloom_prefilter"] = lambda spark, sf: dedup.dedup_against_corpus_bloom(
+        _t(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0),
+        _t(spark, sf, "documents").filter(F.col("doc_id") % 5 != 0),
+        m_bits=1 << 16,
+        k=5,
+    )
+    # bit-level audit of the same bitmap (occupancy, definite-new vs
+    # maybe split, measured FP count) — pins the 60-bit-word + salted
+    # portable-hash arithmetic cross-engine, hash-exact
+    q["bloom_filter_report"] = lambda spark, sf: dedup.bloom_prefilter_report(
+        _t(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0),
+        _t(spark, sf, "documents").filter(F.col("doc_id") % 5 != 0),
+        m_bits=1 << 16,
+        k=5,
+    )
     q["dedup_minhash_lsh"] = lambda spark, sf: dedup.minhash_lsh_candidates(
         _t(spark, sf, "documents")
     )
@@ -2148,13 +2166,16 @@ _CHECK_FIRST = [
     "knn_label_accuracy", "similarity_quantized_topk",
     "similarity_quantized_bucketed", "similarity_ivf_quantized",
     "dsir_weights", "dsir_select",
-    # ---- 19 veterans: r8-touched paths + the stalest (r1-only) gates ----
+    # bloom membership pre-filter pair (also new this round, in-window
+    # from birth)
+    "dedup_bloom_prefilter", "bloom_filter_report",
+    # ---- 17 veterans: r8-touched paths + the stalest (r1-only) gates ----
     # similarity family: cosine_topk grew the broadcast-queries guard,
     # the bucketed family auto-sizes planes — re-verify the tier's
-    # exact + IVF reps (quality_topk/lsh_buckets ceded their slots to
-    # the dsir pair; both return in r9 — the tier keeps 7 reps in-window)
+    # exact rep (quality_topk/lsh_buckets ceded their slots to the dsir
+    # pair, ivf_topk/ivf_trained to the bloom pair; all four return in
+    # r9 — the tier keeps 6 reps in-window incl. the ivf_quantized gate)
     "similarity_topk",
-    "similarity_ivf_topk", "similarity_ivf_trained",
     # r1-only checks, never re-verified since
     "column_profile", "lang_id", "token_histogram", "doc_winnowing",
     "doc_fingerprint", "multimodal_resize", "multimodal_frame_sample",
@@ -3546,6 +3567,64 @@ def oracle_sql() -> dict[str, str]:
                  FROM documents WHERE doc_id % 7 <> 0)
         SELECT id, fp FROM batch
         WHERE fp NOT IN (SELECT fp FROM seen)"""
+
+    # bloom pre-filter is exact by contract (no false negatives — FPs
+    # only re-route rows through the exact anti-join), so its oracle IS
+    # the plain anti-join; the bit-level bloom arithmetic is pinned
+    # cross-engine by the bloom_filter_report twin below
+    o["dedup_bloom_prefilter"] = f"""
+        WITH batch AS (SELECT md5({_NORM}) AS fp, MIN(doc_id) AS id
+                       FROM documents WHERE doc_id % 5 = 0 GROUP BY 1),
+        seen AS (SELECT DISTINCT md5({_NORM}) AS fp
+                 FROM documents WHERE doc_id % 5 <> 0)
+        SELECT id, fp FROM batch
+        WHERE fp NOT IN (SELECT fp FROM seen)"""
+
+    # exact bit twin of bloom_prefilter_report: k=5 salted portable
+    # hashes ('bloom<i>:' || fp, first 15 md5 hex chars) mod m=2^16,
+    # 60-bit bitmap words (1 << bit stays positive BIGINT in both
+    # engines), bit_or occupancy, bool_and membership — every column an
+    # integer, hash-exact
+    _BLOOM_POS = (
+        "CAST(CAST(('0x' || substr(md5('bloom' || CAST(t.i AS VARCHAR)"
+        " || ':' || fp), 1, 15)) AS UBIGINT) % 65536 AS BIGINT)"
+    )
+    o["bloom_filter_report"] = f"""
+        WITH batch AS (SELECT DISTINCT md5({_NORM}) AS fp
+                       FROM documents WHERE doc_id % 5 = 0),
+        seen AS (SELECT DISTINCT md5({_NORM}) AS fp
+                 FROM documents WHERE doc_id % 5 <> 0),
+        cpos AS (SELECT {_BLOOM_POS} AS pos
+                 FROM seen CROSS JOIN range(5) t(i)),
+        words AS (SELECT pos // 60 AS word_idx,
+                         bit_or(CAST(1 AS BIGINT) << CAST(pos % 60 AS INTEGER))
+                           AS bits
+                  FROM cpos GROUP BY 1),
+        bpos AS (SELECT fp, {_BLOOM_POS} AS pos
+                 FROM batch CROSS JOIN range(5) t(i)),
+        probe AS (SELECT b.fp,
+                         bool_and(COALESCE(
+                           (w.bits & (CAST(1 AS BIGINT)
+                                      << CAST(b.pos % 60 AS INTEGER))) <> 0,
+                           FALSE)) AS might
+                  FROM bpos b LEFT JOIN words w ON b.pos // 60 = w.word_idx
+                  GROUP BY 1),
+        bs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+                      CAST(COALESCE(SUM(bit_count(bits)), 0) AS BIGINT)
+                        AS n_bits_set
+               FROM words),
+        cs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus_keys FROM seen),
+        ps AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
+                      CAST(COALESCE(SUM(CASE WHEN might THEN 1 ELSE 0 END), 0)
+                           AS BIGINT) AS n_maybe
+               FROM probe),
+        ts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_dup
+               FROM batch WHERE fp IN (SELECT fp FROM seen))
+        SELECT CAST(65536 AS BIGINT) AS m_bits, CAST(5 AS BIGINT) AS k,
+               n_corpus_keys, n_words, n_bits_set, n_batch,
+               n_batch - n_maybe AS n_definite_new, n_maybe, n_true_dup,
+               n_maybe - n_true_dup AS n_false_pos
+        FROM cs, bs, ps, ts"""
 
     # histogram quantile state: same e4 fixed point as expanding_zscore,
     # integer bucket counts (merge-exact), percentile = smallest bucket

@@ -116,27 +116,13 @@ def dedup_against_corpus(
     Reference analog: none (the reference has no dedup at all, SURVEY
     §2.2); this is the training-data extension surface.
     """
-    from hive_io_experimental_spark.functions.hashing import fast_hash64
-
     family = resolve_family(incoming, hash_family)
-
-    def fp_of(df: DataFrame) -> DataFrame:
-        norm = normalize_text(F.col(text_col))
-        if family == "md5":
-            key = F.md5(norm).alias("fp")
-        else:
-            key = F.concat(
-                F.lpad(F.hex(fast_hash64(norm, seed=42)), 16, "0"),
-                F.lpad(F.hex(fast_hash64(norm, seed=1337)), 16, "0"),
-            ).alias("fp")
-        return df.select(key, F.col(id_col).alias("id"))
-
     batch_reps = (
-        fp_of(incoming)
+        _content_fps(incoming, text_col, id_col, family)
         .groupBy("fp")
         .agg(F.min("id").alias("id"))
     )
-    seen = fp_of(corpus).select("fp").distinct()
+    seen = _content_fps(corpus, text_col, id_col, family).select("fp").distinct()
     return (
         batch_reps.join(seen, "fp", "left_anti")
         .select("id", "fp")
@@ -1335,4 +1321,307 @@ def ngram_containment_pairs(
         .join(sb, F.col("b_id") == F.col("sb.id"))
         .select("a_id", "b_id", cont.alias("containment"))
         .filter(F.col("containment") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter corpus membership (incremental-ingestion pre-filter)
+# ---------------------------------------------------------------------------
+
+# 60 bits per bitmap word: the mask 1 << bit stays a POSITIVE int64 in both
+# Spark and DuckDB (1 << 63 overflows signed; 1 << 59 < 2^60, the same bound
+# portable_hash64 uses), so the bitmap words survive the cross-engine oracle
+# without unsigned gymnastics. Density costs 6% vs 64-bit words — irrelevant
+# next to the m_bits dial.
+BLOOM_BITS_PER_WORD = 60
+
+# Broadcast the bitmap table only while it is genuinely small: above this
+# many BITS (2^27 bits = 16 MiB of payload, ~2.2M bitmap rows) fall back to
+# a shuffle equi-join on word_idx — the probe side carries k rows per batch
+# key, still tiny. Same discipline as the guarded broadcast top-k paths
+# (similarity.py): an explicit F.broadcast bypasses
+# autoBroadcastJoinThreshold, so the operator must bound it itself.
+BLOOM_BROADCAST_MAX_BITS = 1 << 27
+
+
+def _content_fps(
+    df: DataFrame, text_col: str, id_col: str, family: str
+) -> DataFrame:
+    """(id, fp) content fingerprints — the dedup_against_corpus key.
+
+    md5 keys on the full 128-bit digest (portable, oracle-checkable);
+    xxhash64 concatenates two independent seeds (see exact_dedup's
+    birthday-bound note).
+    """
+    from hive_io_experimental_spark.functions.hashing import fast_hash64
+
+    norm = normalize_text(F.col(text_col))
+    if family == "md5":
+        key = F.md5(norm).alias("fp")
+    else:
+        key = F.concat(
+            F.lpad(F.hex(fast_hash64(norm, seed=42)), 16, "0"),
+            F.lpad(F.hex(fast_hash64(norm, seed=1337)), 16, "0"),
+        ).alias("fp")
+    return df.select(F.col(id_col).alias("id"), key)
+
+
+def _bloom_position(key, i: int, m_bits: int, family: str):
+    """i-th Bloom bit position for a key column — in [0, m_bits)."""
+    from hive_io_experimental_spark.functions.hashing import fast_hash64
+
+    if family == "md5":
+        h = portable_hash64(F.concat(F.lit(f"bloom{i}:"), key))
+    else:
+        h = fast_hash64(key, seed=1000 + i)
+    return F.pmod(h, F.lit(m_bits))
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str = "fp",
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    hash_family: str | None = None,
+) -> DataFrame:
+    """Distributed Bloom bitmap over ``keys[key_col]`` as a TABLE.
+
+    Returns (word_idx, bits): word w holds bits [60w, 60w+60) of the
+    filter; at most ceil(m_bits / 60) rows REGARDLESS of corpus size —
+    the whole point. Built with one bit_or aggregation (map-side partial
+    combine collapses each task's contribution to <= m/60 rows before
+    the shuffle), so a 100 TB corpus's membership structure compresses
+    to a few MB that every subsequent ingestion batch can reuse without
+    touching the corpus again. Persist this table per corpus snapshot;
+    rebuilding it inline per batch forfeits the win (see
+    dedup_against_corpus_bloom's plan note).
+
+    No false negatives by construction: build and probe derive positions
+    from the same salted portable hashes. The reference has no dedup
+    surface at all (SURVEY §2.2); extension operator.
+    """
+    if m_bits < 2:
+        raise ValueError(f"m_bits must be >= 2, got {m_bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1 hash function, got {k}")
+    family = resolve_family(keys, hash_family)
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    _bloom_position(F.col(key_col), i, m_bits, family)
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            F.floor(F.col("pos") / F.lit(BLOOM_BITS_PER_WORD))
+            .cast("long")
+            .alias("word_idx"),
+            F.pmod(F.col("pos"), F.lit(BLOOM_BITS_PER_WORD))
+            .cast("int")
+            .alias("bit"),
+        )
+        .select(
+            "word_idx",
+            F.expr("shiftleft(CAST(1 AS BIGINT), bit)").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    batch: DataFrame,
+    bloom: DataFrame,
+    m_bits: int,
+    k: int = 5,
+    key_col: str = "fp",
+    hash_family: str | None = None,
+) -> DataFrame:
+    """Membership test of ``batch[key_col]`` against a bloom_build table.
+
+    Adds ``might_contain``: False is DEFINITIVE (the key is not in the
+    corpus — no false negatives), True means "present or false positive"
+    and must be confirmed exactly. Plan: explode k positions per key,
+    equi-join word_idx against the bitmap (broadcast while the bitmap is
+    <= BLOOM_BROADCAST_MAX_BITS, shuffle join above — bounded either
+    way), then a bool_and rollup per key; a missing bitmap word is an
+    unset bit (left join + coalesce False).
+    """
+    if m_bits < 2:
+        raise ValueError(f"m_bits must be >= 2, got {m_bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1 hash function, got {k}")
+    family = resolve_family(batch, hash_family)
+    cols = batch.columns
+    pos = batch.select(
+        *cols,
+        F.explode(
+            F.array(
+                *[
+                    _bloom_position(F.col(key_col), i, m_bits, family)
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos"),
+    ).select(
+        *cols,
+        F.floor(F.col("pos") / F.lit(BLOOM_BITS_PER_WORD))
+        .cast("long")
+        .alias("word_idx"),
+        F.pmod(F.col("pos"), F.lit(BLOOM_BITS_PER_WORD))
+        .cast("int")
+        .alias("bit"),
+    )
+    probe = pos.select(
+        *cols,
+        "word_idx",
+        F.expr("shiftleft(CAST(1 AS BIGINT), bit)").alias("mask"),
+    )
+    side = F.broadcast(bloom) if m_bits <= BLOOM_BROADCAST_MAX_BITS else bloom
+    hit = F.coalesce(
+        F.col("bits").bitwiseAND(F.col("mask")) != F.lit(0), F.lit(False)
+    )
+    return (
+        probe.join(side, "word_idx", "left")
+        .groupBy(*cols)
+        .agg(F.bool_and(hit).alias("might_contain"))
+    )
+
+
+def dedup_against_corpus_bloom(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    m_bits: int | None = None,
+    k: int = 5,
+    bits_per_key: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str | None = None,
+) -> DataFrame:
+    """dedup_against_corpus semantics with a Bloom pre-filter in front of
+    the exact anti-join — EXACT output (bit-identical to the plain
+    operator) at any false-positive rate, because the Bloom has no false
+    negatives: a batch key the filter rejects is definitively new and
+    skips the anti-join; only "maybe" keys (true dups + FPs, ~1% of the
+    batch at 10 bits/key) pay the corpus-side join.
+
+    Why this matters at 100 TB: the stored corpus's fingerprint set is
+    billions of 32-hex keys, and a plain anti-join shuffles the FULL
+    batch against it every ingestion tick. With a PERSISTED bitmap
+    (bloom_build output, <= m/60 rows ~ MBs), the batch-side scan + a
+    broadcast-ish join classifies most of the batch as definitely-new
+    without touching corpus data at all, and the anti-join's probe side
+    shrinks to the maybe set. Inline (as here, for the self-contained
+    gate) the corpus is still scanned once to build the bitmap — the
+    win is real only when the bitmap is reused across batches, which is
+    why bloom_build is exposed separately.
+
+    m_bits=None auto-sizes from the corpus's distinct-key count (one
+    count job on the reused frame): next power of two >= n * bits_per_key
+    (10 bits/key + k=5 ~ 0.9% FP) — same auto-dial discipline as the LSH
+    plane count (similarity.py).
+
+    Returns surviving (id, fp) rows of ``incoming`` —
+    dedup_against_corpus's exact contract.
+    """
+    family = resolve_family(incoming, hash_family)
+    batch_reps = (
+        _content_fps(incoming, text_col, id_col, family)
+        .groupBy("fp")
+        .agg(F.min("id").alias("id"))
+        .select("id", "fp")
+    )
+    # seen feeds three non-identical consumers (bitmap agg, anti-join,
+    # optional sizing count) — the reuse() pattern (functions/reuse.py)
+    seen = reuse(
+        _content_fps(corpus, text_col, id_col, family).select("fp").distinct()
+    )
+    if m_bits is None:
+        if bits_per_key < 1:
+            raise ValueError(
+                f"bits_per_key must be >= 1, got {bits_per_key}"
+            )
+        n = seen.count()
+        m_bits = max(1024, 1 << max(1, (n * bits_per_key - 1).bit_length()))
+    bloom = bloom_build(seen, "fp", m_bits, k, family)
+    probed = reuse(bloom_probe(batch_reps, bloom, m_bits, k, "fp", family))
+    definite_new = probed.filter(~F.col("might_contain")).select("id", "fp")
+    maybe = probed.filter(F.col("might_contain")).select("id", "fp")
+    survivors = maybe.join(seen, "fp", "left_anti").select("id", "fp")
+    return definite_new.unionByName(survivors)
+
+
+def bloom_prefilter_report(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    m_bits: int = 1 << 16,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str | None = None,
+) -> DataFrame:
+    """One-row audit of what a Bloom pre-filter buys for this batch:
+    the pre-flight check before committing a corpus to a bitmap size.
+
+    Columns (all BIGINT, hash-exact cross-engine): m_bits, k,
+    n_corpus_keys (distinct corpus fps), n_words / n_bits_set (bitmap
+    occupancy — load factor = n_bits_set / m_bits), n_batch (distinct
+    batch fps), n_definite_new (skip the anti-join entirely),
+    n_maybe (pay it), n_true_dup (actually in the corpus),
+    n_false_pos (= n_maybe - n_true_dup; the measured FP count — the
+    bits_per_key dial made observable instead of trusted). Same
+    audit-op discipline as lsh_bucket_report / lsh_quality_report.
+
+    Single action: every scalar is a 1-row aggregate cross-joined
+    broadcast (no driver-side count() jobs — the ADVICE r7 lesson on
+    quantization_quality_report).
+    """
+    family = resolve_family(incoming, hash_family)
+    batch_reps = reuse(
+        _content_fps(incoming, text_col, id_col, family)
+        .select("fp")
+        .distinct()
+    )
+    seen = reuse(
+        _content_fps(corpus, text_col, id_col, family).select("fp").distinct()
+    )
+    bloom = reuse(bloom_build(seen, "fp", m_bits, k, family))
+    probed = bloom_probe(batch_reps, bloom, m_bits, k, "fp", family)
+    bstats = bloom.agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.coalesce(F.sum(F.bit_count("bits")), F.lit(0))
+        .cast("long")
+        .alias("n_bits_set"),
+    )
+    cstats = seen.agg(F.count(F.lit(1)).cast("long").alias("n_corpus_keys"))
+    pstats = probed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_batch"),
+        F.coalesce(F.sum(F.col("might_contain").cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_maybe"),
+    )
+    tstats = (
+        batch_reps.join(seen, "fp", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_true_dup"))
+    )
+    return (
+        cstats.crossJoin(F.broadcast(bstats))
+        .crossJoin(F.broadcast(pstats))
+        .crossJoin(F.broadcast(tstats))
+        .select(
+            F.lit(int(m_bits)).cast("long").alias("m_bits"),
+            F.lit(int(k)).cast("long").alias("k"),
+            "n_corpus_keys",
+            "n_words",
+            "n_bits_set",
+            "n_batch",
+            (F.col("n_batch") - F.col("n_maybe")).alias("n_definite_new"),
+            "n_maybe",
+            "n_true_dup",
+            (F.col("n_maybe") - F.col("n_true_dup")).alias("n_false_pos"),
+        )
     )

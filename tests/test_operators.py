@@ -1884,3 +1884,89 @@ def test_dsir_validates_parameters(spark):
         dsir_importance_weights(df, df, n_buckets=1)
     with pytest.raises(ValueError, match="smoothing"):
         dsir_importance_weights(df, df, smoothing=0)
+
+
+def test_bloom_prefilter_exact_at_any_fp_rate(spark):
+    """dedup_against_corpus_bloom must be BIT-IDENTICAL to the plain
+    anti-join operator even when the bitmap is degenerately small (m=64
+    forces a high false-positive rate) — the no-false-negative contract
+    means FPs only re-route rows through the exact join, never change
+    the answer."""
+    from hive_io_experimental_spark.operators.dedup import (
+        dedup_against_corpus,
+        dedup_against_corpus_bloom,
+    )
+
+    rows = [(i, f"text number {i % 30}") for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    incoming = df.filter(F.col("doc_id") % 3 == 0)
+    corpus = df.filter(F.col("doc_id") % 3 != 0)
+
+    exact = {
+        (r.id, r.fp) for r in dedup_against_corpus(incoming, corpus).collect()
+    }
+    for m in (64, 1 << 12):
+        got = {
+            (r.id, r.fp)
+            for r in dedup_against_corpus_bloom(
+                incoming, corpus, m_bits=m, k=3
+            ).collect()
+        }
+        assert got == exact, f"bloom path diverged at m_bits={m}"
+    # auto-sized path (one count job) must agree too
+    auto = {
+        (r.id, r.fp)
+        for r in dedup_against_corpus_bloom(incoming, corpus).collect()
+    }
+    assert auto == exact
+
+
+def test_bloom_no_false_negatives_and_report_arithmetic(spark):
+    """Every true duplicate must land in the maybe set (bool_and over k
+    salted positions cannot miss a built key), and the report's columns
+    must satisfy the accounting identities."""
+    from hive_io_experimental_spark.operators.dedup import (
+        bloom_build,
+        bloom_probe,
+        bloom_prefilter_report,
+    )
+
+    rows = [(i, f"doc {i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    incoming = df.filter(F.col("doc_id") < 120)  # 0..99 overlap corpus
+    corpus = df.filter(F.col("doc_id") < 100)
+
+    rep = bloom_prefilter_report(
+        incoming, corpus, m_bits=1 << 14, k=5
+    ).collect()[0]
+    assert rep.n_corpus_keys == 100
+    assert rep.n_batch == 120
+    assert rep.n_true_dup == 100
+    assert rep.n_definite_new + rep.n_maybe == rep.n_batch
+    assert rep.n_false_pos == rep.n_maybe - rep.n_true_dup >= 0
+    assert 0 < rep.n_bits_set <= min(rep.m_bits, rep.n_corpus_keys * rep.k)
+    assert rep.n_words <= -(-rep.m_bits // 60)  # ceil(m/60) bound
+
+    # direct probe: membership of built keys is never rejected
+    keys = spark.createDataFrame(
+        [(f"k{i}",) for i in range(50)], "fp string"
+    )
+    bloom = bloom_build(keys, m_bits=256, k=4)
+    probed = bloom_probe(keys, bloom, m_bits=256, k=4)
+    assert all(r.might_contain for r in probed.collect())
+
+
+def test_bloom_validates_parameters(spark):
+    from hive_io_experimental_spark.operators.dedup import (
+        bloom_build,
+        dedup_against_corpus_bloom,
+    )
+
+    keys = spark.createDataFrame([("a",)], "fp string")
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_build(keys, m_bits=1)
+    with pytest.raises(ValueError, match="k must"):
+        bloom_build(keys, k=0)
+    df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bits_per_key"):
+        dedup_against_corpus_bloom(df, df, bits_per_key=0)
