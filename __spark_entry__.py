@@ -1779,6 +1779,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("source", "doc_id", "quota_rk")
         .orderBy("source", "quota_rk")
     )
+    # mixture dial in TOKENS, not rows: hash-ordered per-source prefix
+    # under a cumulative token budget (int64 window sum, hash-exact)
+    q["token_budget_sample"] = lambda spark, sf: sampling.token_budget_sample(
+        _t(spark, sf, "documents"), budget_tokens=600
+    ).select("doc_id", "source", "n_tokens", "cum_tokens")
 
     # The HLL estimates are Datasketches-specific bytes, so the gate checks
     # the sketch tier's accuracy CONTRACT instead: every per-group estimate
@@ -1943,6 +1948,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents").filter(F.col("doc_id") % 5 != 0),
         m_bits=1 << 16,
         k=5,
+    )
+    # the fuzzy sibling: MinHash-band the batch AGAINST the stored
+    # corpus's band keys (never corpus^2), verify candidates by exact
+    # shingle Jaccard on candidate docs only
+    q["dedup_lsh_incremental"] = lambda spark, sf: dedup.minhash_lsh_against_corpus(
+        _t(spark, sf, "documents").filter(F.col("doc_id") % 9 == 0),
+        _t(spark, sf, "documents").filter(F.col("doc_id") % 9 != 0),
+        threshold=0.5,
     )
     # bit-level audit of the same bitmap (occupancy, definite-new vs
     # maybe split, measured FP count) — pins the 60-bit-word + salted
@@ -2166,10 +2179,12 @@ _CHECK_FIRST = [
     "knn_label_accuracy", "similarity_quantized_topk",
     "similarity_quantized_bucketed", "similarity_ivf_quantized",
     "dsir_weights", "dsir_select",
-    # bloom membership pre-filter pair (also new this round, in-window
-    # from birth)
-    "dedup_bloom_prefilter", "bloom_filter_report",
-    # ---- 17 veterans: r8-touched paths + the stalest (r1-only) gates ----
+    # bloom membership pre-filter pair + incremental LSH near-dup (also
+    # new this round, in-window from birth)
+    "dedup_bloom_prefilter", "bloom_filter_report", "dedup_lsh_incremental",
+    # token-budget mixture sampler (new this round, in-window from birth)
+    "token_budget_sample",
+    # ---- 15 veterans: r8-touched paths + the stalest (r1-only) gates ----
     # similarity family: cosine_topk grew the broadcast-queries guard,
     # the bucketed family auto-sizes planes — re-verify the tier's
     # exact rep (quality_topk/lsh_buckets ceded their slots to the dsir
@@ -2184,8 +2199,10 @@ _CHECK_FIRST = [
     # max_concurrent_sessions ceded their slots to the two new quantized
     # gates — the versioned-write and funnel families keep core reps
     # in-window; both return in r9)
+    # (dedup_simhash ceded its slot to dedup_lsh_incremental and
+    # bloom_join_prune to token_budget_sample — the simhash family keeps
+    # dedup_simhash_pairs in-window; both return r9)
     "active_user_trends", "dedup_simhash_pairs", "dedup_minhash_lsh",
-    "dedup_simhash", "bloom_join_prune",
     "data_expectations",
 ]
 
@@ -3305,6 +3322,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, doc_id, CAST(quota_rk AS BIGINT) AS quota_rk
         FROM r WHERE quota_rk <= 20 ORDER BY source, quota_rk"""
 
+    # token-budget twin: same hash lottery order, cumulative int64 token
+    # sum per source, strict cum <= budget cut (unique ordering key, so
+    # the default RANGE frame equals ROWS in both engines)
+    o["token_budget_sample"] = f"""
+        WITH t AS (
+          SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                 {_H64.format(x="'tokbudget:' || CAST(doc_id AS VARCHAR)")}
+                   AS h
+          FROM documents),
+        c AS (SELECT doc_id, source, n_tokens,
+                     CAST(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY h, doc_id)
+                       AS BIGINT) AS cum_tokens
+              FROM t)
+        SELECT doc_id, source, n_tokens, cum_tokens
+        FROM c WHERE cum_tokens <= 600"""
+
     # inverted index twin: same tokenization fragment, posting prefix
     # capped by rank-before-aggregation exactly as the Spark plan does
     o["inverted_index"] = f"""
@@ -3580,43 +3614,42 @@ def oracle_sql() -> dict[str, str]:
         SELECT id, fp FROM batch
         WHERE fp NOT IN (SELECT fp FROM seen)"""
 
-    # exact bit twin of bloom_prefilter_report: k=5 salted portable
-    # hashes ('bloom<i>:' || fp, first 15 md5 hex chars) mod m=2^16,
-    # 60-bit bitmap words (1 << bit stays positive BIGINT in both
-    # engines), bit_or occupancy, bool_and membership — every column an
-    # integer, hash-exact
-    _BLOOM_POS = (
-        "CAST(CAST(('0x' || substr(md5('bloom' || CAST(t.i AS VARCHAR)"
-        " || ':' || fp), 1, 15)) AS UBIGINT) % 65536 AS BIGINT)"
+    # exact bit twin of bloom_prefilter_report, on the SAME arithmetic as
+    # the bloom_membership twin above (incremental._bloom_pos: k=5 salted
+    # portable hashes 'bloom<i>:<fp>' mod m=2^16, 32-bit bitmap words,
+    # bit_or occupancy, MIN(hit) membership) — every column an integer,
+    # hash-exact
+    _BLOOM_FP_H = _H64.format(
+        x="'bloom' || CAST(i AS VARCHAR) || ':' || fp"
     )
     o["bloom_filter_report"] = f"""
         WITH batch AS (SELECT DISTINCT md5({_NORM}) AS fp
                        FROM documents WHERE doc_id % 5 = 0),
         seen AS (SELECT DISTINCT md5({_NORM}) AS fp
                  FROM documents WHERE doc_id % 5 <> 0),
-        cpos AS (SELECT {_BLOOM_POS} AS pos
-                 FROM seen CROSS JOIN range(5) t(i)),
-        words AS (SELECT pos // 60 AS word_idx,
-                         bit_or(CAST(1 AS BIGINT) << CAST(pos % 60 AS INTEGER))
+        ix AS (SELECT unnest(range(5)) AS i),
+        cpos AS (SELECT {_BLOOM_FP_H} % 65536 AS pos
+                 FROM seen CROSS JOIN ix),
+        words AS (SELECT pos // 32 AS word,
+                         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER))
                            AS bits
                   FROM cpos GROUP BY 1),
-        bpos AS (SELECT fp, {_BLOOM_POS} AS pos
-                 FROM batch CROSS JOIN range(5) t(i)),
-        probe AS (SELECT b.fp,
-                         bool_and(COALESCE(
-                           (w.bits & (CAST(1 AS BIGINT)
-                                      << CAST(b.pos % 60 AS INTEGER))) <> 0,
-                           FALSE)) AS might
-                  FROM bpos b LEFT JOIN words w ON b.pos // 60 = w.word_idx
-                  GROUP BY 1),
+        bpos AS (SELECT fp, {_BLOOM_FP_H} % 65536 AS pos
+                 FROM batch CROSS JOIN ix),
+        hits AS (SELECT p.fp,
+                        CASE WHEN (COALESCE(w.bits, 0) &
+                                   (CAST(1 AS BIGINT)
+                                    << CAST(p.pos % 32 AS INTEGER))) <> 0
+                             THEN 1 ELSE 0 END AS hit
+                 FROM bpos p LEFT JOIN words w ON w.word = p.pos // 32),
+        probe AS (SELECT fp, MIN(hit) AS maybe FROM hits GROUP BY 1),
         bs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
                       CAST(COALESCE(SUM(bit_count(bits)), 0) AS BIGINT)
                         AS n_bits_set
                FROM words),
         cs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus_keys FROM seen),
         ps AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
-                      CAST(COALESCE(SUM(CASE WHEN might THEN 1 ELSE 0 END), 0)
-                           AS BIGINT) AS n_maybe
+                      CAST(COALESCE(SUM(maybe), 0) AS BIGINT) AS n_maybe
                FROM probe),
         ts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_dup
                FROM batch WHERE fp IN (SELECT fp FROM seen))
@@ -3940,6 +3973,54 @@ def oracle_sql() -> dict[str, str]:
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id"""
+
+    # batch-vs-corpus banding (dedup_lsh_incremental): same sig/band
+    # arithmetic per side, candidate join across sides, exact Jaccard
+    # verification on candidate docs only
+    def _bands_over(src: str) -> str:
+        return " UNION ALL ".join(
+            "SELECT doc_id, {b} AS band, md5({expr}) AS band_key"
+            " FROM {src}".format(
+                b=b,
+                expr=" || '|' || ".join(
+                    f"sig_{b * 4 + r}" for r in range(4)
+                ),
+                src=src,
+            )
+            for b in range(4)
+        )
+
+    o["dedup_lsh_incremental"] = f"""
+        WITH bdocs AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+                       WHERE doc_id % 9 = 0),
+        cdocs AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+                  WHERE doc_id % 9 <> 0),
+        bsh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM bdocs),
+        csh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM cdocs),
+        bsig AS (SELECT doc_id, {sig_cols} FROM bsh GROUP BY doc_id),
+        csig AS (SELECT doc_id, {sig_cols} FROM csh GROUP BY doc_id),
+        bband AS ({_bands_over("bsig")}),
+        cband AS ({_bands_over("csig")}),
+        cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+                 FROM bband b JOIN cband c
+                   ON b.band = c.band AND b.band_key = c.band_key),
+        nq AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+               FROM bsh GROUP BY 1),
+        nc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+               FROM csh GROUP BY 1),
+        inter AS (SELECT cand.batch_id, cand.corpus_id,
+                         CAST(COUNT(*) AS BIGINT) AS i
+                  FROM cand
+                  JOIN bsh ON bsh.doc_id = cand.batch_id
+                  JOIN csh ON csh.doc_id = cand.corpus_id
+                          AND csh.shingle = bsh.shingle
+                  GROUP BY 1, 2)
+        SELECT batch_id, corpus_id,
+               ROUND(i / (nq.n + nc.n - i), 6) AS jaccard
+        FROM inter
+        JOIN nq ON nq.doc_id = inter.batch_id
+        JOIN nc ON nc.doc_id = inter.corpus_id
+        WHERE ROUND(i / (nq.n + nc.n - i), 6) >= 0.5"""
 
     # cap-audit twin: bucket-size distribution + what a cap of 3 drops
     o["dedup_lsh_bucket_report"] = f"""

@@ -1327,21 +1327,13 @@ def ngram_containment_pairs(
 # ---------------------------------------------------------------------------
 # Bloom-filter corpus membership (incremental-ingestion pre-filter)
 # ---------------------------------------------------------------------------
-
-# 60 bits per bitmap word: the mask 1 << bit stays a POSITIVE int64 in both
-# Spark and DuckDB (1 << 63 overflows signed; 1 << 59 < 2^60, the same bound
-# portable_hash64 uses), so the bitmap words survive the cross-engine oracle
-# without unsigned gymnastics. Density costs 6% vs 64-bit words — irrelevant
-# next to the m_bits dial.
-BLOOM_BITS_PER_WORD = 60
-
-# Broadcast the bitmap table only while it is genuinely small: above this
-# many BITS (2^27 bits = 16 MiB of payload, ~2.2M bitmap rows) fall back to
-# a shuffle equi-join on word_idx — the probe side carries k rows per batch
-# key, still tiny. Same discipline as the guarded broadcast top-k paths
-# (similarity.py): an explicit F.broadcast bypasses
-# autoBroadcastJoinThreshold, so the operator must bound it itself.
-BLOOM_BROADCAST_MAX_BITS = 1 << 27
+#
+# The bitmap machinery itself lives in operators/incremental.py
+# (bloom_state / merge_bloom_states / bloom_membership — the mergeable
+# sketch tier, with geometry carried in the state and a bounded state
+# broadcast). This section is the DEDUP integration: content
+# fingerprints as keys, definite-new routing in front of the exact
+# anti-join, and the sizing/accounting audit.
 
 
 def _content_fps(
@@ -1366,130 +1358,11 @@ def _content_fps(
     return df.select(F.col(id_col).alias("id"), key)
 
 
-def _bloom_position(key, i: int, m_bits: int, family: str):
-    """i-th Bloom bit position for a key column — in [0, m_bits)."""
-    from hive_io_experimental_spark.functions.hashing import fast_hash64
-
-    if family == "md5":
-        h = portable_hash64(F.concat(F.lit(f"bloom{i}:"), key))
-    else:
-        h = fast_hash64(key, seed=1000 + i)
-    return F.pmod(h, F.lit(m_bits))
-
-
-def bloom_build(
-    keys: DataFrame,
-    key_col: str = "fp",
-    m_bits: int = 1 << 20,
-    k: int = 5,
-    hash_family: str | None = None,
-) -> DataFrame:
-    """Distributed Bloom bitmap over ``keys[key_col]`` as a TABLE.
-
-    Returns (word_idx, bits): word w holds bits [60w, 60w+60) of the
-    filter; at most ceil(m_bits / 60) rows REGARDLESS of corpus size —
-    the whole point. Built with one bit_or aggregation (map-side partial
-    combine collapses each task's contribution to <= m/60 rows before
-    the shuffle), so a 100 TB corpus's membership structure compresses
-    to a few MB that every subsequent ingestion batch can reuse without
-    touching the corpus again. Persist this table per corpus snapshot;
-    rebuilding it inline per batch forfeits the win (see
-    dedup_against_corpus_bloom's plan note).
-
-    No false negatives by construction: build and probe derive positions
-    from the same salted portable hashes. The reference has no dedup
-    surface at all (SURVEY §2.2); extension operator.
-    """
+def _validate_bloom_geometry(m_bits: int, k: int) -> None:
     if m_bits < 2:
         raise ValueError(f"m_bits must be >= 2, got {m_bits}")
     if k < 1:
         raise ValueError(f"k must be >= 1 hash function, got {k}")
-    family = resolve_family(keys, hash_family)
-    pos = keys.select(
-        F.explode(
-            F.array(
-                *[
-                    _bloom_position(F.col(key_col), i, m_bits, family)
-                    for i in range(k)
-                ]
-            )
-        ).alias("pos")
-    )
-    return (
-        pos.select(
-            F.floor(F.col("pos") / F.lit(BLOOM_BITS_PER_WORD))
-            .cast("long")
-            .alias("word_idx"),
-            F.pmod(F.col("pos"), F.lit(BLOOM_BITS_PER_WORD))
-            .cast("int")
-            .alias("bit"),
-        )
-        .select(
-            "word_idx",
-            F.expr("shiftleft(CAST(1 AS BIGINT), bit)").alias("mask"),
-        )
-        .groupBy("word_idx")
-        .agg(F.bit_or("mask").alias("bits"))
-    )
-
-
-def bloom_probe(
-    batch: DataFrame,
-    bloom: DataFrame,
-    m_bits: int,
-    k: int = 5,
-    key_col: str = "fp",
-    hash_family: str | None = None,
-) -> DataFrame:
-    """Membership test of ``batch[key_col]`` against a bloom_build table.
-
-    Adds ``might_contain``: False is DEFINITIVE (the key is not in the
-    corpus — no false negatives), True means "present or false positive"
-    and must be confirmed exactly. Plan: explode k positions per key,
-    equi-join word_idx against the bitmap (broadcast while the bitmap is
-    <= BLOOM_BROADCAST_MAX_BITS, shuffle join above — bounded either
-    way), then a bool_and rollup per key; a missing bitmap word is an
-    unset bit (left join + coalesce False).
-    """
-    if m_bits < 2:
-        raise ValueError(f"m_bits must be >= 2, got {m_bits}")
-    if k < 1:
-        raise ValueError(f"k must be >= 1 hash function, got {k}")
-    family = resolve_family(batch, hash_family)
-    cols = batch.columns
-    pos = batch.select(
-        *cols,
-        F.explode(
-            F.array(
-                *[
-                    _bloom_position(F.col(key_col), i, m_bits, family)
-                    for i in range(k)
-                ]
-            )
-        ).alias("pos"),
-    ).select(
-        *cols,
-        F.floor(F.col("pos") / F.lit(BLOOM_BITS_PER_WORD))
-        .cast("long")
-        .alias("word_idx"),
-        F.pmod(F.col("pos"), F.lit(BLOOM_BITS_PER_WORD))
-        .cast("int")
-        .alias("bit"),
-    )
-    probe = pos.select(
-        *cols,
-        "word_idx",
-        F.expr("shiftleft(CAST(1 AS BIGINT), bit)").alias("mask"),
-    )
-    side = F.broadcast(bloom) if m_bits <= BLOOM_BROADCAST_MAX_BITS else bloom
-    hit = F.coalesce(
-        F.col("bits").bitwiseAND(F.col("mask")) != F.lit(0), F.lit(False)
-    )
-    return (
-        probe.join(side, "word_idx", "left")
-        .groupBy(*cols)
-        .agg(F.bool_and(hit).alias("might_contain"))
-    )
 
 
 def dedup_against_corpus_bloom(
@@ -1506,28 +1379,38 @@ def dedup_against_corpus_bloom(
     the exact anti-join — EXACT output (bit-identical to the plain
     operator) at any false-positive rate, because the Bloom has no false
     negatives: a batch key the filter rejects is definitively new and
-    skips the anti-join; only "maybe" keys (true dups + FPs, ~1% of the
-    batch at 10 bits/key) pay the corpus-side join.
+    skips the anti-join; only "maybe" keys (true dups + ~1% false
+    positives at 10 bits/key) pay the corpus-side join.
 
     Why this matters at 100 TB: the stored corpus's fingerprint set is
     billions of 32-hex keys, and a plain anti-join shuffles the FULL
     batch against it every ingestion tick. With a PERSISTED bitmap
-    (bloom_build output, <= m/60 rows ~ MBs), the batch-side scan + a
-    broadcast-ish join classifies most of the batch as definitely-new
-    without touching corpus data at all, and the anti-join's probe side
-    shrinks to the maybe set. Inline (as here, for the self-contained
-    gate) the corpus is still scanned once to build the bitmap — the
-    win is real only when the bitmap is reused across batches, which is
-    why bloom_build is exposed separately.
+    (incremental.bloom_state output, <= m/32 rows ~ MBs — and mergeable
+    across corpus shards/batches with merge_bloom_states), the
+    batch-side scan + a bounded bitmap join classifies most of the
+    batch as definitely-new without touching corpus data at all, and
+    the anti-join's probe side shrinks to the maybe set. Inline (as
+    here, for the self-contained gate) the corpus is still scanned once
+    to build the bitmap — the win is real only when the bitmap is
+    reused across batches, which is why the state builder stays a
+    separate composable operator.
 
     m_bits=None auto-sizes from the corpus's distinct-key count (one
     count job on the reused frame): next power of two >= n * bits_per_key
     (10 bits/key + k=5 ~ 0.9% FP) — same auto-dial discipline as the LSH
-    plane count (similarity.py).
+    plane count (similarity.py). Position hashing is always the portable
+    md5 family (incremental._bloom_pos) regardless of ``hash_family``,
+    which selects only the CONTENT fingerprint; a Bloom probe is k cheap
+    hashes over a 32-hex string either way.
 
     Returns surviving (id, fp) rows of ``incoming`` —
     dedup_against_corpus's exact contract.
     """
+    from hive_io_experimental_spark.operators.incremental import (
+        bloom_membership,
+        bloom_state,
+    )
+
     family = resolve_family(incoming, hash_family)
     batch_reps = (
         _content_fps(incoming, text_col, id_col, family)
@@ -1547,10 +1430,15 @@ def dedup_against_corpus_bloom(
             )
         n = seen.count()
         m_bits = max(1024, 1 << max(1, (n * bits_per_key - 1).bit_length()))
-    bloom = bloom_build(seen, "fp", m_bits, k, family)
-    probed = reuse(bloom_probe(batch_reps, bloom, m_bits, k, "fp", family))
-    definite_new = probed.filter(~F.col("might_contain")).select("id", "fp")
-    maybe = probed.filter(F.col("might_contain")).select("id", "fp")
+    _validate_bloom_geometry(m_bits, k)
+    state = bloom_state(seen, key_col="fp", m_bits=m_bits, k_hashes=k)
+    member = bloom_membership(
+        state, batch_reps, probe_col="fp", m_bits=m_bits, k_hashes=k
+    ).select(F.col("key").alias("fp"), "maybe_member")
+    # probed feeds both routing branches -> reuse()
+    probed = reuse(batch_reps.join(member, "fp"))
+    definite_new = probed.filter(F.col("maybe_member") == 0).select("id", "fp")
+    maybe = probed.filter(F.col("maybe_member") == 1).select("id", "fp")
     survivors = maybe.join(seen, "fp", "left_anti").select("id", "fp")
     return definite_new.unionByName(survivors)
 
@@ -1580,6 +1468,12 @@ def bloom_prefilter_report(
     broadcast (no driver-side count() jobs — the ADVICE r7 lesson on
     quantization_quality_report).
     """
+    from hive_io_experimental_spark.operators.incremental import (
+        bloom_membership,
+        bloom_state,
+    )
+
+    _validate_bloom_geometry(m_bits, k)
     family = resolve_family(incoming, hash_family)
     batch_reps = reuse(
         _content_fps(incoming, text_col, id_col, family)
@@ -1589,18 +1483,20 @@ def bloom_prefilter_report(
     seen = reuse(
         _content_fps(corpus, text_col, id_col, family).select("fp").distinct()
     )
-    bloom = reuse(bloom_build(seen, "fp", m_bits, k, family))
-    probed = bloom_probe(batch_reps, bloom, m_bits, k, "fp", family)
-    bstats = bloom.agg(
+    state = reuse(bloom_state(seen, key_col="fp", m_bits=m_bits, k_hashes=k))
+    member = bloom_membership(
+        state, batch_reps, probe_col="fp", m_bits=m_bits, k_hashes=k
+    )
+    bstats = state.agg(
         F.count(F.lit(1)).cast("long").alias("n_words"),
         F.coalesce(F.sum(F.bit_count("bits")), F.lit(0))
         .cast("long")
         .alias("n_bits_set"),
     )
     cstats = seen.agg(F.count(F.lit(1)).cast("long").alias("n_corpus_keys"))
-    pstats = probed.agg(
+    pstats = member.agg(
         F.count(F.lit(1)).cast("long").alias("n_batch"),
-        F.coalesce(F.sum(F.col("might_contain").cast("long")), F.lit(0))
+        F.coalesce(F.sum("maybe_member"), F.lit(0))
         .cast("long")
         .alias("n_maybe"),
     )
@@ -1624,4 +1520,125 @@ def bloom_prefilter_report(
             "n_true_dup",
             (F.col("n_maybe") - F.col("n_true_dup")).alias("n_false_pos"),
         )
+    )
+
+
+def minhash_lsh_against_corpus(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    hash_family: str | None = None,
+    max_bucket_size: int | None = _FROM_CONF,  # type: ignore[assignment]
+    threshold: float | None = None,
+) -> DataFrame:
+    """Near-duplicate candidates of an incoming batch AGAINST a stored
+    corpus — the fuzzy sibling of dedup_against_corpus, completing the
+    live-ingestion pair: Bloom/anti-join catches exact re-crawls,
+    this catches boilerplate rewrites and near-copies.
+
+    Both sides are MinHash-banded with the SAME permutations and band
+    hashing as minhash_lsh_candidates, but the candidate join is
+    batch-bands x corpus-bands instead of a self-join: cost is bounded
+    by the BATCH size, never corpus^2. At 100 TB the corpus band-key
+    table (bands rows per stored doc, two small columns) is the
+    persisted artifact — built once per corpus snapshot exactly like
+    the Bloom bitmap, so an ingestion tick scans only the batch. Here
+    it is derived inline for the self-contained gate.
+
+    ``max_bucket_size`` caps CORPUS-side bucket sizes (a boilerplate
+    template bucket holding millions of stored docs would multiply
+    every matching batch doc by the bucket size): oversized corpus
+    buckets are dropped before the join, the lsh_bucket_report
+    semantics. ``threshold=None`` returns raw candidates
+    (batch_id, corpus_id); with a threshold, candidates are VERIFIED by
+    exact shingle Jaccard computed only on candidate docs — the corpus
+    side is row-pruned by a semi-join on candidate ids BEFORE
+    tokenization, so the expensive explode never runs over non-candidate
+    corpus text. Returns (batch_id, corpus_id, jaccard) then.
+    """
+    if max_bucket_size is _FROM_CONF:
+        from hive_io_experimental_spark import conf as _conf
+
+        cap = _conf.LSH_MAX_BUCKET.get(incoming.sparkSession)
+        max_bucket_size = cap if cap > 0 else None
+    family = resolve_family(incoming, hash_family)
+    inc_bk = minhash_band_keys(
+        minhash_signatures(incoming, text_col, id_col, num_perm, k, family),
+        num_perm,
+        bands,
+    ).select(
+        F.col("id").alias("batch_id"), "band", "band_key"
+    )
+    cor_bk = minhash_band_keys(
+        minhash_signatures(corpus, text_col, id_col, num_perm, k, family),
+        num_perm,
+        bands,
+    ).select(
+        F.col("id").alias("corpus_id"), "band", "band_key"
+    )
+    if max_bucket_size is not None:
+        cor_bk = reuse(cor_bk)
+        ok = (
+            cor_bk.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("band", "band_key")
+        )
+        cor_bk = cor_bk.join(ok, ["band", "band_key"])
+    cands = (
+        inc_bk.join(cor_bk, ["band", "band_key"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    if threshold is None:
+        return cands
+    # verify stage: exact Jaccard on candidate docs only. cands feeds
+    # the pair join plus both id-pruning semi-joins -> reuse().
+    cands = reuse(cands)
+    q_sh = reuse(
+        shingle_sets(
+            incoming.join(
+                cands.select(F.col("batch_id").alias(id_col)).distinct(),
+                id_col,
+                "left_semi",
+            ),
+            text_col,
+            id_col,
+            k,
+        ).select(F.col("id").alias("batch_id"), "shingle")
+    )
+    c_sh = reuse(
+        shingle_sets(
+            corpus.join(
+                cands.select(F.col("corpus_id").alias(id_col)).distinct(),
+                id_col,
+                "left_semi",
+            ),
+            text_col,
+            id_col,
+            k,
+        ).select(F.col("id").alias("corpus_id"), "shingle")
+    )
+    inter = (
+        cands.join(q_sh, "batch_id")
+        .join(c_sh, ["corpus_id", "shingle"])
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    nq = q_sh.groupBy("batch_id").agg(F.count(F.lit(1)).alias("n_q"))
+    nc = c_sh.groupBy("corpus_id").agg(F.count(F.lit(1)).alias("n_c"))
+    jac = F.round(
+        F.col("inter")
+        / (F.col("n_q") + F.col("n_c") - F.col("inter")),
+        6,
+    )
+    return (
+        inter.join(nq, "batch_id")
+        .join(nc, "corpus_id")
+        .select("batch_id", "corpus_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )

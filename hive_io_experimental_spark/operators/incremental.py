@@ -525,6 +525,20 @@ def heavy_hitters_from_sketch(state: DataFrame, top_n: int = 20) -> DataFrame:
 
 _BLOOM_WORD_BITS = 32
 
+# Broadcast the bloom state only while it is genuinely small: above this
+# many BITS (2^27 = 16 MiB of bitmap payload, ~4M 32-bit words) the probe
+# falls back to a shuffle equi-join on word — the probe side carries k rows
+# per key, still bounded. An explicit F.broadcast bypasses
+# autoBroadcastJoinThreshold, so the operator must bound it itself (the
+# same discipline as the guarded broadcast top-k paths in similarity.py).
+BLOOM_BROADCAST_MAX_BITS = 1 << 27
+
+
+def _bloom_state_side(state: DataFrame, m_bits: int) -> DataFrame:
+    """Bloom state as a join side: broadcast-hinted only under the bound."""
+    side = state.select("word", "bits")
+    return F.broadcast(side) if m_bits <= BLOOM_BROADCAST_MAX_BITS else side
+
 
 def _bloom_pos(key_col, i_col, m_bits: int):
     """Bit position of hash probe i for a key: portable md5 position in
@@ -662,8 +676,9 @@ def bloom_membership(
     """Read path: (key, maybe_member) for each distinct probe key.
 
     Each probe fans out to its k (word, mask) pairs, joins the state on
-    word — the state is filter-sized, so it is BROADCAST; the probe side
-    never shuffles — and a key is a member iff every probed bit is set.
+    word — broadcast while the geometry is under BLOOM_BROADCAST_MAX_BITS
+    (then the probe side never shuffles), a bounded equi-join above — and
+    a key is a member iff every probed bit is set.
     maybe_member=1 may be a false positive; 0 is definitive. Raises at
     execution if the probe geometry disagrees with the state's stored
     m/k (probing with the wrong geometry would silently false-negate).
@@ -684,7 +699,7 @@ def bloom_membership(
     word, mask = _bloom_word_mask()
     hit = (
         fan.select("key", word, mask)
-        .join(F.broadcast(state.select("word", "bits")), "word", "left")
+        .join(_bloom_state_side(state, m_bits), "word", "left")
         .crossJoin(F.broadcast(guard))
         .select(
             "key",

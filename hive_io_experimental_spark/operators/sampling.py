@@ -499,3 +499,60 @@ def dsir_select(
     top = w.orderBy(F.col("weight_e6").desc(), F.col("doc_id").asc()).limit(n)
     rank_w = Window.orderBy(F.col("weight_e6").desc(), F.col("doc_id").asc())
     return top.withColumn("rank", F.row_number().over(rank_w).cast("long"))
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int = 100_000,
+    group_col: str = "source",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    salt: str = "tokbudget:",
+) -> DataFrame:
+    """Keep a deterministic per-group prefix whose cumulative TOKEN count
+    fits ``budget_tokens`` — the training-mixture dial in the unit that
+    actually matters. Source quotas in rows (quota_cap_sample) misstate
+    the mix when document lengths differ by source; an LLM data recipe
+    is specified in tokens ("300B tokens: 60% web, 20% code, ..."), so
+    the sampler must cut on cumulative tokens.
+
+    Selection: rows order within their group by (md5-hash(salt || key),
+    key) — the same hash lottery as every sampler here, so the kept set
+    is a uniform without-replacement draw, identical under any
+    partitioning, input order, or engine — and a row survives iff the
+    running token total INCLUDING it is <= the budget. (A group whose
+    first drawn doc alone exceeds the budget keeps nothing — the strict
+    contract; loosen by raising the budget, not by special-casing.)
+
+    Exactness: token counts and the running sum are pure int64; the
+    ordering key is unique (hash ties broken by key), so the window's
+    default RANGE frame equals a ROWS frame and both engines agree
+    bit-for-bit. Plan: one shuffle on group_col for the window sort —
+    no joins, no second pass; a skewed group sorts within its own
+    partitions spill-aware. Returns the surviving rows with n_tokens
+    and cum_tokens (both BIGINT) appended.
+    """
+    from hive_io_experimental_spark.functions.textfns import word_tokens
+
+    if budget_tokens < 1:
+        raise ValueError(
+            f"budget_tokens must be a positive token count, got {budget_tokens}"
+        )
+    hc = "_tbs_h"
+    while hc in df.columns:
+        hc = hc + "_"
+    w = Window.partitionBy(group_col).orderBy(F.col(hc), F.col(key_col))
+    return (
+        df.withColumn(
+            "n_tokens", F.size(word_tokens(F.col(text_col))).cast("long")
+        )
+        .withColumn(
+            hc,
+            portable_hash64(
+                F.concat(F.lit(salt), F.col(key_col).cast("string"))
+            ),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .drop(hc)
+    )

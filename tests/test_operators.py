@@ -1926,9 +1926,11 @@ def test_bloom_no_false_negatives_and_report_arithmetic(spark):
     salted positions cannot miss a built key), and the report's columns
     must satisfy the accounting identities."""
     from hive_io_experimental_spark.operators.dedup import (
-        bloom_build,
-        bloom_probe,
         bloom_prefilter_report,
+    )
+    from hive_io_experimental_spark.operators.incremental import (
+        bloom_membership,
+        bloom_state,
     )
 
     rows = [(i, f"doc {i}") for i in range(200)]
@@ -1945,28 +1947,127 @@ def test_bloom_no_false_negatives_and_report_arithmetic(spark):
     assert rep.n_definite_new + rep.n_maybe == rep.n_batch
     assert rep.n_false_pos == rep.n_maybe - rep.n_true_dup >= 0
     assert 0 < rep.n_bits_set <= min(rep.m_bits, rep.n_corpus_keys * rep.k)
-    assert rep.n_words <= -(-rep.m_bits // 60)  # ceil(m/60) bound
+    assert rep.n_words <= -(-rep.m_bits // 32)  # ceil(m/32) bound
 
-    # direct probe: membership of built keys is never rejected
+    # direct probe via the incremental tier the dedup path composes:
+    # membership of built keys is never rejected
     keys = spark.createDataFrame(
         [(f"k{i}",) for i in range(50)], "fp string"
     )
-    bloom = bloom_build(keys, m_bits=256, k=4)
-    probed = bloom_probe(keys, bloom, m_bits=256, k=4)
-    assert all(r.might_contain for r in probed.collect())
+    state = bloom_state(keys, key_col="fp", m_bits=256, k_hashes=4)
+    probed = bloom_membership(
+        state, keys, probe_col="fp", m_bits=256, k_hashes=4
+    )
+    assert all(r.maybe_member == 1 for r in probed.collect())
 
 
 def test_bloom_validates_parameters(spark):
     from hive_io_experimental_spark.operators.dedup import (
-        bloom_build,
+        bloom_prefilter_report,
         dedup_against_corpus_bloom,
     )
 
-    keys = spark.createDataFrame([("a",)], "fp string")
-    with pytest.raises(ValueError, match="m_bits"):
-        bloom_build(keys, m_bits=1)
-    with pytest.raises(ValueError, match="k must"):
-        bloom_build(keys, k=0)
     df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_prefilter_report(df, df, m_bits=1)
+    with pytest.raises(ValueError, match="k must"):
+        bloom_prefilter_report(df, df, k=0)
     with pytest.raises(ValueError, match="bits_per_key"):
         dedup_against_corpus_bloom(df, df, bits_per_key=0)
+
+
+def test_lsh_against_corpus_finds_cross_side_neardups(spark):
+    """A batch doc nearly identical to a corpus doc must surface as a
+    verified (batch_id, corpus_id, jaccard) pair; unrelated docs must
+    not; identical text must score jaccard == 1.0."""
+    from hive_io_experimental_spark.operators.dedup import (
+        minhash_lsh_against_corpus,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(100, base), (101, "totally different words about other topics here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1, base), (2, base + " lambda"), (3, "nothing shared with anyone at all")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.batch_id, r.corpus_id): r.jaccard
+        for r in minhash_lsh_against_corpus(
+            batch, corpus, threshold=0.5
+        ).collect()
+    }
+    assert got[(1, 100)] == 1.0
+    assert (2, 100) in got and 0.5 <= got[(2, 100)] < 1.0
+    assert all(b != 3 and c != 101 for (b, c) in got)
+
+    # raw candidate mode is a superset of the verified pairs
+    cands = {
+        (r.batch_id, r.corpus_id)
+        for r in minhash_lsh_against_corpus(batch, corpus).collect()
+    }
+    assert set(got) <= cands
+
+
+def test_lsh_against_corpus_caps_hot_corpus_buckets(spark):
+    """A corpus template bucket above max_bucket_size is dropped before
+    the join: identical corpus docs share every band, so a cap of 1
+    suppresses all their candidates while a loose cap keeps them."""
+    from hive_io_experimental_spark.operators.dedup import (
+        minhash_lsh_against_corpus,
+    )
+
+    tmpl = "one two three four five six seven eight nine ten"
+    corpus = spark.createDataFrame(
+        [(i, tmpl) for i in range(100, 105)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame([(1, tmpl)], "doc_id long, text string")
+    loose = minhash_lsh_against_corpus(batch, corpus, max_bucket_size=10)
+    assert loose.count() == 5
+    capped = minhash_lsh_against_corpus(batch, corpus, max_bucket_size=1)
+    assert capped.count() == 0
+
+
+def test_token_budget_sample_semantics(spark):
+    """Cumulative-token cut per group: the kept set is the hash-ordered
+    prefix whose running total fits the budget, invariant to input
+    partitioning; a budget smaller than the first drawn doc keeps
+    nothing for that group."""
+    from hive_io_experimental_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    rows = [
+        (i, "a" if i < 10 else "b", "w " * (5 * (1 + i % 3))) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = token_budget_sample(
+        df, budget_tokens=25, group_col="source"
+    ).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        assert max(r.cum_tokens for r in rs) <= 25
+        # prefix property: cum_tokens values are exactly the running sums
+        rs = sorted(rs, key=lambda r: r.cum_tokens)
+        tot = 0
+        for r in rs:
+            tot += r.n_tokens
+            assert r.cum_tokens == tot
+
+    # partitioning invariance
+    again = {
+        r.doc_id
+        for r in token_budget_sample(
+            df.repartition(7), budget_tokens=25, group_col="source"
+        ).collect()
+    }
+    assert again == {r.doc_id for r in kept}
+
+    # budget below every doc's token count keeps nothing
+    assert token_budget_sample(df, budget_tokens=4).count() == 0
+    with pytest.raises(ValueError, match="budget_tokens"):
+        token_budget_sample(df, budget_tokens=0)
