@@ -1949,6 +1949,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         m_bits=1 << 16,
         k=5,
     )
+    # PERSISTED-artifact end-to-end: build fingerprints + bloom state +
+    # band keys once (manifest-committed), then ingest a batch with ZERO
+    # corpus scans — output contract identical to the exact anti-join,
+    # so the oracle is the same SQL shape on a fresh %6 split
+    def _ingest_batch_exact(spark: SparkSession, sf: str) -> DataFrame:
+        import tempfile
+
+        from hive_io_experimental_spark.operators import ingestion
+
+        docs = _t(spark, sf, "documents")
+        art = tempfile.mkdtemp(prefix="hio_gate_ingest_")
+        ingestion.build_corpus_artifacts(
+            docs.filter(F.col("doc_id") % 6 != 0), art, m_bits=1 << 16, k=5
+        )
+        return ingestion.ingest_batch(
+            docs.filter(F.col("doc_id") % 6 == 0), art
+        )
+
+    q["ingest_batch_exact"] = _ingest_batch_exact
     # the fuzzy sibling: MinHash-band the batch AGAINST the stored
     # corpus's band keys (never corpus^2), verify candidates by exact
     # shingle Jaccard on candidate docs only
@@ -2182,8 +2201,9 @@ _CHECK_FIRST = [
     # bloom membership pre-filter pair + incremental LSH near-dup (also
     # new this round, in-window from birth)
     "dedup_bloom_prefilter", "bloom_filter_report", "dedup_lsh_incremental",
-    # token-budget mixture sampler (new this round, in-window from birth)
-    "token_budget_sample",
+    # token-budget mixture sampler + persisted-artifact ingestion
+    # end-to-end (new this round, in-window from birth)
+    "token_budget_sample", "ingest_batch_exact",
     # ---- 15 veterans: r8-touched paths + the stalest (r1-only) gates ----
     # similarity family: cosine_topk grew the broadcast-queries guard,
     # the bucketed family auto-sizes planes — re-verify the tier's
@@ -2199,11 +2219,11 @@ _CHECK_FIRST = [
     # max_concurrent_sessions ceded their slots to the two new quantized
     # gates — the versioned-write and funnel families keep core reps
     # in-window; both return in r9)
-    # (dedup_simhash ceded its slot to dedup_lsh_incremental and
-    # bloom_join_prune to token_budget_sample — the simhash family keeps
-    # dedup_simhash_pairs in-window; both return r9)
+    # (dedup_simhash ceded its slot to dedup_lsh_incremental,
+    # bloom_join_prune to token_budget_sample, data_expectations to
+    # ingest_batch_exact — the simhash family keeps dedup_simhash_pairs
+    # in-window; all three return r9)
     "active_user_trends", "dedup_simhash_pairs", "dedup_minhash_lsh",
-    "data_expectations",
 ]
 
 
@@ -3599,6 +3619,17 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents WHERE doc_id % 7 = 0 GROUP BY 1),
         seen AS (SELECT DISTINCT md5({_NORM}) AS fp
                  FROM documents WHERE doc_id % 7 <> 0)
+        SELECT id, fp FROM batch
+        WHERE fp NOT IN (SELECT fp FROM seen)"""
+
+    # persisted-artifact ingestion is exact by the same contract (the
+    # stored bloom has no false negatives; the maybe set anti-joins the
+    # stored fingerprints), so its oracle is also the plain anti-join
+    o["ingest_batch_exact"] = f"""
+        WITH batch AS (SELECT md5({_NORM}) AS fp, MIN(doc_id) AS id
+                       FROM documents WHERE doc_id % 6 = 0 GROUP BY 1),
+        seen AS (SELECT DISTINCT md5({_NORM}) AS fp
+                 FROM documents WHERE doc_id % 6 <> 0)
         SELECT id, fp FROM batch
         WHERE fp NOT IN (SELECT fp FROM seen)"""
 

@@ -1,0 +1,113 @@
+"""Persisted ingestion artifacts: build / probe / append lifecycle.
+
+The contract under test: probing STORED artifacts gives bit-identical
+results to the inline operators (dedup_against_corpus,
+minhash_lsh_against_corpus candidates), the manifest is a commit
+marker, and append is idempotent on re-delivered batches.
+"""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_io_experimental_spark.operators.dedup import (
+    dedup_against_corpus,
+    minhash_lsh_against_corpus,
+)
+from hive_io_experimental_spark.operators.ingestion import (
+    ArtifactError,
+    append_to_artifacts,
+    build_corpus_artifacts,
+    ingest_batch,
+    ingest_batch_neardups,
+    load_manifest,
+)
+
+
+@pytest.fixture()
+def art_dir():
+    d = tempfile.mkdtemp(prefix="hio_ingest_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _docs(spark, n=60, dup_every=4):
+    rows = [
+        (
+            i,
+            f"alpha beta gamma doc {i % dup_every} shared tail words here"
+            if i % 3 == 0
+            else f"unique body {i} with its own distinct content entirely",
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ingest_batch_matches_inline_operator(spark, art_dir):
+    df = _docs(spark)
+    batch = df.filter(F.col("doc_id") % 5 == 0)
+    corpus = df.filter(F.col("doc_id") % 5 != 0)
+
+    man = build_corpus_artifacts(corpus, art_dir, m_bits=1 << 12, k=4)
+    assert man["n_keys"] > 0 and man["version"] == 1
+    got = {(r.id, r.fp) for r in ingest_batch(batch, art_dir).collect()}
+    want = {
+        (r.id, r.fp) for r in dedup_against_corpus(batch, corpus).collect()
+    }
+    assert got == want
+
+    cands = {
+        (r.batch_id, r.corpus_id)
+        for r in ingest_batch_neardups(batch, art_dir).collect()
+    }
+    inline = {
+        (r.batch_id, r.corpus_id)
+        for r in minhash_lsh_against_corpus(
+            batch, corpus, max_bucket_size=None
+        ).collect()
+    }
+    assert cands == inline and cands  # non-degenerate: shared templates
+
+
+def test_manifest_is_commit_marker(spark, art_dir):
+    with pytest.raises(ArtifactError, match="build_corpus_artifacts"):
+        load_manifest(spark, art_dir + "/never_built")
+    df = _docs(spark, n=10)
+    with pytest.raises(ArtifactError):
+        ingest_batch(df, art_dir + "/never_built")
+
+
+def test_append_is_idempotent_and_updates_probes(spark, art_dir):
+    df = _docs(spark)
+    batch = df.filter(F.col("doc_id") % 5 == 0)
+    corpus = df.filter(F.col("doc_id") % 5 != 0)
+    man0 = build_corpus_artifacts(corpus, art_dir, m_bits=1 << 12, k=4)
+
+    survivors = ingest_batch(batch, art_dir)
+    n_new = survivors.count()
+    assert n_new > 0
+    accepted = batch.join(
+        survivors.select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    man1 = append_to_artifacts(accepted, art_dir)
+    assert man1["n_keys"] == man0["n_keys"] + n_new
+    assert man1["n_keys"] == load_manifest(spark, art_dir)["n_keys"]
+
+    # the whole batch is now stored: re-ingesting it survives nothing
+    assert ingest_batch(batch, art_dir).count() == 0
+    # and appending it again is a no-op on the manifest
+    man2 = append_to_artifacts(accepted, art_dir)
+    assert man2["n_keys"] == man1["n_keys"]
+    # near-dup probes now see the appended docs' bands too
+    self_cands = ingest_batch_neardups(accepted, art_dir)
+    appended_ids = {r.doc_id for r in accepted.select("doc_id").collect()}
+    hits = {
+        r.corpus_id
+        for r in self_cands.collect()
+        if r.batch_id == r.corpus_id
+    }
+    # every appended doc with >= shingle_k tokens collides with itself
+    assert hits == appended_ids
