@@ -679,3 +679,61 @@ def test_psi_drift_over_streamed_histogram_state(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert via_stream == via_batch and via_stream
+
+
+def test_streaming_ingest_folds_survivors_across_batches(spark, tmp_path):
+    """Streaming ingestion against persisted artifacts: corpus dups are
+    rejected, each distinct new text is accepted EXACTLY ONCE across all
+    micro-batches (cross-batch duplicates prove the per-batch artifact
+    fold), and the final artifacts reject a full replay."""
+    from hive_io_experimental_spark.operators.ingestion import (
+        build_corpus_artifacts,
+        ingest_batch,
+        load_manifest,
+    )
+    from hive_io_experimental_spark.streaming.ingest import ingest_stream
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus text {i} stable body") for i in range(20)],
+        "doc_id long, text string",
+    )
+    art = str(tmp_path / "art")
+    man0 = build_corpus_artifacts(corpus, art, m_bits=1 << 12, k=4)
+
+    # two single-row-group files -> maxFilesPerTrigger=1 -> 2 batches;
+    # 'brand new A'/'shared X' appear in BOTH batches under different ids
+    rows = [
+        (100, "corpus text 0 stable body", 0),   # corpus dup
+        (101, "brand new A", 0),
+        (102, "shared X", 0),
+        (200, "corpus text 1 stable body", 1),   # corpus dup
+        (201, "brand new A", 1),                 # cross-batch dup
+        (202, "shared X", 1),                    # cross-batch dup
+        (203, "brand new B", 1),
+    ]
+    src = str(tmp_path / "src")
+    (
+        spark.createDataFrame(rows, "doc_id long, text string, b int")
+        .repartition(2, "b")
+        .drop("b")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    accept = str(tmp_path / "accept")
+    q = ingest_stream(
+        stream, art, str(tmp_path / "ckpt"), accept_dir=accept
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(accept)
+    texts = [r.text for r in got.collect()]
+    # corpus dups rejected, each distinct new text accepted exactly once
+    assert sorted(texts) == ["brand new A", "brand new B", "shared X"]
+    # artifacts grew by exactly the accepted distinct texts
+    assert load_manifest(spark, art)["n_keys"] == man0["n_keys"] + 3
+    # a full replay of the source is now entirely duplicate
+    replay = spark.read.parquet(src)
+    assert ingest_batch(replay, art).count() == 0
