@@ -1968,6 +1968,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ingest_batch_exact"] = _ingest_batch_exact
+
+    # artifact band-key path end-to-end: near-dup CANDIDATES of a batch
+    # against the STORED band keys (uncapped, so the oracle is the pure
+    # cross-side band-candidate SQL)
+    def _ingest_batch_neardups(spark: SparkSession, sf: str) -> DataFrame:
+        import tempfile
+
+        from hive_io_experimental_spark.operators import ingestion
+
+        docs = _t(spark, sf, "documents")
+        art = tempfile.mkdtemp(prefix="hio_gate_ingest_nd_")
+        ingestion.build_corpus_artifacts(
+            docs.filter(F.col("doc_id") % 6 != 0), art, m_bits=1 << 16, k=5
+        )
+        return ingestion.ingest_batch_neardups(
+            docs.filter(F.col("doc_id") % 6 == 0), art
+        )
+
+    q["ingest_batch_neardups"] = _ingest_batch_neardups
     # the fuzzy sibling: MinHash-band the batch AGAINST the stored
     # corpus's band keys (never corpus^2), verify candidates by exact
     # shingle Jaccard on candidate docs only
@@ -2202,8 +2221,8 @@ _CHECK_FIRST = [
     # new this round, in-window from birth)
     "dedup_bloom_prefilter", "bloom_filter_report", "dedup_lsh_incremental",
     # token-budget mixture sampler + persisted-artifact ingestion
-    # end-to-end (new this round, in-window from birth)
-    "token_budget_sample", "ingest_batch_exact",
+    # end-to-end, exact + band path (new this round, in-window from birth)
+    "token_budget_sample", "ingest_batch_exact", "ingest_batch_neardups",
     # ---- 15 veterans: r8-touched paths + the stalest (r1-only) gates ----
     # similarity family: cosine_topk grew the broadcast-queries guard,
     # the bucketed family auto-sizes planes — re-verify the tier's
@@ -2221,9 +2240,10 @@ _CHECK_FIRST = [
     # in-window; both return in r9)
     # (dedup_simhash ceded its slot to dedup_lsh_incremental,
     # bloom_join_prune to token_budget_sample, data_expectations to
-    # ingest_batch_exact — the simhash family keeps dedup_simhash_pairs
-    # in-window; all three return r9)
-    "active_user_trends", "dedup_simhash_pairs", "dedup_minhash_lsh",
+    # ingest_batch_exact, active_user_trends to ingest_batch_neardups —
+    # the simhash family keeps dedup_simhash_pairs in-window; all four
+    # return r9)
+    "dedup_simhash_pairs", "dedup_minhash_lsh",
 ]
 
 
@@ -4052,6 +4072,23 @@ def oracle_sql() -> dict[str, str]:
         JOIN nq ON nq.doc_id = inter.batch_id
         JOIN nc ON nc.doc_id = inter.corpus_id
         WHERE ROUND(i / (nq.n + nc.n - i), 6) >= 0.5"""
+
+    # artifact band-path twin: the same cross-side banding on a %6
+    # split, candidates only (the stored band table is uncapped)
+    o["ingest_batch_neardups"] = f"""
+        WITH bdocs AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+                       WHERE doc_id % 6 = 0),
+        cdocs AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+                  WHERE doc_id % 6 <> 0),
+        bsh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM bdocs),
+        csh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM cdocs),
+        bsig AS (SELECT doc_id, {sig_cols} FROM bsh GROUP BY doc_id),
+        csig AS (SELECT doc_id, {sig_cols} FROM csh GROUP BY doc_id),
+        bband AS ({_bands_over("bsig")}),
+        cband AS ({_bands_over("csig")})
+        SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+        FROM bband b JOIN cband c
+          ON b.band = c.band AND b.band_key = c.band_key"""
 
     # cap-audit twin: bucket-size distribution + what a cap of 3 drops
     o["dedup_lsh_bucket_report"] = f"""
