@@ -1987,6 +1987,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ingest_batch_neardups"] = _ingest_batch_neardups
+
+    # decontamination at ingestion: batch docs whose winnowing fps
+    # collide with the STORED corpus fp set (substring sharing >= 8
+    # chars at the k=5/window=4 defaults) — benchmark-leakage protection
+    def _ingest_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+        import tempfile
+
+        from hive_io_experimental_spark.operators import ingestion
+
+        docs = _t(spark, sf, "documents")
+        art = tempfile.mkdtemp(prefix="hio_gate_ingest_dc_")
+        ingestion.build_corpus_artifacts(
+            docs.filter(F.col("doc_id") % 6 != 0),
+            art,
+            m_bits=1 << 16,
+            k=5,
+            winnow=True,
+        )
+        return ingestion.decontaminate_batch(
+            docs.filter(F.col("doc_id") % 6 == 0), art
+        )
+
+    q["ingest_decontaminate"] = _ingest_decontaminate
     # the fuzzy sibling: MinHash-band the batch AGAINST the stored
     # corpus's band keys (never corpus^2), verify candidates by exact
     # shingle Jaccard on candidate docs only
@@ -2223,6 +2246,7 @@ _CHECK_FIRST = [
     # token-budget mixture sampler + persisted-artifact ingestion
     # end-to-end, exact + band path (new this round, in-window from birth)
     "token_budget_sample", "ingest_batch_exact", "ingest_batch_neardups",
+    "ingest_decontaminate",
     # ---- 15 veterans: r8-touched paths + the stalest (r1-only) gates ----
     # similarity family: cosine_topk grew the broadcast-queries guard,
     # the bucketed family auto-sizes planes — re-verify the tier's
@@ -2230,8 +2254,11 @@ _CHECK_FIRST = [
     # pair, ivf_topk/ivf_trained to the bloom pair; all four return in
     # r9 — the tier keeps 6 reps in-window incl. the ivf_quantized gate)
     "similarity_topk",
-    # r1-only checks, never re-verified since
-    "column_profile", "lang_id", "token_histogram", "doc_winnowing",
+    # r1-only checks, never re-verified since (doc_winnowing ceded its
+    # slot to ingest_decontaminate, whose oracle embeds the same
+    # winnowing CTE — the arithmetic is still driver-checked this round;
+    # the gate itself returns r9)
+    "column_profile", "lang_id", "token_histogram",
     "doc_fingerprint", "multimodal_resize", "multimodal_frame_sample",
     "multimodal_features",
     # single-round veterans from r4/r5 windows (snapshot_diff_cdc and
@@ -4606,6 +4633,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT COALESCE(n, 0) AS n_orders, COUNT(*) AS n_customers
         FROM customer LEFT JOIN oc ON o_custkey = c_custkey
         GROUP BY 1 ORDER BY 1"""
+
+    # decontamination-at-ingestion twin: winnowing fps computed once
+    # over all documents, corpus side collapsed to DISTINCT fps, batch
+    # docs counted by colliding fps (min_shared=1 -> inner join)
+    o["ingest_decontaminate"] = f"""
+        WITH fps AS ({o['doc_winnowing']}),
+        cw AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 6 <> 0),
+        b AS (SELECT doc_id, fp FROM fps WHERE doc_id % 6 = 0)
+        SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+        FROM b JOIN cw ON b.fp = cw.fp
+        GROUP BY 1"""
 
     o["cross_source_leakage"] = f"""
         WITH fps AS ({o['doc_winnowing']}),

@@ -16,6 +16,8 @@ Artifact layout under ``path`` (all plain parquet, engine-agnostic):
     fingerprints/   (fp)                    distinct 128-bit content keys
     bloom_state/    (word, bits, m, k)      incremental.bloom_state rows
     band_keys/      (corpus_id, band, band_key)   MinHash LSH bands
+    winnow/         (fp)                    distinct winnowing fps
+                                            (opt-in: decontamination)
     manifest/       1 row: version + every geometry dial + n_keys
 
 The manifest is written LAST, so a partial build is invisible to
@@ -52,6 +54,7 @@ ARTIFACT_VERSION = 1
 _FPS = "fingerprints"
 _BLOOM = "bloom_state"
 _BANDS = "band_keys"
+_WINNOW = "winnow"
 _MANIFEST = "manifest"
 
 
@@ -68,6 +71,9 @@ def build_corpus_artifacts(
     num_perm: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
+    winnow: bool = False,
+    winnow_k: int = 5,
+    winnow_window: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_family: str | None = None,
@@ -108,6 +114,24 @@ def build_corpus_artifacts(
     ).select(
         F.col("id").alias("corpus_id"), "band", "band_key"
     ).write.mode("overwrite").parquet(f"{path}/{_BANDS}")
+    if winnow:
+        # decontamination structure: the corpus's DISTINCT winnowing
+        # fingerprints — any batch doc sharing a substring of length
+        # >= winnow_k + winnow_window - 1 chars with the corpus is
+        # guaranteed to collide on at least one stored fp (the MOSS
+        # bound, text.winnowing_fingerprints). Opt-in: it is the one
+        # structure an ingestion tick can live without, and it costs a
+        # third tokenizing corpus pass at build time.
+        from hive_io_experimental_spark.operators.text import (
+            winnowing_fingerprints,
+        )
+
+        winnowing_fingerprints(
+            corpus, text_col=text_col, id_col=id_col,
+            k=winnow_k, window=winnow_window,
+        ).select("fp").distinct().write.mode("overwrite").parquet(
+            f"{path}/{_WINNOW}"
+        )
     manifest = {
         "version": ARTIFACT_VERSION,
         "m_bits": int(m_bits),
@@ -117,6 +141,9 @@ def build_corpus_artifacts(
         "shingle_k": int(shingle_k),
         "hash_family": family,
         "n_keys": int(n_keys),
+        "winnow": bool(winnow),
+        "winnow_k": int(winnow_k),
+        "winnow_window": int(winnow_window),
     }
     corpus.sparkSession.createDataFrame([manifest]).coalesce(1).write.mode(
         "overwrite"
@@ -286,6 +313,27 @@ def append_to_artifacts(
     ).select(
         F.col("id").alias("corpus_id"), "band", "band_key"
     ).write.mode("append").parquet(f"{path}/{_BANDS}")
+    if man.get("winnow"):
+        from hive_io_experimental_spark.operators.text import (
+            winnowing_fingerprints,
+        )
+
+        # eager materialization before the append: the anti-join reads
+        # the same directory the write appends to (the staleness footgun
+        # class again — cut the plan from the path first)
+        new_w = (
+            winnowing_fingerprints(
+                fresh_docs, text_col=text_col, id_col=id_col,
+                k=man["winnow_k"], window=man["winnow_window"],
+            )
+            .select("fp")
+            .distinct()
+            .join(
+                spark.read.parquet(f"{path}/{_WINNOW}"), "fp", "left_anti"
+            )
+            .localCheckpoint()
+        )
+        new_w.write.mode("append").parquet(f"{path}/{_WINNOW}")
     delta = bloom_state(
         fresh, key_col="fp", m_bits=man["m_bits"], k_hashes=man["k"]
     )
@@ -303,3 +351,48 @@ def append_to_artifacts(
         f"{path}/{_MANIFEST}"
     )
     return man
+
+
+def decontaminate_batch(
+    batch: DataFrame,
+    path: str,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-leakage check at ingestion time: batch documents whose
+    winnowing fingerprints collide with the STORED corpus's — i.e. docs
+    sharing a substring of length >= winnow_k + winnow_window - 1 chars
+    with anything already ingested (train-on-the-benchmark protection
+    when the artifacts were built over held-out eval sets). Zero corpus
+    scans: the batch tokenizes once, then a semi-join against the
+    stored distinct-fp table. Raises ArtifactError if the artifacts
+    were built without winnow=True rather than silently passing
+    everything. Returns (doc_id, n_shared_fps) for batch docs with at
+    least ``min_shared`` colliding fingerprints.
+    """
+    from hive_io_experimental_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    spark = batch.sparkSession
+    man = load_manifest(spark, path)
+    if not man.get("winnow"):
+        raise ArtifactError(
+            f"artifacts at {path!r} were built without winnow=True — "
+            "rebuild (or append) with winnowing enabled before running "
+            "decontamination"
+        )
+    fps = winnowing_fingerprints(
+        batch, text_col=text_col, id_col=id_col,
+        k=man["winnow_k"], window=man["winnow_window"],
+    )
+    stored = spark.read.parquet(f"{path}/{_WINNOW}")
+    return (
+        fps.join(stored, "fp", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
+    )

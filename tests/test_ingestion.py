@@ -111,3 +111,54 @@ def test_append_is_idempotent_and_updates_probes(spark, art_dir):
     }
     # every appended doc with >= shingle_k tokens collides with itself
     assert hits == appended_ids
+
+
+def test_decontaminate_batch_flags_substring_sharers(spark, art_dir):
+    """Winnowing decontamination against stored artifacts: a batch doc
+    sharing a long substring with the corpus is flagged, a fully novel
+    doc is not, artifacts built without winnow=True refuse the probe,
+    and append keeps the winnow table current."""
+    from hive_io_experimental_spark.operators.ingestion import (
+        ArtifactError,
+        append_to_artifacts,
+        build_corpus_artifacts,
+        decontaminate_batch,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"the quick brown fox jumps over dataset row {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "prefix text then the quick brown fox appears here"),
+            (101, "zzz qqq vvv kkk mmm www yyy xxx"),  # novel 8-char-free
+        ],
+        "doc_id long, text string",
+    )
+
+    # winnow disabled -> loud refusal, not silent pass-through
+    bare = art_dir + "/bare"
+    build_corpus_artifacts(corpus, bare, m_bits=1 << 12, k=4)
+    with pytest.raises(ArtifactError, match="winnow"):
+        decontaminate_batch(batch, bare)
+
+    full = art_dir + "/full"
+    build_corpus_artifacts(corpus, full, m_bits=1 << 12, k=4, winnow=True)
+    got = {r.doc_id: r.n_shared_fps for r in decontaminate_batch(batch, full).collect()}
+    assert 100 in got and got[100] >= 1  # shares "the quick brown fox"
+    assert 101 not in got
+
+    with pytest.raises(ValueError, match="min_shared"):
+        decontaminate_batch(batch, full, min_shared=0)
+
+    # fold doc 101 in; a later doc quoting 101's text must now be flagged
+    append_to_artifacts(
+        batch.filter(F.col("doc_id") == 101), full
+    )
+    later = spark.createDataFrame(
+        [(200, "quote: zzz qqq vvv kkk mmm www yyy xxx end")],
+        "doc_id long, text string",
+    )
+    flagged = {r.doc_id for r in decontaminate_batch(later, full).collect()}
+    assert flagged == {200}
