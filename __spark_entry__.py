@@ -2018,6 +2018,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents").filter(F.col("doc_id") % 9 != 0),
         threshold=0.5,
     )
+    # third incremental modality: batch embeddings vs the stored corpus's
+    # sign-LSH buckets (2 planes here — small fixture needs coarse
+    # buckets), exact cosine rescoring on collisions
+    q["dedup_embedding_incremental"] = lambda spark, sf: (
+        dedup.embedding_neardup_against_corpus(
+            _t(spark, sf, "embeddings").filter(F.col("vec_id") % 7 == 0),
+            _t(spark, sf, "embeddings").filter(F.col("vec_id") % 7 != 0),
+            threshold=0.4,
+            num_planes=2,
+        )
+    )
     # bit-level audit of the same bitmap (occupancy, definite-new vs
     # maybe split, measured FP count) — pins the 60-bit-word + salted
     # portable-hash arithmetic cross-engine, hash-exact
@@ -2243,6 +2254,7 @@ _CHECK_FIRST = [
     # bloom membership pre-filter pair + incremental LSH near-dup (also
     # new this round, in-window from birth)
     "dedup_bloom_prefilter", "bloom_filter_report", "dedup_lsh_incremental",
+    "dedup_embedding_incremental",
     # token-budget mixture sampler + persisted-artifact ingestion
     # end-to-end, exact + band path (new this round, in-window from birth)
     "token_budget_sample", "ingest_batch_exact", "ingest_batch_neardups",
@@ -2267,10 +2279,12 @@ _CHECK_FIRST = [
     # in-window; both return in r9)
     # (dedup_simhash ceded its slot to dedup_lsh_incremental,
     # bloom_join_prune to token_budget_sample, data_expectations to
-    # ingest_batch_exact, active_user_trends to ingest_batch_neardups —
-    # the simhash family keeps dedup_simhash_pairs in-window; all four
+    # ingest_batch_exact, active_user_trends to ingest_batch_neardups,
+    # dedup_minhash_lsh to dedup_embedding_incremental — its banding
+    # arithmetic is still driver-checked this round through the
+    # dedup_lsh_incremental and ingest_batch_neardups twins; all five
     # return r9)
-    "dedup_simhash_pairs", "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
 ]
 
 
@@ -4402,6 +4416,21 @@ def oracle_sql() -> dict[str, str]:
         vp AS (SELECT vec_id, v, {plane_lists} FROM v0),
         b AS (SELECT vec_id, CAST({plane_terms} AS BIGINT) AS bucket FROM vp)
         SELECT bucket, COUNT(*) AS n_vectors FROM b GROUP BY bucket"""
+
+    # incremental embedding near-dup twin: same 2-plane bucket SQL on a
+    # %7 split, cross-side bucket collisions, exact cosine rescore
+    o["dedup_embedding_incremental"] = f"""
+        WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+        vp AS (SELECT vec_id, v, {_plane_lists(2)} FROM v0),
+        b AS (SELECT vec_id, v, CAST({_plane_terms(2)} AS BIGINT) AS bucket FROM vp),
+        q AS (SELECT * FROM b WHERE vec_id % 7 = 0),
+        c AS (SELECT * FROM b WHERE vec_id % 7 <> 0),
+        scored AS (SELECT q.vec_id AS batch_id, c.vec_id AS corpus_id,
+                          {qcos} AS cosine
+                   FROM q JOIN c ON q.bucket = c.bucket)
+        SELECT batch_id, corpus_id, cosine FROM scored
+        WHERE cosine >= 0.4"""
 
     # Twin of similarity.cosine_topk_bucketed over the quality-gated corpus:
     # candidates restricted to the query's LSH bucket (same md5-derived

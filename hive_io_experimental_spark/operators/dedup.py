@@ -1642,3 +1642,82 @@ def minhash_lsh_against_corpus(
         .select("batch_id", "corpus_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def embedding_neardup_against_corpus(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.97,
+    num_planes: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding near-dups of an incoming batch AGAINST a stored corpus —
+    the third modality of the incremental-ingestion trilogy (exact
+    fingerprints -> Bloom/anti-join, text near-dup -> MinHash bands,
+    semantic near-dup -> this). Paraphrased re-crawls that texture past
+    both text passes still collide in embedding space.
+
+    Candidate generation is single-probe sign-LSH: both sides bucket with
+    the SAME md5-derived hyperplane matrix (similarity.
+    hyperplane_lsh_buckets — one bucket per vector, a pure zero-shuffle
+    map), candidates are cross-side bucket collisions, and survivors are
+    rescored with the exact JVM cosine fold and filtered at
+    ``threshold``. APPROXIMATE by contract, exactly like the LSH tier it
+    composes: a pair at cosine t collides with probability
+    (1 - arccos(t)/pi)^P — choose ``num_planes`` for the recall/cost
+    point (None = resolve_num_planes(corpus count), the scale-aware
+    default), or run the exact-but-O(n^2) embedding_neardup when recall
+    must be 1. At scale the corpus-side bucket table is the persisted
+    artifact (one long per stored vector, rebuilt only when the plane
+    count steps); ``max_bucket_size`` caps hot corpus buckets exactly
+    like minhash_lsh_against_corpus. Returns
+    (batch_id, corpus_id, cosine) pairs with cosine >= threshold.
+    """
+    from hive_io_experimental_spark.operators.similarity import (
+        _as_double,
+        hyperplane_lsh_buckets,
+        resolve_num_planes,
+    )
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    dim = incoming.select(F.size(F.col(vec_col))).first()[0]
+    if num_planes is None:
+        num_planes = resolve_num_planes(corpus.count())
+    bk_b = hyperplane_lsh_buckets(
+        incoming, num_planes, vec_col, id_col, dim=dim
+    ).select(F.col("id").alias("batch_id"), "bucket")
+    bk_c = hyperplane_lsh_buckets(
+        corpus, num_planes, vec_col, id_col, dim=dim
+    ).select(F.col("id").alias("corpus_id"), "bucket")
+    if max_bucket_size is not None:
+        bk_c = reuse(bk_c)
+        ok = (
+            bk_c.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("bucket")
+        )
+        bk_c = bk_c.join(ok, "bucket")
+    # one bucket per vector -> cross-side pairs are already unique, no
+    # distinct needed (unlike the multi-band MinHash join)
+    cands = bk_b.join(bk_c, "bucket").select("batch_id", "corpus_id")
+    inc_v = incoming.select(
+        F.col(id_col).alias("batch_id"), _as_double(vec_col).alias("_bv")
+    )
+    cor_v = corpus.select(
+        F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("_cv")
+    )
+    from hive_io_experimental_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    cos = F.round(cosine_similarity(F.col("_bv"), F.col("_cv")), 6)
+    return (
+        cands.join(inc_v, "batch_id")
+        .join(cor_v, "corpus_id")
+        .select("batch_id", "corpus_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

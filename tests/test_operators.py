@@ -2071,3 +2071,46 @@ def test_token_budget_sample_semantics(spark):
     assert token_budget_sample(df, budget_tokens=4).count() == 0
     with pytest.raises(ValueError, match="budget_tokens"):
         token_budget_sample(df, budget_tokens=0)
+
+
+def test_embedding_neardup_against_corpus(spark):
+    """Cross-side semantic near-dup: an identical vector in batch and
+    corpus is found at cosine 1.0, a negated vector (cosine -1, shares
+    no bucket with single-probe sign-LSH) is not, the corpus bucket cap
+    suppresses hot buckets, and thresholds are validated."""
+    from hive_io_experimental_spark.operators.dedup import (
+        embedding_neardup_against_corpus,
+    )
+
+    v = [1.0, 0.5, -0.25, 2.0]
+    neg = [-x for x in v]
+    corpus = spark.createDataFrame(
+        [(100, v), (101, neg)], "vec_id long, embedding array<double>"
+    )
+    batch = spark.createDataFrame(
+        [(1, v)], "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r.batch_id, r.corpus_id): r.cosine
+        for r in embedding_neardup_against_corpus(
+            batch, corpus, threshold=0.9, num_planes=4
+        ).collect()
+    }
+    assert got == {(1, 100): 1.0}
+
+    # hot-bucket cap: 5 identical corpus vectors all share one bucket
+    hot = spark.createDataFrame(
+        [(200 + i, v) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    loose = embedding_neardup_against_corpus(
+        batch, hot, threshold=0.9, num_planes=4, max_bucket_size=10
+    )
+    assert loose.count() == 5
+    capped = embedding_neardup_against_corpus(
+        batch, hot, threshold=0.9, num_planes=4, max_bucket_size=1
+    )
+    assert capped.count() == 0
+
+    with pytest.raises(ValueError, match="threshold"):
+        embedding_neardup_against_corpus(batch, corpus, threshold=0.0)
