@@ -2146,9 +2146,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # int8 scalar quantization serving path: exact top-k over integer
     # codes (scales cancel in cosine; int64 dot/norms -> bit-exact
     # cross-engine, no tolerance needed). The 4x-smaller-corpus ANN tier.
+    # Query set is a FIXED COUNT (vec_id < 1000), not a corpus fraction:
+    # the operator's contract is a bounded broadcast query side, so the
+    # gate's work must scale linearly with the corpus like the contract
+    # intends — a %-of-corpus query set made the gate (not the operator)
+    # the one quadratic-by-shape outlier in BENCH_SCALING_100X (r8
+    # verdict task 3).
     q["similarity_quantized_topk"] = lambda spark, sf: similarity.quantized_cosine_topk(
         _t(spark, sf, "embeddings"),
-        _t(spark, sf, "embeddings").filter(F.col("vec_id") % 100 == 0),
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") < 1000),
         k=10,
     )
     # the no-broadcast scale path for the int8 tier: LSH-bucketed
@@ -2168,6 +2174,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "embeddings"),
         _t(spark, sf, "embeddings").filter(F.col("vec_id") % 100 == 0),
         k=5,
+    )
+    # IVF-SQ8 recall audit (new r9): the composed pruning+quantization
+    # path graded against fp32 exact — every stage SQL-expressible, so
+    # the twin reproduces the EXACT hit count. Fixed query count
+    # (vec_id < 200) like the reshaped quantized gate: audit cost grows
+    # linearly with the corpus. tools/quantization_report.py commits the
+    # same number at sf1.
+    q["similarity_ivf_sq8_recall"] = lambda spark, sf: similarity.ivf_sq8_recall_check(
+        _t(spark, sf, "embeddings"),
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200),
+        k=10,
     )
     q["label_centroid_stats"] = lambda spark, sf: similarity.label_centroid_stats(
         _t(spark, sf, "embeddings")
@@ -2217,15 +2234,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # full-map output is committed as CORRECTNESS_LOCAL.json each round.
 _CHECK_FIRST = [
     # ------------------------------------------------------------------
-    # r8 ROTATION (r7 verdict task 1): r7's 34 first-timers all came back
-    # hash-green, leaving exactly 13 gates the driver has never checked —
-    # the 10 rotation stragglers plus the 3 gates r7 added after its own
-    # rotation. ALL 13 are in this window, which retires the
-    # self-reported-vs-driver-verified gap completely (169/169
-    # ever-checked once CORRECTNESS_r08 lands). The veteran slots go to
-    # the 16-gate core plus the STALEST veterans (r1-only checks) and
-    # every gate this round's code changes touch (broadcast guard,
-    # auto-sized LSH planes, write-meter timing).
+    # r9 ROTATION (r8 verdict task 1): r8 retired the never-checked
+    # backlog (181/181 ever-driver-checked). The window now keeps it
+    # retired on a STALENESS basis: the 16-gate core, this round's new
+    # gate (in-window from birth, the standing rule), every gate whose
+    # code or shape r9 touched, the 10 veterans that ceded their r8
+    # slots (the verdict's explicit return list), and then the stalest
+    # gates by OPERATORS.md "driver-checked in rounds" (the r3-checked
+    # TPC-H/relational block, 6 rounds stale). 24 gates sit at r3; the
+    # 50-slot cap fits 19, so five defer to r10 — named below so the
+    # next rotation is mechanical.
     # ------------------------------------------------------------------
     # §2 scan surface (S1-S4, S6/S7 serde, S10 stats) — stays every round
     "scan_projection", "scan_filter", "scan_topk",
@@ -2236,55 +2254,33 @@ _CHECK_FIRST = [
     # family reps (veterans, all multi-round green)
     "pricing_summary", "events_hourly", "dedup_exact",
     "text_metrics", "similarity_topk_bucketed", "multimodal_decode",
-    # ---- the 13 never-driver-checked gates (verdict list, complete) ----
-    # storage/layout + lifecycle
-    "repartition_migrate", "zorder_layout", "snapshot_rollback",
-    # curation + token/text stats
-    "curate_corpus", "token_entropy",
-    # sampling + packing
-    "distmatch_sample_docs", "temperature_mixture_sample",
-    "pack_sequences", "pack_sequences_greedy",
-    # embedding tier (+ the FOUR gates new this round — in the window
-    # from birth so they never join a never-checked backlog, the r7
-    # lesson; dsir_* are the round's DSIR importance-resampling pair)
-    "dedup_embedding_clusters", "label_centroid_stats",
-    "knn_label_accuracy", "similarity_quantized_topk",
-    "similarity_quantized_bucketed", "similarity_ivf_quantized",
-    "dsir_weights", "dsir_select",
-    # bloom membership pre-filter pair + incremental LSH near-dup (also
-    # new this round, in-window from birth)
-    "dedup_bloom_prefilter", "bloom_filter_report", "dedup_lsh_incremental",
-    "dedup_embedding_incremental",
-    # token-budget mixture sampler + persisted-artifact ingestion
-    # end-to-end, exact + band path (new this round, in-window from birth)
-    "token_budget_sample", "ingest_batch_exact", "ingest_batch_neardups",
-    "ingest_decontaminate",
-    # ---- 15 veterans: r8-touched paths + the stalest (r1-only) gates ----
-    # similarity family: cosine_topk grew the broadcast-queries guard,
-    # the bucketed family auto-sizes planes — re-verify the tier's
-    # exact rep (quality_topk/lsh_buckets ceded their slots to the dsir
-    # pair, ivf_topk/ivf_trained to the bloom pair; all four return in
-    # r9 — the tier keeps 6 reps in-window incl. the ivf_quantized gate)
-    "similarity_topk",
-    # r1-only checks, never re-verified since (doc_winnowing ceded its
-    # slot to ingest_decontaminate, whose oracle embeds the same
-    # winnowing CTE — the arithmetic is still driver-checked this round;
-    # the gate itself returns r9)
-    "column_profile", "lang_id", "token_histogram",
-    "doc_fingerprint", "multimodal_resize", "multimodal_frame_sample",
-    "multimodal_features",
-    # single-round veterans from r4/r5 windows (snapshot_diff_cdc and
-    # max_concurrent_sessions ceded their slots to the two new quantized
-    # gates — the versioned-write and funnel families keep core reps
-    # in-window; both return in r9)
-    # (dedup_simhash ceded its slot to dedup_lsh_incremental,
-    # bloom_join_prune to token_budget_sample, data_expectations to
-    # ingest_batch_exact, active_user_trends to ingest_batch_neardups,
-    # dedup_minhash_lsh to dedup_embedding_incremental — its banding
-    # arithmetic is still driver-checked this round through the
-    # dedup_lsh_incremental and ingest_batch_neardups twins; all five
-    # return r9)
-    "dedup_simhash_pairs",
+    # ---- new r9 gate: IVF-SQ8 recall audit (exact n_hits oracle) ----
+    "similarity_ivf_sq8_recall",
+    # ---- r9-touched gates ----
+    # reshaped query set (fixed count, r8 verdict task 3) — oracle
+    # changed, so the hash must be re-verified by the driver
+    "similarity_quantized_topk",
+    # the ingestion artifact lifecycle moved to the crash-ordered v2
+    # commit protocol (versioned bloom + append-only manifest)
+    "ingest_batch_exact", "ingest_batch_neardups", "ingest_decontaminate",
+    # ---- the 10 veterans returning from ceded r8 slots (verdict list) --
+    "similarity_quality_topk", "similarity_lsh_buckets",
+    "similarity_ivf_topk", "similarity_ivf_trained", "dedup_simhash",
+    "bloom_join_prune", "data_expectations", "active_user_trends",
+    "doc_winnowing", "dedup_minhash_lsh",
+    # ---- 19 stalest (all last checked r3; 6 rounds stale) ----
+    "cold_customers", "event_user_setops", "important_parts", "join_anti",
+    "large_volume_orders", "late_ship_priority", "local_supplier_volume",
+    "market_share", "min_cost_supplier", "nation_trade_volume",
+    "order_count_distribution", "order_price_bands", "order_value_deciles",
+    "orders_month_growth", "product_profit", "promo_revenue",
+    "returned_item_revenue", "scalar_profile", "ship_latency_priority",
+    # (deferred to r10 by the 50-slot cap, still r3-stale:
+    # sql_excess_suppliers, sql_q17_small_qty, supplier_part_counts,
+    # top_supplier, waiting_orders — plus the r4-checked block:
+    # active_user_trends is back above; event_dwell_stats,
+    # events_hourly_salted, gapfill_hourly, sql_q19_disjunctive,
+    # trailing_purchase_stats, user_event_paths)
 ]
 
 
@@ -4533,6 +4529,69 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, qcosine, rank
         FROM ranked WHERE rank <= 5"""
 
+    # IVF-SQ8 recall audit twin: the similarity_ivf_quantized pipeline
+    # (rank <= 10, fixed vec_id < 200 query set) LEFT-joined against the
+    # fp32 exact top-10 — all stages deterministic, so n_hits is checked
+    # EXACTLY, not just the recall_ok bit
+    o["similarity_ivf_sq8_recall"] = f"""
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        cents AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id % 50 = 0),
+        ca AS (SELECT s.vec_id, c.cid,
+                      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                         ORDER BY {_CCOS} DESC, c.cid ASC) AS rn
+               FROM v s CROSS JOIN cents c),
+        assigned AS (SELECT vec_id, cid FROM ca WHERE rn = 1),
+        qa AS (SELECT s.vec_id AS qid, c.cid,
+                      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                         ORDER BY {_CCOS} DESC, c.cid ASC) AS rn
+               FROM v s CROSS JOIN cents c WHERE s.vec_id < 200),
+        probe AS (SELECT qid, cid FROM qa WHERE rn <= 2),
+        sc AS (SELECT vec_id, v,
+                      list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+               FROM v),
+        codes AS (SELECT vec_id,
+                         CASE WHEN scale = 0
+                              THEN list_transform(v, x -> 0.0)
+                              ELSE list_transform(
+                                     v, x -> floor(x / scale + 0.5)) END AS c
+                  FROM sc),
+        n AS (SELECT vec_id, c, list_dot_product(c, c) AS nn FROM codes),
+        a_scored AS (SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+                            ROUND(list_dot_product(qn.c, an.c)
+                                  / (sqrt(qn.nn) * sqrt(an.nn)), 6) AS qcosine
+                     FROM probe p
+                     JOIN assigned a ON p.cid = a.cid AND p.qid <> a.vec_id
+                     JOIN n an ON an.vec_id = a.vec_id
+                     JOIN n qn ON qn.vec_id = p.qid),
+        a_ranked AS (SELECT query_id, neighbor_id,
+                            ROW_NUMBER() OVER (PARTITION BY query_id
+                                               ORDER BY qcosine DESC,
+                                                        neighbor_id ASC) AS rank
+                     FROM a_scored),
+        approx AS (SELECT query_id, neighbor_id FROM a_ranked WHERE rank <= 10),
+        e_scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                            ROUND(list_dot_product(q.v, c.v) /
+                              (sqrt(list_dot_product(q.v, q.v))
+                               * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+                     FROM v c JOIN v q
+                       ON q.vec_id < 200 AND q.vec_id <> c.vec_id),
+        e_ranked AS (SELECT query_id, neighbor_id,
+                            ROW_NUMBER() OVER (PARTITION BY query_id
+                                               ORDER BY cosine DESC,
+                                                        neighbor_id ASC) AS rank
+                     FROM e_scored),
+        exact AS (SELECT query_id, neighbor_id FROM e_ranked WHERE rank <= 10),
+        j AS (SELECT e.query_id,
+                     CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+              FROM exact e LEFT JOIN approx a
+                ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
+        SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+               CAST(COUNT(*) AS BIGINT) AS n_exact_results,
+               CAST(SUM(hit) AS BIGINT) AS n_hits,
+               (SUM(hit) * 1.0 / COUNT(*)) >= 0.5 AS recall_ok
+        FROM j"""
+
     o["similarity_topk_bucketed"] = f"""
         WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                     FROM embeddings),
@@ -4575,7 +4634,7 @@ def oracle_sql() -> dict[str, str]:
                           ROUND(list_dot_product(q.c, c.c)
                                 / (sqrt(q.nn) * sqrt(c.nn)), 6) AS qcosine
                    FROM n c JOIN n q
-                     ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id),
+                     ON q.vec_id < 1000 AND q.vec_id <> c.vec_id),
         ranked AS (SELECT query_id, neighbor_id, qcosine,
                           ROW_NUMBER() OVER (PARTITION BY query_id
                                              ORDER BY qcosine DESC,

@@ -10,19 +10,29 @@ tailer/Stats.java:133-151).  This harness reports:
   * write: partitioned parquet write+commit (OutputCmd shape) -> rows/s;
   * every headline query from __spark_entry__.queries() -> seconds each.
 
-Every timed item runs TWICE and reports the min — the VM shows heavy
-CPU-steal noise (a single-run suite showed 7.8 s vs 1.2 s for two
-near-identical aggregates over one table), and min-of-runs is the standard
-way to strip scheduler noise from a steady-state benchmark.
+Every timed item runs SPARK_GRAFT_BENCH_RUNS times (default 3) and the
+headline number is the min — the VM shows heavy CPU-steal noise (a
+single-run suite showed 7.8 s vs 1.2 s for two near-identical
+aggregates over one table), and min-of-runs is the standard way to
+strip scheduler noise from a steady-state benchmark. The record ALSO
+carries every raw sample and the per-gate min/med/max spread (r8
+verdict task 8): a gate whose wall "drifted" between rounds answers
+from the committed spread — a wide spread is steal noise, a tight
+spread that moved is real — instead of from memory. prev_delta is
+computed on MEDIANS (the steal-robust center), falling back to min
+when the previous record predates spreads. tools/bench_merge.py
+merges the samples of several back-to-back passes into one record.
 
 Prints ONE JSON line:
   {"metric": "suite_seconds", "value": N, "unit": "sec",
-   "queries": {...}, "sf": ..., "scan_mb_per_s": ..., "scan_rows_per_s": ...,
-   "prev_delta": {...}}   # cur/prev time ratio per query that moved >1.3x,
-                          # vs the last committed BENCH_LOCAL.json
+   "queries": {...}, "samples": {...}, "spread": {...}, "sf": ...,
+   "scan_mb_per_s": ..., "scan_rows_per_s": ...,
+   "prev_delta": {...}}   # cur/prev MEDIAN ratio per query that moved
+                          # >1.3x, vs the last committed BENCH_LOCAL.json
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default all cores).
+     SPARK_GRAFT_CPUS (default all cores),
+     SPARK_GRAFT_BENCH_RUNS (default 3).
 """
 
 from __future__ import annotations
@@ -42,14 +52,32 @@ import __spark_entry__ as entrymod  # noqa: E402
 from hive_io_experimental_spark import get_spark  # noqa: E402
 
 
-def _timed_min(fn, runs: int = 2) -> float:
-    """Min wall-clock over ``runs`` executions of ``fn``."""
-    best = float("inf")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def _timed(fn, runs: int = RUNS) -> list[float]:
+    """Wall-clock samples over ``runs`` executions of ``fn``."""
+    out = []
     for _ in range(runs):
         t0 = time.perf_counter()
         fn()
-        best = min(best, time.perf_counter() - t0)
-    return best
+        out.append(round(time.perf_counter() - t0, 3))
+    return out
+
+
+def _timed_min(fn, runs: int = RUNS) -> float:
+    """Min wall-clock over ``runs`` executions of ``fn``."""
+    return min(_timed(fn, runs))
+
+
+def _spread(samples: list[float]) -> dict[str, float]:
+    import statistics
+
+    return {
+        "min": round(min(samples), 3),
+        "med": round(statistics.median(samples), 3),
+        "max": round(max(samples), 3),
+    }
 
 
 def _latest_prev_bench(here: str) -> dict | None:
@@ -118,6 +146,7 @@ def main() -> int:
     spark = get_spark("hio-bench")
 
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
 
     # --- warmup: JVM/JIT + Hadoop FS + parquet reader init (excluded from
     # timings, standard steady-state benchmark practice) ---------------------
@@ -145,11 +174,12 @@ def main() -> int:
         "l_orderkey", "l_partkey", "l_extendedprice"
     )
     n_rows = scan.count()
-    scan_s = _timed_min(
+    samples["scan_3col"] = _timed(
         lambda: scan.agg(
             F.sum("l_orderkey"), F.sum("l_partkey"), F.sum("l_extendedprice")
         ).collect()
     )
+    scan_s = min(samples["scan_3col"])
     scan_mb = _dir_bytes(lineitem_path) * threads / 1e6
     timings["scan_3col"] = round(scan_s, 3)
 
@@ -158,32 +188,30 @@ def main() -> int:
     n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     write_rows_per_s = -1
     try:
-        timings["write_partitioned"] = round(
-            _timed_min(
-                lambda: (
-                    spark.read.parquet(f"{sf_dir}/orders.parquet")
-                    .withColumn("o_status_part", F.col("o_orderstatus"))
-                    .write.mode("overwrite")
-                    .partitionBy("o_status_part")
-                    .parquet(f"{out_dir}/orders_bench")
-                )
-            ),
-            3,
+        samples["write_partitioned"] = _timed(
+            lambda: (
+                spark.read.parquet(f"{sf_dir}/orders.parquet")
+                .withColumn("o_status_part", F.col("o_orderstatus"))
+                .write.mode("overwrite")
+                .partitionBy("o_status_part")
+                .parquet(f"{out_dir}/orders_bench")
+            )
         )
+        timings["write_partitioned"] = min(samples["write_partitioned"])
         write_rows_per_s = round(n_orders / timings["write_partitioned"])
 
         # --- partition-filtered scan (get_partitions_by_filter path): the
         # filter prunes partition directories at plan time ------------------
-        timings["scan_partition_filtered"] = round(
-            _timed_min(
-                lambda: (
-                    spark.read.parquet(f"{out_dir}/orders_bench")
-                    .filter(F.col("o_status_part") == "F")
-                    .agg(F.sum("o_totalprice"))
-                    .collect()
-                )
-            ),
-            3,
+        samples["scan_partition_filtered"] = _timed(
+            lambda: (
+                spark.read.parquet(f"{out_dir}/orders_bench")
+                .filter(F.col("o_status_part") == "F")
+                .agg(F.sum("o_totalprice"))
+                .collect()
+            )
+        )
+        timings["scan_partition_filtered"] = min(
+            samples["scan_partition_filtered"]
         )
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -191,18 +219,17 @@ def main() -> int:
     # --- headline queries ----------------------------------------------------
     for name, fn in entrymod.queries().items():
         try:
-            timings[name] = round(
-                _timed_min(
-                    lambda: fn(spark, sf_dir)
-                    .write.format("noop")
-                    .mode("overwrite")
-                    .save()
-                ),
-                3,
+            samples[name] = _timed(
+                lambda: fn(spark, sf_dir)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
             )
+            timings[name] = min(samples[name])
         except Exception as exc:  # keep the bench line parseable on failure
             print(f"bench query {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+            samples.pop(name, None)
 
     total = round(sum(t for t in timings.values() if t > 0), 3)
 
@@ -214,11 +241,18 @@ def main() -> int:
             prev = None
     except (TypeError, ValueError):
         prev = None
+    spread = {name: _spread(s) for name, s in samples.items()}
     if prev:
+        prev_spread = prev.get("spread") or {}
         for name, cur in timings.items():
-            old = (prev.get("queries") or {}).get(name)
-            if isinstance(old, (int, float)) and old > 0 and cur > 0:
-                ratio = cur / old
+            # medians, both sides, when available (steal-robust center);
+            # min-vs-min only against pre-spread records
+            cur_c = spread.get(name, {}).get("med", cur)
+            old = (prev_spread.get(name) or {}).get(
+                "med", (prev.get("queries") or {}).get(name)
+            )
+            if isinstance(old, (int, float)) and old > 0 and cur_c > 0:
+                ratio = cur_c / old
                 # only report material movement (>1.3x either way) — the
                 # VM's CPU-steal noise makes smaller swings meaningless
                 if ratio >= 1.3 or ratio <= 1 / 1.3:
@@ -228,6 +262,8 @@ def main() -> int:
     # a front-truncated capture still retains scan throughput and the total.
     result = {
         "queries": timings,
+        "samples": samples,
+        "spread": spread,
         "prev_delta": prev_delta,
         "sf": sf,
         "scan_rows": n_rows,
@@ -238,7 +274,7 @@ def main() -> int:
         "write_rows": n_orders,
         "write_rows_per_s": write_rows_per_s,
         "threads": threads,
-        "runs_per_item": 2,
+        "runs_per_item": RUNS,
         "n_failed": sum(1 for t in timings.values() if t < 0),
         "metric": "suite_seconds",
         "value": total,

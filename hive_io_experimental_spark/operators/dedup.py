@@ -1683,7 +1683,25 @@ def embedding_neardup_against_corpus(
 
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    dim = incoming.select(F.size(F.col(vec_col))).first()[0]
+    probe = incoming.select(F.size(F.col(vec_col)).alias("_d")).first()
+    if probe is None:
+        # empty incoming batch — legitimate from streaming/batch
+        # ingestion ticks. Return the contract's empty frame (id types
+        # from the inputs) instead of crashing on the dim probe, and
+        # skip the corpus-count job entirely.
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        return incoming.sparkSession.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("batch_id", incoming.schema[id_col].dataType),
+                    StructField("corpus_id", corpus.schema[id_col].dataType),
+                    StructField("cosine", DoubleType()),
+                ]
+            ),
+        )
+    dim = probe[0]
     if num_planes is None:
         num_planes = resolve_num_planes(corpus.count())
     bk_b = hyperplane_lsh_buckets(

@@ -14,20 +14,42 @@ across ingestion ticks. This module is that persistence:
 Artifact layout under ``path`` (all plain parquet, engine-agnostic):
 
     fingerprints/   (fp)                    distinct 128-bit content keys
-    bloom_state/    (word, bits, m, k)      incremental.bloom_state rows
+    bloom_state/v=N/ (word, bits, m, k)     incremental.bloom_state rows,
+                                            one immutable dir per version
     band_keys/      (corpus_id, band, band_key)   MinHash LSH bands
     winnow/         (fp)                    distinct winnowing fps
                                             (opt-in: decontamination)
-    manifest/       1 row: version + every geometry dial + n_keys
+    manifest/       append-only 1-row commits; the row with the highest
+                    ``seq`` is current (version, every geometry dial,
+                    n_keys, bloom_version)
 
-The manifest is written LAST, so a partial build is invisible to
-readers — the same commit discipline as the reference's _SUCCESS
-marker (HiveApiOutputCommitter, see catalog.py's snapshot notes); a
-missing manifest raises instead of silently probing half-built state.
-Geometry is never guessed at probe time: batch-side hashing reads the
-manifest, and the bloom state re-validates m/k in-plan
-(incremental._bloom_geometry_guard). The reference has no dedup or
-selection surface (SURVEY §2.2); extension operators.
+Crash safety is ORDERING, not transactions (single writer per path —
+the streaming driver's foreachBatch serializes appends). Two rules:
+
+1. Nothing is ever overwritten in place. Fingerprints/bands/winnow only
+   APPEND (job-atomic under Spark's output committer: a crashed append
+   leaves ignored ``_temporary`` files, never half-visible rows). The
+   bloom state writes each merge to a NEW ``v=N`` directory and the
+   manifest APPENDS a new commit row pointing at it — readers follow
+   the pointer, so a torn bloom write is invisible. A missing/empty
+   manifest means no build ever completed here and probing raises.
+2. The bloom is committed BEFORE fingerprints append, and its delta is
+   built from ALL batch keys (not just the fresh ones). The invariant
+   this buys: every key in fingerprints/ is set in the committed bloom.
+   Bloom bits without fingerprints cause only false positives (the
+   anti-join resolves them); fingerprints without bloom bits would be
+   FALSE NEGATIVES (ingest_batch treats maybe_member=0 as definitive),
+   so that state must be unreachable — and with this ordering it is,
+   at every crash point, including partial replays (the all-keys delta
+   re-sets bits for keys a previous torn append already fingerprinted).
+
+Same commit discipline as the reference's _SUCCESS marker
+(HiveApiOutputCommitter, see catalog.py's snapshot notes), extended to
+a pointer-swap for the one mutable structure. Geometry is never guessed
+at probe time: batch-side hashing reads the manifest, and the bloom
+state re-validates m/k in-plan (incremental._bloom_geometry_guard). The
+reference has no dedup or selection surface (SURVEY §2.2); extension
+operators.
 """
 
 from __future__ import annotations
@@ -49,7 +71,7 @@ from hive_io_experimental_spark.operators.incremental import (
     merge_bloom_states,
 )
 
-ARTIFACT_VERSION = 1
+ARTIFACT_VERSION = 2
 
 _FPS = "fingerprints"
 _BLOOM = "bloom_state"
@@ -60,6 +82,52 @@ _MANIFEST = "manifest"
 
 class ArtifactError(RuntimeError):
     """Missing/partial/incompatible ingestion artifacts."""
+
+
+def _bloom_dir(path: str, version: int) -> str:
+    return f"{path}/{_BLOOM}/v={int(version)}"
+
+
+def _write_manifest_row(
+    spark: SparkSession, path: str, man: dict, mode: str
+) -> dict:
+    """One 1-row manifest commit. ``append`` is the crash-safe shape
+    (job-atomic new file; the old commit stays readable); ``overwrite``
+    only at build time, where a torn write correctly reads as
+    'no build ever completed'."""
+    spark.createDataFrame([man]).coalesce(1).write.mode(mode).parquet(
+        f"{path}/{_MANIFEST}"
+    )
+    return man
+
+
+def _prune_bloom_versions(path: str, keep_from: int) -> None:
+    """Best-effort GC of superseded bloom version dirs (< ``keep_from``).
+
+    Local-filesystem only (the repo's single-node discipline — same as
+    catalog.py's drop paths); on an object store, retire old versions
+    with a storage lifecycle rule keyed on the manifest's
+    bloom_version instead. Never raises: an undeleted old version is
+    only storage, never a correctness hazard (readers follow the
+    manifest pointer)."""
+    import os
+    import shutil
+
+    base = path[len("file://"):] if path.startswith("file://") else path
+    root = os.path.join(base, _BLOOM)
+    try:
+        names = os.listdir(root)
+    except OSError:
+        return
+    for name in names:
+        if not name.startswith("v="):
+            continue
+        try:
+            ver = int(name[2:])
+        except ValueError:
+            continue
+        if ver < keep_from:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
 
 def build_corpus_artifacts(
@@ -87,7 +155,9 @@ def build_corpus_artifacts(
     columns, deliberately not forced through one pass: the fp scan
     reads (id, text) and collapses immediately, and fusing it into the
     shingle explode would hold the wide gram stream across both
-    consumers). Manifest LAST. Returns the manifest as a dict.
+    consumers). Manifest LAST — build targets a fresh path per corpus
+    snapshot, so a crashed build simply leaves no manifest. Returns the
+    manifest as a dict.
     """
     family = resolve_family(corpus, hash_family)
     fps = reuse(
@@ -106,7 +176,7 @@ def build_corpus_artifacts(
     fps.write.mode("overwrite").parquet(f"{path}/{_FPS}")
     bloom_state(fps, key_col="fp", m_bits=m_bits, k_hashes=k).write.mode(
         "overwrite"
-    ).parquet(f"{path}/{_BLOOM}")
+    ).parquet(_bloom_dir(path, 1))
     minhash_band_keys(
         minhash_signatures(corpus, text_col, id_col, num_perm, shingle_k, family),
         num_perm,
@@ -134,6 +204,8 @@ def build_corpus_artifacts(
         )
     manifest = {
         "version": ARTIFACT_VERSION,
+        "seq": 0,
+        "bloom_version": 1,
         "m_bits": int(m_bits),
         "k": int(k),
         "num_perm": int(num_perm),
@@ -145,19 +217,21 @@ def build_corpus_artifacts(
         "winnow_k": int(winnow_k),
         "winnow_window": int(winnow_window),
     }
-    corpus.sparkSession.createDataFrame([manifest]).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/{_MANIFEST}")
-    return manifest
+    return _write_manifest_row(
+        corpus.sparkSession, path, manifest, "overwrite"
+    )
 
 
 def load_manifest(spark: SparkSession, path: str) -> dict:
-    """The artifact manifest, or an ArtifactError naming the fix.
+    """The CURRENT manifest (highest ``seq`` commit row), or an
+    ArtifactError naming the fix.
 
-    A readable manifest is the COMMIT marker: it is written last, so
-    its absence means no build ever completed here (or one is still in
-    flight) and probing would read partial state.
-    """
+    A readable manifest is the COMMIT marker: the build writes it last,
+    so its absence means no build ever completed here (or one is still
+    in flight) and probing would read partial state. Appends commit by
+    ADDING rows — the highest seq is the state a reader may trust;
+    earlier rows are the commit history (and keep a reader consistent
+    when it races a crashed append's final commit)."""
     try:
         rows = spark.read.parquet(f"{path}/{_MANIFEST}").collect()
     except Exception as exc:  # AnalysisException: path missing
@@ -165,11 +239,11 @@ def load_manifest(spark: SparkSession, path: str) -> dict:
             f"no ingestion artifacts at {path!r} (manifest unreadable: "
             f"{exc}) — run build_corpus_artifacts first"
         ) from None
-    if len(rows) != 1:
+    if not rows:
         raise ArtifactError(
-            f"corrupt manifest at {path!r}: expected 1 row, got {len(rows)}"
+            f"corrupt manifest at {path!r}: no commit rows"
         )
-    m = rows[0].asDict()
+    m = max((r.asDict() for r in rows), key=lambda d: d.get("seq", 0))
     if m.get("version") != ARTIFACT_VERSION:
         raise ArtifactError(
             f"artifact version {m.get('version')} at {path!r} != "
@@ -188,9 +262,12 @@ def ingest_batch(
     dedup_against_corpus_bloom's routing with zero corpus scans: the
     bloom state classifies most batch keys as definitely-new, and only
     the maybe set anti-joins the stored fingerprint table (a parquet
-    scan of 32-hex keys, never document text). Geometry comes from the
-    manifest; the bloom state re-validates it in-plan. Returns
-    surviving (id, fp) rows — the dedup_against_corpus contract.
+    scan of 32-hex keys, never document text). Geometry and the bloom
+    version both come from the manifest; the bloom state re-validates
+    geometry in-plan. maybe_member=0 is safe to treat as definitive
+    because append_to_artifacts commits the bloom BEFORE fingerprints —
+    no stored fingerprint can be missing from the committed bitmap.
+    Returns surviving (id, fp) rows — the dedup_against_corpus contract.
     """
     spark = batch.sparkSession
     man = load_manifest(spark, path)
@@ -200,7 +277,7 @@ def ingest_batch(
         .agg(F.min("id").alias("id"))
         .select("id", "fp")
     )
-    state = spark.read.parquet(f"{path}/{_BLOOM}")
+    state = spark.read.parquet(_bloom_dir(path, man["bloom_version"]))
     member = bloom_membership(
         state,
         batch_reps,
@@ -229,6 +306,8 @@ def ingest_batch_neardups(
     deliberately do not store — at scale that is a point-lookup of the
     candidate ids against the corpus table, i.e.
     minhash_lsh_against_corpus(batch, corpus_rows, threshold=...).
+    The trailing distinct also absorbs the duplicate band rows a
+    replayed crashed append may leave (see append_to_artifacts).
     """
     spark = batch.sparkSession
     man = load_manifest(spark, path)
@@ -257,19 +336,41 @@ def append_to_artifacts(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_bloom_versions: int = 2,
+    _fail_after: str | None = None,
 ) -> dict:
-    """Fold an accepted batch into the artifacts: fingerprints and band
-    keys APPEND (parquet append of batch-sized increments — no corpus
-    rewrite), the bloom state MERGES (bitwise-OR via
-    merge_bloom_states, idempotent on re-delivered batches; the state
-    is <= m/32 rows, so its rewrite is constant-sized regardless of
-    corpus size). Manifest rewritten LAST with the updated key count.
+    """Fold an accepted batch into the artifacts, in CRASH-SAFE order:
+
+      1. bloom: merge a delta built from ALL batch keys into a NEW
+         ``bloom_state/v=N+1`` dir (bitwise-OR via merge_bloom_states —
+         idempotent, and the all-keys delta repairs bits a previous
+         torn append may owe to already-fingerprinted keys)
+      2. manifest commit row pointing at v=N+1 (n_keys unchanged)
+      3. band keys APPEND (fresh docs only)
+      4. winnow fps APPEND (if enabled; anti-joined, idempotent)
+      5. fingerprints APPEND (fresh keys only)
+      6. manifest commit row with the updated n_keys
+
+    A crash at ANY point leaves a probe-consistent state: before step 2
+    nothing changed (orphan v dir); between 2 and 5 the bloom merely
+    over-approximates (false positives the anti-join resolves — never
+    false negatives, because fingerprints lag the bloom, not the other
+    way round); between 3 and 5 a replay re-appends band rows
+    (duplicates, absorbed by ingest_batch_neardups' distinct) and then
+    converges; after 5 a replay anti-joins to nothing and no-ops. The
+    one drift a crash between 5 and 6 leaves is an UNDER-COUNTING
+    n_keys (advisory — no probe reads it). Appends are job-atomic
+    (Spark's output committer); the bloom 'overwrite' is a pointer
+    swap, never an in-place rewrite. Single writer per path (the
+    streaming driver's foreachBatch serializes ticks).
 
     Only fingerprints not already stored are appended (anti-join), so
-    re-ingesting a batch is a no-op on every structure. Not
-    transactional across the four directories — a crash mid-append can
-    leave extra fp/band rows (harmless: probes only get MORE exact)
-    but never a stale manifest claiming them.
+    re-ingesting a fully-committed batch is a no-op on every structure.
+    Superseded bloom dirs older than ``keep_bloom_versions`` are GC'd
+    best-effort (local FS only). ``_fail_after`` is a test-only crash
+    injection point ('bloom' | 'bloom_commit' | 'bands' | 'fps') —
+    the reference tests its commit protocol's failure paths the same
+    way (output/FaultyCheckOutputSpecsTest.java:41-92).
     """
     spark = accepted.sparkSession
     man = load_manifest(spark, path)
@@ -279,21 +380,51 @@ def append_to_artifacts(
     # unifies same-path scans within one query, so the caller's stale
     # pre-append file listing can win over this function's fresh read —
     # measured here as the anti-join "resurrecting" already-stored keys
-    # on a second append — and after the bloom overwrite the stale
-    # listing points at deleted files outright. Materializing the rows
-    # first makes every downstream read the only reader of each path.
+    # on a second append. Materializing the rows first makes every
+    # downstream read the only reader of each path.
     accepted = accepted.localCheckpoint()
-    fresh = reuse(
+    batch_keys = reuse(
         _content_fps(accepted, text_col, id_col, man["hash_family"])
         .select("id", "fp")
         .groupBy("fp")
         .agg(F.min("id").alias("id"))
-        .join(spark.read.parquet(f"{path}/{_FPS}"), "fp", "left_anti")
+    )
+    fresh = reuse(
+        batch_keys.join(spark.read.parquet(f"{path}/{_FPS}"), "fp", "left_anti")
     )
     n_new = fresh.count()
     if n_new == 0:
+        # every batch key is fingerprinted, and fingerprints are only
+        # ever appended AFTER their bloom commit — so the bitmap already
+        # covers this batch and there is nothing to repair or add
         return man
-    fresh.select("fp").write.mode("append").parquet(f"{path}/{_FPS}")
+    old_v = int(man["bloom_version"])
+    new_v = old_v + 1
+    # delta over ALL batch keys, not just fresh: on a partial replay the
+    # already-fingerprinted keys are exactly the ones whose bits a torn
+    # previous append might not have committed — re-OR-ing them is free
+    # (idempotent) and restores the fingerprints-subset-of-bloom invariant
+    delta = bloom_state(
+        batch_keys, key_col="fp", m_bits=man["m_bits"], k_hashes=man["k"]
+    )
+    # EAGER localCheckpoint materializes the merged state into executor
+    # blocks (<= m/32 rows) and cuts lineage back to the old version dir
+    # before the new dir is written; overwrite mode clears any orphan
+    # half-written v=N+1 from a previous crash
+    merged = merge_bloom_states(
+        spark.read.parquet(_bloom_dir(path, old_v)), delta
+    ).localCheckpoint()
+    merged.write.mode("overwrite").parquet(_bloom_dir(path, new_v))
+    if _fail_after == "bloom":
+        raise RuntimeError("injected crash: after bloom write, before commit")
+    man = _write_manifest_row(
+        spark, path, dict(man, seq=int(man["seq"]) + 1, bloom_version=new_v),
+        "append",
+    )
+    if _fail_after == "bloom_commit":
+        raise RuntimeError(
+            "injected crash: bloom committed, fingerprints not appended"
+        )
     # band keys for the fresh docs only (semi-join prunes re-delivered
     # rows BEFORE tokenization, same as the verify stage's pruning)
     fresh_docs = accepted.join(
@@ -313,6 +444,8 @@ def append_to_artifacts(
     ).select(
         F.col("id").alias("corpus_id"), "band", "band_key"
     ).write.mode("append").parquet(f"{path}/{_BANDS}")
+    if _fail_after == "bands":
+        raise RuntimeError("injected crash: after band-key append")
     if man.get("winnow"):
         from hive_io_experimental_spark.operators.text import (
             winnowing_fingerprints,
@@ -334,22 +467,22 @@ def append_to_artifacts(
             .localCheckpoint()
         )
         new_w.write.mode("append").parquet(f"{path}/{_WINNOW}")
-    delta = bloom_state(
-        fresh, key_col="fp", m_bits=man["m_bits"], k_hashes=man["k"]
+    fresh.select("fp").write.mode("append").parquet(f"{path}/{_FPS}")
+    if _fail_after == "fps":
+        raise RuntimeError(
+            "injected crash: fingerprints appended, final commit skipped"
+        )
+    man = _write_manifest_row(
+        spark, path,
+        dict(
+            man,
+            seq=int(man["seq"]) + 1,
+            n_keys=int(man["n_keys"]) + int(n_new),
+        ),
+        "append",
     )
-    # constant-sized rewrite (<= m/32 rows): EAGER localCheckpoint
-    # materializes the merged state into executor blocks and cuts the
-    # lineage back to the directory being replaced, so the overwrite
-    # never reads the path it writes (Spark rejects that plan) and
-    # nothing state-sized ever lands on the driver
-    merged = merge_bloom_states(
-        spark.read.parquet(f"{path}/{_BLOOM}"), delta
-    ).localCheckpoint()
-    merged.write.mode("overwrite").parquet(f"{path}/{_BLOOM}")
-    man = dict(man, n_keys=int(man["n_keys"]) + int(n_new))
-    spark.createDataFrame([man]).coalesce(1).write.mode("overwrite").parquet(
-        f"{path}/{_MANIFEST}"
-    )
+    if keep_bloom_versions >= 1:
+        _prune_bloom_versions(path, new_v - keep_bloom_versions + 1)
     return man
 
 

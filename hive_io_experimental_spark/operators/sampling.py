@@ -538,6 +538,15 @@ def token_budget_sample(
         raise ValueError(
             f"budget_tokens must be a positive token count, got {budget_tokens}"
         )
+    # the appended columns are part of the CONTRACT (unlike the _tbs_h
+    # helper, which is collision-proofed away) — withColumn would
+    # silently REPLACE a caller column of the same name, so refuse loudly
+    taken = {"n_tokens", "cum_tokens"} & set(df.columns)
+    if taken:
+        raise ValueError(
+            f"token_budget_sample appends output columns {sorted(taken)} "
+            "which already exist on the input — rename or drop them first"
+        )
     hc = "_tbs_h"
     while hc in df.columns:
         hc = hc + "_"

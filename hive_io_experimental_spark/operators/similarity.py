@@ -63,6 +63,10 @@ def cosine_topk(
     The join broadcasts the query side explicitly — queries << corpus is
     the contract, ENFORCED (> _MAX_BROADCAST_QUERIES raises, pointing at
     cosine_topk_bucketed), and it keeps the corpus scan shuffle-free.
+    The guard makes construction EAGER (one bounded limit+count job runs
+    before the plan is returned) and incompatible with a streaming
+    ``queries`` frame — see _require_small_query_side; use
+    cosine_topk_bucketed (lazy, no broadcast) where that matters.
     """
     c = spread(corpus).select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
@@ -100,7 +104,13 @@ def _require_small_query_side(q: DataFrame, caller: str) -> None:
 
     limit(cap+1).count() stops the scan as soon as the cap is disproved,
     so the guard costs one bounded job, never a full count of a large
-    query frame."""
+    query frame. NOTE: that one job makes every caller EAGER — building
+    the plan runs Spark work, and a streaming query frame (which cannot
+    be counted) is rejected outright. That is deliberate: the guarded
+    paths collect/broadcast the query side, which is equally impossible
+    on a stream. Streaming callers route per-microbatch frames through
+    these operators inside foreachBatch, or use the *_bucketed variants
+    (no broadcast, no guard, fully lazy)."""
     n_q = q.limit(_MAX_BROADCAST_QUERIES + 1).count()
     if n_q > _MAX_BROADCAST_QUERIES:
         raise ValueError(
@@ -562,6 +572,61 @@ def ivf_recall_check(
     )
 
 
+def ivf_sq8_recall_check(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    centroid_stride: int = 50,
+    nprobe: int = 2,
+    min_avg_recall: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall audit for the COMPOSED IVF-SQ8 path (ivf_quantized_topk)
+    against the fp32 exact brute-force top-k — the number the int8
+    brute/bucketed tier already has (quantization_quality_report) but
+    for the tier that stacks IVF pruning on top of quantization, so a
+    recall loss from EITHER stage (too-narrow nprobe, quantizer drift)
+    shows up in one row.
+
+    Unlike ivf_recall_check (trained k-means, invariant-only oracle),
+    every stage here is SQL-expressible — sampled coarse quantizer,
+    deterministic assignment, exact int64 code scoring — so the DuckDB
+    twin reproduces the EXACT hit count, not just the pass/fail bit:
+
+      n_queries       — query vectors (exact);
+      n_exact_results — n_queries * k, the recall denominator (exact);
+      n_hits          — exact-top-k slots the IVF-SQ8 path recovered
+                        (exact — both engines compute the identical
+                        candidate set and ranking);
+      recall_ok       — n_hits / n_exact_results >= the floor.
+
+    Runs BOTH searches, so the gate times the full audit workload.
+    tools/quantization_report.py commits this number at sf1 next to the
+    brute-tier quality record (r8 verdict task 6).
+    """
+    approx = ivf_quantized_topk(
+        corpus, queries, k, centroid_stride, nprobe, vec_col, id_col
+    ).select("query_id", "neighbor_id")
+    exact = cosine_topk(corpus, queries, k, vec_col, id_col).select(
+        "query_id", "neighbor_id"
+    )
+    joined = exact.join(
+        approx.withColumn("_hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    hits = F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+    return joined.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_exact_results"),
+        hits.cast("long").alias("n_hits"),
+        (hits / F.count(F.lit(1)) >= F.lit(min_avg_recall)).alias(
+            "recall_ok"
+        ),
+    )
+
+
 def ivf_index_consistency_check(
     spark,
     catalog,
@@ -707,7 +772,10 @@ def _ivf_assign(
     The probe table (queries x nprobe) is broadcast by the scoring
     joins, so the queries-<<-corpus contract is enforced here once for
     every IVF path — same strict-precondition discipline as the exact
-    broadcast top-ks.
+    broadcast top-ks. The guard's bounded limit+count job makes every
+    IVF constructor EAGER and unusable on a streaming query frame
+    (_require_small_query_side documents why); stream callers invoke
+    per-microbatch inside foreachBatch.
     """
     _require_small_query_side(
         queries.select(F.col(id_col)), "IVF top-k (broadcast probes)"
@@ -1311,7 +1379,10 @@ def quantized_cosine_topk(
     any work; broadcast hints bypass autoBroadcastJoinThreshold, so an
     unchecked large query side would OOM executors): the corpus scan
     stays shuffle-free; at 100 TB the win is the 4x smaller corpus-side
-    payload in memory and in the broadcast.
+    payload in memory and in the broadcast. The guard's bounded
+    limit+count job makes construction EAGER and rejects streaming
+    query frames — quantized_cosine_topk_bucketed is the lazy,
+    no-broadcast alternative.
 
     Returns (query_id, neighbor_id, qcosine, rank), self-matches
     excluded, rank by (qcosine desc, neighbor_id asc).

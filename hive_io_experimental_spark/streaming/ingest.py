@@ -15,8 +15,13 @@ applyInPandasWithState should hold — and foreachBatch gives exactly-
 once-per-batch-id semantics to drive it. Replay safety after recovery:
 survivors write to a per-batch subdirectory (overwrite — a replayed
 batch id rewrites the same files), and append_to_artifacts is
-idempotent on re-delivered keys by construction (anti-join + bitwise-OR
-bloom merge). The reference has no streaming surface (SURVEY §2.2);
+idempotent on re-delivered keys by construction AND crash-ordered
+(bloom committed by pointer-swap BEFORE fingerprints append, delta
+built from all batch keys — see its docstring): a crash at any point
+inside the append leaves a probe-consistent state that the replayed
+batch converges, never a fingerprint the bloom would false-negate.
+tests/test_ingestion.py kills the append at each injection point and
+replays. The reference has no streaming surface (SURVEY §2.2);
 extension operator.
 """
 

@@ -17,6 +17,7 @@ from hive_io_experimental_spark.operators.dedup import (
     minhash_lsh_against_corpus,
 )
 from hive_io_experimental_spark.operators.ingestion import (
+    ARTIFACT_VERSION,
     ArtifactError,
     append_to_artifacts,
     build_corpus_artifacts,
@@ -52,7 +53,7 @@ def test_ingest_batch_matches_inline_operator(spark, art_dir):
     corpus = df.filter(F.col("doc_id") % 5 != 0)
 
     man = build_corpus_artifacts(corpus, art_dir, m_bits=1 << 12, k=4)
-    assert man["n_keys"] > 0 and man["version"] == 1
+    assert man["n_keys"] > 0 and man["version"] == ARTIFACT_VERSION
     got = {(r.id, r.fp) for r in ingest_batch(batch, art_dir).collect()}
     want = {
         (r.id, r.fp) for r in dedup_against_corpus(batch, corpus).collect()
@@ -162,3 +163,176 @@ def test_decontaminate_batch_flags_substring_sharers(spark, art_dir):
     )
     flagged = {r.doc_id for r in decontaminate_batch(later, full).collect()}
     assert flagged == {200}
+
+
+# ---------------------------------------------------------------------------
+# crash/replay: the commit protocol's failure paths, tested the way the
+# reference tests its own (output/FaultyCheckOutputSpecsTest.java:41-92) —
+# kill the append at each injection point, then assert the probes stay
+# consistent and a replay converges without duplicates.
+# ---------------------------------------------------------------------------
+
+
+def _split(spark):
+    df = _docs(spark)
+    return (
+        df.filter(F.col("doc_id") % 5 == 0),
+        df.filter(F.col("doc_id") % 5 != 0),
+    )
+
+
+def _accepted(batch, survivors):
+    return batch.join(
+        survivors.select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+    )
+
+
+def _fp_counts(spark, path):
+    fps = spark.read.parquet(path + "/fingerprints")
+    return fps.count(), fps.distinct().count()
+
+
+def test_append_crash_before_bloom_commit_is_invisible(spark, art_dir):
+    """Crash after the new bloom dir is written but before its manifest
+    commit: readers still follow the old pointer — nothing changed."""
+    batch, corpus = _split(spark)
+    man0 = build_corpus_artifacts(corpus, art_dir, m_bits=1 << 12, k=4)
+    want = {(r.id, r.fp) for r in ingest_batch(batch, art_dir).collect()}
+    acc = _accepted(batch, ingest_batch(batch, art_dir))
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        append_to_artifacts(acc, art_dir, _fail_after="bloom")
+    man = load_manifest(spark, art_dir)
+    assert man == man0  # orphan v=2 dir only; pointer and counts intact
+    got = {(r.id, r.fp) for r in ingest_batch(batch, art_dir).collect()}
+    assert got == want
+
+    # replay converges: one clean append, exact counts, re-ingest empty
+    man2 = append_to_artifacts(acc, art_dir)
+    assert man2["n_keys"] == man0["n_keys"] + len(want)
+    assert ingest_batch(batch, art_dir).count() == 0
+
+
+def test_append_crash_after_bloom_commit_never_false_negates(spark, art_dir):
+    """Crash between the bloom commit and the fingerprint append — the
+    exact state the r8 ordering fix makes SAFE: the bitmap
+    over-approximates (false positives only), so the batch keys route to
+    the anti-join and still survive; nothing is silently re-accepted or
+    dropped. Replay converges."""
+    batch, corpus = _split(spark)
+    man0 = build_corpus_artifacts(corpus, art_dir, m_bits=1 << 12, k=4)
+    want = {(r.id, r.fp) for r in ingest_batch(batch, art_dir).collect()}
+    acc = _accepted(batch, ingest_batch(batch, art_dir))
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        append_to_artifacts(acc, art_dir, _fail_after="bloom_commit")
+    man = load_manifest(spark, art_dir)
+    assert man["bloom_version"] == man0["bloom_version"] + 1
+    assert man["n_keys"] == man0["n_keys"]  # probe sees the OLD count
+    # the torn state costs nothing: every batch key is now a bloom maybe,
+    # the anti-join resolves all of them, and the survivor set is EXACTLY
+    # the pre-crash one
+    got = {(r.id, r.fp) for r in ingest_batch(batch, art_dir).collect()}
+    assert got == want
+
+    man2 = append_to_artifacts(acc, art_dir)
+    assert man2["n_keys"] == man0["n_keys"] + len(want)
+    n, nd = _fp_counts(spark, art_dir)
+    assert n == nd  # no duplicate fingerprints after the replay
+    assert ingest_batch(batch, art_dir).count() == 0
+
+
+def test_append_crash_after_fps_converges_without_duplicates(spark, art_dir):
+    """Crash after the fingerprint append, final manifest commit skipped:
+    the next probe sees the OLD manifest count, accepts nothing twice,
+    and the next append is a no-op (anti-join drains) — never duplicate
+    fingerprint rows (the r8 verdict's scripted scenario)."""
+    batch, corpus = _split(spark)
+    man0 = build_corpus_artifacts(corpus, art_dir, m_bits=1 << 12, k=4)
+    acc = _accepted(batch, ingest_batch(batch, art_dir))
+    n_new = acc.count()
+    assert n_new > 0
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        append_to_artifacts(acc, art_dir, _fail_after="fps")
+    man = load_manifest(spark, art_dir)
+    assert man["n_keys"] == man0["n_keys"]  # OLD count (advisory lag)
+    # fps lag NEVER false-negates: the bloom was committed first, so the
+    # replayed batch is all maybe-members and the anti-join drops it all
+    assert ingest_batch(batch, art_dir).count() == 0
+
+    man2 = append_to_artifacts(acc, art_dir)  # replay: pure no-op
+    assert man2["n_keys"] == man["n_keys"]
+    n, nd = _fp_counts(spark, art_dir)
+    assert n == nd == man0["n_keys"] + n_new
+
+
+def test_append_crash_after_bands_keeps_neardups_exact(spark, art_dir):
+    """Crash after the band-key append: a replay re-appends those rows
+    (duplicates in storage) but the candidate probe is set-semantics —
+    results stay identical to the inline operator over the grown corpus."""
+    batch, corpus = _split(spark)
+    build_corpus_artifacts(corpus, art_dir, m_bits=1 << 12, k=4)
+    acc = _accepted(batch, ingest_batch(batch, art_dir))
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        append_to_artifacts(acc, art_dir, _fail_after="bands")
+    man2 = append_to_artifacts(acc, art_dir)  # replay completes
+    n, nd = _fp_counts(spark, art_dir)
+    assert n == nd  # fingerprints still exactly-once
+    assert ingest_batch(batch, art_dir).count() == 0
+
+    probe = spark.createDataFrame(
+        [(999, "alpha beta gamma doc 0 shared tail words here")],
+        "doc_id long, text string",
+    )
+    grown = corpus.unionByName(acc)
+    want = {
+        (r.batch_id, r.corpus_id)
+        for r in minhash_lsh_against_corpus(
+            probe, grown, max_bucket_size=None
+        ).collect()
+    }
+    got = {
+        (r.batch_id, r.corpus_id)
+        for r in ingest_batch_neardups(probe, art_dir).collect()
+    }
+    assert got == want and got  # duplicate band rows changed nothing
+
+
+def test_streaming_sink_replayed_batch_id_is_idempotent(spark, art_dir):
+    """Replay the SAME batch id through ingest_batch_sink twice (recovery
+    re-delivery): artifacts and the accept dir are content-identical
+    after the second delivery."""
+    from hive_io_experimental_spark.streaming.ingest import ingest_batch_sink
+
+    batch, corpus = _split(spark)
+    build_corpus_artifacts(corpus, art_dir + "/art", m_bits=1 << 12, k=4)
+    sink = ingest_batch_sink(art_dir + "/art", accept_dir=art_dir + "/accept")
+
+    def snapshot():
+        man = load_manifest(spark, art_dir + "/art")
+        fps = sorted(
+            r.fp for r in
+            spark.read.parquet(art_dir + "/art/fingerprints").collect()
+        )
+        bands = sorted(
+            (r.corpus_id, r.band, r.band_key) for r in
+            spark.read.parquet(art_dir + "/art/band_keys").collect()
+        )
+        bloom = sorted(
+            (r.word, r.bits) for r in spark.read.parquet(
+                f"{art_dir}/art/bloom_state/v={man['bloom_version']}"
+            ).collect()
+        )
+        acc = sorted(
+            (r.doc_id, r.text) for r in
+            spark.read.parquet(art_dir + "/accept/batch_id=7").collect()
+        )
+        return man, fps, bands, bloom, acc
+
+    sink(batch, 7)
+    first = snapshot()
+    assert first[0]["n_keys"] > 0
+    sink(batch, 7)  # re-delivery of the same batch id
+    assert snapshot() == first

@@ -1789,6 +1789,38 @@ def test_ivf_quantized_topk_candidates_and_scores(spark, sf_dir):
     assert qset == fset
 
 
+def test_ivf_sq8_recall_check_counts(spark, sf_dir):
+    """The composed IVF-SQ8 recall audit: one exact row whose n_hits
+    equals a hand-joined recomputation from the two underlying paths,
+    and whose recall_ok bit follows the floor."""
+    from hive_io_experimental_spark.operators.similarity import (
+        cosine_topk,
+        ivf_quantized_topk,
+        ivf_sq8_recall_check,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 40)
+    row = ivf_sq8_recall_check(emb, queries, k=5).first()
+    assert row.n_queries == 40
+    assert row.n_exact_results == 40 * 5
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_quantized_topk(emb, queries, k=5).collect()
+    }
+    assert row.n_hits == len(exact & approx)
+    assert row.recall_ok == (row.n_hits / row.n_exact_results >= 0.5)
+    # an impossible floor flips the bit, same data
+    strict = ivf_sq8_recall_check(
+        emb, queries, k=5, min_avg_recall=1.01
+    ).first()
+    assert not strict.recall_ok and strict.n_hits == row.n_hits
+
+
 def test_ivf_quantized_topk_trained_recall_floor(spark, sf_dir):
     """Trained-quantizer IVF-SQ8: like ivf_topk_trained, no SQL oracle
     (iterative k-means) — so (a) bound recall@5 against the exact
@@ -2072,6 +2104,13 @@ def test_token_budget_sample_semantics(spark):
     with pytest.raises(ValueError, match="budget_tokens"):
         token_budget_sample(df, budget_tokens=0)
 
+    # the appended output columns are contract, not helpers: a caller
+    # frame already carrying them is refused, never silently replaced
+    with pytest.raises(ValueError, match="n_tokens"):
+        token_budget_sample(df.withColumn("n_tokens", F.lit(1)))
+    with pytest.raises(ValueError, match="cum_tokens"):
+        token_budget_sample(df.withColumn("cum_tokens", F.lit(1)))
+
 
 def test_embedding_neardup_against_corpus(spark):
     """Cross-side semantic near-dup: an identical vector in batch and
@@ -2114,3 +2153,13 @@ def test_embedding_neardup_against_corpus(spark):
 
     with pytest.raises(ValueError, match="threshold"):
         embedding_neardup_against_corpus(batch, corpus, threshold=0.0)
+
+    # an empty incoming batch is a legitimate ingestion tick: the probe
+    # returns the contract's empty frame (schema intact), no crash, and
+    # skips the corpus-count job (num_planes left None on purpose)
+    empty = batch.filter(F.col("vec_id") < 0)
+    out = embedding_neardup_against_corpus(empty, corpus, threshold=0.9)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "batch_id", "corpus_id", "cosine",
+    ]

@@ -5,15 +5,19 @@ the artifacts exist: build once per corpus snapshot, then every batch
 pays only its own tokenization plus joins against the stored probe
 tables. This bench measures exactly that separation — artifacts are
 built (and timed) once per corpus scale, then the SAME fixed batch is
-probed against each, so the probe-time ratio across a 10x corpus
-growth isolates the corpus-size dependence of a tick.
+probed against each, so the probe-time ratio across the corpus-growth
+span isolates the corpus-size dependence of a tick. Tiers: sf0.1 ->
+sf1 -> sf10, a measured 100x corpus span (r8 verdict task 5 — the
+README's scale claim cites this record).
 
 Writes INGEST_BENCH.json:
   build_s[tag]       artifact build wall (corpus-bound by design)
   probe_s[tag][op]   min-of-2 wall for ingest_batch /
                      ingest_batch_neardups / decontaminate_batch
-  probe_ratio[op]    probe_s[big] / probe_s[small] — the claim is that
-                     this stays near 1 while the corpus grows 10x
+  probe_ratio[op]    probe_s[largest] / probe_s[smallest] — the claim
+                     is that this stays near 1 while the corpus grows
+                     100x
+  probe_ratio_steps  the same per adjacent tier pair (each a 10x step)
 """
 
 import json
@@ -25,8 +29,11 @@ import time
 
 sys.path.insert(0, ".")
 
-SMALL = ("sf0.1", os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-BIG = ("sf1", "./scaledata/sf1")
+TIERS = [
+    ("sf0.1", os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")),
+    ("sf1", "./scaledata/sf1"),
+    ("sf10", "./scaledata/sf10"),
+]
 OUT = "INGEST_BENCH.json"
 
 
@@ -58,7 +65,7 @@ def main() -> int:
     # one fixed batch for every corpus scale, so probe ratios isolate
     # corpus-size dependence (batch work is held constant)
     batch = (
-        spark.read.parquet(f"{SMALL[1]}/documents.parquet")
+        spark.read.parquet(f"{TIERS[0][1]}/documents.parquet")
         .filter(F.col("doc_id") % 6 == 0)
         .localCheckpoint()  # pin the batch rows; exclude its scan from timings
     )
@@ -78,10 +85,11 @@ def main() -> int:
     warm = tempfile.mkdtemp(prefix="hio_ingest_bench_warm_")
     tmp_roots.append(warm)
     ingestion.build_corpus_artifacts(
-        spark.read.parquet(f"{SMALL[1]}/documents.parquet"), warm, winnow=True
+        spark.read.parquet(f"{TIERS[0][1]}/documents.parquet"), warm,
+        winnow=True,
     )
     try:
-        for tag, d in (SMALL, BIG):
+        for tag, d in TIERS:
             corpus = spark.read.parquet(f"{d}/documents.parquet")
             result["corpus_rows"][tag] = corpus.count()
             art = tempfile.mkdtemp(prefix=f"hio_ingest_bench_{tag}_")
@@ -100,7 +108,7 @@ def main() -> int:
                     lambda: ingestion.decontaminate_batch(batch, art).count()
                 ),
             }
-        small, big = SMALL[0], BIG[0]
+        small, big = TIERS[0][0], TIERS[-1][0]
         result["corpus_ratio"] = round(
             result["corpus_rows"][big] / result["corpus_rows"][small], 2
         )
@@ -110,6 +118,15 @@ def main() -> int:
         result["probe_ratio"] = {
             op: round(result["probe_s"][big][op] / result["probe_s"][small][op], 2)
             for op in result["probe_s"][small]
+        }
+        result["probe_ratio_steps"] = {
+            f"{a}->{b}": {
+                op: round(
+                    result["probe_s"][b][op] / result["probe_s"][a][op], 2
+                )
+                for op in result["probe_s"][a]
+            }
+            for (a, _), (b, _) in zip(TIERS, TIERS[1:])
         }
         result["note"] = (
             "probe_ratio near 1 at a {}x corpus = ingestion ticks are "

@@ -1,0 +1,130 @@
+"""Merge several back-to-back bench.py passes into one BENCH_LOCAL.json.
+
+Each bench.py invocation OVERWRITES BENCH_LOCAL.json, so the round
+workflow copies each pass aside and merges here: raw samples are
+CONCATENATED per gate (never min-of-mins alone — the spread must come
+from the real sample pool, r8 verdict task 8), then
+
+  queries[gate]  = min over all samples (the steady-state headline)
+  spread[gate]   = min / median / max over all samples
+  prev_delta     = recomputed on MEDIANS vs the last COMMITTED
+                   BENCH_LOCAL.json (git show HEAD: — a merge re-run
+                   within a round still diffs against the prior round)
+
+Scalar throughput fields (scan_mb_per_s etc.) are recomputed from the
+merged scan_3col min; other metadata comes from the first pass.
+
+Usage: python tools/bench_merge.py pass1.json pass2.json [...] \
+           [--out BENCH_LOCAL.json]
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import subprocess
+import sys
+
+
+def _spread(samples: list[float]) -> dict[str, float]:
+    return {
+        "min": round(min(samples), 3),
+        "med": round(statistics.median(samples), 3),
+        "max": round(max(samples), 3),
+    }
+
+
+def _prev_committed(here: str) -> dict | None:
+    try:
+        doc = json.loads(
+            subprocess.run(
+                ["git", "-C", here, "show", "HEAD:BENCH_LOCAL.json"],
+                capture_output=True, text=True, timeout=30, check=True,
+            ).stdout
+        )
+        return doc if doc.get("queries") else None
+    except (OSError, ValueError, subprocess.SubprocessError):
+        return None
+
+
+def main() -> int:
+    args = list(sys.argv[1:])
+    out_path = "BENCH_LOCAL.json"
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    if len(args) < 1:
+        print(__doc__, file=sys.stderr)
+        return 2
+
+    passes = []
+    for p in args:
+        with open(p) as f:
+            passes.append(json.load(f))
+    sfs = {d.get("sf") for d in passes}
+    if len(sfs) != 1:
+        raise SystemExit(f"refusing to merge across scale factors: {sfs}")
+
+    pool: dict[str, list[float]] = {}
+    for d in passes:
+        for name, s in (d.get("samples") or {}).items():
+            pool.setdefault(name, []).extend(s)
+        # pre-spread pass files carry only the per-gate min
+        for name, v in (d.get("queries") or {}).items():
+            if name not in (d.get("samples") or {}) and isinstance(
+                v, (int, float)
+            ) and v > 0:
+                pool.setdefault(name, []).append(v)
+
+    merged = dict(passes[0])
+    merged["queries"] = {n: min(s) for n, s in pool.items()}
+    merged["samples"] = pool
+    merged["spread"] = {n: _spread(s) for n, s in pool.items()}
+    merged["n_passes_merged"] = len(passes)
+    merged["value"] = round(
+        sum(v for v in merged["queries"].values() if v > 0), 3
+    )
+    merged["n_failed"] = max(d.get("n_failed", 0) for d in passes)
+    if "scan_3col" in merged["queries"] and merged.get("scan_mb"):
+        scan_s = merged["queries"]["scan_3col"]
+        merged["scan_seconds"] = scan_s
+        merged["scan_mb_per_s"] = round(merged["scan_mb"] / scan_s, 2)
+        if merged.get("scan_rows"):
+            merged["scan_rows_per_s"] = round(merged["scan_rows"] / scan_s)
+
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prev = _prev_committed(here)
+    prev_delta: dict[str, float] = {}
+    if prev and str(prev.get("sf")) == str(merged.get("sf")):
+        prev_spread = prev.get("spread") or {}
+        for name, sp in merged["spread"].items():
+            old = (prev_spread.get(name) or {}).get(
+                "med", (prev.get("queries") or {}).get(name)
+            )
+            if isinstance(old, (int, float)) and old > 0:
+                ratio = sp["med"] / old
+                if ratio >= 1.3 or ratio <= 1 / 1.3:
+                    prev_delta[name] = round(ratio, 2)
+    merged["prev_delta"] = prev_delta
+
+    with open(out_path, "w") as f:
+        json.dump(merged, f, indent=1)
+    print(
+        json.dumps(
+            {
+                "merged": len(passes),
+                "gates": len(pool),
+                "value": merged["value"],
+                "prev_delta": prev_delta,
+                "out": out_path,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
