@@ -2081,6 +2081,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_embedding_clusters"] = lambda spark, sf: dedup.embedding_dup_clusters(
         _t(spark, sf, "embeddings"), threshold=0.45
     )
+    # SemDeDup (arXiv:2303.09540): cluster-partitioned semantic dedup —
+    # dedup only WITHIN coarse-quantizer cells, the linear-work web-scale
+    # recipe. Deterministic stride centroids (the ivf_topk quantizer)
+    # keep the twin an exact hash oracle; threshold 0.35 for the same
+    # near-orthogonal-fixture reason dedup_embedding runs at 0.45.
+    q["dedup_semantic"] = lambda spark, sf: dedup.semantic_dedup(
+        _t(spark, sf, "embeddings"), threshold=0.35
+    )
     # exact-substring pass (Lee et al. 2022 ExactSubstr, re-shaped for
     # Spark as stride-1 window fingerprints): per-source accounting of
     # tokens covered by cross-document duplicated 16-token windows —
@@ -2254,8 +2262,11 @@ _CHECK_FIRST = [
     # family reps (veterans, all multi-round green)
     "pricing_summary", "events_hourly", "dedup_exact",
     "text_metrics", "similarity_topk_bucketed", "multimodal_decode",
-    # ---- new r9 gate: IVF-SQ8 recall audit (exact n_hits oracle) ----
+    # ---- new r9 gates (in-window from birth, the standing rule) ----
+    # IVF-SQ8 recall audit (exact n_hits oracle)
     "similarity_ivf_sq8_recall",
+    # SemDeDup cluster-partitioned semantic dedup (exact hash oracle)
+    "dedup_semantic",
     # ---- r9-touched gates ----
     # reshaped query set (fixed count, r8 verdict task 3) — oracle
     # changed, so the hash must be re-verified by the driver
@@ -2274,8 +2285,9 @@ _CHECK_FIRST = [
     "market_share", "min_cost_supplier", "nation_trade_volume",
     "order_count_distribution", "order_price_bands", "order_value_deciles",
     "orders_month_growth", "product_profit", "promo_revenue",
-    "returned_item_revenue", "scalar_profile", "ship_latency_priority",
+    "returned_item_revenue", "scalar_profile",
     # (deferred to r10 by the 50-slot cap, still r3-stale:
+    # ship_latency_priority — bumped by the dedup_semantic birth slot —
     # sql_excess_suppliers, sql_q17_small_qty, supplier_part_counts,
     # top_supplier, waiting_orders — plus the r4-checked block:
     # active_user_trends is back above; event_dwell_stats,
@@ -4486,6 +4498,33 @@ def oracle_sql() -> dict[str, str]:
                             AS rank
                    FROM scored)
         SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5"""
+
+    # SemDeDup twin: the similarity_ivf_topk assignment CTEs (stride-50
+    # deterministic quantizer, nearest centroid with ties to lowest cid)
+    # + within-cluster lower-id-anchor pairs at ROUND(cosine,6) >= tau,
+    # strongest anchor per dropped doc. Threshold applies to the ROUNDED
+    # value in both engines (dedup.semantic_dedup step 3).
+    o["dedup_semantic"] = f"""
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        cents AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id % 50 = 0),
+        ca AS (SELECT s.vec_id, s.v, c.cid,
+                      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                         ORDER BY {_CCOS} DESC, c.cid ASC) AS rn
+               FROM v s CROSS JOIN cents c),
+        assigned AS (SELECT vec_id, v, cid FROM ca WHERE rn = 1),
+        hits AS (SELECT b.vec_id AS doc_id, a.vec_id AS kept_id,
+                        ROUND(list_dot_product(a.v, b.v) /
+                          (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+                 FROM assigned a JOIN assigned b
+                   ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        kept AS (SELECT doc_id, kept_id, cosine,
+                        ROW_NUMBER() OVER (PARTITION BY doc_id
+                                           ORDER BY cosine DESC, kept_id ASC)
+                          AS rn
+                 FROM hits WHERE cosine >= 0.35)
+        SELECT doc_id, kept_id, cosine FROM kept WHERE rn = 1"""
 
     # IVF-SQ8 twin: the similarity_ivf_topk assignment/probe CTEs
     # composed with the int8 quantizer CTEs — candidates from the fp32

@@ -1739,3 +1739,170 @@ def embedding_neardup_against_corpus(
         .select("batch_id", "corpus_id", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.65,
+    centroid_stride: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster_rows: int | None = None,
+    use_pandas: bool = True,
+) -> DataFrame:
+    """SemDeDup-style cluster-partitioned semantic dedup (Abbas et al.,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540): partition the embedding space with
+    a coarse quantizer, then dedup ONLY within clusters — the published
+    recipe for making embedding dedup tractable at web scale, and the
+    linear-work alternative to both the exact O(n^2) blocked all-pairs
+    (embedding_neardup) and the recall-lossy single-probe LSH tier.
+
+    Returns one row per DROPPED document: (doc_id, kept_id, cosine) where
+    ``kept_id`` is the strongest lower-id in-cluster neighbor at
+    cosine >= threshold (ties to the lowest kept_id). SemDeDup's keep
+    rule — every document with any higher-priority semantic duplicate in
+    its cluster is dropped, priority = ascending id — applied in one
+    relational pass. Survivors = anti-join (semantic_dedup_survivors).
+
+    Structure (all SQL-expressible, so the gate twin is an exact hash
+    oracle — same discipline as ivf_topk vs ivf_topk_trained):
+
+      1. coarse quantizer: centroids = vectors with id % centroid_stride
+         == 0 — the deterministic sample quantizer ivf_topk uses (a
+         trained k-means drops in via fit_spherical_kmeans when oracle
+         checkability is not required);
+      2. every vector map-side assigned to its nearest centroid (max
+         cosine, ties to lowest cid) — Arrow/BLAS against the broadcast
+         centroid matrix by default, zero corpus-side exchange
+         (use_pandas=False keeps the relational cross-check tier);
+      3. within-cluster pair scoring: equi-join on cid, lower-id side is
+         the keep candidate, exact JVM cosine fold rounded to 6 (the
+         bit-identical-to-DuckDB fold embedding_neardup documents),
+         threshold applied to the ROUNDED value in both engines;
+      4. per dropped doc keep the strongest anchor (row_number over
+         cosine desc, kept_id asc).
+
+    Scale: with stride-sampled centroids the cluster count GROWS with the
+    corpus (n/stride clusters of ~stride expected rows under hash-uniform
+    ids), so total pair work is ~n*stride/2 — linear in n with a
+    stride-sized constant, unlike the all-pairs n^2/2. Geometry skew
+    (dense regions pulling oversized clusters) is the one way that bound
+    breaks; ``max_cluster_rows`` makes the bound ENFORCED (one narrow
+    count-by-cid aggregation, then raise naming the offender — the
+    embedding_neardup max_blocks discipline) for pipelines that must not
+    discover skew as an OOM. None skips that extra aggregation job.
+    """
+    from pyspark.sql import Window
+
+    from hive_io_experimental_spark.functions.vectors import (
+        dot_product,
+        l2_norm,
+    )
+    from hive_io_experimental_spark.operators.similarity import (
+        _as_double,
+        _assign_pandas,
+        _pair_cosine,
+    )
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if centroid_stride < 1:
+        raise ValueError(f"centroid_stride must be >= 1, got {centroid_stride}")
+
+    spark = df.sparkSession
+    s = spread(df).select(
+        F.col(id_col).alias("_sd_id"), _as_double(vec_col).alias("_sd_v")
+    ).withColumn("_sd_nrm", l2_norm(F.col("_sd_v")))
+
+    cents = df.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")
+    )
+    if use_pandas:
+        cent_rows = [r.asDict() for r in cents.collect()]
+        if not cent_rows:
+            # no id hits the stride (empty or sparse-id input): the
+            # contract's empty frame, not a crash
+            return spark.createDataFrame(
+                [], "doc_id long, kept_id long, cosine double"
+            )
+        assigned = _assign_pandas(s, "_sd_id", "_sd_v", "_sd_nrm",
+                                  cent_rows, keep=1)
+    else:
+        bc = F.broadcast(cents.withColumn("cnrm", l2_norm(F.col("cv"))))
+        cos_c = F.try_divide(
+            dot_product(F.col("_sd_v"), F.col("cv")),
+            F.col("_sd_nrm") * F.col("cnrm"),
+        )
+        w = Window.partitionBy("_sd_id").orderBy(
+            cos_c.desc(), F.col("cid").asc()
+        )
+        assigned = (
+            s.crossJoin(bc)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "cv", "cnrm")
+        )
+
+    if max_cluster_rows is not None:
+        assigned = reuse(assigned)
+        worst = (
+            assigned.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .orderBy(F.col("_n").desc(), F.col("cid").asc())
+            .first()
+        )
+        if worst is not None and worst["_n"] > max_cluster_rows:
+            raise ValueError(
+                f"semantic_dedup cluster {worst['cid']} holds "
+                f"{worst['_n']} rows (> max_cluster_rows="
+                f"{max_cluster_rows}): embedding geometry is skewed past "
+                f"the stride-sized bound. Lower centroid_stride (more, "
+                f"smaller clusters) or raise max_cluster_rows explicitly."
+            )
+
+    a = assigned.select(
+        F.col("_sd_id").alias("kept_id"), F.col("_sd_v").alias("_av"),
+        F.col("_sd_nrm").alias("_anrm"), "cid",
+    )
+    b = assigned.select(
+        F.col("_sd_id").alias("doc_id"), F.col("_sd_v").alias("_bv"),
+        F.col("_sd_nrm").alias("_bnrm"), "cid",
+    )
+    hits = (
+        a.join(b, "cid")
+        .filter(F.col("kept_id") < F.col("doc_id"))
+        .select(
+            "doc_id", "kept_id",
+            _pair_cosine("_av", "_anrm", "_bv", "_bnrm").alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("cosine").desc(), F.col("kept_id").asc()
+    )
+    return (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def semantic_dedup_survivors(
+    df: DataFrame,
+    threshold: float = 0.65,
+    centroid_stride: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster_rows: int | None = None,
+    use_pandas: bool = True,
+) -> DataFrame:
+    """The kept side of semantic_dedup: input rows minus the dropped set
+    (anti-join on id). Same parameters; see semantic_dedup."""
+    dropped = semantic_dedup(
+        df, threshold, centroid_stride, vec_col, id_col,
+        max_cluster_rows, use_pandas,
+    )
+    return df.join(
+        dropped.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    )

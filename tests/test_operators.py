@@ -2163,3 +2163,108 @@ def test_embedding_neardup_against_corpus(spark):
     assert [f.name for f in out.schema.fields] == [
         "batch_id", "corpus_id", "cosine",
     ]
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup, arXiv:2303.09540)
+# ---------------------------------------------------------------------------
+
+def _semdedup_fixture(spark):
+    # centroid_stride=2 -> centroids are ids 0 ([1,0]) and 2 ([0,1]);
+    # 1 and 3 assign to the x cluster, 5 to the y cluster
+    return spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [0.95, 0.05]),
+            (5, [0.0, 2.0]),   # parallel to 2 -> exact semantic dup
+        ],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_semantic_dedup_drops_lower_id_anchored_dups(spark):
+    df = _semdedup_fixture(spark)
+    got = {
+        r.doc_id: r.kept_id
+        for r in dedup.semantic_dedup(
+            df, threshold=0.9, centroid_stride=2
+        ).collect()
+    }
+    # 1 and 3 both anchor to 0 (their strongest lower-id neighbor:
+    # cos(0,3)=0.99862 > cos(1,3)=0.99838); 5 anchors to 2 (cos 1.0)
+    assert got == {1: 0, 3: 0, 5: 2}
+
+
+def test_semantic_dedup_never_pairs_across_clusters(spark):
+    # two near-identical vectors straddling the 45-degree boundary land
+    # in DIFFERENT cells and are never compared — the SemDeDup
+    # cluster-fence approximation, by contract
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.71, 0.70]),   # -> x cell
+            (2, [0.0, 1.0]),
+            (3, [0.70, 0.71]),   # -> y cell; cos(1,3) ~ 0.9998
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    assert dedup.semantic_dedup(df, threshold=0.9, centroid_stride=2).count() == 0
+
+
+def test_semantic_dedup_survivors_antijoin(spark):
+    df = _semdedup_fixture(spark)
+    kept = sorted(
+        r.vec_id
+        for r in dedup.semantic_dedup_survivors(
+            df, threshold=0.9, centroid_stride=2
+        ).collect()
+    )
+    assert kept == [0, 2]
+
+
+def test_semantic_dedup_empty_and_sparse_ids(spark):
+    df = _semdedup_fixture(spark)
+    empty = dedup.semantic_dedup(df.filter(F.col("vec_id") < 0),
+                                 centroid_stride=2)
+    assert empty.count() == 0
+    # no id hits the stride -> contract empty frame, schema intact
+    sparse = dedup.semantic_dedup(df.filter(F.col("vec_id") % 2 == 1),
+                                  centroid_stride=2)
+    assert sparse.count() == 0
+    assert [f.name for f in sparse.schema.fields] == [
+        "doc_id", "kept_id", "cosine",
+    ]
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.semantic_dedup(df, threshold=0.0)
+    with pytest.raises(ValueError, match="centroid_stride"):
+        dedup.semantic_dedup(df, centroid_stride=0)
+
+
+def test_semantic_dedup_cluster_cap_enforced(spark):
+    df = _semdedup_fixture(spark)
+    with pytest.raises(ValueError, match="max_cluster_rows"):
+        dedup.semantic_dedup(
+            df, threshold=0.9, centroid_stride=2, max_cluster_rows=2
+        )
+    # bound not exceeded -> identical output to the unguarded run
+    guarded = dedup.semantic_dedup(
+        df, threshold=0.9, centroid_stride=2, max_cluster_rows=3
+    )
+    assert guarded.count() == 3
+
+
+def test_semantic_dedup_pandas_matches_relational(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = {
+        tuple(r)
+        for r in dedup.semantic_dedup(emb, threshold=0.35).collect()
+    }
+    b = {
+        tuple(r)
+        for r in dedup.semantic_dedup(
+            emb, threshold=0.35, use_pandas=False
+        ).collect()
+    }
+    assert a == b and len(a) > 0
