@@ -2194,6 +2194,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200),
         k=10,
     )
+    # PQ-ADC (new r9, Jégou et al. TPAMI 2011): m-byte codes + per-query
+    # LUT scoring — the 32-64x-compression tier past int8's 4x. Sampled
+    # codebooks (stride 5, CAPPED at 128 codes so encode stays linear in
+    # the corpus — the r8 gate-shape rule) keep every stage
+    # SQL-expressible; fixed vec_id < 200 query set for the same reason.
+    q["similarity_pq_topk"] = lambda spark, sf: similarity.pq_topk(
+        _t(spark, sf, "embeddings"),
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200),
+        k=5,
+        centroid_stride=5,
+        max_codes=128,
+    )
+    # PQ recall audit: ADC top-10 vs fp32 exact, EXACT hit count in the
+    # twin (0.338 measured at sf0.01 — honest for 64x compression on
+    # near-orthogonal synthetic vectors; the trained-codebook tier is
+    # recall-bound tested in pytest).
+    q["similarity_pq_recall"] = lambda spark, sf: similarity.pq_recall_check(
+        _t(spark, sf, "embeddings"),
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200),
+        k=10,
+        centroid_stride=5,
+        max_codes=128,
+        min_avg_recall=0.25,
+    )
     q["label_centroid_stats"] = lambda spark, sf: similarity.label_centroid_stats(
         _t(spark, sf, "embeddings")
     )
@@ -2267,6 +2291,8 @@ _CHECK_FIRST = [
     "similarity_ivf_sq8_recall",
     # SemDeDup cluster-partitioned semantic dedup (exact hash oracle)
     "dedup_semantic",
+    # PQ-ADC top-k + its recall audit (exact hash oracles)
+    "similarity_pq_topk", "similarity_pq_recall",
     # ---- r9-touched gates ----
     # reshaped query set (fixed count, r8 verdict task 3) — oracle
     # changed, so the hash must be re-verified by the driver
@@ -2285,9 +2311,9 @@ _CHECK_FIRST = [
     "market_share", "min_cost_supplier", "nation_trade_volume",
     "order_count_distribution", "order_price_bands", "order_value_deciles",
     "orders_month_growth", "product_profit", "promo_revenue",
-    "returned_item_revenue", "scalar_profile",
     # (deferred to r10 by the 50-slot cap, still r3-stale:
-    # ship_latency_priority — bumped by the dedup_semantic birth slot —
+    # returned_item_revenue, scalar_profile, ship_latency_priority —
+    # bumped by the dedup_semantic + 2 PQ birth slots —
     # sql_excess_suppliers, sql_q17_small_qty, supplier_part_counts,
     # top_supplier, waiting_orders — plus the r4-checked block:
     # active_user_trends is back above; event_dwell_stats,
@@ -4630,6 +4656,83 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(hit) AS BIGINT) AS n_hits,
                (SUM(hit) * 1.0 / COUNT(*)) >= 0.5 AS recall_ok
         FROM j"""
+
+    # PQ-ADC twins: unit-normalize -> capped sampled codebooks (stride 5,
+    # code < 128) -> squared-L2 encode (argmax x.c - .5c.c, ties lowest
+    # code) -> per-query LUT -> ordered 4-term fold (list_reduce = the
+    # same left fold Spark's aggregate() runs), ROUND 6. Shared CTE body.
+    _pq_ctes = """
+        v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+        u AS (SELECT vec_id,
+                     list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+              FROM v0 WHERE sqrt(list_dot_product(v, v)) > 0),
+        cb0 AS (SELECT s.j,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY s.j
+                                               ORDER BY u.vec_id) - 1 AS INT) AS code,
+                       u.v[s.j*16+1 : (s.j+1)*16] AS cv
+                FROM u CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS j) s
+                WHERE u.vec_id % 5 = 0),
+        cb AS (SELECT * FROM cb0 WHERE code < 128),
+        sub AS (SELECT u.vec_id, s.j, u.v[s.j*16+1 : (s.j+1)*16] AS sv
+                FROM u CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS j) s),
+        enc AS (SELECT t.vec_id, t.j, cb.code,
+                       ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.j
+                                          ORDER BY (list_dot_product(t.sv, cb.cv)
+                                                    - 0.5 * list_dot_product(cb.cv, cb.cv)) DESC,
+                                                   cb.code ASC) AS rn
+                FROM sub t JOIN cb ON cb.j = t.j),
+        codes AS (SELECT vec_id, list(code ORDER BY j) AS codes
+                  FROM enc WHERE rn = 1 GROUP BY vec_id),
+        ql AS (SELECT u.vec_id AS query_id, cb.j, cb.code,
+                      list_dot_product(u.v[cb.j*16+1 : (cb.j+1)*16], cb.cv) AS pdot
+               FROM u CROSS JOIN cb WHERE u.vec_id < 200),
+        lr AS (SELECT query_id, j, list(pdot ORDER BY code) AS lrow
+               FROM ql GROUP BY query_id, j),
+        lt AS (SELECT query_id, list(lrow ORDER BY j) AS lut
+               FROM lr GROUP BY query_id),
+        pq_scored AS (SELECT l.query_id, c.vec_id AS neighbor_id,
+                             ROUND(list_reduce(list_transform([0,1,2,3],
+                                   j -> l.lut[j+1][c.codes[j+1]+1]),
+                                   (a, b) -> a + b), 6) AS adc_score
+                      FROM codes c CROSS JOIN lt l
+                      WHERE l.query_id <> c.vec_id),
+        pq_ranked AS (SELECT query_id, neighbor_id, adc_score,
+                             ROW_NUMBER() OVER (PARTITION BY query_id
+                                                ORDER BY adc_score DESC,
+                                                         neighbor_id ASC) AS rank
+                      FROM pq_scored)"""
+
+    o["similarity_pq_topk"] = f"""
+        WITH {_pq_ctes}
+        SELECT query_id, neighbor_id, adc_score, rank
+        FROM pq_ranked WHERE rank <= 5"""
+
+    o["similarity_pq_recall"] = f"""
+        WITH {_pq_ctes},
+        approx AS (SELECT query_id, neighbor_id FROM pq_ranked
+                   WHERE rank <= 10),
+        e_scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                            ROUND(list_dot_product(q.v, c.v) /
+                              (sqrt(list_dot_product(q.v, q.v))
+                               * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+                     FROM v0 c JOIN v0 q
+                       ON q.vec_id < 200 AND q.vec_id <> c.vec_id),
+        e_ranked AS (SELECT query_id, neighbor_id,
+                            ROW_NUMBER() OVER (PARTITION BY query_id
+                                               ORDER BY cosine DESC,
+                                                        neighbor_id ASC) AS rank
+                     FROM e_scored),
+        exact AS (SELECT query_id, neighbor_id FROM e_ranked WHERE rank <= 10),
+        jx AS (SELECT e.query_id,
+                      CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+               FROM exact e LEFT JOIN approx a
+                 ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
+        SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+               CAST(COUNT(*) AS BIGINT) AS n_exact_results,
+               CAST(SUM(hit) AS BIGINT) AS n_hits,
+               (SUM(hit) * 1.0 / COUNT(*)) >= 0.25 AS recall_ok
+        FROM jx"""
 
     o["similarity_topk_bucketed"] = f"""
         WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

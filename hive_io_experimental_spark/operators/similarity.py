@@ -1559,3 +1559,422 @@ def quantization_quality_report(
             "max_err_bound",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ / ADC)
+# ---------------------------------------------------------------------------
+
+def _unit_vectors(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """(id, v) unit-normalized with the sequential JVM fold (bit-identical
+    to the DuckDB twin's list_dot_product); zero-norm vectors are dropped
+    on both sides, so ADC inner products ARE cosines."""
+    nrm = l2_norm(_as_double(vec_col))
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            _as_double(vec_col).alias("_raw"),
+            nrm.alias("_nrm"),
+        )
+        .filter(F.col("_nrm") > 0)
+        .select(
+            "id",
+            F.transform(
+                F.col("_raw"), lambda x: x / F.col("_nrm")
+            ).alias("v"),
+        )
+    )
+
+
+def pq_codebooks_sampled(
+    corpus: DataFrame,
+    num_subspaces: int = 4,
+    centroid_stride: int = 50,
+    max_codes: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic-sample PQ codebooks: (j, code, cv array<double>).
+
+    Product quantization (Jégou, Douze, Schmid, "Product quantization
+    for nearest neighbor search", TPAMI 2011): split the d-dim space
+    into ``num_subspaces`` contiguous subspaces and quantize each
+    independently. The codewords here are the SUBVECTORS of every
+    ``centroid_stride``-th vector — the same deterministic sampled
+    quantizer ivf_topk uses, which keeps the whole PQ pipeline
+    SQL-expressible and the gate twin an exact hash oracle
+    (pq_codebooks_trained is the k-means quality tier). Codes are dense
+    per-subspace indices (row_number over the sampled ids), so the code
+    value is a position in the LUT row, independent of the sample's id
+    gaps. Codebook size: num_subspaces * (n / centroid_stride) rows of
+    d / num_subspaces doubles — KBs, always the broadcast side.
+
+    ``max_codes`` caps the codebook at the FIRST max_codes sampled ids
+    per subspace (code < max_codes — still pure SQL). Set it for any
+    corpus whose size grows: a stride-only codebook grows with n, which
+    makes the n x ksub encode pass quadratic at scale; a capped
+    codebook keeps encode linear (the same fixed-work-per-row rule the
+    r8 gate reshape enforced on query sets).
+    """
+    u = _unit_vectors(
+        corpus.filter(F.col(id_col) % centroid_stride == 0), vec_col, id_col
+    )
+    dsub_probe = u.select(F.size("v").alias("d")).first()
+    if dsub_probe is None:
+        raise ValueError(
+            "pq_codebooks_sampled: no vector id hits the centroid_stride "
+            f"({centroid_stride}); lower the stride"
+        )
+    d = dsub_probe["d"]
+    if d % num_subspaces != 0:
+        raise ValueError(
+            f"embedding dim {d} is not divisible by num_subspaces="
+            f"{num_subspaces}"
+        )
+    dsub = d // num_subspaces
+    w = Window.partitionBy("j").orderBy(F.col("id").asc())
+    cb = (
+        u.select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.lit(num_subspaces - 1))).alias("j"),
+            "v",
+        )
+        .select(
+            "j",
+            (F.row_number().over(w) - 1).cast("int").alias("code"),
+            F.slice(F.col("v"), F.col("j") * dsub + 1, dsub).alias("cv"),
+        )
+    )
+    if max_codes is not None:
+        cb = cb.filter(F.col("code") < max_codes)
+    return cb
+
+
+def pq_codebooks_trained(
+    corpus: DataFrame,
+    num_subspaces: int = 4,
+    codes_per_subspace: int = 16,
+    seed: int = 7,
+    max_iter: int = 10,
+    sample_rows: int = 4096,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """K-means PQ codebooks (the quality tier): per-subspace Lloyd
+    iterations on a bounded deterministic sample, driver-local numpy —
+    the fit_spherical_kmeans design (hash-stride sample, id-sorted for
+    scan-order independence, centroid table back as a few-KB DataFrame).
+    Iterative fitting is not SQL-expressible, so operators built on this
+    tier are recall-bound tested (pq_recall_check), not hash-oracled —
+    the ivf_topk_trained discipline. Returns (j, code, cv)."""
+    import numpy as np
+
+    n = corpus.count()
+    stride = max(1, n // max(sample_rows, 1))
+    train = corpus
+    if stride > 1:
+        train = train.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0
+        )
+    pdf = (
+        _unit_vectors(train, vec_col, id_col)
+        .toPandas()
+        .sort_values("id")
+    )
+    if len(pdf) == 0:
+        raise ValueError("pq_codebooks_trained: empty training sample")
+    mat = np.array(list(pdf["v"]), dtype=np.float64)
+    d = mat.shape[1]
+    if d % num_subspaces != 0:
+        raise ValueError(
+            f"embedding dim {d} is not divisible by num_subspaces="
+            f"{num_subspaces}"
+        )
+    dsub = d // num_subspaces
+    rng = np.random.RandomState(seed)
+    rows = []
+    for j in range(num_subspaces):
+        sub = mat[:, j * dsub:(j + 1) * dsub]
+        ksub = min(codes_per_subspace, len(sub))
+        cents = sub[rng.choice(len(sub), size=ksub, replace=False)].copy()
+        for _ in range(max_iter):
+            # squared-L2 assignment: argmin ||x-c||^2 = argmax x.c - .5c.c
+            score = sub @ cents.T - 0.5 * (cents * cents).sum(axis=1)
+            assign = np.argmax(score, axis=1)
+            for c in range(ksub):
+                members = sub[assign == c]
+                if len(members) == 0:
+                    cents[c] = sub[rng.randint(len(sub))]
+                else:
+                    cents[c] = members.mean(axis=0)
+        rows.extend(
+            (j, c, [float(x) for x in cents[c]]) for c in range(ksub)
+        )
+    return corpus.sparkSession.createDataFrame(
+        rows, "j int, code int, cv array<double>"
+    )
+
+
+def _pq_encode_pandas(
+    u: DataFrame, cb_rows: list, num_subspaces: int, dsub: int
+) -> DataFrame:
+    """Arrow/BLAS encode: one matmul per (batch, subspace) against the
+    closed-over codebook matrices; squared-L2 assignment with stable
+    ties to the lowest code — matches the relational tier the same way
+    _assign_pandas matches its relational twin (last-ulp BLAS summation
+    differences cannot flip assignments whose codeword separation dwarfs
+    float noise)."""
+    import numpy as np
+
+    mats, biases = [], []
+    for j in range(num_subspaces):
+        rows = sorted(
+            (r for r in cb_rows if r["j"] == j), key=lambda r: r["code"]
+        )
+        C = np.array([r["cv"] for r in rows], dtype=np.float64)
+        mats.append(C)
+        biases.append(0.5 * (C * C).sum(axis=1))
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.array(list(pdf["v"]), dtype=np.float64)
+            codes = np.empty((len(pdf), num_subspaces), dtype=np.int64)
+            for j in range(num_subspaces):
+                sub = M[:, j * dsub:(j + 1) * dsub]
+                score = sub @ mats[j].T - biases[j]
+                # np.argmax returns the FIRST max: ties to the lowest code
+                codes[:, j] = score.argmax(axis=1)
+            out = pdf[["id"]].copy()
+            out["codes"] = list(codes)
+            yield out
+
+    sid_type = dict(u.dtypes)["id"]
+    return u.mapInPandas(encode, f"id {sid_type}, codes array<long>")
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame | None = None,
+    num_subspaces: int = 4,
+    centroid_stride: int = 50,
+    max_codes: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    use_pandas: bool = True,
+) -> DataFrame:
+    """Encode every vector as ``num_subspaces`` dense codebook indices:
+    (id, codes array<long>) — the m-byte-per-vector representation that
+    makes a 100 TB embedding corpus a ~1 TB codes table (64-dim fp32 =
+    256 B -> 4 codes; the codebook rides along in KBs). Assignment is
+    squared-L2 per subspace (argmax x.c - 0.5*c.c, ties to the lowest
+    code). Map-side BLAS against the closure codebooks by default —
+    zero corpus-side exchange; ``use_pandas=False`` is the relational
+    oracle tier (explode by subspace, broadcast-join the codebook,
+    window argmax — SQL-expressible end to end)."""
+    if codebooks is None:
+        codebooks = pq_codebooks_sampled(
+            corpus, num_subspaces, centroid_stride, max_codes,
+            vec_col, id_col,
+        )
+    u = _unit_vectors(spread(corpus), vec_col, id_col)
+    probe = u.select(F.size("v").alias("d")).first()
+    if probe is None:
+        return corpus.sparkSession.createDataFrame(
+            [], "id long, codes array<long>"
+        )
+    dsub = probe["d"] // num_subspaces
+    if use_pandas:
+        cb_rows = [r.asDict() for r in codebooks.collect()]
+        return _pq_encode_pandas(u, cb_rows, num_subspaces, dsub)
+    cb = F.broadcast(
+        codebooks.withColumn("_csq", dot_product(F.col("cv"), F.col("cv")))
+    )
+    w = Window.partitionBy("id", "j").orderBy(
+        (
+            dot_product(F.col("_sub"), F.col("cv"))
+            - F.lit(0.5) * F.col("_csq")
+        ).desc(),
+        F.col("code").asc(),
+    )
+    assigned = (
+        u.select(
+            "id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(num_subspaces - 1))
+            ).alias("j"),
+            "v",
+        )
+        .select(
+            "id", "j",
+            F.slice(F.col("v"), F.col("j") * dsub + 1, dsub).alias("_sub"),
+        )
+        .join(cb, "j")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return (
+        assigned.groupBy("id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("j", "code"))
+            ).alias("_jc")
+        )
+        .select(
+            "id",
+            F.transform(
+                F.col("_jc"), lambda s: s["code"].cast("long")
+            ).alias("codes"),
+        )
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_subspaces: int = 4,
+    centroid_stride: int = 50,
+    max_codes: int | None = None,
+    codebooks: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    use_pandas: bool = True,
+) -> DataFrame:
+    """PQ top-k by asymmetric distance computation (ADC): queries stay
+    fp32, the corpus is scanned as codes, and each candidate's score is
+    m LUT lookups + adds instead of a d-term dot product — O(m) per
+    pair, reading m bytes per vector instead of 4d.
+
+    Pipeline: encode the corpus (pq_encode — map-side, zero exchange) ->
+    build each query's LUT (query subvector . codeword, the exact JVM
+    fold, grouped into an m x ksub array) -> broadcast the LUT table ->
+    score = ordered fold over subspaces of lut[j][codes[j]], rounded to
+    6 like every cosine in this module. Both sides unit-normalized, so
+    the ADC score approximates cosine and ranks against the exact
+    brute-force path (pq_recall_check grades the loss).
+
+    Everything is SQL-expressible with sampled codebooks, so the gate
+    twin reproduces scores and ranks exactly. Queries are guarded small
+    (the broadcast-LUT contract — same eager probe as the other exact
+    paths; stream callers go per-microbatch)."""
+    _require_small_query_side(
+        queries.select(F.col(id_col)), "pq_topk (broadcast query LUTs)"
+    )
+    if codebooks is None:
+        codebooks = pq_codebooks_sampled(
+            corpus, num_subspaces, centroid_stride, max_codes,
+            vec_col, id_col,
+        )
+    codes = pq_encode(
+        corpus, codebooks, num_subspaces, centroid_stride, max_codes,
+        vec_col, id_col, use_pandas,
+    )
+    qu = _unit_vectors(queries, vec_col, id_col)
+    probe = qu.select(F.size("v").alias("d")).first()
+    if probe is None:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, adc_score double, rank long"
+        )
+    dsub = probe["d"] // num_subspaces
+    ql = (
+        qu.select(
+            F.col("id").alias("query_id"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(num_subspaces - 1))
+            ).alias("j"),
+            "v",
+        )
+        .select(
+            "query_id", "j",
+            F.slice(F.col("v"), F.col("j") * dsub + 1, dsub).alias("_qsub"),
+        )
+        .join(F.broadcast(codebooks), "j")
+        .select(
+            "query_id", "j", "code",
+            dot_product(F.col("_qsub"), F.col("cv")).alias("_pdot"),
+        )
+    )
+    lut_rows = ql.groupBy("query_id", "j").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("code", "_pdot"))),
+            lambda s: s["_pdot"],
+        ).alias("_row")
+    )
+    luts = lut_rows.groupBy("query_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("j", "_row"))),
+            lambda s: s["_row"],
+        ).alias("_lut")
+    )
+    score = F.round(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(num_subspaces - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at(
+                F.element_at(F.col("_lut"), j.cast("int") + 1),
+                F.element_at(F.col("codes"), j.cast("int") + 1).cast("int")
+                + 1,
+            ),
+        ),
+        6,
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(luts))
+        .filter(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            score.alias("adc_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
+
+
+def pq_recall_check(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_subspaces: int = 4,
+    centroid_stride: int = 50,
+    max_codes: int | None = None,
+    codebooks: DataFrame | None = None,
+    min_avg_recall: float = 0.2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall audit for the PQ-ADC path against the fp32 exact top-k —
+    the same one-row exact-hit-count contract as ivf_sq8_recall_check
+    (n_queries, n_exact_results, n_hits, recall_ok). With sampled
+    codebooks every stage is SQL-expressible, so the DuckDB twin
+    reproduces the EXACT hit count; with trained codebooks pass the
+    codebook frame and treat the row as a recall-bound invariant. Runs
+    BOTH searches, so the gate times the full audit workload."""
+    approx = pq_topk(
+        corpus, queries, k, num_subspaces, centroid_stride, max_codes,
+        codebooks, vec_col, id_col,
+    ).select("query_id", "neighbor_id")
+    exact = cosine_topk(corpus, queries, k, vec_col, id_col).select(
+        "query_id", "neighbor_id"
+    )
+    joined = exact.join(
+        approx.withColumn("_hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    hits = F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+    return joined.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_exact_results"),
+        hits.cast("long").alias("n_hits"),
+        (hits / F.count(F.lit(1)) >= F.lit(min_avg_recall)).alias(
+            "recall_ok"
+        ),
+    )

@@ -2268,3 +2268,98 @@ def test_semantic_dedup_pandas_matches_relational(spark, sf_dir):
         ).collect()
     }
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ / ADC, Jégou et al. TPAMI 2011)
+# ---------------------------------------------------------------------------
+
+def test_pq_encode_pandas_matches_relational(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = {
+        (r.id, tuple(r.codes))
+        for r in similarity.pq_encode(
+            emb, centroid_stride=5, max_codes=128
+        ).collect()
+    }
+    b = {
+        (r.id, tuple(r.codes))
+        for r in similarity.pq_encode(
+            emb, centroid_stride=5, max_codes=128, use_pandas=False
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_pq_topk_exact_on_codebook_members(spark):
+    # a vector that IS a codeword reconstructs losslessly, so its ADC
+    # score against an identical-direction query is the true cosine (1.0)
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [2.0, 0.0, 0.0, 0.0]),   # same direction as 0
+            (3, [0.0, 0.0, 1.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = similarity.pq_topk(
+        df, df.filter(F.col("vec_id") == 2), k=1,
+        num_subspaces=2, centroid_stride=1,
+    ).collect()
+    assert [(r.query_id, r.neighbor_id, r.adc_score) for r in got] == [
+        (2, 0, 1.0)
+    ]
+
+
+def test_pq_recall_trained_beats_floor(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 200)
+    cb = similarity.pq_codebooks_trained(
+        emb, num_subspaces=4, codes_per_subspace=64
+    )
+    row = similarity.pq_recall_check(
+        emb, queries, k=10, num_subspaces=4, codebooks=cb
+    ).first()
+    assert row["n_queries"] == 200
+    assert row["n_exact_results"] == 2000
+    # trained 64-codeword books on near-orthogonal synthetic vectors:
+    # measured 0.308 — pin a floor with slack for k-means sample drift
+    assert row["n_hits"] / row["n_exact_results"] >= 0.2
+    assert bool(row["recall_ok"])
+
+
+def test_pq_validation_and_empty_paths(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        similarity.pq_codebooks_sampled(df, num_subspaces=2,
+                                        centroid_stride=1)
+    with pytest.raises(ValueError, match="centroid_stride"):
+        similarity.pq_codebooks_sampled(
+            df.filter(F.col("vec_id") < 0), centroid_stride=1
+        )
+    four = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.pq_topk(
+        four, four.filter(F.col("vec_id") < 0), k=3,
+        num_subspaces=2, centroid_stride=1,
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "adc_score", "rank",
+    ]
+
+
+def test_pq_codebook_cap_bounds_codes(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = similarity.pq_codebooks_sampled(
+        emb, num_subspaces=4, centroid_stride=5, max_codes=16
+    )
+    agg = cb.groupBy("j").count().collect()
+    assert len(agg) == 4 and all(r["count"] == 16 for r in agg)
+    assert cb.agg(F.max("code")).first()[0] == 15
