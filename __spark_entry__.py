@@ -182,6 +182,29 @@ def _similarity_ivf_index(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _similarity_pq_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Build a persisted PQ index (codes + codebooks tables) in a scratch
+    warehouse, then prove the stored-index serve path returns EXACTLY the
+    direct operator's rows (full-row anti-join both ways == 0) — the
+    ivf_index lifecycle proof, for the 32-64x-compressed tier."""
+    import tempfile
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators import similarity
+
+    wh = tempfile.mkdtemp(prefix="hio_pq_wh_")
+    cat = Catalog(wh)
+    emb = _t(spark, sf, "embeddings")
+    similarity.pq_build_index(
+        spark, cat, "default.emb_pq", emb, centroid_stride=5, max_codes=128
+    )
+    return similarity.pq_index_consistency_check(
+        spark, cat, "default.emb_pq", emb,
+        emb.filter(F.col("vec_id") < 200), k=5,
+        centroid_stride=5, max_codes=128,
+    )
+
+
 def _dedup_df_cut_bound(spark: SparkSession, sf: str) -> DataFrame:
     """Pathological-corpus proof that the shingle df-cut bounds the
     candidate-pair join: 400 generated docs, half sharing one boilerplate
@@ -2146,6 +2169,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # bit-for-bit and (b) serving from the stored index == the in-memory
     # path, as integer mismatch counts with an exact oracle
     q["similarity_ivf_index"] = _similarity_ivf_index
+    # persisted PQ index lifecycle proof (new r9): serve-from-stored-codes
+    # == direct operator, full-row anti-join both ways
+    q["similarity_pq_index"] = _similarity_pq_index
     q["similarity_topk_bucketed"] = lambda spark, sf: similarity.cosine_topk_bucketed(
         _t(spark, sf, "embeddings"),
         _t(spark, sf, "embeddings").filter(F.col("vec_id") % 100 == 0),
@@ -2291,8 +2317,9 @@ _CHECK_FIRST = [
     "similarity_ivf_sq8_recall",
     # SemDeDup cluster-partitioned semantic dedup (exact hash oracle)
     "dedup_semantic",
-    # PQ-ADC top-k + its recall audit (exact hash oracles)
-    "similarity_pq_topk", "similarity_pq_recall",
+    # PQ-ADC top-k + its recall audit (exact hash oracles) + the
+    # persisted-index lifecycle proof
+    "similarity_pq_topk", "similarity_pq_recall", "similarity_pq_index",
     # ---- r9-touched gates ----
     # reshaped query set (fixed count, r8 verdict task 3) — oracle
     # changed, so the hash must be re-verified by the driver
@@ -2310,10 +2337,11 @@ _CHECK_FIRST = [
     "large_volume_orders", "late_ship_priority", "local_supplier_volume",
     "market_share", "min_cost_supplier", "nation_trade_volume",
     "order_count_distribution", "order_price_bands", "order_value_deciles",
-    "orders_month_growth", "product_profit", "promo_revenue",
+    "orders_month_growth", "product_profit",
     # (deferred to r10 by the 50-slot cap, still r3-stale:
-    # returned_item_revenue, scalar_profile, ship_latency_priority —
-    # bumped by the dedup_semantic + 2 PQ birth slots —
+    # promo_revenue, returned_item_revenue, scalar_profile,
+    # ship_latency_priority — bumped by the 4 r9 birth slots
+    # (dedup_semantic + 3 PQ gates) —
     # sql_excess_suppliers, sql_q17_small_qty, supplier_part_counts,
     # top_supplier, waiting_orders — plus the r4-checked block:
     # active_user_trends is back above; event_dwell_stats,
@@ -5438,6 +5466,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(8 AS BIGINT) AS n_centroids,
                CAST(0 AS BIGINT) AS n_centroid_mismatch,
                CAST(0 AS BIGINT) AS n_serve_mismatch"""
+
+    # PQ index lifecycle invariant twin (the similarity_ivf_index
+    # pattern): the stored-index serve path must reproduce the direct
+    # operator exactly, so n_mismatch is 0 by contract and n_served is
+    # the full k rows per query (corpus >> k at every SF)
+    o["similarity_pq_index"] = """
+        SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < 200)
+                 AS n_queries,
+               (SELECT COUNT(*) * 5 FROM embeddings WHERE vec_id < 200)
+                 AS n_served,
+               CAST(0 AS BIGINT) AS n_mismatch"""
 
     # csv serde round-trip == the same aggregate over the parquet source
     o["scan_csv_nulls"] = """

@@ -1878,6 +1878,21 @@ def pq_topk(
             [], "query_id long, neighbor_id long, adc_score double, rank long"
         )
     dsub = probe["d"] // num_subspaces
+    return _pq_adc_topk(codes, qu, codebooks, k, num_subspaces, dsub)
+
+
+def _pq_adc_topk(
+    codes: DataFrame,
+    qu: DataFrame,
+    codebooks: DataFrame,
+    k: int,
+    num_subspaces: int,
+    dsub: int,
+) -> DataFrame:
+    """Shared ADC scoring stage: (id, codes) x unit queries -> ranked
+    top-k. Used by pq_topk (fresh encode) and pq_query_index (codes
+    served from the persisted index — the 100 TB path, where the raw
+    embedding column is never rescanned)."""
     ql = (
         qu.select(
             F.col("id").alias("query_id"),
@@ -1977,4 +1992,141 @@ def pq_recall_check(
         (hits / F.count(F.lit(1)) >= F.lit(min_avg_recall)).alias(
             "recall_ok"
         ),
+    )
+
+
+def pq_build_index(
+    spark,
+    catalog,
+    index_table: str,
+    corpus: DataFrame,
+    num_subspaces: int = 4,
+    centroid_stride: int = 50,
+    max_codes: int | None = None,
+    codebooks: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Encode and PERSIST a PQ index as two catalog tables: the codes
+    table ``{index_table}`` (id, codes array<long> — m longs per vector,
+    the 32-64x-smaller stand-in for the embedding column) and the
+    codebook table ``{index_table}_codebooks`` (j, code, cv). The
+    ivf_build_index lifecycle: build once per corpus snapshot, serve any
+    number of query batches from the stored tables (pq_query_index)
+    without rescanning the raw embeddings; rebuild = explicit drop +
+    recreate under the catalog's strict write preconditions (reference
+    OutputConf parity — never a silent in-place overwrite). Pass a
+    trained codebook frame (pq_codebooks_trained) for the quality tier;
+    default is the sampled SQL-checkable tier."""
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    if codebooks is None:
+        codebooks = pq_codebooks_sampled(
+            corpus, num_subspaces, centroid_stride, max_codes,
+            vec_col, id_col,
+        )
+    codes = pq_encode(
+        corpus, codebooks, num_subspaces, centroid_stride, max_codes,
+        vec_col, id_col,
+    )
+    cb_table = f"{index_table}_codebooks"
+    out = HiveOutput(spark, catalog)
+    for tbl, schema, df in (
+        (
+            cb_table,
+            HiveTableSchema((
+                ("j", T.IntegerType()),
+                ("code", T.IntegerType()),
+                ("cv", T.ArrayType(T.DoubleType())),
+            )),
+            codebooks,
+        ),
+        (
+            index_table,
+            HiveTableSchema((
+                ("id", corpus.schema[id_col].dataType),
+                ("codes", T.ArrayType(T.LongType())),
+            )),
+            codes,
+        ),
+    ):
+        if catalog.table_exists(tbl):
+            catalog.drop_table(tbl, delete_data=True)
+        catalog.create_table(tbl, schema)
+        out.write_table(WriteSpec(table=tbl), df)
+
+
+def pq_query_index(
+    spark,
+    catalog,
+    index_table: str,
+    queries: DataFrame,
+    k: int = 5,
+    num_subspaces: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k served ENTIRELY from a persisted PQ index: the corpus
+    side reads only the codes table (m longs per vector) plus the few-KB
+    codebooks — the raw embedding column is never rescanned, which is
+    the point of the index at 100 TB. Same small-query broadcast
+    contract as pq_topk."""
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+
+    _require_small_query_side(
+        queries.select(F.col(id_col)), "pq_query_index (broadcast LUTs)"
+    )
+    inp = HiveInput(spark, catalog)
+    codebooks = inp.read_table(
+        ScanSpec(table=f"{index_table}_codebooks")
+    )
+    codes = inp.read_table(ScanSpec(table=index_table))
+    probe = codebooks.select(F.size("cv").alias("d")).first()
+    if probe is None:
+        raise ValueError(
+            f"pq_query_index: empty codebook table {index_table}_codebooks"
+        )
+    dsub = probe["d"]
+    qu = _unit_vectors(queries, vec_col, id_col)
+    return _pq_adc_topk(codes, qu, codebooks, k, num_subspaces, dsub)
+
+
+def pq_index_consistency_check(
+    spark,
+    catalog,
+    index_table: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_subspaces: int = 4,
+    centroid_stride: int = 50,
+    max_codes: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One-row proof the persisted index serves EXACTLY what the direct
+    operator computes (same sampled codebooks -> same codes -> same
+    ranked rows): n_queries, n_served (ranked rows from the stored
+    index), n_mismatch (full-row anti-join both ways, must be 0). The
+    ivf_index_consistency_check contract, for PQ."""
+    served = pq_query_index(
+        spark, catalog, index_table, queries, k, num_subspaces,
+        vec_col, id_col,
+    )
+    direct = pq_topk(
+        corpus, queries, k, num_subspaces, centroid_stride, max_codes,
+        None, vec_col, id_col,
+    )
+    cols = ["query_id", "neighbor_id", "adc_score", "rank"]
+    a_not_b = served.select(cols).exceptAll(direct.select(cols))
+    b_not_a = direct.select(cols).exceptAll(served.select(cols))
+    mism = a_not_b.unionAll(b_not_a).count()
+    n_q = queries.select(F.col(id_col)).distinct().count()
+    n_served = served.count()
+    return spark.createDataFrame(
+        [(n_q, n_served, mism)],
+        "n_queries long, n_served long, n_mismatch long",
     )

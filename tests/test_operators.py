@@ -2363,3 +2363,38 @@ def test_pq_codebook_cap_bounds_codes(spark, sf_dir):
     agg = cb.groupBy("j").count().collect()
     assert len(agg) == 4 and all(r["count"] == 16 for r in agg)
     assert cb.agg(F.max("code")).first()[0] == 15
+
+
+def test_pq_index_persist_and_query(spark, sf_dir, warehouse):
+    """PQ index lifecycle: build persists codes + codebooks as catalog
+    tables; serving from the stored index returns EXACTLY the direct
+    operator's rows; rebuild drops and replaces both tables."""
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+
+    cat = Catalog(warehouse)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 100)
+
+    similarity.pq_build_index(
+        spark, cat, "default.emb_pq", emb, centroid_stride=5, max_codes=64
+    )
+    assert cat.table_exists("default.emb_pq")
+    assert cat.table_exists("default.emb_pq_codebooks")
+
+    row = similarity.pq_index_consistency_check(
+        spark, cat, "default.emb_pq", emb, queries, k=5,
+        centroid_stride=5, max_codes=64,
+    ).first()
+    assert row["n_mismatch"] == 0
+    assert row["n_queries"] == 100
+    assert row["n_served"] == 500
+
+    # rebuild with a narrower codebook replaces both tables
+    similarity.pq_build_index(
+        spark, cat, "default.emb_pq", emb, centroid_stride=5, max_codes=8
+    )
+    n_cb = HiveInput(spark, cat).read_table(
+        ScanSpec(table="default.emb_pq_codebooks")
+    ).count()
+    assert n_cb == 4 * 8
