@@ -727,21 +727,36 @@ def _assign_pandas(
     c_norms = np.linalg.norm(C, axis=1)
     c_norms[c_norms == 0] = np.inf  # zero-norm centroid never wins
 
+    # bound the per-chunk cosine matrix to ~16 MB so a WIDE centroid set
+    # (semantic_dedup's stride quantizer grows its cluster count with
+    # the corpus — 10k+ centroids at sf10) neither materializes a
+    # rows x centroids giant nor pays a full argsort when only the
+    # argmax is needed
+    chunk_rows = max(1, 2_000_000 // max(len(cids), 1))
+
     def assign(batches):
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            M = np.array(list(pdf[vname]), dtype=np.float64)
-            m_norms = pdf[nrmname].to_numpy(dtype=np.float64).copy()
-            m_norms[m_norms == 0] = np.inf
-            cos = (M @ C.T) / (m_norms[:, None] * c_norms[None, :])
-            # stable sort: primary -cos desc, ties keep cid order
-            order = np.argsort(-cos, axis=1, kind="stable")[:, :keep]
-            n = len(pdf)
-            reps = order.shape[1]
-            out = pdf.iloc[np.repeat(np.arange(n), reps)].copy()
-            out["cid"] = cids[order.ravel()]
-            yield out
+            for lo in range(0, len(pdf), chunk_rows):
+                part = pdf.iloc[lo:lo + chunk_rows]
+                if len(part) == 0:
+                    continue
+                M = np.array(list(part[vname]), dtype=np.float64)
+                m_norms = part[nrmname].to_numpy(dtype=np.float64).copy()
+                m_norms[m_norms == 0] = np.inf
+                cos = (M @ C.T) / (m_norms[:, None] * c_norms[None, :])
+                if keep == 1:
+                    # np.argmax returns the FIRST max: ties to the
+                    # lowest cid (C is cid-sorted) — same tie rule as
+                    # the stable argsort, at O(k) per row not O(k log k)
+                    order = np.argmax(cos, axis=1)[:, None]
+                else:
+                    # stable sort: primary -cos desc, ties keep cid order
+                    order = np.argsort(-cos, axis=1, kind="stable")[:, :keep]
+                n = len(part)
+                reps = order.shape[1]
+                out = part.iloc[np.repeat(np.arange(n), reps)].copy()
+                out["cid"] = cids[order.ravel()]
+                yield out
 
     sid_type = dict(side.dtypes)[sid]
     schema = (
