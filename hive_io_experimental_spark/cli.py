@@ -392,12 +392,22 @@ def cmd_dedup(args: argparse.Namespace, stop_session: bool = True) -> int:
 
     Without --against: print (text_hash, kept_id, dup_count) groups.
     With --against: print surviving (id, fp) of the incoming batch after
-    batch-internal dedup + corpus fingerprint exclusion."""
+    batch-internal dedup + corpus fingerprint exclusion.
+    With --semantic: SemDeDup cluster-partitioned embedding dedup —
+    print (doc_id, kept_id, cosine) for every dropped document."""
     from hive_io_experimental_spark.operators import dedup as dedup_ops
 
     spark = _build_spark(args.threads)
     incoming = _table_df(spark, args, args.table)
-    if args.against:
+    if args.semantic:
+        out = dedup_ops.semantic_dedup(
+            incoming,
+            threshold=args.threshold,
+            centroid_stride=args.centroid_stride,
+            vec_col=args.vec_col,
+            id_col=args.id_col,
+        )
+    elif args.against:
         out = dedup_ops.dedup_against_corpus(
             incoming,
             _table_df(spark, args, args.against),
@@ -736,6 +746,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="corpus table/path for incremental batch dedup")
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--semantic", action="store_true",
+                    help="SemDeDup semantic dedup over an embedding column")
+    dd.add_argument("--vec-col", default="embedding")
+    dd.add_argument("--threshold", type=float, default=0.65)
+    dd.add_argument("--centroid-stride", type=int, default=50)
     dd.add_argument("--warehouse")
     dd.add_argument("--namespaces-file")
     dd.add_argument("--namespace", default="silver")

@@ -443,3 +443,24 @@ def test_cli_erase_types_keys_from_table_schema(spark, warehouse, capsys):
         .collect()
     }
     assert left == {"123"}
+
+
+def test_cli_dedup_semantic(spark, tmp_path, capsys):
+    emb = tmp_path / "emb"
+    spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [2.0, 0.0]),   # parallel to 0 -> dropped, kept by 0
+            (2, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(str(emb))
+    rc = main(
+        ["dedup", "--table", str(emb), "--semantic", "--id-col", "vec_id",
+         "--threshold", "0.9", "--centroid-stride", "2"],
+        stop_session=False,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t") == ["doc_id", "kept_id", "cosine"]
+    assert [l.split("\t")[:2] for l in out[1:]] == [["1", "0"]]
