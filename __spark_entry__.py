@@ -2236,6 +2236,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # twin (0.338 measured at sf0.01 — honest for 64x compression on
     # near-orthogonal synthetic vectors; the trained-codebook tier is
     # recall-bound tested in pytest).
+    # multi-probe LSH audit (new r9, Lv et al. VLDB 2007): exact-top-k
+    # slots recovered by single-probe vs Hamming-1 multi-probe at the
+    # SAME 8-plane layout — both hit counts checked exactly. Fixed
+    # query count; corpus-side bucket artifact unchanged by probing.
+    q["similarity_multiprobe_recall"] = lambda spark, sf: similarity.multiprobe_recall_report(
+        _t(spark, sf, "embeddings"),
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200),
+        k=10,
+        num_planes=8,
+    )
     q["similarity_pq_recall"] = lambda spark, sf: similarity.pq_recall_check(
         _t(spark, sf, "embeddings"),
         _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200),
@@ -2320,6 +2330,8 @@ _CHECK_FIRST = [
     # PQ-ADC top-k + its recall audit (exact hash oracles) + the
     # persisted-index lifecycle proof
     "similarity_pq_topk", "similarity_pq_recall", "similarity_pq_index",
+    # multi-probe LSH recall audit (exact hash oracle)
+    "similarity_multiprobe_recall",
     # ---- r9-touched gates ----
     # reshaped query set (fixed count, r8 verdict task 3) — oracle
     # changed, so the hash must be re-verified by the driver
@@ -2337,11 +2349,11 @@ _CHECK_FIRST = [
     "large_volume_orders", "late_ship_priority", "local_supplier_volume",
     "market_share", "min_cost_supplier", "nation_trade_volume",
     "order_count_distribution", "order_price_bands", "order_value_deciles",
-    "orders_month_growth", "product_profit",
+    "orders_month_growth",
     # (deferred to r10 by the 50-slot cap, still r3-stale:
-    # promo_revenue, returned_item_revenue, scalar_profile,
-    # ship_latency_priority — bumped by the 4 r9 birth slots
-    # (dedup_semantic + 3 PQ gates) —
+    # product_profit, promo_revenue, returned_item_revenue,
+    # scalar_profile, ship_latency_priority — bumped by the 5 r9 birth
+    # slots (dedup_semantic, 3 PQ gates, multiprobe recall) —
     # sql_excess_suppliers, sql_q17_small_qty, supplier_part_counts,
     # top_supplier, waiting_orders — plus the r4-checked block:
     # active_user_trends is back above; event_dwell_stats,
@@ -4760,6 +4772,66 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n_exact_results,
                CAST(SUM(hit) AS BIGINT) AS n_hits,
                (SUM(hit) * 1.0 / COUNT(*)) >= 0.25 AS recall_ok
+        FROM jx"""
+
+    # multi-probe LSH audit twin: the 8-plane bucket CTEs; single-probe
+    # joins on bucket equality, multi-probe expands each query bucket to
+    # itself + its 8 Hamming-1 XOR flips (distinct probes, so no pair
+    # dedup needed); both LEFT-joined against the exact fp32 top-10
+    o["similarity_multiprobe_recall"] = f"""
+        WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+        vp AS (SELECT vec_id, v, {plane_lists} FROM v0),
+        b AS (SELECT vec_id, v, CAST({plane_terms} AS BIGINT) AS bucket FROM vp),
+        bq AS (SELECT * FROM b WHERE vec_id < 200),
+        s_scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                            {qcos} AS cosine
+                     FROM b c JOIN bq q
+                       ON c.bucket = q.bucket AND q.vec_id <> c.vec_id),
+        s_ranked AS (SELECT query_id, neighbor_id,
+                            ROW_NUMBER() OVER (PARTITION BY query_id
+                                               ORDER BY cosine DESC,
+                                                        neighbor_id ASC) AS rank
+                     FROM s_scored),
+        single AS (SELECT query_id, neighbor_id FROM s_ranked WHERE rank <= 10),
+        mp AS (SELECT vec_id, v,
+                      UNNEST(list_concat([bucket],
+                             list_transform(range(0, 8),
+                                            i -> xor(bucket, CAST(1 AS BIGINT) << i))))
+                        AS bucket
+               FROM bq),
+        m_scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                            {qcos} AS cosine
+                     FROM b c JOIN mp q
+                       ON c.bucket = q.bucket AND q.vec_id <> c.vec_id),
+        m_ranked AS (SELECT query_id, neighbor_id,
+                            ROW_NUMBER() OVER (PARTITION BY query_id
+                                               ORDER BY cosine DESC,
+                                                        neighbor_id ASC) AS rank
+                     FROM m_scored),
+        multi AS (SELECT query_id, neighbor_id FROM m_ranked WHERE rank <= 10),
+        e_scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                            {qcos} AS cosine
+                     FROM v0 c JOIN v0 q
+                       ON q.vec_id < 200 AND q.vec_id <> c.vec_id),
+        e_ranked AS (SELECT query_id, neighbor_id,
+                            ROW_NUMBER() OVER (PARTITION BY query_id
+                                               ORDER BY cosine DESC,
+                                                        neighbor_id ASC) AS rank
+                     FROM e_scored),
+        exact AS (SELECT query_id, neighbor_id FROM e_ranked WHERE rank <= 10),
+        jx AS (SELECT e.query_id,
+                      CASE WHEN sp.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hs,
+                      CASE WHEN mu.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hm
+               FROM exact e
+               LEFT JOIN single sp
+                 ON sp.query_id = e.query_id AND sp.neighbor_id = e.neighbor_id
+               LEFT JOIN multi mu
+                 ON mu.query_id = e.query_id AND mu.neighbor_id = e.neighbor_id)
+        SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+               CAST(COUNT(*) AS BIGINT) AS n_exact_results,
+               CAST(SUM(hs) AS BIGINT) AS hits_single,
+               CAST(SUM(hm) AS BIGINT) AS hits_multi
         FROM jx"""
 
     o["similarity_topk_bucketed"] = f"""

@@ -2145,3 +2145,136 @@ def pq_index_consistency_check(
         [(n_q, n_served, mism)],
         "n_queries long, n_served long, n_mismatch long",
     )
+
+
+def cosine_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int | None = None,
+    probe_bits: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al., "Multi-probe LSH", VLDB 2007):
+    each query searches its own bucket PLUS every bucket within Hamming
+    distance ``probe_bits`` of it — the classic fix for single-probe
+    sign-LSH's recall ceiling. A true near neighbor that disagrees with
+    the query on one plane's sign (probability rising with the angle)
+    lands one bit away; probing those buckets recovers it without
+    touching the corpus-side layout at all.
+
+    Cost model: the corpus side is UNCHANGED (same one-long bucket per
+    vector — the persisted artifact stays valid); only the broadcast
+    query side fans out, to 1 + planes probes at probe_bits=1 (plus
+    C(planes,2) at 2). Candidate volume grows by roughly the same
+    factor, still a bucket-equi-join — no theta join, no corpus
+    rescan. Every probe bucket is distinct, so a (query, candidate)
+    pair appears at most once: no dedup stage needed before the exact
+    rescore. SQL-expressible end to end (XOR on the bucket long), so
+    the gate twin is an exact hash oracle.
+
+    ``num_planes=None`` auto-sizes like cosine_topk_bucketed; with
+    multiprobe the auto-dial can afford MORE planes (smaller buckets)
+    for the same recall, trading candidate volume against probe count.
+    """
+    if probe_bits not in (1, 2):
+        raise ValueError(f"probe_bits must be 1 or 2, got {probe_bits}")
+    corpus = spread(corpus)
+    probe = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size(F.col(vec_col))).alias("dim"),
+    ).first()
+    if num_planes is None:
+        num_planes = resolve_num_planes(probe["n"])
+    cb = hyperplane_lsh_buckets(
+        corpus, num_planes, vec_col, id_col, dim=probe["dim"]
+    )
+    qb = hyperplane_lsh_buckets(
+        queries, num_planes, vec_col, id_col, dim=probe["dim"]
+    )
+    flips = [F.col("bucket")]
+    flips += [
+        F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("long")
+        for i in range(num_planes)
+    ]
+    if probe_bits == 2:
+        flips += [
+            F.col("bucket")
+            .bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            .cast("long")
+            for i in range(num_planes)
+            for j in range(i + 1, num_planes)
+        ]
+    qp = qb.select(
+        "id", F.explode(F.array(*flips)).alias("bucket")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).join(
+        cb.withColumnRenamed("id", "neighbor_id"), "neighbor_id"
+    ).withColumn("cnrm", l2_norm(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).join(
+        qp.withColumnRenamed("id", "query_id"), "query_id"
+    ).withColumn("qnrm", l2_norm(F.col("qv")))
+    cos = _pair_cosine("qv", "qnrm", "cv", "cnrm")
+    scored = c.join(
+        F.broadcast(q),
+        (c["bucket"] == q["bucket"])
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
+
+
+def multiprobe_recall_report(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 8,
+    probe_bits: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One-row audit of what multi-probing buys: exact-top-k slots
+    recovered by single-probe vs multi-probe LSH at the SAME plane
+    layout (n_queries, n_exact_results, hits_single, hits_multi).
+    Every stage is SQL-expressible, so the twin checks both hit counts
+    EXACTLY — and hits_multi >= hits_single holds by construction (the
+    probe set is a superset). Runs all three searches: this gate times
+    the full audit workload."""
+    exact = cosine_topk(corpus, queries, k, vec_col, id_col).select(
+        "query_id", "neighbor_id"
+    )
+    single = cosine_topk_bucketed(
+        corpus, queries, k, num_planes, vec_col, id_col
+    ).select("query_id", "neighbor_id")
+    multi = cosine_topk_multiprobe(
+        corpus, queries, k, num_planes, probe_bits, vec_col, id_col
+    ).select("query_id", "neighbor_id")
+    joined = (
+        exact.join(
+            single.withColumn("_hs", F.lit(1)),
+            ["query_id", "neighbor_id"], "left",
+        )
+        .join(
+            multi.withColumn("_hm", F.lit(1)),
+            ["query_id", "neighbor_id"], "left",
+        )
+    )
+    return joined.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_exact_results"),
+        F.sum(F.coalesce(F.col("_hs"), F.lit(0)))
+        .cast("long")
+        .alias("hits_single"),
+        F.sum(F.coalesce(F.col("_hm"), F.lit(0)))
+        .cast("long")
+        .alias("hits_multi"),
+    )
