@@ -750,7 +750,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="SemDeDup semantic dedup over an embedding column")
     dd.add_argument("--vec-col", default="embedding")
     dd.add_argument("--threshold", type=float, default=0.65)
-    dd.add_argument("--centroid-stride", type=int, default=50)
+    dd.add_argument("--centroid-stride", type=int, default=None,
+                    help="None = balanced auto-stride (sqrt(2n), floor 50)")
     dd.add_argument("--warehouse")
     dd.add_argument("--namespaces-file")
     dd.add_argument("--namespace", default="silver")

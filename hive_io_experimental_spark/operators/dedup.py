@@ -1741,10 +1741,28 @@ def embedding_neardup_against_corpus(
     )
 
 
+def resolve_semantic_stride(n: int, min_stride: int = 50) -> int:
+    """Balanced SemDeDup stride: max(min_stride, ceil(sqrt(2n))).
+
+    With stride s the two cost terms are assignment (n centroids-scans:
+    n * n/s) and within-cluster pairs (~n * s / 2); they balance at
+    s = sqrt(2n), making total work ~sqrt(2) * n^1.5 — SemDeDup's
+    honest cost contract (the paper's fixed-k regime has the same
+    n^1.5 optimum). A FIXED stride is quietly quadratic in the
+    assignment term — measured: dedup_semantic was 240x wall at 100x
+    data on the stride-50 dial before auto-sizing
+    (BENCH_SCALING_100X). The floor keeps small corpora on the oracle
+    twins' constant (50), exactly the resolve_num_planes discipline.
+    """
+    import math
+
+    return max(min_stride, math.ceil(math.sqrt(2 * max(n, 1))))
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.65,
-    centroid_stride: int = 50,
+    centroid_stride: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_cluster_rows: int | None = None,
@@ -1783,15 +1801,19 @@ def semantic_dedup(
       4. per dropped doc keep the strongest anchor (row_number over
          cosine desc, kept_id asc).
 
-    Scale: with stride-sampled centroids the cluster count GROWS with the
-    corpus (n/stride clusters of ~stride expected rows under hash-uniform
-    ids), so total pair work is ~n*stride/2 — linear in n with a
-    stride-sized constant, unlike the all-pairs n^2/2. Geometry skew
-    (dense regions pulling oversized clusters) is the one way that bound
-    breaks; ``max_cluster_rows`` makes the bound ENFORCED (one narrow
-    count-by-cid aggregation, then raise naming the offender — the
-    embedding_neardup max_blocks discipline) for pipelines that must not
-    discover skew as an OOM. None skips that extra aggregation job.
+    Scale: two cost terms — assignment (n vectors x n/stride centroids)
+    and within-cluster pairs (~n * stride / 2). ``centroid_stride=None``
+    (default) balances them at sqrt(2n) via resolve_semantic_stride, so
+    total work is ~sqrt(2) * n^1.5, SemDeDup's honest cost contract; a
+    fixed stride leaves the assignment term quietly quadratic (measured
+    240x wall at 100x data on the fixed-50 dial, BENCH_SCALING_100X).
+    The auto floor resolves to the oracle twins' constant (50) at
+    fixture scales, so hash checks pin the same plan the dial serves.
+    Geometry skew (dense regions pulling oversized clusters) is the one
+    way the pair bound breaks; ``max_cluster_rows`` makes it ENFORCED
+    (one narrow count-by-cid aggregation, then raise naming the
+    offender — the embedding_neardup max_blocks discipline). None skips
+    that extra aggregation job.
     """
     from pyspark.sql import Window
 
@@ -1807,6 +1829,10 @@ def semantic_dedup(
 
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if centroid_stride is None:
+        # parquet metadata count: cheap — the same probe-once discipline
+        # as cosine_topk_bucketed's auto-planes
+        centroid_stride = resolve_semantic_stride(df.count())
     if centroid_stride < 1:
         raise ValueError(f"centroid_stride must be >= 1, got {centroid_stride}")
 
@@ -1891,7 +1917,7 @@ def semantic_dedup(
 def semantic_dedup_survivors(
     df: DataFrame,
     threshold: float = 0.65,
-    centroid_stride: int = 50,
+    centroid_stride: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_cluster_rows: int | None = None,

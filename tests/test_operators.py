@@ -2454,3 +2454,21 @@ def test_multiprobe_validates_probe_bits(spark, sf_dir):
         similarity.cosine_topk_multiprobe(
             emb, emb.limit(1), probe_bits=3
         )
+
+
+def test_semantic_dedup_auto_stride_resolution(spark, sf_dir):
+    # the balanced dial: floor 50 at fixture scales (oracle twins' dial),
+    # sqrt(2n) beyond it — the n^1.5 contract
+    assert dedup.resolve_semantic_stride(500) == 50
+    assert dedup.resolve_semantic_stride(5_000) == 100
+    assert dedup.resolve_semantic_stride(500_000) == 1000
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    auto = {tuple(r) for r in dedup.semantic_dedup(emb, threshold=0.35).collect()}
+    pinned = {
+        tuple(r)
+        for r in dedup.semantic_dedup(
+            emb, threshold=0.35, centroid_stride=50
+        ).collect()
+    }
+    # at sf0.01 the auto dial resolves to the pinned oracle dial
+    assert auto == pinned and len(auto) > 0

@@ -57,6 +57,10 @@ def main() -> int:
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.ui.enabled", "false")
+        # local mode: the driver JVM hosts every executor thread — the
+        # 1g default OOMs on the sf10 artifact build (32 concurrent
+        # winnowing tasks over 5M docs); match bench_scaling's sizing
+        .config("spark.driver.memory", "32g")
         .appName("bench-ingest")
         .getOrCreate()
     )
