@@ -2304,14 +2304,14 @@ _CHECK_FIRST = [
     # ------------------------------------------------------------------
     # r9 ROTATION (r8 verdict task 1): r8 retired the never-checked
     # backlog (181/181 ever-driver-checked). The window now keeps it
-    # retired on a STALENESS basis: the 16-gate core, this round's new
-    # gate (in-window from birth, the standing rule), every gate whose
-    # code or shape r9 touched, the 10 veterans that ceded their r8
-    # slots (the verdict's explicit return list), and then the stalest
-    # gates by OPERATORS.md "driver-checked in rounds" (the r3-checked
-    # TPC-H/relational block, 6 rounds stale). 24 gates sit at r3; the
-    # 50-slot cap fits 19, so five defer to r10 — named below so the
-    # next rotation is mechanical.
+    # retired on a STALENESS basis: the 16-gate core, this round's SIX
+    # new gates (in-window from birth, the standing rule), every gate
+    # whose code or shape r9 touched, the 10 veterans that ceded their
+    # r8 slots (the verdict's explicit return list), and then the
+    # stalest gates by OPERATORS.md "driver-checked in rounds" (the
+    # r3-checked TPC-H/relational block, 6 rounds stale). 24 gates sit
+    # at r3; after the birth slots the 50-slot cap fits 14, so ten
+    # defer to r10 — named below so the next rotation is mechanical.
     # ------------------------------------------------------------------
     # §2 scan surface (S1-S4, S6/S7 serde, S10 stats) — stays every round
     "scan_projection", "scan_filter", "scan_topk",
