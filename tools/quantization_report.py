@@ -88,6 +88,31 @@ def main() -> int:
         "threshold": THRESHOLD,
         "pass": sq8_recall >= THRESHOLD,
     }
+    # PQ-ADC tier: the 32-64x-compression path graded the same way —
+    # sampled codebooks (stride 5, capped 128 — the gate dial), fixed
+    # 400-query audit. PQ trades recall for compression far more
+    # aggressively than SQ8, so its floor is the operator's contract
+    # floor (0.2), not the SQ8 tier's 0.8 — recorded, not hidden.
+    from hive_io_experimental_spark.operators.similarity import (
+        pq_recall_check,
+    )
+
+    pq = pq_recall_check(
+        emb, emb.filter(F.col("vec_id") < 400), k=10,
+        centroid_stride=5, max_codes=128,
+    ).first()
+    pq_recall = pq.n_hits / pq.n_exact_results
+    pq_report = {
+        "dir": sf_dir,
+        "n_queries": int(pq.n_queries),
+        "k": 10,
+        "num_subspaces": 4,
+        "max_codes": 128,
+        "n_hits": int(pq.n_hits),
+        "recall_at_k": round(pq_recall, 4),
+        "threshold": 0.2,
+        "pass": pq_recall >= 0.2,
+    }
     spark.stop()
 
     if os.path.exists(out_path):
@@ -97,11 +122,14 @@ def main() -> int:
         doc = {}
     doc["quantization_quality"] = report
     doc["ivf_sq8_quality"] = sq8_report
+    doc["pq_quality"] = pq_report
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
     print(json.dumps(report))
     print(json.dumps(sq8_report))
-    return 0 if (report["pass"] and sq8_report["pass"]) else 1
+    print(json.dumps(pq_report))
+    return 0 if (report["pass"] and sq8_report["pass"]
+                 and pq_report["pass"]) else 1
 
 
 if __name__ == "__main__":
