@@ -2112,6 +2112,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_semantic"] = lambda spark, sf: dedup.semantic_dedup(
         _t(spark, sf, "embeddings"), threshold=0.35
     )
+    # incremental SemDeDup: batch vs stored corpus, compared only within
+    # the CORPUS quantizer's cells (centroids are part of the corpus
+    # snapshot) — the cluster-partitioned sibling of
+    # dedup_embedding_incremental's sign-LSH probe, same %7 split
+    q["dedup_semantic_incremental"] = lambda spark, sf: (
+        dedup.semantic_dedup_against_corpus(
+            _t(spark, sf, "embeddings").filter(F.col("vec_id") % 7 == 0),
+            _t(spark, sf, "embeddings").filter(F.col("vec_id") % 7 != 0),
+            threshold=0.35,
+        )
+    )
     # exact-substring pass (Lee et al. 2022 ExactSubstr, re-shaped for
     # Spark as stride-1 window fingerprints): per-source accounting of
     # tokens covered by cross-document duplicated 16-token windows —
@@ -2325,8 +2336,9 @@ _CHECK_FIRST = [
     # ---- new r9 gates (in-window from birth, the standing rule) ----
     # IVF-SQ8 recall audit (exact n_hits oracle)
     "similarity_ivf_sq8_recall",
-    # SemDeDup cluster-partitioned semantic dedup (exact hash oracle)
-    "dedup_semantic",
+    # SemDeDup cluster-partitioned semantic dedup + its incremental
+    # batch-vs-corpus sibling (exact hash oracles)
+    "dedup_semantic", "dedup_semantic_incremental",
     # PQ-ADC top-k + its recall audit (exact hash oracles) + the
     # persisted-index lifecycle proof
     "similarity_pq_topk", "similarity_pq_recall", "similarity_pq_index",
@@ -2349,11 +2361,11 @@ _CHECK_FIRST = [
     "large_volume_orders", "late_ship_priority", "local_supplier_volume",
     "market_share", "min_cost_supplier", "nation_trade_volume",
     "order_count_distribution", "order_price_bands", "order_value_deciles",
-    "orders_month_growth",
     # (deferred to r10 by the 50-slot cap, still r3-stale:
-    # product_profit, promo_revenue, returned_item_revenue,
-    # scalar_profile, ship_latency_priority — bumped by the 5 r9 birth
-    # slots (dedup_semantic, 3 PQ gates, multiprobe recall) —
+    # orders_month_growth, product_profit, promo_revenue,
+    # returned_item_revenue, scalar_profile, ship_latency_priority —
+    # bumped by the 6 in-round r9 birth slots (2 semantic dedup, 3 PQ,
+    # multiprobe recall; sq8 recall holds the pre-round slot) —
     # sql_excess_suppliers, sql_q17_small_qty, supplier_part_counts,
     # top_supplier, waiting_orders — plus the r4-checked block:
     # active_user_trends is back above; event_dwell_stats,
@@ -4591,6 +4603,34 @@ def oracle_sql() -> dict[str, str]:
                           AS rn
                  FROM hits WHERE cosine >= 0.35)
         SELECT doc_id, kept_id, cosine FROM kept WHERE rn = 1"""
+
+    # incremental SemDeDup twin: corpus-side stride quantizer (sampled
+    # from CORPUS ids only), both sides nearest-centroid assigned, join
+    # on the cell, strongest corpus anchor per batch doc at
+    # ROUND(cosine,6) >= tau
+    o["dedup_semantic_incremental"] = f"""
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        cents AS (SELECT vec_id AS cid, v AS cv FROM v
+                  WHERE vec_id % 50 = 0 AND vec_id % 7 <> 0),
+        ca AS (SELECT s.vec_id, s.v, c.cid,
+                      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                         ORDER BY {_CCOS} DESC, c.cid ASC) AS rn
+               FROM v s CROSS JOIN cents c),
+        assigned AS (SELECT vec_id, v, cid FROM ca WHERE rn = 1),
+        b AS (SELECT * FROM assigned WHERE vec_id % 7 = 0),
+        c AS (SELECT * FROM assigned WHERE vec_id % 7 <> 0),
+        hits AS (SELECT b.vec_id AS batch_id, c.vec_id AS corpus_id,
+                        ROUND(list_dot_product(b.v, c.v) /
+                          (sqrt(list_dot_product(b.v, b.v))
+                           * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+                 FROM b JOIN c ON b.cid = c.cid),
+        kept AS (SELECT batch_id, corpus_id, cosine,
+                        ROW_NUMBER() OVER (PARTITION BY batch_id
+                                           ORDER BY cosine DESC,
+                                                    corpus_id ASC) AS rn
+                 FROM hits WHERE cosine >= 0.35)
+        SELECT batch_id, corpus_id, cosine FROM kept WHERE rn = 1"""
 
     # IVF-SQ8 twin: the similarity_ivf_topk assignment/probe CTEs
     # composed with the int8 quantizer CTEs — candidates from the fp32

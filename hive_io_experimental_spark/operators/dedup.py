@@ -1932,3 +1932,96 @@ def semantic_dedup_survivors(
     return df.join(
         dropped.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
     )
+
+
+def semantic_dedup_against_corpus(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.65,
+    centroid_stride: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    use_pandas: bool = True,
+) -> DataFrame:
+    """Incremental SemDeDup: semantic near-dups of an incoming batch
+    AGAINST a stored corpus, compared only within shared
+    coarse-quantizer cells — the cluster-partitioned sibling of
+    embedding_neardup_against_corpus's sign-LSH probe (same
+    (batch_id, corpus_id, cosine) contract, strongest corpus anchor per
+    batch doc). Centroids come from the CORPUS (the stored side — the
+    quantizer is part of the corpus snapshot, exactly like the
+    ingestion artifacts' stored bucket tables), deterministic stride
+    sample, so the whole path is SQL-expressible and hash-oracled.
+
+    vs the LSH probe: sign-LSH is single-probe approximate (a pair at
+    cosine t collides with probability (1-arccos(t)/pi)^P); the
+    quantizer cell fence loses only pairs that straddle a cell
+    boundary, which for duplicate-grade cosines (near-parallel vectors)
+    is far rarer — the SemDeDup paper's argument. Costs: batch
+    assignment is |batch| x n_cents map-side BLAS; the join touches
+    only same-cell corpus rows. ``centroid_stride=None`` auto-sizes
+    from the CORPUS count (resolve_semantic_stride — the balanced
+    n^1.5 dial, floor = the oracle twins' 50).
+    """
+    from pyspark.sql import Window
+
+    from hive_io_experimental_spark.operators.similarity import (
+        _as_double,
+        _assign_pandas,
+        _pair_cosine,
+    )
+
+    from hive_io_experimental_spark.functions.vectors import l2_norm
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if centroid_stride is None:
+        centroid_stride = resolve_semantic_stride(corpus.count())
+
+    spark = incoming.sparkSession
+    empty = spark.createDataFrame(
+        [], "batch_id long, corpus_id long, cosine double"
+    )
+    cents = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")
+    )
+    cent_rows = [r.asDict() for r in cents.collect()]
+    if not cent_rows:
+        return empty
+
+    def side(df: DataFrame, out_id: str) -> DataFrame:
+        s = spread(df).select(
+            F.col(id_col).alias("_sd_id"), _as_double(vec_col).alias("_sd_v")
+        ).withColumn("_sd_nrm", l2_norm(F.col("_sd_v")))
+        a = _assign_pandas(s, "_sd_id", "_sd_v", "_sd_nrm", cent_rows, keep=1)
+        return a.select(
+            F.col("_sd_id").alias(out_id),
+            F.col("_sd_v").alias(f"_{out_id}_v"),
+            F.col("_sd_nrm").alias(f"_{out_id}_n"),
+            "cid",
+        )
+
+    if incoming.select(F.col(id_col)).first() is None:
+        # empty batch: a legitimate ingestion tick — contract frame, and
+        # skip the batch-side assignment job entirely
+        return empty
+    b = side(incoming, "batch_id")
+    c = side(corpus, "corpus_id")
+    hits = (
+        b.join(c, "cid")
+        .select(
+            "batch_id", "corpus_id",
+            _pair_cosine(
+                "_batch_id_v", "_batch_id_n", "_corpus_id_v", "_corpus_id_n"
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    w = Window.partitionBy("batch_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -2472,3 +2472,44 @@ def test_semantic_dedup_auto_stride_resolution(spark, sf_dir):
     }
     # at sf0.01 the auto dial resolves to the pinned oracle dial
     assert auto == pinned and len(auto) > 0
+
+
+def test_semantic_dedup_against_corpus(spark):
+    # corpus defines the quantizer (centroids at corpus ids 0 and 2);
+    # batch ids land in cells and only same-cell corpus rows compete
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (4, [0.9, 0.1]),     # x cell
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, [2.0, 0.0]),   # x cell: cos 1.0 with 0, 0.994 with 4
+            (102, [0.0, 3.0]),   # y cell: cos 1.0 with 2
+            (103, [-1.0, 0.0]),  # x cell but anti-parallel: no hit
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.batch_id: (r.corpus_id, r.cosine)
+        for r in dedup.semantic_dedup_against_corpus(
+            batch, corpus, threshold=0.9, centroid_stride=2
+        ).collect()
+    }
+    assert set(got) == {101, 102}
+    assert got[101][0] == 0 and got[101][1] == 1.0
+    assert got[102][0] == 2 and got[102][1] == 1.0
+
+    # empty batch: contract frame, no crash
+    out = dedup.semantic_dedup_against_corpus(
+        batch.filter(F.col("vec_id") < 0), corpus, centroid_stride=2
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "batch_id", "corpus_id", "cosine",
+    ]
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.semantic_dedup_against_corpus(batch, corpus, threshold=1.5)

@@ -81,6 +81,15 @@ def main() -> int:
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        # gates are independent: drop the previous gate's cached frames
+        # and release py4j handles so its localCheckpoint blocks can be
+        # JVM-GC'd — without this the vanilla session accumulates ~188
+        # gates of checkpoint/cache blocks and dies late in the suite
+        # (observed: stopped SparkContext from gate ~170 onward)
+        import gc as _gc
+
+        spark.catalog.clearCache()
+        _gc.collect()
         rec = {
             "rows_match": None, "schema_match": None, "hash_match": None,
             "spark_rows": None, "oracle_rows": None, "err": None,
