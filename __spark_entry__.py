@@ -1896,6 +1896,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents").filter(F.col("source") == "src0"),
         n=100,
     )
+    # cluster-balanced selection (new r10): ~sqrt(n_c) rows kept per
+    # semantic cluster (stride quantizer cells, md5 lottery within) — the
+    # post-dedup rebalancing move that stops dense embedding regions from
+    # dominating the mix. Auto stride resolves to the twin's constant
+    # (50) at fixture scales, the resolve_semantic_stride discipline.
+    q["cluster_balanced_sample"] = lambda spark, sf: (
+        sampling.cluster_balanced_sample(_t(spark, sf, "embeddings"))
+    )
 
     # ---- training export: packing / mixtures / representatives ----
     q["pack_sequences"] = lambda spark, sf: (
@@ -2265,6 +2273,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         max_codes=128,
         min_avg_recall=0.25,
     )
+    # IVF-PQ (new r10): inverted-file pruning (stride-50 coarse
+    # quantizer, nprobe 2 — the similarity_ivf_topk structure) + PQ-ADC
+    # in-list scoring (stride-5/128-capped codebooks — the
+    # similarity_pq_topk structure). The last ANN-matrix cell
+    # (exact/LSH/IVF x fp32/int8/PQ); the twin composes both gates' CTEs
+    # and checks scores with zero tolerance. Fixed vec_id < 200 queries.
+    q["similarity_ivf_pq_topk"] = lambda spark, sf: similarity.ivf_pq_topk(
+        _t(spark, sf, "embeddings"),
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200),
+        k=5,
+    )
+    # IVF-PQ recall audit: the composed path loses recall BOTH ways
+    # (pruned lists AND lossy codes), so its floor (0.1) sits below
+    # either tier's own — the honest number for picking this index
+    # shape. Exact n_hits in the twin, like the other recall audits.
+    q["similarity_ivf_pq_recall"] = lambda spark, sf: (
+        similarity.ivf_pq_recall_check(
+            _t(spark, sf, "embeddings"),
+            _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200),
+            k=10,
+        )
+    )
     q["label_centroid_stats"] = lambda spark, sf: similarity.label_centroid_stats(
         _t(spark, sf, "embeddings")
     )
@@ -2313,16 +2343,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # full-map output is committed as CORRECTNESS_LOCAL.json each round.
 _CHECK_FIRST = [
     # ------------------------------------------------------------------
-    # r9 ROTATION (r8 verdict task 1): r8 retired the never-checked
-    # backlog (181/181 ever-driver-checked). The window now keeps it
-    # retired on a STALENESS basis: the 16-gate core, this round's SIX
-    # new gates (in-window from birth, the standing rule), every gate
-    # whose code or shape r9 touched, the 10 veterans that ceded their
-    # r8 slots (the verdict's explicit return list), and then the
-    # stalest gates by OPERATORS.md "driver-checked in rounds" (the
-    # r3-checked TPC-H/relational block, 6 rounds stale). 24 gates sit
-    # at r3; after the birth slots the 50-slot cap fits 14, so ten
-    # defer to r10 — named below so the next rotation is mechanical.
+    # r10 ROTATION. The driver never recorded a CORRECTNESS_r09.json, so
+    # the r9 window was never hash-verified: the 7 gates born in r9 are
+    # STILL never-driver-checked and staleness stands at its pre-r9
+    # values (r1: 3 gates, r3: 24, r4: 9 — see OPERATORS.md). Priority
+    # for the 50 slots, after the standing 16-gate core: (a) the 7
+    # never-checked r9 births, (b) this round's 3 births (in-window from
+    # birth), (c) the 3 r1-stale gates (8 rounds), then (d) 21 of the 24
+    # r3-stale gates (7 rounds) — the last 3 defer to r11, named below.
     # ------------------------------------------------------------------
     # §2 scan surface (S1-S4, S6/S7 serde, S10 stats) — stays every round
     "scan_projection", "scan_filter", "scan_topk",
@@ -2333,44 +2361,34 @@ _CHECK_FIRST = [
     # family reps (veterans, all multi-round green)
     "pricing_summary", "events_hourly", "dedup_exact",
     "text_metrics", "similarity_topk_bucketed", "multimodal_decode",
-    # ---- new r9 gates (in-window from birth, the standing rule) ----
-    # IVF-SQ8 recall audit (exact n_hits oracle)
+    # ---- r9 births, never driver-checked (the skipped-r9 backlog) ----
     "similarity_ivf_sq8_recall",
-    # SemDeDup cluster-partitioned semantic dedup + its incremental
-    # batch-vs-corpus sibling (exact hash oracles)
     "dedup_semantic", "dedup_semantic_incremental",
-    # PQ-ADC top-k + its recall audit (exact hash oracles) + the
-    # persisted-index lifecycle proof
     "similarity_pq_topk", "similarity_pq_recall", "similarity_pq_index",
-    # multi-probe LSH recall audit (exact hash oracle)
     "similarity_multiprobe_recall",
-    # ---- r9-touched gates ----
-    # reshaped query set (fixed count, r8 verdict task 3) — oracle
-    # changed, so the hash must be re-verified by the driver
-    "similarity_quantized_topk",
-    # the ingestion artifact lifecycle moved to the crash-ordered v2
-    # commit protocol (versioned bloom + append-only manifest)
-    "ingest_batch_exact", "ingest_batch_neardups", "ingest_decontaminate",
-    # ---- the 10 veterans returning from ceded r8 slots (verdict list) --
-    "similarity_quality_topk", "similarity_lsh_buckets",
-    "similarity_ivf_topk", "similarity_ivf_trained", "dedup_simhash",
-    "bloom_join_prune", "data_expectations", "active_user_trends",
-    "doc_winnowing", "dedup_minhash_lsh",
-    # ---- 19 stalest (all last checked r3; 6 rounds stale) ----
+    # ---- new r10 gates (in-window from birth, the standing rule) ----
+    # IVF-PQ: the last ANN-matrix cell (exact hash oracle composing the
+    # IVF and PQ twins) + its recall audit (exact n_hits oracle)
+    "similarity_ivf_pq_topk", "similarity_ivf_pq_recall",
+    # cluster-balanced selection (exact hash oracle: stride quantizer
+    # cells + ceil(sqrt) quota + md5 lottery)
+    "cluster_balanced_sample",
+    # ---- 3 r1-stale (8 rounds since last driver check) ----
+    "similarity_ivf_topk", "similarity_ivf_trained", "doc_winnowing",
+    # ---- 21 of the 24 r3-stale (7 rounds since last driver check) ----
     "cold_customers", "event_user_setops", "important_parts", "join_anti",
     "large_volume_orders", "late_ship_priority", "local_supplier_volume",
     "market_share", "min_cost_supplier", "nation_trade_volume",
     "order_count_distribution", "order_price_bands", "order_value_deciles",
-    # (deferred to r10 by the 50-slot cap, still r3-stale:
-    # orders_month_growth, product_profit, promo_revenue,
-    # returned_item_revenue, scalar_profile, ship_latency_priority —
-    # bumped by the 6 in-round r9 birth slots (2 semantic dedup, 3 PQ,
-    # multiprobe recall; sq8 recall holds the pre-round slot) —
-    # sql_excess_suppliers, sql_q17_small_qty, supplier_part_counts,
-    # top_supplier, waiting_orders — plus the r4-checked block:
-    # active_user_trends is back above; event_dwell_stats,
-    # events_hourly_salted, gapfill_hourly, sql_q19_disjunctive,
-    # trailing_purchase_stats, user_event_paths)
+    "orders_month_growth", "product_profit", "promo_revenue",
+    "returned_item_revenue", "scalar_profile", "ship_latency_priority",
+    "sql_excess_suppliers", "sql_q17_small_qty",
+    # (deferred to r11 by the 50-slot cap — r11 must lead with them:
+    # supplier_part_counts, top_supplier, waiting_orders (r3-stale),
+    # then the r4 block: event_dwell_stats, events_hourly_salted,
+    # gapfill_hourly, sql_q19_disjunctive, trailing_purchase_stats,
+    # user_event_paths, dedup_minhash_lsh, dedup_simhash,
+    # active_user_trends)
 ]
 
 
@@ -4813,6 +4831,100 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(hit) AS BIGINT) AS n_hits,
                (SUM(hit) * 1.0 / COUNT(*)) >= 0.25 AS recall_ok
         FROM jx"""
+
+    # IVF-PQ twins (new r10): the similarity_ivf_quantized assignment/
+    # probe CTEs (stride-50 coarse quantizer, nprobe 2, fp32 cosine)
+    # composed with the similarity_pq_topk codebook/encode/LUT CTEs
+    # (stride-5/128-capped sampled codebooks on unit vectors) — ADC
+    # scoring restricted to probed lists via the cid equi-join. Zero-norm
+    # rows drop from the scored side on both engines (codes/luts exist
+    # only for unit-normalizable vectors; the codes join is inner).
+    _ivfpq_ctes = f"""
+        v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        cents AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id % 50 = 0),
+        ca AS (SELECT s.vec_id, c.cid,
+                      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                         ORDER BY {_CCOS} DESC, c.cid ASC) AS rn
+               FROM v s CROSS JOIN cents c),
+        assigned AS (SELECT vec_id, cid FROM ca WHERE rn = 1),
+        qa AS (SELECT s.vec_id AS qid, c.cid,
+                      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                         ORDER BY {_CCOS} DESC, c.cid ASC) AS rn
+               FROM v s CROSS JOIN cents c WHERE s.vec_id < 200),
+        probe AS (SELECT qid, cid FROM qa WHERE rn <= 2),
+        {_pq_ctes.replace("pq_scored", "pq_all").replace("pq_ranked", "pq_all_ranked").strip()},
+        ivfpq_scored AS (SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+                                ROUND(list_reduce(list_transform([0,1,2,3],
+                                      j -> l.lut[j+1][c.codes[j+1]+1]),
+                                      (x, y) -> x + y), 6) AS adc_score
+                         FROM probe p
+                         JOIN assigned a ON p.cid = a.cid AND p.qid <> a.vec_id
+                         JOIN codes c ON c.vec_id = a.vec_id
+                         JOIN lt l ON l.query_id = p.qid),
+        ivfpq_ranked AS (SELECT query_id, neighbor_id, adc_score,
+                                ROW_NUMBER() OVER (PARTITION BY query_id
+                                                   ORDER BY adc_score DESC,
+                                                            neighbor_id ASC) AS rank
+                         FROM ivfpq_scored)"""
+
+    o["similarity_ivf_pq_topk"] = f"""
+        WITH {_ivfpq_ctes}
+        SELECT query_id, neighbor_id, adc_score, rank
+        FROM ivfpq_ranked WHERE rank <= 5"""
+
+    o["similarity_ivf_pq_recall"] = f"""
+        WITH {_ivfpq_ctes},
+        approx AS (SELECT query_id, neighbor_id FROM ivfpq_ranked
+                   WHERE rank <= 10),
+        e_scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                            ROUND(list_dot_product(q.v, c.v) /
+                              (sqrt(list_dot_product(q.v, q.v))
+                               * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+                     FROM v c JOIN v q
+                       ON q.vec_id < 200 AND q.vec_id <> c.vec_id),
+        e_ranked AS (SELECT query_id, neighbor_id,
+                            ROW_NUMBER() OVER (PARTITION BY query_id
+                                               ORDER BY cosine DESC,
+                                                        neighbor_id ASC) AS rank
+                     FROM e_scored),
+        exact AS (SELECT query_id, neighbor_id FROM e_ranked WHERE rank <= 10),
+        jx AS (SELECT e.query_id,
+                      CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+               FROM exact e LEFT JOIN approx a
+                 ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
+        SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+               CAST(COUNT(*) AS BIGINT) AS n_exact_results,
+               CAST(SUM(hit) AS BIGINT) AS n_hits,
+               (SUM(hit) * 1.0 / COUNT(*)) >= 0.1 AS recall_ok
+        FROM jx"""
+
+    # cluster-balanced sample twin (new r10): the dedup_semantic
+    # assignment CTEs (stride-50 quantizer, nearest centroid, ties to
+    # lowest cid) -> per-cluster quota = ceil(sqrt(n)) (IEEE sqrt is
+    # correctly rounded, so the integer is engine-identical) -> md5
+    # lottery rank within the cluster, ties by id
+    o["cluster_balanced_sample"] = f"""
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        cents AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id % 50 = 0),
+        ca AS (SELECT s.vec_id, c.cid,
+                      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                         ORDER BY {_CCOS} DESC, c.cid ASC) AS rn
+               FROM v s CROSS JOIN cents c),
+        assigned AS (SELECT vec_id, cid FROM ca WHERE rn = 1),
+        cnt AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_cluster,
+                       GREATEST(CAST(ceil(sqrt(COUNT(*))) AS BIGINT),
+                                CAST(1 AS BIGINT)) AS quota
+                FROM assigned GROUP BY cid),
+        lot AS (SELECT a.vec_id, a.cid,
+                       {_H64.format(x="'cbal:' || CAST(a.vec_id AS VARCHAR)")} AS h
+                FROM assigned a),
+        rk AS (SELECT l.vec_id, l.cid, c.n_cluster, c.quota,
+                      ROW_NUMBER() OVER (PARTITION BY l.cid
+                                         ORDER BY l.h ASC, l.vec_id ASC) AS rn
+               FROM lot l JOIN cnt c USING (cid))
+        SELECT vec_id, cid, n_cluster, quota FROM rk WHERE rn <= quota"""
 
     # multi-probe LSH audit twin: the 8-plane bucket CTEs; single-probe
     # joins on bucket equality, multi-probe expands each query bucket to

@@ -565,3 +565,129 @@ def token_budget_sample(
         .filter(F.col("cum_tokens") <= budget_tokens)
         .drop(hc)
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    centroid_stride: int | None = None,
+    min_per_cluster: int = 1,
+    max_per_cluster: int | None = None,
+    salt: str = "cbal:",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    use_pandas: bool = True,
+) -> DataFrame:
+    """Cluster-balanced selection: keep ~sqrt(n_c) rows from each semantic
+    cluster — the curation move that stops dense near-duplicate regions
+    from dominating a training mix (the cluster-proportional reweighting
+    used by SemDeDup-style pipelines and DataComp baselines: dedup removes
+    copies, this rebalances what remains).
+
+    Pipeline (every stage deterministic and SQL-expressible, so the gate
+    twin is an exact hash oracle):
+
+      1. coarse clusters: the deterministic stride quantizer semantic_dedup
+         and ivf_topk use (centroids = vectors with id % stride == 0;
+         ``centroid_stride=None`` auto-balances at sqrt(2n) via
+         resolve_semantic_stride — assignment stays the dominant, linear
+         term). Assignment is Arrow/BLAS map-side against the broadcast
+         centroid matrix (zero corpus-side exchange); ``use_pandas=False``
+         keeps the relational oracle tier.
+      2. per-cluster quota = clamp(ceil(sqrt(n_c)), min_per_cluster,
+         max_per_cluster) — sqrt is IEEE-correctly-rounded in both engines,
+         so the integer quota is engine-identical (pow is NOT guaranteed
+         correctly rounded, which is why the rule is sqrt, not n^alpha).
+      3. within each cluster keep the ``quota`` rows with the lowest
+         portable md5 lottery hash (ties by id) — the same hash-gate
+         discipline as every sampler here: reruns and other engines pick
+         the identical rows, and adding clusters never reshuffles picks
+         inside untouched ones.
+
+    Plan shape: one narrow groupBy(cid) for counts (broadcast back — the
+    cluster table is ~n/stride rows), one window sort partitioned by cid
+    for the lottery rank. No joins carry vectors past assignment.
+
+    Returns one row per KEPT vector: (id_col, cid, n_cluster, quota).
+    """
+    from hive_io_experimental_spark.functions.vectors import (
+        dot_product,
+        l2_norm,
+    )
+    from hive_io_experimental_spark.operators.dedup import (
+        resolve_semantic_stride,
+    )
+    from hive_io_experimental_spark.operators.similarity import (
+        _as_double,
+        _assign_pandas,
+    )
+
+    if min_per_cluster < 0:
+        raise ValueError(
+            f"min_per_cluster must be >= 0, got {min_per_cluster}"
+        )
+    if max_per_cluster is not None and max_per_cluster < min_per_cluster:
+        raise ValueError(
+            f"max_per_cluster ({max_per_cluster}) < min_per_cluster "
+            f"({min_per_cluster})"
+        )
+    if centroid_stride is None:
+        centroid_stride = resolve_semantic_stride(df.count())
+    if centroid_stride < 1:
+        raise ValueError(
+            f"centroid_stride must be >= 1, got {centroid_stride}"
+        )
+
+    spark = df.sparkSession
+    s = df.select(
+        F.col(id_col).alias("_cb_id"), _as_double(vec_col).alias("_cb_v")
+    ).withColumn("_cb_nrm", l2_norm(F.col("_cb_v")))
+    cents = df.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")
+    )
+    if use_pandas:
+        cent_rows = [r.asDict() for r in cents.collect()]
+        if not cent_rows:
+            return spark.createDataFrame(
+                [], f"{id_col} long, cid long, n_cluster long, quota long"
+            )
+        assigned = _assign_pandas(
+            s, "_cb_id", "_cb_v", "_cb_nrm", cent_rows, keep=1
+        )
+    else:
+        bc = F.broadcast(cents.withColumn("cnrm", l2_norm(F.col("cv"))))
+        cos_c = F.try_divide(
+            dot_product(F.col("_cb_v"), F.col("cv")),
+            F.col("_cb_nrm") * F.col("cnrm"),
+        )
+        w = Window.partitionBy("_cb_id").orderBy(
+            cos_c.desc(), F.col("cid").asc()
+        )
+        assigned = (
+            s.crossJoin(bc)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "cv", "cnrm")
+        )
+
+    assigned = assigned.select("_cb_id", "cid")
+    quota = F.ceil(F.sqrt(F.count(F.lit(1)))).cast("long")
+    quota = F.greatest(quota, F.lit(min_per_cluster).cast("long"))
+    if max_per_cluster is not None:
+        quota = F.least(quota, F.lit(max_per_cluster).cast("long"))
+    counts = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cluster"),
+        quota.alias("quota"),
+    )
+    lottery = portable_hash64(
+        F.concat(F.lit(salt), F.col("_cb_id").cast("string"))
+    )
+    w = Window.partitionBy("cid").orderBy(F.col("_cb_h"), F.col("_cb_id"))
+    return (
+        assigned.withColumn("_cb_h", lottery)
+        .join(F.broadcast(counts), "cid")
+        .withColumn("_cb_rn", F.row_number().over(w))
+        .filter(F.col("_cb_rn") <= F.col("quota"))
+        .select(
+            F.col("_cb_id").alias(id_col), "cid", "n_cluster", "quota"
+        )
+    )

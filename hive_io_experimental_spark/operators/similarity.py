@@ -1896,18 +1896,14 @@ def pq_topk(
     return _pq_adc_topk(codes, qu, codebooks, k, num_subspaces, dsub)
 
 
-def _pq_adc_topk(
-    codes: DataFrame,
-    qu: DataFrame,
-    codebooks: DataFrame,
-    k: int,
-    num_subspaces: int,
-    dsub: int,
+def _pq_query_luts(
+    qu: DataFrame, codebooks: DataFrame, num_subspaces: int, dsub: int
 ) -> DataFrame:
-    """Shared ADC scoring stage: (id, codes) x unit queries -> ranked
-    top-k. Used by pq_topk (fresh encode) and pq_query_index (codes
-    served from the persisted index — the 100 TB path, where the raw
-    embedding column is never rescanned)."""
+    """Per-query ADC lookup tables: (query_id, _lut array<array<double>>)
+    where _lut[j][code] = query subvector j . codeword — the m x ksub
+    table ADC scoring folds over. Codebooks are KBs (broadcast); the LUT
+    table is queries x m x ksub doubles, broadcast by callers under the
+    same small-query-side contract as the exact top-k paths."""
     ql = (
         qu.select(
             F.col("id").alias("query_id"),
@@ -1932,13 +1928,19 @@ def _pq_adc_topk(
             lambda s: s["_pdot"],
         ).alias("_row")
     )
-    luts = lut_rows.groupBy("query_id").agg(
+    return lut_rows.groupBy("query_id").agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("j", "_row"))),
             lambda s: s["_row"],
         ).alias("_lut")
     )
-    score = F.round(
+
+
+def _adc_score(num_subspaces: int):
+    """ADC score expression over (_lut, codes): the ordered left fold
+    sum_j lut[j][codes[j]], rounded to 6 like every cosine here (the
+    DuckDB twin's list_reduce is the same sequential fold)."""
+    return F.round(
         F.aggregate(
             F.sequence(F.lit(0), F.lit(num_subspaces - 1)),
             F.lit(0.0),
@@ -1951,13 +1953,28 @@ def _pq_adc_topk(
         ),
         6,
     )
+
+
+def _pq_adc_topk(
+    codes: DataFrame,
+    qu: DataFrame,
+    codebooks: DataFrame,
+    k: int,
+    num_subspaces: int,
+    dsub: int,
+) -> DataFrame:
+    """Shared ADC scoring stage: (id, codes) x unit queries -> ranked
+    top-k. Used by pq_topk (fresh encode) and pq_query_index (codes
+    served from the persisted index — the 100 TB path, where the raw
+    embedding column is never rescanned)."""
+    luts = _pq_query_luts(qu, codebooks, num_subspaces, dsub)
     scored = (
         codes.crossJoin(F.broadcast(luts))
         .filter(F.col("query_id") != F.col("id"))
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            score.alias("adc_score"),
+            _adc_score(num_subspaces).alias("adc_score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1966,6 +1983,134 @@ def _pq_adc_topk(
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).filter(F.col("rank") <= k)
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    centroid_stride: int = 50,
+    nprobe: int = 2,
+    num_subspaces: int = 4,
+    pq_stride: int = 5,
+    max_codes: int | None = 128,
+    codebooks: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    use_pandas: bool = True,
+) -> DataFrame:
+    """IVF-PQ: inverted-file candidate pruning + PQ-ADC in-list scoring —
+    the billion-scale serving composition (the FAISS "IVFx,PQy" index,
+    Jégou et al. TPAMI 2011 §V), and the last cell of this module's ANN
+    matrix (exact/LSH/IVF x fp32/int8/PQ).
+
+    Assignment and probing run on fp32 against the deterministic sampled
+    coarse quantizer — the identical candidate structure to
+    :func:`ivf_topk` and :func:`ivf_quantized_topk` (Arrow/BLAS map-side
+    by default, zero corpus-side exchange). The FINAL scoring pass never
+    touches raw vectors: each candidate costs m LUT lookups + adds over
+    its m-byte PQ codes (pq_stride/max_codes-capped sampled codebooks, so
+    encode stays linear — the r8 gate-shape rule). At 100 TB the wins
+    stack: candidates shrink by ~ncentroids/nprobe AND the scored payload
+    shrinks 32-64x (4 code bytes vs 256 fp32 bytes at dim 64).
+
+    Every stage is deterministic and SQL-expressible, so the DuckDB twin
+    composes the IVF assignment CTEs with the PQ codebook/encode/LUT CTEs
+    and checks scores with zero tolerance (trained coarse quantizers /
+    codebooks drop in via ``codebooks=`` + fit_spherical_kmeans for the
+    recall-bound quality tier, the ivf_topk_trained discipline).
+
+    Returns (query_id, neighbor_id, adc_score, rank). Queries are guarded
+    small (broadcast probe + LUT contract; large query sets belong on
+    quantized_cosine_topk_bucketed, as the guard's error says).
+    """
+    cents = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")
+    )
+    inverted, probes = _ivf_assign(
+        corpus, queries, cents, nprobe, vec_col, id_col, use_pandas
+    )
+    if codebooks is None:
+        codebooks = pq_codebooks_sampled(
+            corpus, num_subspaces, pq_stride, max_codes, vec_col, id_col
+        )
+    codes = pq_encode(
+        corpus, codebooks, num_subspaces, pq_stride, max_codes,
+        vec_col, id_col, use_pandas,
+    )
+    qu = _unit_vectors(queries, vec_col, id_col)
+    probe = qu.select(F.size("v").alias("d")).first()
+    if probe is None:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, adc_score double, rank long"
+        )
+    dsub = probe["d"] // num_subspaces
+    luts = _pq_query_luts(qu, codebooks, num_subspaces, dsub)
+    inv = inverted.select("cid", "neighbor_id").join(
+        codes.withColumnRenamed("id", "neighbor_id"), "neighbor_id"
+    )
+    prb = probes.select("cid", "query_id").join(luts, "query_id")
+    scored = (
+        inv.join(F.broadcast(prb), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            _adc_score(num_subspaces).alias("adc_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
+
+
+def ivf_pq_recall_check(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    centroid_stride: int = 50,
+    nprobe: int = 2,
+    num_subspaces: int = 4,
+    pq_stride: int = 5,
+    max_codes: int | None = 128,
+    codebooks: DataFrame | None = None,
+    min_avg_recall: float = 0.1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall audit for the composed IVF-PQ path against the fp32 exact
+    top-k — the same one-row exact-hit-count contract as
+    ivf_sq8_recall_check / pq_recall_check (n_queries, n_exact_results,
+    n_hits, recall_ok). The composition loses recall BOTH ways (pruned
+    lists AND lossy codes), so its floor sits below either tier's own —
+    the honest number a serving team reads before picking this index
+    shape. With sampled codebooks every stage is SQL-expressible and the
+    DuckDB twin reproduces the EXACT hit count; with trained codebooks
+    pass ``codebooks=`` and read the row as a recall-bound invariant.
+    Runs BOTH searches, so the gate times the full audit workload."""
+    approx = ivf_pq_topk(
+        corpus, queries, k, centroid_stride, nprobe, num_subspaces,
+        pq_stride, max_codes, codebooks, vec_col, id_col,
+    ).select("query_id", "neighbor_id")
+    exact = cosine_topk(corpus, queries, k, vec_col, id_col).select(
+        "query_id", "neighbor_id"
+    )
+    joined = exact.join(
+        approx.withColumn("_hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    hits = F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+    return joined.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_exact_results"),
+        hits.cast("long").alias("n_hits"),
+        (hits / F.count(F.lit(1)) >= F.lit(min_avg_recall)).alias(
+            "recall_ok"
+        ),
+    )
 
 
 def pq_recall_check(

@@ -2513,3 +2513,144 @@ def test_semantic_dedup_against_corpus(spark):
     ]
     with pytest.raises(ValueError, match="threshold"):
         dedup.semantic_dedup_against_corpus(batch, corpus, threshold=1.5)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (composed inverted-file pruning + ADC scoring)
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_pq_all_lists_probed_equals_pq_topk(spark, sf_dir):
+    # with nprobe >= n_centroids every query scores every list, and each
+    # corpus vector sits in exactly one list — so IVF-PQ degenerates to
+    # plain PQ-ADC over the whole corpus and must return the IDENTICAL
+    # ranked rows (same codebooks, same fold, same tiebreaks)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 50)
+    full = similarity.ivf_pq_topk(
+        emb, queries, k=5, centroid_stride=50, nprobe=10**6,
+        pq_stride=5, max_codes=128,
+    )
+    flat = similarity.pq_topk(
+        emb, queries, k=5, centroid_stride=5, max_codes=128,
+    )
+    got = sorted(map(tuple, full.collect()))
+    want = sorted(map(tuple, flat.collect()))
+    assert got == want
+
+
+def test_ivf_pq_pruning_subsets_candidates(spark, sf_dir):
+    # nprobe=1 candidates must be a subset of nprobe=2 candidates for
+    # every query (monotone pruning), and both subsets of the full scan
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 30)
+
+    def pairs(nprobe):
+        return {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ivf_pq_topk(
+                emb, queries, k=500, centroid_stride=50, nprobe=nprobe
+            ).collect()
+        }
+
+    p1, p2 = pairs(1), pairs(2)
+    assert p1 and p1 <= p2
+
+
+def test_ivf_pq_recall_counts_and_floor(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 200)
+    row = similarity.ivf_pq_recall_check(emb, queries, k=10).first()
+    assert row["n_queries"] == 200
+    assert row["n_exact_results"] == 2000
+    # composed loss (pruned lists AND lossy codes): measured 0.216 at
+    # sf0.001 — floor with slack; the gate twin checks the exact count
+    assert row["n_hits"] / row["n_exact_results"] >= 0.1
+    assert bool(row["recall_ok"])
+
+
+def test_ivf_pq_trained_codebooks_recall_floor(spark, sf_dir):
+    # quality tier: k-means codebooks drop in via codebooks=; the audit
+    # row becomes a recall-bound invariant (no SQL oracle)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 100)
+    cb = similarity.pq_codebooks_trained(
+        emb, num_subspaces=4, codes_per_subspace=64
+    )
+    row = similarity.ivf_pq_recall_check(
+        emb, queries, k=10, codebooks=cb
+    ).first()
+    assert row["n_queries"] == 100
+    assert row["n_hits"] / row["n_exact_results"] >= 0.05
+
+
+def test_ivf_pq_empty_queries_schema(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") < 0), k=3,
+        centroid_stride=1, num_subspaces=2, pq_stride=1,
+    )
+    assert out.columns == ["query_id", "neighbor_id", "adc_score", "rank"]
+    assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# cluster-balanced sampling
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_balanced_sample_quotas_exact_and_deterministic(spark, sf_dir):
+    from hive_io_experimental_spark.operators import sampling
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = sampling.cluster_balanced_sample(emb, centroid_stride=50).collect()
+    again = sampling.cluster_balanced_sample(emb, centroid_stride=50).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    import math
+    from collections import Counter
+
+    picked_per = Counter(r.cid for r in rows)
+    for r in rows:
+        assert r.quota == max(1, math.ceil(math.sqrt(r.n_cluster)))
+        # a cluster never yields more than its quota (nor more than its size)
+        assert picked_per[r.cid] == min(r.quota, r.n_cluster)
+    # balancing really fires: picked set is a strict subsample
+    assert 0 < len(rows) < emb.count()
+
+
+def test_cluster_balanced_sample_caps_and_validation(spark, sf_dir):
+    from hive_io_experimental_spark.operators import sampling
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    capped = sampling.cluster_balanced_sample(
+        emb, centroid_stride=50, max_per_cluster=2
+    ).collect()
+    from collections import Counter
+
+    per = Counter(r.cid for r in capped)
+    assert per and max(per.values()) <= 2
+    assert all(r.quota <= 2 for r in capped)
+    with pytest.raises(ValueError, match="min_per_cluster"):
+        sampling.cluster_balanced_sample(emb, min_per_cluster=-1)
+    with pytest.raises(ValueError, match="max_per_cluster"):
+        sampling.cluster_balanced_sample(
+            emb, min_per_cluster=5, max_per_cluster=2
+        )
+    with pytest.raises(ValueError, match="centroid_stride"):
+        sampling.cluster_balanced_sample(emb, centroid_stride=0)
+
+
+def test_cluster_balanced_sample_sparse_ids_empty_contract(spark):
+    # no id hits the stride -> the documented empty frame, not a crash
+    from hive_io_experimental_spark.operators import sampling
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = sampling.cluster_balanced_sample(emb, centroid_stride=50)
+    assert out.columns == ["vec_id", "cid", "n_cluster", "quota"]
+    assert out.count() == 0
