@@ -205,6 +205,27 @@ def _similarity_pq_index(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _similarity_ivf_pq_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Build the persisted IVF-PQ serving structure (codes + codebooks +
+    centroids + inverted-lists catalog tables) in a scratch warehouse,
+    then prove the stored-index serve path returns EXACTLY the direct
+    operator's rows (full-row anti-join both ways == 0) — the
+    ivf/pq_index lifecycle proof for the composed billion-scale tier."""
+    import tempfile
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators import similarity
+
+    wh = tempfile.mkdtemp(prefix="hio_ivfpq_wh_")
+    cat = Catalog(wh)
+    emb = _t(spark, sf, "embeddings")
+    similarity.ivf_pq_build_index(spark, cat, "default.emb_ivfpq", emb)
+    return similarity.ivf_pq_index_consistency_check(
+        spark, cat, "default.emb_ivfpq", emb,
+        emb.filter(F.col("vec_id") < 200), k=5,
+    )
+
+
 def _dedup_df_cut_bound(spark: SparkSession, sf: str) -> DataFrame:
     """Pathological-corpus proof that the shingle df-cut bounds the
     candidate-pair join: 400 generated docs, half sharing one boilerplate
@@ -2273,12 +2294,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         max_codes=128,
         min_avg_recall=0.25,
     )
-    # IVF-PQ (new r10): inverted-file pruning (stride-50 coarse
-    # quantizer, nprobe 2 — the similarity_ivf_topk structure) + PQ-ADC
-    # in-list scoring (stride-5/128-capped codebooks — the
-    # similarity_pq_topk structure). The last ANN-matrix cell
-    # (exact/LSH/IVF x fp32/int8/PQ); the twin composes both gates' CTEs
-    # and checks scores with zero tolerance. Fixed vec_id < 200 queries.
+    # IVF-PQ (new r10): inverted-file pruning (auto coarse quantizer —
+    # resolve_ivf_stride sizes nlist at sqrt(n), floor-resolving to the
+    # twin's constant 50 at fixture scales; nprobe 2) + PQ-ADC in-list
+    # scoring (stride-5/128-capped codebooks — the similarity_pq_topk
+    # structure). The last ANN-matrix cell (exact/LSH/IVF x
+    # fp32/int8/PQ); the twin composes both gates' CTEs and checks
+    # scores with zero tolerance. Fixed vec_id < 200 queries.
     q["similarity_ivf_pq_topk"] = lambda spark, sf: similarity.ivf_pq_topk(
         _t(spark, sf, "embeddings"),
         _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200),
@@ -2295,6 +2317,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=10,
         )
     )
+    # persisted IVF-PQ index lifecycle proof (new r10): serve-from-stored
+    # (codes + lists + centroids + codebooks tables, raw embeddings never
+    # rescanned) == direct operator, full-row anti-join both ways
+    q["similarity_ivf_pq_index"] = _similarity_ivf_pq_index
     q["label_centroid_stats"] = lambda spark, sf: similarity.label_centroid_stats(
         _t(spark, sf, "embeddings")
     )
@@ -2368,27 +2394,29 @@ _CHECK_FIRST = [
     "similarity_multiprobe_recall",
     # ---- new r10 gates (in-window from birth, the standing rule) ----
     # IVF-PQ: the last ANN-matrix cell (exact hash oracle composing the
-    # IVF and PQ twins) + its recall audit (exact n_hits oracle)
+    # IVF and PQ twins) + its recall audit (exact n_hits oracle) + the
+    # persisted-index lifecycle proof
     "similarity_ivf_pq_topk", "similarity_ivf_pq_recall",
+    "similarity_ivf_pq_index",
     # cluster-balanced selection (exact hash oracle: stride quantizer
     # cells + ceil(sqrt) quota + md5 lottery)
     "cluster_balanced_sample",
     # ---- 3 r1-stale (8 rounds since last driver check) ----
     "similarity_ivf_topk", "similarity_ivf_trained", "doc_winnowing",
-    # ---- 21 of the 24 r3-stale (7 rounds since last driver check) ----
+    # ---- 20 of the 24 r3-stale (7 rounds since last driver check) ----
     "cold_customers", "event_user_setops", "important_parts", "join_anti",
     "large_volume_orders", "late_ship_priority", "local_supplier_volume",
     "market_share", "min_cost_supplier", "nation_trade_volume",
     "order_count_distribution", "order_price_bands", "order_value_deciles",
     "orders_month_growth", "product_profit", "promo_revenue",
     "returned_item_revenue", "scalar_profile", "ship_latency_priority",
-    "sql_excess_suppliers", "sql_q17_small_qty",
+    "sql_excess_suppliers",
     # (deferred to r11 by the 50-slot cap — r11 must lead with them:
-    # supplier_part_counts, top_supplier, waiting_orders (r3-stale),
-    # then the r4 block: event_dwell_stats, events_hourly_salted,
-    # gapfill_hourly, sql_q19_disjunctive, trailing_purchase_stats,
-    # user_event_paths, dedup_minhash_lsh, dedup_simhash,
-    # active_user_trends)
+    # sql_q17_small_qty, supplier_part_counts, top_supplier,
+    # waiting_orders (r3-stale), then the r4 block: event_dwell_stats,
+    # events_hourly_salted, gapfill_hourly, sql_q19_disjunctive,
+    # trailing_purchase_stats, user_event_paths, dedup_minhash_lsh,
+    # dedup_simhash, active_user_trends)
 ]
 
 
@@ -4872,6 +4900,17 @@ def oracle_sql() -> dict[str, str]:
         WITH {_ivfpq_ctes}
         SELECT query_id, neighbor_id, adc_score, rank
         FROM ivfpq_ranked WHERE rank <= 5"""
+
+    # persisted-index lifecycle twin: the composed CTEs give the exact
+    # served-row count (no assumption that every probed list fills k);
+    # mismatch must be zero by construction of the proof
+    o["similarity_ivf_pq_index"] = f"""
+        WITH {_ivfpq_ctes}
+        SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < 200)
+                 AS n_queries,
+               (SELECT COUNT(*) FROM ivfpq_ranked WHERE rank <= 5)
+                 AS n_served,
+               CAST(0 AS BIGINT) AS n_mismatch"""
 
     o["similarity_ivf_pq_recall"] = f"""
         WITH {_ivfpq_ctes},

@@ -1985,11 +1985,27 @@ def _pq_adc_topk(
     ).filter(F.col("rank") <= k)
 
 
+def resolve_ivf_stride(n: int, min_stride: int = 50) -> int:
+    """Scale-aware IVF coarse-quantizer stride: max(min_stride, ceil(sqrt(n))).
+
+    nlist = n/stride = sqrt(n) is the FAISS sizing rule: assignment work
+    is n * nlist = n^1.5 and per-query in-list candidates are
+    nprobe * stride = nprobe * sqrt(n) — both the honest sub-quadratic
+    contract (a FIXED stride leaves assignment quietly quadratic at
+    scale, the exact trap resolve_semantic_stride closed for SemDeDup).
+    The floor keeps small corpora on the oracle twins' constant (50),
+    the resolve_num_planes discipline.
+    """
+    import math
+
+    return max(min_stride, math.ceil(math.sqrt(max(n, 1))))
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    centroid_stride: int = 50,
+    centroid_stride: int | None = None,
     nprobe: int = 2,
     num_subspaces: int = 4,
     pq_stride: int = 5,
@@ -2023,7 +2039,17 @@ def ivf_pq_topk(
     Returns (query_id, neighbor_id, adc_score, rank). Queries are guarded
     small (broadcast probe + LUT contract; large query sets belong on
     quantized_cosine_topk_bucketed, as the guard's error says).
+    ``centroid_stride=None`` (default) auto-sizes the coarse quantizer at
+    sqrt(n) lists via resolve_ivf_stride (one parquet-metadata count, the
+    probe-once discipline) so assignment work stays n^1.5, not n^2/stride;
+    the floor resolves to the twins' constant (50) at fixture scales.
     """
+    if centroid_stride is None:
+        centroid_stride = resolve_ivf_stride(corpus.count())
+    if centroid_stride < 1:
+        raise ValueError(
+            f"centroid_stride must be >= 1, got {centroid_stride}"
+        )
     cents = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
         F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")
     )
@@ -2070,7 +2096,7 @@ def ivf_pq_recall_check(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    centroid_stride: int = 50,
+    centroid_stride: int | None = None,
     nprobe: int = 2,
     num_subspaces: int = 4,
     pq_stride: int = 5,
@@ -2279,6 +2305,215 @@ def pq_index_consistency_check(
     direct = pq_topk(
         corpus, queries, k, num_subspaces, centroid_stride, max_codes,
         None, vec_col, id_col,
+    )
+    cols = ["query_id", "neighbor_id", "adc_score", "rank"]
+    a_not_b = served.select(cols).exceptAll(direct.select(cols))
+    b_not_a = direct.select(cols).exceptAll(served.select(cols))
+    mism = a_not_b.unionAll(b_not_a).count()
+    n_q = queries.select(F.col(id_col)).distinct().count()
+    n_served = served.count()
+    return spark.createDataFrame(
+        [(n_q, n_served, mism)],
+        "n_queries long, n_served long, n_mismatch long",
+    )
+
+
+def ivf_pq_build_index(
+    spark,
+    catalog,
+    index_table: str,
+    corpus: DataFrame,
+    centroid_stride: int | None = None,
+    num_subspaces: int = 4,
+    pq_stride: int = 5,
+    max_codes: int | None = 128,
+    codebooks: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Persist the full IVF-PQ serving structure as four catalog tables:
+    the codes table ``{index_table}`` (id, codes array<long>), the
+    codebook table ``{index_table}_codebooks`` (j, code, cv), the coarse
+    quantizer ``{index_table}_centroids`` (cid, cv), and the inverted
+    lists ``{index_table}_lists`` (cid, id). The ivf/pq_build_index
+    lifecycle completed for the composed tier: build once per corpus
+    snapshot, then serve any number of query batches
+    (ivf_pq_query_index) touching only codes + lists (m longs + one long
+    per vector — the raw embedding column is never rescanned, which is
+    the point at 100 TB). Rebuild = explicit drop + recreate under the
+    catalog's strict write preconditions (reference OutputConf parity —
+    never a silent in-place overwrite). ``centroid_stride=None``
+    auto-sizes nlist at sqrt(n) (resolve_ivf_stride); pass trained
+    centroids/codebooks frames for the quality tier."""
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    if centroid_stride is None:
+        centroid_stride = resolve_ivf_stride(corpus.count())
+    cents = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")
+    )
+    cent_rows = [r.asDict() for r in cents.collect()]
+    if not cent_rows:
+        raise ValueError(
+            "ivf_pq_build_index: no vector id hits the centroid_stride "
+            f"({centroid_stride}); lower the stride"
+        )
+    c = corpus.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("_v")
+    ).withColumn("_nrm", l2_norm(F.col("_v")))
+    lists = _assign_pandas(
+        c, "id", "_v", "_nrm", cent_rows, keep=1
+    ).select("cid", "id")
+    if codebooks is None:
+        codebooks = pq_codebooks_sampled(
+            corpus, num_subspaces, pq_stride, max_codes, vec_col, id_col
+        )
+    codes = pq_encode(
+        corpus, codebooks, num_subspaces, pq_stride, max_codes,
+        vec_col, id_col,
+    )
+    out = HiveOutput(spark, catalog)
+    id_type = corpus.schema[id_col].dataType
+    for tbl, schema, df in (
+        (
+            f"{index_table}_centroids",
+            HiveTableSchema((
+                ("cid", id_type),
+                ("cv", T.ArrayType(T.DoubleType())),
+            )),
+            cents,
+        ),
+        (
+            f"{index_table}_lists",
+            HiveTableSchema((("cid", id_type), ("id", id_type))),
+            lists,
+        ),
+        (
+            f"{index_table}_codebooks",
+            HiveTableSchema((
+                ("j", T.IntegerType()),
+                ("code", T.IntegerType()),
+                ("cv", T.ArrayType(T.DoubleType())),
+            )),
+            codebooks,
+        ),
+        (
+            index_table,
+            HiveTableSchema((
+                ("id", id_type),
+                ("codes", T.ArrayType(T.LongType())),
+            )),
+            codes,
+        ),
+    ):
+        if catalog.table_exists(tbl):
+            catalog.drop_table(tbl, delete_data=True)
+        catalog.create_table(tbl, schema)
+        out.write_table(WriteSpec(table=tbl), df)
+
+
+def ivf_pq_query_index(
+    spark,
+    catalog,
+    index_table: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    num_subspaces: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ top-k served ENTIRELY from a persisted index: queries are
+    assigned to their ``nprobe`` nearest stored centroids (few-KB
+    centroid table, Arrow/BLAS map-side), then scored by ADC against
+    only the probed lists' stored codes. The corpus-side scan reads the
+    lists table (one long per vector) and the codes table (m longs) —
+    never the raw embeddings. Same small-query broadcast contract as
+    ivf_pq_topk."""
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+
+    _require_small_query_side(
+        queries.select(F.col(id_col)),
+        "ivf_pq_query_index (broadcast probes + LUTs)",
+    )
+    inp = HiveInput(spark, catalog)
+    cents = inp.read_table(ScanSpec(table=f"{index_table}_centroids"))
+    cent_rows = [r.asDict() for r in cents.collect()]
+    if not cent_rows:
+        raise ValueError(
+            f"ivf_pq_query_index: empty centroid table "
+            f"{index_table}_centroids"
+        )
+    codebooks = inp.read_table(
+        ScanSpec(table=f"{index_table}_codebooks")
+    )
+    probe = codebooks.select(F.size("cv").alias("d")).first()
+    if probe is None:
+        raise ValueError(
+            f"ivf_pq_query_index: empty codebook table "
+            f"{index_table}_codebooks"
+        )
+    dsub = probe["d"]
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_qv")
+    ).withColumn("_qnrm", l2_norm(F.col("_qv")))
+    probes = _assign_pandas(
+        qv, "query_id", "_qv", "_qnrm", cent_rows, keep=nprobe
+    ).select("cid", "query_id")
+    qu = _unit_vectors(queries, vec_col, id_col)
+    luts = _pq_query_luts(qu, codebooks, num_subspaces, dsub)
+    lists = inp.read_table(ScanSpec(table=f"{index_table}_lists"))
+    codes = inp.read_table(ScanSpec(table=index_table))
+    inv = lists.withColumnRenamed("id", "neighbor_id").join(
+        codes.withColumnRenamed("id", "neighbor_id"), "neighbor_id"
+    )
+    prb = probes.join(luts, "query_id")
+    scored = (
+        inv.join(F.broadcast(prb), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            _adc_score(num_subspaces).alias("adc_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
+
+
+def ivf_pq_index_consistency_check(
+    spark,
+    catalog,
+    index_table: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    centroid_stride: int | None = None,
+    num_subspaces: int = 4,
+    pq_stride: int = 5,
+    max_codes: int | None = 128,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One-row proof the persisted IVF-PQ index serves EXACTLY what the
+    direct operator computes (same coarse lists -> same candidates; same
+    sampled codebooks -> same codes -> same ranked rows): n_queries,
+    n_served, n_mismatch (full-row anti-join both ways, must be 0). The
+    ivf/pq_index_consistency_check contract, for the composed tier."""
+    served = ivf_pq_query_index(
+        spark, catalog, index_table, queries, k, nprobe, num_subspaces,
+        vec_col, id_col,
+    )
+    direct = ivf_pq_topk(
+        corpus, queries, k, centroid_stride, nprobe, num_subspaces,
+        pq_stride, max_codes, None, vec_col, id_col,
     )
     cols = ["query_id", "neighbor_id", "adc_score", "rank"]
     a_not_b = served.select(cols).exceptAll(direct.select(cols))

@@ -2654,3 +2654,60 @@ def test_cluster_balanced_sample_sparse_ids_empty_contract(spark):
     out = sampling.cluster_balanced_sample(emb, centroid_stride=50)
     assert out.columns == ["vec_id", "cid", "n_cluster", "quota"]
     assert out.count() == 0
+
+
+def test_resolve_ivf_stride_floor_and_growth():
+    # floor pins fixture scales on the oracle constant; past the floor
+    # nlist = n/stride tracks sqrt(n) (the FAISS sizing rule)
+    assert similarity.resolve_ivf_stride(500) == 50
+    assert similarity.resolve_ivf_stride(2500) == 50
+    assert similarity.resolve_ivf_stride(10_000) == 100
+    assert similarity.resolve_ivf_stride(1_000_000) == 1000
+    assert similarity.resolve_ivf_stride(0) == 50
+
+
+def test_ivf_pq_index_persist_and_query(spark, sf_dir, warehouse):
+    """IVF-PQ index lifecycle: build persists codes + codebooks +
+    centroids + inverted lists as catalog tables; serving from the
+    stored index returns EXACTLY the direct operator's rows; rebuild
+    with a different geometry replaces the tables."""
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+
+    cat = Catalog(warehouse)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 100)
+
+    similarity.ivf_pq_build_index(spark, cat, "default.emb_ivfpq", emb)
+    for t in ("default.emb_ivfpq", "default.emb_ivfpq_codebooks",
+              "default.emb_ivfpq_centroids", "default.emb_ivfpq_lists"):
+        assert cat.table_exists(t)
+
+    row = similarity.ivf_pq_index_consistency_check(
+        spark, cat, "default.emb_ivfpq", emb, queries, k=5,
+    ).first()
+    assert row["n_mismatch"] == 0
+    assert row["n_queries"] == 100
+    assert row["n_served"] == 500
+
+    # every corpus vector lands in exactly one stored list
+    inp = HiveInput(spark, cat)
+    n_listed = inp.read_table(
+        ScanSpec(table="default.emb_ivfpq_lists")
+    ).count()
+    assert n_listed == emb.count()
+
+    # rebuild with a coarser stride replaces the centroid table
+    similarity.ivf_pq_build_index(
+        spark, cat, "default.emb_ivfpq", emb, centroid_stride=100
+    )
+    n_cents = inp.read_table(
+        ScanSpec(table="default.emb_ivfpq_centroids")
+    ).count()
+    assert n_cents == emb.filter(F.col("vec_id") % 100 == 0).count()
+
+    with pytest.raises(ValueError, match="centroid_stride"):
+        similarity.ivf_pq_build_index(
+            spark, cat, "default.emb_ivfpq2",
+            emb.filter(F.col("vec_id") % 2 == 1), centroid_stride=2,
+        )

@@ -113,6 +113,34 @@ def main() -> int:
         "threshold": 0.2,
         "pass": pq_recall >= 0.2,
     }
+    # IVF-PQ tier (new r10): the fully composed billion-scale shape —
+    # sqrt(n) coarse lists (resolve_ivf_stride auto) + PQ-ADC in-list
+    # scoring. Loses recall BOTH ways, so its floor is the operator's
+    # contract floor (0.1) — recorded, not hidden.
+    from hive_io_experimental_spark.operators.similarity import (
+        ivf_pq_recall_check,
+        resolve_ivf_stride,
+    )
+
+    n_corpus = emb.count()
+    ivfpq = ivf_pq_recall_check(
+        emb, emb.filter(F.col("vec_id") < 400), k=10,
+        pq_stride=5, max_codes=128,
+    ).first()
+    ivfpq_recall = ivfpq.n_hits / ivfpq.n_exact_results
+    ivfpq_report = {
+        "dir": sf_dir,
+        "n_queries": int(ivfpq.n_queries),
+        "k": 10,
+        "nprobe": 2,
+        "centroid_stride": resolve_ivf_stride(n_corpus),
+        "num_subspaces": 4,
+        "max_codes": 128,
+        "n_hits": int(ivfpq.n_hits),
+        "recall_at_k": round(ivfpq_recall, 4),
+        "threshold": 0.1,
+        "pass": ivfpq_recall >= 0.1,
+    }
     spark.stop()
 
     if os.path.exists(out_path):
@@ -123,13 +151,15 @@ def main() -> int:
     doc["quantization_quality"] = report
     doc["ivf_sq8_quality"] = sq8_report
     doc["pq_quality"] = pq_report
+    doc["ivf_pq_quality"] = ivfpq_report
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
     print(json.dumps(report))
     print(json.dumps(sq8_report))
     print(json.dumps(pq_report))
+    print(json.dumps(ivfpq_report))
     return 0 if (report["pass"] and sq8_report["pass"]
-                 and pq_report["pass"]) else 1
+                 and pq_report["pass"] and ivfpq_report["pass"]) else 1
 
 
 if __name__ == "__main__":
