@@ -226,6 +226,29 @@ def _similarity_ivf_pq_index(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _similarity_lsh_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Build a persisted LSH bucket index (buckets + meta catalog tables)
+    in a scratch warehouse, then prove the stored-bucket serve path
+    returns EXACTLY the direct multiprobe operator's rows (full-row
+    anti-join both ways == 0) — the ivf/pq/ivf_pq_index lifecycle proof
+    for the LSH tier, closing the persisted-index matrix."""
+    import tempfile
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators import similarity
+
+    wh = tempfile.mkdtemp(prefix="hio_lsh_wh_")
+    cat = Catalog(wh)
+    emb = _t(spark, sf, "embeddings")
+    similarity.lsh_build_index(
+        spark, cat, "default.emb_lsh", emb, num_planes=8
+    )
+    return similarity.lsh_index_consistency_check(
+        spark, cat, "default.emb_lsh", emb,
+        emb.filter(F.col("vec_id") % 20 == 0), k=5, probe_bits=1,
+    )
+
+
 def _dedup_df_cut_bound(spark: SparkSession, sf: str) -> DataFrame:
     """Pathological-corpus proof that the shingle df-cut bounds the
     candidate-pair join: 400 generated docs, half sharing one boilerplate
@@ -1920,10 +1943,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cluster-balanced selection (new r10): ~sqrt(n_c) rows kept per
     # semantic cluster (stride quantizer cells, md5 lottery within) — the
     # post-dedup rebalancing move that stops dense embedding regions from
-    # dominating the mix. Auto stride resolves to the twin's constant
-    # (50) at fixture scales, the resolve_semantic_stride discipline.
+    # dominating the mix. Stride PINNED to the twin's constant (50): the
+    # auto dial (ceil(sqrt(2n))) leaves the floor above n=1250 rows, so
+    # at sf0.1 (2000 embeddings) it resolves to 64 and would
+    # hash-mismatch the stride-50 oracle — the PQ gates' pin discipline.
     q["cluster_balanced_sample"] = lambda spark, sf: (
-        sampling.cluster_balanced_sample(_t(spark, sf, "embeddings"))
+        sampling.cluster_balanced_sample(
+            _t(spark, sf, "embeddings"), centroid_stride=50
+        )
     )
 
     # ---- training export: packing / mixtures / representatives ----
@@ -2138,18 +2165,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # recipe. Deterministic stride centroids (the ivf_topk quantizer)
     # keep the twin an exact hash oracle; threshold 0.35 for the same
     # near-orthogonal-fixture reason dedup_embedding runs at 0.45.
+    # Stride PINNED to the twin's constant (50): the auto dial
+    # (ceil(sqrt(2n))) leaves the 50 floor above n=1250, so at sf0.1
+    # (2000 embeddings) it resolves to 64 and would hash-mismatch the
+    # stride-50 oracle — the cluster_balanced_sample / PQ-gate pin
+    # discipline (auto-dial behavior is pytest-covered instead).
     q["dedup_semantic"] = lambda spark, sf: dedup.semantic_dedup(
-        _t(spark, sf, "embeddings"), threshold=0.35
+        _t(spark, sf, "embeddings"), threshold=0.35, centroid_stride=50
     )
     # incremental SemDeDup: batch vs stored corpus, compared only within
     # the CORPUS quantizer's cells (centroids are part of the corpus
     # snapshot) — the cluster-partitioned sibling of
-    # dedup_embedding_incremental's sign-LSH probe, same %7 split
+    # dedup_embedding_incremental's sign-LSH probe, same %7 split; same
+    # stride-50 pin (corpus side is 1714 rows at sf0.1 -> auto dial 59)
     q["dedup_semantic_incremental"] = lambda spark, sf: (
         dedup.semantic_dedup_against_corpus(
             _t(spark, sf, "embeddings").filter(F.col("vec_id") % 7 == 0),
             _t(spark, sf, "embeddings").filter(F.col("vec_id") % 7 != 0),
             threshold=0.35,
+            centroid_stride=50,
         )
     )
     # exact-substring pass (Lee et al. 2022 ExactSubstr, re-shaped for
@@ -2286,6 +2320,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         k=10,
         num_planes=8,
     )
+    # multi-probe over a SHUFFLE equi-join (new r11): the destination the
+    # broadcast multiprobe's fan-out-scaled guard routes large query sets
+    # to — identical probe set and rescore, no broadcast, no guard. Query
+    # side deliberately DENSER (every 20th vector) than the broadcast
+    # gates, like similarity_quantized_bucketed: this operator exists for
+    # big query sets. Row-identical to cosine_topk_multiprobe (pytest
+    # parity), so the twin is the same exact hash oracle.
+    q["similarity_multiprobe_bucketed"] = lambda spark, sf: (
+        similarity.cosine_topk_multiprobe_bucketed(
+            _t(spark, sf, "embeddings"),
+            _t(spark, sf, "embeddings").filter(F.col("vec_id") % 20 == 0),
+            k=5,
+            num_planes=8,
+            probe_bits=1,
+        )
+    )
+    # persisted LSH bucket index (new r11): serve-from-stored-buckets ==
+    # direct multiprobe, full-row anti-join both ways — closes the
+    # persisted-index matrix (IVF, PQ, IVF-PQ, now LSH). Deterministic
+    # md5 plane family keeps the twin an exact oracle.
+    q["similarity_lsh_index"] = _similarity_lsh_index
     q["similarity_pq_recall"] = lambda spark, sf: similarity.pq_recall_check(
         _t(spark, sf, "embeddings"),
         _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200),
@@ -2369,14 +2424,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # full-map output is committed as CORRECTNESS_LOCAL.json each round.
 _CHECK_FIRST = [
     # ------------------------------------------------------------------
-    # r10 ROTATION. The driver never recorded a CORRECTNESS_r09.json, so
-    # the r9 window was never hash-verified: the 7 gates born in r9 are
-    # STILL never-driver-checked and staleness stands at its pre-r9
-    # values (r1: 3 gates, r3: 24, r4: 9 — see OPERATORS.md). Priority
-    # for the 50 slots, after the standing 16-gate core: (a) the 7
-    # never-checked r9 births, (b) this round's 3 births (in-window from
-    # birth), (c) the 3 r1-stale gates (8 rounds), then (d) 21 of the 24
-    # r3-stale gates (7 rounds) — the last 3 defer to r11, named below.
+    # r11 ROTATION. CORRECTNESS_r10 retired the whole skipped-r9 backlog
+    # (all 7 r9 births + 4 r10 births checked, 50/50 green), so the
+    # stalest gates are now the r10 deferral list itself: 4 r3-stale
+    # TPC-H shapes + the 9-gate r4 block (7-8 rounds) — the verdict's
+    # "r11 must lead with them" set. Priority for the 50 slots, after
+    # the standing 16-gate core: (a) this round's 2 births (in-window
+    # from birth), (b) the 13 named r3/r4 veterans, (c) 19 of the 27
+    # r5-stale gates (6 rounds) — the last 8 defer to r12, named below.
     # ------------------------------------------------------------------
     # §2 scan surface (S1-S4, S6/S7 serde, S10 stats) — stays every round
     "scan_projection", "scan_filter", "scan_topk",
@@ -2387,36 +2442,31 @@ _CHECK_FIRST = [
     # family reps (veterans, all multi-round green)
     "pricing_summary", "events_hourly", "dedup_exact",
     "text_metrics", "similarity_topk_bucketed", "multimodal_decode",
-    # ---- r9 births, never driver-checked (the skipped-r9 backlog) ----
-    "similarity_ivf_sq8_recall",
-    "dedup_semantic", "dedup_semantic_incremental",
-    "similarity_pq_topk", "similarity_pq_recall", "similarity_pq_index",
-    "similarity_multiprobe_recall",
-    # ---- new r10 gates (in-window from birth, the standing rule) ----
-    # IVF-PQ: the last ANN-matrix cell (exact hash oracle composing the
-    # IVF and PQ twins) + its recall audit (exact n_hits oracle) + the
-    # persisted-index lifecycle proof
-    "similarity_ivf_pq_topk", "similarity_ivf_pq_recall",
-    "similarity_ivf_pq_index",
-    # cluster-balanced selection (exact hash oracle: stride quantizer
-    # cells + ceil(sqrt) quota + md5 lottery)
-    "cluster_balanced_sample",
-    # ---- 3 r1-stale (8 rounds since last driver check) ----
-    "similarity_ivf_topk", "similarity_ivf_trained", "doc_winnowing",
-    # ---- 20 of the 24 r3-stale (7 rounds since last driver check) ----
-    "cold_customers", "event_user_setops", "important_parts", "join_anti",
-    "large_volume_orders", "late_ship_priority", "local_supplier_volume",
-    "market_share", "min_cost_supplier", "nation_trade_volume",
-    "order_count_distribution", "order_price_bands", "order_value_deciles",
-    "orders_month_growth", "product_profit", "promo_revenue",
-    "returned_item_revenue", "scalar_profile", "ship_latency_priority",
-    "sql_excess_suppliers",
-    # (deferred to r11 by the 50-slot cap — r11 must lead with them:
-    # sql_q17_small_qty, supplier_part_counts, top_supplier,
-    # waiting_orders (r3-stale), then the r4 block: event_dwell_stats,
-    # events_hourly_salted, gapfill_hourly, sql_q19_disjunctive,
-    # trailing_purchase_stats, user_event_paths, dedup_minhash_lsh,
-    # dedup_simhash, active_user_trends)
+    # ---- new r11 gates (in-window from birth, the standing rule) ----
+    # shuffle-join multiprobe: the large-query-set destination the
+    # broadcast multiprobe's new fan-out-scaled guard routes to; and the
+    # persisted LSH bucket index closing the index-lifecycle matrix
+    "similarity_multiprobe_bucketed", "similarity_lsh_index",
+    # ---- 4 r3-stale TPC-H shapes (8 rounds since last driver check) ----
+    "sql_q17_small_qty", "supplier_part_counts", "top_supplier",
+    "waiting_orders",
+    # ---- the 9-gate r4 block (7 rounds) ----
+    "event_dwell_stats", "events_hourly_salted", "gapfill_hourly",
+    "sql_q19_disjunctive", "trailing_purchase_stats", "user_event_paths",
+    "dedup_minhash_lsh", "dedup_simhash", "active_user_trends",
+    # ---- 19 of the 27 r5-stale (6 rounds since last driver check) ----
+    "asof_purchase_click", "bloom_join_prune", "brand_size_pivot",
+    "customer_order_ranks", "data_expectations", "dedup_embedding",
+    "dedup_span_stats", "event_props_json", "events_time_rollup",
+    "expanding_zscore", "funnel_step_counts", "funnel_user_extrema",
+    "incremental_rollup", "join_semi", "max_concurrent_sessions",
+    "nation_revenue", "orders_by_month", "range_join_signup_purchase",
+    "retention_cohorts",
+    # (deferred to r12 by the 50-slot cap — r12 must lead with them:
+    # similarity_lsh_buckets, similarity_quality_topk, snapshot_diff_cdc,
+    # sql_q6_revenue, stratified_sample_docs, tfidf_top_terms,
+    # token_budget_mix, token_counts (r5-stale), then the 34-gate r6
+    # block)
 ]
 
 
@@ -5024,6 +5074,62 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(hs) AS BIGINT) AS hits_single,
                CAST(SUM(hm) AS BIGINT) AS hits_multi
         FROM jx"""
+
+    # shuffle-join multiprobe twin (new r11): same 8-plane bucket CTEs,
+    # each query bucket expanded to itself + its 8 Hamming-1 XOR flips
+    # (distinct probes -> no pair dedup), exact cosine rescore, top-5 —
+    # row-identical to the broadcast multiprobe by construction
+    o["similarity_multiprobe_bucketed"] = f"""
+        WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+        vp AS (SELECT vec_id, v, {plane_lists} FROM v0),
+        b AS (SELECT vec_id, v, CAST({plane_terms} AS BIGINT) AS bucket FROM vp),
+        mp AS (SELECT vec_id, v,
+                      UNNEST(list_concat([bucket],
+                             list_transform(range(0, 8),
+                                            i -> xor(bucket, CAST(1 AS BIGINT) << i))))
+                        AS bucket
+               FROM b WHERE vec_id % 20 = 0),
+        scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                          {qcos} AS cosine
+                   FROM b c JOIN mp q
+                     ON c.bucket = q.bucket AND q.vec_id <> c.vec_id),
+        ranked AS (SELECT query_id, neighbor_id, cosine,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY cosine DESC,
+                                                      neighbor_id ASC) AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5"""
+
+    # persisted LSH index twin (new r11): the stored buckets are
+    # bit-identical to the recomputed md5-family buckets, so the served
+    # rows ARE the multiprobe twin's rows — n_served from the same CTEs,
+    # mismatch 0 by construction (the ivf_pq_index oracle pattern)
+    o["similarity_lsh_index"] = f"""
+        WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+        vp AS (SELECT vec_id, v, {plane_lists} FROM v0),
+        b AS (SELECT vec_id, v, CAST({plane_terms} AS BIGINT) AS bucket FROM vp),
+        mp AS (SELECT vec_id, v,
+                      UNNEST(list_concat([bucket],
+                             list_transform(range(0, 8),
+                                            i -> xor(bucket, CAST(1 AS BIGINT) << i))))
+                        AS bucket
+               FROM b WHERE vec_id % 20 = 0),
+        scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                          {qcos} AS cosine
+                   FROM b c JOIN mp q
+                     ON c.bucket = q.bucket AND q.vec_id <> c.vec_id),
+        ranked AS (SELECT query_id, neighbor_id,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY cosine DESC,
+                                                      neighbor_id ASC) AS rank
+                   FROM scored)
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v0 WHERE vec_id % 20 = 0)
+                 AS n_queries,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ranked WHERE rank <= 5)
+                 AS n_served,
+               CAST(0 AS BIGINT) AS n_mismatch"""
 
     o["similarity_topk_bucketed"] = f"""
         WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

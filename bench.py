@@ -22,6 +22,10 @@ spread that moved is real — instead of from memory. prev_delta is
 computed on MEDIANS (the steal-robust center), falling back to min
 when the previous record predates spreads. tools/bench_merge.py
 merges the samples of several back-to-back passes into one record.
+The record grades itself: ``contention_flag`` is set when >= 5 gates
+show a >3x max/min spread within the SAME run on identical code —
+read a flagged record against a quiet-machine BENCH_LOCAL.json, not
+as a code regression (r10 verdict task 8).
 
 Prints ONE JSON line:
   {"metric": "suite_seconds", "value": N, "unit": "sec",
@@ -242,6 +246,15 @@ def main() -> int:
     except (TypeError, ValueError):
         prev = None
     spread = {name: _spread(s) for name, s in samples.items()}
+    # self-grading contention flag (r10 verdict task 8): identical code
+    # within one run should time tight; many gates with a wide max/min
+    # spread mean the box was contended and the absolute numbers (and
+    # prev_delta) should be read against a quiet-machine BENCH_LOCAL
+    # record, not as a code regression.
+    contended = sorted(
+        name for name, sp in spread.items()
+        if sp["min"] > 0 and sp["max"] / sp["min"] > 3.0
+    )
     if prev:
         prev_spread = prev.get("spread") or {}
         for name, cur in timings.items():
@@ -276,6 +289,8 @@ def main() -> int:
         "threads": threads,
         "runs_per_item": RUNS,
         "n_failed": sum(1 for t in timings.values() if t < 0),
+        "contention_gates": len(contended),
+        "contention_flag": len(contended) >= 5,
         "metric": "suite_seconds",
         "value": total,
         "unit": "sec",

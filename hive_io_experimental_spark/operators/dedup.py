@@ -1941,6 +1941,7 @@ def semantic_dedup_against_corpus(
     centroid_stride: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_cluster_rows: int | None = None,
     use_pandas: bool = True,
 ) -> DataFrame:
     """Incremental SemDeDup: semantic near-dups of an incoming batch
@@ -1962,6 +1963,15 @@ def semantic_dedup_against_corpus(
     only same-cell corpus rows. ``centroid_stride=None`` auto-sizes
     from the CORPUS count (resolve_semantic_stride — the balanced
     n^1.5 dial, floor = the oracle twins' 50).
+
+    ``max_cluster_rows`` ports the batch variant's skew fence: a dense
+    embedding region pulls an oversized quantizer cell, and the
+    same-cell join goes quadratic IN THAT CELL with no error. The bound
+    is checked on the CORPUS side (one narrow count-by-cid aggregation
+    before any pair work — the stored side is where skew accumulates
+    across ingestion ticks); past it the call raises naming the
+    offending cell and the stride remedy, exactly like semantic_dedup's
+    enforced raise. None (default) skips the extra aggregation job.
     """
     from pyspark.sql import Window
 
@@ -2007,6 +2017,23 @@ def semantic_dedup_against_corpus(
         return empty
     b = side(incoming, "batch_id")
     c = side(corpus, "corpus_id")
+    if max_cluster_rows is not None:
+        c = reuse(c)
+        worst = (
+            c.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .orderBy(F.col("_n").desc(), F.col("cid").asc())
+            .first()
+        )
+        if worst is not None and worst["_n"] > max_cluster_rows:
+            raise ValueError(
+                f"semantic_dedup_against_corpus corpus cluster "
+                f"{worst['cid']} holds {worst['_n']} rows (> "
+                f"max_cluster_rows={max_cluster_rows}): embedding "
+                f"geometry is skewed past the stride-sized bound. Lower "
+                f"centroid_stride (more, smaller clusters) or raise "
+                f"max_cluster_rows explicitly."
+            )
     hits = (
         b.join(c, "cid")
         .select(

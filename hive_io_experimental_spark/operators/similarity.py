@@ -99,7 +99,12 @@ def cosine_topk(
 _MAX_BROADCAST_QUERIES = 65_536
 
 
-def _require_small_query_side(q: DataFrame, caller: str) -> None:
+def _require_small_query_side(
+    q: DataFrame,
+    caller: str,
+    cap: int | None = None,
+    escape: str = "cosine_topk_bucketed or quantized_cosine_topk_bucketed",
+) -> None:
     """Enforce the queries-<<-corpus contract before broadcasting.
 
     limit(cap+1).count() stops the scan as soon as the cap is disproved,
@@ -110,13 +115,19 @@ def _require_small_query_side(q: DataFrame, caller: str) -> None:
     paths collect/broadcast the query side, which is equally impossible
     on a stream. Streaming callers route per-microbatch frames through
     these operators inside foreachBatch, or use the *_bucketed variants
-    (no broadcast, no guard, fully lazy)."""
-    n_q = q.limit(_MAX_BROADCAST_QUERIES + 1).count()
-    if n_q > _MAX_BROADCAST_QUERIES:
+    (no broadcast, no guard, fully lazy).
+
+    ``cap`` overrides the default limit for callers whose broadcast
+    payload is a MULTIPLE of the query row count (multi-probe fan-out
+    broadcasts queries x (1 + probes) rows, so its effective cap is the
+    default divided by the fan-out); ``escape`` names the no-broadcast
+    operator the error should route large query sets to."""
+    limit = _MAX_BROADCAST_QUERIES if cap is None else max(1, cap)
+    n_q = q.limit(limit + 1).count()
+    if n_q > limit:
         raise ValueError(
             f"{caller} broadcasts the query side to every task; got > "
-            f"{_MAX_BROADCAST_QUERIES} query vectors. Use "
-            f"cosine_topk_bucketed or quantized_cosine_topk_bucketed "
+            f"{limit} query vectors. Use {escape} "
             f"(LSH candidate generation, no broadcast) for large query "
             f"sets."
         )
@@ -2040,9 +2051,12 @@ def ivf_pq_topk(
     small (broadcast probe + LUT contract; large query sets belong on
     quantized_cosine_topk_bucketed, as the guard's error says).
     ``centroid_stride=None`` (default) auto-sizes the coarse quantizer at
-    sqrt(n) lists via resolve_ivf_stride (one parquet-metadata count, the
-    probe-once discipline) so assignment work stays n^1.5, not n^2/stride;
-    the floor resolves to the twins' constant (50) at fixture scales.
+    sqrt(n) lists via resolve_ivf_stride. That dial costs one count JOB
+    over the corpus frame (metadata-cheap only when the frame is a raw
+    parquet scan; a filtered/derived frame pays a real pass — the
+    probe-once discipline, same as the other auto-dials) so assignment
+    work stays n^1.5, not n^2/stride; the floor resolves to the twins'
+    constant (50) at fixture scales.
     """
     if centroid_stride is None:
         centroid_stride = resolve_ivf_stride(corpus.count())
@@ -2344,7 +2358,16 @@ def ivf_pq_build_index(
     catalog's strict write preconditions (reference OutputConf parity —
     never a silent in-place overwrite). ``centroid_stride=None``
     auto-sizes nlist at sqrt(n) (resolve_ivf_stride); pass trained
-    centroids/codebooks frames for the quality tier."""
+    centroids/codebooks frames for the quality tier.
+
+    The four tables are COUPLED (codes only make sense against the
+    codebooks they were encoded with; lists against their centroids), and
+    the drop-then-write sequence is not atomic: a mid-rebuild crash
+    leaves mixed geometry. Every table therefore carries a shared
+    ``build_id`` stamp, and ivf_pq_query_index REFUSES to serve a set of
+    tables whose stamps disagree — a torn rebuild is a loud error, never
+    silently-wrong scores. (The same crash-visible-not-crash-silent rule
+    as the ingestion artifacts' commit order, operators/ingestion.py.)"""
     from pyspark.sql import types as T
 
     from hive_io_experimental_spark.output import HiveOutput, WriteSpec
@@ -2377,18 +2400,28 @@ def ivf_pq_build_index(
     )
     out = HiveOutput(spark, catalog)
     id_type = corpus.schema[id_col].dataType
+    # one stamp per rebuild; a torn rebuild leaves mixed stamps, which
+    # ivf_pq_query_index rejects instead of serving mixed geometry
+    import uuid
+
+    bid = uuid.uuid4().hex
     for tbl, schema, df in (
         (
             f"{index_table}_centroids",
             HiveTableSchema((
                 ("cid", id_type),
                 ("cv", T.ArrayType(T.DoubleType())),
+                ("build_id", T.StringType()),
             )),
             cents,
         ),
         (
             f"{index_table}_lists",
-            HiveTableSchema((("cid", id_type), ("id", id_type))),
+            HiveTableSchema((
+                ("cid", id_type),
+                ("id", id_type),
+                ("build_id", T.StringType()),
+            )),
             lists,
         ),
         (
@@ -2397,6 +2430,7 @@ def ivf_pq_build_index(
                 ("j", T.IntegerType()),
                 ("code", T.IntegerType()),
                 ("cv", T.ArrayType(T.DoubleType())),
+                ("build_id", T.StringType()),
             )),
             codebooks,
         ),
@@ -2405,6 +2439,7 @@ def ivf_pq_build_index(
             HiveTableSchema((
                 ("id", id_type),
                 ("codes", T.ArrayType(T.LongType())),
+                ("build_id", T.StringType()),
             )),
             codes,
         ),
@@ -2412,7 +2447,7 @@ def ivf_pq_build_index(
         if catalog.table_exists(tbl):
             catalog.drop_table(tbl, delete_data=True)
         catalog.create_table(tbl, schema)
-        out.write_table(WriteSpec(table=tbl), df)
+        out.write_table(WriteSpec(table=tbl), df.withColumn("build_id", F.lit(bid)))
 
 
 def ivf_pq_query_index(
@@ -2432,7 +2467,14 @@ def ivf_pq_query_index(
     only the probed lists' stored codes. The corpus-side scan reads the
     lists table (one long per vector) and the codes table (m longs) —
     never the raw embeddings. Same small-query broadcast contract as
-    ivf_pq_topk."""
+    ivf_pq_topk.
+
+    Serving preconditions (raise, never silently-wrong scores): the four
+    tables' ``build_id`` stamps must agree (a torn rebuild is refused —
+    four limit-1 probe jobs, no full scans), and ``num_subspaces`` must
+    match the stored codebooks' subspace count (a mismatch would index
+    past the stored codes/LUT arrays and, with ANSI off, surface as
+    silent NULL scores)."""
     from hive_io_experimental_spark.input import HiveInput, ScanSpec
 
     _require_small_query_side(
@@ -2441,20 +2483,52 @@ def ivf_pq_query_index(
     )
     inp = HiveInput(spark, catalog)
     cents = inp.read_table(ScanSpec(table=f"{index_table}_centroids"))
+    codebooks = inp.read_table(
+        ScanSpec(table=f"{index_table}_codebooks")
+    )
+    lists = inp.read_table(ScanSpec(table=f"{index_table}_lists"))
+    codes = inp.read_table(ScanSpec(table=index_table))
+    # torn-rebuild fence: every table must carry the SAME build stamp.
+    # Each write is atomic per table (commit protocol), so one sampled
+    # row per table settles its stamp — no full scan of lists/codes.
+    stamps = {}
+    for name, df in (
+        ("centroids", cents), ("lists", lists),
+        ("codebooks", codebooks), ("codes", codes),
+    ):
+        r = df.select("build_id").first()
+        stamps[name] = None if r is None else r["build_id"]
+    if len({s for s in stamps.values() if s is not None}) > 1:
+        raise ValueError(
+            f"ivf_pq_query_index: index {index_table} has mixed build_id "
+            f"stamps across its tables ({stamps}) — a rebuild was torn "
+            f"mid-way. Re-run ivf_pq_build_index before serving."
+        )
+    cents = cents.select("cid", "cv")
+    codebooks = codebooks.select("j", "code", "cv")
+    lists = lists.select("cid", "id")
+    codes = codes.select("id", "codes")
     cent_rows = [r.asDict() for r in cents.collect()]
     if not cent_rows:
         raise ValueError(
             f"ivf_pq_query_index: empty centroid table "
             f"{index_table}_centroids"
         )
-    codebooks = inp.read_table(
-        ScanSpec(table=f"{index_table}_codebooks")
-    )
-    probe = codebooks.select(F.size("cv").alias("d")).first()
-    if probe is None:
+    probe = codebooks.agg(
+        F.first(F.size("cv")).alias("d"),
+        (F.max("j") + 1).alias("m"),
+    ).first()
+    if probe is None or probe["d"] is None:
         raise ValueError(
             f"ivf_pq_query_index: empty codebook table "
             f"{index_table}_codebooks"
+        )
+    if probe["m"] != num_subspaces:
+        raise ValueError(
+            f"ivf_pq_query_index: num_subspaces={num_subspaces} does not "
+            f"match the stored index ({index_table}_codebooks holds "
+            f"{probe['m']} subspaces). Pass num_subspaces={probe['m']} — "
+            f"a mismatch would misindex the stored codes."
         )
     dsub = probe["d"]
     qv = queries.select(
@@ -2465,8 +2539,6 @@ def ivf_pq_query_index(
     ).select("cid", "query_id")
     qu = _unit_vectors(queries, vec_col, id_col)
     luts = _pq_query_luts(qu, codebooks, num_subspaces, dsub)
-    lists = inp.read_table(ScanSpec(table=f"{index_table}_lists"))
-    codes = inp.read_table(ScanSpec(table=index_table))
     inv = lists.withColumnRenamed("id", "neighbor_id").join(
         codes.withColumnRenamed("id", "neighbor_id"), "neighbor_id"
     )
@@ -2499,21 +2571,26 @@ def ivf_pq_index_consistency_check(
     num_subspaces: int = 4,
     pq_stride: int = 5,
     max_codes: int | None = 128,
+    codebooks: DataFrame | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """One-row proof the persisted IVF-PQ index serves EXACTLY what the
     direct operator computes (same coarse lists -> same candidates; same
-    sampled codebooks -> same codes -> same ranked rows): n_queries,
-    n_served, n_mismatch (full-row anti-join both ways, must be 0). The
-    ivf/pq_index_consistency_check contract, for the composed tier."""
+    codebooks -> same codes -> same ranked rows): n_queries, n_served,
+    n_mismatch (full-row anti-join both ways, must be 0). The
+    ivf/pq_index_consistency_check contract, for the composed tier.
+    Build-parity parameters must mirror the ivf_pq_build_index call that
+    produced the index — including ``codebooks=`` when the index was
+    built with trained codebooks (the direct path would otherwise
+    recompute sampled ones and report spurious mismatches)."""
     served = ivf_pq_query_index(
         spark, catalog, index_table, queries, k, nprobe, num_subspaces,
         vec_col, id_col,
     )
     direct = ivf_pq_topk(
         corpus, queries, k, centroid_stride, nprobe, num_subspaces,
-        pq_stride, max_codes, None, vec_col, id_col,
+        pq_stride, max_codes, codebooks, vec_col, id_col,
     )
     cols = ["query_id", "neighbor_id", "adc_score", "rank"]
     a_not_b = served.select(cols).exceptAll(direct.select(cols))
@@ -2557,7 +2634,83 @@ def cosine_topk_multiprobe(
     ``num_planes=None`` auto-sizes like cosine_topk_bucketed; with
     multiprobe the auto-dial can afford MORE planes (smaller buckets)
     for the same recall, trading candidate volume against probe count.
+
+    The broadcast payload is queries x the probe fan-out (1 + planes at
+    probe_bits=1, + C(planes, 2) at 2 — up to 466x at the 30-plane
+    auto-dial ceiling), each row carrying the full fp32 vector, so the
+    small-query guard is ENFORCED with a fan-out-scaled cap
+    (_MAX_BROADCAST_QUERIES // fan_out). Query sets past the cap belong
+    on :func:`cosine_topk_multiprobe_bucketed` — the identical probe
+    set over a shuffle equi-join, no broadcast, no guard.
     """
+    return _multiprobe_topk(
+        corpus, queries, k, num_planes, probe_bits, vec_col, id_col,
+        broadcast_queries=True,
+    )
+
+
+def cosine_topk_multiprobe_bucketed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int | None = None,
+    probe_bits: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-probe LSH top-k for LARGE query sets: the identical Hamming
+    fan-out (same buckets, same probes, same exact rescore — row-for-row
+    equal output to :func:`cosine_topk_multiprobe`) but the probe-bucket
+    join is a plain shuffle equi-join on the bucket long instead of a
+    query-side broadcast. No size guard, no eager probe of the query
+    frame's cardinality: both sides hash-partition on ``bucket``, so a
+    100 M-query batch costs one shuffle of (id, vector, bucket) rows —
+    the cosine_topk_bucketed scaling story, with multiprobe recall.
+    Prefer the broadcast sibling when queries are guard-small (it keeps
+    the corpus scan exchange-free)."""
+    return _multiprobe_topk(
+        corpus, queries, k, num_planes, probe_bits, vec_col, id_col,
+        broadcast_queries=False,
+    )
+
+
+def _hamming_probe_buckets(num_planes: int, probe_bits: int) -> list:
+    """The multi-probe bucket set as column expressions over ``bucket``:
+    the bucket itself, every Hamming-1 XOR flip, and (probe_bits=2) every
+    Hamming-2 flip. All probes are distinct, so a (query, candidate) pair
+    appears at most once downstream — no dedup stage needed.
+    probe_bits=0 is the single-probe (bucketed) special case."""
+    flips = [F.col("bucket")]
+    if probe_bits >= 1:
+        flips += [
+            F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("long")
+            for i in range(num_planes)
+        ]
+    if probe_bits == 2:
+        flips += [
+            F.col("bucket")
+            .bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            .cast("long")
+            for i in range(num_planes)
+            for j in range(i + 1, num_planes)
+        ]
+    return flips
+
+
+def _multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    num_planes: int | None,
+    probe_bits: int,
+    vec_col: str,
+    id_col: str,
+    broadcast_queries: bool,
+) -> DataFrame:
+    """Shared multi-probe pipeline; the two public entry points differ
+    ONLY in the final probe-bucket join strategy (guarded broadcast vs
+    shuffle equi-join), so their outputs are row-identical by
+    construction — asserted by tests/test_operators.py parity."""
     if probe_bits not in (1, 2):
         raise ValueError(f"probe_bits must be 1 or 2, got {probe_bits}")
     corpus = spread(corpus)
@@ -2567,27 +2720,28 @@ def cosine_topk_multiprobe(
     ).first()
     if num_planes is None:
         num_planes = resolve_num_planes(probe["n"])
+    fan_out = 1 + num_planes
+    if probe_bits == 2:
+        fan_out += num_planes * (num_planes - 1) // 2
+    if broadcast_queries:
+        _require_small_query_side(
+            queries.select(F.col(id_col)),
+            f"cosine_topk_multiprobe (x{fan_out} probe fan-out)",
+            cap=_MAX_BROADCAST_QUERIES // fan_out,
+            escape="cosine_topk_multiprobe_bucketed (same probe set, "
+            "shuffle equi-join)",
+        )
     cb = hyperplane_lsh_buckets(
         corpus, num_planes, vec_col, id_col, dim=probe["dim"]
     )
     qb = hyperplane_lsh_buckets(
         queries, num_planes, vec_col, id_col, dim=probe["dim"]
     )
-    flips = [F.col("bucket")]
-    flips += [
-        F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("long")
-        for i in range(num_planes)
-    ]
-    if probe_bits == 2:
-        flips += [
-            F.col("bucket")
-            .bitwiseXOR(F.lit((1 << i) | (1 << j)))
-            .cast("long")
-            for i in range(num_planes)
-            for j in range(i + 1, num_planes)
-        ]
     qp = qb.select(
-        "id", F.explode(F.array(*flips)).alias("bucket")
+        "id",
+        F.explode(
+            F.array(*_hamming_probe_buckets(num_planes, probe_bits))
+        ).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
@@ -2600,8 +2754,9 @@ def cosine_topk_multiprobe(
         qp.withColumnRenamed("id", "query_id"), "query_id"
     ).withColumn("qnrm", l2_norm(F.col("qv")))
     cos = _pair_cosine("qv", "qnrm", "cv", "cnrm")
+    q_side = F.broadcast(q) if broadcast_queries else q
     scored = c.join(
-        F.broadcast(q),
+        q_side,
         (c["bucket"] == q["bucket"])
         & (F.col("query_id") != F.col("neighbor_id")),
     ).select("query_id", "neighbor_id", cos.alias("cosine"))
@@ -2657,4 +2812,223 @@ def multiprobe_recall_report(
         F.sum(F.coalesce(F.col("_hm"), F.lit(0)))
         .cast("long")
         .alias("hits_multi"),
+    )
+
+
+def lsh_build_index(
+    spark,
+    catalog,
+    index_table: str,
+    corpus: DataFrame,
+    num_planes: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Persist the hyperplane-LSH bucket structure as catalog tables —
+    the last cell of the persisted-index matrix (IVF, PQ, IVF-PQ already
+    have build/query/consistency lifecycles; the LSH tier's bucket
+    artifact was recomputed per call until now).
+
+    Two tables: the bucket table ``{index_table}`` (id, bucket — one
+    long per corpus vector) and ``{index_table}_meta`` (num_planes, dim,
+    n_vectors — one row), the geometry serving needs to hash query
+    vectors into the SAME plane family. At serve time the corpus-side
+    plane projection (num_planes dot products per vector over the whole
+    corpus, the dominant probe cost at 100 TB) is never recomputed: a
+    query batch touches its probed buckets' rows plus an id-equi-join to
+    fetch only CANDIDATE vectors for the exact rescore.
+
+    The plane family is the deterministic md5 family
+    (hyperplane_lsh_buckets), so stored buckets are bit-identical to a
+    recompute — serving from the index equals the direct operator
+    row-for-row (lsh_index_consistency_check), and the DuckDB twin stays
+    an exact hash oracle. Both tables carry a shared ``build_id`` stamp;
+    lsh_query_index refuses mixed stamps (the ivf_pq torn-rebuild
+    fence). Rebuild = explicit drop + recreate under the catalog's
+    strict write preconditions (reference OutputConf parity,
+    output/HiveApiOutputFormat.java:240-262)."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    probe = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size(F.col(vec_col))).alias("dim"),
+    ).first()
+    if probe is None or probe["n"] == 0 or probe["dim"] is None:
+        raise ValueError("lsh_build_index: empty corpus")
+    if num_planes is None:
+        num_planes = resolve_num_planes(probe["n"])
+    buckets = hyperplane_lsh_buckets(
+        corpus, num_planes, vec_col, id_col, dim=probe["dim"]
+    )
+    bid = uuid.uuid4().hex
+    id_type = corpus.schema[id_col].dataType
+    meta = spark.createDataFrame(
+        [(num_planes, int(probe["dim"]), int(probe["n"]), bid)],
+        "num_planes int, dim int, n_vectors long, build_id string",
+    )
+    out = HiveOutput(spark, catalog)
+    for tbl, schema, df in (
+        (
+            f"{index_table}_meta",
+            HiveTableSchema((
+                ("num_planes", T.IntegerType()),
+                ("dim", T.IntegerType()),
+                ("n_vectors", T.LongType()),
+                ("build_id", T.StringType()),
+            )),
+            meta,
+        ),
+        (
+            index_table,
+            HiveTableSchema((
+                ("id", id_type),
+                ("bucket", T.LongType()),
+                ("build_id", T.StringType()),
+            )),
+            buckets.withColumn("build_id", F.lit(bid)),
+        ),
+    ):
+        if catalog.table_exists(tbl):
+            catalog.drop_table(tbl, delete_data=True)
+        catalog.create_table(tbl, schema)
+        out.write_table(WriteSpec(table=tbl), df)
+
+
+def lsh_query_index(
+    spark,
+    catalog,
+    index_table: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    probe_bits: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-probe LSH top-k served from a PERSISTED bucket table: query
+    vectors are hashed into the stored plane family (num_planes from the
+    meta table), fanned out to their Hamming-``probe_bits`` probe set
+    (probe_bits=0 = single-probe), and equi-joined against the stored
+    buckets — the corpus-side plane projection never reruns. The exact
+    rescore then fetches only candidate vectors via an id join into
+    ``corpus``. Everything is a shuffle equi-join (no broadcast, no
+    size guard, fully lazy) — large query batches are the design
+    point, like cosine_topk_multiprobe_bucketed.
+
+    Returns (query_id, neighbor_id, cosine, rank), row-identical to the
+    direct multiprobe operators at the same plane count."""
+    if probe_bits not in (0, 1, 2):
+        raise ValueError(f"probe_bits must be 0, 1 or 2, got {probe_bits}")
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+
+    inp = HiveInput(spark, catalog)
+    meta_df = inp.read_table(ScanSpec(table=f"{index_table}_meta"))
+    meta = meta_df.first()
+    if meta is None:
+        raise ValueError(
+            f"lsh_query_index: empty meta table {index_table}_meta"
+        )
+    buckets = inp.read_table(ScanSpec(table=index_table))
+    b_stamp = buckets.select("build_id").first()
+    if b_stamp is not None and b_stamp["build_id"] != meta["build_id"]:
+        raise ValueError(
+            f"lsh_query_index: index {index_table} has mixed build_id "
+            f"stamps (meta {meta['build_id']!r} vs buckets "
+            f"{b_stamp['build_id']!r}) — a rebuild was torn mid-way. "
+            f"Re-run lsh_build_index before serving."
+        )
+    qb = hyperplane_lsh_buckets(
+        queries, int(meta["num_planes"]), vec_col, id_col,
+        dim=int(meta["dim"]),
+    )
+    qp = qb.select(
+        F.col("id").alias("query_id"),
+        F.explode(
+            F.array(
+                *_hamming_probe_buckets(int(meta["num_planes"]), probe_bits)
+            )
+        ).alias("bucket"),
+    )
+    cand = (
+        buckets.select(F.col("id").alias("neighbor_id"), "bucket")
+        .join(qp, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("cnrm", l2_norm(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("qnrm", l2_norm(F.col("qv")))
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(q, "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            _pair_cosine("qv", "qnrm", "cv", "cnrm").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
+
+
+def lsh_index_consistency_check(
+    spark,
+    catalog,
+    index_table: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    probe_bits: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One-row proof the persisted bucket table serves EXACTLY what the
+    direct multiprobe operator computes (deterministic plane family ->
+    stored buckets == recomputed buckets -> same candidates -> same
+    ranked rows): n_queries, n_served, n_mismatch (full-row anti-join
+    both ways, must be 0). The ivf/pq/ivf_pq_index_consistency_check
+    contract, for the LSH tier."""
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+
+    meta = HiveInput(spark, catalog).read_table(
+        ScanSpec(table=f"{index_table}_meta")
+    ).first()
+    if meta is None:
+        raise ValueError(
+            f"lsh_index_consistency_check: empty meta table "
+            f"{index_table}_meta"
+        )
+    served = lsh_query_index(
+        spark, catalog, index_table, corpus, queries, k, probe_bits,
+        vec_col, id_col,
+    )
+    if probe_bits == 0:
+        direct = cosine_topk_bucketed(
+            corpus, queries, k, int(meta["num_planes"]), vec_col, id_col
+        )
+    else:
+        direct = _multiprobe_topk(
+            corpus, queries, k, int(meta["num_planes"]), probe_bits,
+            vec_col, id_col, broadcast_queries=False,
+        )
+    cols = ["query_id", "neighbor_id", "cosine", "rank"]
+    a_not_b = served.select(cols).exceptAll(direct.select(cols))
+    b_not_a = direct.select(cols).exceptAll(served.select(cols))
+    mism = a_not_b.unionAll(b_not_a).count()
+    n_q = queries.select(F.col(id_col)).distinct().count()
+    n_served = served.count()
+    return spark.createDataFrame(
+        [(n_q, n_served, mism)],
+        "n_queries long, n_served long, n_mismatch long",
     )

@@ -2456,6 +2456,62 @@ def test_multiprobe_validates_probe_bits(spark, sf_dir):
         )
 
 
+def test_multiprobe_guard_scales_cap_with_fanout(spark):
+    """cosine_topk_multiprobe broadcasts queries x (1 + planes [+
+    C(planes, 2)]) rows, so its query-side cap is the standard broadcast
+    cap DIVIDED by the fan-out — a query set every sibling broadcast
+    path accepts must still raise here once fanned out, pointing at the
+    shuffle-join variant (the r7/r8 unguarded-broadcast class, closed
+    for the last entry point)."""
+    vec = F.array(F.lit(1.0), F.lit(2.0)).alias("embedding")
+    corpus = spark.range(10).select(F.col("id").alias("vec_id"), vec)
+    # fan-out at 8 planes / probe_bits=1 is 9 -> cap = 65536 // 9 = 7281;
+    # 7282 queries is far below the sibling paths' 65536 cap but must
+    # raise here
+    cap = similarity._MAX_BROADCAST_QUERIES // 9
+    big = spark.range(cap + 1).select(F.col("id").alias("vec_id"), vec)
+    with pytest.raises(ValueError, match="cosine_topk_multiprobe_bucketed"):
+        similarity.cosine_topk_multiprobe(
+            corpus, big, k=3, num_planes=8, probe_bits=1
+        )
+    # probe_bits=2 tightens the cap further: 1 + 8 + 28 = 37
+    cap2 = similarity._MAX_BROADCAST_QUERIES // 37
+    big2 = spark.range(cap2 + 1).select(F.col("id").alias("vec_id"), vec)
+    with pytest.raises(ValueError, match="cosine_topk_multiprobe_bucketed"):
+        similarity.cosine_topk_multiprobe(
+            corpus, big2, k=3, num_planes=8, probe_bits=2
+        )
+    # the bucketed variant takes the same frame without a guard
+    assert (
+        similarity.cosine_topk_multiprobe_bucketed(
+            corpus, big.limit(50), k=3, num_planes=8
+        ).count()
+        > 0
+    )
+
+
+def test_multiprobe_bucketed_parity(spark, sf_dir):
+    """The shuffle-join variant is row-identical to the broadcast one —
+    same buckets, same probe set, same exact rescore; only the physical
+    join strategy differs."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 50)
+    for bits in (1, 2):
+        a = {
+            tuple(r)
+            for r in similarity.cosine_topk_multiprobe(
+                emb, q, k=5, num_planes=8, probe_bits=bits
+            ).collect()
+        }
+        b = {
+            tuple(r)
+            for r in similarity.cosine_topk_multiprobe_bucketed(
+                emb, q, k=5, num_planes=8, probe_bits=bits
+            ).collect()
+        }
+        assert a == b and len(a) > 0
+
+
 def test_semantic_dedup_auto_stride_resolution(spark, sf_dir):
     # the balanced dial: floor 50 at fixture scales (oracle twins' dial),
     # sqrt(2n) beyond it — the n^1.5 contract
@@ -2513,6 +2569,32 @@ def test_semantic_dedup_against_corpus(spark):
     ]
     with pytest.raises(ValueError, match="threshold"):
         dedup.semantic_dedup_against_corpus(batch, corpus, threshold=1.5)
+
+
+def test_semantic_dedup_against_corpus_enforces_cluster_bound(spark):
+    """The incremental variant ports the batch variant's skew fence: a
+    dense corpus region pulling one oversized quantizer cell must raise
+    (naming the stride remedy) instead of going quietly quadratic in
+    that cell's same-cell join."""
+    # 60 near-identical corpus vectors -> all land in one quantizer cell
+    rows = [(i, [1.0, float(i) * 1e-6]) for i in range(60)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    batch = spark.createDataFrame(
+        [(1001, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="max_cluster_rows"):
+        dedup.semantic_dedup_against_corpus(
+            batch, corpus, threshold=0.9, centroid_stride=50,
+            max_cluster_rows=10,
+        )
+    # a generous bound (or the default None) leaves results unchanged
+    got = dedup.semantic_dedup_against_corpus(
+        batch, corpus, threshold=0.9, centroid_stride=50,
+        max_cluster_rows=100,
+    )
+    assert got.count() == 1
 
 
 # ---------------------------------------------------------------------------
@@ -2710,4 +2792,216 @@ def test_ivf_pq_index_persist_and_query(spark, sf_dir, warehouse):
         similarity.ivf_pq_build_index(
             spark, cat, "default.emb_ivfpq2",
             emb.filter(F.col("vec_id") % 2 == 1), centroid_stride=2,
+        )
+
+
+def test_ivf_pq_query_index_rejects_num_subspaces_mismatch(
+    spark, sf_dir, warehouse
+):
+    """Serving precondition: num_subspaces must match the stored
+    codebooks' subspace count — a mismatch would index past the stored
+    codes/LUT arrays and (ANSI off) surface as silent NULL scores, so
+    the query path raises instead."""
+    from hive_io_experimental_spark.catalog import Catalog
+
+    cat = Catalog(warehouse)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    similarity.ivf_pq_build_index(
+        spark, cat, "default.emb_ivfpq_m", emb, num_subspaces=4
+    )
+    with pytest.raises(ValueError, match="num_subspaces"):
+        similarity.ivf_pq_query_index(
+            spark, cat, "default.emb_ivfpq_m", queries, num_subspaces=2
+        )
+    # the matching value serves fine
+    assert (
+        similarity.ivf_pq_query_index(
+            spark, cat, "default.emb_ivfpq_m", queries, k=3,
+            num_subspaces=4,
+        ).count()
+        == 30
+    )
+
+
+def test_ivf_pq_query_index_refuses_torn_rebuild(spark, sf_dir, warehouse):
+    """The four IVF-PQ tables are coupled; a rebuild that dies mid-way
+    leaves mixed build_id stamps and the query path must refuse to serve
+    mixed geometry (crash-visible, never silently-wrong scores)."""
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    cat = Catalog(warehouse)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    similarity.ivf_pq_build_index(spark, cat, "default.emb_ivfpq_t", emb)
+
+    # simulate the torn rebuild: the centroid table got the new stamp,
+    # the other three still carry the old one (materialize the old rows
+    # BEFORE dropping the files they live in)
+    inp = HiveInput(spark, cat)
+    cent_rows = [
+        (r["cid"], r["cv"], "torn-rebuild-stamp")
+        for r in inp.read_table(
+            ScanSpec(table="default.emb_ivfpq_t_centroids")
+        ).collect()
+    ]
+    id_type = emb.schema["vec_id"].dataType
+    schema = HiveTableSchema((
+        ("cid", id_type),
+        ("cv", T.ArrayType(T.DoubleType())),
+        ("build_id", T.StringType()),
+    ))
+    cat.drop_table("default.emb_ivfpq_t_centroids", delete_data=True)
+    cat.create_table("default.emb_ivfpq_t_centroids", schema)
+    HiveOutput(spark, cat).write_table(
+        WriteSpec(table="default.emb_ivfpq_t_centroids"),
+        spark.createDataFrame(cent_rows, schema.to_struct_type()),
+    )
+    with pytest.raises(ValueError, match="mixed build_id"):
+        similarity.ivf_pq_query_index(
+            spark, cat, "default.emb_ivfpq_t", queries
+        )
+
+
+def test_ivf_pq_index_consistency_with_trained_codebooks(
+    spark, sf_dir, warehouse
+):
+    """Build-parity plumbing: an index built with TRAINED codebooks
+    checks clean when the consistency check is handed the same codebook
+    frame (the direct path must not recompute sampled ones)."""
+    from hive_io_experimental_spark.catalog import Catalog
+
+    cat = Catalog(warehouse)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    cb = similarity.pq_codebooks_trained(
+        emb, num_subspaces=4, codes_per_subspace=8, max_iter=3
+    )
+    similarity.ivf_pq_build_index(
+        spark, cat, "default.emb_ivfpq_tr", emb, codebooks=cb
+    )
+    row = similarity.ivf_pq_index_consistency_check(
+        spark, cat, "default.emb_ivfpq_tr", emb, queries, k=3,
+        codebooks=cb,
+    ).first()
+    assert row["n_mismatch"] == 0
+    assert row["n_queries"] == 20
+
+
+# ---------------------------------------------------------------------------
+# persisted LSH bucket index (the last index-lifecycle cell)
+# ---------------------------------------------------------------------------
+
+def test_lsh_index_persist_and_query(spark, sf_dir, warehouse):
+    """LSH index lifecycle: build persists buckets + meta catalog tables;
+    serving from the stored buckets returns EXACTLY the direct multiprobe
+    operator's rows at every probe depth (deterministic plane family);
+    a torn rebuild (mixed build_id) is refused."""
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+
+    cat = Catalog(warehouse)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 50)
+
+    similarity.lsh_build_index(
+        spark, cat, "default.emb_lsh", emb, num_planes=8
+    )
+    assert cat.table_exists("default.emb_lsh")
+    assert cat.table_exists("default.emb_lsh_meta")
+    meta = HiveInput(spark, cat).read_table(
+        ScanSpec(table="default.emb_lsh_meta")
+    ).first()
+    assert meta["num_planes"] == 8
+    assert meta["n_vectors"] == emb.count()
+
+    for bits in (0, 1, 2):
+        row = similarity.lsh_index_consistency_check(
+            spark, cat, "default.emb_lsh", emb, queries, k=5,
+            probe_bits=bits,
+        ).first()
+        assert row["n_mismatch"] == 0, f"probe_bits={bits}"
+        assert row["n_queries"] == 50
+
+    with pytest.raises(ValueError, match="probe_bits"):
+        similarity.lsh_query_index(
+            spark, cat, "default.emb_lsh", emb, queries, probe_bits=3
+        )
+
+
+def test_lsh_index_auto_planes_and_rebuild(spark, sf_dir, warehouse):
+    """num_planes=None auto-sizes from the corpus (resolve_num_planes);
+    rebuild with a different plane count replaces both tables and serving
+    picks up the stored geometry (no caller-side plane bookkeeping)."""
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+
+    cat = Catalog(warehouse)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    similarity.lsh_build_index(spark, cat, "default.emb_lsh2", emb)
+    inp = HiveInput(spark, cat)
+    meta = inp.read_table(ScanSpec(table="default.emb_lsh2_meta")).first()
+    assert meta["num_planes"] == similarity.resolve_num_planes(emb.count())
+
+    similarity.lsh_build_index(
+        spark, cat, "default.emb_lsh2", emb, num_planes=4
+    )
+    meta2 = inp.read_table(ScanSpec(table="default.emb_lsh2_meta")).first()
+    assert meta2["num_planes"] == 4
+    assert meta2["build_id"] != meta["build_id"]
+    # serving uses the stored 4-plane family: parity vs direct at 4 planes
+    q = emb.filter(F.col("vec_id") < 20)
+    served = {
+        tuple(r)
+        for r in similarity.lsh_query_index(
+            spark, cat, "default.emb_lsh2", emb, q, k=3, probe_bits=1
+        ).collect()
+    }
+    direct = {
+        tuple(r)
+        for r in similarity.cosine_topk_multiprobe_bucketed(
+            emb, q, k=3, num_planes=4, probe_bits=1
+        ).collect()
+    }
+    assert served == direct and len(served) > 0
+
+
+def test_lsh_index_refuses_torn_rebuild(spark, sf_dir, warehouse):
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    cat = Catalog(warehouse)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    similarity.lsh_build_index(
+        spark, cat, "default.emb_lsh3", emb, num_planes=8
+    )
+    # meta got a new stamp, buckets still carry the old one
+    schema = HiveTableSchema((
+        ("num_planes", T.IntegerType()),
+        ("dim", T.IntegerType()),
+        ("n_vectors", T.LongType()),
+        ("build_id", T.StringType()),
+    ))
+    cat.drop_table("default.emb_lsh3_meta", delete_data=True)
+    cat.create_table("default.emb_lsh3_meta", schema)
+    dim = int(emb.select(F.size("embedding")).first()[0])
+    HiveOutput(spark, cat).write_table(
+        WriteSpec(table="default.emb_lsh3_meta"),
+        spark.createDataFrame(
+            [(8, dim, int(emb.count()), "torn-stamp")],
+            schema.to_struct_type(),
+        ),
+    )
+    with pytest.raises(ValueError, match="mixed build_id"):
+        similarity.lsh_query_index(
+            spark, cat, "default.emb_lsh3", emb, queries
         )
