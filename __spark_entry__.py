@@ -2341,6 +2341,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # persisted-index matrix (IVF, PQ, IVF-PQ, now LSH). Deterministic
     # md5 plane family keeps the twin an exact oracle.
     q["similarity_lsh_index"] = _similarity_lsh_index
+    # int8 multi-probe (new r11): the multiprobe recall fix composed with
+    # the 4x int8 payload shrink — completes LSH x {fp32, int8} x
+    # {single, multi}. Same shuffle equi-join, exact int64 scoring.
+    q["similarity_quantized_multiprobe"] = lambda spark, sf: (
+        similarity.quantized_cosine_topk_bucketed(
+            _t(spark, sf, "embeddings"),
+            _t(spark, sf, "embeddings").filter(F.col("vec_id") % 20 == 0),
+            k=5,
+            num_planes=8,
+            probe_bits=1,
+        )
+    )
     q["similarity_pq_recall"] = lambda spark, sf: similarity.pq_recall_check(
         _t(spark, sf, "embeddings"),
         _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200),
@@ -2429,9 +2441,9 @@ _CHECK_FIRST = [
     # stalest gates are now the r10 deferral list itself: 4 r3-stale
     # TPC-H shapes + the 9-gate r4 block (7-8 rounds) — the verdict's
     # "r11 must lead with them" set. Priority for the 50 slots, after
-    # the standing 16-gate core: (a) this round's 2 births (in-window
-    # from birth), (b) the 13 named r3/r4 veterans, (c) 19 of the 27
-    # r5-stale gates (6 rounds) — the last 8 defer to r12, named below.
+    # the standing 16-gate core: (a) this round's 3 births (in-window
+    # from birth), (b) the 13 named r3/r4 veterans, (c) 18 of the 27
+    # r5-stale gates (6 rounds) — the last 9 defer to r12, named below.
     # ------------------------------------------------------------------
     # §2 scan surface (S1-S4, S6/S7 serde, S10 stats) — stays every round
     "scan_projection", "scan_filter", "scan_topk",
@@ -2443,10 +2455,12 @@ _CHECK_FIRST = [
     "pricing_summary", "events_hourly", "dedup_exact",
     "text_metrics", "similarity_topk_bucketed", "multimodal_decode",
     # ---- new r11 gates (in-window from birth, the standing rule) ----
-    # shuffle-join multiprobe: the large-query-set destination the
-    # broadcast multiprobe's new fan-out-scaled guard routes to; and the
-    # persisted LSH bucket index closing the index-lifecycle matrix
+    # shuffle-join multiprobe (the large-query-set destination the
+    # broadcast multiprobe's new fan-out-scaled guard routes to), the
+    # persisted LSH bucket index closing the index-lifecycle matrix,
+    # and the int8 multiprobe completing LSH x {fp32,int8} x {single,multi}
     "similarity_multiprobe_bucketed", "similarity_lsh_index",
+    "similarity_quantized_multiprobe",
     # ---- 4 r3-stale TPC-H shapes (8 rounds since last driver check) ----
     "sql_q17_small_qty", "supplier_part_counts", "top_supplier",
     "waiting_orders",
@@ -2454,19 +2468,18 @@ _CHECK_FIRST = [
     "event_dwell_stats", "events_hourly_salted", "gapfill_hourly",
     "sql_q19_disjunctive", "trailing_purchase_stats", "user_event_paths",
     "dedup_minhash_lsh", "dedup_simhash", "active_user_trends",
-    # ---- 19 of the 27 r5-stale (6 rounds since last driver check) ----
+    # ---- 18 of the 27 r5-stale (6 rounds since last driver check) ----
     "asof_purchase_click", "bloom_join_prune", "brand_size_pivot",
     "customer_order_ranks", "data_expectations", "dedup_embedding",
     "dedup_span_stats", "event_props_json", "events_time_rollup",
     "expanding_zscore", "funnel_step_counts", "funnel_user_extrema",
     "incremental_rollup", "join_semi", "max_concurrent_sessions",
     "nation_revenue", "orders_by_month", "range_join_signup_purchase",
-    "retention_cohorts",
     # (deferred to r12 by the 50-slot cap — r12 must lead with them:
-    # similarity_lsh_buckets, similarity_quality_topk, snapshot_diff_cdc,
-    # sql_q6_revenue, stratified_sample_docs, tfidf_top_terms,
-    # token_budget_mix, token_counts (r5-stale), then the 34-gate r6
-    # block)
+    # retention_cohorts, similarity_lsh_buckets, similarity_quality_topk,
+    # snapshot_diff_cdc, sql_q6_revenue, stratified_sample_docs,
+    # tfidf_top_terms, token_budget_mix, token_counts (r5-stale), then
+    # the 34-gate r6 block)
 ]
 
 
@@ -5223,6 +5236,50 @@ def oracle_sql() -> dict[str, str]:
                    FROM scored)
         SELECT query_id, neighbor_id, qcosine, rank
         FROM ranked WHERE rank <= 10"""
+
+    # int8 multiprobe twin (new r11): the quantizer CTEs above + the
+    # Hamming-1 probe expansion on the query side (distinct probes, so
+    # no pair dedup), exact int64 scoring, top-5
+    o["similarity_quantized_multiprobe"] = f"""
+        WITH v0 AS (SELECT vec_id,
+                           list_transform(embedding,
+                                          x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+        vp AS (SELECT vec_id, v, {plane_lists} FROM v0),
+        b AS (SELECT vec_id, v, CAST({plane_terms} AS BIGINT) AS bucket
+              FROM vp),
+        s AS (SELECT vec_id, bucket, v,
+                     list_max(list_transform(v, x -> abs(x))) / 127.0
+                       AS scale
+              FROM b),
+        codes AS (SELECT vec_id, bucket,
+                         CASE WHEN scale = 0
+                              THEN list_transform(v, x -> 0.0)
+                              ELSE list_transform(
+                                     v, x -> floor(x / scale + 0.5)) END
+                           AS c
+                  FROM s),
+        n AS (SELECT vec_id, bucket, c, list_dot_product(c, c) AS nn
+              FROM codes),
+        mp AS (SELECT vec_id, c, nn,
+                      UNNEST(list_concat([bucket],
+                             list_transform(range(0, 8),
+                                            i -> xor(bucket, CAST(1 AS BIGINT) << i))))
+                        AS bucket
+               FROM n WHERE vec_id % 20 = 0),
+        scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                          ROUND(list_dot_product(q.c, c.c)
+                                / (sqrt(q.nn) * sqrt(c.nn)), 6) AS qcosine
+                   FROM n c JOIN mp q
+                     ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+        ranked AS (SELECT query_id, neighbor_id, qcosine,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY qcosine DESC,
+                                                      neighbor_id ASC)
+                            AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, qcosine, rank
+        FROM ranked WHERE rank <= 5"""
 
     o["sql_q17_small_qty"] = _SQL_Q17
 

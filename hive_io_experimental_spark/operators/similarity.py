@@ -1475,6 +1475,7 @@ def quantized_cosine_topk_bucketed(
     num_planes: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate top-k over int8 codes with LSH-bucketed candidates —
     the production ANN shape for LARGE query sets at corpus scale.
@@ -1489,9 +1490,20 @@ def quantized_cosine_topk_bucketed(
     exact int64 arithmetic as quantized_cosine_topk — scales cancel in
     cosine, so the DuckDB twin checks values with zero tolerance.
 
+    ``probe_bits`` (0/1/2, default 0 = single-probe) turns on multi-probe
+    candidate generation (Lv et al. VLDB 2007): each query also searches
+    every bucket within that Hamming distance — the cosine_topk_multiprobe
+    recall fix composed with the int8 payload shrink, completing the
+    LSH x {fp32, int8} x {single, multi} matrix. Only the query side fans
+    out (x(1 + planes [+ C(planes, 2)])); the corpus-side bucket layout
+    and codes are untouched, and the join stays a shuffle equi-join —
+    no broadcast, no guard, candidate volume grows by ~the probe factor.
+
     Returns (query_id, neighbor_id, qcosine, rank); recall < 1 by
     bucket construction, like cosine_topk_bucketed.
     """
+    if probe_bits not in (0, 1, 2):
+        raise ValueError(f"probe_bits must be 0, 1 or 2, got {probe_bits}")
     corpus = spread(corpus)
     probe = corpus.agg(
         F.count(F.lit(1)).alias("n"),
@@ -1504,7 +1516,15 @@ def quantized_cosine_topk_bucketed(
     ).withColumnRenamed("id", "neighbor_id")
     qb = hyperplane_lsh_buckets(
         queries, num_planes, vec_col, id_col, dim=probe["dim"]
-    ).withColumnRenamed("id", "query_id").withColumnRenamed(
+    )
+    if probe_bits:
+        qb = qb.select(
+            "id",
+            F.explode(
+                F.array(*_hamming_probe_buckets(num_planes, probe_bits))
+            ).alias("bucket"),
+        )
+    qb = qb.withColumnRenamed("id", "query_id").withColumnRenamed(
         "bucket", "_qbucket"
     )
     c = (

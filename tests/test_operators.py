@@ -2490,6 +2490,47 @@ def test_multiprobe_guard_scales_cap_with_fanout(spark):
     )
 
 
+def test_quantized_multiprobe_superset_and_validation(spark, sf_dir):
+    """probe_bits on the int8 bucketed path: the probe set is a strict
+    superset of single-probe, so with k = corpus size the result PAIRS
+    are a superset too; probe_bits=0 reproduces the original operator
+    exactly; bad probe_bits raises."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    n = emb.count()
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.quantized_cosine_topk_bucketed(
+            emb, q, k=n, num_planes=8
+        ).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.quantized_cosine_topk_bucketed(
+            emb, q, k=n, num_planes=8, probe_bits=1
+        ).collect()
+    }
+    assert single < multi  # strictly more candidates on this fixture
+    # default path unchanged: probe_bits=0 == the pre-probe_bits operator
+    base = {
+        tuple(r)
+        for r in similarity.quantized_cosine_topk_bucketed(
+            emb, q, k=5, num_planes=8
+        ).collect()
+    }
+    zero = {
+        tuple(r)
+        for r in similarity.quantized_cosine_topk_bucketed(
+            emb, q, k=5, num_planes=8, probe_bits=0
+        ).collect()
+    }
+    assert base == zero
+    with pytest.raises(ValueError, match="probe_bits"):
+        similarity.quantized_cosine_topk_bucketed(
+            emb, q, k=5, num_planes=8, probe_bits=3
+        )
+
+
 def test_multiprobe_bucketed_parity(spark, sf_dir):
     """The shuffle-join variant is row-identical to the broadcast one —
     same buckets, same probe set, same exact rescore; only the physical
