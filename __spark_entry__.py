@@ -249,6 +249,35 @@ def _similarity_lsh_index(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _similarity_lsh_append(spark: SparkSession, sf: str) -> DataFrame:
+    """Build the persisted LSH index on HALF the corpus, fold the other
+    half in with lsh_append_to_index (snapshot append, stored plane
+    family, no rebuild), then prove serving equals the direct multiprobe
+    over the FULL corpus — the ingestion-tick lifecycle for the ANN
+    index, with the same exact one-row oracle as similarity_lsh_index
+    (the plane family is pinned, so the final state is
+    bucket-identical to a from-scratch build)."""
+    import tempfile
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators import similarity
+
+    wh = tempfile.mkdtemp(prefix="hio_lsha_wh_")
+    cat = Catalog(wh)
+    emb = _t(spark, sf, "embeddings")
+    similarity.lsh_build_index(
+        spark, cat, "default.emb_lsha", emb.filter(F.col("vec_id") % 2 == 0),
+        num_planes=8,
+    )
+    similarity.lsh_append_to_index(
+        spark, cat, "default.emb_lsha", emb.filter(F.col("vec_id") % 2 == 1)
+    )
+    return similarity.lsh_index_consistency_check(
+        spark, cat, "default.emb_lsha", emb,
+        emb.filter(F.col("vec_id") % 20 == 0), k=5, probe_bits=1,
+    )
+
+
 def _dedup_df_cut_bound(spark: SparkSession, sf: str) -> DataFrame:
     """Pathological-corpus proof that the shingle df-cut bounds the
     candidate-pair join: 400 generated docs, half sharing one boilerplate
@@ -2341,6 +2370,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # persisted-index matrix (IVF, PQ, IVF-PQ, now LSH). Deterministic
     # md5 plane family keeps the twin an exact oracle.
     q["similarity_lsh_index"] = _similarity_lsh_index
+    # incremental index maintenance (new r11): build on half the corpus,
+    # snapshot-append the rest with the STORED plane family — serving
+    # equals a from-scratch build (plane family = index identity), so
+    # the twin is the same exact one-row oracle as similarity_lsh_index
+    q["similarity_lsh_append"] = _similarity_lsh_append
     # int8 multi-probe (new r11): the multiprobe recall fix composed with
     # the 4x int8 payload shrink — completes LSH x {fp32, int8} x
     # {single, multi}. Same shuffle equi-join, exact int64 scoring.
@@ -2441,9 +2475,9 @@ _CHECK_FIRST = [
     # stalest gates are now the r10 deferral list itself: 4 r3-stale
     # TPC-H shapes + the 9-gate r4 block (7-8 rounds) — the verdict's
     # "r11 must lead with them" set. Priority for the 50 slots, after
-    # the standing 16-gate core: (a) this round's 3 births (in-window
-    # from birth), (b) the 13 named r3/r4 veterans, (c) 18 of the 27
-    # r5-stale gates (6 rounds) — the last 9 defer to r12, named below.
+    # the standing 16-gate core: (a) this round's 4 births (in-window
+    # from birth), (b) the 13 named r3/r4 veterans, (c) 17 of the 27
+    # r5-stale gates (6 rounds) — the last 10 defer to r12, named below.
     # ------------------------------------------------------------------
     # §2 scan surface (S1-S4, S6/S7 serde, S10 stats) — stays every round
     "scan_projection", "scan_filter", "scan_topk",
@@ -2458,9 +2492,10 @@ _CHECK_FIRST = [
     # shuffle-join multiprobe (the large-query-set destination the
     # broadcast multiprobe's new fan-out-scaled guard routes to), the
     # persisted LSH bucket index closing the index-lifecycle matrix,
-    # and the int8 multiprobe completing LSH x {fp32,int8} x {single,multi}
+    # its snapshot-append ingestion-tick lifecycle, and the int8
+    # multiprobe completing LSH x {fp32,int8} x {single,multi}
     "similarity_multiprobe_bucketed", "similarity_lsh_index",
-    "similarity_quantized_multiprobe",
+    "similarity_lsh_append", "similarity_quantized_multiprobe",
     # ---- 4 r3-stale TPC-H shapes (8 rounds since last driver check) ----
     "sql_q17_small_qty", "supplier_part_counts", "top_supplier",
     "waiting_orders",
@@ -2468,18 +2503,19 @@ _CHECK_FIRST = [
     "event_dwell_stats", "events_hourly_salted", "gapfill_hourly",
     "sql_q19_disjunctive", "trailing_purchase_stats", "user_event_paths",
     "dedup_minhash_lsh", "dedup_simhash", "active_user_trends",
-    # ---- 18 of the 27 r5-stale (6 rounds since last driver check) ----
+    # ---- 17 of the 27 r5-stale (6 rounds since last driver check) ----
     "asof_purchase_click", "bloom_join_prune", "brand_size_pivot",
     "customer_order_ranks", "data_expectations", "dedup_embedding",
     "dedup_span_stats", "event_props_json", "events_time_rollup",
     "expanding_zscore", "funnel_step_counts", "funnel_user_extrema",
     "incremental_rollup", "join_semi", "max_concurrent_sessions",
-    "nation_revenue", "orders_by_month", "range_join_signup_purchase",
+    "nation_revenue", "orders_by_month",
     # (deferred to r12 by the 50-slot cap — r12 must lead with them:
-    # retention_cohorts, similarity_lsh_buckets, similarity_quality_topk,
-    # snapshot_diff_cdc, sql_q6_revenue, stratified_sample_docs,
-    # tfidf_top_terms, token_budget_mix, token_counts (r5-stale), then
-    # the 34-gate r6 block)
+    # range_join_signup_purchase, retention_cohorts,
+    # similarity_lsh_buckets, similarity_quality_topk, snapshot_diff_cdc,
+    # sql_q6_revenue, stratified_sample_docs, tfidf_top_terms,
+    # token_budget_mix, token_counts (r5-stale), then the 34-gate r6
+    # block)
 ]
 
 
@@ -5143,6 +5179,11 @@ def oracle_sql() -> dict[str, str]:
                (SELECT CAST(COUNT(*) AS BIGINT) FROM ranked WHERE rank <= 5)
                  AS n_served,
                CAST(0 AS BIGINT) AS n_mismatch"""
+
+    # build-on-half + append-the-rest reaches the SAME final bucket state
+    # as a from-scratch build (pinned plane family), so the append gate
+    # shares the lsh_index twin verbatim
+    o["similarity_lsh_append"] = o["similarity_lsh_index"]
 
     o["similarity_topk_bucketed"] = f"""
         WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

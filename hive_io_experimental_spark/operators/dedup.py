@@ -679,7 +679,7 @@ def embedding_neardup(
     if max_blocks is None:
         max_blocks = _conf.DEDUP_MAX_BLOCKS.get(df.sparkSession)
 
-    n = df.count()  # parquet metadata count: cheap
+    n = df.count()  # one probe job (metadata-cheap only on a raw scan)
     if n == 0:
         return df.sparkSession.createDataFrame(
             [], "a_id long, b_id long, cosine double"
@@ -1830,8 +1830,9 @@ def semantic_dedup(
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if centroid_stride is None:
-        # parquet metadata count: cheap — the same probe-once discipline
-        # as cosine_topk_bucketed's auto-planes
+        # one count job (metadata-cheap only on a raw parquet scan; a
+        # filtered/derived frame pays a real pass) — the probe-once
+        # discipline of cosine_topk_bucketed's auto-planes
         centroid_stride = resolve_semantic_stride(df.count())
     if centroid_stride < 1:
         raise ValueError(f"centroid_stride must be >= 1, got {centroid_stride}")

@@ -426,7 +426,7 @@ def fit_spherical_kmeans(
             corpus.sparkSession
         )
 
-    n = corpus.count()  # parquet metadata count: cheap
+    n = corpus.count()  # one probe job (metadata-cheap only on a raw scan)
     target = sample_per_centroid * n_centroids
     stride = max(1, n // max(target, 1))
     train = corpus
@@ -2892,7 +2892,11 @@ def lsh_build_index(
         "num_planes int, dim int, n_vectors long, build_id string",
     )
     out = HiveOutput(spark, catalog)
-    for tbl, schema, df in (
+    # the bucket table is VERSIONED: lsh_append_to_index folds new
+    # vectors in as snapshots (and time-travel reads the index as-of any
+    # ingestion tick); meta is the immutable build-time record of the
+    # plane family
+    for tbl, schema, df, versioned in (
         (
             f"{index_table}_meta",
             HiveTableSchema((
@@ -2902,6 +2906,7 @@ def lsh_build_index(
                 ("build_id", T.StringType()),
             )),
             meta,
+            False,
         ),
         (
             index_table,
@@ -2911,12 +2916,62 @@ def lsh_build_index(
                 ("build_id", T.StringType()),
             )),
             buckets.withColumn("build_id", F.lit(bid)),
+            True,
         ),
     ):
         if catalog.table_exists(tbl):
             catalog.drop_table(tbl, delete_data=True)
-        catalog.create_table(tbl, schema)
+        catalog.create_table(tbl, schema, versioned=versioned)
         out.write_table(WriteSpec(table=tbl), df)
+
+
+def lsh_append_to_index(
+    spark,
+    catalog,
+    index_table: str,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Incremental LSH index maintenance: bucket NEW vectors with the
+    STORED plane family and commit them as a snapshot APPEND to the
+    versioned bucket table — the ingestion-tick move for the ANN serving
+    index, mirroring append_to_artifacts for the dedup artifacts. No
+    corpus rescan, no rebuild: per tick the work is |batch| x num_planes
+    dot products plus one narrow anti-join against the stored ids
+    (idempotent — a re-delivered batch appends nothing and the table
+    version does not advance). The appended rows carry the ORIGINAL
+    build_id (the plane family is the index identity; appends never
+    change geometry), so the torn-rebuild fence stays valid, and
+    time-travel reads serve the index as-of any tick. Returns the
+    committed snapshot version (or the current one on a no-op)."""
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+
+    inp = HiveInput(spark, catalog)
+    meta = inp.read_table(ScanSpec(table=f"{index_table}_meta")).first()
+    if meta is None:
+        raise ValueError(
+            f"lsh_append_to_index: empty meta table {index_table}_meta — "
+            f"run lsh_build_index first"
+        )
+    qb = hyperplane_lsh_buckets(
+        new_vectors, int(meta["num_planes"]), vec_col, id_col,
+        dim=int(meta["dim"]),
+    )
+    stored_ids = inp.read_table(ScanSpec(table=index_table)).select("id")
+    fresh = (
+        qb.join(stored_ids, "id", "left_anti")
+        .withColumn("build_id", F.lit(meta["build_id"]))
+        .localCheckpoint()  # cut lineage: the append rewrites the very
+        # table this plan anti-joins against (the append_to_artifacts
+        # same-path-scan lesson, operators/ingestion.py:377-384)
+    )
+    if fresh.isEmpty():
+        return catalog.current_version(index_table)
+    return HiveOutput(spark, catalog).append_table(
+        WriteSpec(table=index_table), fresh, note="lsh_append_to_index"
+    )
 
 
 def lsh_query_index(

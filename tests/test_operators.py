@@ -3012,6 +3012,57 @@ def test_lsh_index_auto_planes_and_rebuild(spark, sf_dir, warehouse):
     assert served == direct and len(served) > 0
 
 
+def test_lsh_append_to_index(spark, sf_dir, warehouse):
+    """Incremental maintenance: build on half the corpus, snapshot-append
+    the rest with the stored plane family — serving equals a from-scratch
+    build (same planes -> same buckets); a re-delivered batch is a no-op
+    (anti-join idempotency, version does not advance); appending to a
+    missing index raises."""
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+
+    cat = Catalog(warehouse)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 30)
+
+    similarity.lsh_build_index(
+        spark, cat, "default.emb_lsha", half_a, num_planes=8
+    )
+    v1 = similarity.lsh_append_to_index(
+        spark, cat, "default.emb_lsha", half_b
+    )
+    n = HiveInput(spark, cat).read_table(
+        ScanSpec(table="default.emb_lsha")
+    ).count()
+    assert n == emb.count()
+    # full-corpus serving == direct multiprobe over the full corpus
+    row = similarity.lsh_index_consistency_check(
+        spark, cat, "default.emb_lsha", emb, queries, k=5, probe_bits=1
+    ).first()
+    assert row["n_mismatch"] == 0
+    # idempotent re-delivery: nothing fresh, version unchanged
+    v2 = similarity.lsh_append_to_index(
+        spark, cat, "default.emb_lsha", half_b
+    )
+    assert v2 == v1
+    assert HiveInput(spark, cat).read_table(
+        ScanSpec(table="default.emb_lsha")
+    ).count() == n
+    # one shared build stamp across build + append rows
+    stamps = (
+        HiveInput(spark, cat)
+        .read_table(ScanSpec(table="default.emb_lsha"))
+        .select("build_id").distinct().count()
+    )
+    assert stamps == 1
+    with pytest.raises(Exception):
+        similarity.lsh_append_to_index(
+            spark, cat, "default.missing_lsh", half_b
+        )
+
+
 def test_lsh_index_refuses_torn_rebuild(spark, sf_dir, warehouse):
     from pyspark.sql import types as T
 
