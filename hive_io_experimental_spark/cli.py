@@ -473,6 +473,73 @@ def cmd_spans(args: argparse.Namespace, stop_session: bool = True) -> int:
     return 0
 
 
+def cmd_index(args: argparse.Namespace, stop_session: bool = True) -> int:
+    """Persisted LSH ANN index lifecycle from the CLI:
+
+    build  — bucket the corpus and persist buckets + meta catalog tables
+             (--planes pins the plane family; default auto-sizes);
+    append — fold new vectors in with the STORED plane family (snapshot
+             append, idempotent on re-delivery);
+    query  — multi-probe top-k served from the stored buckets (corpus
+             side reads buckets, only candidate vectors are rescored);
+    check  — one-row consistency proof: served == direct multiprobe.
+    """
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+    from hive_io_experimental_spark.operators import similarity
+
+    warehouse = _resolve_warehouse(args)
+    if not warehouse:
+        raise SystemExit("index requires --warehouse or --namespaces-file")
+    spark = _build_spark(args.threads)
+    cat = Catalog(warehouse)
+    corpus = _table_df(spark, args, args.table)
+    if args.action == "build":
+        similarity.lsh_build_index(
+            spark, cat, args.index, corpus, num_planes=args.planes,
+            vec_col=args.vec_col, id_col=args.id_col,
+        )
+        out = HiveInput(spark, cat).read_table(
+            ScanSpec(table=f"{args.index}_meta")
+        )
+    elif args.action == "append":
+        version = similarity.lsh_append_to_index(
+            spark, cat, args.index, corpus,
+            vec_col=args.vec_col, id_col=args.id_col,
+        )
+        print(f"# index {args.index} at version {version}", file=sys.stderr)
+        out = HiveInput(spark, cat).read_table(
+            ScanSpec(table=f"{args.index}_meta")
+        )
+    elif args.action == "query":
+        if not args.queries:
+            raise SystemExit("index query requires --queries")
+        out = similarity.lsh_query_index(
+            spark, cat, args.index, corpus,
+            _table_df(spark, args, args.queries),
+            k=args.k, probe_bits=args.probe_bits,
+            vec_col=args.vec_col, id_col=args.id_col,
+        )
+    else:  # check
+        if not args.queries:
+            raise SystemExit("index check requires --queries")
+        out = similarity.lsh_index_consistency_check(
+            spark, cat, args.index, corpus,
+            _table_df(spark, args, args.queries),
+            k=args.k, probe_bits=args.probe_bits,
+            vec_col=args.vec_col, id_col=args.id_col,
+        )
+    print(args.separator.join(out.columns))
+    n = 0
+    for row in out.toLocalIterator():
+        print(args.separator.join("" if v is None else str(v) for v in row))
+        n += 1
+    print(f"# {n} rows", file=sys.stderr)
+    if stop_session:
+        spark.stop()
+    return 0
+
+
 def cmd_erase(args: argparse.Namespace, stop_session: bool = True) -> int:
     """Key-addressed DELETE (right-to-be-forgotten) from a catalog table:
     every row whose --key-col value is in --values is removed, wherever
@@ -758,6 +825,32 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("--separator", default="\t")
     dd.add_argument("--threads", type=int, default=None)
 
+    ix = sub.add_parser(
+        "index",
+        help="persisted LSH ANN index: build / append / query / check",
+    )
+    ix.add_argument("action", choices=("build", "append", "query", "check"))
+    ix.add_argument("--table", required=True,
+                    help="corpus db.table (with --warehouse) or parquet "
+                         "path holding the embedding column")
+    ix.add_argument("--index", required=True,
+                    help="index table name (db.table) in the warehouse")
+    ix.add_argument("--queries",
+                    help="query-vectors table/path (query and check)")
+    ix.add_argument("--planes", type=int, default=None,
+                    help="hyperplane count (build; default auto-sizes "
+                         "from the corpus)")
+    ix.add_argument("--k", type=int, default=10)
+    ix.add_argument("--probe-bits", type=int, default=1,
+                    help="0 single-probe, 1/2 = Hamming probe depth")
+    ix.add_argument("--vec-col", default="embedding")
+    ix.add_argument("--id-col", default="vec_id")
+    ix.add_argument("--warehouse")
+    ix.add_argument("--namespaces-file")
+    ix.add_argument("--namespace", default="silver")
+    ix.add_argument("--separator", default="\t")
+    ix.add_argument("--threads", type=int, default=None)
+
     sp = sub.add_parser(
         "spans",
         help="exact-substring span duplication: stats / hot spans / strip",
@@ -869,6 +962,8 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         return cmd_check(args, stop_session=stop_session)
     if args.command == "dedup":
         return cmd_dedup(args, stop_session=stop_session)
+    if args.command == "index":
+        return cmd_index(args, stop_session=stop_session)
     if args.command == "spans":
         return cmd_spans(args, stop_session=stop_session)
     if args.command == "decontaminate":

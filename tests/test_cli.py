@@ -445,6 +445,64 @@ def test_cli_erase_types_keys_from_table_schema(spark, warehouse, capsys):
     assert left == {"123"}
 
 
+def test_cli_index_lifecycle(spark, tmp_path, capsys):
+    """CLI build -> append -> query -> check over the persisted LSH
+    index: build on half the vectors, append the rest, serve a top-k,
+    and prove served == direct (n_mismatch 0)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    half_a = tmp_path / "half_a"
+    half_b = tmp_path / "half_b"
+    queries = tmp_path / "queries"
+    emb.filter("vec_id % 2 = 0").write.parquet(str(half_a))
+    emb.filter("vec_id % 2 = 1").write.parquet(str(half_b))
+    emb.filter("vec_id < 10").write.parquet(str(queries))
+    allv = tmp_path / "all"
+    emb.write.parquet(str(allv))
+    wh = str(tmp_path / "wh")
+    os.makedirs(wh, exist_ok=True)
+
+    rc = main(
+        ["index", "build", "--table", str(half_a), "--index",
+         "default.emb_lsh", "--planes", "8", "--warehouse", wh],
+        stop_session=False,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t") == [
+        "num_planes", "dim", "n_vectors", "build_id",
+    ]
+    assert out[1].split("\t")[0] == "8"
+
+    rc = main(
+        ["index", "append", "--table", str(half_b), "--index",
+         "default.emb_lsh", "--warehouse", wh],
+        stop_session=False,
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = main(
+        ["index", "query", "--table", str(allv), "--queries", str(queries),
+         "--index", "default.emb_lsh", "--k", "3", "--warehouse", wh],
+        stop_session=False,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t") == ["query_id", "neighbor_id", "cosine", "rank"]
+    assert len(out) > 1
+
+    rc = main(
+        ["index", "check", "--table", str(allv), "--queries", str(queries),
+         "--index", "default.emb_lsh", "--k", "3", "--warehouse", wh],
+        stop_session=False,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t") == ["n_queries", "n_served", "n_mismatch"]
+    n_q, _n_served, n_mism = out[1].split("\t")
+    assert n_q == "10" and n_mism == "0"
+
+
 def test_cli_dedup_semantic(spark, tmp_path, capsys):
     emb = tmp_path / "emb"
     spark.createDataFrame(
