@@ -38,6 +38,7 @@ from hive_io_experimental_spark.operators import (
     packing,
     profile,
     relational,
+    retrieval,
     sampling,
     similarity,
     temporal,
@@ -1837,6 +1838,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["phrase_search"] = lambda spark, sf: text.phrase_search(
         _t(spark, sf, "documents"), "row column sort"
     )
+    # hybrid search: BM25 keyword leg + exact-cosine semantic leg fused by
+    # reciprocal-rank fusion (rank-space, no score calibration). Each leg
+    # reduces to candidate_k rows BEFORE fusion — corpus-sized work is the
+    # legs' own scale-safe plans. Query vector is a fixed literal pattern
+    # (dim 64, the testdata embedding width) shared with the SQL twin.
+    q["hybrid_search_rrf"] = lambda spark, sf: retrieval.hybrid_topk_rrf(
+        _t(spark, sf, "documents"),
+        _t(spark, sf, "embeddings"),
+        ["data", "join", "window"],
+        [1.0 if d % 2 == 0 else -0.5 for d in range(64)],
+        k=10,
+    )
+    # diversity-aware rerank: greedy maximal marginal relevance over the
+    # exact top-fetch_k candidates; pairwise sims are the engine's round-6
+    # JVM cosine, the greedy step is one Arrow batch per query (twin: a
+    # recursive-CTE greedy with struct-max argmax selection)
+    q["mmr_diversified_topk"] = lambda spark, sf: retrieval.mmr_diversified_topk(
+        _t(spark, sf, "embeddings"),
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") % 100 == 0),
+        k=5,
+        fetch_k=20,
+        mmr_lambda=0.5,
+    )
     # search-engine build path: term -> (df, tf, capped posting prefix);
     # the cap is applied by rank BEFORE collecting (hot terms never
     # materialize corpus-sized postings in one task)
@@ -2496,6 +2520,9 @@ _CHECK_FIRST = [
     # multiprobe completing LSH x {fp32,int8} x {single,multi}
     "similarity_multiprobe_bucketed", "similarity_lsh_index",
     "similarity_lsh_append", "similarity_quantized_multiprobe",
+    # retrieval composition births (in-window from birth): BM25 + ANN
+    # rank fusion, and the greedy MMR diversity rerank
+    "hybrid_search_rrf", "mmr_diversified_topk",
     # ---- 4 r3-stale TPC-H shapes (8 rounds since last driver check) ----
     "sql_q17_small_qty", "supplier_part_counts", "top_supplier",
     "waiting_orders",
@@ -2503,19 +2530,19 @@ _CHECK_FIRST = [
     "event_dwell_stats", "events_hourly_salted", "gapfill_hourly",
     "sql_q19_disjunctive", "trailing_purchase_stats", "user_event_paths",
     "dedup_minhash_lsh", "dedup_simhash", "active_user_trends",
-    # ---- 17 of the 27 r5-stale (6 rounds since last driver check) ----
+    # ---- 15 of the 27 r5-stale (6 rounds since last driver check) ----
     "asof_purchase_click", "bloom_join_prune", "brand_size_pivot",
     "customer_order_ranks", "data_expectations", "dedup_embedding",
     "dedup_span_stats", "event_props_json", "events_time_rollup",
     "expanding_zscore", "funnel_step_counts", "funnel_user_extrema",
     "incremental_rollup", "join_semi", "max_concurrent_sessions",
-    "nation_revenue", "orders_by_month",
     # (deferred to r12 by the 50-slot cap — r12 must lead with them:
-    # range_join_signup_purchase, retention_cohorts,
-    # similarity_lsh_buckets, similarity_quality_topk, snapshot_diff_cdc,
-    # sql_q6_revenue, stratified_sample_docs, tfidf_top_terms,
-    # token_budget_mix, token_counts (r5-stale), then the 34-gate r6
-    # block)
+    # nation_revenue, orders_by_month, range_join_signup_purchase,
+    # retention_cohorts, similarity_lsh_buckets, similarity_quality_topk,
+    # snapshot_diff_cdc, sql_q6_revenue, stratified_sample_docs,
+    # tfidf_top_terms, token_budget_mix, token_counts (r5-stale — the
+    # last two slots went to this round's retrieval births, the
+    # in-window-from-birth rule), then the 34-gate r6 block)
 ]
 
 
@@ -3738,6 +3765,129 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(s) AS DOUBLE) AS score
         FROM contrib GROUP BY doc_id
         ORDER BY score DESC, doc_id LIMIT 50"""
+
+    # hybrid RRF twin: the bm25 CTE (candidate_k=50) + a literal-query
+    # cosine leg (same fixed dim-64 pattern as the gate), rank-fused with
+    # 1/(60+rank) terms — all double literals CAST explicitly so DuckDB
+    # never slips into decimal division
+    o["hybrid_search_rrf"] = f"""
+        WITH qv AS (SELECT list_transform(range(0, 64),
+                           d -> CASE WHEN d % 2 = 0 THEN CAST(1.0 AS DOUBLE)
+                                     ELSE CAST(-0.5 AS DOUBLE) END) AS q),
+        d AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+        corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+                   FROM dl),
+        tk AS (SELECT doc_id, unnest(toks) AS token FROM d),
+        tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM tk WHERE token IN ('data', 'join', 'window')
+               GROUP BY 1, 2),
+        dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+                  FROM tf GROUP BY 1),
+        contrib AS (SELECT tf.doc_id,
+                           CAST(ROUND(
+                             ln((corpus.n - dfreq.df + 0.5)
+                                / (dfreq.df + 0.5) + 1.0)
+                             * (tf.tf * 2.2)
+                             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                               / corpus.avgdl)),
+                             6) AS DECIMAL(18,6)) AS s
+                    FROM tf
+                    JOIN dfreq ON dfreq.token = tf.token
+                    JOIN dl ON dl.doc_id = tf.doc_id
+                    CROSS JOIN corpus),
+        bm AS (SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score
+               FROM contrib GROUP BY doc_id
+               ORDER BY score DESC, doc_id LIMIT 50),
+        lex AS (SELECT doc_id AS id,
+                       ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                         AS lex_rank
+                FROM bm),
+        v AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        sc AS (SELECT vec_id AS id,
+                      ROUND(list_dot_product(v, q)
+                            / (sqrt(list_dot_product(q, q))
+                               * sqrt(list_dot_product(v, v))), 6) AS cosine
+               FROM v CROSS JOIN qv),
+        sem0 AS (SELECT * FROM sc ORDER BY cosine DESC, id LIMIT 50),
+        sem AS (SELECT id, cosine,
+                       ROW_NUMBER() OVER (ORDER BY cosine DESC, id)
+                         AS sem_rank
+                FROM sem0),
+        f AS (SELECT COALESCE(lex.id, sem.id) AS doc_id, lex.lex_rank,
+                     sem.sem_rank, sem.cosine,
+                     ROUND(COALESCE(CAST(1.0 AS DOUBLE)
+                                    / (60 + lex.lex_rank),
+                                    CAST(0 AS DOUBLE))
+                           + COALESCE(CAST(1.0 AS DOUBLE)
+                                      / (60 + sem.sem_rank),
+                                      CAST(0 AS DOUBLE)), 6) AS rrf_score
+              FROM lex FULL OUTER JOIN sem ON lex.id = sem.id)
+        SELECT doc_id, lex_rank, sem_rank, cosine, rrf_score
+        FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10""".format(toks=_TOKS)
+
+    # MMR twin: greedy argmax per query per step as a recursive CTE —
+    # state carries the selected list; the pick is max(struct(s, negid))
+    # (score desc, then min id — the exact Python tie-break); the max-sim
+    # term is a correlated max over the precomputed round-6 pair matrix.
+    # λ = 0.5 exactly (0.5·rel − 0.5·ms — bit-identical double ops in both
+    # engines on identical round-6 inputs)
+    o["mmr_diversified_topk"] = """
+        WITH RECURSIVE
+        v AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+        cand0 AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                         ROUND(list_dot_product(q.v, c.v)
+                               / (q.nrm * c.nrm), 6) AS rel
+                  FROM n c JOIN n q
+                    ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id),
+        cand AS (SELECT query_id, cand_id, rel FROM (
+                   SELECT query_id, cand_id, rel,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY rel DESC, cand_id)
+                            AS rnk
+                   FROM cand0) WHERE rnk <= 20),
+        pairs AS (SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
+                         ROUND(list_dot_product(va.v, vb.v)
+                               / (va.nrm * vb.nrm), 6) AS ps
+                  FROM cand a JOIN cand b
+                    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+                  JOIN n va ON va.vec_id = a.cand_id
+                  JOIN n vb ON vb.vec_id = b.cand_id),
+        step(query_id, it, sel, pick_id, pick_rel, pick_score) AS (
+            SELECT query_id, CAST(1 AS BIGINT), [pk.id], pk.id, pk.rel, pk.s
+            FROM (SELECT query_id,
+                         max(struct_pack(s := CAST(0.5 AS DOUBLE) * rel,
+                                         negid := -cand_id,
+                                         id := cand_id, rel := rel)) AS pk
+                  FROM cand GROUP BY query_id)
+            UNION ALL
+            SELECT query_id, it, list_append(sel, pk.id), pk.id, pk.rel,
+                   pk.s
+            FROM (SELECT s.query_id, s.it + 1 AS it, s.sel AS sel,
+                         max(struct_pack(
+                             s := CAST(0.5 AS DOUBLE) * c.rel
+                                  - CAST(0.5 AS DOUBLE) * (
+                                 SELECT max(p.ps) FROM pairs p
+                                 WHERE p.query_id = s.query_id
+                                   AND p.a_id = c.cand_id
+                                   AND list_contains(s.sel, p.b_id)),
+                             negid := -c.cand_id, id := c.cand_id,
+                             rel := c.rel)) AS pk
+                  FROM step s JOIN cand c
+                    ON c.query_id = s.query_id
+                   AND NOT list_contains(s.sel, c.cand_id)
+                  WHERE s.it < 5
+                  GROUP BY s.query_id, s.it, s.sel)
+        )
+        SELECT query_id, it AS mmr_rank, pick_id AS neighbor_id,
+               pick_rel AS cosine, ROUND(pick_score, 6) AS mmr_score
+        FROM step"""
 
     # phrase twin: 3-gram strings over 1-based inclusive list slices
     o["phrase_search"] = f"""

@@ -1,0 +1,324 @@
+"""Retrieval composition over the engine's search legs: hybrid lexical +
+semantic fusion (RRF) and diversity-aware reranking (MMR).
+
+The engine already has both retrieval legs a modern corpus pipeline needs —
+BM25 keyword ranking (operators/text.py:bm25_search) and the four-tier ANN
+matrix (operators/similarity.py). What real serving stacks run on top is a
+*fusion* layer: combine the two rankings per query (RAG retrieval, near-dup
+triage, eval-set construction), and diversify the fused list so the top-k
+isn't k copies of the same passage (training-data curation's "don't sample
+the same document five times" problem).
+
+  hybrid_topk_rrf        reciprocal-rank fusion (Cormack & Clarke,
+                         SIGIR 2009): score(d) = Σ_legs 1/(k0 + rank_leg(d)).
+                         Rank-space fusion needs no score calibration
+                         between BM25 (unbounded, corpus-dependent) and
+                         cosine ([-1, 1]) — which is exactly why RRF is the
+                         default fusion in production hybrid search.
+  mmr_diversified_topk   maximal marginal relevance (Carbonell & Goldstein,
+                         SIGIR 1998): greedy top-k where each pick maximizes
+                         λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s).
+
+Scale design (100 TB corpus):
+  * Both legs reduce to a bounded candidate list (``candidate_k`` /
+    ``fetch_k`` rows per query) BEFORE any fusion math — the corpus-sized
+    work is exactly the underlying leg operators' plans (BM25's
+    filter-before-shuffle postings, the ANN tiers' bucket pruning), and the
+    fusion itself only ever touches candidate-sized frames.
+  * The exact-cosine leg of hybrid_topk_rrf scores against a LITERAL query
+    vector: a map-side projection over the embedding scan plus one
+    distributed TakeOrdered (orderBy+limit) — no join, no shuffle, no
+    broadcast, no window over the corpus.
+  * MMR is greedy-sequential in k but embarrassingly parallel across
+    queries: pairwise candidate similarities (fetch_k² per query, bounded)
+    are computed JVM-side with the engine's round-6 cosine, then one
+    Arrow-batched applyInPandas group per query runs the k-step selection
+    on doubles that are bit-identical to the oracle's — the Python side
+    does comparisons and λ-arithmetic only, never re-derives a cosine.
+
+Reference parity note: the reference has no search surface (SURVEY §2.2) —
+this module is part of the engine's training-data-pipeline extension, like
+operators/dedup.py and operators/sampling.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hive_io_experimental_spark.functions.vectors import dot_product, l2_norm
+from hive_io_experimental_spark.operators.similarity import (
+    _as_double,
+    _pair_cosine,
+    cosine_topk,
+)
+from hive_io_experimental_spark.operators.text import bm25_search
+
+
+def _literal_vector(vec: Sequence[float]):
+    """A double-array literal column. Folded by Catalyst at plan time —
+    per-row cost of scoring against it is one codegen'd fold."""
+    return F.array(*[F.lit(float(x)).cast("double") for x in vec])
+
+
+def cosine_topk_literal(
+    corpus: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine against ONE literal query vector.
+
+    The single-query special case deserves its own plan shape: no query
+    frame, no join of any kind — the cosine is a map-side expression over
+    the corpus scan and the top-k is a distributed TakeOrdered (per-
+    partition partial top-k, then a k-sized merge on the driver), so the
+    whole operator is one stage. Cosine uses the engine-standard
+    sequential fold + round(6) (bit-identical to the DuckDB twin).
+    Returns (neighbor_id, cosine, rank); rank dense from 1 with the
+    standard (cosine desc, id asc) total order.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    qv = _literal_vector(query_vector)
+    # query norm computed ONCE driver-side with the same sequential left
+    # fold both engines use (Python += == Spark aggregate() == DuckDB
+    # list_dot_product — verified bit-identical), embedded as a literal:
+    # an interpreted HOF fold over a literal array would otherwise rerun
+    # per row (the CollapseProject trap, ROADMAP "known perf traps")
+    acc = 0.0
+    for x in query_vector:
+        acc += float(x) * float(x)
+    qnrm = F.lit(acc ** 0.5).cast("double")
+    scored = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.round(
+            F.try_divide(
+                dot_product(_as_double(vec_col), qv),
+                qnrm * l2_norm(_as_double(vec_col)),
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    top = scored.orderBy(F.col("cosine").desc(), F.col("neighbor_id")).limit(k)
+    # rank over <= k rows: the single-partition window is bounded by k
+    w = Window.orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def hybrid_topk_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    terms: Sequence[str],
+    query_vector: Sequence[float],
+    k: int = 10,
+    rrf_k: int = 60,
+    candidate_k: int = 50,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid search: BM25 keyword leg + exact-cosine semantic leg, fused
+    by reciprocal-rank fusion (RRF, Cormack & Clarke SIGIR 2009).
+
+      rrf(d) = Σ_{leg hits d} 1 / (rrf_k + rank_leg(d))
+
+    A document found by only one leg contributes that leg's term alone
+    (the standard RRF treatment of non-overlap). rrf_k=60 is the
+    literature default; ranks come from each leg's own total order
+    (score desc, id asc), so the fusion is fully deterministic.
+
+    Plan shape: each leg independently reduces to <= candidate_k rows
+    (BM25 via its postings-sized plan, the cosine leg via one map-side
+    scan + TakeOrdered), then rank assignment and the full-outer fusion
+    join run on candidate-sized frames — at 100 TB the fusion cost is
+    invariant in corpus size. Returns (doc_id, lex_rank, sem_rank,
+    cosine, rrf_score) — ranks NULL on the leg that missed.
+    """
+    if candidate_k < k:
+        raise ValueError(
+            f"candidate_k ({candidate_k}) must be >= k ({k}): each leg "
+            f"must be able to fill the fused top-k alone"
+        )
+    lex = bm25_search(
+        docs, list(terms), text_col=text_col, id_col=doc_id_col,
+        top_k=candidate_k,
+    )
+    w_lex = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    lex = lex.select(
+        F.col("doc_id").alias("id"),
+        F.row_number().over(w_lex).cast("long").alias("lex_rank"),
+    )
+    sem = cosine_topk_literal(
+        embeddings, query_vector, k=candidate_k,
+        vec_col=vec_col, id_col=vec_id_col,
+    ).select(
+        F.col("neighbor_id").alias("id"),
+        "cosine",
+        F.col("rank").alias("sem_rank"),
+    )
+    one = F.lit(1.0)
+    fused = (
+        lex.join(sem, "id", "full_outer")
+        .select(
+            F.col("id").alias("doc_id"),
+            "lex_rank",
+            "sem_rank",
+            "cosine",
+            F.round(
+                F.coalesce(one / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(one / (F.lit(rrf_k) + F.col("sem_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id")).limit(k)
+
+
+def mmr_diversified_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    fetch_k: int = 20,
+    mmr_lambda: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Maximal-marginal-relevance top-k (Carbonell & Goldstein SIGIR
+    1998): per query, greedily select k of the fetch_k most-relevant
+    candidates, each pick maximizing
+
+      mmr(c) = λ·rel(c) − (1−λ)·max_{s ∈ selected} sim(c, s)
+
+    (first pick: the max-sim term is 0, so it is the plain argmax of
+    relevance). Ties break on (score desc, id asc) — total order, same
+    in the oracle.
+
+    Candidate generation defaults to the exact broadcast cosine_topk
+    (small query sets — its guard applies); pass ``candidates`` from any
+    ANN tier (cosine_topk_bucketed / lsh_query_index / ivf_topk...) to
+    run the same rerank at scale: any frame with (query_id, neighbor_id,
+    cosine) works.
+
+    Determinism across engines: rel and all pairwise sims are the
+    engine's round-6 JVM cosine; the Python step does ONLY double
+    multiply/subtract/compare on those values (λ and 1−λ are exact
+    binary doubles for the supported grid), so every comparison sees
+    bit-identical doubles in Spark and DuckDB.
+
+    Scale: pairwise sims are fetch_k² rows per query (bounded,
+    documented); the greedy step is one Arrow batch per query —
+    parallel across queries, O(k · fetch_k) comparisons inside.
+    Returns (query_id, mmr_rank, neighbor_id, cosine, mmr_score).
+    """
+    if not 0.0 <= mmr_lambda <= 1.0:
+        raise ValueError(f"mmr_lambda must be in [0, 1], got {mmr_lambda}")
+    # keep λ on an exact-binary grid so Python's λ·rel − (1−λ)·ms is
+    # bit-identical to the oracle's literal arithmetic
+    if round(mmr_lambda * 16) != mmr_lambda * 16:
+        raise ValueError(
+            f"mmr_lambda must be a multiple of 1/16 (exact-binary grid "
+            f"shared with the SQL oracle), got {mmr_lambda}"
+        )
+    if k < 1 or fetch_k < k:
+        raise ValueError(f"need fetch_k >= k >= 1, got k={k} fetch_k={fetch_k}")
+    if candidates is None:
+        candidates = cosine_topk(
+            corpus, queries, k=fetch_k, vec_col=vec_col, id_col=id_col
+        )
+    cand = candidates.select("query_id", "neighbor_id", "cosine")
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("cnrm", l2_norm(F.col("cv")))
+    cwv = cand.join(vecs, "neighbor_id")
+    a = cwv.select(
+        "query_id",
+        F.col("neighbor_id").alias("a_id"),
+        F.col("cosine").alias("a_rel"),
+        F.col("cv").alias("av"),
+        F.col("cnrm").alias("anrm"),
+    )
+    b = cwv.select(
+        F.col("query_id").alias("b_qid"),
+        F.col("neighbor_id").alias("b_id"),
+        F.col("cv").alias("bv"),
+        F.col("cnrm").alias("bnrm"),
+    )
+    # LEFT join with the self-pair exclusion IN the join condition, so a
+    # single-candidate query survives as one row with NULL b (a post-join
+    # filter would drop its only row — the self pair)
+    pairs = (
+        a.join(
+            b,
+            (F.col("query_id") == F.col("b_qid"))
+            & (F.col("a_id") != F.col("b_id")),
+            "left",
+        )
+        .select(
+            "query_id", "a_id", "a_rel", "b_id",
+            _pair_cosine("av", "anrm", "bv", "bnrm").alias("pairsim"),
+        )
+    )
+    lam = float(mmr_lambda)
+    k_out = int(k)
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        firsts = pdf.drop_duplicates(subset=["a_id"])
+        rels = {
+            int(i): float(r)
+            for i, r in zip(firsts["a_id"], firsts["a_rel"])
+        }
+        with_b = pdf[pdf["b_id"].notna()]
+        sims = {
+            (int(ai), int(bi)): float(s)
+            for ai, bi, s in zip(
+                with_b["a_id"], with_b["b_id"], with_b["pairsim"]
+            )
+        }
+        selected: list[int] = []
+        rows = []
+        for step in range(1, k_out + 1):
+            best_score = None
+            best_id = None
+            for cid in sorted(rels):
+                if cid in selected:
+                    continue
+                if selected:
+                    # full pair matrix within the candidate set: direct
+                    # indexing (a miss would be a bug, fail loudly)
+                    ms = max(sims[(cid, s)] for s in selected)
+                else:
+                    ms = 0.0
+                score = lam * rels[cid] - (1.0 - lam) * ms
+                if best_score is None or score > best_score:
+                    best_score = score
+                    best_id = cid
+            if best_id is None:
+                break
+            selected.append(best_id)
+            rows.append((qid, step, best_id, rels[best_id], best_score))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "query_id", "mmr_rank", "neighbor_id", "cosine", "mmr_score",
+            ],
+        )
+
+    out = pairs.groupBy("query_id").applyInPandas(
+        _greedy,
+        schema=(
+            "query_id long, mmr_rank long, neighbor_id long, "
+            "cosine double, mmr_score double"
+        ),
+    )
+    # display rounding AFTER selection (selection compares raw doubles —
+    # identical in both engines; the oracle rounds the same raw value)
+    return out.withColumn("mmr_score", F.round(F.col("mmr_score"), 6))

@@ -1,0 +1,203 @@
+"""Retrieval composition: hybrid RRF fusion and MMR diversification."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hive_io_experimental_spark.operators import retrieval, similarity
+
+
+# ---------------------------------------------------------------------------
+# cosine_topk_literal
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_topk_literal_ranks_against_fixed_query(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = retrieval.cosine_topk_literal(corpus, [1.0, 0.0], k=4).collect()
+    order = [r.neighbor_id for r in sorted(got, key=lambda r: r.rank)]
+    assert order == [0, 1, 2, 3]
+    by_id = {r.neighbor_id: r.cosine for r in got}
+    assert by_id[0] == 1.0
+    assert by_id[2] == 0.0
+    assert by_id[3] == -1.0
+
+
+def test_cosine_topk_literal_limit_and_tiebreak(spark):
+    # ids 1 and 2 tie exactly — the lower id must win the last slot
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = retrieval.cosine_topk_literal(corpus, [1.0, 0.0], k=2).collect()
+    assert sorted(r.neighbor_id for r in got) == [0, 1]
+
+
+# ---------------------------------------------------------------------------
+# hybrid_topk_rrf
+# ---------------------------------------------------------------------------
+
+
+def _hybrid_fixture(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),
+            (1, "alpha alpha delta"),
+            (2, "epsilon zeta eta"),
+            (3, "beta beta beta"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 1.0]),
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.4]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    return docs, emb
+
+
+def test_hybrid_rrf_fuses_both_legs(spark):
+    docs, emb = _hybrid_fixture(spark)
+    got = retrieval.hybrid_topk_rrf(
+        docs, emb, ["alpha"], [1.0, 0.0], k=4, candidate_k=4
+    ).collect()
+    by_id = {r.doc_id: r for r in got}
+    # lexical leg hits docs 0 and 1 only ('alpha'); doc 1 has higher tf
+    assert by_id[1].lex_rank == 1
+    assert by_id[0].lex_rank == 2
+    # semantic leg ranks all four by cosine vs [1, 0]
+    assert by_id[1].sem_rank == 1
+    assert by_id[3].sem_rank == 4
+    # doc 1 tops both legs -> highest fused score
+    top = max(got, key=lambda r: r.rrf_score)
+    assert top.doc_id == 1
+    assert top.rrf_score == pytest.approx(1 / 61 + 1 / 61, abs=1e-6)
+    # docs the lexical leg missed carry a NULL lex_rank but still fuse
+    assert by_id[2].lex_rank is None
+    assert by_id[2].sem_rank == 2
+    assert by_id[2].rrf_score == pytest.approx(1 / 62, abs=1e-6)
+
+
+def test_hybrid_rrf_single_leg_term_when_other_misses(spark):
+    docs, emb = _hybrid_fixture(spark)
+    # restrict the semantic corpus so doc 3 exists only in the lexical leg
+    got = retrieval.hybrid_topk_rrf(
+        docs,
+        emb.filter(F.col("vec_id") != 3),
+        ["beta"],
+        [1.0, 0.0],
+        k=4,
+        candidate_k=4,
+    ).collect()
+    by_id = {r.doc_id: r for r in got}
+    assert by_id[3].lex_rank == 1  # 'beta beta beta'
+    assert by_id[3].sem_rank is None
+    assert by_id[3].cosine is None
+    assert by_id[3].rrf_score == pytest.approx(1 / 61, abs=1e-6)
+
+
+def test_hybrid_rrf_rejects_candidate_k_below_k(spark):
+    docs, emb = _hybrid_fixture(spark)
+    with pytest.raises(ValueError, match="candidate_k"):
+        retrieval.hybrid_topk_rrf(
+            docs, emb, ["alpha"], [1.0, 0.0], k=10, candidate_k=5
+        )
+
+
+# ---------------------------------------------------------------------------
+# mmr_diversified_topk
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_prefers_diverse_second_pick(spark):
+    # candidate 1 is most relevant; candidate 2 is a near-copy of 1;
+    # candidate 3 is less relevant but orthogonal to 1. Plain top-2 takes
+    # (1, 2); MMR at λ=0.5 must take (1, 3).
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),      # the query
+            (1, [0.9, 0.1, 0.0]),      # most relevant
+            (2, [0.9, 0.11, 0.0]),     # near-duplicate of 1
+            (3, [0.5, 0.0, 0.8]),      # diverse
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.filter(F.col("vec_id") == 0)
+    got = retrieval.mmr_diversified_topk(
+        corpus, queries, k=2, fetch_k=3, mmr_lambda=0.5
+    ).collect()
+    picks = [r.neighbor_id for r in sorted(got, key=lambda r: r.mmr_rank)]
+    assert picks == [1, 3]
+    # and the plain relevance top-2 would have been (1, 2)
+    rel = similarity.cosine_topk(corpus, queries, k=2).collect()
+    assert sorted(r.neighbor_id for r in rel) == [1, 2]
+
+
+def test_mmr_lambda_one_is_plain_relevance_order(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 200 == 0)
+    got = retrieval.mmr_diversified_topk(
+        emb, queries, k=4, fetch_k=8, mmr_lambda=1.0
+    ).collect()
+    rel = similarity.cosine_topk(emb, queries, k=4).collect()
+    mmr_order = {
+        (r.query_id, r.mmr_rank): r.neighbor_id for r in got
+    }
+    rel_order = {(r.query_id, r.rank): r.neighbor_id for r in rel}
+    assert mmr_order == rel_order
+
+
+def test_mmr_single_candidate_query_survives(spark):
+    # a query whose candidate list has exactly one entry must still emit it
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.filter(F.col("vec_id") == 0)
+    got = retrieval.mmr_diversified_topk(
+        corpus, queries, k=3, fetch_k=3, mmr_lambda=0.5
+    ).collect()
+    assert len(got) == 1
+    assert got[0].neighbor_id == 1
+    assert got[0].mmr_rank == 1
+
+
+def test_mmr_accepts_external_candidates(spark, sf_dir):
+    # the rerank composes with any ANN tier: feeding it bucketed
+    # candidates gives the same picks as feeding the identical frame
+    # from the exact path restricted to those candidates
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 200 == 0)
+    cands = similarity.cosine_topk_bucketed(emb, queries, k=8)
+    got = retrieval.mmr_diversified_topk(
+        emb, queries, k=3, fetch_k=8, candidates=cands
+    ).collect()
+    assert len(got) > 0
+    for r in got:
+        assert 1 <= r.mmr_rank <= 3
+
+
+def test_mmr_validates_parameters(spark):
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="mmr_lambda"):
+        retrieval.mmr_diversified_topk(corpus, corpus, mmr_lambda=1.5)
+    with pytest.raises(ValueError, match="exact-binary grid"):
+        retrieval.mmr_diversified_topk(corpus, corpus, mmr_lambda=0.7)
+    with pytest.raises(ValueError, match="fetch_k"):
+        retrieval.mmr_diversified_topk(corpus, corpus, k=5, fetch_k=3)
