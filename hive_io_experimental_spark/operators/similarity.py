@@ -300,11 +300,24 @@ def hyperplane_lsh_buckets(
     df = spread(df)
     if dim is None:
         dim = df.select(F.size(F.col(vec_col))).first()[0]
-    # One literal plane array per plane + a zip_with/aggregate fold. (Two
-    # rejected alternatives, measured at sf0.1: md5-per-(plane,dim) inside
-    # the lambda = 1M interpreted md5 calls, 6x slower; fully unrolled
-    # 512-term element_at expression = codegen blowup, 3x slower than the
-    # fold. The fold's 1M interpreted multiply-adds are the cheapest seat.)
+    return df.select(
+        F.col(id_col).alias("id"),
+        lsh_bucket_expr(num_planes, dim, vec_col).alias("bucket"),
+    )
+
+
+def lsh_bucket_expr(num_planes: int, dim: int, vec_col: str = "embedding"):
+    """The LSH bucket as a single column EXPRESSION — the reusable core of
+    hyperplane_lsh_buckets, exposed so stream-side bucketing (which must
+    keep the vector column alongside and cannot probe/repartition) hashes
+    queries into the exact same family.
+
+    One literal plane array per plane + a zip_with/aggregate fold. (Two
+    rejected alternatives, measured at sf0.1: md5-per-(plane,dim) inside
+    the lambda = 1M interpreted md5 calls, 6x slower; fully unrolled
+    512-term element_at expression = codegen blowup, 3x slower than the
+    fold. The fold's 1M interpreted multiply-adds are the cheapest seat.)
+    """
     v = _as_double(vec_col)
     bucket = None
     for p in range(num_planes):
@@ -316,7 +329,7 @@ def hyperplane_lsh_buckets(
         )
         bit = F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bit if bucket is None else bucket + bit
-    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+    return bucket
 
 
 def ivf_topk(

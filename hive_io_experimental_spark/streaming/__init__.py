@@ -20,8 +20,14 @@ from hive_io_experimental_spark.streaming.topk import (
     latest_topk,
     topk_stateful,
 )
+from hive_io_experimental_spark.streaming.similarity import (
+    lsh_candidates_stream,
+    serve_lsh_topk_stream,
+)
 
 __all__ = [
+    "lsh_candidates_stream",
+    "serve_lsh_topk_stream",
     "read_events_stream",
     "windowed_event_counts",
     "sessionize_stateful",

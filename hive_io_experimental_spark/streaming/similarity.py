@@ -1,0 +1,162 @@
+"""Streaming ANN serving: query vectors arrive as a stream, candidates come
+from the PERSISTED LSH bucket index via stream-static equi-joins.
+
+The batch serving path (operators/similarity.py:lsh_query_index) is already
+all lazy shuffle equi-joins; this module is its Structured Streaming twin —
+the online half of the index lifecycle (build/append offline, serve online):
+
+  queries (readStream)
+    -> row-local bucket hash into the STORED plane family (one map, the
+       exact lsh_bucket_expr the index was built with)
+    -> Hamming-probe fan-out CARRYING the query vector (a stream-stream
+       self-join would need watermarks and unbounded state; carrying the
+       vector through the bounded x(1+planes[+C(planes,2)]) fan-out keeps
+       the whole plan stream-static)
+    -> equi-join against the static bucket table (candidates)
+    -> equi-join against the static corpus (candidate vectors only)
+    -> exact round-6 cosine rescore
+
+Per-query top-k needs a rank, which Structured Streaming cannot express on
+an unbounded stream (no window functions in append mode) — but each query's
+candidate rows are confined to its arrival micro-batch by construction (the
+fan-out never crosses batches), so the rank is exact per batch:
+``lsh_topk_foreach_batch`` ranks inside foreachBatch with the same
+(cosine desc, neighbor_id) total order as the batch operator, making
+stream output row-identical to lsh_query_index over the same closed input
+(the test strategy every streaming module here uses).
+
+Scale notes: per micro-batch work is |batch| x num_planes dot products
+(map-side), one shuffle join against the bucket table keyed by bucket, one
+id-join to fetch candidate vectors, and a batch-local rank — the static
+sides are re-read per trigger but never re-projected (the plane projection
+lives in the stored index; Spark caches static-side file listings across
+triggers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_io_experimental_spark.functions.vectors import l2_norm
+from hive_io_experimental_spark.operators.similarity import (
+    _as_double,
+    _hamming_probe_buckets,
+    _pair_cosine,
+    lsh_bucket_expr,
+)
+
+
+def lsh_candidates_stream(
+    spark: SparkSession,
+    catalog,
+    index_table: str,
+    query_stream: DataFrame,
+    corpus: DataFrame,
+    probe_bits: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Streaming (query_id, neighbor_id, cosine): multiprobe candidates
+    from the stored bucket table, exact-rescored — everything EXCEPT the
+    per-query rank (see lsh_topk_foreach_batch / serve_lsh_topk_stream).
+
+    The stored geometry (num_planes, dim, build_id) is probed once at
+    plan-construction time from the meta table; a torn rebuild (mixed
+    build_id stamps between meta and buckets) is refused exactly like the
+    batch path. ``corpus`` supplies candidate vectors for the rescore and
+    must be the corpus the index was built over (static frame).
+    """
+    if probe_bits not in (0, 1, 2):
+        raise ValueError(f"probe_bits must be 0, 1 or 2, got {probe_bits}")
+    if not query_stream.isStreaming:
+        raise ValueError(
+            "lsh_candidates_stream: query_stream is a batch frame — use "
+            "lsh_query_index for batch serving"
+        )
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+
+    inp = HiveInput(spark, catalog)
+    meta = inp.read_table(ScanSpec(table=f"{index_table}_meta")).first()
+    if meta is None:
+        raise ValueError(
+            f"lsh_candidates_stream: empty meta table {index_table}_meta"
+        )
+    buckets = inp.read_table(ScanSpec(table=index_table))
+    b_stamp = buckets.select("build_id").first()
+    if b_stamp is not None and b_stamp["build_id"] != meta["build_id"]:
+        raise ValueError(
+            f"lsh_candidates_stream: index {index_table} has mixed "
+            f"build_id stamps (meta {meta['build_id']!r} vs buckets "
+            f"{b_stamp['build_id']!r}) — a rebuild was torn mid-way. "
+            f"Re-run lsh_build_index before serving."
+        )
+    num_planes, dim = int(meta["num_planes"]), int(meta["dim"])
+    q = query_stream.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+        lsh_bucket_expr(num_planes, dim, vec_col).alias("bucket"),
+    ).withColumn("qnrm", l2_norm(F.col("qv")))
+    probes = q.select(
+        "query_id", "qv", "qnrm",
+        F.explode(
+            F.array(*_hamming_probe_buckets(num_planes, probe_bits))
+        ).alias("bucket"),
+    )
+    cand = (
+        buckets.select(F.col("id").alias("neighbor_id"), "bucket")
+        .join(probes, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("cnrm", l2_norm(F.col("cv")))
+    return cand.join(c, "neighbor_id").select(
+        "query_id", "neighbor_id",
+        _pair_cosine("qv", "qnrm", "cv", "cnrm").alias("cosine"),
+    )
+
+
+def lsh_topk_foreach_batch(k: int, sink_fn):
+    """The per-micro-batch rank step: returns a foreachBatch function that
+    ranks the scored candidates with the batch operator's exact total
+    order ((cosine desc, neighbor_id asc), rank <= k) and hands
+    (ranked_df, epoch_id) to ``sink_fn``. Correct because a query's
+    candidates never span micro-batches (the fan-out is row-local to the
+    query's arrival batch)."""
+
+    def _batch(df: DataFrame, epoch_id: int) -> None:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        ranked = df.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        ).filter(F.col("rank") <= k)
+        sink_fn(ranked, epoch_id)
+
+    return _batch
+
+
+def serve_lsh_topk_stream(
+    spark: SparkSession,
+    catalog,
+    index_table: str,
+    query_stream: DataFrame,
+    corpus: DataFrame,
+    sink_fn,
+    k: int = 10,
+    probe_bits: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Wire the full online-serving pipeline and return the (unstarted)
+    DataStreamWriter — callers pick the trigger/checkpoint and .start().
+    Output rows are (query_id, neighbor_id, cosine, rank), row-identical
+    to lsh_query_index over the same closed input."""
+    scored = lsh_candidates_stream(
+        spark, catalog, index_table, query_stream, corpus,
+        probe_bits=probe_bits, vec_col=vec_col, id_col=id_col,
+    )
+    return scored.writeStream.foreachBatch(
+        lsh_topk_foreach_batch(k, sink_fn)
+    )

@@ -737,3 +737,84 @@ def test_streaming_ingest_folds_survivors_across_batches(spark, tmp_path):
     # a full replay of the source is now entirely duplicate
     replay = spark.read.parquet(src)
     assert ingest_batch(replay, art).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# streaming ANN serving from the persisted LSH index
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_topk_stream_matches_batch_index_serving(spark, sf_dir, tmp_path):
+    """Online ANN serving: a query stream served against the stored LSH
+    bucket index emits EXACTLY the batch lsh_query_index rows over the
+    same closed input — per-batch ranking is exact because a query's
+    candidate fan-out never crosses micro-batches."""
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators import similarity
+    from hive_io_experimental_spark.streaming.similarity import (
+        serve_lsh_topk_stream,
+    )
+
+    cat = Catalog(str(tmp_path / "wh"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    similarity.lsh_build_index(spark, cat, "default.emb_lsh_s", emb,
+                               num_planes=8)
+
+    # two files -> two micro-batches under maxFilesPerTrigger=1: proves
+    # per-batch ranking, not just the single-batch case
+    queries = emb.filter(F.col("vec_id") < 60)
+    src = str(tmp_path / "qsrc")
+    (
+        queries.withColumn("b", (F.col("vec_id") % 2).cast("int"))
+        .repartition(2, "b").drop("b")
+        .write.mode("overwrite").parquet(src)
+    )
+    stream = spark.readStream.schema(queries.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+
+    got: list = []
+    writer = serve_lsh_topk_stream(
+        spark, cat, "default.emb_lsh_s", stream, emb,
+        sink_fn=lambda df, epoch: got.extend(
+            tuple(r) for r in df.collect()
+        ),
+        k=5, probe_bits=1,
+    )
+    q = writer.trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(300)
+
+    batch = {
+        tuple(r)
+        for r in similarity.lsh_query_index(
+            spark, cat, "default.emb_lsh_s", emb, queries, k=5,
+            probe_bits=1,
+        ).collect()
+    }
+    assert len(got) == len(set(got)) == len(batch) > 0
+    assert set(got) == batch
+
+
+def test_lsh_candidates_stream_validations(spark, sf_dir, tmp_path):
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators import similarity
+    from hive_io_experimental_spark.streaming.similarity import (
+        lsh_candidates_stream,
+    )
+
+    cat = Catalog(str(tmp_path / "wh"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    similarity.lsh_build_index(spark, cat, "default.emb_lsh_v", emb,
+                               num_planes=4)
+    stream = spark.readStream.schema(emb.schema).parquet(
+        f"{sf_dir}"
+    )
+    with pytest.raises(ValueError, match="probe_bits"):
+        lsh_candidates_stream(
+            spark, cat, "default.emb_lsh_v", stream, emb, probe_bits=3
+        )
+    # a batch frame is refused (the batch path exists for that)
+    with pytest.raises(ValueError, match="batch frame"):
+        lsh_candidates_stream(spark, cat, "default.emb_lsh_v", emb, emb)
