@@ -1861,6 +1861,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fetch_k=20,
         mmr_lambda=0.5,
     )
+    # tokenizer induction: BPE merge learning — phase 1 is the distributed
+    # word histogram (the one corpus-sized pass), phase 2 learns merges on
+    # the vocabulary-compressed dict driver-side (every real BPE trainer's
+    # shape; the collect is vocab-bounded and guarded). Twin: a recursive
+    # CTE replaying the same delimited-state replace mechanics.
+    q["bpe_train"] = lambda spark, sf: text.bpe_train(
+        _t(spark, sf, "documents"), num_merges=30
+    )
+
+    # learned-tokenizer application: train 30 merges, then count BPE
+    # tokens per document with a chain of 30 JVM literal replaces (no
+    # UDF, no Python in the hot path). On the training corpus the
+    # single-forward-pass applier reproduces the trainer's end states
+    # exactly, so the twin reads them straight from its recursion.
+    def _bpe_segment_counts(spark: SparkSession, sf: str) -> DataFrame:
+        docs = _t(spark, sf, "documents")
+        merges = [
+            (r["left"], r["right"])
+            for r in text.bpe_train(docs, num_merges=30).collect()
+        ]
+        return text.bpe_segment_counts(docs, merges)
+
+    q["bpe_segment_counts"] = _bpe_segment_counts
     # search-engine build path: term -> (df, tf, capped posting prefix);
     # the cap is applied by rank BEFORE collecting (hot terms never
     # materialize corpus-sized postings in one task)
@@ -2523,6 +2546,9 @@ _CHECK_FIRST = [
     # retrieval composition births (in-window from birth): BM25 + ANN
     # rank fusion, and the greedy MMR diversity rerank
     "hybrid_search_rrf", "mmr_diversified_topk",
+    # tokenizer-induction births: BPE merge learning + the learned-
+    # tokenizer applier
+    "bpe_train", "bpe_segment_counts",
     # ---- 4 r3-stale TPC-H shapes (8 rounds since last driver check) ----
     "sql_q17_small_qty", "supplier_part_counts", "top_supplier",
     "waiting_orders",
@@ -2530,19 +2556,20 @@ _CHECK_FIRST = [
     "event_dwell_stats", "events_hourly_salted", "gapfill_hourly",
     "sql_q19_disjunctive", "trailing_purchase_stats", "user_event_paths",
     "dedup_minhash_lsh", "dedup_simhash", "active_user_trends",
-    # ---- 15 of the 27 r5-stale (6 rounds since last driver check) ----
+    # ---- 13 of the 27 r5-stale (6 rounds since last driver check) ----
     "asof_purchase_click", "bloom_join_prune", "brand_size_pivot",
     "customer_order_ranks", "data_expectations", "dedup_embedding",
     "dedup_span_stats", "event_props_json", "events_time_rollup",
     "expanding_zscore", "funnel_step_counts", "funnel_user_extrema",
-    "incremental_rollup", "join_semi", "max_concurrent_sessions",
+    "incremental_rollup",
     # (deferred to r12 by the 50-slot cap — r12 must lead with them:
-    # nation_revenue, orders_by_month, range_join_signup_purchase,
-    # retention_cohorts, similarity_lsh_buckets, similarity_quality_topk,
-    # snapshot_diff_cdc, sql_q6_revenue, stratified_sample_docs,
-    # tfidf_top_terms, token_budget_mix, token_counts (r5-stale — the
-    # last two slots went to this round's retrieval births, the
-    # in-window-from-birth rule), then the 34-gate r6 block)
+    # join_semi, max_concurrent_sessions, nation_revenue, orders_by_month,
+    # range_join_signup_purchase, retention_cohorts,
+    # similarity_lsh_buckets, similarity_quality_topk, snapshot_diff_cdc,
+    # sql_q6_revenue, stratified_sample_docs, tfidf_top_terms,
+    # token_budget_mix, token_counts (r5-stale — the last four slots went
+    # to this round's retrieval + BPE births, the in-window-from-birth
+    # rule), then the 34-gate r6 block)
 ]
 
 
@@ -3828,6 +3855,67 @@ def oracle_sql() -> dict[str, str]:
               FROM lex FULL OUTER JOIN sem ON lex.id = sem.id)
         SELECT doc_id, lex_rank, sem_rank, cosine, rrf_score
         FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10""".format(toks=_TOKS)
+
+    # BPE twin: the trainer's merge loop as a recursive CTE — per
+    # iteration, freq-weighted adjacent pair counts over every word's
+    # delimited symbol state, argmax (count desc, then smallest pair),
+    # then a plain replace() rewrite (full |sym| delimiting means the
+    # substring replace can never cross a symbol boundary — same
+    # mechanics, character for character, as the Python loop)
+    _BPE_STEP = f"""
+        toks AS (SELECT unnest({_TOKS}) AS w FROM documents),
+        words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM toks
+                  WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w),
+        init AS (SELECT w, freq,
+                        array_to_string(list_transform(range(1, len(w)+1),
+                                        i -> '|' || w[i] || '|'), ' ')
+                          AS state
+                 FROM words),
+        step(it, w, freq, state, pl, pr) AS (
+            SELECT CAST(0 AS BIGINT), w, freq, state,
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM init
+            UNION ALL
+            SELECT * FROM (
+              WITH cur AS (SELECT * FROM step WHERE it < 30),
+              syms AS (SELECT w, freq, it, string_split(state, ' ') AS s
+                       FROM cur),
+              pc AS (SELECT trim(s[i], '|') AS pl, trim(s[i+1], '|') AS pr,
+                            SUM(freq) AS cnt
+                     FROM (SELECT freq, s, unnest(range(1, len(s))) AS i
+                           FROM syms)
+                     GROUP BY 1, 2),
+              best AS (SELECT '|' || pl || '| |' || pr || '|' AS pat,
+                              '|' || pl || pr || '|' AS rep, pl, pr
+                       FROM pc ORDER BY cnt DESC, pl ASC, pr ASC LIMIT 1)
+              SELECT c.it + 1, c.w, c.freq,
+                     replace(c.state, best.pat, best.rep), best.pl, best.pr
+              FROM cur c CROSS JOIN best
+            )
+        )"""
+
+    o["bpe_train"] = f"""
+        WITH RECURSIVE
+        {_BPE_STEP}
+        SELECT merge_rank, "left", "right", "left" || "right" AS merged
+        FROM (SELECT DISTINCT it AS merge_rank, pl AS "left", pr AS "right"
+              FROM step WHERE it > 0)"""
+
+    # applier twin: the trainer recursion's END states ARE the applied
+    # states on the training corpus (the gate's contract), so count
+    # symbols from the final iteration and weight by per-doc occurrences
+    o["bpe_segment_counts"] = f"""
+        WITH RECURSIVE
+        {_BPE_STEP},
+        final AS (SELECT w, CAST(len(string_split(state, ' ')) AS BIGINT)
+                           AS n_syms
+                  FROM step WHERE it = (SELECT max(it) FROM step)),
+        docw AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+        dw AS (SELECT doc_id, w FROM docw
+               WHERE regexp_matches(w, '^[a-z0-9]+$'))
+        SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(f.n_syms) AS BIGINT) AS n_bpe_tokens
+        FROM dw JOIN final f ON f.w = dw.w
+        GROUP BY dw.doc_id"""
 
     # MMR twin: greedy argmax per query per step as a recursive CTE —
     # state carries the selected list; the pick is max(struct(s, negid))

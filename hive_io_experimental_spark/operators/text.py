@@ -1246,3 +1246,149 @@ def phrase_search(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction
+# ---------------------------------------------------------------------------
+
+
+def bpe_word_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """(w, freq): the ASCII-word frequency histogram BPE training runs on.
+
+    This is the ONLY corpus-sized stage of tokenizer induction — one
+    explode + one groupBy (map-side partial aggregation), shrinking the
+    corpus to its vocabulary (Heaps' law: ~ O(corpus^0.5) distinct words,
+    millions at 100 TB, not billions). Words are the engine tokenizer's
+    tokens restricted to ^[a-z0-9]+$ so the merge alphabet is closed and
+    byte-order-free across engines (the oracle compares VARCHAR
+    binary-ASCII to Python code points — identical on this alphabet).
+    """
+    return (
+        spread(df.select(F.explode(word_tokens(F.col(text_col))).alias("w")))
+        .filter(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+_MAX_BPE_VOCAB = 2_000_000  # ~100 MB of (word, freq) rows on the driver
+
+
+def bpe_train(
+    df: DataFrame,
+    num_merges: int = 30,
+    text_col: str = "text",
+    max_vocab: int = _MAX_BPE_VOCAB,
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merges (Sennrich, Gage 1994) over the
+    corpus: returns (merge_rank, left, right, merged), rank from 1 in
+    learning order.
+
+    Two-phase design — the standard trainer shape, and the scale-correct
+    one: phase 1 is the distributed word histogram (bpe_word_histogram —
+    the one corpus-sized pass); phase 2 learns merges on the
+    vocabulary-compressed histogram DRIVER-side (every real BPE trainer
+    iterates a word-count dict, never the corpus — per merge the work is
+    O(vocab x avg word length), independent of corpus size). The driver
+    collect is therefore vocabulary-bounded and GUARDED: > ``max_vocab``
+    distinct words raises instead of OOMing the driver (the
+    _require_small_query_side discipline; trim the corpus or raise the
+    cap explicitly).
+
+    Merge semantics (identical, mechanically, in the SQL oracle twin):
+      * word state = symbols delimited as ``|sym|`` and space-joined
+        ("hat" -> "|h| |a| |t|") — full delimiting makes the pair rewrite
+        a plain substring replace with no cross-symbol false matches;
+      * pair counts are freq-weighted ADJACENT (overlapping) pairs;
+      * best pair = max count, ties to the lexicographically SMALLEST
+        (left, right) — a total order;
+      * rewrite = non-overlapping left-to-right replace of "|l| |r|" by
+        "|lr|" in every word (Python str.replace == SQL replace());
+      * stops early if no pair remains (fewer than num_merges rows out).
+    """
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    spark = df.sparkSession
+    hist = bpe_word_histogram(df, text_col=text_col)
+    probe = hist.limit(max_vocab + 1).count()
+    if probe > max_vocab:
+        raise ValueError(
+            f"bpe_train: vocabulary exceeds max_vocab={max_vocab} — the "
+            f"driver-side merge loop is vocabulary-bounded by design; "
+            f"pre-filter the corpus (quality_filter / min word freq) or "
+            f"raise max_vocab explicitly."
+        )
+    rows = hist.collect()
+    # state: delimited symbol strings, mutated in place per merge
+    states: dict[str, str] = {
+        r["w"]: " ".join(f"|{ch}|" for ch in r["w"]) for r in rows
+    }
+    freqs = {r["w"]: int(r["freq"]) for r in rows}
+    merges: list[tuple[int, str, str, str]] = []
+    for rank in range(1, num_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, state in states.items():
+            syms = state.split(" ")
+            f = freqs[w]
+            for i in range(len(syms) - 1):
+                pair = (syms[i][1:-1], syms[i + 1][1:-1])
+                counts[pair] = counts.get(pair, 0) + f
+        if not counts:
+            break
+        # max count, ties to the smallest (left, right)
+        (left, right) = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        merged = left + right
+        pat, rep = f"|{left}| |{right}|", f"|{merged}|"
+        for w in states:
+            if pat in states[w]:
+                states[w] = states[w].replace(pat, rep)
+        merges.append((rank, left, right, merged))
+    return spark.createDataFrame(
+        merges, "merge_rank long, left string, right string, merged string"
+    )
+
+
+def bpe_segment_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BPE token counts under a learned merge list:
+    (doc_id, n_words, n_bpe_tokens).
+
+    Encoding contract: ONE forward pass applying each merge once, in rank
+    order, to every word's delimited character state — for any word seen
+    in training this reproduces the trainer's end-state exactly (training
+    applied the same merges in the same order from the same initial
+    state); unseen words get the standard single-pass approximation.
+
+    The whole applier is JVM-side codegen: the merge list (bounded,
+    driver-held) compiles to a chain of ``len(merges)`` literal
+    string-replace expressions over the per-word state — no Python, no
+    UDF, no shuffle beyond the final count aggregation. At 100 TB this is
+    a map over the corpus scan.
+    """
+    words = spread(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_tokens(F.col(text_col))).alias("w"),
+        )
+    ).filter(F.col("w").rlike("^[a-z0-9]+$"))
+    # initial state "|h| |a| |t|" built with one regexp: every char c -> "|c| "
+    state = F.rtrim(F.regexp_replace(F.col("w"), "(.)", "|$1| "))
+    for left, right in merges:
+        state = F.replace(
+            state, F.lit(f"|{left}| |{right}|"), F.lit(f"|{left}{right}|")
+        )
+    per_word = words.select(
+        "doc_id", (F.size(F.split(state, " "))).alias("n_syms")
+    )
+    return per_word.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+    )

@@ -201,3 +201,91 @@ def test_mmr_validates_parameters(spark):
         retrieval.mmr_diversified_topk(corpus, corpus, mmr_lambda=0.7)
     with pytest.raises(ValueError, match="fetch_k"):
         retrieval.mmr_diversified_topk(corpus, corpus, k=5, fetch_k=3)
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction (operators/text.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_train_hand_checked_merges(spark):
+    from hive_io_experimental_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(0, "the cat and the hat"), (1, "the bat and a cat"),
+         (2, "that cat sat")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r.merge_rank, r.left, r.right, r.merged)
+        for r in T.bpe_train(docs, num_merges=5).collect()
+    ]
+    # counts: (a,t) x8 wins rank 1; then (t,h) x5; the merged 'at' then
+    # pairs with c (cat x3 -> (c,at)); 'th' pairs with e (the x3);
+    # (a,n) x2 from 'and'
+    assert sorted(got) == [
+        (1, "a", "t", "at"),
+        (2, "t", "h", "th"),
+        (3, "c", "at", "cat"),
+        (4, "th", "e", "the"),
+        (5, "a", "n", "an"),
+    ]
+
+
+def test_bpe_train_stops_when_pairs_exhaust(spark):
+    from hive_io_experimental_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab ab")], "doc_id long, text string"
+    )
+    got = T.bpe_train(docs, num_merges=10).collect()
+    # one pair exists; after merging it nothing remains
+    assert len(got) == 1
+    assert (got[0].left, got[0].right) == ("a", "b")
+
+
+def test_bpe_train_vocab_guard(spark, sf_dir):
+    from hive_io_experimental_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError, match="max_vocab"):
+        T.bpe_train(docs, num_merges=2, max_vocab=3)
+
+
+def test_bpe_segment_counts_reproduces_trainer_states(spark, sf_dir):
+    """On the training corpus, the single-forward-pass applier must land
+    on exactly the trainer's end states: total BPE tokens == sum over the
+    trainer's final symbol counts weighted by occurrences."""
+    from hive_io_experimental_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    trained = T.bpe_train(docs, num_merges=12)
+    merges = [(r.left, r.right) for r in trained.collect()]
+    seg = T.bpe_segment_counts(docs, merges)
+    row = seg.agg(
+        F.sum("n_words").alias("w"), F.sum("n_bpe_tokens").alias("t")
+    ).first()
+    assert row["t"] >= row["w"] > 0  # merged tokens never below word count
+
+    # merging MORE must never increase the token count
+    merges_more = [
+        (r.left, r.right)
+        for r in T.bpe_train(docs, num_merges=24).collect()
+    ]
+    row2 = (
+        T.bpe_segment_counts(docs, merges_more)
+        .agg(F.sum("n_bpe_tokens").alias("t"))
+        .first()
+    )
+    assert row2["t"] <= row["t"]
+
+
+def test_bpe_segment_counts_no_merges_counts_chars(spark):
+    from hive_io_experimental_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(0, "abc de")], "doc_id long, text string"
+    )
+    row = T.bpe_segment_counts(docs, []).first()
+    assert row.n_words == 2
+    assert row.n_bpe_tokens == 5  # 3 chars + 2 chars
