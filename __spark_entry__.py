@@ -1853,10 +1853,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # diversity-aware rerank: greedy maximal marginal relevance over the
     # exact top-fetch_k candidates; pairwise sims are the engine's round-6
     # JVM cosine, the greedy step is one Arrow batch per query (twin: a
-    # recursive-CTE greedy with struct-max argmax selection)
+    # recursive-CTE greedy with struct-max argmax selection). Query set is
+    # a FIXED COUNT (vec_id < 1000), not a corpus fraction — the bounded-
+    # broadcast contract of the exact candidate stage means the gate's
+    # work must scale linearly with the corpus (the r8
+    # similarity_quantized_topk lesson: a %-of-corpus query side made the
+    # GATE quadratic-by-shape, 189x wall at 100x data; fixed-count
+    # queries measure the operator, not the gate).
     q["mmr_diversified_topk"] = lambda spark, sf: retrieval.mmr_diversified_topk(
         _t(spark, sf, "embeddings"),
-        _t(spark, sf, "embeddings").filter(F.col("vec_id") % 100 == 0),
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") < 1000),
         k=5,
         fetch_k=20,
         mmr_lambda=0.5,
@@ -2327,6 +2333,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "embeddings").filter(F.col("vec_id") % 100 == 0),
         k=10,
     )
+
+    # IR-standard ranking-quality audit (NDCG/MRR/recall) of the LSH tier
+    # against the exact ranking — position-discounted, unlike the
+    # recall-only reports. Discount weights are fixed decimal literals
+    # shared verbatim with the SQL twin (no engine evaluates log2).
+    def _similarity_ndcg_report(spark: SparkSession, sf: str) -> DataFrame:
+        emb = _t(spark, sf, "embeddings")
+        queries = emb.filter(F.col("vec_id") % 100 == 0)
+        return retrieval.ranking_quality_report(
+            similarity.cosine_topk_bucketed(emb, queries, k=10),
+            similarity.cosine_topk(emb, queries, k=10),
+            k=10,
+        )
+
+    q["similarity_ndcg_report"] = _similarity_ndcg_report
+    # contrastive-training negatives: per anchor, top-cosine-below-ceiling
+    # hard negatives + md5-bucket-lottery pseudo-random negatives (all
+    # equi-joins, pure function of ids — the hash_split reproducibility
+    # contract). Fixed-count anchor set (vec_id < 1000), linear-by-shape.
+    q["contrastive_negatives"] = lambda spark, sf: retrieval.mine_contrastive_negatives(
+        _t(spark, sf, "embeddings"),
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") < 1000),
+        k_hard=3,
+        k_rand=2,
+        fetch_k=20,
+        max_sim=0.8,
+    )
     # int8 scalar quantization serving path: exact top-k over integer
     # codes (scales cancel in cosine; int64 dot/norms -> bit-exact
     # cross-engine, no tolerance needed). The 4x-smaller-corpus ANN tier.
@@ -2549,6 +2582,9 @@ _CHECK_FIRST = [
     # tokenizer-induction births: BPE merge learning + the learned-
     # tokenizer applier
     "bpe_train", "bpe_segment_counts",
+    # NDCG/MRR ranking-quality audit of the LSH tier vs exact, and
+    # contrastive hard+random negative mining
+    "similarity_ndcg_report", "contrastive_negatives",
     # ---- 4 r3-stale TPC-H shapes (8 rounds since last driver check) ----
     "sql_q17_small_qty", "supplier_part_counts", "top_supplier",
     "waiting_orders",
@@ -2556,20 +2592,20 @@ _CHECK_FIRST = [
     "event_dwell_stats", "events_hourly_salted", "gapfill_hourly",
     "sql_q19_disjunctive", "trailing_purchase_stats", "user_event_paths",
     "dedup_minhash_lsh", "dedup_simhash", "active_user_trends",
-    # ---- 13 of the 27 r5-stale (6 rounds since last driver check) ----
+    # ---- 11 of the 27 r5-stale (6 rounds since last driver check) ----
     "asof_purchase_click", "bloom_join_prune", "brand_size_pivot",
     "customer_order_ranks", "data_expectations", "dedup_embedding",
     "dedup_span_stats", "event_props_json", "events_time_rollup",
-    "expanding_zscore", "funnel_step_counts", "funnel_user_extrema",
-    "incremental_rollup",
+    "expanding_zscore", "funnel_step_counts",
     # (deferred to r12 by the 50-slot cap — r12 must lead with them:
-    # join_semi, max_concurrent_sessions, nation_revenue, orders_by_month,
+    # funnel_user_extrema, incremental_rollup, join_semi,
+    # max_concurrent_sessions, nation_revenue, orders_by_month,
     # range_join_signup_purchase, retention_cohorts,
     # similarity_lsh_buckets, similarity_quality_topk, snapshot_diff_cdc,
     # sql_q6_revenue, stratified_sample_docs, tfidf_top_terms,
-    # token_budget_mix, token_counts (r5-stale — the last four slots went
-    # to this round's retrieval + BPE births, the in-window-from-birth
-    # rule), then the 34-gate r6 block)
+    # token_budget_mix, token_counts (r5-stale — the last six slots went
+    # to this round's retrieval/BPE/NDCG/negatives births, the
+    # in-window-from-birth rule), then the 34-gate r6 block)
 ]
 
 
@@ -3933,7 +3969,7 @@ def oracle_sql() -> dict[str, str]:
                          ROUND(list_dot_product(q.v, c.v)
                                / (q.nrm * c.nrm), 6) AS rel
                   FROM n c JOIN n q
-                    ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id),
+                    ON q.vec_id < 1000 AND q.vec_id <> c.vec_id),
         cand AS (SELECT query_id, cand_id, rel FROM (
                    SELECT query_id, cand_id, rel,
                           ROW_NUMBER() OVER (PARTITION BY query_id
@@ -3947,8 +3983,9 @@ def oracle_sql() -> dict[str, str]:
                     ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
                   JOIN n va ON va.vec_id = a.cand_id
                   JOIN n vb ON vb.vec_id = b.cand_id),
-        step(query_id, it, sel, pick_id, pick_rel, pick_score) AS (
-            SELECT query_id, CAST(1 AS BIGINT), [pk.id], pk.id, pk.rel, pk.s
+        step(query_id, it, sel, pick_id, pick_rel, pick_ms) AS (
+            SELECT query_id, CAST(1 AS BIGINT), [pk.id], pk.id, pk.rel,
+                   CAST(0 AS DOUBLE)
             FROM (SELECT query_id,
                          max(struct_pack(s := CAST(0.5 AS DOUBLE) * rel,
                                          negid := -cand_id,
@@ -3956,25 +3993,31 @@ def oracle_sql() -> dict[str, str]:
                   FROM cand GROUP BY query_id)
             UNION ALL
             SELECT query_id, it, list_append(sel, pk.id), pk.id, pk.rel,
-                   pk.s
-            FROM (SELECT s.query_id, s.it + 1 AS it, s.sel AS sel,
+                   pk.ms
+            FROM (SELECT x.query_id, x.it + 1 AS it, x.sel AS sel,
                          max(struct_pack(
-                             s := CAST(0.5 AS DOUBLE) * c.rel
-                                  - CAST(0.5 AS DOUBLE) * (
-                                 SELECT max(p.ps) FROM pairs p
-                                 WHERE p.query_id = s.query_id
-                                   AND p.a_id = c.cand_id
-                                   AND list_contains(s.sel, p.b_id)),
-                             negid := -c.cand_id, id := c.cand_id,
-                             rel := c.rel)) AS pk
-                  FROM step s JOIN cand c
-                    ON c.query_id = s.query_id
-                   AND NOT list_contains(s.sel, c.cand_id)
-                  WHERE s.it < 5
-                  GROUP BY s.query_id, s.it, s.sel)
+                             s := CAST(0.5 AS DOUBLE) * x.rel
+                                  - CAST(0.5 AS DOUBLE) * x.ms,
+                             negid := -x.cand_id, id := x.cand_id,
+                             rel := x.rel, ms := x.ms)) AS pk
+                  FROM (SELECT s.query_id, s.it, s.sel, c.cand_id, c.rel,
+                               (SELECT max(p.ps) FROM pairs p
+                                WHERE p.query_id = s.query_id
+                                  AND p.a_id = c.cand_id
+                                  AND list_contains(s.sel, p.b_id)) AS ms
+                        FROM step s JOIN cand c
+                          ON c.query_id = s.query_id
+                         AND NOT list_contains(s.sel, c.cand_id)
+                        WHERE s.it < 5) x
+                  GROUP BY x.query_id, x.it, x.sel)
         )
         SELECT query_id, it AS mmr_rank, pick_id AS neighbor_id,
-               pick_rel AS cosine, ROUND(pick_score, 6) AS mmr_score
+               pick_rel AS cosine,
+               CAST(ROUND(CAST(0.5 AS DECIMAL(6,4))
+                            * CAST(pick_rel AS DECIMAL(18,6))
+                          - CAST(0.5 AS DECIMAL(6,4))
+                            * CAST(pick_ms AS DECIMAL(18,6)), 6)
+                    AS DOUBLE) AS mmr_score
         FROM step"""
 
     # phrase twin: 3-gram strings over 1-based inclusive list slices
@@ -5439,6 +5482,112 @@ def oracle_sql() -> dict[str, str]:
                             AS rank
                    FROM scored)
         SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10"""
+
+    # contrastive-negatives twin: top-fetch_k exact candidates -> the
+    # below-ceiling re-rank (hard), plus the md5 bucket lottery (rand) —
+    # every hash is the shared _H64 family, so draws are id-identical
+    _NEG_A = "'negsel:' || CAST(anchor_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)"
+    _NEG_L = ("'neglot:' || CAST(anchor_id AS VARCHAR) || ':' || "
+              "CAST(neighbor_id AS VARCHAR)")
+    o["contrastive_negatives"] = f"""
+        WITH v AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE))
+                            AS v
+                   FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+        cand0 AS (SELECT q.vec_id AS anchor_id, c.vec_id AS neighbor_id,
+                         ROUND(list_dot_product(q.v, c.v)
+                               / (q.nrm * c.nrm), 6) AS cosine
+                  FROM n c JOIN n q
+                    ON q.vec_id < 1000 AND q.vec_id <> c.vec_id),
+        cand AS (SELECT anchor_id, neighbor_id, cosine FROM (
+                   SELECT anchor_id, neighbor_id, cosine,
+                          ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                             ORDER BY cosine DESC,
+                                                      neighbor_id) AS rnk
+                   FROM cand0) WHERE rnk <= 20),
+        hard AS (SELECT anchor_id, neighbor_id, 'hard' AS kind, rank,
+                        cosine
+                 FROM (SELECT anchor_id, neighbor_id, cosine,
+                              ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                                 ORDER BY cosine DESC,
+                                                          neighbor_id)
+                                AS rank
+                       FROM cand WHERE cosine < 0.8)
+                 WHERE rank <= 3),
+        cb AS (SELECT vec_id AS neighbor_id,
+                      {_H64.format(x="'negbkt:' || CAST(vec_id AS VARCHAR)")}
+                        % 256 AS bucket
+               FROM embeddings),
+        probes AS (SELECT a.vec_id AS anchor_id, js.j,
+                          {_H64.format(x=_NEG_A.replace('anchor_id', 'a.vec_id').replace('CAST(j', 'CAST(js.j'))}
+                            % 256 AS bucket
+                   FROM embeddings a, (VALUES (1), (2)) js(j)
+                   WHERE a.vec_id < 1000),
+        draws0 AS (SELECT p.anchor_id, p.j, c.neighbor_id,
+                          {_H64.format(x=_NEG_L.replace('anchor_id', 'p.anchor_id').replace('neighbor_id', 'c.neighbor_id'))}
+                            AS lot
+                   FROM probes p JOIN cb c ON c.bucket = p.bucket
+                   WHERE c.neighbor_id <> p.anchor_id
+                     AND NOT EXISTS (SELECT 1 FROM hard h
+                                     WHERE h.anchor_id = p.anchor_id
+                                       AND h.neighbor_id = c.neighbor_id)),
+        draws AS (SELECT anchor_id, j, neighbor_id FROM (
+                    SELECT anchor_id, j, neighbor_id,
+                           ROW_NUMBER() OVER (PARTITION BY anchor_id, j
+                                              ORDER BY lot, neighbor_id)
+                             AS rn
+                    FROM draws0) WHERE rn = 1),
+        randsel AS (SELECT anchor_id, neighbor_id, MIN(j) AS j
+                    FROM draws GROUP BY 1, 2),
+        rnd AS (SELECT anchor_id, neighbor_id, 'rand' AS kind,
+                       ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                          ORDER BY j, neighbor_id) AS rank
+                FROM randsel)
+        SELECT anchor_id, neighbor_id, kind, rank, cosine FROM hard
+        UNION ALL
+        SELECT r.anchor_id, r.neighbor_id, r.kind, r.rank,
+               ROUND(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 6)
+                 AS cosine
+        FROM rnd r
+        JOIN n a ON a.vec_id = r.anchor_id
+        JOIN n c ON c.vec_id = r.neighbor_id"""
+
+    # NDCG twin: both legs are the EXISTING oracle texts verbatim (CTE
+    # reuse — the legs cannot drift from their own gates); the discount
+    # weight table is the same decimal literals the Spark plan embeds
+    # (retrieval._dcg_weight_literals), summed as exact DECIMAL
+    from hive_io_experimental_spark.operators.retrieval import (
+        _dcg_weight_literals,
+    )
+
+    _w_rows = ", ".join(
+        f"({i}, CAST('{w}' AS DECIMAL(18,6)))"
+        for i, w in enumerate(_dcg_weight_literals(10), start=1)
+    )
+    o["similarity_ndcg_report"] = f"""
+        WITH a0 AS ({o['similarity_topk_bucketed']}),
+        e0 AS ({o['similarity_topk']}),
+        w(i, w) AS (VALUES {_w_rows}),
+        a AS (SELECT query_id, neighbor_id, rank FROM a0 WHERE rank <= 10),
+        e AS (SELECT query_id, neighbor_id, rank FROM e0 WHERE rank <= 10),
+        pe AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+                      SUM(w.w) AS idcg
+               FROM e JOIN w ON w.i = e.rank GROUP BY 1),
+        h AS (SELECT a.query_id, a.rank
+              FROM a JOIN e ON e.query_id = a.query_id
+                           AND e.neighbor_id = a.neighbor_id),
+        ph AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+                      SUM(w.w) AS dcg, MIN(rank) AS frst
+               FROM h JOIN w ON w.i = h.rank GROUP BY 1)
+        SELECT pe.query_id, pe.n_exact,
+               COALESCE(ph.n_hits, 0) AS n_hits,
+               ROUND(COALESCE(CAST(ph.dcg AS DOUBLE)
+                              / CAST(pe.idcg AS DOUBLE), 0), 6) AS ndcg,
+               ROUND(COALESCE(CAST(1.0 AS DOUBLE) / ph.frst, 0), 6) AS mrr,
+               ROUND(COALESCE(ph.n_hits, 0)
+                     / CAST(pe.n_exact AS DOUBLE), 6) AS recall
+        FROM pe LEFT JOIN ph ON ph.query_id = pe.query_id"""
 
     # int8 quantized cosine: codes = floor(v/scale + 0.5), scale =
     # max|v|/127 — IEEE-exact steps only, so codes and the all-integer

@@ -50,6 +50,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from hive_io_experimental_spark.functions.hashing import portable_hash64
 from hive_io_experimental_spark.functions.vectors import dot_product, l2_norm
 from hive_io_experimental_spark.operators.similarity import (
     _as_double,
@@ -288,6 +289,7 @@ def mmr_diversified_topk(
         for step in range(1, k_out + 1):
             best_score = None
             best_id = None
+            best_ms = None
             for cid in sorted(rels):
                 if cid in selected:
                     continue
@@ -301,14 +303,15 @@ def mmr_diversified_topk(
                 if best_score is None or score > best_score:
                     best_score = score
                     best_id = cid
+                    best_ms = ms
             if best_id is None:
                 break
             selected.append(best_id)
-            rows.append((qid, step, best_id, rels[best_id], best_score))
+            rows.append((qid, step, best_id, rels[best_id], best_ms))
         return pd.DataFrame(
             rows,
             columns=[
-                "query_id", "mmr_rank", "neighbor_id", "cosine", "mmr_score",
+                "query_id", "mmr_rank", "neighbor_id", "cosine", "maxsim",
             ],
         )
 
@@ -316,9 +319,256 @@ def mmr_diversified_topk(
         _greedy,
         schema=(
             "query_id long, mmr_rank long, neighbor_id long, "
-            "cosine double, mmr_score double"
+            "cosine double, maxsim double"
         ),
     )
-    # display rounding AFTER selection (selection compares raw doubles —
-    # identical in both engines; the oracle rounds the same raw value)
-    return out.withColumn("mmr_score", F.round(F.col("mmr_score"), 6))
+    # The REPORTED score is exact decimal arithmetic over the pick's
+    # (rel, maxsim) — both are round-6 values, and λ sits on the 1/16
+    # grid (<= 4 decimals), so λ·rel − (1−λ)·ms is an exact decimal in
+    # both engines. Rounding the RAW double instead was a trap: at
+    # λ=0.5 the raw is 0.5·(rel−ms), which lands exactly ON a .5e-6
+    # rounding boundary whenever rel and ms differ by an odd 6th-decimal
+    # digit — and decimal-exact HALF_UP (Spark) disagrees with
+    # float-multiply rounding (DuckDB) on such boundaries. Selection
+    # still compares raw doubles (identical cross-engine); only the
+    # report goes through decimals.
+    lam_dec = F.lit(f"{lam:.4f}").cast("decimal(6,4)")
+    inv_dec = F.lit(f"{1.0 - lam:.4f}").cast("decimal(6,4)")
+    return out.select(
+        "query_id", "mmr_rank", "neighbor_id", "cosine",
+        F.round(
+            lam_dec * F.col("cosine").cast("decimal(18,6)")
+            - inv_dec * F.col("maxsim").cast("decimal(18,6)"),
+            6,
+        ).cast("double").alias("mmr_score"),
+    )
+
+
+def _dcg_weight_literals(k: int) -> list[str]:
+    """round(1/log2(i+1), 6) for i = 1..k, as decimal STRINGS — computed
+    once here and embedded as identical literals in BOTH the Spark plan
+    and the SQL twin, so no engine ever evaluates log2 (whose last-ulp
+    behavior is library-specific) on the hot path or in the comparison."""
+    import math
+
+    return [f"{round(1.0 / math.log2(i + 1), 6):.6f}" for i in range(1, k + 1)]
+
+
+def ranking_quality_report(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query ranking quality of an ANN tier against the exact ranking:
+    (query_id, n_exact, n_hits, ndcg, mrr, recall).
+
+    The IR-standard audit completing the recall-only reports
+    (multiprobe_recall_report, ivf_recall_check...): binary gains over
+    the exact top-k as ground truth, position-discounted.
+
+      DCG  = Σ_{hits} w(approx_rank),  w(i) = round(1/log2(i+1), 6)
+      NDCG = DCG / IDCG,   IDCG = Σ_{i=1..n_exact} w(i)
+      MRR  = 1 / first hit's approx rank (0 when nothing hits)
+      recall = n_hits / n_exact
+
+    Determinism: the k discount weights are fixed decimal literals
+    (computed once driver-side — see _dcg_weight_literals) summed as
+    exact DECIMAL(18,6) (order-independent, the lm-scorer trick); the
+    final ratios are single double divisions. Inputs are any two frames
+    with (query_id, neighbor_id, rank) — compose with every tier.
+
+    Scale: two rank-bounded frames (<= k rows per query) joined on
+    (query_id, neighbor_id), then one groupBy per side — candidate-sized
+    work, independent of corpus size.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ws = _dcg_weight_literals(k)
+
+    def _w(rank_col):
+        expr = F.lit(None)
+        for i, lit in enumerate(ws, start=1):
+            expr = F.when(rank_col == i, F.lit(lit)).otherwise(expr)
+        return expr.cast("decimal(18,6)")
+
+    a = approx.filter(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", F.col("rank").alias("a_rank")
+    )
+    e = exact.filter(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", F.col("rank").alias("e_rank")
+    )
+    per_exact = e.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum(_w(F.col("e_rank"))).alias("_idcg"),
+    )
+    hits = a.join(e, ["query_id", "neighbor_id"])
+    per_hits = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.sum(_w(F.col("a_rank"))).alias("_dcg"),
+        F.min("a_rank").alias("_first"),
+    )
+    return (
+        per_exact.join(per_hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+            F.round(
+                F.coalesce(
+                    F.col("_dcg").cast("double") / F.col("_idcg").cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("ndcg"),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("_first"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+def mine_contrastive_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k_hard: int = 3,
+    k_rand: int = 2,
+    fetch_k: int = 20,
+    max_sim: float = 0.8,
+    num_buckets: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Contrastive-training negative mining: per anchor, ``k_hard`` hard
+    negatives + ``k_rand`` pseudo-random negatives.
+    Returns (anchor_id, neighbor_id, kind, rank, cosine).
+
+    Hard negatives are the highest-cosine candidates BELOW ``max_sim`` —
+    the ceiling excludes near-duplicates, which are presumptive false
+    negatives (likely unlabeled positives); candidate generation defaults
+    to the exact broadcast cosine_topk (guarded) and composes with any
+    ANN tier via ``candidates``.
+
+    Random negatives avoid the classic scale trap (a per-(anchor, corpus)
+    RNG evaluation is a cross join) with a deterministic md5 bucket
+    lottery: every corpus row hashes into one of ``num_buckets`` buckets
+    once; each (anchor, draw j) hashes to a bucket and takes the row with
+    the smallest anchor-salted md5 inside it. All equi-joins — per draw
+    the work is one bucket (~corpus/num_buckets rows), linear in the
+    corpus with a small constant, and the draw is a pure function of ids
+    (reproducible across engines/reruns, the hash_split contract). Two
+    draws landing in one bucket collapse to one pick (rare for
+    num_buckets >> k_rand), and a draw whose bucket holds no eligible
+    row produces no pick (only possible when the corpus is not >>
+    num_buckets — lower ``num_buckets`` for tiny corpora); the anchor
+    itself and its hard picks are excluded. ``cosine`` is reported for
+    rand picks too (one id-join for the pair vectors) so downstream can
+    audit for accidental positives.
+    """
+    if k_hard < 0 or k_rand < 0 or k_hard + k_rand == 0:
+        raise ValueError(
+            f"need k_hard >= 0, k_rand >= 0, k_hard + k_rand > 0 "
+            f"(got {k_hard}, {k_rand})"
+        )
+    if candidates is None:
+        candidates = cosine_topk(
+            corpus, anchors, k=fetch_k, vec_col=vec_col, id_col=id_col
+        )
+    w_hard = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    hard = (
+        candidates.select(
+            F.col("query_id").alias("anchor_id"), "neighbor_id", "cosine"
+        )
+        .filter(F.col("cosine") < F.lit(float(max_sim)))
+        .withColumn("rank", F.row_number().over(w_hard).cast("long"))
+        .filter(F.col("rank") <= k_hard)
+        .select(
+            "anchor_id", "neighbor_id", F.lit("hard").alias("kind"),
+            "rank", "cosine",
+        )
+    )
+    if k_rand == 0:
+        return hard
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.pmod(
+            portable_hash64(
+                F.concat(F.lit("negbkt:"), F.col(id_col).cast("string"))
+            ),
+            F.lit(num_buckets),
+        ).alias("bucket"),
+    )
+    probes = (
+        anchors.select(F.col(id_col).alias("anchor_id"))
+        .withColumn("j", F.explode(F.array(*[F.lit(j) for j in range(1, k_rand + 1)])))
+        .withColumn(
+            "bucket",
+            F.pmod(
+                portable_hash64(
+                    F.concat(
+                        F.lit("negsel:"),
+                        F.col("anchor_id").cast("string"),
+                        F.lit(":"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                F.lit(num_buckets),
+            ),
+        )
+    )
+    lottery = portable_hash64(
+        F.concat(
+            F.lit("neglot:"),
+            F.col("anchor_id").cast("string"),
+            F.lit(":"),
+            F.col("neighbor_id").cast("string"),
+        )
+    )
+    w_draw = Window.partitionBy("anchor_id", "j").orderBy(
+        F.col("_lot"), F.col("neighbor_id")
+    )
+    draws = (
+        probes.join(cb, "bucket")
+        .filter(F.col("neighbor_id") != F.col("anchor_id"))
+        .join(
+            hard.select("anchor_id", "neighbor_id"),
+            ["anchor_id", "neighbor_id"],
+            "left_anti",
+        )
+        .withColumn("_lot", lottery)
+        .withColumn("_rn", F.row_number().over(w_draw))
+        .filter(F.col("_rn") == 1)
+    )
+    # duplicate bucket draws collapse: keep each neighbor once (min j)
+    w_rand = Window.partitionBy("anchor_id").orderBy(
+        F.col("j"), F.col("neighbor_id")
+    )
+    rand = (
+        draws.groupBy("anchor_id", "neighbor_id")
+        .agg(F.min("j").alias("j"))
+        .withColumn("rank", F.row_number().over(w_rand).cast("long"))
+        .select("anchor_id", "neighbor_id", F.lit("rand").alias("kind"), "rank")
+    )
+    # report the true cosine of rand pairs (audit for accidental positives)
+    av = corpus.select(
+        F.col(id_col).alias("anchor_id"), _as_double(vec_col).alias("av")
+    ).withColumn("anrm", l2_norm(F.col("av")))
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("nv")
+    ).withColumn("nnrm", l2_norm(F.col("nv")))
+    rand = (
+        rand.join(av, "anchor_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "anchor_id", "neighbor_id", "kind", "rank",
+            _pair_cosine("av", "anrm", "nv", "nnrm").alias("cosine"),
+        )
+    )
+    return hard.unionByName(rand)

@@ -1373,6 +1373,17 @@ def bpe_segment_counts(
     UDF, no shuffle beyond the final count aggregation. At 100 TB this is
     a map over the corpus scan.
     """
+    import re as _re
+
+    for left, right in merges:
+        if not (_re.fullmatch(r"[a-z0-9]+", left)
+                and _re.fullmatch(r"[a-z0-9]+", right)):
+            raise ValueError(
+                f"bpe_segment_counts: merge symbols must match [a-z0-9]+ "
+                f"(the trainer's closed alphabet), got ({left!r}, {right!r})"
+                f" — a '|' or space in a symbol would corrupt the "
+                f"delimited state rewrite"
+            )
     words = spread(
         df.select(
             F.col(id_col).alias("doc_id"),

@@ -289,3 +289,128 @@ def test_bpe_segment_counts_no_merges_counts_chars(spark):
     row = T.bpe_segment_counts(docs, []).first()
     assert row.n_words == 2
     assert row.n_bpe_tokens == 5  # 3 chars + 2 chars
+
+
+def test_bpe_segment_counts_rejects_bad_symbols(spark):
+    from hive_io_experimental_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(0, "abc")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="closed alphabet"):
+        T.bpe_segment_counts(docs, [("a|b", "c")])
+    with pytest.raises(ValueError, match="closed alphabet"):
+        T.bpe_segment_counts(docs, [("a", "b c")])
+
+
+# ---------------------------------------------------------------------------
+# ranking_quality_report (NDCG / MRR / recall)
+# ---------------------------------------------------------------------------
+
+
+def test_ranking_quality_hand_checked(spark):
+    exact = spark.createDataFrame(
+        [(7, 100, 1), (7, 101, 2), (7, 102, 3)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    approx = spark.createDataFrame(
+        [(7, 100, 1), (7, 102, 2), (7, 999, 3)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    row = retrieval.ranking_quality_report(approx, exact, k=3).first()
+    # w = [1.0, 0.630930, 0.5]; hits at approx ranks 1 and 2
+    assert row.n_exact == 3 and row.n_hits == 2
+    assert row.ndcg == pytest.approx((1.0 + 0.630930) / 2.130930, abs=1e-6)
+    assert row.mrr == 1.0
+    assert row.recall == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_ranking_quality_no_hits_is_zero(spark):
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 98, 1), (1, 99, 2)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    row = retrieval.ranking_quality_report(approx, exact, k=2).first()
+    assert row.n_hits == 0 and row.ndcg == 0.0
+    assert row.mrr == 0.0 and row.recall == 0.0
+
+
+def test_ranking_quality_perfect_ranking_is_one(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 200 == 0)
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    rows = retrieval.ranking_quality_report(exact, exact, k=5).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.ndcg == 1.0 and r.mrr == 1.0 and r.recall == 1.0
+
+
+# ---------------------------------------------------------------------------
+# mine_contrastive_negatives
+# ---------------------------------------------------------------------------
+
+
+def test_contrastive_negatives_hard_excludes_near_dups(spark):
+    from hive_io_experimental_spark.operators.retrieval import (
+        mine_contrastive_negatives,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),   # anchor
+            (1, [1.0, 0.001, 0.0]),  # near-duplicate (cosine ~1) -> excluded
+            (2, [0.7, 0.7, 0.0]),   # hard negative (cosine ~0.7)
+            (3, [0.0, 1.0, 0.0]),   # orthogonal
+            (4, [-1.0, 0.0, 0.0]),  # opposite
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    anchors = corpus.filter(F.col("vec_id") == 0)
+    got = mine_contrastive_negatives(
+        corpus, anchors, k_hard=2, k_rand=0, fetch_k=4, max_sim=0.95
+    ).collect()
+    assert all(r.kind == "hard" for r in got)
+    ids = [r.neighbor_id for r in sorted(got, key=lambda r: r.rank)]
+    assert ids == [2, 3]  # near-dup 1 skipped by the ceiling
+    assert all(r.cosine < 0.95 for r in got)
+
+
+def test_contrastive_negatives_rand_deterministic_and_exclusive(spark, sf_dir):
+    from hive_io_experimental_spark.operators.retrieval import (
+        mine_contrastive_negatives,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    anchors = emb.filter(F.col("vec_id") < 40)
+    a = mine_contrastive_negatives(emb, anchors, k_hard=3, k_rand=2,
+                                   num_buckets=16)
+    b = mine_contrastive_negatives(emb, anchors, k_hard=3, k_rand=2,
+                                   num_buckets=16)
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb and len(ra) > 0  # pure function of ids
+    per_anchor: dict = {}
+    for r in ra:
+        per_anchor.setdefault(r[0], []).append(r)
+    for aid, rows in per_anchor.items():
+        ids = [r[1] for r in rows]
+        assert aid not in ids            # never the anchor itself
+        assert len(ids) == len(set(ids))  # hard and rand never overlap
+        kinds = {r[2] for r in rows}
+        assert kinds <= {"hard", "rand"}
+
+
+def test_contrastive_negatives_param_validation(spark):
+    from hive_io_experimental_spark.operators.retrieval import (
+        mine_contrastive_negatives,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="k_hard"):
+        mine_contrastive_negatives(corpus, corpus, k_hard=0, k_rand=0)
