@@ -1790,6 +1790,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lm_quality_scores"] = lambda spark, sf: text.unigram_lm_scores(
         _t(spark, sf, "documents")
     ).orderBy("doc_id")
+    # order-sensitive sibling of the unigram filter: conditional bigram
+    # bits — word salad of common words scores low on unigram, high here
+    q["bigram_lm_scores"] = lambda spark, sf: text.bigram_lm_scores(
+        _t(spark, sf, "documents")
+    )
     # sliding-window chunks (64-token windows, 16 overlap — small enough
     # that the synthetic docs actually produce multi-chunk output)
     q["chunk_documents"] = lambda spark, sf: text.chunk_documents(
@@ -2582,9 +2587,9 @@ _CHECK_FIRST = [
     # tokenizer-induction births: BPE merge learning + the learned-
     # tokenizer applier
     "bpe_train", "bpe_segment_counts",
-    # NDCG/MRR ranking-quality audit of the LSH tier vs exact, and
-    # contrastive hard+random negative mining
-    "similarity_ndcg_report", "contrastive_negatives",
+    # NDCG/MRR ranking-quality audit of the LSH tier vs exact,
+    # contrastive hard+random negative mining, and the bigram LM filter
+    "similarity_ndcg_report", "contrastive_negatives", "bigram_lm_scores",
     # ---- 4 r3-stale TPC-H shapes (8 rounds since last driver check) ----
     "sql_q17_small_qty", "supplier_part_counts", "top_supplier",
     "waiting_orders",
@@ -2592,20 +2597,21 @@ _CHECK_FIRST = [
     "event_dwell_stats", "events_hourly_salted", "gapfill_hourly",
     "sql_q19_disjunctive", "trailing_purchase_stats", "user_event_paths",
     "dedup_minhash_lsh", "dedup_simhash", "active_user_trends",
-    # ---- 11 of the 27 r5-stale (6 rounds since last driver check) ----
+    # ---- 10 of the 27 r5-stale (6 rounds since last driver check) ----
     "asof_purchase_click", "bloom_join_prune", "brand_size_pivot",
     "customer_order_ranks", "data_expectations", "dedup_embedding",
     "dedup_span_stats", "event_props_json", "events_time_rollup",
-    "expanding_zscore", "funnel_step_counts",
+    "expanding_zscore",
     # (deferred to r12 by the 50-slot cap — r12 must lead with them:
-    # funnel_user_extrema, incremental_rollup, join_semi,
-    # max_concurrent_sessions, nation_revenue, orders_by_month,
+    # funnel_step_counts, funnel_user_extrema, incremental_rollup,
+    # join_semi, max_concurrent_sessions, nation_revenue, orders_by_month,
     # range_join_signup_purchase, retention_cohorts,
     # similarity_lsh_buckets, similarity_quality_topk, snapshot_diff_cdc,
     # sql_q6_revenue, stratified_sample_docs, tfidf_top_terms,
-    # token_budget_mix, token_counts (r5-stale — the last six slots went
-    # to this round's retrieval/BPE/NDCG/negatives births, the
-    # in-window-from-birth rule), then the 34-gate r6 block)
+    # token_budget_mix, token_counts (r5-stale — the last seven slots
+    # went to this round's 7 births after the 4 early-round ones, the
+    # in-window-from-birth rule; this round's births stop here so the
+    # rotation keeps breathing room), then the 34-gate r6 block)
 ]
 
 
@@ -5977,11 +5983,39 @@ def oracle_sql() -> dict[str, str]:
                         CAST(ROUND(-log2(c / n), 6) AS DECIMAL(18,6))
                           AS b
                  FROM vocab, tot)
-        SELECT t.doc_id,
-               COUNT(*) AS n_tokens,
-               ROUND(CAST(SUM(b.b) AS DOUBLE) / COUNT(*), 6) AS avg_bits
-        FROM tk t JOIN bits b USING (token)
-        GROUP BY 1 ORDER BY 1"""
+        SELECT doc_id, n_tokens,
+               CAST((2 * CAST(s * 1000000 AS BIGINT) + n_tokens)
+                    // (2 * n_tokens) AS DOUBLE)
+                 / CAST(1000000 AS DOUBLE) AS avg_bits
+        FROM (SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(b.b) AS s
+              FROM tk t JOIN bits b USING (token)
+              GROUP BY 1) ORDER BY 1"""
+
+    # bigram twin: row-local adjacent pairs, MLE conditional bits,
+    # decimal-exact per-doc sum (the lm_quality_scores contract)
+    o["bigram_lm_scores"] = f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (SELECT doc_id,
+                     unnest(CASE WHEN len(toks) >= 2 THEN
+                              list_transform(range(1, len(toks)),
+                                i -> struct_pack(a := toks[i],
+                                                 b := toks[i+1]))
+                            ELSE [] END) AS gr
+              FROM d),
+        grams AS (SELECT doc_id, gr.a AS a, gr.b AS b FROM g),
+        pair_c AS (SELECT a, b, COUNT(*) AS cab FROM grams GROUP BY 1, 2),
+        prefix_c AS (SELECT a, SUM(cab) AS ca FROM pair_c GROUP BY 1),
+        bits AS (SELECT p.a, p.b,
+                        CAST(ROUND(-log2(p.cab / CAST(x.ca AS DOUBLE)), 6)
+                             AS DECIMAL(18,6)) AS bts
+                 FROM pair_c p JOIN prefix_c x ON x.a = p.a)
+        SELECT doc_id, n_bigrams,
+               CAST((2 * CAST(s * 1000000 AS BIGINT) + n_bigrams)
+                    // (2 * n_bigrams) AS DOUBLE)
+                 / CAST(1000000 AS DOUBLE) AS avg_bits
+        FROM (SELECT gr.doc_id, COUNT(*) AS n_bigrams, SUM(bits.bts) AS s
+              FROM grams gr JOIN bits ON bits.a = gr.a AND bits.b = gr.b
+              GROUP BY 1)"""
 
     o["tfidf_top_terms"] = f"""
         WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -771,11 +771,30 @@ def unigram_lm_scores(
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                F.sum("_bits").cast("double") / F.count(F.lit(1)), 6
-            ).alias("avg_bits"),
+            F.sum("_bits").alias("_s"),
+        )
+        .select(
+            "doc_id", "n_tokens",
+            _decimal_mean_6("_s", "n_tokens").alias("avg_bits"),
         )
     )
+
+
+def _decimal_mean_6(sum_col: str, count_col: str):
+    """round(sum/count, 6) over an exact DECIMAL(.,6) sum — via pure
+    INTEGER arithmetic, because the obvious ROUND(double, 6) is a
+    cross-engine trap: the exact rational sum/count lands exactly ON a
+    .5e-6 rounding boundary whenever sum*1e6 ≡ count/2 (mod count), and
+    there Spark's decimal-exact HALF_UP disagrees with a float-multiply
+    ROUND (hit in the wild: 68.661789/14 = 4.9044135 exactly).
+    HALF_UP(S/n) == (2S + n) div (2n) for the non-negative values here;
+    the final /1e6 is one double division, bit-identical everywhere.
+    SQL twin: CAST((2 * CAST(s * 1000000 AS BIGINT) + n) // (2 * n)
+    AS DOUBLE) / CAST(1000000 AS DOUBLE)."""
+    return F.expr(
+        f"CAST((2 * CAST({sum_col} * 1000000 AS BIGINT) + {count_col}) "
+        f"div (2 * {count_col}) AS DOUBLE)"
+    ) / F.lit(1_000_000.0)
 
 
 def chunk_documents(
@@ -1402,4 +1421,65 @@ def bpe_segment_counts(
     return per_word.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_words"),
         F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Self-trained bigram LM score (conditional bits per bigram) per
+    document — the order-sensitive sibling of unigram_lm_scores: word
+    salad built from common words scores LOW on the unigram filter but
+    HIGH here (its transitions are improbable).
+
+      bits(a -> b) = -log2(c(a,b) / c(a,·))   (MLE; every scored bigram
+      is by construction seen in the corpus, so no smoothing mass is
+      needed)
+
+    Plan shape for 100 TB: bigram formation is row-local (an indexed
+    slice over the token array — the phrase_search k-gram trick, no
+    positional self-join); ONE groupBy(bigram) count and ONE
+    groupBy(prefix) count build the model; scoring joins bigrams back on
+    the same keys, then ONE groupBy(doc). Per-bigram bits are rounded to
+    6 and summed as exact DECIMAL(18,6) (order-independent — the
+    unigram_lm_scores contract). Docs with < 2 tokens produce no row.
+
+    Returns (doc_id, n_bigrams, avg_bits), avg_bits rounded to 6.
+    """
+    prepared = spread(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            word_tokens(F.col(text_col)).alias("_toks"),
+        )
+    ).filter(F.size("_toks") >= 2)
+    grams = prepared.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_toks) - 1), "
+                "i -> struct(_toks[i - 1] AS a, _toks[i] AS b))"
+            )
+        ).alias("_g"),
+    ).select("doc_id", F.col("_g.a").alias("a"), F.col("_g.b").alias("b"))
+    pair_c = grams.groupBy("a", "b").agg(F.count(F.lit(1)).alias("_cab"))
+    prefix_c = pair_c.groupBy("a").agg(F.sum("_cab").alias("_ca"))
+    bits = pair_c.join(prefix_c, "a").select(
+        "a", "b",
+        F.round(-F.log2(F.col("_cab") / F.col("_ca")), 6)
+        .cast("decimal(18,6)")
+        .alias("_bits"),
+    )
+    return (
+        grams.join(bits, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("_bits").alias("_s"),
+        )
+        .select(
+            "doc_id", "n_bigrams",
+            _decimal_mean_6("_s", "n_bigrams").alias("avg_bits"),
+        )
     )

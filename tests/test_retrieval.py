@@ -414,3 +414,63 @@ def test_contrastive_negatives_param_validation(spark):
     )
     with pytest.raises(ValueError, match="k_hard"):
         mine_contrastive_negatives(corpus, corpus, k_hard=0, k_rand=0)
+
+
+# ---------------------------------------------------------------------------
+# bigram_lm_scores
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_lm_scores_penalizes_scrambled_transitions(spark):
+    from hive_io_experimental_spark.operators import text as T
+
+    # docs 0/1 share the frequent transition; doc 2 uses the same words
+    # in unseen-elsewhere orders -> its average transition is rarer
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat the cat sat the cat sat"),
+            (1, "the cat sat the cat sat"),
+            (2, "cat the sat cat the sat"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in T.bigram_lm_scores(docs).collect()}
+    assert rows[0].avg_bits < rows[2].avg_bits
+    # and every doc with >= 2 tokens is scored
+    assert set(rows) == {0, 1, 2}
+
+
+def test_bigram_lm_scores_skips_short_docs(spark):
+    from hive_io_experimental_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(0, "single"), (1, "two tokens")],
+        "doc_id long, text string",
+    )
+    rows = T.bigram_lm_scores(docs).collect()
+    assert [r.doc_id for r in rows] == [1]
+    assert rows[0].n_bigrams == 1
+    assert rows[0].avg_bits == 0.0  # the only transition is certain
+
+
+def test_decimal_mean_half_boundary_is_half_up(spark):
+    """The in-the-wild boundary case: 68.661789 / 14 = 4.9044135 exactly
+    — HALF_UP must give 4.904414 in Spark AND the SQL twin (a raw-double
+    ROUND disagreed across engines here)."""
+    from hive_io_experimental_spark.operators.text import _decimal_mean_6
+
+    df = spark.createDataFrame(
+        [("68.661789", 14)], "s string, n long"
+    ).select(
+        F.col("s").cast("decimal(18,6)").alias("s"), "n"
+    )
+    got = df.select(_decimal_mean_6("s", "n").alias("avg")).first()["avg"]
+    assert got == 4.904414
+    import duckdb
+
+    want = duckdb.sql(
+        "SELECT CAST((2 * CAST(CAST('68.661789' AS DECIMAL(18,6)) "
+        "* 1000000 AS BIGINT) + 14) // (2 * 14) AS DOUBLE) "
+        "/ CAST(1000000 AS DOUBLE)"
+    ).fetchone()[0]
+    assert want == got
