@@ -1790,11 +1790,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lm_quality_scores"] = lambda spark, sf: text.unigram_lm_scores(
         _t(spark, sf, "documents")
     ).orderBy("doc_id")
-    # order-sensitive sibling of the unigram filter: conditional bigram
-    # bits — word salad of common words scores low on unigram, high here
-    q["bigram_lm_scores"] = lambda spark, sf: text.bigram_lm_scores(
-        _t(spark, sf, "documents")
-    )
     # sliding-window chunks (64-token windows, 16 overlap — small enough
     # that the synthetic docs actually produce multi-chunk output)
     q["chunk_documents"] = lambda spark, sf: text.chunk_documents(
@@ -2587,9 +2582,12 @@ _CHECK_FIRST = [
     # tokenizer-induction births: BPE merge learning + the learned-
     # tokenizer applier
     "bpe_train", "bpe_segment_counts",
-    # NDCG/MRR ranking-quality audit of the LSH tier vs exact,
-    # contrastive hard+random negative mining, and the bigram LM filter
-    "similarity_ndcg_report", "contrastive_negatives", "bigram_lm_scores",
+    # NDCG/MRR ranking-quality audit of the LSH tier vs exact, and
+    # contrastive hard+random negative mining
+    "similarity_ndcg_report", "contrastive_negatives",
+    # r6-born veteran whose implementation was consolidated this round
+    # (boundary-free mean) — in-window to re-verify under the driver
+    "bigram_lm_scores",
     # ---- 4 r3-stale TPC-H shapes (8 rounds since last driver check) ----
     "sql_q17_small_qty", "supplier_part_counts", "top_supplier",
     "waiting_orders",
@@ -3767,27 +3765,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT st.token AS term, st.df, st.tf_total, post.postings
         FROM st JOIN post ON post.token = st.token ORDER BY term"""
 
-    # bigram LM twin: same tokenization, bigrams formed over 1-based list
-    # positions, MLE conditional bits rounded to 6 and summed as exact
-    # DECIMAL(18,6) (the unigram scorer's determinism trick)
-    o["bigram_lm_scores"] = f"""
-        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-        bg0 AS (SELECT doc_id,
-                       list_transform(range(1, len(toks)),
-                                      i -> toks[i] || ' ' || toks[i+1])
-                         AS bgs
-                FROM d WHERE len(toks) >= 2),
-        occ AS (SELECT doc_id, unnest(bgs) AS bg FROM bg0),
-        cb AS (SELECT bg, COUNT(*) AS cb FROM occ GROUP BY 1),
-        cc AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS cc
-               FROM occ GROUP BY 1),
-        bits AS (SELECT cb.bg,
-                        CAST(ROUND(-log2(cb.cb / cc.cc), 6)
-                             AS DECIMAL(18,6)) AS b
-                 FROM cb JOIN cc ON cc.w1 = split_part(cb.bg, ' ', 1))
-        SELECT o.doc_id, COUNT(*) AS n_bigrams,
-               ROUND(CAST(SUM(b.b) AS DOUBLE) / COUNT(*), 6) AS avg_bits
-        FROM occ o JOIN bits b USING (bg) GROUP BY 1 ORDER BY 1"""
+    # (the bigram LM twin lives next to tfidf_top_terms — one definition
+    # only; an earlier duplicate here was removed when the duplication
+    # was caught in the r11 round-close audit)
 
     # ⊕-merged index must equal the one-shot full-corpus index exactly
     # (disjoint doc halves), so it shares the inverted_index twin

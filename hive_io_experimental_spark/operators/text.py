@@ -1007,75 +1007,6 @@ def keyword_search(
     )
 
 
-def bigram_lm_scores(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Self-trained bigram LM score (bits per transition) per document.
-
-    The second-order sibling of unigram_lm_scores: fit conditional
-    P(w2|w1) = c(w1 w2) / c(w1 ·) on the corpus itself (MLE over bigram
-    occurrences — every observed bigram has nonzero probability because
-    the model is fit on the scored corpus), then score each document by
-    its average negative log2 transition probability. Catches repetitive
-    boilerplate that unigram misses (common words in uncommon orders
-    score high) at the cost of a bigram-vocabulary-sized model.
-
-    Plan shape: tokenization materialized BELOW a spread() exchange, then
-    positions exploded and each bigram formed by plain codegen element
-    access — never an interpreted HOF lambda re-evaluating the tokenizer
-    per position (the documented CollapseProject trap). Two vocabulary
-    aggregations (bigram counts, context counts) + one scoring join +
-    one per-doc sum; every shuffle carries (key, count) pairs, not text.
-
-    Determinism: per-transition bits rounded to 6 and summed as exact
-    DECIMAL(18,6) — order-independent hash like unigram_lm_scores.
-    Docs with < 2 tokens emit no row.
-
-    Returns (doc_id, n_bigrams, avg_bits).
-    """
-    prepared = spread(
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            word_tokens(F.col(text_col)).alias("_toks"),
-        )
-    ).filter(F.size("_toks") >= 2)
-    occ = prepared.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(0), F.size("_toks") - F.lit(2))
-        ).alias("i"),
-        F.col("_toks"),
-    ).select(
-        "doc_id",
-        F.expr("_toks[i]").alias("w1"),
-        F.expr("concat(_toks[i], ' ', _toks[i + 1])").alias("bg"),
-    )
-    # group by (bg, w1) — bg determines w1, so the counts are identical
-    # and the context join never depends on re-parsing the bigram string
-    # (which would silently break if the token joiner ever changed)
-    cb = occ.groupBy("bg", "w1").agg(F.count(F.lit(1)).alias("_cb"))
-    cc = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("_cc"))
-    bits = (
-        cb.join(cc, "w1")
-        .select(
-            "bg",
-            F.round(-F.log2(F.col("_cb") / F.col("_cc")), 6)
-            .cast("decimal(18,6)")
-            .alias("_bits"),
-        )
-    )
-    return (
-        occ.join(bits, "bg")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(
-                F.sum("_bits").cast("double") / F.count(F.lit(1)), 6
-            ).alias("avg_bits"),
-        )
-    )
 
 
 def merge_inverted_indexes(
