@@ -595,19 +595,60 @@ def cmd_erase(args: argparse.Namespace, stop_session: bool = True) -> int:
 def cmd_search(args: argparse.Namespace, stop_session: bool = True) -> int:
     """Keyword search over a corpus, or print its inverted index.
 
-    With --terms: conjunctive (AND) search, ranked by total term
-    frequency. Without: the term -> (df, tf_total, postings) index, the
+    With --terms: conjunctive (AND) search ranked by total term
+    frequency, or relevance-ranked (OR) BM25 with --ranker bm25.
+    Adding --embeddings + --query-vec-id upgrades to HYBRID search:
+    the BM25 leg and an exact-cosine leg against that stored vector,
+    fused by reciprocal-rank fusion (operators/retrieval.py).
+    Without --terms: the term -> (df, tf_total, postings) index, the
     posting prefix capped at --max-postings ids."""
+    from pyspark.sql import functions as F
+
+    from hive_io_experimental_spark.operators import retrieval as retrieval_ops
     from hive_io_experimental_spark.operators import text as text_ops
 
     spark = _build_spark(args.threads)
     df = _table_df(spark, args, args.table)
+    if args.embeddings and not args.terms:
+        print("search: --embeddings requires --terms (hybrid search "
+              "fuses a keyword leg and a vector leg)", file=sys.stderr)
+        if stop_session:
+            spark.stop()
+        return 2
     if args.terms:
         terms = [t for t in args.terms.split(",") if t]
-        out = text_ops.keyword_search(
-            df, terms, text_col=args.text_col, id_col=args.id_col,
-            top_k=args.top_k,
-        )
+        if args.embeddings:
+            emb = _table_df(spark, args, args.embeddings)
+            qrow = (
+                emb.filter(F.col(args.vec_id_col) == args.query_vec_id)
+                .select(args.vec_col)
+                .first()
+            )
+            if qrow is None:
+                print(
+                    f"search: no row with {args.vec_id_col} = "
+                    f"{args.query_vec_id} in {args.embeddings}",
+                    file=sys.stderr,
+                )
+                if stop_session:
+                    spark.stop()
+                return 2
+            out = retrieval_ops.hybrid_topk_rrf(
+                df, emb, terms, list(qrow[0]),
+                k=args.top_k,
+                text_col=args.text_col, doc_id_col=args.id_col,
+                vec_col=args.vec_col, vec_id_col=args.vec_id_col,
+            )
+        elif args.ranker == "bm25":
+            out = text_ops.bm25_search(
+                df, terms, text_col=args.text_col, id_col=args.id_col,
+                top_k=args.top_k,
+            )
+        else:
+            out = text_ops.keyword_search(
+                df, terms, text_col=args.text_col, id_col=args.id_col,
+                top_k=args.top_k,
+            )
     else:
         out = text_ops.inverted_index(
             df, text_col=args.text_col, id_col=args.id_col,
@@ -909,12 +950,21 @@ def build_parser() -> argparse.ArgumentParser:
 
     se = sub.add_parser(
         "search",
-        help="conjunctive keyword search, or print the inverted index",
+        help="keyword / BM25 / hybrid search, or print the inverted index",
     )
     se.add_argument("--table", required=True,
                     help="db.table (with --warehouse) or parquet path")
     se.add_argument("--terms", default=None,
-                    help="comma-separated AND terms; omit to print index")
+                    help="comma-separated terms; omit to print index")
+    se.add_argument("--ranker", choices=("and", "bm25"), default="and",
+                    help="'and' = conjunctive tf-ranked, 'bm25' = "
+                         "relevance-ranked OR")
+    se.add_argument("--embeddings", default=None,
+                    help="embeddings db.table/path: fuse a cosine leg "
+                         "against --query-vec-id's vector (hybrid RRF)")
+    se.add_argument("--query-vec-id", type=int, default=0)
+    se.add_argument("--vec-col", default="embedding")
+    se.add_argument("--vec-id-col", default="vec_id")
     se.add_argument("--top-k", type=int, default=50)
     se.add_argument("--max-postings", type=int, default=20)
     se.add_argument("--text-col", default="text")

@@ -522,3 +522,66 @@ def test_cli_dedup_semantic(spark, tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert out[0].split("\t") == ["doc_id", "kept_id", "cosine"]
     assert [l.split("\t")[:2] for l in out[1:]] == [["1", "0"]]
+
+
+def test_cli_search_bm25_and_hybrid(spark, tmp_path, capsys):
+    t = tmp_path / "docs_h"
+    spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),
+            (1, "alpha alpha delta"),
+            (2, "epsilon zeta eta"),
+            (3, "beta beta beta"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(str(t))
+    e = tmp_path / "emb_h"
+    spark.createDataFrame(
+        [
+            (0, [0.0, 1.0]),
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.4]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(str(e))
+
+    # BM25 (OR) ranking: doc 1 (tf=2) outranks doc 0 (tf=1) for 'alpha'
+    rc = main(
+        ["search", "--table", str(t), "--terms", "alpha",
+         "--ranker", "bm25"],
+        stop_session=False,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t") == ["doc_id", "n_terms_hit", "score"]
+    assert [l.split("\t")[0] for l in out[1:]] == ["1", "0"]
+
+    # hybrid: doc 1 tops both legs (tf=2 lexical; cosine 1.0 vs vec 1)
+    rc = main(
+        ["search", "--table", str(t), "--terms", "alpha",
+         "--embeddings", str(e), "--query-vec-id", "1",
+         "--top-k", "4"],
+        stop_session=False,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t") == [
+        "doc_id", "lex_rank", "sem_rank", "cosine", "rrf_score"
+    ]
+    assert out[1].split("\t")[0] == "1"  # fused winner
+
+    # --embeddings without --terms is a usage error
+    rc = main(
+        ["search", "--table", str(t), "--embeddings", str(e)],
+        stop_session=False,
+    )
+    assert rc == 2
+
+    # missing query vector id is a clean error, not a crash
+    rc = main(
+        ["search", "--table", str(t), "--terms", "alpha",
+         "--embeddings", str(e), "--query-vec-id", "999"],
+        stop_session=False,
+    )
+    assert rc == 2

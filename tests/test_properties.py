@@ -356,3 +356,120 @@ def test_bloom_contract_no_false_negatives_any_batching(
     )
     mem = inc.bloom_membership(folded, frame(keys), "user_id", m, k)
     assert all(r.maybe_member == 1 for r in mem.collect())
+
+
+# ---------------------------------------------------------------------------
+# retrieval composition contracts
+# ---------------------------------------------------------------------------
+
+vec_strategy = st.lists(
+    st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, allow_nan=False,
+                  allow_infinity=False, width=32),
+        min_size=4, max_size=4,
+    ).filter(lambda v: any(abs(x) > 1e-3 for x in v)),
+    min_size=4, max_size=8,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(vecs=vec_strategy)
+def test_mmr_picks_come_from_candidates_and_first_is_argmax(spark, vecs):
+    """MMR contract on random embeddings: picks are a subset of the exact
+    top-fetch_k candidate set, ranks are contiguous from 1, and the FIRST
+    pick per query is the plain relevance argmax (λ·rel − 0)."""
+    from hive_io_experimental_spark.operators import retrieval, similarity
+
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.filter("vec_id = 0")
+    fetch_k = 4
+    cands = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(corpus, queries, k=fetch_k).collect()
+    }
+    best = {
+        r.query_id: r.neighbor_id
+        for r in similarity.cosine_topk(corpus, queries, k=1).collect()
+    }
+    got = retrieval.mmr_diversified_topk(
+        corpus, queries, k=3, fetch_k=fetch_k, mmr_lambda=0.5
+    ).collect()
+    ranks: dict[int, list[int]] = {}
+    for r in got:
+        assert (r.query_id, r.neighbor_id) in cands
+        ranks.setdefault(r.query_id, []).append(r.mmr_rank)
+        if r.mmr_rank == 1:
+            assert r.neighbor_id == best[r.query_id]
+    for q, rk in ranks.items():
+        assert sorted(rk) == list(range(1, len(rk) + 1))
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    docs=st.lists(doc_strategy, min_size=3, max_size=5),
+    terms=st.lists(st.sampled_from(WORDS), min_size=1, max_size=2,
+                   unique=True),
+)
+def test_rrf_score_is_the_rank_formula(spark, docs, terms):
+    """Hybrid RRF contract on random corpora: every fused row's score is
+    exactly 1/(60+lex_rank) + 1/(60+sem_rank) with NULL legs contributing
+    zero, and result ids come from the union of the two legs."""
+    import pytest as _pytest
+
+    from hive_io_experimental_spark.operators import retrieval
+
+    ddf = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    edf = spark.createDataFrame(
+        [(i, [1.0 * (i % 3), 1.0, 0.5 * i]) for i in range(len(docs))],
+        "vec_id long, embedding array<double>",
+    )
+    got = retrieval.hybrid_topk_rrf(
+        ddf, edf, list(terms), [1.0, 0.5, 0.25], k=len(docs) + 2,
+        candidate_k=len(docs) + 2,
+    ).collect()
+    assert len(got) > 0  # the semantic leg always has candidates
+    for r in got:
+        want = 0.0
+        if r.lex_rank is not None:
+            want += 1.0 / (60 + r.lex_rank)
+        if r.sem_rank is not None:
+            want += 1.0 / (60 + r.sem_rank)
+        assert r.rrf_score == _pytest.approx(want, abs=1e-6)
+        assert r.lex_rank is not None or r.sem_rank is not None
+
+
+@settings(max_examples=5, deadline=None)
+@given(docs=st.lists(doc_strategy, min_size=2, max_size=4))
+def test_bpe_merge_monotonicity_and_closure(spark, docs):
+    """BPE contracts on random corpora: merged symbols are always the
+    concat of their parts; every merge strictly reduces the corpus-wide
+    token count by the merged pair's occurrence count (> 0); and applying
+    MORE merges never increases a document's token count."""
+    from hive_io_experimental_spark.operators import text as T
+    from pyspark.sql import functions as F
+
+    ddf = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    merges = T.bpe_train(ddf, num_merges=6).collect()
+    for m in merges:
+        assert m.merged == m.left + m.right
+    assert len({(m.left, m.right) for m in merges}) == len(merges)
+
+    def total(n):
+        ms = [(m.left, m.right) for m in merges[:n]]
+        return (
+            T.bpe_segment_counts(ddf, ms)
+            .agg(F.sum("n_bpe_tokens").alias("t"))
+            .first()["t"]
+        )
+
+    totals = [total(n) for n in (0, len(merges) // 2, len(merges))]
+    assert totals[0] >= totals[1] >= totals[2]
