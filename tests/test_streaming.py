@@ -818,3 +818,42 @@ def test_lsh_candidates_stream_validations(spark, sf_dir, tmp_path):
     # a batch frame is refused (the batch path exists for that)
     with pytest.raises(ValueError, match="batch frame"):
         lsh_candidates_stream(spark, cat, "default.emb_lsh_v", emb, emb)
+
+
+def test_lsh_topk_stream_parity_at_all_probe_depths(spark, sf_dir, tmp_path):
+    """Stream serving == batch serving at probe_bits 0 AND 2 as well
+    (the first test pins 1): the probe fan-out width must not change
+    the stream-static equivalence."""
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators import similarity
+    from hive_io_experimental_spark.streaming.similarity import (
+        serve_lsh_topk_stream,
+    )
+
+    cat = Catalog(str(tmp_path / "wh"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    similarity.lsh_build_index(spark, cat, "default.emb_lsh_pb", emb,
+                               num_planes=6)
+    queries = emb.filter(F.col("vec_id") < 30)
+    src = str(tmp_path / "qsrc")
+    queries.write.mode("overwrite").parquet(src)
+
+    for bits in (0, 2):
+        stream = spark.readStream.schema(queries.schema).parquet(src)
+        got: list = []
+        q = serve_lsh_topk_stream(
+            spark, cat, "default.emb_lsh_pb", stream, emb,
+            sink_fn=lambda df, epoch: got.extend(tuple(r) for r in df.collect()),
+            k=3, probe_bits=bits,
+        ).trigger(availableNow=True).option(
+            "checkpointLocation", str(tmp_path / f"ckpt{bits}")
+        ).start()
+        q.awaitTermination(300)
+        batch = {
+            tuple(r)
+            for r in similarity.lsh_query_index(
+                spark, cat, "default.emb_lsh_pb", emb, queries, k=3,
+                probe_bits=bits,
+            ).collect()
+        }
+        assert set(got) == batch and len(batch) > 0, f"probe_bits={bits}"
