@@ -636,6 +636,7 @@ def cmd_search(args: argparse.Namespace, stop_session: bool = True) -> int:
             out = retrieval_ops.hybrid_topk_rrf(
                 df, emb, terms, list(qrow[0]),
                 k=args.top_k,
+                candidate_k=max(50, args.top_k),
                 text_col=args.text_col, doc_id_col=args.id_col,
                 vec_col=args.vec_col, vec_id_col=args.vec_id_col,
             )

@@ -206,7 +206,9 @@ def mmr_diversified_topk(
     (small query sets — its guard applies); pass ``candidates`` from any
     ANN tier (cosine_topk_bucketed / lsh_query_index / ivf_topk...) to
     run the same rerank at scale: any frame with (query_id, neighbor_id,
-    cosine) works.
+    cosine) works, with INTEGER ids (the engine's embedding-table
+    convention — the Arrow greedy stage and its SQL twin exchange ids as
+    longs; enforced below).
 
     Determinism across engines: rel and all pairwise sims are the
     engine's round-6 JVM cosine; the Python step does ONLY double
@@ -230,6 +232,13 @@ def mmr_diversified_topk(
         )
     if k < 1 or fetch_k < k:
         raise ValueError(f"need fetch_k >= k >= 1, got k={k} fetch_k={fetch_k}")
+    id_kind = corpus.schema[id_col].dataType.typeName()
+    if id_kind not in ("long", "integer", "short", "byte"):
+        raise ValueError(
+            f"mmr_diversified_topk: integer ids required ({id_col} is "
+            f"{id_kind}) — map string ids to longs first (hash or "
+            f"row_number) like the embeddings-table convention."
+        )
     if candidates is None:
         candidates = cosine_topk(
             corpus, queries, k=fetch_k, vec_col=vec_col, id_col=id_col
@@ -271,6 +280,8 @@ def mmr_diversified_topk(
     k_out = int(k)
 
     def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
         qid = int(pdf["query_id"].iloc[0])
         firsts = pdf.drop_duplicates(subset=["a_id"])
         rels = {
@@ -284,6 +295,18 @@ def mmr_diversified_topk(
                 with_b["a_id"], with_b["b_id"], with_b["pairsim"]
             )
         }
+        # fail LOUDLY on NaN (a NULL round-6 cosine = a zero-norm vector
+        # upstream): NaN comparisons are silently False, which would
+        # truncate the selection or crown an arbitrary first pick
+        if any(math.isnan(v) for v in rels.values()) or any(
+            math.isnan(v) for v in sims.values()
+        ):
+            raise ValueError(
+                f"mmr_diversified_topk: NaN relevance/similarity for "
+                f"query {qid} — a zero-norm vector is among the "
+                f"candidates (cosine undefined). Filter zero-norm "
+                f"embeddings out of the corpus first."
+            )
         selected: list[int] = []
         rows = []
         for step in range(1, k_out + 1):
@@ -496,6 +519,12 @@ def mine_contrastive_negatives(
     )
     if k_rand == 0:
         return hard
+    # `hard` feeds BOTH the rand leg's anti-join and the final union —
+    # without reuse() the candidate-generation plan (the expensive part)
+    # executes twice (functions/reuse.py; the semantic_dedup lesson)
+    from hive_io_experimental_spark.functions.reuse import reuse
+
+    hard = reuse(hard)
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.pmod(

@@ -2529,9 +2529,11 @@ def ivf_pq_query_index(
         ("centroids", cents), ("lists", lists),
         ("codebooks", codebooks), ("codes", codes),
     ):
-        r = df.select("build_id").first()
-        stamps[name] = None if r is None else r["build_id"]
-    if len({s for s in stamps.values() if s is not None}) > 1:
+        stamps[name] = _index_stamp(
+            "ivf_pq_query_index", index_table, name, df,
+            rebuild="ivf_pq_build_index",
+        )
+    if len(set(stamps.values())) > 1:
         raise ValueError(
             f"ivf_pq_query_index: index {index_table} has mixed build_id "
             f"stamps across its tables ({stamps}) — a rebuild was torn "
@@ -2848,6 +2850,33 @@ def multiprobe_recall_report(
     )
 
 
+def _index_stamp(op: str, index_table: str, table_label: str,
+                 df, rebuild: str) -> str:
+    """One sampled build_id from a persisted index table, with the two
+    silent-wrong cases turned into loud errors: a MISSING build_id
+    column (an index persisted before the stamp existed — rebuild to
+    migrate) and an EMPTY table (a rebuild torn between drop/create and
+    write — every legitimate build writes >= 1 row because empty corpora
+    are refused at build time, so an empty table can ONLY be a torn
+    rebuild). The empty case previously slipped through the mixed-stamp
+    check (None was treated as 'no opinion') and served zero candidates
+    for every query with no error."""
+    if "build_id" not in df.columns:
+        raise ValueError(
+            f"{op}: index {index_table}'s {table_label} table has no "
+            f"build_id column — it predates the torn-rebuild stamp. "
+            f"Re-run {rebuild} to migrate it."
+        )
+    r = df.select("build_id").first()
+    if r is None:
+        raise ValueError(
+            f"{op}: index {index_table}'s {table_label} table is EMPTY "
+            f"— a rebuild was torn between create and write. Re-run "
+            f"{rebuild} before serving."
+        )
+    return r["build_id"]
+
+
 def lsh_build_index(
     spark,
     catalog,
@@ -3022,12 +3051,15 @@ def lsh_query_index(
             f"lsh_query_index: empty meta table {index_table}_meta"
         )
     buckets = inp.read_table(ScanSpec(table=index_table))
-    b_stamp = buckets.select("build_id").first()
-    if b_stamp is not None and b_stamp["build_id"] != meta["build_id"]:
+    b_stamp = _index_stamp(
+        "lsh_query_index", index_table, "buckets", buckets,
+        rebuild="lsh_build_index",
+    )
+    if b_stamp != meta["build_id"]:
         raise ValueError(
             f"lsh_query_index: index {index_table} has mixed build_id "
             f"stamps (meta {meta['build_id']!r} vs buckets "
-            f"{b_stamp['build_id']!r}) — a rebuild was torn mid-way. "
+            f"{b_stamp!r}) — a rebuild was torn mid-way. "
             f"Re-run lsh_build_index before serving."
         )
     qb = hyperplane_lsh_buckets(

@@ -82,13 +82,18 @@ def lsh_candidates_stream(
         raise ValueError(
             f"lsh_candidates_stream: empty meta table {index_table}_meta"
         )
+    from hive_io_experimental_spark.operators.similarity import _index_stamp
+
     buckets = inp.read_table(ScanSpec(table=index_table))
-    b_stamp = buckets.select("build_id").first()
-    if b_stamp is not None and b_stamp["build_id"] != meta["build_id"]:
+    b_stamp = _index_stamp(
+        "lsh_candidates_stream", index_table, "buckets", buckets,
+        rebuild="lsh_build_index",
+    )
+    if b_stamp != meta["build_id"]:
         raise ValueError(
             f"lsh_candidates_stream: index {index_table} has mixed "
             f"build_id stamps (meta {meta['build_id']!r} vs buckets "
-            f"{b_stamp['build_id']!r}) — a rebuild was torn mid-way. "
+            f"{b_stamp!r}) — a rebuild was torn mid-way. "
             f"Re-run lsh_build_index before serving."
         )
     num_planes, dim = int(meta["num_planes"]), int(meta["dim"])

@@ -474,3 +474,97 @@ def test_decimal_mean_half_boundary_is_half_up(spark):
         "/ CAST(1000000 AS DOUBLE)"
     ).fetchone()[0]
     assert want == got
+
+
+# ---------------------------------------------------------------------------
+# code-review hardening (r11): torn-index fences, NaN and id-type guards
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_serving_refuses_empty_bucket_table(spark, sf_dir, tmp_path):
+    """A rebuild torn between create and write leaves an EMPTY bucket
+    table; serving must raise, not return zero candidates silently."""
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators import similarity
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    cat = Catalog(str(tmp_path / "wh"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    similarity.lsh_build_index(spark, cat, "default.torn", emb,
+                               num_planes=4)
+    # simulate the torn rebuild: bucket table recreated, never written
+    cat.drop_table("default.torn", delete_data=True)
+    cat.create_table(
+        "default.torn",
+        HiveTableSchema((
+            ("id", T.LongType()),
+            ("bucket", T.LongType()),
+            ("build_id", T.StringType()),
+        )),
+        versioned=True,
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    with pytest.raises(ValueError, match="EMPTY"):
+        similarity.lsh_query_index(spark, cat, "default.torn", emb, q)
+
+
+def test_ivf_pq_serving_refuses_unstamped_codes_table(spark, sf_dir, tmp_path):
+    """An index persisted before the build_id stamp existed (no build_id
+    column) must get the rebuild-to-migrate error, not an opaque
+    unresolved-column AnalysisException."""
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators import similarity
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    cat = Catalog(str(tmp_path / "wh"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    similarity.ivf_pq_build_index(
+        spark, cat, "default.tpq", emb, centroid_stride=50,
+        num_subspaces=4,
+    )
+    # simulate a pre-stamp index: codes table without the build_id column
+    cat.drop_table("default.tpq", delete_data=True)
+    cat.create_table(
+        "default.tpq",
+        HiveTableSchema((
+            ("id", T.LongType()),
+            ("codes", T.ArrayType(T.IntegerType())),
+        )),
+    )
+    HiveOutput(spark, cat).write_table(
+        WriteSpec(table="default.tpq"),
+        spark.createDataFrame(
+            [(0, [1, 2, 3, 4])], "id long, codes array<int>"
+        ),
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    with pytest.raises(ValueError, match="no build_id column"):
+        similarity.ivf_pq_query_index(
+            spark, cat, "default.tpq", emb, q, num_subspaces=4
+        )
+
+
+def test_mmr_raises_loudly_on_zero_norm_vectors(spark):
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.filter(F.col("vec_id") == 0)
+    with pytest.raises(Exception, match="zero-norm"):
+        retrieval.mmr_diversified_topk(
+            corpus, queries, k=2, fetch_k=2, mmr_lambda=0.5
+        ).collect()
+
+
+def test_mmr_rejects_string_ids(spark):
+    corpus = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="integer ids"):
+        retrieval.mmr_diversified_topk(corpus, corpus, k=1, fetch_k=1)
