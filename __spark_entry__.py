@@ -3817,8 +3817,9 @@ def oracle_sql() -> dict[str, str]:
 
     # hybrid RRF twin: the bm25 CTE (candidate_k=50) + a literal-query
     # cosine leg (same fixed dim-64 pattern as the gate), rank-fused with
-    # 1/(60+rank) terms — all double literals CAST explicitly so DuckDB
-    # never slips into decimal division
+    # EXACT int64 e12 reciprocals + integer HALF_UP to e6 (the operator's
+    # _rrf_score_expr arithmetic, term for term — ROUND(double, 6) sat on
+    # a reachable .5e-6 boundary at rank 68, the r11 ADVICE class)
     o["hybrid_search_rrf"] = f"""
         WITH qv AS (SELECT list_transform(range(0, 64),
                            d -> CASE WHEN d % 2 = 0 THEN CAST(1.0 AS DOUBLE)
@@ -3868,12 +3869,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM sem0),
         f AS (SELECT COALESCE(lex.id, sem.id) AS doc_id, lex.lex_rank,
                      sem.sem_rank, sem.cosine,
-                     ROUND(COALESCE(CAST(1.0 AS DOUBLE)
-                                    / (60 + lex.lex_rank),
-                                    CAST(0 AS DOUBLE))
-                           + COALESCE(CAST(1.0 AS DOUBLE)
-                                      / (60 + sem.sem_rank),
-                                      CAST(0 AS DOUBLE)), 6) AS rrf_score
+                     CAST(((COALESCE((2000000000000 + (60 + lex.lex_rank))
+                                     // (2 * (60 + lex.lex_rank)), 0)
+                            + COALESCE((2000000000000 + (60 + sem.sem_rank))
+                                       // (2 * (60 + sem.sem_rank)), 0)
+                            + 500000) // 1000000) AS DOUBLE)
+                       / 1000000.0 AS rrf_score
               FROM lex FULL OUTER JOIN sem ON lex.id = sem.id)
         SELECT doc_id, lex_rank, sem_rank, cosine, rrf_score
         FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10""".format(toks=_TOKS)

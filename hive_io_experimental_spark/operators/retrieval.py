@@ -112,6 +112,41 @@ def cosine_topk_literal(
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def _rrf_score_expr(rrf_k: int):
+    """RRF score over ``lex_rank``/``sem_rank`` columns in EXACT int64
+    arithmetic — no float until the final (exact) e6-integer-to-double
+    conversion, so the reported 6-decimal value is bit-identical across
+    engines by construction.
+
+      term_e12(r) = HALF_UP(1e12 / (rrf_k + r))
+                  = (2·1e12 + (rrf_k + r)) div (2·(rrf_k + r))
+      score      = HALF_UP_e6(Σ terms_e12) / 1e6
+                  = ((Σ + 500000) div 1000000) / 1e6
+
+    Why not ROUND(double, 6): reciprocal sums can land exactly ON a
+    .5e-6 boundary (1/(60+68) = 1/128 = 0.0078125 — a terminating
+    binary AND 7-digit decimal), where Spark's decimal-string HALF_UP
+    and DuckDB's float rounding are free to disagree; near-boundary
+    values additionally hinge on float summation error. The e12
+    quantization changes a score only if the true value is within
+    1e-12 of a boundary — where double rounding was ill-defined anyway;
+    at the default dial (rrf_k=60, candidate_k=50) the closest
+    reachable score is 2.3e-10 from any boundary (exhaustively
+    enumerated in tests), so reported values are unchanged. Final
+    p/1e6 double division of a small integer is correctly rounded
+    (IEEE) identically in both engines.
+    """
+    kk = int(rrf_k)
+    term = (
+        f"coalesce((2000000000000 + ({kk} + {{r}})) "
+        f"div (2 * ({kk} + {{r}})), 0)"
+    )
+    e12 = f"({term.format(r='lex_rank')} + {term.format(r='sem_rank')})"
+    return F.expr(
+        f"cast(({e12} + 500000) div 1000000 as double) / 1000000.0"
+    )
+
+
 def hybrid_topk_rrf(
     docs: DataFrame,
     embeddings: DataFrame,
@@ -141,6 +176,15 @@ def hybrid_topk_rrf(
     join run on candidate-sized frames — at 100 TB the fusion cost is
     invariant in corpus size. Returns (doc_id, lex_rank, sem_rank,
     cosine, rrf_score) — ranks NULL on the leg that missed.
+
+    rrf_score is EXACT integer arithmetic, never float (see
+    _rrf_score_expr): reciprocals are e12-scaled int64 HALF_UP values,
+    summed and HALF_UP-rounded to the e6 grid as integers. ROUND(double,
+    6) was a live cross-engine hazard here — 1/(60+68) = 1/128 =
+    0.0078125 sits exactly ON a .5e-6 boundary (so does rank 580), so
+    any candidate_k >= 68 put decimal-HALF_UP (Spark) against
+    float-rounding (DuckDB) on a knife edge. The integer form has no
+    boundary to disagree on.
     """
     if candidate_k < k:
         raise ValueError(
@@ -164,7 +208,6 @@ def hybrid_topk_rrf(
         "cosine",
         F.col("rank").alias("sem_rank"),
     )
-    one = F.lit(1.0)
     fused = (
         lex.join(sem, "id", "full_outer")
         .select(
@@ -172,14 +215,36 @@ def hybrid_topk_rrf(
             "lex_rank",
             "sem_rank",
             "cosine",
-            F.round(
-                F.coalesce(one / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
-                + F.coalesce(one / (F.lit(rrf_k) + F.col("sem_rank")), F.lit(0.0)),
-                6,
-            ).alias("rrf_score"),
+            _rrf_score_expr(rrf_k).alias("rrf_score"),
         )
     )
     return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id")).limit(k)
+
+
+_INTEGER_KINDS = ("long", "integer", "short", "byte")
+
+
+def _require_integer_ids(op, corpus, id_col, queries, candidates) -> None:
+    """The Arrow greedy stage and its SQL twin exchange ids as longs —
+    enforce integer ids on EVERY frame that feeds them, not just the
+    corpus: a string-keyed candidates/queries frame would otherwise slip
+    through to a silent cast-to-null downstream."""
+
+    def _check(df, col, what):
+        kind = df.schema[col].dataType.typeName()
+        if kind not in _INTEGER_KINDS:
+            raise ValueError(
+                f"{op}: integer ids required ({what}.{col} is {kind}) — "
+                f"map string ids to longs first (hash or row_number) like "
+                f"the embeddings-table convention."
+            )
+
+    _check(corpus, id_col, "corpus")
+    if candidates is not None:
+        _check(candidates, "query_id", "candidates")
+        _check(candidates, "neighbor_id", "candidates")
+    else:
+        _check(queries, id_col, "queries")
 
 
 def mmr_diversified_topk(
@@ -232,13 +297,9 @@ def mmr_diversified_topk(
         )
     if k < 1 or fetch_k < k:
         raise ValueError(f"need fetch_k >= k >= 1, got k={k} fetch_k={fetch_k}")
-    id_kind = corpus.schema[id_col].dataType.typeName()
-    if id_kind not in ("long", "integer", "short", "byte"):
-        raise ValueError(
-            f"mmr_diversified_topk: integer ids required ({id_col} is "
-            f"{id_kind}) — map string ids to longs first (hash or "
-            f"row_number) like the embeddings-table convention."
-        )
+    _require_integer_ids(
+        "mmr_diversified_topk", corpus, id_col, queries, candidates
+    )
     if candidates is None:
         candidates = cosine_topk(
             corpus, queries, k=fetch_k, vec_col=vec_col, id_col=id_col
@@ -247,7 +308,32 @@ def mmr_diversified_topk(
     vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
     ).withColumn("cnrm", l2_norm(F.col("cv")))
-    cwv = cand.join(vecs, "neighbor_id")
+    # LEFT join + in-plan raise: an externally supplied candidate frame
+    # whose neighbor_id is missing from the corpus (stale ANN index, wrong
+    # corpus) must fail LOUDLY — the earlier inner join silently shrank
+    # the candidate pool, truncating the top-k (the module's fail-loud
+    # contract). raise_error fires at execution on the first orphan row;
+    # no extra action, no driver round-trip.
+    cwv = cand.join(vecs, "neighbor_id", "left").withColumn(
+        "cv",
+        F.when(
+            F.col("cv").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "mmr_diversified_topk: candidate neighbor_id "
+                    ),
+                    F.col("neighbor_id").cast("string"),
+                    F.lit(
+                        " has no vector in the corpus — the candidates "
+                        "frame is stale or built against a different "
+                        "corpus; rebuild candidates or pass the matching "
+                        "corpus."
+                    ),
+                )
+            ).cast(vecs.schema["cv"].dataType),
+        ).otherwise(F.col("cv")),
+    )
     a = cwv.select(
         "query_id",
         F.col("neighbor_id").alias("a_id"),

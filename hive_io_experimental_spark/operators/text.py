@@ -1226,6 +1226,26 @@ def bpe_word_histogram(
 
 
 _MAX_BPE_VOCAB = 2_000_000  # ~100 MB of (word, freq) rows on the driver
+# literal-replace applier plan-size ceiling: one JVM expression node per
+# merge; past this the Arrow applier is the right shape (see
+# bpe_segment_counts docstring)
+_MAX_LITERAL_MERGES = 256
+
+
+def _validate_bpe_merges(merges, op: str) -> None:
+    """Closed-alphabet check shared by both appliers: a '|' or space in a
+    symbol would corrupt the delimited-state rewrite."""
+    import re as _re
+
+    for left, right in merges:
+        if not (_re.fullmatch(r"[a-z0-9]+", left)
+                and _re.fullmatch(r"[a-z0-9]+", right)):
+            raise ValueError(
+                f"{op}: merge symbols must match [a-z0-9]+ "
+                f"(the trainer's closed alphabet), got ({left!r}, {right!r})"
+                f" — a '|' or space in a symbol would corrupt the "
+                f"delimited state rewrite"
+            )
 
 
 def bpe_train(
@@ -1264,15 +1284,17 @@ def bpe_train(
         raise ValueError(f"num_merges must be >= 1, got {num_merges}")
     spark = df.sparkSession
     hist = bpe_word_histogram(df, text_col=text_col)
-    probe = hist.limit(max_vocab + 1).count()
-    if probe > max_vocab:
+    # ONE corpus-sized job: the limit(max_vocab + 1) collect IS the vocab
+    # guard — an over-cap vocabulary shows up as one excess row (the
+    # earlier count()-then-collect() pair ran the histogram twice)
+    rows = hist.limit(max_vocab + 1).collect()
+    if len(rows) > max_vocab:
         raise ValueError(
             f"bpe_train: vocabulary exceeds max_vocab={max_vocab} — the "
             f"driver-side merge loop is vocabulary-bounded by design; "
             f"pre-filter the corpus (quality_filter / min word freq) or "
             f"raise max_vocab explicitly."
         )
-    rows = hist.collect()
     # state: delimited symbol strings, mutated in place per merge
     states: dict[str, str] = {
         r["w"]: " ".join(f"|{ch}|" for ch in r["w"]) for r in rows
@@ -1321,19 +1343,24 @@ def bpe_segment_counts(
     driver-held) compiles to a chain of ``len(merges)`` literal
     string-replace expressions over the per-word state — no Python, no
     UDF, no shuffle beyond the final count aggregation. At 100 TB this is
-    a map over the corpus scan.
+    a map over the corpus scan — for merge lists up to
+    ``_MAX_LITERAL_MERGES``. Past that the chain is no longer the right
+    shape: Catalyst plan construction and codegen scale with expression-
+    tree SIZE, so a realistic 30k-merge tokenizer would choke the planner
+    long before data size matters — the guard below raises and points at
+    ``bpe_segment_counts_arrow`` (same contract, Arrow-batched, plan size
+    independent of merge count).
     """
-    import re as _re
-
-    for left, right in merges:
-        if not (_re.fullmatch(r"[a-z0-9]+", left)
-                and _re.fullmatch(r"[a-z0-9]+", right)):
-            raise ValueError(
-                f"bpe_segment_counts: merge symbols must match [a-z0-9]+ "
-                f"(the trainer's closed alphabet), got ({left!r}, {right!r})"
-                f" — a '|' or space in a symbol would corrupt the "
-                f"delimited state rewrite"
-            )
+    _validate_bpe_merges(merges, "bpe_segment_counts")
+    if len(merges) > _MAX_LITERAL_MERGES:
+        raise ValueError(
+            f"bpe_segment_counts: {len(merges)} merges exceeds the literal-"
+            f"replace chain cap ({_MAX_LITERAL_MERGES}) — the chain "
+            f"compiles to one JVM expression node per merge, and Catalyst "
+            f"planning/codegen degrades with plan SIZE, not data size. "
+            f"Use bpe_segment_counts_arrow for realistic tokenizer-sized "
+            f"merge lists (identical results, Arrow-batched applier)."
+        )
     words = spread(
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -1349,6 +1376,79 @@ def bpe_segment_counts(
     per_word = words.select(
         "doc_id", (F.size(F.split(state, " "))).alias("n_syms")
     )
+    return per_word.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def bpe_segment_counts_arrow(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``bpe_segment_counts`` for realistic merge-list sizes: the same
+    one-forward-pass encoding contract, applied by an Arrow-batched
+    ``mapInPandas`` stage instead of a literal-replace expression chain.
+
+    Why a second applier exists: the literal chain is pure JVM codegen —
+    the fastest shape at gate-sized merge lists — but its PLAN grows one
+    expression node per merge, so a production tokenizer (30k–50k merges)
+    would stall Catalyst planning/codegen regardless of data volume. Here
+    the merge list is captured once in the task closure (broadcast by
+    Spark's task serialization — tens of MB at worst, far under executor
+    memory) and the plan holds exactly ONE mapInPandas node no matter the
+    merge count.
+
+    Per-batch cost control: each Arrow batch deduplicates its words and
+    memoizes word -> symbol count across the whole task (Zipf makes the
+    hit rate high on natural text), and each merge string-replace only
+    runs on states that still contain the pattern's first symbol.
+    Parity with the literal applier is pytest-pinned merge-for-merge.
+    Returns (doc_id, n_words, n_bpe_tokens) — same schema, same values.
+    """
+    _validate_bpe_merges(merges, "bpe_segment_counts_arrow")
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    merge_list = [(str(left), str(right)) for left, right in merges]
+
+    words = spread(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_tokens(F.col(text_col))).alias("w"),
+        )
+    ).filter(F.col("w").rlike("^[a-z0-9]+$"))
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one task-lifetime memo: word -> final symbol count. Replays the
+        # EXACT rewrite mechanics of the literal chain (and the trainer):
+        # delimited state, non-overlapping left-to-right str.replace per
+        # merge in rank order.
+        memo: dict[str, int] = {}
+
+        def n_syms(word: str) -> int:
+            got = memo.get(word)
+            if got is not None:
+                return got
+            state = " ".join(f"|{ch}|" for ch in word)
+            for left, right in merge_list:
+                pat = f"|{left}| |{right}|"
+                if pat in state:
+                    state = state.replace(pat, f"|{left}{right}|")
+            out = state.count(" ") + 1
+            memo[word] = out
+            return out
+
+        for pdf in batches:
+            counts = pdf["w"].map(n_syms)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_syms": counts}
+            )
+
+    per_word = words.mapInPandas(_encode, schema="doc_id long, n_syms long")
     return per_word.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_words"),
         F.sum("n_syms").cast("long").alias("n_bpe_tokens"),

@@ -110,6 +110,62 @@ def test_hybrid_rrf_single_leg_term_when_other_misses(spark):
     assert by_id[3].rrf_score == pytest.approx(1 / 61, abs=1e-6)
 
 
+def test_rrf_score_exact_on_reachable_rounding_boundary(spark):
+    """rank 68 on one leg gives 1/(60+68) = 1/128 = 0.0078125 — exactly
+    ON a .5e-6 rounding boundary. The integer-HALF_UP scoring must land
+    on 0.007813 (never the half-even 0.007812), independent of any
+    engine's float-rounding mood (the r11 ADVICE class)."""
+    import math
+
+    n = 80
+    # distinct cosines: vectors fan out in a quarter circle, doc i gets
+    # sem_rank i+1 against query [1, 0]; terms hit nothing -> no lex leg
+    emb = spark.createDataFrame(
+        [
+            (i, [math.cos(0.01 * (i + 1)), math.sin(0.01 * (i + 1))])
+            for i in range(n)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    docs = spark.createDataFrame(
+        [(i, "filler words only") for i in range(n)],
+        "doc_id long, text string",
+    )
+    got = retrieval.hybrid_topk_rrf(
+        docs, emb, ["nosuchterm"], [1.0, 0.0], k=n, candidate_k=n
+    ).collect()
+    by_rank = {r.sem_rank: r.rrf_score for r in got}
+    assert by_rank[68] == 0.007813  # HALF_UP of 0.0078125, exactly
+    assert by_rank[1] == 0.016393   # 1/61 = 0.01639344... plain case
+
+
+def test_rrf_default_dial_has_no_near_boundary_scores():
+    """Exhaustive reachability audit for the default dial (rrf_k=60,
+    candidate_k=50): every exact reachable score is >= 2e-10 from any
+    .5e-6 boundary, so the e12 quantization (error <= 1e-12) cannot
+    change any reported value vs true-real arithmetic — the committed
+    argument that swapping ROUND(double) for integer HALF_UP left the
+    gate's values untouched."""
+    from fractions import Fraction
+
+    K, R = 60, 50
+
+    def dist(s: Fraction) -> Fraction:
+        t = s * 2_000_000
+        n = round(t)
+        odd1 = n if n % 2 == 1 else n - 1
+        odd2 = n + 1 if n % 2 == 0 else n + 2
+        return min(abs(t - odd1), abs(t - odd2)) / 2_000_000
+
+    reachable = [Fraction(1, K + r) for r in range(1, R + 1)]
+    reachable += [
+        Fraction(1, K + a) + Fraction(1, K + b)
+        for a in range(1, R + 1)
+        for b in range(a, R + 1)
+    ]
+    assert min(dist(s) for s in reachable) > Fraction(2, 10**10)
+
+
 def test_hybrid_rrf_rejects_candidate_k_below_k(spark):
     docs, emb = _hybrid_fixture(spark)
     with pytest.raises(ValueError, match="candidate_k"):
@@ -189,6 +245,46 @@ def test_mmr_accepts_external_candidates(spark, sf_dir):
     assert len(got) > 0
     for r in got:
         assert 1 <= r.mmr_rank <= 3
+
+
+def test_mmr_stale_candidates_fail_loudly(spark):
+    """A candidates frame referencing vectors absent from the corpus
+    (stale ANN index / wrong corpus) must raise at execution, not
+    silently shrink the top-k (ADVICE r11)."""
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.5, 0.5]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.filter(F.col("vec_id") == 0)
+    cands = spark.createDataFrame(
+        [(0, 1, 0.9), (0, 99, 0.8)],  # 99 is not in the corpus
+        "query_id long, neighbor_id long, cosine double",
+    )
+    with pytest.raises(Exception, match="stale or built against"):
+        retrieval.mmr_diversified_topk(
+            corpus, queries, k=2, fetch_k=2, candidates=cands
+        ).collect()
+
+
+def test_mmr_integer_id_check_covers_all_frames(spark):
+    """The integer-id fence applies to the candidates and queries frames
+    too, not only corpus[id_col] (ADVICE r11)."""
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    str_cands = spark.createDataFrame(
+        [("q0", 1, 0.9)], "query_id string, neighbor_id long, cosine double"
+    )
+    with pytest.raises(ValueError, match=r"candidates\.query_id"):
+        retrieval.mmr_diversified_topk(
+            corpus, corpus, k=1, fetch_k=1, candidates=str_cands
+        )
+    str_queries = spark.createDataFrame(
+        [("q0", [1.0, 0.0])], "vec_id string, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match=r"queries\.vec_id"):
+        retrieval.mmr_diversified_topk(corpus, str_queries, k=1, fetch_k=1)
 
 
 def test_mmr_validates_parameters(spark):
@@ -301,6 +397,45 @@ def test_bpe_segment_counts_rejects_bad_symbols(spark):
         T.bpe_segment_counts(docs, [("a|b", "c")])
     with pytest.raises(ValueError, match="closed alphabet"):
         T.bpe_segment_counts(docs, [("a", "b c")])
+    # the Arrow applier shares the closed-alphabet fence
+    with pytest.raises(ValueError, match="closed alphabet"):
+        T.bpe_segment_counts_arrow(docs, [("a|b", "c")])
+
+
+def test_bpe_segment_counts_literal_chain_cap(spark):
+    """The literal-replace applier raises past _MAX_LITERAL_MERGES (its
+    plan grows one expression node per merge — a 30k-merge tokenizer
+    would choke Catalyst, not the data path) and points at the Arrow
+    applier; the Arrow applier accepts the same list."""
+    from hive_io_experimental_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(0, "abc abd")], "doc_id long, text string"
+    )
+    too_many = [("a", "b")] * (T._MAX_LITERAL_MERGES + 1)
+    with pytest.raises(ValueError, match="bpe_segment_counts_arrow"):
+        T.bpe_segment_counts(docs, too_many)
+    row = T.bpe_segment_counts_arrow(docs, too_many).first()
+    # "abc" -> |ab| |c|, "abd" -> |ab| |d| (duplicate merges are no-ops)
+    assert row.n_words == 2
+    assert row.n_bpe_tokens == 4
+
+
+def test_bpe_segment_counts_arrow_parity_with_literal(spark, sf_dir):
+    """Row-identical parity of the Arrow applier vs the literal-replace
+    chain on the gate's own 30 trained merges (the verdict's parity
+    contract for the second applier)."""
+    from hive_io_experimental_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = [
+        (r.left, r.right)
+        for r in T.bpe_train(docs, num_merges=30).collect()
+    ]
+    lit = T.bpe_segment_counts(docs, merges)
+    arrow = T.bpe_segment_counts_arrow(docs, merges)
+    assert lit.exceptAll(arrow).isEmpty()
+    assert arrow.exceptAll(lit).isEmpty()
 
 
 # ---------------------------------------------------------------------------
