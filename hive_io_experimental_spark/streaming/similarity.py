@@ -47,6 +47,52 @@ from hive_io_experimental_spark.operators.similarity import (
 )
 
 
+def _validate_index_stamps(
+    spark: SparkSession,
+    catalog,
+    index_table: str,
+    expect_build_id: str | None,
+):
+    """The batch path's empty/pre-stamp/torn-rebuild fences over the
+    stored LSH index, as a reusable probe: returns (meta_row, buckets_df)
+    or raises. Two 1-row jobs (meta first(), one sampled bucket stamp) —
+    cheap enough to run per micro-batch. ``expect_build_id`` additionally
+    pins the stamps to the build the stream was PLANNED against: an index
+    rebuilt mid-stream (even cleanly) must stop the stream, because the
+    stored plane family changed under the query-side bucket hash baked
+    into the plan."""
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+    from hive_io_experimental_spark.operators.similarity import _index_stamp
+
+    inp = HiveInput(spark, catalog)
+    meta = inp.read_table(ScanSpec(table=f"{index_table}_meta")).first()
+    if meta is None:
+        raise ValueError(
+            f"lsh_candidates_stream: empty meta table {index_table}_meta"
+        )
+    buckets = inp.read_table(ScanSpec(table=index_table))
+    b_stamp = _index_stamp(
+        "lsh_candidates_stream", index_table, "buckets", buckets,
+        rebuild="lsh_build_index",
+    )
+    if b_stamp != meta["build_id"]:
+        raise ValueError(
+            f"lsh_candidates_stream: index {index_table} has mixed "
+            f"build_id stamps (meta {meta['build_id']!r} vs buckets "
+            f"{b_stamp!r}) — a rebuild was torn mid-way. "
+            f"Re-run lsh_build_index before serving."
+        )
+    if expect_build_id is not None and b_stamp != expect_build_id:
+        raise ValueError(
+            f"serve_lsh_topk_stream: index {index_table} was REBUILT "
+            f"mid-stream (planned against build {expect_build_id!r}, "
+            f"now {b_stamp!r}) — the stream's query-side bucket hash is "
+            f"bound to the old plane family. Restart the stream to serve "
+            f"the new index."
+        )
+    return meta, buckets
+
+
 def lsh_candidates_stream(
     spark: SparkSession,
     catalog,
@@ -64,8 +110,12 @@ def lsh_candidates_stream(
     The stored geometry (num_planes, dim, build_id) is probed once at
     plan-construction time from the meta table; a torn rebuild (mixed
     build_id stamps between meta and buckets) is refused exactly like the
-    batch path. ``corpus`` supplies candidate vectors for the rescore and
-    must be the corpus the index was built over (static frame).
+    batch path. NOTE: this is plan-time only — the static bucket table is
+    re-read every micro-batch, so use serve_lsh_topk_stream (which
+    re-validates the stamps inside every batch) for long-running serving;
+    a raw candidates stream has no mid-stream rebuild detection.
+    ``corpus`` supplies candidate vectors for the rescore and must be the
+    corpus the index was built over (static frame).
     """
     if probe_bits not in (0, 1, 2):
         raise ValueError(f"probe_bits must be 0, 1 or 2, got {probe_bits}")
@@ -74,28 +124,9 @@ def lsh_candidates_stream(
             "lsh_candidates_stream: query_stream is a batch frame — use "
             "lsh_query_index for batch serving"
         )
-    from hive_io_experimental_spark.input import HiveInput, ScanSpec
-
-    inp = HiveInput(spark, catalog)
-    meta = inp.read_table(ScanSpec(table=f"{index_table}_meta")).first()
-    if meta is None:
-        raise ValueError(
-            f"lsh_candidates_stream: empty meta table {index_table}_meta"
-        )
-    from hive_io_experimental_spark.operators.similarity import _index_stamp
-
-    buckets = inp.read_table(ScanSpec(table=index_table))
-    b_stamp = _index_stamp(
-        "lsh_candidates_stream", index_table, "buckets", buckets,
-        rebuild="lsh_build_index",
+    meta, buckets = _validate_index_stamps(
+        spark, catalog, index_table, expect_build_id=None
     )
-    if b_stamp != meta["build_id"]:
-        raise ValueError(
-            f"lsh_candidates_stream: index {index_table} has mixed "
-            f"build_id stamps (meta {meta['build_id']!r} vs buckets "
-            f"{b_stamp!r}) — a rebuild was torn mid-way. "
-            f"Re-run lsh_build_index before serving."
-        )
     num_planes, dim = int(meta["num_planes"]), int(meta["dim"])
     q = query_stream.select(
         F.col(id_col).alias("query_id"),
@@ -157,11 +188,32 @@ def serve_lsh_topk_stream(
     """Wire the full online-serving pipeline and return the (unstarted)
     DataStreamWriter — callers pick the trigger/checkpoint and .start().
     Output rows are (query_id, neighbor_id, cosine, rank), row-identical
-    to lsh_query_index over the same closed input."""
+    to lsh_query_index over the same closed input.
+
+    The stored index's stamps are re-validated INSIDE every micro-batch
+    (two 1-row probes before the batch's rank+sink): the static bucket
+    table is re-read per trigger, so a plan-construction-time check alone
+    would let a mid-stream rebuild — torn or clean — serve candidates
+    against the wrong plane family with no error (r11 ADVICE). A stamp
+    change fails the streaming query loudly; restart to serve the new
+    build."""
     scored = lsh_candidates_stream(
         spark, catalog, index_table, query_stream, corpus,
         probe_bits=probe_bits, vec_col=vec_col, id_col=id_col,
     )
-    return scored.writeStream.foreachBatch(
-        lsh_topk_foreach_batch(k, sink_fn)
-    )
+    # the build the plan was constructed against (lsh_candidates_stream
+    # already refused empty/torn stamps, so this read is clean)
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+
+    planned_build = HiveInput(spark, catalog).read_table(
+        ScanSpec(table=f"{index_table}_meta")
+    ).first()["build_id"]
+    ranked = lsh_topk_foreach_batch(k, sink_fn)
+
+    def _checked_batch(df: DataFrame, epoch_id: int) -> None:
+        _validate_index_stamps(
+            spark, catalog, index_table, expect_build_id=planned_build
+        )
+        ranked(df, epoch_id)
+
+    return scored.writeStream.foreachBatch(_checked_batch)

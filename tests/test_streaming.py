@@ -820,6 +820,44 @@ def test_lsh_candidates_stream_validations(spark, sf_dir, tmp_path):
         lsh_candidates_stream(spark, cat, "default.emb_lsh_v", emb, emb)
 
 
+def test_lsh_topk_stream_detects_midstream_rebuild(spark, sf_dir, tmp_path):
+    """An index rebuilt while the stream is up must FAIL the streaming
+    query at the next micro-batch (r11 ADVICE): the static bucket table
+    is re-read per trigger, and the plan's query-side bucket hash is
+    bound to the planned build's plane family — serving a different
+    build silently would return wrong candidates."""
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators import similarity
+    from hive_io_experimental_spark.streaming.similarity import (
+        serve_lsh_topk_stream,
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    cat = Catalog(str(tmp_path / "wh"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    similarity.lsh_build_index(spark, cat, "default.emb_lsh_rb", emb,
+                               num_planes=4)
+    queries = emb.filter(F.col("vec_id") < 20)
+    src = str(tmp_path / "qsrc")
+    queries.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(queries.schema).parquet(src)
+
+    # plan first (captures the original build), THEN rebuild, THEN start:
+    # the per-batch stamp probe must catch the new build_id
+    writer = serve_lsh_topk_stream(
+        spark, cat, "default.emb_lsh_rb", stream, emb,
+        sink_fn=lambda df, epoch: df.count(),
+        k=3, probe_bits=0,
+    )
+    similarity.lsh_build_index(spark, cat, "default.emb_lsh_rb", emb,
+                               num_planes=6)
+    q = writer.trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ckpt_rb")
+    ).start()
+    with pytest.raises(StreamingQueryException, match="REBUILT mid-stream"):
+        q.awaitTermination(300)
+
+
 def test_lsh_topk_stream_parity_at_all_probe_depths(spark, sf_dir, tmp_path):
     """Stream serving == batch serving at probe_bits 0 AND 2 as well
     (the first test pins 1): the probe fan-out width must not change
