@@ -1850,6 +1850,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         [1.0 if d % 2 == 0 else -0.5 for d in range(64)],
         k=10,
     )
+
+    # batch-query hybrid search (r12): THREE probe queries fused in one
+    # plan — the BM25 leg pays its corpus-sized stages once for the union
+    # vocabulary, the semantic leg is one guarded broadcast of all query
+    # vectors over one corpus scan, rrf_score is the exact-int64
+    # arithmetic. Query 1 repeats the single-query gate's dial, so the
+    # twin also cross-checks batch==single on those rows.
+    def _hybrid_batch_queries(spark: SparkSession) -> DataFrame:
+        rows = [
+            (1, ["data", "join", "window"],
+             [1.0 if d % 2 == 0 else -0.5 for d in range(64)]),
+            (2, ["hash", "scan", "filter"],
+             [0.75 if d % 3 == 0 else -0.25 for d in range(64)]),
+            (3, ["merge", "stream"],
+             [-1.0 if d % 5 == 0 else 0.5 for d in range(64)]),
+        ]
+        return spark.createDataFrame(
+            rows, "query_id long, terms array<string>, embedding array<double>"
+        )
+
+    q["hybrid_search_rrf_batch"] = (
+        lambda spark, sf: retrieval.hybrid_topk_rrf_batch(
+            _t(spark, sf, "documents"),
+            _t(spark, sf, "embeddings"),
+            _hybrid_batch_queries(spark),
+            k=10,
+        )
+    )
     # diversity-aware rerank: greedy maximal marginal relevance over the
     # exact top-fetch_k candidates; pairwise sims are the engine's round-6
     # JVM cosine, the greedy step is one Arrow batch per query (twin: a
@@ -3878,6 +3906,92 @@ def oracle_sql() -> dict[str, str]:
               FROM lex FULL OUTER JOIN sem ON lex.id = sem.id)
         SELECT doc_id, lex_rank, sem_rank, cosine, rrf_score
         FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10""".format(toks=_TOKS)
+
+    # batch hybrid twin: the single-query CTE generalized with a queries
+    # VALUES list and PARTITION BY query_id windows — contributions are
+    # query-independent (computed once per (doc, token)), the per-query
+    # fan-out is one join against the (query_id, token) sets, and the
+    # fusion uses the same exact-int64 RRF arithmetic
+    o["hybrid_search_rrf_batch"] = f"""
+        WITH q AS (
+          SELECT 1 AS query_id, ['data','join','window'] AS terms,
+                 list_transform(range(0, 64),
+                   d -> CASE WHEN d % 2 = 0 THEN CAST(1.0 AS DOUBLE)
+                             ELSE CAST(-0.5 AS DOUBLE) END) AS qv
+          UNION ALL
+          SELECT 2, ['hash','scan','filter'],
+                 list_transform(range(0, 64),
+                   d -> CASE WHEN d % 3 = 0 THEN CAST(0.75 AS DOUBLE)
+                             ELSE CAST(-0.25 AS DOUBLE) END)
+          UNION ALL
+          SELECT 3, ['merge','stream'],
+                 list_transform(range(0, 64),
+                   d -> CASE WHEN d % 5 = 0 THEN CAST(-1.0 AS DOUBLE)
+                             ELSE CAST(0.5 AS DOUBLE) END)
+        ),
+        qt AS (SELECT DISTINCT query_id, unnest(terms) AS token FROM q),
+        d AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+        corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+                   FROM dl),
+        tk AS (SELECT doc_id, unnest(toks) AS token FROM d),
+        tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM tk WHERE token IN (SELECT DISTINCT token FROM qt)
+               GROUP BY 1, 2),
+        dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+                  FROM tf GROUP BY 1),
+        contrib AS (SELECT tf.doc_id, tf.token,
+                           CAST(ROUND(
+                             ln((corpus.n - dfreq.df + 0.5)
+                                / (dfreq.df + 0.5) + 1.0)
+                             * (tf.tf * 2.2)
+                             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                               / corpus.avgdl)),
+                             6) AS DECIMAL(18,6)) AS s
+                    FROM tf
+                    JOIN dfreq ON dfreq.token = tf.token
+                    JOIN dl ON dl.doc_id = tf.doc_id
+                    CROSS JOIN corpus),
+        perq AS (SELECT qt.query_id, c.doc_id,
+                        CAST(SUM(c.s) AS DOUBLE) AS score
+                 FROM contrib c JOIN qt ON qt.token = c.token
+                 GROUP BY 1, 2),
+        lex AS (SELECT query_id, doc_id AS id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, doc_id)
+                         AS lex_rank
+                FROM perq QUALIFY lex_rank <= 50),
+        v AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        sc AS (SELECT q.query_id, v.vec_id AS id,
+                      ROUND(list_dot_product(v.v, q.qv)
+                            / (sqrt(list_dot_product(q.qv, q.qv))
+                               * sqrt(list_dot_product(v.v, v.v))), 6)
+                        AS cosine
+               FROM v CROSS JOIN q),
+        sem AS (SELECT query_id, id, cosine,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, id)
+                         AS sem_rank
+                FROM sc QUALIFY sem_rank <= 50),
+        f AS (SELECT COALESCE(lex.query_id, sem.query_id) AS query_id,
+                     COALESCE(lex.id, sem.id) AS doc_id, lex.lex_rank,
+                     sem.sem_rank, sem.cosine,
+                     CAST(((COALESCE((2000000000000 + (60 + lex.lex_rank))
+                                     // (2 * (60 + lex.lex_rank)), 0)
+                            + COALESCE((2000000000000 + (60 + sem.sem_rank))
+                                       // (2 * (60 + sem.sem_rank)), 0)
+                            + 500000) // 1000000) AS DOUBLE)
+                       / 1000000.0 AS rrf_score
+              FROM lex FULL OUTER JOIN sem
+                ON lex.query_id = sem.query_id AND lex.id = sem.id)
+        SELECT query_id, doc_id, lex_rank, sem_rank, cosine, rrf_score
+        FROM f
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id) <= 10
+        """.format(toks=_TOKS)
 
     # BPE twin: the trainer's merge loop as a recursive CTE — per
     # iteration, freq-weighted adjacent pair counts over every word's

@@ -112,6 +112,152 @@ def cosine_topk_literal(
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def cosine_topk_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact per-query cosine top-k against a QUERIES FRAME — the batch
+    sibling of cosine_topk_literal, for external probe queries.
+
+    Differs from similarity.cosine_topk in exactly one semantic:
+    NO self-match exclusion. cosine_topk's queries are corpus rows (its
+    ``query_id != neighbor_id`` filter removes the trivial self hit);
+    here the query ids live in the CALLER'S namespace, so an id collision
+    with a corpus vec_id is meaningless and must not drop a real
+    neighbor. Same plan shape otherwise: guarded broadcast of the query
+    side over one shuffle-free corpus scan, per-query rank window over
+    rank-bounded rows. Returns (query_id, neighbor_id, cosine, rank).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from hive_io_experimental_spark.functions.partitioning import spread
+    from hive_io_experimental_spark.operators.similarity import (
+        _require_small_query_side,
+    )
+
+    c = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(query_vec_col).alias("qv"),
+    )
+    _require_small_query_side(q, "cosine_topk_batch")
+    c = c.withColumn("cnrm", l2_norm(F.col("cv")))
+    q = q.withColumn("qnrm", l2_norm(F.col("qv")))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "neighbor_id",
+        _pair_cosine("qv", "qnrm", "cv", "cnrm").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
+
+
+def hybrid_topk_rrf_batch(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+    candidate_k: int = 50,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    query_vec_col: str = "embedding",
+    sem_candidates: DataFrame | None = None,
+) -> DataFrame:
+    """``hybrid_topk_rrf`` for a FRAME of queries: ``queries`` carries
+    (query_id, terms array<string>, embedding) and every query gets its
+    own fused top-k. Returns (query_id, doc_id, lex_rank, sem_rank,
+    cosine, rrf_score) — the single-query schema plus query_id,
+    value-identical to the single-query operator run per row
+    (parity-tested).
+
+    The single-query operator forced a curation pass scoring thousands of
+    probe queries into a driver-side loop — thousands of plans over the
+    same corpus. Here BOTH legs batch: the BM25 leg pays its corpus-sized
+    stages once for the union vocabulary (bm25_search_batch), the
+    semantic leg is one guarded broadcast of all query vectors over one
+    corpus scan (cosine_topk_batch) — and the fusion stays candidate-
+    sized per query (<= 2·candidate_k rows into the full-outer join and
+    the rank window). rrf_score is the same exact-int64 arithmetic
+    (_rrf_score_expr).
+
+    At scales past the broadcast cap, pass ``sem_candidates`` — any
+    (query_id, neighbor_id, cosine) frame from an ANN tier
+    (cosine_topk_bucketed / lsh_query_index / ivf...) keyed by the SAME
+    query_ids; the leg rank is recomputed here with the engine's total
+    order, so any tier composes. (The BM25 leg's broadcast is the
+    query-terms frame — far smaller than the vectors; it raises past the
+    cap with a split-the-batch remediation.)
+    """
+    if candidate_k < k:
+        raise ValueError(
+            f"candidate_k ({candidate_k}) must be >= k ({k}): each leg "
+            f"must be able to fill the fused top-k alone"
+        )
+    from hive_io_experimental_spark.operators.text import bm25_search_batch
+
+    qt = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(terms_col).alias("term"),
+    )
+    lex = bm25_search_batch(
+        docs, qt, text_col=text_col, id_col=doc_id_col,
+        top_k=candidate_k,
+    ).select(
+        "query_id",
+        F.col("doc_id").alias("id"),
+        F.col("rank").alias("lex_rank"),
+    )
+    if sem_candidates is None:
+        sem_candidates = cosine_topk_batch(
+            embeddings, queries, k=candidate_k,
+            vec_col=vec_col, id_col=vec_id_col,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+        ).select("query_id", "neighbor_id", "cosine")
+    w_sem = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    sem = (
+        sem_candidates.select("query_id", "neighbor_id", "cosine")
+        .withColumn("sem_rank", F.row_number().over(w_sem).cast("long"))
+        .filter(F.col("sem_rank") <= candidate_k)
+        .select(
+            "query_id", F.col("neighbor_id").alias("id"),
+            "cosine", "sem_rank",
+        )
+    )
+    fused = lex.join(sem, ["query_id", "id"], "full_outer").select(
+        "query_id",
+        F.col("id").alias("doc_id"),
+        "lex_rank",
+        "sem_rank",
+        "cosine",
+        _rrf_score_expr(rrf_k).alias("rrf_score"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("_rn", F.row_number().over(w_f))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def _rrf_score_expr(rrf_k: int):
     """RRF score over ``lex_rank``/``sem_rank`` columns in EXACT int64
     arithmetic — no float until the final (exact) e6-integer-to-double

@@ -1096,6 +1096,30 @@ def bm25_search(
     Returns (doc_id, n_terms_hit, score).
     """
     terms = _normalize_query_terms(terms)
+    contrib = _bm25_contributions(
+        df, text_col, id_col, k1, b,
+        token_filter=lambda toks: toks.filter(
+            F.col("token").isin(list(terms))
+        ),
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+            F.sum("_s").cast("double").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(top_k)
+    )
+
+
+def _bm25_contributions(df, text_col, id_col, k1, b, token_filter):
+    """Per-(doc_id, token) round-6 DECIMAL(18,6) BM25 contributions — the
+    single formula both the single-query and batch entry points share (so
+    the arithmetic can never drift between them). ``token_filter`` narrows
+    the exploded corpus token stream to the query vocabulary BEFORE its
+    shuffle: a literal isin (pushdown-friendly) for the single-query path,
+    a broadcast semi-join (runtime filter) for the batch path."""
     prepared = spread(
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -1108,20 +1132,20 @@ def bm25_search(
         (F.sum("dl") / F.count(F.lit(1))).alias("_avgdl"),
     )
     tf = (
-        prepared.select(
-            "doc_id", F.explode("_toks").alias("token")
+        token_filter(
+            prepared.select("doc_id", F.explode("_toks").alias("token"))
         )
-        .filter(F.col("token").isin(list(terms)))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    contrib = (
+    return (
         tf.join(dfreq, "token")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(corpus))
         .select(
             "doc_id",
+            "token",
             F.round(
                 F.log(
                     (F.col("_n") - F.col("df") + 0.5)
@@ -1137,15 +1161,76 @@ def bm25_search(
             ).cast("decimal(18,6)").alias("_s"),
         )
     )
-    return (
-        contrib.groupBy("doc_id")
+
+
+def bm25_search_batch(
+    df: DataFrame,
+    query_terms: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 50,
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """``bm25_search`` for a FRAME of queries: ``query_terms`` carries
+    (query_id, term) rows and every query gets its own top ``top_k``.
+    Returns (query_id, doc_id, n_terms_hit, score, rank).
+
+    A training-data curation pass scoring thousands of probe queries ran
+    the single-query operator in a driver loop — thousands of independent
+    jobs over the same corpus. Here the corpus-sized work (tokenize, dl,
+    the corpus aggregate, tf over the UNION of all query vocabularies) is
+    paid ONCE; everything per-query happens on postings-sized frames:
+    per-(doc, token) contributions are computed once per token (they are
+    query-independent — same df, same tf, same dl), then a broadcast
+    equi-join against the (query_id, token) sets fans them out to queries
+    and one groupBy + per-query rank window finishes. Query terms are
+    normalized through the corpus tokenizer JVM-side (same result as the
+    single-query driver-side normalization — parity-tested); a query
+    whose terms all normalize away simply scores no documents.
+
+    The query-terms frame is broadcast (vocabulary fan-out + the final
+    per-query join), so the queries-<<-corpus contract is ENFORCED like
+    every broadcast path (raise past the cap, split the query batch)."""
+    from hive_io_experimental_spark.operators.similarity import (
+        _require_small_query_side,
+    )
+
+    qt = (
+        query_terms.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(word_tokens(F.col(term_col))).alias("token"),
+        )
+        .distinct()
+    )
+    _require_small_query_side(
+        qt, "bm25_search_batch",
+        escape="splitting the query batch into broadcast-sized chunks",
+    )
+    contrib = _bm25_contributions(
+        df, text_col, id_col, k1, b,
+        token_filter=lambda toks: toks.join(
+            F.broadcast(qt.select("token").distinct()), "token", "semi"
+        ),
+    )
+    from pyspark.sql import Window
+
+    perq = (
+        contrib.join(F.broadcast(qt), "token")
+        .groupBy("query_id", "doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
             F.sum("_s").cast("double").alias("score"),
         )
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(top_k)
     )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return perq.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= top_k)
 
 
 def phrase_search(

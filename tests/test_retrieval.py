@@ -175,6 +175,183 @@ def test_hybrid_rrf_rejects_candidate_k_below_k(spark):
 
 
 # ---------------------------------------------------------------------------
+# batch-query hybrid search (cosine_topk_batch / bm25_search_batch /
+# hybrid_topk_rrf_batch)
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_topk_batch_matches_literal_per_query(spark):
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    probes = {10: [1.0, 0.0], 11: [0.0, 1.0]}
+    queries = spark.createDataFrame(
+        [(qid, v) for qid, v in probes.items()],
+        "query_id long, embedding array<double>",
+    )
+    batch = retrieval.cosine_topk_batch(corpus, queries, k=3).collect()
+    for qid, v in probes.items():
+        single = {
+            (r.neighbor_id, r.cosine, r.rank)
+            for r in retrieval.cosine_topk_literal(corpus, v, k=3).collect()
+        }
+        got = {
+            (r.neighbor_id, r.cosine, r.rank)
+            for r in batch
+            if r.query_id == qid
+        }
+        assert got == single, f"query {qid}"
+
+
+def test_cosine_topk_batch_keeps_id_collisions(spark):
+    # query_id 0 collides with corpus vec_id 0 — the batch op's query
+    # namespace is external, so vec 0 must STILL be a neighbor (the
+    # difference from similarity.cosine_topk's self-exclusion)
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    got = retrieval.cosine_topk_batch(corpus, queries, k=2).collect()
+    by_rank = {r.rank: r.neighbor_id for r in got}
+    assert by_rank == {1: 0, 2: 1}
+
+
+def test_bm25_search_batch_parity_with_single(spark):
+    from hive_io_experimental_spark.operators import text as T
+
+    docs, _ = _hybrid_fixture(spark)
+    per_query_terms = {1: ["alpha"], 2: ["beta", "epsilon"]}
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, terms in per_query_terms.items() for t in terms],
+        "query_id long, term string",
+    )
+    batch = T.bm25_search_batch(docs, qt, top_k=4).collect()
+    for qid, terms in per_query_terms.items():
+        single = {
+            (r.doc_id, r.n_terms_hit, r.score)
+            for r in T.bm25_search(docs, terms, top_k=4).collect()
+        }
+        got = {
+            (r.doc_id, r.n_terms_hit, r.score)
+            for r in batch
+            if r.query_id == qid
+        }
+        assert got == single, f"query {qid}"
+
+
+def test_bm25_search_batch_normalizes_terms_like_single(spark):
+    from hive_io_experimental_spark.operators import text as T
+
+    docs, _ = _hybrid_fixture(spark)
+    # mixed case + punctuation split, duplicates collapse — the JVM-side
+    # normalization must match the single-query driver-side normalizer
+    qt = spark.createDataFrame(
+        [(1, "Alpha"), (1, "beta,ALPHA")], "query_id long, term string"
+    )
+    batch = {
+        (r.doc_id, r.n_terms_hit, r.score)
+        for r in T.bm25_search_batch(docs, qt, top_k=4).collect()
+    }
+    single = {
+        (r.doc_id, r.n_terms_hit, r.score)
+        for r in T.bm25_search(
+            docs, ["Alpha", "beta,ALPHA"], top_k=4
+        ).collect()
+    }
+    assert batch == single
+
+
+def test_hybrid_rrf_batch_parity_with_single(spark):
+    docs, emb = _hybrid_fixture(spark)
+    queries = spark.createDataFrame(
+        [(7, ["alpha"], [1.0, 0.0])],
+        "query_id long, terms array<string>, embedding array<double>",
+    )
+    batch = retrieval.hybrid_topk_rrf_batch(
+        docs, emb, queries, k=4, candidate_k=4
+    ).collect()
+    assert all(r.query_id == 7 for r in batch)
+    got = {
+        (r.doc_id, r.lex_rank, r.sem_rank, r.cosine, r.rrf_score)
+        for r in batch
+    }
+    single = {
+        (r.doc_id, r.lex_rank, r.sem_rank, r.cosine, r.rrf_score)
+        for r in retrieval.hybrid_topk_rrf(
+            docs, emb, ["alpha"], [1.0, 0.0], k=4, candidate_k=4
+        ).collect()
+    }
+    assert got == single
+
+
+def test_hybrid_rrf_batch_two_queries_fuse_independently(spark):
+    docs, emb = _hybrid_fixture(spark)
+    queries = spark.createDataFrame(
+        [
+            (1, ["alpha"], [1.0, 0.0]),
+            (2, ["beta"], [0.0, 1.0]),
+        ],
+        "query_id long, terms array<string>, embedding array<double>",
+    )
+    got = retrieval.hybrid_topk_rrf_batch(
+        docs, emb, queries, k=2, candidate_k=4
+    ).collect()
+    for qid, terms, vec in [(1, ["alpha"], [1.0, 0.0]),
+                            (2, ["beta"], [0.0, 1.0])]:
+        single = {
+            (r.doc_id, r.lex_rank, r.sem_rank, r.cosine, r.rrf_score)
+            for r in retrieval.hybrid_topk_rrf(
+                docs, emb, terms, vec, k=2, candidate_k=4
+            ).collect()
+        }
+        per_q = {
+            (r.doc_id, r.lex_rank, r.sem_rank, r.cosine, r.rrf_score)
+            for r in got
+            if r.query_id == qid
+        }
+        assert per_q == single, f"query {qid}"
+
+
+def test_hybrid_rrf_batch_accepts_ann_sem_candidates(spark, sf_dir):
+    # the semantic leg composes with an ANN tier past the broadcast cap:
+    # feeding bucketed candidates keyed by the same query ids works and
+    # every emitted row stays within per-query k
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probe = emb.filter(F.col("vec_id") < 3)
+    cands = similarity.cosine_topk_bucketed(emb, probe, k=8)
+    queries = probe.select(
+        F.col("vec_id").alias("query_id"),
+        F.array(F.lit("data"), F.lit("join")).alias("terms"),
+        "embedding",
+    )
+    got = retrieval.hybrid_topk_rrf_batch(
+        docs, emb, queries, k=5, candidate_k=8, sem_candidates=cands
+    ).collect()
+    assert len(got) > 0
+    from collections import Counter
+
+    per_q = Counter(r.query_id for r in got)
+    assert all(n <= 5 for n in per_q.values())
+
+
+def test_hybrid_rrf_batch_rejects_candidate_k_below_k(spark):
+    docs, emb = _hybrid_fixture(spark)
+    queries = spark.createDataFrame(
+        [(1, ["alpha"], [1.0, 0.0])],
+        "query_id long, terms array<string>, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="candidate_k"):
+        retrieval.hybrid_topk_rrf_batch(
+            docs, emb, queries, k=10, candidate_k=5
+        )
+
+
+# ---------------------------------------------------------------------------
 # mmr_diversified_topk
 # ---------------------------------------------------------------------------
 
