@@ -1918,6 +1918,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text.bpe_segment_counts(docs, merges)
 
     q["bpe_segment_counts"] = _bpe_segment_counts
+
+    # the Arrow-batched applier (r12): same one-forward-pass contract as
+    # bpe_segment_counts but plan-size-independent of the merge count (a
+    # realistic 30k-merge tokenizer would choke Catalyst with the literal
+    # chain — _MAX_LITERAL_MERGES guards that path). Same oracle: the two
+    # appliers are value-identical by contract (also pytest-pinned).
+    def _bpe_segment_arrow(spark: SparkSession, sf: str) -> DataFrame:
+        docs = _t(spark, sf, "documents")
+        merges = [
+            (r["left"], r["right"])
+            for r in text.bpe_train(docs, num_merges=30).collect()
+        ]
+        return text.bpe_segment_counts_arrow(docs, merges)
+
+    q["bpe_segment_arrow"] = _bpe_segment_arrow
     # search-engine build path: term -> (df, tf, capped posting prefix);
     # the cap is applied by rank BEFORE collecting (hot terms never
     # materialize corpus-sized postings in one task)
@@ -2576,68 +2591,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # profile, packing) so the recorded gate exercises every family; the rest
 # keep their oracle twins and are verified by tools/check_oracle.py, whose
 # full-map output is committed as CORRECTNESS_LOCAL.json each round.
-_CHECK_FIRST = [
-    # ------------------------------------------------------------------
-    # r11 ROTATION. CORRECTNESS_r10 retired the whole skipped-r9 backlog
-    # (all 7 r9 births + 4 r10 births checked, 50/50 green), so the
-    # stalest gates are now the r10 deferral list itself: 4 r3-stale
-    # TPC-H shapes + the 9-gate r4 block (7-8 rounds) — the verdict's
-    # "r11 must lead with them" set. Priority for the 50 slots, after
-    # the standing 16-gate core: (a) this round's 4 births (in-window
-    # from birth), (b) the 13 named r3/r4 veterans, (c) 17 of the 27
-    # r5-stale gates (6 rounds) — the last 10 defer to r12, named below.
-    # ------------------------------------------------------------------
-    # §2 scan surface (S1-S4, S6/S7 serde, S10 stats) — stays every round
-    "scan_projection", "scan_filter", "scan_topk",
-    "scan_partition_pruned", "scan_csv_nulls", "table_stats",
-    # §2 write surface (W1 write+readback, W3/W6 merge, versioning,
-    # compaction) — stays every round
-    "write_readback", "merge_upsert", "time_travel", "compact_small_files",
-    # family reps (veterans, all multi-round green)
-    "pricing_summary", "events_hourly", "dedup_exact",
-    "text_metrics", "similarity_topk_bucketed", "multimodal_decode",
-    # ---- new r11 gates (in-window from birth, the standing rule) ----
-    # shuffle-join multiprobe (the large-query-set destination the
-    # broadcast multiprobe's new fan-out-scaled guard routes to), the
-    # persisted LSH bucket index closing the index-lifecycle matrix,
-    # its snapshot-append ingestion-tick lifecycle, and the int8
-    # multiprobe completing LSH x {fp32,int8} x {single,multi}
-    "similarity_multiprobe_bucketed", "similarity_lsh_index",
-    "similarity_lsh_append", "similarity_quantized_multiprobe",
-    # retrieval composition births (in-window from birth): BM25 + ANN
-    # rank fusion, and the greedy MMR diversity rerank
-    "hybrid_search_rrf", "mmr_diversified_topk",
-    # tokenizer-induction births: BPE merge learning + the learned-
-    # tokenizer applier
-    "bpe_train", "bpe_segment_counts",
-    # NDCG/MRR ranking-quality audit of the LSH tier vs exact, and
-    # contrastive hard+random negative mining
-    "similarity_ndcg_report", "contrastive_negatives",
-    # r6-born veteran whose implementation was consolidated this round
-    # (boundary-free mean) — in-window to re-verify under the driver
-    "bigram_lm_scores",
-    # ---- 4 r3-stale TPC-H shapes (8 rounds since last driver check) ----
-    "sql_q17_small_qty", "supplier_part_counts", "top_supplier",
-    "waiting_orders",
-    # ---- the 9-gate r4 block (7 rounds) ----
-    "event_dwell_stats", "events_hourly_salted", "gapfill_hourly",
-    "sql_q19_disjunctive", "trailing_purchase_stats", "user_event_paths",
-    "dedup_minhash_lsh", "dedup_simhash", "active_user_trends",
-    # ---- 10 of the 27 r5-stale (6 rounds since last driver check) ----
-    "asof_purchase_click", "bloom_join_prune", "brand_size_pivot",
-    "customer_order_ranks", "data_expectations", "dedup_embedding",
-    "dedup_span_stats", "event_props_json", "events_time_rollup",
-    "expanding_zscore",
-    # (deferred to r12 by the 50-slot cap — r12 must lead with them:
-    # funnel_step_counts, funnel_user_extrema, incremental_rollup,
-    # join_semi, max_concurrent_sessions, nation_revenue, orders_by_month,
-    # range_join_signup_purchase, retention_cohorts,
-    # similarity_lsh_buckets, similarity_quality_topk, snapshot_diff_cdc,
-    # sql_q6_revenue, stratified_sample_docs, tfidf_top_terms,
-    # token_budget_mix, token_counts (r5-stale — the last seven slots
-    # went to this round's 7 births after the 4 early-round ones, the
-    # in-window-from-birth rule; this round's births stop here so the
-    # rotation keeps breathing room), then the 34-gate r6 block)
+# ---------------------------------------------------------------------------
+# r12 ROTATION POLICY (the structural fix the r11 verdict asked for).
+# The r11 arithmetic could not close: a 16-gate pinned core + ~10 births
+# left ~24 rotation slots for 200+ gates — an 8-round full cycle against a
+# 4-round freshness bar, permanently behind. The committed policy:
+#   * pinned core: the 8 gates in _CORE_GATES (scan/write/merge/stats +
+#     one per extension family), every round;
+#   * births: <= 5 per round, in-window from birth (the standing rule);
+#   * rotation capacity: 50 - 8 - births >= 37 slots per round;
+#   * freshness bar: SIX driver-rounds — steady state needs
+#     ceil(196 non-core / 6) = 33 <= 37 slots, so the arithmetic closes
+#     with 4+ slots of slack;
+#   * scheduling rule: rotation slots go to the OLDEST last-driver-check
+#     gates first (ties alphabetical), then next-oldest until full.
+# With this schedule the current backlog clears with no bar breach:
+# r12 covers all 17 r5-stale + the 23 oldest r6-stale (the 10 deferred
+# r6 gates stand at age 6 = bar at r12 close and are r13's mandatory
+# lead, 10 << 37); the 34-gate r7/r8/r10 blocks each fit a later round.
+# The window composition and deferral list in ROADMAP are GENERATED
+# (tools/gen_operator_index.py --round-summary) — never hand-written.
+# ---------------------------------------------------------------------------
+_CORE_GATES = [
+    # §2 surfaces: scan (S1-S5), write+commit (W1-W8), merge, stats (S10)
+    "scan_projection", "write_readback", "merge_upsert", "table_stats",
+    # one load-bearing rep per extension family: dedup, similarity/ANN,
+    # text, multimodal
+    "dedup_exact", "similarity_topk_bucketed", "text_metrics",
+    "multimodal_decode",
+]
+
+_R12_BIRTHS = [
+    # batch-query hybrid search (verdict task 4) and the Arrow BPE
+    # applier's driver gate (verdict task 3) — 2 of the <= 5 birth budget
+    "hybrid_search_rrf_batch", "bpe_segment_arrow",
+]
+
+_CHECK_FIRST = _CORE_GATES + _R12_BIRTHS + [
+    # ---- all 17 r5-stale gates (7 driver-rounds): the 10 the r11
+    # deferral named + the 7 it silently dropped (verdict task 1) ----
+    "funnel_step_counts", "funnel_user_extrema", "incremental_rollup",
+    "join_semi", "max_concurrent_sessions", "nation_revenue",
+    "orders_by_month", "range_join_signup_purchase", "retention_cohorts",
+    "similarity_lsh_buckets", "similarity_quality_topk",
+    "snapshot_diff_cdc", "sql_q6_revenue", "stratified_sample_docs",
+    "tfidf_top_terms", "token_budget_mix", "token_counts",
+    # ---- the 23 alphabetically-first of the 33 r6-stale (6 rounds);
+    # the last 10 are r13's mandatory lead ----
+    "benchmark_decontamination", "bloom_membership", "bm25_search",
+    "corpus_language_stats", "dedup_clusters", "dedup_containment",
+    "dedup_df_cut_bound", "dedup_lsh_quality", "dedup_ngram_jaccard",
+    "dedup_span_hot", "dedup_span_strip", "dedup_verified_pairs",
+    "distinct_users_hll", "erase_keys", "funnel_signup_click_purchase",
+    "inverted_index", "inverted_index_merged", "keyword_search",
+    "lm_quality_scores", "merge_key_move", "multimodal_cdc_stats",
+    "order_cube_summary", "percentile_state_rollup",
 ]
 
 
@@ -4053,6 +4061,10 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(f.n_syms) AS BIGINT) AS n_bpe_tokens
         FROM dw JOIN final f ON f.w = dw.w
         GROUP BY dw.doc_id"""
+
+    # the Arrow applier is value-identical to the literal chain by
+    # contract — one twin serves both gates
+    o["bpe_segment_arrow"] = o["bpe_segment_counts"]
 
     # MMR twin: greedy argmax per query per step as a recursive CTE —
     # state carries the selected list; the pick is max(struct(s, negid))
