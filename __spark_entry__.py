@@ -1878,6 +1878,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=10,
         )
     )
+    # JL random projection (r12): deterministic md5 ±1 sign matrix under
+    # the 'rp:' namespace, 64 -> 16 components as exact sequential-fold
+    # ± sums (no scale factor — cosine consumers cancel it). Output is
+    # EXPLODED to scalars (vec_id, j, component) so the hash gate
+    # compares doubles, not array reprs.
+    q["embedding_random_projection"] = lambda spark, sf: (
+        similarity.random_projection(
+            _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200),
+            out_dim=16,
+        ).select(
+            "vec_id",
+            F.posexplode("projected").alias("j", "component"),
+        )
+    )
+
     # diversity-aware rerank: greedy maximal marginal relevance over the
     # exact top-fetch_k candidates; pairwise sims are the engine's round-6
     # JVM cosine, the greedy step is one Arrow batch per query (twin: a
@@ -1933,6 +1948,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text.bpe_segment_counts_arrow(docs, merges)
 
     q["bpe_segment_arrow"] = _bpe_segment_arrow
+
+    # persisted tokenizer lifecycle (r12): train-once/apply-everywhere —
+    # the merge list lands in stamped catalog tables (build_id torn-
+    # rebuild fence like every ANN index) and the gate proves stored-
+    # vocab serving equals retrain+apply end to end (merge lists AND
+    # segmentations, full-row anti-joins both ways must be 0)
+    def _bpe_vocab_index(spark: SparkSession, sf: str) -> DataFrame:
+        import tempfile
+
+        from hive_io_experimental_spark.catalog import Catalog
+
+        wh = tempfile.mkdtemp(prefix="hio_bpev_wh_")
+        cat = Catalog(wh)
+        docs = _t(spark, sf, "documents")
+        text.bpe_build_vocab(
+            spark, cat, "default.docs_bpe", docs, num_merges=30
+        )
+        return text.bpe_vocab_consistency_check(
+            spark, cat, "default.docs_bpe", docs
+        )
+
+    q["bpe_vocab_index"] = _bpe_vocab_index
+    # pseudo-relevance-feedback retrieval (r12): seed BM25 -> top-5
+    # feedback docs -> 3 strongest new terms by tf_fb·idf-ratio (no libm
+    # in the ranking key) -> re-rank with seed+expansion. Fully lazy —
+    # the expansion terms never touch the driver.
+    q["bm25_prf_search"] = lambda spark, sf: text.bm25_prf_search(
+        _t(spark, sf, "documents"), ["data", "join"],
+        fb_docs=5, fb_terms=3, top_k=20,
+    )
     # search-engine build path: term -> (df, tf, capped posting prefix);
     # the cap is applied by rank BEFORE collecting (hot terms never
     # materialize corpus-sized postings in one task)
@@ -2622,9 +2667,12 @@ _CORE_GATES = [
 ]
 
 _R12_BIRTHS = [
-    # batch-query hybrid search (verdict task 4) and the Arrow BPE
-    # applier's driver gate (verdict task 3) — 2 of the <= 5 birth budget
-    "hybrid_search_rrf_batch", "bpe_segment_arrow",
+    # the full <= 5 birth budget: batch-query hybrid search (verdict
+    # task 4), the Arrow BPE applier's driver gate (task 3), the
+    # persisted BPE-vocab lifecycle, PRF query expansion, and the JL
+    # random projection
+    "hybrid_search_rrf_batch", "bpe_segment_arrow", "bpe_vocab_index",
+    "bm25_prf_search", "embedding_random_projection",
 ]
 
 _CHECK_FIRST = _CORE_GATES + _R12_BIRTHS + [
@@ -2636,16 +2684,15 @@ _CHECK_FIRST = _CORE_GATES + _R12_BIRTHS + [
     "similarity_lsh_buckets", "similarity_quality_topk",
     "snapshot_diff_cdc", "sql_q6_revenue", "stratified_sample_docs",
     "tfidf_top_terms", "token_budget_mix", "token_counts",
-    # ---- the 23 alphabetically-first of the 33 r6-stale (6 rounds);
-    # the last 10 are r13's mandatory lead ----
+    # ---- the 20 alphabetically-first of the 33 r6-stale (6 rounds);
+    # the last 13 are r13's mandatory lead ----
     "benchmark_decontamination", "bloom_membership", "bm25_search",
     "corpus_language_stats", "dedup_clusters", "dedup_containment",
     "dedup_df_cut_bound", "dedup_lsh_quality", "dedup_ngram_jaccard",
     "dedup_span_hot", "dedup_span_strip", "dedup_verified_pairs",
     "distinct_users_hll", "erase_keys", "funnel_signup_click_purchase",
     "inverted_index", "inverted_index_merged", "keyword_search",
-    "lm_quality_scores", "merge_key_move", "multimodal_cdc_stats",
-    "order_cube_summary", "percentile_state_rollup",
+    "lm_quality_scores", "merge_key_move",
 ]
 
 
@@ -3851,6 +3898,97 @@ def oracle_sql() -> dict[str, str]:
         FROM contrib GROUP BY doc_id
         ORDER BY score DESC, doc_id LIMIT 50"""
 
+    # random-projection twin: the same md5('rp:j:d') hex-bit sign lists,
+    # list_dot_product (the engines' shared sequential fold -> components
+    # are bit-identical doubles), exploded by cross-joining the j range
+    _rp_comps = ", ".join(
+        "list_dot_product(v, list_transform(range(0, 64), d -> "
+        f"CASE WHEN (CAST(('0x' || substr(md5('rp:{j}:' || "
+        "CAST(d AS VARCHAR)), 1, 1)) AS UBIGINT) & 1) = 1 "
+        f"THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)) AS c{j}"
+        for j in range(16)
+    )
+    _rp_list = "[" + ", ".join(f"c{j}" for j in range(16)) + "]"
+    o["embedding_random_projection"] = f"""
+        WITH v0 AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE))
+                             AS v
+                    FROM embeddings WHERE vec_id < 200),
+        p AS (SELECT vec_id, {_rp_comps} FROM v0),
+        cs AS (SELECT vec_id, {_rp_list} AS comps FROM p)
+        SELECT vec_id, CAST(j AS INTEGER) AS j, comps[j + 1] AS component
+        FROM cs, (SELECT unnest(range(0, 16)) AS j) r"""
+
+    # PRF twin: the bm25 CTE run twice — seed pass (top-5 docs), the
+    # expansion pick (tf_fb · (n − df + 0.5)/(df + 0.5), explicit parens
+    # matching Spark's (a·b)/c evaluation, token tiebreak on the ASCII
+    # alphabet), then the final pass over seed+expansion terms
+    o["bm25_prf_search"] = f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+        corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+                   FROM dl),
+        tk AS (SELECT doc_id, unnest(toks) AS token FROM d),
+        tf1 AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM tk WHERE token IN ('data', 'join')
+                GROUP BY 1, 2),
+        dfreq1 AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+                   FROM tf1 GROUP BY 1),
+        c1 AS (SELECT tf1.doc_id,
+                      CAST(ROUND(
+                        ln((corpus.n - dfreq1.df + 0.5)
+                           / (dfreq1.df + 0.5) + 1.0)
+                        * (tf1.tf * 2.2)
+                        / (tf1.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                           / corpus.avgdl)),
+                        6) AS DECIMAL(18,6)) AS s
+               FROM tf1
+               JOIN dfreq1 ON dfreq1.token = tf1.token
+               JOIN dl ON dl.doc_id = tf1.doc_id
+               CROSS JOIN corpus),
+        seed AS (SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score
+                 FROM c1 GROUP BY doc_id
+                 ORDER BY score DESC, doc_id LIMIT 5),
+        fbtf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf_fb
+                 FROM tk
+                 WHERE doc_id IN (SELECT doc_id FROM seed)
+                   AND token NOT IN ('data', 'join')
+                 GROUP BY 1),
+        dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+                FROM (SELECT DISTINCT doc_id, token FROM tk
+                      WHERE token IN (SELECT token FROM fbtf))
+                GROUP BY 1),
+        fb AS (SELECT fbtf.token
+               FROM fbtf JOIN dfq ON dfq.token = fbtf.token
+               CROSS JOIN corpus
+               ORDER BY (fbtf.tf_fb * (corpus.n - dfq.df + 0.5))
+                        / (dfq.df + 0.5) DESC, fbtf.token
+               LIMIT 3),
+        wanted AS (SELECT token FROM fb
+                   UNION SELECT 'data' UNION SELECT 'join'),
+        tf2 AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM tk WHERE token IN (SELECT token FROM wanted)
+                GROUP BY 1, 2),
+        dfreq2 AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+                   FROM tf2 GROUP BY 1),
+        c2 AS (SELECT tf2.doc_id,
+                      CAST(ROUND(
+                        ln((corpus.n - dfreq2.df + 0.5)
+                           / (dfreq2.df + 0.5) + 1.0)
+                        * (tf2.tf * 2.2)
+                        / (tf2.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                           / corpus.avgdl)),
+                        6) AS DECIMAL(18,6)) AS s
+               FROM tf2
+               JOIN dfreq2 ON dfreq2.token = tf2.token
+               JOIN dl ON dl.doc_id = tf2.doc_id
+               CROSS JOIN corpus)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+               CAST(SUM(s) AS DOUBLE) AS score
+        FROM c2 GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT 20"""
+
     # hybrid RRF twin: the bm25 CTE (candidate_k=50) + a literal-query
     # cosine leg (same fixed dim-64 pattern as the gate), rank-fused with
     # EXACT int64 e12 reciprocals + integer HALF_UP to e6 (the operator's
@@ -4065,6 +4203,22 @@ def oracle_sql() -> dict[str, str]:
     # the Arrow applier is value-identical to the literal chain by
     # contract — one twin serves both gates
     o["bpe_segment_arrow"] = o["bpe_segment_counts"]
+
+    # vocab-lifecycle twin: n_merges from the same merge-replay
+    # recursion, n_docs = docs holding >= 1 alphabet word (the
+    # segmentation's doc set), mismatches pinned at 0 (the
+    # lsh_index_consistency_check oracle pattern — a Spark-side
+    # mismatch breaks the hash)
+    o["bpe_vocab_index"] = f"""
+        WITH RECURSIVE
+        {_BPE_STEP}
+        SELECT (SELECT CAST(COUNT(DISTINCT it) AS BIGINT) FROM step
+                WHERE it > 0) AS n_merges,
+               (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+                FROM (SELECT doc_id, unnest({_TOKS}) AS w FROM documents)
+                WHERE regexp_matches(w, '^[a-z0-9]+$')) AS n_docs,
+               CAST(0 AS BIGINT) AS n_merge_mismatch,
+               CAST(0 AS BIGINT) AS n_segment_mismatch"""
 
     # MMR twin: greedy argmax per query per step as a recursive CTE —
     # state carries the selected list; the pick is max(struct(s, negid))

@@ -1338,6 +1338,83 @@ def embedding_centroid_drift(
 
 
 # ---------------------------------------------------------------------------
+# random projection (Johnson-Lindenstrauss dimensionality reduction)
+# ---------------------------------------------------------------------------
+
+def _rp_component(j: int, d: int) -> float:
+    """Deterministic ±1 for projection row j, input dim d — the
+    _plane_component md5-bit family under its own 'rp:' namespace (so a
+    projection composed with LSH bucketing is not correlated with the
+    plane matrix). Portable: DuckDB derives the identical value from
+    md5('rp:<j>:<d>')."""
+    import hashlib
+
+    nib = int(hashlib.md5(f"rp:{j}:{d}".encode()).hexdigest()[0], 16)
+    return 1.0 if nib & 1 == 1 else -1.0
+
+
+def random_projection(
+    corpus: DataFrame,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    out_col: str = "projected",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection: embed ``vec_col`` (dim d)
+    into ``out_dim`` components, y_j = Σ_d x_d · s(j, d), s ∈ {±1} from
+    the deterministic md5 family (_rp_component).
+
+    Why it exists at 100 TB: every downstream per-vector cost here —
+    LSH plane dots, IVF centroid dots, exact rescores, pairwise MMR sims
+    — is linear in dimension, so projecting 64→16 (or 1024→64 for real
+    encoder outputs) cuts the ANN tiers' arithmetic and shuffle widths
+    4-16x while JL keeps angles approximately intact (sign/Achlioptas
+    projections carry the same guarantee as Gaussian ones, Achlioptas
+    JCSS 2003). Compose: project → any tier (the tiers only assume an
+    array column).
+
+    Determinism/oracle: signs are plan-time literals (md5 computed
+    driver-side, 16 hex-bit lookups per component); each y_j is the
+    engine-standard sequential fold, so components are bit-identical in
+    Spark, Python and the DuckDB twin. The conventional 1/sqrt(out_dim)
+    JL scale is intentionally OMITTED: consumers are cosine/angle-based
+    (uniform scales cancel), and leaving it off keeps components exact
+    ± sums with no irrational factor.
+
+    One map-side projection over the corpus scan — no shuffle, no UDF,
+    no state; cost is out_dim × d multiply-adds per row inside codegen.
+    Returns (id_col, out_col) with ``out_dim`` components.
+    """
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    if dim is None:
+        probe = corpus.select(
+            F.first(F.size(F.col(vec_col))).alias("d")
+        ).first()
+        if probe is None or probe["d"] is None:
+            raise ValueError("random_projection: empty corpus")
+        dim = int(probe["d"])
+    if out_dim >= dim:
+        raise ValueError(
+            f"random_projection: out_dim ({out_dim}) must be < input dim "
+            f"({dim}) — projecting up is never what you want"
+        )
+    from hive_io_experimental_spark.functions.vectors import dot_product
+
+    comps = [
+        dot_product(
+            _as_double(vec_col),
+            F.array(*[F.lit(_rp_component(j, d)) for d in range(dim)]),
+        )
+        for j in range(out_dim)
+    ]
+    return corpus.select(
+        F.col(id_col), F.array(*comps).alias(out_col)
+    )
+
+
+# ---------------------------------------------------------------------------
 # int8 scalar quantization (memory-bound ANN at corpus scale)
 # ---------------------------------------------------------------------------
 

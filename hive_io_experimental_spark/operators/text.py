@@ -1233,6 +1233,111 @@ def bm25_search_batch(
     ).filter(F.col("rank") <= top_k)
 
 
+def bm25_prf_search(
+    df: DataFrame,
+    terms: list[str],
+    fb_docs: int = 5,
+    fb_terms: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 50,
+) -> DataFrame:
+    """BM25 with pseudo-relevance-feedback query expansion (the
+    Rocchio/RM3 family): run the seed query, treat its top ``fb_docs``
+    documents as relevant, pick the ``fb_terms`` strongest NEW terms
+    from them, and re-rank with seed + expansion terms. The classic
+    fix for vocabulary mismatch — a query for 'join' also surfaces
+    documents that say 'merge' when the feedback docs do.
+
+    Expansion-term weight = tf_in_feedback · (N − df + 0.5)/(df + 0.5)
+    — feedback mass times the Robertson idf RATIO (not its log: ln is
+    monotone, so the RANKING is idf-faithful, and keeping the key a
+    plain int-ratio product makes it IEEE-exact cross-engine with no
+    libm/rounding hazard at all). Ties break on the token (ASCII
+    alphabet — byte order == codepoint order in both engines). Seed
+    terms are excluded from expansion; expansion is capped at fb_terms.
+
+    Fully LAZY: the expansion terms never touch the driver — they stay
+    a (token) frame semi-joined (broadcast) into the second pass's
+    token stream, so the whole operator is one plan. Corpus-sized work
+    is three token passes (seed scoring, feedback extraction + df
+    counts, final scoring) — each vocabulary- or postings-bounded after
+    its first shuffle, like bm25_search itself.
+    Returns (doc_id, n_terms_hit, score) — bm25_search's schema, where
+    n_terms_hit counts seed+expansion hits.
+    """
+    if fb_docs < 1 or fb_terms < 0:
+        raise ValueError(
+            f"need fb_docs >= 1 and fb_terms >= 0, got {fb_docs}, {fb_terms}"
+        )
+    seed_terms = _normalize_query_terms(terms)
+    seed = bm25_search(
+        df, seed_terms, text_col=text_col, id_col=id_col,
+        k1=k1, b=b, top_k=fb_docs,
+    )
+    toks = spread(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_tokens(F.col(text_col))).alias("token"),
+        )
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("_n"))
+    from hive_io_experimental_spark.functions.reuse import reuse
+
+    # fb_tf feeds BOTH the df semi-join and the weight join — reuse()
+    # keeps its corpus-sized token pass from executing twice
+    fb_tf = reuse(
+        toks.join(F.broadcast(seed.select("doc_id")), "doc_id", "semi")
+        .filter(~F.col("token").isin(list(seed_terms)))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_tf_fb"))
+    )
+    # corpus df ONLY for the candidate tokens (semi-join narrows the
+    # token stream BEFORE the distinct/groupBy — postings-sized work,
+    # never a full-vocabulary aggregation)
+    dfreq = (
+        toks.join(F.broadcast(fb_tf.select("token")), "token", "semi")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    fb = (
+        fb_tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            (
+                F.col("_tf_fb")
+                * (F.col("_n") - F.col("_df") + 0.5)
+                / (F.col("_df") + 0.5)
+            ).alias("_w"),
+        )
+        .orderBy(F.col("_w").desc(), F.col("token"))
+        .limit(fb_terms)
+        .select("token")
+    )
+    spark = df.sparkSession
+    seed_frame = spark.createDataFrame(
+        [(t,) for t in seed_terms], "token string"
+    )
+    wanted = fb.unionByName(seed_frame).distinct()
+    contrib = _bm25_contributions(
+        df, text_col, id_col, k1, b,
+        token_filter=lambda t: t.join(F.broadcast(wanted), "token", "semi"),
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+            F.sum("_s").cast("double").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(top_k)
+    )
+
+
 def phrase_search(
     df: DataFrame,
     phrase: str,
@@ -1537,6 +1642,195 @@ def bpe_segment_counts_arrow(
     return per_word.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_words"),
         F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def bpe_build_vocab(
+    spark,
+    catalog,
+    vocab_table: str,
+    df: DataFrame,
+    num_merges: int = 30,
+    text_col: str = "text",
+    max_vocab: int = _MAX_BPE_VOCAB,
+) -> None:
+    """Persist a trained BPE merge list as catalog tables — the tokenizer
+    twin of the ANN index lifecycle (similarity.lsh_build_index et al.):
+    train once, apply from the stored artifact in every downstream job,
+    never re-run the corpus-sized histogram pass per consumer.
+
+    Two tables: ``{vocab_table}`` (merge_rank, left, right, merged —
+    the learned merges in rank order) and ``{vocab_table}_meta``
+    (num_merges requested, n_merges learned, build_id). Both carry a
+    shared ``build_id`` stamp and the read path refuses mixed stamps
+    (the torn-rebuild fence every persisted index here uses). Rebuild =
+    explicit drop + recreate under the catalog's strict write
+    preconditions."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    merges = bpe_train(
+        df, num_merges=num_merges, text_col=text_col, max_vocab=max_vocab
+    )
+    bid = uuid.uuid4().hex
+    stamped = merges.withColumn("build_id", F.lit(bid))
+    n_learned = merges.count()
+    meta = spark.createDataFrame(
+        [(int(num_merges), int(n_learned), bid)],
+        "num_merges int, n_merges long, build_id string",
+    )
+    out = HiveOutput(spark, catalog)
+    for tbl, schema, frame in (
+        (
+            f"{vocab_table}_meta",
+            HiveTableSchema((
+                ("num_merges", T.IntegerType()),
+                ("n_merges", T.LongType()),
+                ("build_id", T.StringType()),
+            )),
+            meta,
+        ),
+        (
+            vocab_table,
+            HiveTableSchema((
+                ("merge_rank", T.LongType()),
+                ("left", T.StringType()),
+                ("right", T.StringType()),
+                ("merged", T.StringType()),
+                ("build_id", T.StringType()),
+            )),
+            stamped,
+        ),
+    ):
+        if catalog.table_exists(tbl):
+            catalog.drop_table(tbl, delete_data=True)
+        catalog.create_table(tbl, schema)
+        out.write_table(WriteSpec(table=tbl), frame)
+
+
+def bpe_load_vocab(spark, catalog, vocab_table: str) -> list[tuple[str, str]]:
+    """The stored merge list in learning order, stamp-fenced: raises on a
+    missing/empty/pre-stamp table and on mixed meta-vs-merges build_id
+    stamps (torn rebuild), exactly like the ANN index read paths. The
+    collect is ``n_merges``-bounded by construction (the meta row pins
+    it) — vocab artifacts are KBs, not corpus-sized."""
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+    from hive_io_experimental_spark.operators.similarity import _index_stamp
+
+    inp = HiveInput(spark, catalog)
+    meta = inp.read_table(ScanSpec(table=f"{vocab_table}_meta")).first()
+    if meta is None:
+        raise ValueError(
+            f"bpe_load_vocab: empty meta table {vocab_table}_meta — run "
+            f"bpe_build_vocab first"
+        )
+    merges_df = inp.read_table(ScanSpec(table=vocab_table))
+    stamp = _index_stamp(
+        "bpe_load_vocab", vocab_table, "merges", merges_df,
+        rebuild="bpe_build_vocab",
+    )
+    if stamp != meta["build_id"]:
+        raise ValueError(
+            f"bpe_load_vocab: vocab {vocab_table} has mixed build_id "
+            f"stamps (meta {meta['build_id']!r} vs merges {stamp!r}) — "
+            f"a rebuild was torn mid-way. Re-run bpe_build_vocab."
+        )
+    rows = merges_df.orderBy("merge_rank").collect()
+    if len(rows) != int(meta["n_merges"]):
+        raise ValueError(
+            f"bpe_load_vocab: vocab {vocab_table} holds {len(rows)} "
+            f"merges but meta records {int(meta['n_merges'])} — the "
+            f"merge table was partially written. Re-run bpe_build_vocab."
+        )
+    return [(r["left"], r["right"]) for r in rows]
+
+
+def bpe_segment_from_vocab(
+    spark,
+    catalog,
+    vocab_table: str,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a STORED vocab: loads the stamped merge list and routes to
+    the right applier for its size — the literal JVM replace chain up to
+    ``_MAX_LITERAL_MERGES`` (fastest at plan-friendly sizes), the
+    Arrow-batched applier beyond it (plan size independent of merge
+    count). Same output contract as both appliers:
+    (doc_id, n_words, n_bpe_tokens)."""
+    merges = bpe_load_vocab(spark, catalog, vocab_table)
+    if len(merges) <= _MAX_LITERAL_MERGES:
+        return bpe_segment_counts(df, merges, text_col, id_col)
+    return bpe_segment_counts_arrow(df, merges, text_col, id_col)
+
+
+def bpe_vocab_consistency_check(
+    spark,
+    catalog,
+    vocab_table: str,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-row proof the persisted vocab serves EXACTLY what training +
+    applying inline computes (the lsh_index_consistency_check contract
+    for the tokenizer artifact): retrains on ``df`` at the stored
+    ``num_merges`` dial and compares BOTH the merge lists (full-row
+    anti-join both ways) and the segmentations. Returns (n_merges,
+    n_docs, n_merge_mismatch, n_segment_mismatch) — mismatches must be
+    0."""
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+
+    meta = HiveInput(spark, catalog).read_table(
+        ScanSpec(table=f"{vocab_table}_meta")
+    ).first()
+    if meta is None:
+        raise ValueError(
+            f"bpe_vocab_consistency_check: empty meta table "
+            f"{vocab_table}_meta"
+        )
+    stored = bpe_load_vocab(spark, catalog, vocab_table)
+    fresh_df = bpe_train(
+        df, num_merges=int(meta["num_merges"]), text_col=text_col
+    )
+    stored_df = spark.createDataFrame(
+        [
+            (i + 1, left, right, left + right)
+            for i, (left, right) in enumerate(stored)
+        ],
+        "merge_rank long, left string, right string, merged string",
+    )
+    merge_mism = (
+        stored_df.exceptAll(fresh_df).unionAll(fresh_df.exceptAll(stored_df))
+    ).count()
+    served = bpe_segment_from_vocab(
+        spark, catalog, vocab_table, df, text_col, id_col
+    )
+    # the direct leg applies the FRESHLY retrained merges (not the stored
+    # list again — that would compare a plan with itself): stored-trained
+    # + stored-applied must equal retrain + apply end to end
+    fresh_merges = [
+        (r["left"], r["right"])
+        for r in fresh_df.orderBy("merge_rank").collect()
+    ]
+    direct = (
+        bpe_segment_counts(df, fresh_merges, text_col, id_col)
+        if len(fresh_merges) <= _MAX_LITERAL_MERGES
+        else bpe_segment_counts_arrow(df, fresh_merges, text_col, id_col)
+    )
+    seg_mism = (
+        served.exceptAll(direct).unionAll(direct.exceptAll(served))
+    ).count()
+    n_docs = served.count()
+    return spark.createDataFrame(
+        [(len(stored), n_docs, merge_mism, seg_mism)],
+        "n_merges long, n_docs long, n_merge_mismatch long, "
+        "n_segment_mismatch long",
     )
 
 

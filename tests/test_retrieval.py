@@ -175,6 +175,178 @@ def test_hybrid_rrf_rejects_candidate_k_below_k(spark):
 
 
 # ---------------------------------------------------------------------------
+# random_projection (JL dimensionality reduction)
+# ---------------------------------------------------------------------------
+
+
+def test_random_projection_matches_python_recompute(spark):
+    from hive_io_experimental_spark.operators.similarity import (
+        _rp_component,
+        random_projection,
+    )
+
+    vec = [1.5, -2.0, 0.25, 4.0]
+    corpus = spark.createDataFrame(
+        [(0, vec)], "vec_id long, embedding array<double>"
+    )
+    got = random_projection(corpus, out_dim=2).first()
+    for j in range(2):
+        acc = 0.0
+        for d, x in enumerate(vec):
+            acc += x * _rp_component(j, d)
+        assert got.projected[j] == acc  # exact, same sequential fold
+
+
+def test_random_projection_preserves_cosine_approximately(spark, sf_dir):
+    """The JL property at the default 64->16 dial: pairwise cosines in
+    the projected space track the originals (sign projections carry the
+    Gaussian guarantee, Achlioptas 2003). Loose tolerance — 16 dims has
+    ~1/sqrt(16) per-pair noise; the assert is on the MEAN."""
+    from hive_io_experimental_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 120
+    )
+    proj = similarity.random_projection(emb, out_dim=16)
+    a = emb.filter(F.col("vec_id") < 60)
+    b = emb.filter(F.col("vec_id") >= 60)
+    orig = similarity.cosine_topk(emb, a, k=3).select(
+        "query_id", "neighbor_id", F.col("cosine").alias("c_orig")
+    )
+    pa = proj.withColumnRenamed("projected", "embedding")
+    # compare cosines of the SAME pairs (join on the original top-3 pairs)
+    pv = pa.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    qv = pa.select(F.col("vec_id").alias("query_id"),
+                   F.col("embedding").alias("qe"))
+    from hive_io_experimental_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    both = (
+        orig.join(pv, "neighbor_id")
+        .join(qv, "query_id")
+        .select(
+            "c_orig",
+            cosine_similarity("embedding", "qe").alias("c_proj"),
+        )
+    )
+    row = both.agg(
+        F.avg(F.abs(F.col("c_orig") - F.col("c_proj"))).alias("mae"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    assert row.n > 0
+    assert row.mae < 0.25, f"mean |Δcosine| {row.mae}"
+
+
+def test_random_projection_validates_dims(spark):
+    from hive_io_experimental_spark.operators.similarity import (
+        random_projection,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="out_dim"):
+        random_projection(corpus, out_dim=0)
+    with pytest.raises(ValueError, match="must be < input dim"):
+        random_projection(corpus, out_dim=2)
+
+
+def test_random_projection_composes_with_ann_tiers(spark, sf_dir):
+    from hive_io_experimental_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    proj = similarity.random_projection(emb, out_dim=16).withColumnRenamed(
+        "projected", "embedding"
+    )
+    got = similarity.cosine_topk_bucketed(
+        proj, proj.filter(F.col("vec_id") % 200 == 0), k=5
+    )
+    assert got.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# bm25_prf_search (pseudo-relevance-feedback expansion)
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_prf_surfaces_vocabulary_mismatch_docs(spark):
+    """The PRF point: a doc that never says the seed term but shares the
+    feedback docs' vocabulary must enter the final ranking."""
+    from hive_io_experimental_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (0, "join merge merge"),
+            (1, "join merge qqq"),
+            (2, "merge merge zzz"),
+            (3, "alpha beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    base = T.bm25_prf_search(docs, ["join"], fb_docs=2, fb_terms=0, top_k=4)
+    assert 2 not in {r.doc_id for r in base.collect()}
+    got = T.bm25_prf_search(
+        docs, ["join"], fb_docs=2, fb_terms=2, top_k=4
+    ).collect()
+    by_id = {r.doc_id: r for r in got}
+    assert 2 in by_id  # surfaced via the expansion term 'merge'
+    assert by_id[2].n_terms_hit == 1
+    assert 3 not in by_id  # noise doc shares no seed/expansion term
+    # seed-hitting docs now also count their expansion hits
+    assert by_id[0].n_terms_hit >= 2
+
+
+def test_bm25_prf_zero_expansion_equals_plain_bm25(spark):
+    from hive_io_experimental_spark.operators import text as T
+
+    docs, _ = _hybrid_fixture(spark)
+    plain = {
+        (r.doc_id, r.n_terms_hit, r.score)
+        for r in T.bm25_search(docs, ["alpha", "beta"], top_k=4).collect()
+    }
+    prf = {
+        (r.doc_id, r.n_terms_hit, r.score)
+        for r in T.bm25_prf_search(
+            docs, ["alpha", "beta"], fb_docs=2, fb_terms=0, top_k=4
+        ).collect()
+    }
+    assert prf == plain
+
+
+def test_bm25_prf_expansion_prefers_rare_terms(spark):
+    """Weight = tf_fb · (N − df + 0.5)/(df + 0.5): a corpus-rare term in
+    the feedback docs must out-rank a corpus-common one with equal
+    feedback tf."""
+    from hive_io_experimental_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (0, "seedterm rare common"),
+            (1, "common filler one"),
+            (2, "common filler two"),
+            (3, "common filler three"),
+        ],
+        "doc_id long, text string",
+    )
+    # fb doc = doc 0; candidates: rare (df 1) vs common (df 4), tf 1 each
+    got = T.bm25_prf_search(
+        docs, ["seedterm"], fb_docs=1, fb_terms=1, top_k=4
+    ).collect()
+    # 'rare' (df 1) must be the single expansion pick — docs 1-3 (which
+    # only say 'common') stay out of the ranking
+    assert {r.doc_id for r in got} == {0}
+
+
+def test_bm25_prf_validates_parameters(spark):
+    from hive_io_experimental_spark.operators import text as T
+
+    docs, _ = _hybrid_fixture(spark)
+    with pytest.raises(ValueError, match="fb_docs"):
+        T.bm25_prf_search(docs, ["alpha"], fb_docs=0)
+
+
+# ---------------------------------------------------------------------------
 # batch-query hybrid search (cosine_topk_batch / bm25_search_batch /
 # hybrid_topk_rrf_batch)
 # ---------------------------------------------------------------------------
@@ -596,6 +768,89 @@ def test_bpe_segment_counts_literal_chain_cap(spark):
     # "abc" -> |ab| |c|, "abd" -> |ab| |d| (duplicate merges are no-ops)
     assert row.n_words == 2
     assert row.n_bpe_tokens == 4
+
+
+def test_bpe_vocab_lifecycle_build_load_segment(spark, sf_dir, tmp_path):
+    """Persisted tokenizer artifact: build -> load returns the trainer's
+    exact merge list; segment_from_vocab == the inline applier; the
+    consistency check reports zero mismatches."""
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators import text as T
+
+    cat = Catalog(str(tmp_path / "wh"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    T.bpe_build_vocab(spark, cat, "default.bpe_v", docs, num_merges=12)
+    loaded = T.bpe_load_vocab(spark, cat, "default.bpe_v")
+    trained = [
+        (r.left, r.right)
+        for r in T.bpe_train(docs, num_merges=12).collect()
+    ]
+    assert loaded == trained
+    served = T.bpe_segment_from_vocab(spark, cat, "default.bpe_v", docs)
+    direct = T.bpe_segment_counts(docs, trained)
+    assert served.exceptAll(direct).isEmpty()
+    assert direct.exceptAll(served).isEmpty()
+    row = T.bpe_vocab_consistency_check(
+        spark, cat, "default.bpe_v", docs
+    ).first()
+    assert row.n_merges == 12
+    assert row.n_merge_mismatch == 0
+    assert row.n_segment_mismatch == 0
+    assert row.n_docs > 0
+
+
+def test_bpe_vocab_refuses_torn_rebuild(spark, sf_dir, tmp_path):
+    from pyspark.sql import types as T_
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators import text as T
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    cat = Catalog(str(tmp_path / "wh"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    T.bpe_build_vocab(spark, cat, "default.bpe_torn", docs, num_merges=5)
+    # meta got a new stamp, the merges table still carries the old one
+    schema = HiveTableSchema((
+        ("num_merges", T_.IntegerType()),
+        ("n_merges", T_.LongType()),
+        ("build_id", T_.StringType()),
+    ))
+    cat.drop_table("default.bpe_torn_meta", delete_data=True)
+    cat.create_table("default.bpe_torn_meta", schema)
+    HiveOutput(spark, cat).write_table(
+        WriteSpec(table="default.bpe_torn_meta"),
+        spark.createDataFrame(
+            [(5, 5, "torn-stamp")], schema.to_struct_type()
+        ),
+    )
+    with pytest.raises(ValueError, match="mixed build_id"):
+        T.bpe_load_vocab(spark, cat, "default.bpe_torn")
+
+
+def test_bpe_segment_from_vocab_routes_large_lists_to_arrow(
+    spark, tmp_path, monkeypatch
+):
+    """Past _MAX_LITERAL_MERGES the stored-vocab applier must route to
+    the Arrow applier instead of raising (the whole point of having
+    two)."""
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators import text as T
+
+    cat = Catalog(str(tmp_path / "wh"))
+    docs = spark.createDataFrame(
+        [(0, "the cat and the hat sat on a mat with a bat")],
+        "doc_id long, text string",
+    )
+    T.bpe_build_vocab(spark, cat, "default.bpe_rt", docs, num_merges=6)
+    # force the routing threshold below the stored list size
+    monkeypatch.setattr(T, "_MAX_LITERAL_MERGES", 3)
+    served = T.bpe_segment_from_vocab(spark, cat, "default.bpe_rt", docs)
+    merges = T.bpe_load_vocab(spark, cat, "default.bpe_rt")
+    direct = T.bpe_segment_counts_arrow(docs, merges)
+    assert [tuple(r) for r in served.collect()] == [
+        tuple(r) for r in direct.collect()
+    ]
 
 
 def test_bpe_segment_counts_arrow_parity_with_literal(spark, sf_dir):
