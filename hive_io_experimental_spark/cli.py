@@ -645,6 +645,12 @@ def cmd_search(args: argparse.Namespace, stop_session: bool = True) -> int:
                 df, terms, text_col=args.text_col, id_col=args.id_col,
                 top_k=args.top_k,
             )
+        elif args.ranker == "prf":
+            out = text_ops.bm25_prf_search(
+                df, terms, fb_docs=args.fb_docs, fb_terms=args.fb_terms,
+                text_col=args.text_col, id_col=args.id_col,
+                top_k=args.top_k,
+            )
         else:
             out = text_ops.keyword_search(
                 df, terms, text_col=args.text_col, id_col=args.id_col,
@@ -693,6 +699,58 @@ def cmd_decontaminate(
     if stop_session:
         spark.stop()
     return 0 if n_bad == 0 else 1
+
+
+def cmd_tokenize(args: argparse.Namespace, stop_session: bool = True) -> int:
+    """Persisted BPE tokenizer lifecycle from the CLI (the index
+    command's shape, for the vocab artifact):
+
+    train — learn merges on the corpus and persist merges + meta catalog
+            tables (stamped with a shared build_id);
+    apply — per-document BPE token counts from the STORED vocab (routes
+            to the literal or Arrow applier by merge-list size);
+    check — one-row proof stored-vocab serving equals retrain+apply
+            (merge lists AND segmentations; exit 1 on any mismatch).
+    """
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+    from hive_io_experimental_spark.operators import text as text_ops
+
+    warehouse = _resolve_warehouse(args)
+    if not warehouse:
+        raise SystemExit("tokenize requires --warehouse or --namespaces-file")
+    spark = _build_spark(args.threads)
+    cat = Catalog(warehouse)
+    docs = _table_df(spark, args, args.table)
+    rc = 0
+    if args.action == "train":
+        text_ops.bpe_build_vocab(
+            spark, cat, args.vocab, docs, num_merges=args.num_merges,
+            text_col=args.text_col,
+        )
+        out = HiveInput(spark, cat).read_table(
+            ScanSpec(table=f"{args.vocab}_meta")
+        )
+    elif args.action == "apply":
+        out = text_ops.bpe_segment_from_vocab(
+            spark, cat, args.vocab, docs,
+            text_col=args.text_col, id_col=args.id_col,
+        )
+    else:  # check
+        out = text_ops.bpe_vocab_consistency_check(
+            spark, cat, args.vocab, docs,
+            text_col=args.text_col, id_col=args.id_col,
+        )
+    print(args.separator.join(out.columns))
+    for row in out.toLocalIterator():
+        print(args.separator.join("" if v is None else str(v) for v in row))
+        if args.action == "check" and (
+            row["n_merge_mismatch"] or row["n_segment_mismatch"]
+        ):
+            rc = 1
+    if stop_session:
+        spark.stop()
+    return rc
 
 
 def cmd_snapshots(args: argparse.Namespace) -> int:
@@ -957,9 +1015,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="db.table (with --warehouse) or parquet path")
     se.add_argument("--terms", default=None,
                     help="comma-separated terms; omit to print index")
-    se.add_argument("--ranker", choices=("and", "bm25"), default="and",
+    se.add_argument("--ranker", choices=("and", "bm25", "prf"),
+                    default="and",
                     help="'and' = conjunctive tf-ranked, 'bm25' = "
-                         "relevance-ranked OR")
+                         "relevance-ranked OR, 'prf' = BM25 with "
+                         "pseudo-relevance-feedback expansion")
+    se.add_argument("--fb-docs", type=int, default=5,
+                    help="prf: feedback depth (top docs of the seed pass)")
+    se.add_argument("--fb-terms", type=int, default=3,
+                    help="prf: expansion terms added to the query")
     se.add_argument("--embeddings", default=None,
                     help="embeddings db.table/path: fuse a cosine leg "
                          "against --query-vec-id's vector (hybrid RRF)")
@@ -975,6 +1039,25 @@ def build_parser() -> argparse.ArgumentParser:
     se.add_argument("--namespace", default="silver")
     se.add_argument("--separator", default="\t")
     se.add_argument("--threads", type=int, default=None)
+
+    tk = sub.add_parser(
+        "tokenize",
+        help="persisted BPE tokenizer vocab: train / apply / check",
+    )
+    tk.add_argument("action", choices=("train", "apply", "check"))
+    tk.add_argument("--table", required=True,
+                    help="documents db.table (with --warehouse) or "
+                         "parquet path")
+    tk.add_argument("--vocab", required=True,
+                    help="vocab table name (db.table) in the warehouse")
+    tk.add_argument("--num-merges", type=int, default=30)
+    tk.add_argument("--text-col", default="text")
+    tk.add_argument("--id-col", default="doc_id")
+    tk.add_argument("--warehouse")
+    tk.add_argument("--namespaces-file")
+    tk.add_argument("--namespace", default="silver")
+    tk.add_argument("--separator", default="\t")
+    tk.add_argument("--threads", type=int, default=None)
 
     snap = sub.add_parser(
         "snapshots", help="list a versioned table's snapshot history"
@@ -1023,6 +1106,8 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         return cmd_search(args, stop_session=stop_session)
     if args.command == "erase":
         return cmd_erase(args, stop_session=stop_session)
+    if args.command == "tokenize":
+        return cmd_tokenize(args, stop_session=stop_session)
     if args.command == "snapshots":
         return cmd_snapshots(args)
     if args.command == "conf-options":

@@ -585,3 +585,68 @@ def test_cli_search_bm25_and_hybrid(spark, tmp_path, capsys):
         stop_session=False,
     )
     assert rc == 2
+
+
+def test_cli_search_prf(spark, tmp_path, capsys):
+    t = tmp_path / "docs_prf"
+    spark.createDataFrame(
+        [
+            (0, "join merge merge"),
+            (1, "join merge qqq"),
+            (2, "merge merge zzz"),
+            (3, "alpha beta gamma"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(str(t))
+    # PRF expansion surfaces doc 2 (never says 'join') via 'merge'
+    rc = main(
+        ["search", "--table", str(t), "--terms", "join",
+         "--ranker", "prf", "--fb-docs", "2", "--fb-terms", "2"],
+        stop_session=False,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t") == ["doc_id", "n_terms_hit", "score"]
+    assert "2" in {l.split("\t")[0] for l in out[1:]}
+
+
+def test_cli_tokenize_lifecycle(spark, tmp_path, capsys):
+    wh = str(tmp_path / "wh")
+    t = tmp_path / "docs_tk"
+    spark.createDataFrame(
+        [(0, "the cat and the hat"), (1, "the bat and a cat"),
+         (2, "that cat sat")],
+        "doc_id long, text string",
+    ).write.parquet(str(t))
+
+    rc = main(
+        ["tokenize", "train", "--table", str(t), "--vocab",
+         "default.cli_bpe", "--num-merges", "5", "--warehouse", wh],
+        stop_session=False,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t") == ["num_merges", "n_merges", "build_id"]
+    assert out[1].split("\t")[:2] == ["5", "5"]
+
+    rc = main(
+        ["tokenize", "apply", "--table", str(t), "--vocab",
+         "default.cli_bpe", "--warehouse", wh],
+        stop_session=False,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t") == ["doc_id", "n_words", "n_bpe_tokens"]
+    assert len(out) == 4  # header + 3 docs
+
+    rc = main(
+        ["tokenize", "check", "--table", str(t), "--vocab",
+         "default.cli_bpe", "--warehouse", wh],
+        stop_session=False,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t") == [
+        "n_merges", "n_docs", "n_merge_mismatch", "n_segment_mismatch"
+    ]
+    assert out[1].split("\t") == ["5", "3", "0", "0"]
