@@ -895,3 +895,121 @@ def test_lsh_topk_stream_parity_at_all_probe_depths(spark, sf_dir, tmp_path):
             ).collect()
         }
         assert set(got) == batch and len(batch) > 0, f"probe_bits={bits}"
+
+
+# ---------------------------------------------------------------------------
+# streaming hybrid search (streaming/retrieval.py)
+# ---------------------------------------------------------------------------
+
+
+def _hybrid_stream_fixture(spark, sf_dir, tmp_path, n_queries=4):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.array(F.lit("data"), F.lit("join")).alias("terms"),
+            "embedding",
+        )
+    )
+    src = str(tmp_path / "qsrc")
+    (
+        queries.withColumn("b", (F.col("query_id") % 2).cast("int"))
+        .repartition(2, "b").drop("b")
+        .write.mode("overwrite").parquet(src)
+    )
+    stream = spark.readStream.schema(queries.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    return docs, emb, queries, stream
+
+
+def test_hybrid_stream_matches_batch_operator(spark, sf_dir, tmp_path):
+    """Two micro-batches of queries served by the stream emit EXACTLY the
+    batch operator's rows over the same closed query set (hybrid fusion
+    is per-query, so batch boundaries cannot change any result)."""
+    from hive_io_experimental_spark.operators import retrieval
+    from hive_io_experimental_spark.streaming.retrieval import (
+        serve_hybrid_topk_stream,
+    )
+
+    docs, emb, queries, stream = _hybrid_stream_fixture(
+        spark, sf_dir, tmp_path
+    )
+    got: list = []
+    q = serve_hybrid_topk_stream(
+        stream, docs, emb,
+        sink_fn=lambda df, epoch: got.extend(tuple(r) for r in df.collect()),
+        k=5, candidate_k=10,
+    ).trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ckpt_h")
+    ).start()
+    q.awaitTermination(300)
+
+    batch = {
+        tuple(r)
+        for r in retrieval.hybrid_topk_rrf_batch(
+            docs, emb, queries, k=5, candidate_k=10
+        ).collect()
+    }
+    assert len(got) == len(set(got)) == len(batch) > 0
+    assert set(got) == batch
+
+
+def test_hybrid_stream_with_lsh_index_semantic_leg(spark, sf_dir, tmp_path):
+    """The sem_candidates_fn hook serves the semantic leg from the
+    persisted LSH index per micro-batch — the no-broadcast scale path —
+    and the stream still equals the batch operator fed the same
+    candidates."""
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators import retrieval, similarity
+    from hive_io_experimental_spark.streaming.retrieval import (
+        serve_hybrid_topk_stream,
+    )
+
+    cat = Catalog(str(tmp_path / "wh"))
+    docs, emb, queries, stream = _hybrid_stream_fixture(
+        spark, sf_dir, tmp_path
+    )
+    similarity.lsh_build_index(spark, cat, "default.hyb_lsh", emb,
+                               num_planes=6)
+
+    def from_index(batch_queries):
+        return similarity.lsh_query_index(
+            spark, cat, "default.hyb_lsh", emb,
+            batch_queries.select(
+                F.col("query_id").alias("vec_id"), "embedding"
+            ),
+            k=10, probe_bits=1,
+        ).select("query_id", "neighbor_id", "cosine")
+
+    got: list = []
+    q = serve_hybrid_topk_stream(
+        stream, docs, emb,
+        sink_fn=lambda df, epoch: got.extend(tuple(r) for r in df.collect()),
+        k=5, candidate_k=10, sem_candidates_fn=from_index,
+    ).trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ckpt_hl")
+    ).start()
+    q.awaitTermination(300)
+
+    batch = {
+        tuple(r)
+        for r in retrieval.hybrid_topk_rrf_batch(
+            docs, emb, queries, k=5, candidate_k=10,
+            sem_candidates=from_index(queries),
+        ).collect()
+    }
+    assert set(got) == batch and len(batch) > 0
+
+
+def test_hybrid_stream_rejects_batch_frame(spark, sf_dir):
+    from hive_io_experimental_spark.streaming.retrieval import (
+        serve_hybrid_topk_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="batch frame"):
+        serve_hybrid_topk_stream(emb, docs, emb, sink_fn=lambda d, e: None)
