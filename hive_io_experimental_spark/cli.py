@@ -724,9 +724,12 @@ def cmd_tokenize(args: argparse.Namespace, stop_session: bool = True) -> int:
     docs = _table_df(spark, args, args.table)
     rc = 0
     if args.action == "train":
+        kwargs = {}
+        if args.max_vocab is not None:
+            kwargs["max_vocab"] = args.max_vocab
         text_ops.bpe_build_vocab(
             spark, cat, args.vocab, docs, num_merges=args.num_merges,
-            text_col=args.text_col,
+            text_col=args.text_col, **kwargs,
         )
         out = HiveInput(spark, cat).read_table(
             ScanSpec(table=f"{args.vocab}_meta")
@@ -1051,6 +1054,9 @@ def build_parser() -> argparse.ArgumentParser:
     tk.add_argument("--vocab", required=True,
                     help="vocab table name (db.table) in the warehouse")
     tk.add_argument("--num-merges", type=int, default=30)
+    tk.add_argument("--max-vocab", type=int, default=None,
+                    help="train: driver-side vocabulary cap (recorded in "
+                         "meta; check retrains at the same dial)")
     tk.add_argument("--text-col", default="text")
     tk.add_argument("--id-col", default="doc_id")
     tk.add_argument("--warehouse")

@@ -223,23 +223,34 @@ def hybrid_topk_rrf_batch(
         F.col("rank").alias("lex_rank"),
     )
     if sem_candidates is None:
-        sem_candidates = cosine_topk_batch(
+        # the internal path's rank IS the leg rank (same total order) —
+        # re-windowing it would repeat a shuffle+sort of
+        # n_queries × candidate_k rows for identical values
+        sem = cosine_topk_batch(
             embeddings, queries, k=candidate_k,
             vec_col=vec_col, id_col=vec_id_col,
             query_id_col=query_id_col, query_vec_col=query_vec_col,
-        ).select("query_id", "neighbor_id", "cosine")
-    w_sem = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    sem = (
-        sem_candidates.select("query_id", "neighbor_id", "cosine")
-        .withColumn("sem_rank", F.row_number().over(w_sem).cast("long"))
-        .filter(F.col("sem_rank") <= candidate_k)
-        .select(
+        ).select(
             "query_id", F.col("neighbor_id").alias("id"),
-            "cosine", "sem_rank",
+            "cosine", F.col("rank").alias("sem_rank"),
         )
-    )
+    else:
+        # external ANN candidates come rank-free (or with a tier-specific
+        # rank) — recompute with the engine's total order
+        w_sem = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        sem = (
+            sem_candidates.select("query_id", "neighbor_id", "cosine")
+            .withColumn(
+                "sem_rank", F.row_number().over(w_sem).cast("long")
+            )
+            .filter(F.col("sem_rank") <= candidate_k)
+            .select(
+                "query_id", F.col("neighbor_id").alias("id"),
+                "cosine", "sem_rank",
+            )
+        )
     fused = lex.join(sem, ["query_id", "id"], "full_outer").select(
         "query_id",
         F.col("id").alias("doc_id"),
@@ -453,32 +464,53 @@ def mmr_diversified_topk(
     cand = candidates.select("query_id", "neighbor_id", "cosine")
     vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
-    ).withColumn("cnrm", l2_norm(F.col("cv")))
+    ).withColumn("cnrm", l2_norm(F.col("cv"))).withColumn(
+        "_in_corpus", F.lit(True)
+    )
     # LEFT join + in-plan raise: an externally supplied candidate frame
     # whose neighbor_id is missing from the corpus (stale ANN index, wrong
     # corpus) must fail LOUDLY — the earlier inner join silently shrank
     # the candidate pool, truncating the top-k (the module's fail-loud
     # contract). raise_error fires at execution on the first orphan row;
-    # no extra action, no driver round-trip.
-    cwv = cand.join(vecs, "neighbor_id", "left").withColumn(
-        "cv",
-        F.when(
-            F.col("cv").isNull(),
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "mmr_diversified_topk: candidate neighbor_id "
-                    ),
-                    F.col("neighbor_id").cast("string"),
-                    F.lit(
-                        " has no vector in the corpus — the candidates "
-                        "frame is stale or built against a different "
-                        "corpus; rebuild candidates or pass the matching "
-                        "corpus."
-                    ),
-                )
-            ).cast(vecs.schema["cv"].dataType),
-        ).otherwise(F.col("cv")),
+    # no extra action, no driver round-trip. The _in_corpus marker
+    # separates a JOIN MISS (stale candidates) from a matched row whose
+    # embedding is NULL — two different user errors with different fixes.
+    cwv = (
+        cand.join(vecs, "neighbor_id", "left")
+        .withColumn(
+            "cv",
+            F.when(
+                F.col("_in_corpus").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "mmr_diversified_topk: candidate neighbor_id "
+                        ),
+                        F.col("neighbor_id").cast("string"),
+                        F.lit(
+                            " has no vector in the corpus — the "
+                            "candidates frame is stale or built against "
+                            "a different corpus; rebuild candidates or "
+                            "pass the matching corpus."
+                        ),
+                    )
+                ).cast(vecs.schema["cv"].dataType),
+            ).when(
+                F.col("cv").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("mmr_diversified_topk: corpus row "),
+                        F.col("neighbor_id").cast("string"),
+                        F.lit(
+                            " has a NULL embedding — cosine is undefined"
+                            " on it. Filter NULL/zero-norm embeddings "
+                            "out of the corpus first."
+                        ),
+                    )
+                ).cast(vecs.schema["cv"].dataType),
+            ).otherwise(F.col("cv")),
+        )
+        .drop("_in_corpus")
     )
     a = cwv.select(
         "query_id",

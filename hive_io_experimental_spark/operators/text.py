@@ -1638,7 +1638,13 @@ def bpe_segment_counts_arrow(
                 {"doc_id": pdf["doc_id"], "n_syms": counts}
             )
 
-    per_word = words.mapInPandas(_encode, schema="doc_id long, n_syms long")
+    # schema follows the INPUT id type (string doc ids are first-class in
+    # the literal applier — hardcoding 'long' here crashed them in the
+    # Arrow worker with an opaque pyarrow error)
+    id_ddl = words.schema["doc_id"].dataType.simpleString()
+    per_word = words.mapInPandas(
+        _encode, schema=f"doc_id {id_ddl}, n_syms long"
+    )
     return per_word.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_words"),
         F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
@@ -1679,9 +1685,13 @@ def bpe_build_vocab(
     bid = uuid.uuid4().hex
     stamped = merges.withColumn("build_id", F.lit(bid))
     n_learned = merges.count()
+    # max_vocab is part of the artifact's identity: the consistency
+    # check retrains at the SAME dial (a custom cap above the default
+    # would otherwise make the proof unrunnable for exactly the builds
+    # that needed it)
     meta = spark.createDataFrame(
-        [(int(num_merges), int(n_learned), bid)],
-        "num_merges int, n_merges long, build_id string",
+        [(int(num_merges), int(n_learned), int(max_vocab), bid)],
+        "num_merges int, n_merges long, max_vocab long, build_id string",
     )
     out = HiveOutput(spark, catalog)
     for tbl, schema, frame in (
@@ -1690,6 +1700,7 @@ def bpe_build_vocab(
             HiveTableSchema((
                 ("num_merges", T.IntegerType()),
                 ("n_merges", T.LongType()),
+                ("max_vocab", T.LongType()),
                 ("build_id", T.StringType()),
             )),
             meta,
@@ -1728,6 +1739,11 @@ def bpe_load_vocab(spark, catalog, vocab_table: str) -> list[tuple[str, str]]:
             f"bpe_load_vocab: empty meta table {vocab_table}_meta — run "
             f"bpe_build_vocab first"
         )
+    if int(meta["n_merges"]) == 0:
+        # a legitimately merge-free vocab (no adjacent pair ever repeats
+        # — e.g. all single-character words): the merges table is empty
+        # BY CONSTRUCTION, not torn; meta is the authority
+        return []
     merges_df = inp.read_table(ScanSpec(table=vocab_table))
     stamp = _index_stamp(
         "bpe_load_vocab", vocab_table, "merges", merges_df,
@@ -1764,6 +1780,13 @@ def bpe_segment_from_vocab(
     count). Same output contract as both appliers:
     (doc_id, n_words, n_bpe_tokens)."""
     merges = bpe_load_vocab(spark, catalog, vocab_table)
+    return _segment_with(df, merges, text_col, id_col)
+
+
+def _segment_with(df, merges, text_col, id_col):
+    """The ONE literal-vs-Arrow routing rule (by merge-list size) —
+    shared by the stored-vocab applier and the consistency check so the
+    dispatch can never drift between them."""
     if len(merges) <= _MAX_LITERAL_MERGES:
         return bpe_segment_counts(df, merges, text_col, id_col)
     return bpe_segment_counts_arrow(df, merges, text_col, id_col)
@@ -1796,7 +1819,8 @@ def bpe_vocab_consistency_check(
         )
     stored = bpe_load_vocab(spark, catalog, vocab_table)
     fresh_df = bpe_train(
-        df, num_merges=int(meta["num_merges"]), text_col=text_col
+        df, num_merges=int(meta["num_merges"]), text_col=text_col,
+        max_vocab=int(meta["max_vocab"]),
     )
     stored_df = spark.createDataFrame(
         [
@@ -1818,11 +1842,7 @@ def bpe_vocab_consistency_check(
         (r["left"], r["right"])
         for r in fresh_df.orderBy("merge_rank").collect()
     ]
-    direct = (
-        bpe_segment_counts(df, fresh_merges, text_col, id_col)
-        if len(fresh_merges) <= _MAX_LITERAL_MERGES
-        else bpe_segment_counts_arrow(df, fresh_merges, text_col, id_col)
-    )
+    direct = _segment_with(df, fresh_merges, text_col, id_col)
     seg_mism = (
         served.exceptAll(direct).unionAll(direct.exceptAll(served))
     ).count()

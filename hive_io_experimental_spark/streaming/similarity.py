@@ -52,6 +52,7 @@ def _validate_index_stamps(
     catalog,
     index_table: str,
     expect_build_id: str | None,
+    op: str = "lsh_candidates_stream",
 ):
     """The batch path's empty/pre-stamp/torn-rebuild fences over the
     stored LSH index, as a reusable probe: returns (meta_row, buckets_df)
@@ -60,31 +61,28 @@ def _validate_index_stamps(
     pins the stamps to the build the stream was PLANNED against: an index
     rebuilt mid-stream (even cleanly) must stop the stream, because the
     stored plane family changed under the query-side bucket hash baked
-    into the plan."""
+    into the plan. ``op`` names the raising entry point in every error."""
     from hive_io_experimental_spark.input import HiveInput, ScanSpec
     from hive_io_experimental_spark.operators.similarity import _index_stamp
 
     inp = HiveInput(spark, catalog)
     meta = inp.read_table(ScanSpec(table=f"{index_table}_meta")).first()
     if meta is None:
-        raise ValueError(
-            f"lsh_candidates_stream: empty meta table {index_table}_meta"
-        )
+        raise ValueError(f"{op}: empty meta table {index_table}_meta")
     buckets = inp.read_table(ScanSpec(table=index_table))
     b_stamp = _index_stamp(
-        "lsh_candidates_stream", index_table, "buckets", buckets,
-        rebuild="lsh_build_index",
+        op, index_table, "buckets", buckets, rebuild="lsh_build_index",
     )
     if b_stamp != meta["build_id"]:
         raise ValueError(
-            f"lsh_candidates_stream: index {index_table} has mixed "
+            f"{op}: index {index_table} has mixed "
             f"build_id stamps (meta {meta['build_id']!r} vs buckets "
             f"{b_stamp!r}) — a rebuild was torn mid-way. "
             f"Re-run lsh_build_index before serving."
         )
     if expect_build_id is not None and b_stamp != expect_build_id:
         raise ValueError(
-            f"serve_lsh_topk_stream: index {index_table} was REBUILT "
+            f"{op}: index {index_table} was REBUILT "
             f"mid-stream (planned against build {expect_build_id!r}, "
             f"now {b_stamp!r}) — the stream's query-side bucket hash is "
             f"bound to the old plane family. Restart the stream to serve "
@@ -102,6 +100,7 @@ def lsh_candidates_stream(
     probe_bits: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    _meta=None,
 ) -> DataFrame:
     """Streaming (query_id, neighbor_id, cosine): multiprobe candidates
     from the stored bucket table, exact-rescored — everything EXCEPT the
@@ -124,9 +123,23 @@ def lsh_candidates_stream(
             "lsh_candidates_stream: query_stream is a batch frame — use "
             "lsh_query_index for batch serving"
         )
-    meta, buckets = _validate_index_stamps(
-        spark, catalog, index_table, expect_build_id=None
-    )
+    if _meta is None:
+        _meta, buckets = _validate_index_stamps(
+            spark, catalog, index_table, expect_build_id=None
+        )
+    else:
+        # caller (serve_lsh_topk_stream) already validated and passes its
+        # meta snapshot through, so geometry and the pinned build_id come
+        # from ONE read — a rebuild between two separate meta reads would
+        # bake the old plane count into the plan while pinning the new
+        # build_id, and every per-batch check would then pass while
+        # serving wrong-geometry candidates
+        from hive_io_experimental_spark.input import HiveInput, ScanSpec
+
+        buckets = HiveInput(spark, catalog).read_table(
+            ScanSpec(table=index_table)
+        )
+    meta = _meta
     num_planes, dim = int(meta["num_planes"]), int(meta["dim"])
     q = query_stream.select(
         F.col(id_col).alias("query_id"),
@@ -197,22 +210,27 @@ def serve_lsh_topk_stream(
     against the wrong plane family with no error (r11 ADVICE). A stamp
     change fails the streaming query loudly; restart to serve the new
     build."""
+    # ONE meta read supplies BOTH the plan geometry and the pinned
+    # build_id (two separate reads left a window where a rebuild between
+    # them baked the old plane count into the plan while pinning the NEW
+    # build_id — the per-batch checks would then pass forever while
+    # serving wrong-geometry candidates)
+    meta, _ = _validate_index_stamps(
+        spark, catalog, index_table, expect_build_id=None,
+        op="serve_lsh_topk_stream",
+    )
     scored = lsh_candidates_stream(
         spark, catalog, index_table, query_stream, corpus,
         probe_bits=probe_bits, vec_col=vec_col, id_col=id_col,
+        _meta=meta,
     )
-    # the build the plan was constructed against (lsh_candidates_stream
-    # already refused empty/torn stamps, so this read is clean)
-    from hive_io_experimental_spark.input import HiveInput, ScanSpec
-
-    planned_build = HiveInput(spark, catalog).read_table(
-        ScanSpec(table=f"{index_table}_meta")
-    ).first()["build_id"]
+    planned_build = meta["build_id"]
     ranked = lsh_topk_foreach_batch(k, sink_fn)
 
     def _checked_batch(df: DataFrame, epoch_id: int) -> None:
         _validate_index_stamps(
-            spark, catalog, index_table, expect_build_id=planned_build
+            spark, catalog, index_table, expect_build_id=planned_build,
+            op="serve_lsh_topk_stream",
         )
         ranked(df, epoch_id)
 

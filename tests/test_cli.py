@@ -626,7 +626,9 @@ def test_cli_tokenize_lifecycle(spark, tmp_path, capsys):
     )
     assert rc == 0
     out = capsys.readouterr().out.strip().splitlines()
-    assert out[0].split("\t") == ["num_merges", "n_merges", "build_id"]
+    assert out[0].split("\t") == [
+        "num_merges", "n_merges", "max_vocab", "build_id"
+    ]
     assert out[1].split("\t")[:2] == ["5", "5"]
 
     rc = main(

@@ -615,6 +615,25 @@ def test_mmr_stale_candidates_fail_loudly(spark):
         ).collect()
 
 
+def test_mmr_null_embedding_gets_its_own_message(spark):
+    """A candidate that EXISTS in the corpus but has a NULL embedding is
+    a different user error than a stale candidates frame — the raise
+    must say so (code-review r12)."""
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.filter(F.col("vec_id") == 0)
+    cands = spark.createDataFrame(
+        [(0, 1, 0.9), (0, 2, 0.8)],
+        "query_id long, neighbor_id long, cosine double",
+    )
+    with pytest.raises(Exception, match="NULL embedding"):
+        retrieval.mmr_diversified_topk(
+            corpus, queries, k=2, fetch_k=2, candidates=cands
+        ).collect()
+
+
 def test_mmr_integer_id_check_covers_all_frames(spark):
     """The integer-id fence applies to the candidates and queries frames
     too, not only corpus[id_col] (ADVICE r11)."""
@@ -851,6 +870,49 @@ def test_bpe_segment_from_vocab_routes_large_lists_to_arrow(
     assert [tuple(r) for r in served.collect()] == [
         tuple(r) for r in direct.collect()
     ]
+
+
+def test_bpe_segment_counts_arrow_accepts_string_doc_ids(spark):
+    """The Arrow applier's mapInPandas schema must follow the INPUT id
+    type — string doc ids are first-class in the literal applier and the
+    documented contract is 'identical results' (code-review r12)."""
+    from hive_io_experimental_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [("docA", "the cat"), ("docB", "the hat")],
+        "doc_id string, text string",
+    )
+    merges = [("t", "h"), ("th", "e")]
+    lit = {tuple(r) for r in T.bpe_segment_counts(docs, merges).collect()}
+    arrow = {
+        tuple(r)
+        for r in T.bpe_segment_counts_arrow(docs, merges).collect()
+    }
+    assert arrow == lit and len(lit) == 2
+
+
+def test_bpe_vocab_zero_merges_is_not_torn(spark, tmp_path):
+    """A corpus with no repeated adjacent pair learns 0 merges — the
+    empty merges table is BY CONSTRUCTION, not a torn rebuild; load
+    returns [] and the lifecycle stays usable (code-review r12)."""
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators import text as T
+
+    cat = Catalog(str(tmp_path / "wh"))
+    docs = spark.createDataFrame(
+        [(0, "a b c d e")], "doc_id long, text string"
+    )
+    T.bpe_build_vocab(spark, cat, "default.bpe_zero", docs, num_merges=4)
+    assert T.bpe_load_vocab(spark, cat, "default.bpe_zero") == []
+    row = T.bpe_segment_from_vocab(
+        spark, cat, "default.bpe_zero", docs
+    ).first()
+    assert row.n_words == 5 and row.n_bpe_tokens == 5
+    chk = T.bpe_vocab_consistency_check(
+        spark, cat, "default.bpe_zero", docs
+    ).first()
+    assert chk.n_merges == 0
+    assert chk.n_merge_mismatch == 0 and chk.n_segment_mismatch == 0
 
 
 def test_bpe_segment_counts_arrow_parity_with_literal(spark, sf_dir):

@@ -42,6 +42,10 @@ def main() -> int:
     out_path = "BENCH_SCALING.json"
     if "--out" in args:
         i = args.index("--out")
+        if i + 1 >= len(args):
+            raise SystemExit(
+                "usage: lsh_quality_report.py [sf_dir] [--out FILE]"
+            )
         out_path = args[i + 1]
         args = args[:i] + args[i + 2:]
     sf_dir = args[0] if args else "./scaledata/sf1"
@@ -83,6 +87,12 @@ def main() -> int:
 
         exact = reuse(exact)
         n_exact = exact.count()
+        if n_exact == 0:
+            raise SystemExit(
+                f"lsh_quality_report: no vectors with vec_id < "
+                f"{N_QUERIES} in {sf_dir}/embeddings.parquet — nothing "
+                f"to grade (check the sf_dir)"
+            )
         recalls = {}
         for bits in (0, 1, 2):
             approx = lsh_query_index(
