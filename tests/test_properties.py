@@ -473,3 +473,130 @@ def test_bpe_merge_monotonicity_and_closure(spark, docs):
 
     totals = [total(n) for n in (0, len(merges) // 2, len(merges))]
     assert totals[0] >= totals[1] >= totals[2]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    lex=st.one_of(st.none(), st.integers(min_value=1, max_value=500)),
+    sem=st.one_of(st.none(), st.integers(min_value=1, max_value=500)),
+    rrf_k=st.integers(min_value=1, max_value=200),
+)
+def test_rrf_integer_scoring_is_exact_half_up(spark, lex, sem, rrf_k):
+    """_rrf_score_expr contract on arbitrary dials: the emitted double is
+    EXACTLY HALF_UP_e6(HALF_UP_e12(1/(k+lex)) + HALF_UP_e12(1/(k+sem)))
+    computed in exact rational arithmetic — no float anywhere in the
+    reference computation, so this pins the integer pipeline itself."""
+    from fractions import Fraction
+
+    from hive_io_experimental_spark.operators.retrieval import (
+        _rrf_score_expr,
+    )
+
+    if lex is None and sem is None:
+        return  # a fused row always has at least one leg
+    df = spark.createDataFrame(
+        [(lex, sem)], "lex_rank long, sem_rank long"
+    )
+    got = df.select(_rrf_score_expr(rrf_k).alias("s")).first()["s"]
+
+    def term_e12(r):
+        if r is None:
+            return 0
+        d = rrf_k + r
+        return (2 * 10**12 + d) // (2 * d)
+
+    e12 = term_e12(lex) + term_e12(sem)
+    want = Fraction((e12 + 500_000) // 1_000_000, 10**6)
+    assert got == float(want)
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    docs=st.lists(doc_strategy, min_size=2, max_size=4),
+    n_merges=st.integers(min_value=1, max_value=8),
+)
+def test_bpe_arrow_equals_literal_on_any_corpus(spark, docs, n_merges):
+    """The two appliers are row-identical for every random corpus and
+    trained merge list — the contract bpe_segment_from_vocab's routing
+    relies on."""
+    from hive_io_experimental_spark.operators import text as T
+
+    ddf = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    merges = [
+        (r.left, r.right)
+        for r in T.bpe_train(ddf, num_merges=n_merges).collect()
+    ]
+    lit = {tuple(r) for r in T.bpe_segment_counts(ddf, merges).collect()}
+    arrow = {
+        tuple(r) for r in T.bpe_segment_counts_arrow(ddf, merges).collect()
+    }
+    assert arrow == lit
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    docs=st.lists(doc_strategy, min_size=3, max_size=5),
+    terms_a=st.lists(st.sampled_from(WORDS), min_size=1, max_size=2,
+                     unique=True),
+    terms_b=st.lists(st.sampled_from(WORDS), min_size=1, max_size=3,
+                     unique=True),
+)
+def test_bm25_batch_equals_single_on_any_terms(spark, docs, terms_a,
+                                               terms_b):
+    """bm25_search_batch == per-query bm25_search for every random corpus
+    and term-set pair (ranks, hits, and round-6 decimal scores)."""
+    from hive_io_experimental_spark.operators import text as T
+
+    ddf = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    qt = spark.createDataFrame(
+        [(1, t) for t in terms_a] + [(2, t) for t in terms_b],
+        "query_id long, term string",
+    )
+    batch = T.bm25_search_batch(ddf, qt, top_k=len(docs)).collect()
+    for qid, terms in ((1, terms_a), (2, terms_b)):
+        single = {
+            (r.doc_id, r.n_terms_hit, r.score)
+            for r in T.bm25_search(ddf, list(terms),
+                                   top_k=len(docs)).collect()
+        }
+        got = {
+            (r.doc_id, r.n_terms_hit, r.score)
+            for r in batch
+            if r.query_id == qid
+        }
+        assert got == single, f"query {qid}"
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vec=st.lists(
+        st.floats(min_value=-8.0, max_value=8.0,
+                  allow_nan=False, allow_infinity=False),
+        min_size=4, max_size=10,
+    ),
+    out_dim=st.integers(min_value=1, max_value=3),
+)
+def test_random_projection_exact_fold_on_any_vector(spark, vec, out_dim):
+    """Every projected component equals the Python sequential ± fold
+    bit-for-bit, for arbitrary vectors and output dims — the exactness
+    contract the DuckDB twin depends on."""
+    from hive_io_experimental_spark.operators.similarity import (
+        _rp_component,
+        random_projection,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, vec)], "vec_id long, embedding array<double>"
+    )
+    got = random_projection(corpus, out_dim=out_dim).first()["projected"]
+    for j in range(out_dim):
+        acc = 0.0
+        for d, x in enumerate(vec):
+            acc += x * _rp_component(j, d)
+        assert got[j] == acc
