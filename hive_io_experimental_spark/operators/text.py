@@ -1393,6 +1393,153 @@ def phrase_search(
 # ---------------------------------------------------------------------------
 
 
+def nb_train(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> tuple[DataFrame, DataFrame]:
+    """Multinomial Naive Bayes trainer — the fastText-niche classifier a
+    training-data pipeline runs for cheap domain/language/quality
+    routing: closed-form (two groupBys), no gradient loop, linear scans.
+
+    Returns (priors, likelihoods):
+      priors       (label, n_docs, prior_bits, unseen_bits) — prior_bits
+                   = round(-log2(n_docs_c / n_docs), 6); unseen_bits =
+                   round(-log2(1 / (N_c + V)), 6), the add-one-smoothed
+                   cost of a token never seen with the class.
+      likelihoods  (label, token, bits) — round(-log2((c(t,c)+1)
+                   / (N_c + V)), 6).
+
+    Exactness discipline (the LM-scorer contract): every probability is
+    one double division of exact integers, one libm log2, one round(6) —
+    bit-identical cross-engine at round-6; scoring sums the rounded
+    values as DECIMAL(18,6) (order-independent). Model size is
+    vocabulary x labels rows — Heaps-law bounded, NEVER corpus-sized;
+    at 100 TB both tables are ordinary catalog tables.
+    """
+    toks = spread(
+        df.select(
+            F.col(label_col).alias("label"),
+            F.explode(word_tokens(F.col(text_col))).alias("token"),
+        )
+    )
+    tc = toks.groupBy("label", "token").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    from hive_io_experimental_spark.functions.reuse import reuse
+
+    # tc feeds the per-class totals, the vocabulary count, AND the
+    # likelihood projection — one shuffle, reused
+    tc = reuse(tc)
+    class_tot = tc.groupBy("label").agg(F.sum("_c").alias("_nc"))
+    vocab = tc.select("token").distinct().agg(
+        F.count(F.lit(1)).alias("_v")
+    )
+    likelihoods = (
+        tc.join(class_tot, "label")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "label",
+            "token",
+            F.round(
+                -F.log2((F.col("_c") + 1.0) / (F.col("_nc") + F.col("_v"))),
+                6,
+            ).alias("bits"),
+        )
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("_n"))
+    priors = (
+        df.groupBy(F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(n_docs))
+        .join(class_tot, "label")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "label",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(-F.log2(F.col("n_docs") / F.col("_n")), 6)
+            .alias("prior_bits"),
+            F.round(-F.log2(1.0 / (F.col("_nc") + F.col("_v"))), 6)
+            .alias("unseen_bits"),
+        )
+    )
+    return priors, likelihoods
+
+
+def nb_score(
+    df: DataFrame,
+    priors: DataFrame,
+    likelihoods: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a trained NB model: per document, the
+    label minimizing prior_bits + Σ_tokens bits(token|label) (bits are
+    negative log2, so min = max posterior; ties break to the smallest
+    label — a total order). Documents with zero tokens rank on the
+    prior alone. Returns (doc_id, label, total_bits, n_tokens).
+
+    Plan: the token stream fans out by the LABEL SET (a broadcast of a
+    handful of rows — the only corpus-growth factor is the number of
+    classes), one left equi-join against the vocabulary-sized model
+    with unseen tokens costing the class's smoothed constant, one
+    groupBy (doc, label), one min_by per doc. Scores accumulate as
+    DECIMAL(18,6) — order-independent, oracle-exact.
+    """
+    toks = spread(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_tokens(F.col(text_col))).alias("token"),
+        )
+    )
+    lab = priors.select(
+        "label",
+        F.col("prior_bits").cast("decimal(18,6)").alias("_prior"),
+        F.col("unseen_bits").cast("decimal(18,6)").alias("_unseen"),
+    )
+    lk = likelihoods.select(
+        "label", "token", F.col("bits").cast("decimal(18,6)").alias("_b")
+    )
+    per = (
+        toks.crossJoin(F.broadcast(lab))
+        .join(lk, ["label", "token"], "left")
+        .groupBy("doc_id", "label")
+        .agg(
+            F.sum(F.coalesce(F.col("_b"), F.col("_unseen"))).alias("_tok"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.first("_prior").alias("_p"),
+        )
+        .select(
+            "doc_id", "label", "n_tokens",
+            (F.col("_p") + F.col("_tok")).cast("decimal(20,6)")
+            .alias("_total"),
+        )
+    )
+    # zero-token docs: score every label on the prior alone
+    empties = (
+        df.select(F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("_t"))
+        .filter(F.size("_t") == 0)
+        .select("doc_id")
+        .crossJoin(F.broadcast(lab))
+        .select(
+            "doc_id", "label", F.lit(0).cast("long").alias("n_tokens"),
+            F.col("_prior").cast("decimal(20,6)").alias("_total"),
+        )
+    )
+    allrows = per.unionByName(empties)
+    # argmin bits with label tiebreak: min over (total, label) structs
+    best = allrows.groupBy("doc_id").agg(
+        F.min(F.struct(F.col("_total"), F.col("label"))).alias("_best"),
+        F.max("n_tokens").alias("n_tokens"),
+    )
+    return best.select(
+        "doc_id",
+        F.col("_best.label").alias("label"),
+        F.col("_best._total").cast("double").alias("total_bits"),
+        "n_tokens",
+    )
+
+
 def bpe_word_histogram(
     df: DataFrame,
     text_col: str = "text",
