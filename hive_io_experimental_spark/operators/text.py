@@ -1448,19 +1448,27 @@ def nb_train(
         )
     )
     n_docs = df.select(F.count(F.lit(1)).alias("_n"))
+    # LEFT join: a class whose training docs hold zero tokens still gets
+    # a prior row (N_c = 0 — its unseen cost is -log2(1/V) and it can
+    # only ever be predicted on the prior); an inner join silently
+    # removed such classes from the model
     priors = (
         df.groupBy(F.col(label_col).alias("label"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .crossJoin(F.broadcast(n_docs))
-        .join(class_tot, "label")
+        .join(class_tot, "label", "left")
         .crossJoin(F.broadcast(vocab))
         .select(
             "label",
             F.col("n_docs").cast("long").alias("n_docs"),
             F.round(-F.log2(F.col("n_docs") / F.col("_n")), 6)
             .alias("prior_bits"),
-            F.round(-F.log2(1.0 / (F.col("_nc") + F.col("_v"))), 6)
-            .alias("unseen_bits"),
+            F.round(
+                -F.log2(
+                    1.0 / (F.coalesce(F.col("_nc"), F.lit(0)) + F.col("_v"))
+                ),
+                6,
+            ).alias("unseen_bits"),
         )
     )
     return priors, likelihoods
@@ -1486,11 +1494,23 @@ def nb_score(
     groupBy (doc, label), one min_by per doc. Scores accumulate as
     DECIMAL(18,6) — order-independent, oracle-exact.
     """
-    toks = spread(
+    from hive_io_experimental_spark.functions.reuse import reuse
+
+    # ONE tokenization pass feeds both legs (NULL text = zero tokens, so
+    # routing pipelines never silently lose unlabeled rows); reuse() —
+    # the exploded leg and the size==0 leg would otherwise re-tokenize
+    # the whole scored corpus
+    tok_arr = reuse(
         df.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(word_tokens(F.col(text_col))).alias("token"),
+            F.coalesce(
+                word_tokens(F.col(text_col)),
+                F.array().cast("array<string>"),
+            ).alias("_t"),
         )
+    )
+    toks = spread(
+        tok_arr.select("doc_id", F.explode("_t").alias("token"))
     )
     lab = priors.select(
         "label",
@@ -1515,10 +1535,10 @@ def nb_score(
             .alias("_total"),
         )
     )
-    # zero-token docs: score every label on the prior alone
+    # zero-token docs (including NULL text): every label scored on the
+    # prior alone
     empties = (
-        df.select(F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("_t"))
-        .filter(F.size("_t") == 0)
+        tok_arr.filter(F.size("_t") == 0)
         .select("doc_id")
         .crossJoin(F.broadcast(lab))
         .select(
@@ -1965,9 +1985,17 @@ def bpe_vocab_consistency_check(
             f"{vocab_table}_meta"
         )
     stored = bpe_load_vocab(spark, catalog, vocab_table)
+    # retrain at the BUILD's max_vocab dial; vocab artifacts persisted
+    # before the dial was recorded fall back to the default (they were
+    # necessarily built under it)
+    mv = (
+        int(meta["max_vocab"])
+        if "max_vocab" in (meta.__fields__ or [])
+        else _MAX_BPE_VOCAB
+    )
     fresh_df = bpe_train(
         df, num_merges=int(meta["num_merges"]), text_col=text_col,
-        max_vocab=int(meta["max_vocab"]),
+        max_vocab=mv,
     )
     stored_df = spark.createDataFrame(
         [

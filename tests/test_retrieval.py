@@ -1292,3 +1292,40 @@ def test_nb_zero_token_doc_falls_back_to_prior(spark):
     row = T.nb_score(test, pri, lik).first()
     assert row.label == "big"  # the majority prior
     assert row.n_tokens == 0
+
+
+def test_nb_tokenless_class_survives_training(spark):
+    """A class whose training docs hold zero tokens keeps a prior row
+    (N_c = 0, unseen cost -log2(1/V)) instead of vanishing from the
+    model (code-review r12)."""
+    from hive_io_experimental_spark.operators import text as T
+
+    train = spark.createDataFrame(
+        [(0, "...", "empty"), (1, "alpha beta", "full"),
+         (2, "alpha gamma", "full")],
+        "doc_id long, text string, lang string",
+    )
+    pri, lik = T.nb_train(train, label_col="lang")
+    rows = {r.label: r for r in pri.collect()}
+    assert set(rows) == {"empty", "full"}
+    assert rows["empty"].n_docs == 1
+    assert rows["empty"].unseen_bits is not None
+
+
+def test_nb_score_keeps_null_text_docs(spark):
+    """NULL-text docs rank on the prior alone — never silently dropped
+    from a routing pipeline (code-review r12)."""
+    from hive_io_experimental_spark.operators import text as T
+
+    train = spark.createDataFrame(
+        [(0, "alpha beta", "big"), (1, "alpha gamma", "big"),
+         (2, "zeta", "small")],
+        "doc_id long, text string, lang string",
+    )
+    test = spark.createDataFrame(
+        [(10, None), (11, "alpha")], "doc_id long, text string"
+    )
+    pri, lik = T.nb_train(train, label_col="lang")
+    got = {r.doc_id: r for r in T.nb_score(test, pri, lik).collect()}
+    assert set(got) == {10, 11}
+    assert got[10].label == "big" and got[10].n_tokens == 0
