@@ -756,6 +756,59 @@ def cmd_tokenize(args: argparse.Namespace, stop_session: bool = True) -> int:
     return rc
 
 
+def cmd_classify(args: argparse.Namespace, stop_session: bool = True) -> int:
+    """Persisted Naive Bayes classifier lifecycle from the CLI (the
+    tokenize command's shape, for the routing model):
+
+    train — closed-form NB fit, persisted as stamped catalog tables;
+    score — label documents from the STORED model (prior-only for
+            tokenless docs);
+    check — one-row proof stored-model routing equals retrain+score
+            (priors, likelihoods AND scores; exit 1 on any mismatch).
+    """
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+    from hive_io_experimental_spark.operators import text as text_ops
+
+    warehouse = _resolve_warehouse(args)
+    if not warehouse:
+        raise SystemExit("classify requires --warehouse or --namespaces-file")
+    spark = _build_spark(args.threads)
+    cat = Catalog(warehouse)
+    docs = _table_df(spark, args, args.table)
+    rc = 0
+    if args.action == "train":
+        text_ops.nb_build_model(
+            spark, cat, args.model, docs,
+            text_col=args.text_col, label_col=args.label_col,
+        )
+        out = HiveInput(spark, cat).read_table(
+            ScanSpec(table=f"{args.model}_meta")
+        )
+    elif args.action == "score":
+        out = text_ops.nb_score_from_model(
+            spark, cat, args.model, docs,
+            text_col=args.text_col, id_col=args.id_col,
+        )
+    else:  # check
+        out = text_ops.nb_model_consistency_check(
+            spark, cat, args.model, docs,
+            text_col=args.text_col, label_col=args.label_col,
+            id_col=args.id_col,
+        )
+    print(args.separator.join(out.columns))
+    for row in out.toLocalIterator():
+        print(args.separator.join("" if v is None else str(v) for v in row))
+        if args.action == "check" and (
+            row["n_prior_mismatch"] or row["n_likelihood_mismatch"]
+            or row["n_score_mismatch"]
+        ):
+            rc = 1
+    if stop_session:
+        spark.stop()
+    return rc
+
+
 def cmd_snapshots(args: argparse.Namespace) -> int:
     """List (and optionally expire) a versioned table's snapshot history.
 
@@ -1065,6 +1118,25 @@ def build_parser() -> argparse.ArgumentParser:
     tk.add_argument("--separator", default="\t")
     tk.add_argument("--threads", type=int, default=None)
 
+    cf = sub.add_parser(
+        "classify",
+        help="persisted Naive Bayes router: train / score / check",
+    )
+    cf.add_argument("action", choices=("train", "score", "check"))
+    cf.add_argument("--table", required=True,
+                    help="documents db.table (with --warehouse) or "
+                         "parquet path")
+    cf.add_argument("--model", required=True,
+                    help="model table name (db.table) in the warehouse")
+    cf.add_argument("--label-col", default="lang")
+    cf.add_argument("--text-col", default="text")
+    cf.add_argument("--id-col", default="doc_id")
+    cf.add_argument("--warehouse")
+    cf.add_argument("--namespaces-file")
+    cf.add_argument("--namespace", default="silver")
+    cf.add_argument("--separator", default="\t")
+    cf.add_argument("--threads", type=int, default=None)
+
     snap = sub.add_parser(
         "snapshots", help="list a versioned table's snapshot history"
     )
@@ -1114,6 +1186,8 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         return cmd_erase(args, stop_session=stop_session)
     if args.command == "tokenize":
         return cmd_tokenize(args, stop_session=stop_session)
+    if args.command == "classify":
+        return cmd_classify(args, stop_session=stop_session)
     if args.command == "snapshots":
         return cmd_snapshots(args)
     if args.command == "conf-options":

@@ -1560,6 +1560,179 @@ def nb_score(
     )
 
 
+def nb_build_model(
+    spark,
+    catalog,
+    model_table: str,
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> None:
+    """Train and PERSIST a Naive Bayes model as stamped catalog tables —
+    the classifier joins the artifact lifecycle (LSH/IVF/PQ indexes, the
+    BPE vocab): train once per corpus snapshot, route any number of
+    batches from the stored tables, rebuild = explicit drop + recreate.
+
+    Three tables sharing one ``build_id``: ``{model_table}`` (label,
+    token, bits — the vocabulary×labels likelihoods),
+    ``{model_table}_priors`` (label, n_docs, prior_bits, unseen_bits),
+    and ``{model_table}_meta`` (n_labels, n_model_rows, build_id — the
+    authority that distinguishes a legitimately tiny model from a torn
+    write). The read paths refuse mixed stamps."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    priors, likelihoods = nb_train(df, text_col=text_col,
+                                   label_col=label_col)
+    bid = uuid.uuid4().hex
+    n_labels = priors.count()
+    n_rows = likelihoods.count()
+    if n_labels == 0:
+        raise ValueError("nb_build_model: empty training frame")
+    meta = spark.createDataFrame(
+        [(int(n_labels), int(n_rows), bid)],
+        "n_labels long, n_model_rows long, build_id string",
+    )
+    out = HiveOutput(spark, catalog)
+    for tbl, schema, frame in (
+        (
+            f"{model_table}_meta",
+            HiveTableSchema((
+                ("n_labels", T.LongType()),
+                ("n_model_rows", T.LongType()),
+                ("build_id", T.StringType()),
+            )),
+            meta,
+        ),
+        (
+            f"{model_table}_priors",
+            HiveTableSchema((
+                ("label", T.StringType()),
+                ("n_docs", T.LongType()),
+                ("prior_bits", T.DoubleType()),
+                ("unseen_bits", T.DoubleType()),
+                ("build_id", T.StringType()),
+            )),
+            priors.withColumn("build_id", F.lit(bid)),
+        ),
+        (
+            model_table,
+            HiveTableSchema((
+                ("label", T.StringType()),
+                ("token", T.StringType()),
+                ("bits", T.DoubleType()),
+                ("build_id", T.StringType()),
+            )),
+            likelihoods.withColumn("build_id", F.lit(bid)),
+        ),
+    ):
+        if catalog.table_exists(tbl):
+            catalog.drop_table(tbl, delete_data=True)
+        catalog.create_table(tbl, schema)
+        out.write_table(WriteSpec(table=tbl), frame)
+
+
+def _nb_load_model(spark, catalog, model_table: str, op: str):
+    """Stamp-fenced (priors_df, likelihoods_df) from the stored model:
+    raises on empty/pre-stamp/mixed-stamp tables; an empty likelihood
+    table is legitimate only when meta records n_model_rows = 0 (an
+    all-tokenless training corpus)."""
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+    from hive_io_experimental_spark.operators.similarity import _index_stamp
+
+    inp = HiveInput(spark, catalog)
+    meta = inp.read_table(ScanSpec(table=f"{model_table}_meta")).first()
+    if meta is None:
+        raise ValueError(
+            f"{op}: empty meta table {model_table}_meta — run "
+            f"nb_build_model first"
+        )
+    priors = inp.read_table(ScanSpec(table=f"{model_table}_priors"))
+    p_stamp = _index_stamp(
+        op, model_table, "priors", priors, rebuild="nb_build_model"
+    )
+    likelihoods = inp.read_table(ScanSpec(table=model_table))
+    if int(meta["n_model_rows"]) > 0:
+        l_stamp = _index_stamp(
+            op, model_table, "likelihoods", likelihoods,
+            rebuild="nb_build_model",
+        )
+    else:
+        l_stamp = meta["build_id"]
+    if not (p_stamp == l_stamp == meta["build_id"]):
+        raise ValueError(
+            f"{op}: model {model_table} has mixed build_id stamps "
+            f"(meta {meta['build_id']!r}, priors {p_stamp!r}, "
+            f"likelihoods {l_stamp!r}) — a rebuild was torn mid-way. "
+            f"Re-run nb_build_model."
+        )
+    return (
+        priors.drop("build_id"),
+        likelihoods.drop("build_id"),
+    )
+
+
+def nb_score_from_model(
+    spark,
+    catalog,
+    model_table: str,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a STORED model (nb_build_model): the
+    model tables feed nb_score as plain DataFrames — no driver collect,
+    the likelihood join stays a distributed equi-join however large the
+    vocabulary gets. Same output contract as nb_score."""
+    priors, likelihoods = _nb_load_model(
+        spark, catalog, model_table, "nb_score_from_model"
+    )
+    return nb_score(df, priors, likelihoods, text_col, id_col)
+
+
+def nb_model_consistency_check(
+    spark,
+    catalog,
+    model_table: str,
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-row proof the persisted model routes EXACTLY like retraining
+    inline (the index-lifecycle contract): retrains on ``df``, compares
+    the prior and likelihood tables (full-row anti-joins both ways) AND
+    the end-to-end scores. Returns (n_labels, n_model_rows,
+    n_prior_mismatch, n_likelihood_mismatch, n_score_mismatch) —
+    mismatches must be 0."""
+    s_priors, s_lik = _nb_load_model(
+        spark, catalog, model_table, "nb_model_consistency_check"
+    )
+    f_priors, f_lik = nb_train(df, text_col=text_col, label_col=label_col)
+    pm = (
+        s_priors.exceptAll(f_priors).unionAll(f_priors.exceptAll(s_priors))
+    ).count()
+    lm = (
+        s_lik.exceptAll(f_lik).unionAll(f_lik.exceptAll(s_lik))
+    ).count()
+    served = nb_score_from_model(
+        spark, catalog, model_table, df, text_col, id_col
+    )
+    direct = nb_score(df, f_priors, f_lik, text_col, id_col)
+    sm = (
+        served.exceptAll(direct).unionAll(direct.exceptAll(served))
+    ).count()
+    return spark.createDataFrame(
+        [(s_priors.count(), s_lik.count(), pm, lm, sm)],
+        "n_labels long, n_model_rows long, n_prior_mismatch long, "
+        "n_likelihood_mismatch long, n_score_mismatch long",
+    )
+
+
 def bpe_word_histogram(
     df: DataFrame,
     text_col: str = "text",

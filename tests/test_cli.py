@@ -652,3 +652,48 @@ def test_cli_tokenize_lifecycle(spark, tmp_path, capsys):
         "n_merges", "n_docs", "n_merge_mismatch", "n_segment_mismatch"
     ]
     assert out[1].split("\t") == ["5", "3", "0", "0"]
+
+
+def test_cli_classify_lifecycle(spark, tmp_path, capsys):
+    wh = str(tmp_path / "wh")
+    t = tmp_path / "docs_cf"
+    spark.createDataFrame(
+        [
+            (0, "apfel birne kirsche", "de"),
+            (1, "birne apfel apfel", "de"),
+            (2, "apple pear cherry", "en"),
+            (3, "pear apple apple", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    ).write.parquet(str(t))
+
+    rc = main(
+        ["classify", "train", "--table", str(t), "--model",
+         "default.cli_nb", "--warehouse", wh],
+        stop_session=False,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t") == ["n_labels", "n_model_rows", "build_id"]
+    assert out[1].split("\t")[0] == "2"
+
+    rc = main(
+        ["classify", "score", "--table", str(t), "--model",
+         "default.cli_nb", "--warehouse", wh],
+        stop_session=False,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t") == ["doc_id", "label", "total_bits",
+                                  "n_tokens"]
+    labels = {l.split("\t")[0]: l.split("\t")[1] for l in out[1:]}
+    assert labels["0"] == "de" and labels["2"] == "en"
+
+    rc = main(
+        ["classify", "check", "--table", str(t), "--model",
+         "default.cli_nb", "--warehouse", wh],
+        stop_session=False,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[1].split("\t")[2:] == ["0", "0", "0"]

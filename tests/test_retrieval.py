@@ -1329,3 +1329,61 @@ def test_nb_score_keeps_null_text_docs(spark):
     got = {r.doc_id: r for r in T.nb_score(test, pri, lik).collect()}
     assert set(got) == {10, 11}
     assert got[10].label == "big" and got[10].n_tokens == 0
+
+
+def test_nb_model_lifecycle_build_score_check(spark, sf_dir, tmp_path):
+    """Persisted classifier artifact: stored-model scoring equals
+    in-memory train+score row for row; consistency check reports zero
+    mismatches; a torn rebuild is refused."""
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators import text as T
+
+    cat = Catalog(str(tmp_path / "wh"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    T.nb_build_model(spark, cat, "default.nb_m", docs, label_col="lang")
+    served = T.nb_score_from_model(spark, cat, "default.nb_m", docs)
+    pri, lik = T.nb_train(docs, label_col="lang")
+    direct = T.nb_score(docs, pri, lik)
+    assert served.exceptAll(direct).isEmpty()
+    assert direct.exceptAll(served).isEmpty()
+    chk = T.nb_model_consistency_check(
+        spark, cat, "default.nb_m", docs, label_col="lang"
+    ).first()
+    assert chk.n_labels > 0 and chk.n_model_rows > 0
+    assert chk.n_prior_mismatch == 0
+    assert chk.n_likelihood_mismatch == 0
+    assert chk.n_score_mismatch == 0
+
+
+def test_nb_model_refuses_torn_rebuild(spark, tmp_path):
+    from pyspark.sql import types as T_
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators import text as T
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    cat = Catalog(str(tmp_path / "wh"))
+    docs = spark.createDataFrame(
+        [(0, "alpha beta", "a"), (1, "gamma delta", "b")],
+        "doc_id long, text string, lang string",
+    )
+    T.nb_build_model(spark, cat, "default.nb_torn", docs, label_col="lang")
+    # meta re-stamped, priors/likelihoods keep the old stamp
+    schema = HiveTableSchema((
+        ("n_labels", T_.LongType()),
+        ("n_model_rows", T_.LongType()),
+        ("build_id", T_.StringType()),
+    ))
+    cat.drop_table("default.nb_torn_meta", delete_data=True)
+    cat.create_table("default.nb_torn_meta", schema)
+    HiveOutput(spark, cat).write_table(
+        WriteSpec(table="default.nb_torn_meta"),
+        spark.createDataFrame(
+            [(2, 4, "torn-stamp")], schema.to_struct_type()
+        ),
+    )
+    with pytest.raises(ValueError, match="mixed build_id"):
+        T.nb_score_from_model(spark, cat, "default.nb_torn", docs)
