@@ -1353,6 +1353,16 @@ def _rp_component(j: int, d: int) -> float:
     return 1.0 if nib & 1 == 1 else -1.0
 
 
+# literal sign-matrix plan budget: the literal path bakes out_dim × dim
+# F.lit nodes into ONE Select — fine at the gate's 64→16 (1,024 cells),
+# but 1024→64 (a real encoder output) is 65,536 literal nodes, the same
+# Catalyst plan-size ceiling _MAX_LITERAL_MERGES fences on the BPE
+# applier. Past the budget the broadcast sign-TABLE path carries the
+# matrix as data (one 1-row broadcast), plan-size-independent and
+# bit-identical (same zip_with products, same sequential fold).
+_MAX_RP_LITERAL_CELLS = 8192
+
+
 def random_projection(
     corpus: DataFrame,
     out_dim: int = 16,
@@ -1360,6 +1370,7 @@ def random_projection(
     id_col: str = "vec_id",
     dim: int | None = None,
     out_col: str = "projected",
+    method: str = "auto",
 ) -> DataFrame:
     """Johnson-Lindenstrauss sign projection: embed ``vec_col`` (dim d)
     into ``out_dim`` components, y_j = Σ_d x_d · s(j, d), s ∈ {±1} from
@@ -1374,43 +1385,116 @@ def random_projection(
     JCSS 2003). Compose: project → any tier (the tiers only assume an
     array column).
 
-    Determinism/oracle: signs are plan-time literals (md5 computed
-    driver-side, 16 hex-bit lookups per component); each y_j is the
-    engine-standard sequential fold, so components are bit-identical in
-    Spark, Python and the DuckDB twin. The conventional 1/sqrt(out_dim)
+    Determinism/oracle: each y_j is the engine-standard sequential fold
+    over the same ±1.0 doubles (md5 computed driver-side), so components
+    are bit-identical in Spark, Python and the DuckDB twin — on BOTH
+    methods (the sign values enter zip_with identically whether they are
+    plan literals or broadcast data). The conventional 1/sqrt(out_dim)
     JL scale is intentionally OMITTED: consumers are cosine/angle-based
     (uniform scales cancel), and leaving it off keeps components exact
     ± sums with no irrational factor.
 
-    One map-side projection over the corpus scan — no shuffle, no UDF,
-    no state; cost is out_dim × d multiply-adds per row inside codegen.
-    Returns (id_col, out_col) with ``out_dim`` components.
+    Two plan shapes, routed by ``method``:
+      * ``"literal"`` — the sign matrix as out_dim × dim plan-time
+        literals, pure codegen, the fastest shape at gate-sized dims but
+        capped at ``_MAX_RP_LITERAL_CELLS`` cells (the BPE applier's
+        Catalyst plan-size lesson: 1024→64 would be 65,536 literal nodes
+        in one Select);
+      * ``"table"`` — the matrix as ONE broadcast row of
+        array<array<double>> cross-joined in (the module's 1-row
+        broadcast idiom), components via transform over the sign rows —
+        plan-size-independent, for encoder-scale dims.
+      * ``"auto"`` (default) routes literal under the budget, table past
+        it — parity is pytest-pinned bit-for-bit.
+
+    Fail-loud contract (r12 ADVICE): rows whose ``vec_col`` is NULL or
+    whose length differs from ``dim`` raise IN-PLAN (zip_with would
+    otherwise NULL-pad them into silently-NULL components). Both methods
+    stay one map-side projection over the corpus scan — no shuffle, no
+    UDF, no state. Returns (id_col, out_col) with ``out_dim``
+    components.
     """
     if out_dim < 1:
         raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    if method not in ("auto", "literal", "table"):
+        raise ValueError(
+            f"random_projection: method must be 'auto', 'literal' or "
+            f"'table', got {method!r}"
+        )
     if dim is None:
         probe = corpus.select(
-            F.first(F.size(F.col(vec_col))).alias("d")
+            F.first(F.size(F.col(vec_col)), ignorenulls=True).alias("d")
         ).first()
         if probe is None or probe["d"] is None:
-            raise ValueError("random_projection: empty corpus")
+            raise ValueError(
+                "random_projection: empty corpus (or every embedding is "
+                "NULL) — cannot probe the input dimension"
+            )
         dim = int(probe["d"])
     if out_dim >= dim:
         raise ValueError(
             f"random_projection: out_dim ({out_dim}) must be < input dim "
             f"({dim}) — projecting up is never what you want"
         )
+    cells = out_dim * dim
+    if method == "auto":
+        method = "literal" if cells <= _MAX_RP_LITERAL_CELLS else "table"
+    if method == "literal" and cells > _MAX_RP_LITERAL_CELLS:
+        raise ValueError(
+            f"random_projection: out_dim × dim = {cells} literal sign "
+            f"cells exceeds the plan-size budget "
+            f"({_MAX_RP_LITERAL_CELLS}) — a Select this wide stalls "
+            f"Catalyst planning/codegen regardless of data volume. Use "
+            f"method='table' (or 'auto'): the identical projection with "
+            f"the sign matrix as one broadcast row."
+        )
     from hive_io_experimental_spark.functions.vectors import dot_product
 
-    comps = [
-        dot_product(
-            _as_double(vec_col),
-            F.array(*[F.lit(_rp_component(j, d)) for d in range(dim)]),
+    # in-plan fail-loud guard: a NULL or wrong-length vector must raise,
+    # not NULL-pad through zip_with into all-NULL components (the
+    # mmr_diversified_topk raise_error discipline)
+    vec = F.when(
+        F.col(vec_col).isNull() | (F.size(F.col(vec_col)) != dim),
+        F.raise_error(
+            F.concat(
+                F.lit("random_projection: row "),
+                F.col(id_col).cast("string"),
+                F.lit(
+                    f" has a NULL embedding or length != dim ({dim}) — "
+                    f"the sign matrix is sized to dim, so this row would "
+                    f"project to silently-NULL components. Filter or fix "
+                    f"the vector column first."
+                ),
+            )
+        ).cast("array<double>"),
+    ).otherwise(_as_double(vec_col))
+    if method == "literal":
+        comps = [
+            dot_product(
+                vec,
+                F.array(*[F.lit(_rp_component(j, d)) for d in range(dim)]),
+            )
+            for j in range(out_dim)
+        ]
+        return corpus.select(
+            F.col(id_col), F.array(*comps).alias(out_col)
         )
-        for j in range(out_dim)
-    ]
-    return corpus.select(
-        F.col(id_col), F.array(*comps).alias(out_col)
+    # table path: the whole sign matrix as ONE broadcast row — the plan
+    # holds a single column reference however large out_dim × dim gets
+    signs = corpus.sparkSession.createDataFrame(
+        [([[
+            _rp_component(j, d) for d in range(dim)
+        ] for j in range(out_dim)],)],
+        "_rp_signs array<array<double>>",
+    )
+    return (
+        corpus.crossJoin(F.broadcast(signs))
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.col("_rp_signs"), lambda s: dot_product(vec, s)
+            ).alias(out_col),
+        )
     )
 
 

@@ -1661,6 +1661,19 @@ def _nb_load_model(spark, catalog, model_table: str, op: str):
             op, model_table, "likelihoods", likelihoods,
             rebuild="nb_build_model",
         )
+    elif likelihoods.first() is not None:
+        # meta says the model is legitimately empty, but likelihood rows
+        # exist: a torn rebuild wrote the new meta/priors and crashed
+        # before dropping the OLD likelihoods table (nb_build_model
+        # writes meta first) — trusting meta here would silently score
+        # against the previous build's likelihoods, the exact case the
+        # stamp fence exists for (r12 ADVICE)
+        raise ValueError(
+            f"{op}: meta records n_model_rows = 0 for {model_table} but "
+            f"the likelihoods table is non-empty — a rebuild was torn "
+            f"mid-way and the stale likelihood rows survive from the "
+            f"previous build. Re-run nb_build_model."
+        )
     else:
         l_stamp = meta["build_id"]
     if not (p_stamp == l_stamp == meta["build_id"]):

@@ -203,13 +203,20 @@ def serve_lsh_topk_stream(
     Output rows are (query_id, neighbor_id, cosine, rank), row-identical
     to lsh_query_index over the same closed input.
 
-    The stored index's stamps are re-validated INSIDE every micro-batch
-    (two 1-row probes before the batch's rank+sink): the static bucket
-    table is re-read per trigger, so a plan-construction-time check alone
-    would let a mid-stream rebuild — torn or clean — serve candidates
-    against the wrong plane family with no error (r11 ADVICE). A stamp
-    change fails the streaming query loudly; restart to serve the new
-    build."""
+    The stored index's stamps are re-validated INSIDE every micro-batch,
+    both BEFORE the batch's rank+sink and again AFTER the sink returns
+    (two 1-row probes each side): the static bucket table is re-read per
+    trigger, so a plan-construction-time check alone would let a
+    mid-stream rebuild — torn or clean — serve candidates against the
+    wrong plane family with no error (r11 ADVICE). The pre-check alone
+    was check-then-use: the bucket table is actually READ while the sink
+    materializes the batch, so a rebuild landing between the check and
+    the read could still serve one batch from the new plane family
+    (r12 ADVICE). Stamps unchanged across the batch prove the read was
+    consistent; a post-sink stamp change fails the streaming query
+    loudly AND names the epoch whose already-sunk output must be
+    discarded — at most one batch is exposed, never silently. Restart
+    to serve the new build."""
     # ONE meta read supplies BOTH the plan geometry and the pinned
     # build_id (two separate reads left a window where a rebuild between
     # them baked the old plane count into the plan while pinning the NEW
@@ -233,5 +240,24 @@ def serve_lsh_topk_stream(
             op="serve_lsh_topk_stream",
         )
         ranked(df, epoch_id)
+        # post-sink revalidation: the pre-check was check-then-use (the
+        # bucket table is re-read while ranked() materializes the batch),
+        # so a rebuild landing mid-batch could serve THIS batch from the
+        # wrong plane family with the pre-check green. Unchanged stamps
+        # across the batch prove the read was consistent; a change here
+        # fails loudly naming the epoch whose sunk output is suspect.
+        try:
+            _validate_index_stamps(
+                spark, catalog, index_table,
+                expect_build_id=planned_build,
+                op="serve_lsh_topk_stream",
+            )
+        except ValueError as exc:
+            raise ValueError(
+                f"serve_lsh_topk_stream: index {index_table} changed "
+                f"WHILE micro-batch {epoch_id} was being served — the "
+                f"output already sunk for this epoch may mix plane "
+                f"families and should be discarded. ({exc})"
+            ) from exc
 
     return scored.writeStream.foreachBatch(_checked_batch)

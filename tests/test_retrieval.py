@@ -265,6 +265,91 @@ def test_random_projection_composes_with_ann_tiers(spark, sf_dir):
     assert got.count() > 0
 
 
+def test_random_projection_table_path_matches_literal_bitwise(spark):
+    """The broadcast sign-table path is the literal path with the matrix
+    as data: same zip_with products, same sequential fold — components
+    must be BIT-identical at the gate dims (r12 verdict task 4)."""
+    from hive_io_experimental_spark.operators.similarity import (
+        random_projection,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i * 7 + d) * 0.125 - 3.0 for d in range(64)])
+         for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    lit = {
+        r["vec_id"]: list(r["projected"])
+        for r in random_projection(
+            corpus, out_dim=16, method="literal"
+        ).collect()
+    }
+    tab = {
+        r["vec_id"]: list(r["projected"])
+        for r in random_projection(
+            corpus, out_dim=16, method="table"
+        ).collect()
+    }
+    assert lit == tab  # exact float equality, not approx
+
+
+def test_random_projection_literal_cap_raises_naming_table(spark):
+    """Past _MAX_RP_LITERAL_CELLS the literal Select is a Catalyst
+    plan-size hazard (the BPE _MAX_LITERAL_MERGES class): method=
+    'literal' must raise naming the table remediation, and 'auto' must
+    route to the table path and still produce the exact fold values."""
+    from hive_io_experimental_spark.operators.similarity import (
+        _MAX_RP_LITERAL_CELLS,
+        _rp_component,
+        random_projection,
+    )
+
+    dim = 1024
+    vec = [((d * 37) % 101) * 0.0625 - 3.0 for d in range(dim)]
+    corpus = spark.createDataFrame(
+        [(0, vec)], "vec_id long, embedding array<double>"
+    )
+    assert 16 * dim > _MAX_RP_LITERAL_CELLS
+    with pytest.raises(ValueError, match="method='table'"):
+        random_projection(corpus, out_dim=16, method="literal")
+    got = random_projection(corpus, out_dim=16).first()  # auto -> table
+    for j in range(16):
+        acc = 0.0
+        for d, x in enumerate(vec):
+            acc += x * _rp_component(j, d)
+        assert got.projected[j] == acc  # exact, same sequential fold
+
+
+def test_random_projection_raises_on_null_or_mismatched_vectors(spark):
+    """Fail-loud contract (r12 ADVICE): a NULL embedding or one whose
+    length differs from the probed dim must raise in-plan, not NULL-pad
+    through zip_with into silently-NULL components."""
+    from hive_io_experimental_spark.operators.similarity import (
+        random_projection,
+    )
+
+    mixed = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="length != dim"):
+        random_projection(mixed, out_dim=2, dim=4).collect()
+    withnull = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, None)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="NULL embedding"):
+        random_projection(withnull, out_dim=2).collect()
+    # the dim probe itself must skip NULL rows (ignorenulls), so a NULL
+    # in row order position 0 cannot blind it
+    nullfirst = spark.createDataFrame(
+        [(0, None), (1, [1.0, 2.0, 3.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="NULL embedding"):
+        random_projection(nullfirst, out_dim=2).collect()
+
+
 # ---------------------------------------------------------------------------
 # bm25_prf_search (pseudo-relevance-feedback expansion)
 # ---------------------------------------------------------------------------
@@ -1387,3 +1472,43 @@ def test_nb_model_refuses_torn_rebuild(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="mixed build_id"):
         T.nb_score_from_model(spark, cat, "default.nb_torn", docs)
+
+
+def test_nb_model_refuses_zero_meta_with_stale_likelihoods(spark, tmp_path):
+    """The n_model_rows = 0 escape hatch in _nb_load_model (a
+    legitimately tokenless training corpus) must NOT trust meta blindly:
+    a torn rebuild that wrote new meta/priors but crashed before
+    dropping the OLD likelihoods would otherwise silently feed the
+    previous build's likelihood rows into scoring (r12 ADVICE)."""
+    from pyspark.sql import types as T_
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+    from hive_io_experimental_spark.operators import text as T
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    cat = Catalog(str(tmp_path / "wh"))
+    docs = spark.createDataFrame(
+        [(0, "alpha beta", "a"), (1, "gamma delta", "b")],
+        "doc_id long, text string, lang string",
+    )
+    T.nb_build_model(spark, cat, "default.nb_zero", docs, label_col="lang")
+    bid = HiveInput(spark, cat).read_table(
+        ScanSpec(table="default.nb_zero_meta")
+    ).first()["build_id"]
+    # meta rewritten to claim an empty model under the SAME stamp —
+    # the likelihoods table still holds the (now officially absent) rows
+    schema = HiveTableSchema((
+        ("n_labels", T_.LongType()),
+        ("n_model_rows", T_.LongType()),
+        ("build_id", T_.StringType()),
+    ))
+    cat.drop_table("default.nb_zero_meta", delete_data=True)
+    cat.create_table("default.nb_zero_meta", schema)
+    HiveOutput(spark, cat).write_table(
+        WriteSpec(table="default.nb_zero_meta"),
+        spark.createDataFrame([(2, 0, bid)], schema.to_struct_type()),
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        T.nb_score_from_model(spark, cat, "default.nb_zero", docs)

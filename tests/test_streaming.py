@@ -858,6 +858,48 @@ def test_lsh_topk_stream_detects_midstream_rebuild(spark, sf_dir, tmp_path):
         q.awaitTermination(300)
 
 
+def test_lsh_topk_stream_detects_midbatch_rebuild(spark, sf_dir, tmp_path):
+    """A rebuild landing WHILE a micro-batch is being served (after the
+    pre-check, before/while the sink reads the bucket table) must still
+    fail the query loudly — the pre-check alone was check-then-use (r12
+    ADVICE). The sink itself rebuilds the index, which is the most
+    hostile placement; the post-sink revalidation must name the tainted
+    epoch so the caller can discard its output."""
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators import similarity
+    from hive_io_experimental_spark.streaming.similarity import (
+        serve_lsh_topk_stream,
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    cat = Catalog(str(tmp_path / "wh"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    similarity.lsh_build_index(spark, cat, "default.emb_lsh_mb", emb,
+                               num_planes=4)
+    queries = emb.filter(F.col("vec_id") < 20)
+    src = str(tmp_path / "qsrc")
+    queries.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(queries.schema).parquet(src)
+
+    def _hostile_sink(df, epoch):
+        df.count()  # materialize the batch against the current table
+        similarity.lsh_build_index(
+            spark, cat, "default.emb_lsh_mb", emb, num_planes=6
+        )
+
+    writer = serve_lsh_topk_stream(
+        spark, cat, "default.emb_lsh_mb", stream, emb,
+        sink_fn=_hostile_sink, k=3, probe_bits=0,
+    )
+    q = writer.trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ckpt_mb")
+    ).start()
+    with pytest.raises(
+        StreamingQueryException, match="WHILE micro-batch"
+    ):
+        q.awaitTermination(300)
+
+
 def test_lsh_topk_stream_parity_at_all_probe_depths(spark, sf_dir, tmp_path):
     """Stream serving == batch serving at probe_bits 0 AND 2 as well
     (the first test pins 1): the probe fan-out width must not change
