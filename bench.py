@@ -21,7 +21,11 @@ from the committed spread — a wide spread is steal noise, a tight
 spread that moved is real — instead of from memory. prev_delta is
 computed on MEDIANS (the steal-robust center), falling back to min
 when the previous record predates spreads. tools/bench_merge.py
-merges the samples of several back-to-back passes into one record.
+merges the samples of several back-to-back passes into one record —
+SAME-HEAD passes only (r12 verdict task 1): every record carries a
+``head`` + ``generated_at`` stamp, and a record is one sitting at one
+commit; folding a later sitting's pass into an older record let stale
+quiet-machine minima survive as unreproducible medians.
 The record grades itself: ``contention_flag`` is set when >= 5 gates
 show a >3x max/min spread within the SAME run on identical code —
 read a flagged record against a quiet-machine BENCH_LOCAL.json, not
@@ -273,11 +277,31 @@ def main() -> int:
     # Key order matters: the driver archives only the TAIL of stdout, so the
     # big per-query dicts go first and the scalar headline metrics last —
     # a front-truncated capture still retains scan throughput and the total.
+    # single-epoch provenance stamp (r12 verdict task 1): a committed
+    # record must be reproducible — HEAD pins the code, the timestamp
+    # pins the sitting, and bench_merge refuses to fold passes from a
+    # different HEAD into one record (the cross-sitting deep-merge let
+    # old quiet-machine minima drift the record ~1.4-2.7x optimistic)
+    import subprocess as _sp
+    import time as _time
+
+    try:
+        _head = _sp.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=30, check=True,
+        ).stdout.strip()
+    except (OSError, _sp.SubprocessError):
+        _head = None
     result = {
         "queries": timings,
         "samples": samples,
         "spread": spread,
         "prev_delta": prev_delta,
+        "head": _head,
+        "generated_at": _time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", _time.gmtime()
+        ),
         "sf": sf,
         "scan_rows": n_rows,
         "scan_seconds": round(scan_s, 3),

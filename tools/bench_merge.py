@@ -1,5 +1,14 @@
 """Merge several back-to-back bench.py passes into one BENCH_LOCAL.json.
 
+SINGLE-EPOCH FENCE (r12 verdict task 1): every pass must carry the SAME
+``head`` stamp (bench.py stamps HEAD + timestamp since r13) — merging
+passes from different commits or different sittings produced a record
+whose min/median nobody could reproduce (old quiet-machine minima kept
+surviving the merge while the plans' true cost drifted; the r12 judge
+measured ~18 gates 1.4-2.7x above the merged medians with zero plan
+changes). A record is one sitting at one HEAD, full stop; a new sitting
+starts a new record.
+
 Each bench.py invocation OVERWRITES BENCH_LOCAL.json, so the round
 workflow copies each pass aside and merges here: raw samples are
 CONCATENATED per gate (never min-of-mins alone — the spread must come
@@ -65,6 +74,16 @@ def main() -> int:
     sfs = {d.get("sf") for d in passes}
     if len(sfs) != 1:
         raise SystemExit(f"refusing to merge across scale factors: {sfs}")
+    # single-epoch fence: one sitting at one HEAD. Unstamped pass files
+    # predate the fence and are refused too — re-run bench.py.
+    heads = {d.get("head") for d in passes}
+    if None in heads or len(heads) != 1:
+        raise SystemExit(
+            f"refusing to merge passes across epochs: head stamps {heads} "
+            f"— a merged record is ONE sitting at ONE commit (re-run "
+            f"bench.py for unstamped passes; never fold a new pass into "
+            f"an older record)"
+        )
 
     pool: dict[str, list[float]] = {}
     for d in passes:
@@ -82,6 +101,16 @@ def main() -> int:
     merged["samples"] = pool
     merged["spread"] = {n: _spread(s) for n, s in pool.items()}
     merged["n_passes_merged"] = len(passes)
+    # epoch provenance: the shared HEAD plus the sitting's time window,
+    # so a judge can see at a glance that the record is one epoch
+    stamps = sorted(
+        d["generated_at"] for d in passes if d.get("generated_at")
+    )
+    merged["epoch"] = {
+        "head": passes[0].get("head"),
+        "first_pass": stamps[0] if stamps else None,
+        "last_pass": stamps[-1] if stamps else None,
+    }
     merged["value"] = round(
         sum(v for v in merged["queries"].values() if v > 0), 3
     )
