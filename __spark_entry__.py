@@ -227,6 +227,41 @@ def _similarity_ivf_pq_index(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _similarity_ivfpq_append(spark: SparkSession, sf: str) -> DataFrame:
+    """Build the persisted IVF-PQ index on HALF the corpus, fold the
+    other half in with ivf_pq_append_to_index (snapshot appends to the
+    lists + codes tables under the STORED centroids/codebooks — no
+    retrain, no re-encode of the build half), then prove serving equals
+    the direct operator over the FULL corpus. The stride dials make the
+    proof exact: the build half is the even ids, so even ∩ stride-5
+    sampling picks the same centroid/codeword ids as full-corpus
+    stride-10 sampling — half-build + append is bit-identical to a
+    from-scratch encode (r12 verdict task 5, the lsh_append lifecycle
+    for the strongest-recall tier)."""
+    import tempfile
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators import similarity
+
+    wh = tempfile.mkdtemp(prefix="hio_ivfpqap_wh_")
+    cat = Catalog(wh)
+    emb = _t(spark, sf, "embeddings")
+    similarity.ivf_pq_build_index(
+        spark, cat, "default.emb_ivfpqap",
+        emb.filter(F.col("vec_id") % 2 == 0),
+        centroid_stride=5, pq_stride=5, max_codes=128,
+    )
+    similarity.ivf_pq_append_to_index(
+        spark, cat, "default.emb_ivfpqap",
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )
+    return similarity.ivf_pq_index_consistency_check(
+        spark, cat, "default.emb_ivfpqap", emb,
+        emb.filter(F.col("vec_id") < 200), k=5,
+        centroid_stride=10, pq_stride=10, max_codes=128,
+    )
+
+
 def _similarity_lsh_index(spark: SparkSession, sf: str) -> DataFrame:
     """Build a persisted LSH bucket index (buckets + meta catalog tables)
     in a scratch warehouse, then prove the stored-bucket serve path
@@ -2590,6 +2625,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (codes + lists + centroids + codebooks tables, raw embeddings never
     # rescanned) == direct operator, full-row anti-join both ways
     q["similarity_ivf_pq_index"] = _similarity_ivf_pq_index
+    # IVF-PQ incremental maintenance (r13 birth): half-build + append
+    # under the stored geometry == from-scratch encode, proven end to end
+    q["similarity_ivfpq_append"] = _similarity_ivfpq_append
     q["label_centroid_stats"] = lambda spark, sf: similarity.label_centroid_stats(
         _t(spark, sf, "embeddings")
     )
@@ -5553,6 +5591,76 @@ def oracle_sql() -> dict[str, str]:
     # mismatch must be zero by construction of the proof
     o["similarity_ivf_pq_index"] = f"""
         WITH {_ivfpq_ctes}
+        SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < 200)
+                 AS n_queries,
+               (SELECT COUNT(*) FROM ivfpq_ranked WHERE rank <= 5)
+                 AS n_served,
+               CAST(0 AS BIGINT) AS n_mismatch"""
+
+    # append-lifecycle twin (r13): the SAME composed IVF-PQ replay at the
+    # gate's stride dials — the gate builds on the even half at stride 5
+    # and appends the odd half under the stored geometry, which equals a
+    # full-corpus build at stride 10 (even ∩ %5 ≡ %10 as id sets, and the
+    # dense code numbering follows id order), so the twin replays the
+    # from-scratch stride-10 computation; mismatch pinned at 0 (a
+    # Spark-side mismatch breaks the hash)
+    _ivfpq10_ctes = f"""
+        v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        cents AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id % 10 = 0),
+        ca AS (SELECT s.vec_id, c.cid,
+                      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                         ORDER BY {_CCOS} DESC, c.cid ASC) AS rn
+               FROM v s CROSS JOIN cents c),
+        assigned AS (SELECT vec_id, cid FROM ca WHERE rn = 1),
+        qa AS (SELECT s.vec_id AS qid, c.cid,
+                      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                         ORDER BY {_CCOS} DESC, c.cid ASC) AS rn
+               FROM v s CROSS JOIN cents c WHERE s.vec_id < 200),
+        probe AS (SELECT qid, cid FROM qa WHERE rn <= 2),
+        u AS (SELECT vec_id,
+                     list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+              FROM v WHERE sqrt(list_dot_product(v, v)) > 0),
+        cb0 AS (SELECT s.j,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY s.j
+                                               ORDER BY u.vec_id) - 1 AS INT) AS code,
+                       u.v[s.j*16+1 : (s.j+1)*16] AS cv
+                FROM u CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS j) s
+                WHERE u.vec_id % 10 = 0),
+        cb AS (SELECT * FROM cb0 WHERE code < 128),
+        sub AS (SELECT u.vec_id, s.j, u.v[s.j*16+1 : (s.j+1)*16] AS sv
+                FROM u CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS j) s),
+        enc AS (SELECT t.vec_id, t.j, cb.code,
+                       ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.j
+                                          ORDER BY (list_dot_product(t.sv, cb.cv)
+                                                    - 0.5 * list_dot_product(cb.cv, cb.cv)) DESC,
+                                                   cb.code ASC) AS rn
+                FROM sub t JOIN cb ON cb.j = t.j),
+        codes AS (SELECT vec_id, list(code ORDER BY j) AS codes
+                  FROM enc WHERE rn = 1 GROUP BY vec_id),
+        ql AS (SELECT u.vec_id AS query_id, cb.j, cb.code,
+                      list_dot_product(u.v[cb.j*16+1 : (cb.j+1)*16], cb.cv) AS pdot
+               FROM u CROSS JOIN cb WHERE u.vec_id < 200),
+        lr AS (SELECT query_id, j, list(pdot ORDER BY code) AS lrow
+               FROM ql GROUP BY query_id, j),
+        lt AS (SELECT query_id, list(lrow ORDER BY j) AS lut
+               FROM lr GROUP BY query_id),
+        ivfpq_scored AS (SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+                                ROUND(list_reduce(list_transform([0,1,2,3],
+                                      j -> l.lut[j+1][c.codes[j+1]+1]),
+                                      (x, y) -> x + y), 6) AS adc_score
+                         FROM probe p
+                         JOIN assigned a ON p.cid = a.cid AND p.qid <> a.vec_id
+                         JOIN codes c ON c.vec_id = a.vec_id
+                         JOIN lt l ON l.query_id = p.qid),
+        ivfpq_ranked AS (SELECT query_id, neighbor_id, adc_score,
+                                ROW_NUMBER() OVER (PARTITION BY query_id
+                                                   ORDER BY adc_score DESC,
+                                                            neighbor_id ASC) AS rank
+                         FROM ivfpq_scored)"""
+
+    o["similarity_ivfpq_append"] = f"""
+        WITH {_ivfpq10_ctes}
         SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < 200)
                  AS n_queries,
                (SELECT COUNT(*) FROM ivfpq_ranked WHERE rank <= 5)

@@ -2599,7 +2599,10 @@ def ivf_pq_build_index(
     import uuid
 
     bid = uuid.uuid4().hex
-    for tbl, schema, df in (
+    # lists + codes are VERSIONED: ivf_pq_append_to_index folds new
+    # vectors in as snapshot appends (and time-travel reads the index
+    # as-of any tick); centroids + codebooks are the immutable geometry
+    for tbl, schema, df, versioned in (
         (
             f"{index_table}_centroids",
             HiveTableSchema((
@@ -2608,6 +2611,7 @@ def ivf_pq_build_index(
                 ("build_id", T.StringType()),
             )),
             cents,
+            False,
         ),
         (
             f"{index_table}_lists",
@@ -2617,6 +2621,7 @@ def ivf_pq_build_index(
                 ("build_id", T.StringType()),
             )),
             lists,
+            True,
         ),
         (
             f"{index_table}_codebooks",
@@ -2627,6 +2632,7 @@ def ivf_pq_build_index(
                 ("build_id", T.StringType()),
             )),
             codebooks,
+            False,
         ),
         (
             index_table,
@@ -2636,11 +2642,12 @@ def ivf_pq_build_index(
                 ("build_id", T.StringType()),
             )),
             codes,
+            True,
         ),
     ):
         if catalog.table_exists(tbl):
             catalog.drop_table(tbl, delete_data=True)
-        catalog.create_table(tbl, schema)
+        catalog.create_table(tbl, schema, versioned=versioned)
         out.write_table(WriteSpec(table=tbl), df.withColumn("build_id", F.lit(bid)))
 
 
@@ -2797,6 +2804,132 @@ def ivf_pq_index_consistency_check(
     return spark.createDataFrame(
         [(n_q, n_served, mism)],
         "n_queries long, n_served long, n_mismatch long",
+    )
+
+
+def ivf_pq_append_to_index(
+    spark,
+    catalog,
+    index_table: str,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Incremental IVF-PQ index maintenance — the lsh_append_to_index
+    sibling for the strongest-recall persisted tier: encode NEW vectors
+    with the STORED codebooks and assign them to the STORED centroids,
+    then commit them as snapshot APPENDs to the lists and codes tables.
+    No corpus rescan, no retrain: at 100 TB this is the difference
+    between a nightly delta job (|batch| × nlist assignment dots +
+    |batch| × ksub encode dots) and a full re-encode of the corpus.
+
+    Geometry is the index identity and appends never change it: the
+    centroid and codebook tables are untouched, and appended rows carry
+    the ORIGINAL ``build_id`` — the torn-REBUILD fence stays valid, and
+    time-travel reads serve the index as-of any tick. Appending onto an
+    index whose stamps already disagree is refused (fix the rebuild
+    first; appending would entrench the tear).
+
+    Two tables move, and the two appends are not atomic — the torn-
+    APPEND story is therefore designed to be harmless-and-repairable
+    rather than fenced: serving inner-joins lists ⋈ codes, so a vector
+    present in only one table is simply not served yet (a consistent
+    subset — never a wrong score), and each append anti-joins its OWN
+    table's stored ids, so re-running the same batch completes whichever
+    half is missing and appends nothing twice (idempotent re-delivery,
+    same as the artifact appends). Lists append first, codes second;
+    returns the committed snapshot version of the codes table (or the
+    current one on a no-op).
+    """
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+
+    inp = HiveInput(spark, catalog)
+    cents = inp.read_table(ScanSpec(table=f"{index_table}_centroids"))
+    codebooks = inp.read_table(ScanSpec(table=f"{index_table}_codebooks"))
+    lists = inp.read_table(ScanSpec(table=f"{index_table}_lists"))
+    codes = inp.read_table(ScanSpec(table=index_table))
+    stamps = {}
+    for name, df in (
+        ("centroids", cents), ("lists", lists),
+        ("codebooks", codebooks), ("codes", codes),
+    ):
+        stamps[name] = _index_stamp(
+            "ivf_pq_append_to_index", index_table, name, df,
+            rebuild="ivf_pq_build_index",
+        )
+    if len(set(stamps.values())) > 1:
+        raise ValueError(
+            f"ivf_pq_append_to_index: index {index_table} has mixed "
+            f"build_id stamps across its tables ({stamps}) — a rebuild "
+            f"was torn mid-way; appending onto it would entrench the "
+            f"tear. Re-run ivf_pq_build_index first."
+        )
+    bid = stamps["codes"]
+    geo = codebooks.agg(
+        F.first(F.size("cv")).alias("dsub"),
+        (F.max("j") + 1).alias("m"),
+    ).first()
+    if geo is None or geo["dsub"] is None:
+        raise ValueError(
+            f"ivf_pq_append_to_index: empty codebook table "
+            f"{index_table}_codebooks"
+        )
+    num_subspaces, dsub = int(geo["m"]), int(geo["dsub"])
+    dim_probe = new_vectors.select(
+        F.first(F.size(F.col(vec_col)), ignorenulls=True).alias("d")
+    ).first()
+    if dim_probe is None or dim_probe["d"] is None:
+        return catalog.current_version(index_table)  # empty batch: no-op
+    if int(dim_probe["d"]) != num_subspaces * dsub:
+        raise ValueError(
+            f"ivf_pq_append_to_index: new vectors have dim "
+            f"{dim_probe['d']} but the stored index encodes "
+            f"{num_subspaces} × {dsub} = {num_subspaces * dsub} — the "
+            f"batch belongs to a different embedding space."
+        )
+    cent_rows = [r.asDict() for r in cents.select("cid", "cv").collect()]
+    if not cent_rows:
+        raise ValueError(
+            f"ivf_pq_append_to_index: empty centroid table "
+            f"{index_table}_centroids"
+        )
+    c = new_vectors.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("_v")
+    ).withColumn("_nrm", l2_norm(F.col("_v")))
+    new_lists = _assign_pandas(
+        c, "id", "_v", "_nrm", cent_rows, keep=1
+    ).select("cid", "id")
+    new_codes = pq_encode(
+        new_vectors, codebooks.select("j", "code", "cv"), num_subspaces,
+        vec_col=vec_col, id_col=id_col,
+    )
+    # per-table anti-joins (not one shared id set): after a torn append
+    # the two tables disagree on which ids they hold, and each half must
+    # independently complete on retry. localCheckpoint cuts lineage —
+    # each plan anti-joins the very table its append rewrites (the
+    # append_to_artifacts same-path-scan lesson, ingestion.py:377-384).
+    fresh_lists = (
+        new_lists.join(lists.select("id"), "id", "left_anti")
+        .withColumn("build_id", F.lit(bid))
+        .localCheckpoint()
+    )
+    fresh_codes = (
+        new_codes.join(codes.select("id"), "id", "left_anti")
+        .withColumn("build_id", F.lit(bid))
+        .localCheckpoint()
+    )
+    out = HiveOutput(spark, catalog)
+    if not fresh_lists.isEmpty():
+        out.append_table(
+            WriteSpec(table=f"{index_table}_lists"), fresh_lists,
+            note="ivf_pq_append_to_index",
+        )
+    if fresh_codes.isEmpty():
+        return catalog.current_version(index_table)
+    return out.append_table(
+        WriteSpec(table=index_table), fresh_codes,
+        note="ivf_pq_append_to_index",
     )
 
 

@@ -3063,6 +3063,125 @@ def test_lsh_append_to_index(spark, sf_dir, warehouse):
         )
 
 
+def test_ivf_pq_append_to_index(spark, sf_dir, warehouse):
+    """IVF-PQ incremental maintenance: build on half the corpus (stride
+    dials chosen so the stored geometry equals a full-corpus build at
+    double the stride), append the rest under the stored codebooks +
+    centroids — serving equals the direct operator over the FULL corpus;
+    a re-delivered batch is a no-op; appending to a missing index
+    raises; a wrong-dimension batch raises."""
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+
+    cat = Catalog(warehouse)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 30)
+
+    similarity.ivf_pq_build_index(
+        spark, cat, "default.emb_ivfpqa", half_a,
+        centroid_stride=5, pq_stride=5, max_codes=128,
+    )
+    v1 = similarity.ivf_pq_append_to_index(
+        spark, cat, "default.emb_ivfpqa", half_b
+    )
+    inp = HiveInput(spark, cat)
+    assert inp.read_table(
+        ScanSpec(table="default.emb_ivfpqa")
+    ).count() == emb.count()
+    assert inp.read_table(
+        ScanSpec(table="default.emb_ivfpqa_lists")
+    ).count() == emb.count()
+    # half-build + append == from-scratch direct over the full corpus
+    # (even ∩ stride-5 sampling ≡ full-corpus stride-10 sampling)
+    row = similarity.ivf_pq_index_consistency_check(
+        spark, cat, "default.emb_ivfpqa", emb, queries, k=5,
+        centroid_stride=10, pq_stride=10, max_codes=128,
+    ).first()
+    assert row["n_mismatch"] == 0 and row["n_served"] > 0
+    # idempotent re-delivery: nothing fresh, version unchanged
+    v2 = similarity.ivf_pq_append_to_index(
+        spark, cat, "default.emb_ivfpqa", half_b
+    )
+    assert v2 == v1
+    # one shared build stamp across build + append rows, both tables
+    for tbl in ("default.emb_ivfpqa", "default.emb_ivfpqa_lists"):
+        assert inp.read_table(ScanSpec(table=tbl)).select(
+            "build_id"
+        ).distinct().count() == 1
+    with pytest.raises(Exception):
+        similarity.ivf_pq_append_to_index(
+            spark, cat, "default.missing_ivfpq", half_b
+        )
+    wrong_dim = spark.createDataFrame(
+        [(9999, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="different embedding space"):
+        similarity.ivf_pq_append_to_index(
+            spark, cat, "default.emb_ivfpqa", wrong_dim
+        )
+
+
+def test_ivf_pq_torn_append_is_consistent_and_repairable(
+    spark, sf_dir, warehouse
+):
+    """The two appended tables (lists, codes) move non-atomically. A
+    crash between them must (a) never produce wrong scores — serving
+    inner-joins lists ⋈ codes, so the half-appended vectors are simply
+    not served yet — and (b) be repaired by re-running the SAME append:
+    each table's anti-join completes independently."""
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+
+    cat = Catalog(warehouse)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 30)
+
+    similarity.ivf_pq_build_index(
+        spark, cat, "default.emb_ivfpqt", half_a,
+        centroid_stride=5, pq_stride=5, max_codes=128,
+    )
+    similarity.ivf_pq_append_to_index(
+        spark, cat, "default.emb_ivfpqt", half_b
+    )
+    # manufacture the torn state: codes hold half_b, lists do not (the
+    # crash-between-appends layout) — rewrite lists to the build half
+    inp = HiveInput(spark, cat)
+    lists_schema = cat.get_schema("default.emb_ivfpqt_lists")
+    surviving = inp.read_table(
+        ScanSpec(table="default.emb_ivfpqt_lists")
+    ).filter(F.col("id") % 2 == 0).localCheckpoint()
+    cat.drop_table("default.emb_ivfpqt_lists", delete_data=True)
+    cat.create_table("default.emb_ivfpqt_lists", lists_schema,
+                     versioned=True)
+    HiveOutput(spark, cat).write_table(
+        WriteSpec(table="default.emb_ivfpqt_lists"), surviving
+    )
+    # (a) serving is a consistent SUBSET: no error, and every served
+    # neighbor comes from the listed (even) half
+    served = similarity.ivf_pq_query_index(
+        spark, cat, "default.emb_ivfpqt", queries, k=5
+    )
+    assert served.filter(F.col("neighbor_id") % 2 == 1).count() == 0
+    assert served.count() > 0
+    # (b) re-running the append repairs the missing half only
+    similarity.ivf_pq_append_to_index(
+        spark, cat, "default.emb_ivfpqt", half_b
+    )
+    assert inp.read_table(
+        ScanSpec(table="default.emb_ivfpqt_lists")
+    ).count() == emb.count()
+    row = similarity.ivf_pq_index_consistency_check(
+        spark, cat, "default.emb_ivfpqt", emb, queries, k=5,
+        centroid_stride=10, pq_stride=10, max_codes=128,
+    ).first()
+    assert row["n_mismatch"] == 0
+
+
 def test_lsh_index_refuses_torn_rebuild(spark, sf_dir, warehouse):
     from pyspark.sql import types as T
 
