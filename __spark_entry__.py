@@ -1945,6 +1945,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fetch_k=20,
         mmr_lambda=0.5,
     )
+
+    # MMR over SERVED candidates (r13 birth — verdict task 8): the
+    # diversity rerank composed with an ANN tier instead of the exact
+    # broadcast top-k. Candidates come from 8-plane multiprobe LSH
+    # (probe_bits=1) — the scale path a 100 TB serving stack actually
+    # feeds MMR from — and the twin replays the probe set, the round-6
+    # rescore, the per-query top-20 AND the greedy recursion, so the
+    # rerank is oracle-proven on the served candidate sets themselves
+    # (which per query may hold FEWER than fetch_k rows; the greedy must
+    # drain them without padding).
+    def _mmr_ann_candidates(spark: SparkSession, sf: str) -> DataFrame:
+        emb = _t(spark, sf, "embeddings")
+        qs = emb.filter(F.col("vec_id") < 1000)
+        cands = similarity.cosine_topk_multiprobe(
+            emb, qs, k=20, num_planes=8, probe_bits=1
+        ).select("query_id", "neighbor_id", "cosine")
+        return retrieval.mmr_diversified_topk(
+            emb, qs, k=5, fetch_k=20, mmr_lambda=0.5, candidates=cands
+        )
+
+    q["mmr_ann_candidates"] = _mmr_ann_candidates
     # tokenizer induction: BPE merge learning — phase 1 is the distributed
     # word histogram (the one corpus-sized pass), phase 2 learns merges on
     # the vocabulary-compressed dict driver-side (every real BPE trainer's
@@ -2005,6 +2026,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["bpe_vocab_index"] = _bpe_vocab_index
+
+    # persisted Naive Bayes classifier lifecycle (r13 birth — the r12
+    # pre-build's driver gate): train + persist the model (stamped
+    # tables), prove stored-serve == retrain+score (consistency row,
+    # mismatches pinned 0), and emit the per-predicted-label routing
+    # histogram from the STORED model — n_docs plus the decimal-exact
+    # sum of winning scores per label, so the twin must replay both
+    # training groupBys, add-one smoothing AND the scoring fold.
+    def _nb_classify_lang(spark: SparkSession, sf: str) -> DataFrame:
+        import tempfile
+
+        from hive_io_experimental_spark.catalog import Catalog
+
+        wh = tempfile.mkdtemp(prefix="hio_nb_wh_")
+        cat = Catalog(wh)
+        docs = _t(spark, sf, "documents")
+        text.nb_build_model(
+            spark, cat, "default.docs_nb", docs, label_col="lang"
+        )
+        check = text.nb_model_consistency_check(
+            spark, cat, "default.docs_nb", docs, label_col="lang"
+        )
+        scored = text.nb_score_from_model(
+            spark, cat, "default.docs_nb", docs
+        )
+        hist = scored.groupBy("label").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("total_bits").cast("decimal(20,6)"))
+            .cast("double").alias("sum_bits"),
+        )
+        return hist.crossJoin(F.broadcast(check))
+
+    q["nb_classify_lang"] = _nb_classify_lang
     # pseudo-relevance-feedback retrieval (r12): seed BM25 -> top-5
     # feedback docs -> 3 strongest new terms by tf_fb·idf-ratio (no libm
     # in the ranking key) -> re-rank with seed+expansion. Fully lazy —
@@ -4258,6 +4312,67 @@ def oracle_sql() -> dict[str, str]:
                CAST(0 AS BIGINT) AS n_merge_mismatch,
                CAST(0 AS BIGINT) AS n_segment_mismatch"""
 
+    # NB classifier lifecycle twin (r13): replays BOTH training groupBys
+    # (per-(label,token) counts, per-label totals), the add-one-smoothed
+    # round-6 bit model, the decimal-exact scoring fold (unseen tokens
+    # cost the class constant; prior added; argmin with label tiebreak)
+    # and the per-predicted-label histogram — so a wrong likelihood,
+    # prior, smoothing term or tiebreak anywhere breaks the hash. The
+    # stored-vs-retrained mismatch counts are pinned at 0 (the
+    # bpe_vocab_index oracle pattern: a Spark-side mismatch breaks the
+    # hash through the consistency row).
+    o["nb_classify_lang"] = f"""
+        WITH tr AS (SELECT lang AS label, unnest({_TOKS}) AS token
+                    FROM documents),
+        tc AS (SELECT label, token, COUNT(*) AS c FROM tr GROUP BY 1, 2),
+        ct AS (SELECT label, SUM(c) AS nc FROM tc GROUP BY 1),
+        vc AS (SELECT COUNT(DISTINCT token) AS v FROM tc),
+        lik AS (SELECT label, token,
+                       CAST(ROUND(-log2((c + 1.0) / (nc + v)), 6)
+                            AS DECIMAL(18,6)) AS b
+                FROM tc JOIN ct USING (label) CROSS JOIN vc),
+        nd AS (SELECT COUNT(*) AS n FROM documents),
+        pri AS (SELECT d.label,
+                       CAST(ROUND(-log2(CAST(d.n_docs AS DOUBLE) / n), 6)
+                            AS DECIMAL(18,6)) AS prior,
+                       CAST(ROUND(-log2(1.0 / (COALESCE(ct.nc, 0) + v)), 6)
+                            AS DECIMAL(18,6)) AS unseen
+                FROM (SELECT lang AS label, COUNT(*) AS n_docs
+                      FROM documents GROUP BY 1) d
+                CROSS JOIN nd
+                LEFT JOIN ct ON ct.label = d.label
+                CROSS JOIN vc),
+        toks AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+        costs AS (SELECT t.doc_id, p.label,
+                         SUM(CAST(COALESCE(l.b, p.unseen)
+                                  AS DECIMAL(18,6))) AS tokbits
+                  FROM toks t CROSS JOIN pri p
+                  LEFT JOIN lik l ON l.label = p.label
+                                 AND l.token = t.token
+                  GROUP BY 1, 2),
+        tot AS (SELECT d.doc_id, p.label,
+                       CAST(p.prior + COALESCE(c.tokbits,
+                                               CAST(0 AS DECIMAL(18,6)))
+                            AS DECIMAL(20,6)) AS total
+                FROM documents d CROSS JOIN pri p
+                LEFT JOIN costs c ON c.doc_id = d.doc_id
+                                 AND c.label = p.label),
+        best AS (SELECT doc_id, label, total FROM (
+                   SELECT doc_id, label, total,
+                          ROW_NUMBER() OVER (PARTITION BY doc_id
+                                             ORDER BY total, label) AS rn
+                   FROM tot) WHERE rn = 1)
+        SELECT b.label,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(CAST(b.total AS DOUBLE) AS DECIMAL(20,6)))
+                    AS DOUBLE) AS sum_bits,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM pri) AS n_labels,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lik) AS n_model_rows,
+               CAST(0 AS BIGINT) AS n_prior_mismatch,
+               CAST(0 AS BIGINT) AS n_likelihood_mismatch,
+               CAST(0 AS BIGINT) AS n_score_mismatch
+        FROM best b GROUP BY b.label"""
+
     # MMR twin: greedy argmax per query per step as a recursive CTE —
     # state carries the selected list; the pick is max(struct(s, negid))
     # (score desc, then min id — the exact Python tie-break); the max-sim
@@ -5805,6 +5920,81 @@ def oracle_sql() -> dict[str, str]:
                                                       neighbor_id ASC) AS rank
                    FROM scored)
         SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5"""
+
+    # MMR-over-ANN twin (r13): the 8-plane multiprobe candidate CTEs
+    # (bucket + 8 Hamming-1 flips, exact round-6 rescore, per-query
+    # top-20) feed the mmr_diversified_topk greedy recursion verbatim —
+    # rel comes from the SERVED candidate set, pairwise sims from the
+    # full pair matrix over that set; λ = 0.5 exactly. Queries that
+    # surface fewer than fetch_k candidates drain naturally (the
+    # recursion's join finds no rows and stops).
+    o["mmr_ann_candidates"] = f"""
+        WITH RECURSIVE
+        v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+        vp AS (SELECT vec_id, v, {plane_lists} FROM v0),
+        b AS (SELECT vec_id, v, CAST({plane_terms} AS BIGINT) AS bucket FROM vp),
+        mp AS (SELECT vec_id, v,
+                      UNNEST(list_concat([bucket],
+                             list_transform(range(0, 8),
+                                            i -> xor(bucket, CAST(1 AS BIGINT) << i))))
+                        AS bucket
+               FROM b WHERE vec_id < 1000),
+        m_scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                            {qcos} AS rel
+                     FROM b c JOIN mp q
+                       ON c.bucket = q.bucket AND q.vec_id <> c.vec_id),
+        cand AS (SELECT query_id, cand_id, rel FROM (
+                   SELECT query_id, cand_id, rel,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY rel DESC, cand_id)
+                            AS rnk
+                   FROM m_scored) WHERE rnk <= 20),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+              FROM v0),
+        pairs AS (SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
+                         ROUND(list_dot_product(va.v, vb.v)
+                               / (va.nrm * vb.nrm), 6) AS ps
+                  FROM cand a JOIN cand b
+                    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+                  JOIN n va ON va.vec_id = a.cand_id
+                  JOIN n vb ON vb.vec_id = b.cand_id),
+        step(query_id, it, sel, pick_id, pick_rel, pick_ms) AS (
+            SELECT query_id, CAST(1 AS BIGINT), [pk.id], pk.id, pk.rel,
+                   CAST(0 AS DOUBLE)
+            FROM (SELECT query_id,
+                         max(struct_pack(s := CAST(0.5 AS DOUBLE) * rel,
+                                         negid := -cand_id,
+                                         id := cand_id, rel := rel)) AS pk
+                  FROM cand GROUP BY query_id)
+            UNION ALL
+            SELECT query_id, it, list_append(sel, pk.id), pk.id, pk.rel,
+                   pk.ms
+            FROM (SELECT x.query_id, x.it + 1 AS it, x.sel AS sel,
+                         max(struct_pack(
+                             s := CAST(0.5 AS DOUBLE) * x.rel
+                                  - CAST(0.5 AS DOUBLE) * x.ms,
+                             negid := -x.cand_id, id := x.cand_id,
+                             rel := x.rel, ms := x.ms)) AS pk
+                  FROM (SELECT s.query_id, s.it, s.sel, c.cand_id, c.rel,
+                               (SELECT max(p.ps) FROM pairs p
+                                WHERE p.query_id = s.query_id
+                                  AND p.a_id = c.cand_id
+                                  AND list_contains(s.sel, p.b_id)) AS ms
+                        FROM step s JOIN cand c
+                          ON c.query_id = s.query_id
+                         AND NOT list_contains(s.sel, c.cand_id)
+                        WHERE s.it < 5) x
+                  GROUP BY x.query_id, x.it, x.sel)
+        )
+        SELECT query_id, it AS mmr_rank, pick_id AS neighbor_id,
+               pick_rel AS cosine,
+               CAST(ROUND(CAST(0.5 AS DECIMAL(6,4))
+                            * CAST(pick_rel AS DECIMAL(18,6))
+                          - CAST(0.5 AS DECIMAL(6,4))
+                            * CAST(pick_ms AS DECIMAL(18,6)), 6)
+                    AS DOUBLE) AS mmr_score
+        FROM step"""
 
     # persisted LSH index twin (new r11): the stored buckets are
     # bit-identical to the recomputed md5-family buckets, so the served

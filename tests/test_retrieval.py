@@ -681,6 +681,32 @@ def test_mmr_accepts_external_candidates(spark, sf_dir):
         assert 1 <= r.mmr_rank <= 3
 
 
+def test_mmr_over_ann_equals_exact_when_probes_cover_corpus(spark, sf_dir):
+    """Parity fence for the composed path (r12 verdict task 8): at
+    num_planes=1 / probe_bits=1 the multiprobe set is BOTH buckets, so
+    the served candidates are exactly the exact top-fetch_k — the
+    composed MMR must then equal exact-candidate MMR row for row. At
+    the gate dials (8 planes) the candidate sets genuinely differ; this
+    pins that every difference comes from candidate RECALL, never from
+    the rerank."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 150
+    )
+    queries = emb.filter(F.col("vec_id") < 30)
+    served = similarity.cosine_topk_multiprobe(
+        emb, queries, k=10, num_planes=1, probe_bits=1
+    ).select("query_id", "neighbor_id", "cosine")
+    composed = retrieval.mmr_diversified_topk(
+        emb, queries, k=4, fetch_k=10, candidates=served
+    )
+    exact = retrieval.mmr_diversified_topk(
+        emb, queries, k=4, fetch_k=10
+    )
+    assert composed.exceptAll(exact).isEmpty()
+    assert exact.exceptAll(composed).isEmpty()
+    assert exact.count() > 0
+
+
 def test_mmr_stale_candidates_fail_loudly(spark):
     """A candidates frame referencing vectors absent from the corpus
     (stale ANN index / wrong corpus) must raise at execution, not
