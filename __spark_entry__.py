@@ -2742,12 +2742,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     with 4+ slots of slack;
 #   * scheduling rule: rotation slots go to the OLDEST last-driver-check
 #     gates first (ties alphabetical), then next-oldest until full.
-# With this schedule the current backlog clears with no bar breach:
-# r12 covers all 17 r5-stale + the 23 oldest r6-stale (the 10 deferred
-# r6 gates stand at age 6 = bar at r12 close and are r13's mandatory
-# lead, 10 << 37); the 34-gate r7/r8/r10 blocks each fit a later round.
-# The window composition and deferral list in ROADMAP are GENERATED
-# (tools/gen_operator_index.py --round-summary) — never hand-written.
+# With this schedule the backlog clears with no bar breach. Do NOT
+# hand-write window arithmetic in comments or prose (the r12 prose
+# carried stale numbers — r12 verdict wrong #3): the window composition,
+# deferral lists AND the policy-arithmetic sentence are GENERATED —
+# paste tools/gen_operator_index.py --round-summary into ROADMAP
+# verbatim each round.
 # ---------------------------------------------------------------------------
 _CORE_GATES = [
     # §2 surfaces: scan (S1-S5), write+commit (W1-W8), merge, stats (S10)
@@ -2758,33 +2758,33 @@ _CORE_GATES = [
     "multimodal_decode",
 ]
 
-_R12_BIRTHS = [
-    # the full <= 5 birth budget: batch-query hybrid search (verdict
-    # task 4), the Arrow BPE applier's driver gate (task 3), the
-    # persisted BPE-vocab lifecycle, PRF query expansion, and the JL
-    # random projection
-    "hybrid_search_rrf_batch", "bpe_segment_arrow", "bpe_vocab_index",
-    "bm25_prf_search", "embedding_random_projection",
+_R13_BIRTHS = [
+    # 3 of the <= 5 birth budget (fewer births = 2 extra rotation
+    # slots): the NB classifier's driver gate (verdict task 3), the
+    # IVF-PQ append lifecycle (task 5), and MMR over served ANN
+    # candidates (task 8)
+    "nb_classify_lang", "similarity_ivfpq_append", "mmr_ann_candidates",
 ]
 
-_CHECK_FIRST = _CORE_GATES + _R12_BIRTHS + [
-    # ---- all 17 r5-stale gates (7 driver-rounds): the 10 the r11
-    # deferral named + the 7 it silently dropped (verdict task 1) ----
-    "funnel_step_counts", "funnel_user_extrema", "incremental_rollup",
-    "join_semi", "max_concurrent_sessions", "nation_revenue",
-    "orders_by_month", "range_join_signup_purchase", "retention_cohorts",
-    "similarity_lsh_buckets", "similarity_quality_topk",
-    "snapshot_diff_cdc", "sql_q6_revenue", "stratified_sample_docs",
-    "tfidf_top_terms", "token_budget_mix", "token_counts",
-    # ---- the 20 alphabetically-first of the 33 r6-stale (6 rounds);
-    # the last 13 are r13's mandatory lead ----
-    "benchmark_decontamination", "bloom_membership", "bm25_search",
-    "corpus_language_stats", "dedup_clusters", "dedup_containment",
-    "dedup_df_cut_bound", "dedup_lsh_quality", "dedup_ngram_jaccard",
-    "dedup_span_hot", "dedup_span_strip", "dedup_verified_pairs",
-    "distinct_users_hll", "erase_keys", "funnel_signup_click_purchase",
-    "inverted_index", "inverted_index_merged", "keyword_search",
-    "lm_quality_scores", "merge_key_move",
+_CHECK_FIRST = _CORE_GATES + _R13_BIRTHS + [
+    # ---- the 13 r6-stale gates standing at the bar (age 6) — r13's
+    # mandatory lead per the committed policy ----
+    "multimodal_cdc_stats", "order_cube_summary",
+    "percentile_state_rollup", "phrase_search", "revenue_rollup",
+    "scan_multikey_pruned", "segment_user_overlap", "sessionize_events",
+    "similarity_ivf_index", "source_mix", "top_revenue_orders",
+    "topk_sketch_rollup", "value_drift_psi",
+    # ---- the 26 alphabetically-first of the 34 r7-stale (age 6 at r13
+    # close); the last 8 lead r14 ----
+    "analyze_columns", "asof_signup_next_click", "bloom_index_scan",
+    "bucketed_join_volume", "chunk_documents", "cross_source_leakage",
+    "dedup_corpus", "dedup_incremental_batch", "dedup_lsh_bucket_report",
+    "dedup_representatives", "doc_repetition", "embedding_drift",
+    "event_transitions", "event_type_percentiles", "events_hopping",
+    "funnel_time_boxed", "gapfill_interpolated", "join_size_estimate",
+    "key_skew_events", "latest_events", "numeric_outliers",
+    "pricing_summary_unpivot", "repeated_paragraphs", "robust_outliers",
+    "scan_json_roundtrip", "schema_evolution_scan",
 ]
 
 
