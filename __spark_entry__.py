@@ -262,6 +262,38 @@ def _similarity_ivfpq_append(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _similarity_pq_append(spark: SparkSession, sf: str) -> DataFrame:
+    """Build the persisted PQ index on HALF the corpus, fold the other
+    half in with pq_append_to_index (one snapshot append to the codes
+    table under the STORED codebooks — single-table move, no torn state),
+    then prove serving equals the direct operator over the FULL corpus.
+    Same exact-geometry trick as similarity_ivfpq_append: even-half
+    stride-5 codebook sampling ≡ full-corpus stride-10 sampling, so
+    half-build + append is bit-identical to a from-scratch encode."""
+    import tempfile
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators import similarity
+
+    wh = tempfile.mkdtemp(prefix="hio_pqap_wh_")
+    cat = Catalog(wh)
+    emb = _t(spark, sf, "embeddings")
+    similarity.pq_build_index(
+        spark, cat, "default.emb_pqap",
+        emb.filter(F.col("vec_id") % 2 == 0),
+        centroid_stride=5, max_codes=128,
+    )
+    similarity.pq_append_to_index(
+        spark, cat, "default.emb_pqap",
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )
+    return similarity.pq_index_consistency_check(
+        spark, cat, "default.emb_pqap", emb,
+        emb.filter(F.col("vec_id") < 200), k=5,
+        centroid_stride=10, max_codes=128,
+    )
+
+
 def _similarity_lsh_index(spark: SparkSession, sf: str) -> DataFrame:
     """Build a persisted LSH bucket index (buckets + meta catalog tables)
     in a scratch warehouse, then prove the stored-bucket serve path
@@ -2682,6 +2714,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # IVF-PQ incremental maintenance (r13 birth): half-build + append
     # under the stored geometry == from-scratch encode, proven end to end
     q["similarity_ivfpq_append"] = _similarity_ivfpq_append
+    # PQ incremental maintenance (r13 birth): the single-table append
+    # sibling — with IVF documented append-free (quantizer-only artifact),
+    # every code-holding persisted tier now has an append lifecycle
+    q["similarity_pq_append"] = _similarity_pq_append
     q["label_centroid_stats"] = lambda spark, sf: similarity.label_centroid_stats(
         _t(spark, sf, "embeddings")
     )
@@ -2759,11 +2795,13 @@ _CORE_GATES = [
 ]
 
 _R13_BIRTHS = [
-    # 3 of the <= 5 birth budget (fewer births = 2 extra rotation
-    # slots): the NB classifier's driver gate (verdict task 3), the
-    # IVF-PQ append lifecycle (task 5), and MMR over served ANN
-    # candidates (task 8)
-    "nb_classify_lang", "similarity_ivfpq_append", "mmr_ann_candidates",
+    # 4 of the <= 5 birth budget (one spare slot kept for rotation):
+    # the NB classifier's driver gate (verdict task 3), the IVF-PQ and
+    # PQ append lifecycles (task 5 + its sibling — with IVF documented
+    # append-free, every code-holding tier now appends), and MMR over
+    # served ANN candidates (task 8)
+    "nb_classify_lang", "similarity_ivfpq_append", "similarity_pq_append",
+    "mmr_ann_candidates",
 ]
 
 _CHECK_FIRST = _CORE_GATES + _R13_BIRTHS + [
@@ -2774,8 +2812,8 @@ _CHECK_FIRST = _CORE_GATES + _R13_BIRTHS + [
     "scan_multikey_pruned", "segment_user_overlap", "sessionize_events",
     "similarity_ivf_index", "source_mix", "top_revenue_orders",
     "topk_sketch_rollup", "value_drift_psi",
-    # ---- the 26 alphabetically-first of the 34 r7-stale (age 6 at r13
-    # close); the last 8 lead r14 ----
+    # ---- the 25 alphabetically-first of the 34 r7-stale (age 6 at r13
+    # close); the last 9 lead r14 ----
     "analyze_columns", "asof_signup_next_click", "bloom_index_scan",
     "bucketed_join_volume", "chunk_documents", "cross_source_leakage",
     "dedup_corpus", "dedup_incremental_batch", "dedup_lsh_bucket_report",
@@ -2784,7 +2822,7 @@ _CHECK_FIRST = _CORE_GATES + _R13_BIRTHS + [
     "funnel_time_boxed", "gapfill_interpolated", "join_size_estimate",
     "key_skew_events", "latest_events", "numeric_outliers",
     "pricing_summary_unpivot", "repeated_paragraphs", "robust_outliers",
-    "scan_json_roundtrip", "schema_evolution_scan",
+    "scan_json_roundtrip",
 ]
 
 
@@ -5779,6 +5817,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < 200)
                  AS n_queries,
                (SELECT COUNT(*) FROM ivfpq_ranked WHERE rank <= 5)
+                 AS n_served,
+               CAST(0 AS BIGINT) AS n_mismatch"""
+
+    # PQ append twin (r13): the same stride-10 codebook/encode/LUT CTEs,
+    # flat ADC over ALL codes (no IVF pruning — the unreferenced IVF CTEs
+    # in the shared block are never executed); mismatch pinned at 0
+    o["similarity_pq_append"] = f"""
+        WITH {_ivfpq10_ctes},
+        pq_scored AS (SELECT l.query_id, c.vec_id AS neighbor_id,
+                             ROUND(list_reduce(list_transform([0,1,2,3],
+                                   j -> l.lut[j+1][c.codes[j+1]+1]),
+                                   (x, y) -> x + y), 6) AS adc_score
+                      FROM codes c CROSS JOIN lt l
+                      WHERE l.query_id <> c.vec_id),
+        pq_ranked AS (SELECT query_id, neighbor_id, adc_score,
+                             ROW_NUMBER() OVER (PARTITION BY query_id
+                                                ORDER BY adc_score DESC,
+                                                         neighbor_id ASC) AS rank
+                      FROM pq_scored)
+        SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < 200)
+                 AS n_queries,
+               (SELECT COUNT(*) FROM pq_ranked WHERE rank <= 5)
                  AS n_served,
                CAST(0 AS BIGINT) AS n_mismatch"""
 

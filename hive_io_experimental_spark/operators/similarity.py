@@ -502,6 +502,13 @@ def ivf_build_index(
     table. (FAISS persists its quantizer inside the index file; a
     catalog-registered table is this engine's equivalent, and keeps the
     index queryable AS DATA — auditable with plain SQL.)
+
+    Deliberately NO append sibling (unlike lsh/pq/ivf_pq_append_to_
+    index): this tier's only persisted artifact is the quantizer, and
+    serving (ivf_query_index) takes the corpus as data — corpus growth
+    costs nothing here. What ages is quantizer QUALITY as the
+    distribution drifts; embedding_centroid_drift monitors that, and
+    the answer is an explicit retrain, not an append.
     """
     from pyspark.sql import types as T
 
@@ -2428,7 +2435,10 @@ def pq_build_index(
     )
     cb_table = f"{index_table}_codebooks"
     out = HiveOutput(spark, catalog)
-    for tbl, schema, df in (
+    # the codes table is VERSIONED: pq_append_to_index folds new vectors
+    # in as snapshot appends (and time-travel reads the index as-of any
+    # tick); the codebooks are the immutable geometry
+    for tbl, schema, df, versioned in (
         (
             cb_table,
             HiveTableSchema((
@@ -2437,6 +2447,7 @@ def pq_build_index(
                 ("cv", T.ArrayType(T.DoubleType())),
             )),
             codebooks,
+            False,
         ),
         (
             index_table,
@@ -2445,12 +2456,85 @@ def pq_build_index(
                 ("codes", T.ArrayType(T.LongType())),
             )),
             codes,
+            True,
         ),
     ):
         if catalog.table_exists(tbl):
             catalog.drop_table(tbl, delete_data=True)
-        catalog.create_table(tbl, schema)
+        catalog.create_table(tbl, schema, versioned=versioned)
         out.write_table(WriteSpec(table=tbl), df)
+
+
+def pq_append_to_index(
+    spark,
+    catalog,
+    index_table: str,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Incremental PQ index maintenance — lsh/ivf_pq_append_to_index's
+    sibling for the flat-ADC tier: encode NEW vectors with the STORED
+    codebooks and commit them as one snapshot APPEND to the codes table.
+    No retrain, no re-encode of the existing corpus; per tick the work
+    is |batch| × ksub encode dots plus one narrow anti-join against the
+    stored ids (idempotent — a re-delivered batch appends nothing and
+    the version does not advance). The codebooks are the index identity
+    and are untouched, so every consumer keeps serving mid-append; only
+    ONE table moves, so there is no torn-append state at all (unlike
+    IVF-PQ's two-table append). Returns the committed snapshot version
+    (or the current one on a no-op).
+
+    The IVF tier needs no sibling: its persisted artifact is only the
+    trained coarse quantizer (ivf_build_index) — serving takes the
+    corpus as data, so corpus growth costs nothing there (quantizer
+    DRIFT is a quality question, monitored by embedding_centroid_drift,
+    answered by an explicit rebuild)."""
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+
+    inp = HiveInput(spark, catalog)
+    codebooks = inp.read_table(
+        ScanSpec(table=f"{index_table}_codebooks")
+    )
+    codes = inp.read_table(ScanSpec(table=index_table))
+    geo = codebooks.agg(
+        F.first(F.size("cv")).alias("dsub"),
+        (F.max("j") + 1).alias("m"),
+    ).first()
+    if geo is None or geo["dsub"] is None:
+        raise ValueError(
+            f"pq_append_to_index: empty codebook table "
+            f"{index_table}_codebooks — run pq_build_index first"
+        )
+    num_subspaces, dsub = int(geo["m"]), int(geo["dsub"])
+    dim_probe = new_vectors.select(
+        F.first(F.size(F.col(vec_col)), ignorenulls=True).alias("d")
+    ).first()
+    if dim_probe is None or dim_probe["d"] is None:
+        return catalog.current_version(index_table)  # empty batch: no-op
+    if int(dim_probe["d"]) != num_subspaces * dsub:
+        raise ValueError(
+            f"pq_append_to_index: new vectors have dim {dim_probe['d']} "
+            f"but the stored index encodes {num_subspaces} × {dsub} = "
+            f"{num_subspaces * dsub} — the batch belongs to a different "
+            f"embedding space."
+        )
+    new_codes = pq_encode(
+        new_vectors, codebooks.select("j", "code", "cv"), num_subspaces,
+        vec_col=vec_col, id_col=id_col,
+    )
+    fresh = (
+        new_codes.join(codes.select("id"), "id", "left_anti")
+        .localCheckpoint()  # cut lineage: the plan anti-joins the very
+        # table the append rewrites (the same-path-scan lesson,
+        # operators/ingestion.py:377-384)
+    )
+    if fresh.isEmpty():
+        return catalog.current_version(index_table)
+    return HiveOutput(spark, catalog).append_table(
+        WriteSpec(table=index_table), fresh, note="pq_append_to_index"
+    )
 
 
 def pq_query_index(

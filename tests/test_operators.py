@@ -3123,6 +3123,54 @@ def test_ivf_pq_append_to_index(spark, sf_dir, warehouse):
         )
 
 
+def test_pq_append_to_index(spark, sf_dir, warehouse):
+    """PQ incremental maintenance: build on the even half (stride dials
+    equal a full-corpus build at double stride), append the odd half
+    under the stored codebooks — serving equals the direct operator over
+    the FULL corpus; re-delivery is a no-op; wrong-dim and missing-index
+    batches raise. Only ONE table moves, so there is no torn state."""
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+
+    cat = Catalog(warehouse)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 30)
+
+    similarity.pq_build_index(
+        spark, cat, "default.emb_pqa", half_a,
+        centroid_stride=5, max_codes=128,
+    )
+    v1 = similarity.pq_append_to_index(
+        spark, cat, "default.emb_pqa", half_b
+    )
+    inp = HiveInput(spark, cat)
+    assert inp.read_table(
+        ScanSpec(table="default.emb_pqa")
+    ).count() == emb.count()
+    row = similarity.pq_index_consistency_check(
+        spark, cat, "default.emb_pqa", emb, queries, k=5,
+        centroid_stride=10, max_codes=128,
+    ).first()
+    assert row["n_mismatch"] == 0 and row["n_served"] > 0
+    v2 = similarity.pq_append_to_index(
+        spark, cat, "default.emb_pqa", half_b
+    )
+    assert v2 == v1
+    with pytest.raises(Exception):
+        similarity.pq_append_to_index(
+            spark, cat, "default.missing_pq", half_b
+        )
+    wrong_dim = spark.createDataFrame(
+        [(9999, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="different embedding space"):
+        similarity.pq_append_to_index(
+            spark, cat, "default.emb_pqa", wrong_dim
+        )
+
+
 def test_ivf_pq_torn_append_is_consistent_and_repairable(
     spark, sf_dir, warehouse
 ):
