@@ -474,15 +474,20 @@ def cmd_spans(args: argparse.Namespace, stop_session: bool = True) -> int:
 
 
 def cmd_index(args: argparse.Namespace, stop_session: bool = True) -> int:
-    """Persisted LSH ANN index lifecycle from the CLI:
+    """Persisted ANN index lifecycles from the CLI, tier-selected with
+    ``--tier lsh|pq|ivfpq`` (every code-holding tier appends):
 
-    build  — bucket the corpus and persist buckets + meta catalog tables
-             (--planes pins the plane family; default auto-sizes);
-    append — fold new vectors in with the STORED plane family (snapshot
-             append, idempotent on re-delivery);
-    query  — multi-probe top-k served from the stored buckets (corpus
-             side reads buckets, only candidate vectors are rescored);
-    check  — one-row consistency proof: served == direct multiprobe.
+    build  — encode/bucket the corpus and persist the index tables
+             (LSH: buckets+meta, --planes; PQ: codes+codebooks,
+             --stride/--max-codes; IVF-PQ: codes+codebooks+centroids+
+             lists, --stride/--pq-stride/--max-codes);
+    append — fold new vectors in under the STORED geometry (snapshot
+             append, idempotent on re-delivery; IVF-PQ torn appends
+             self-repair on retry);
+    query  — top-k served from the stored tables only (LSH multiprobe
+             rescore; PQ/IVF-PQ ADC over stored codes — raw embeddings
+             never rescanned);
+    check  — one-row consistency proof: served == direct operator.
     """
     from hive_io_experimental_spark.catalog import Catalog
     from hive_io_experimental_spark.input import HiveInput, ScanSpec
@@ -494,41 +499,111 @@ def cmd_index(args: argparse.Namespace, stop_session: bool = True) -> int:
     spark = _build_spark(args.threads)
     cat = Catalog(warehouse)
     corpus = _table_df(spark, args, args.table)
+    tier = args.tier
+
+    def _codes_summary() -> "DataFrame":
+        inp = HiveInput(spark, cat)
+        n_codes = inp.read_table(ScanSpec(table=args.index)).count()
+        n_cb = inp.read_table(
+            ScanSpec(table=f"{args.index}_codebooks")
+        ).count()
+        return spark.createDataFrame(
+            [(args.index, tier, int(n_codes), int(n_cb))],
+            "index string, tier string, n_codes long, n_codebook_rows long",
+        )
+
     if args.action == "build":
-        similarity.lsh_build_index(
-            spark, cat, args.index, corpus, num_planes=args.planes,
-            vec_col=args.vec_col, id_col=args.id_col,
-        )
-        out = HiveInput(spark, cat).read_table(
-            ScanSpec(table=f"{args.index}_meta")
-        )
+        if tier == "lsh":
+            similarity.lsh_build_index(
+                spark, cat, args.index, corpus, num_planes=args.planes,
+                vec_col=args.vec_col, id_col=args.id_col,
+            )
+            out = HiveInput(spark, cat).read_table(
+                ScanSpec(table=f"{args.index}_meta")
+            )
+        elif tier == "pq":
+            similarity.pq_build_index(
+                spark, cat, args.index, corpus,
+                num_subspaces=args.subspaces,
+                centroid_stride=args.stride, max_codes=args.max_codes,
+                vec_col=args.vec_col, id_col=args.id_col,
+            )
+            out = _codes_summary()
+        else:  # ivfpq
+            similarity.ivf_pq_build_index(
+                spark, cat, args.index, corpus,
+                centroid_stride=args.stride,
+                num_subspaces=args.subspaces, pq_stride=args.pq_stride,
+                max_codes=args.max_codes,
+                vec_col=args.vec_col, id_col=args.id_col,
+            )
+            out = _codes_summary()
     elif args.action == "append":
-        version = similarity.lsh_append_to_index(
+        appender = {
+            "lsh": similarity.lsh_append_to_index,
+            "pq": similarity.pq_append_to_index,
+            "ivfpq": similarity.ivf_pq_append_to_index,
+        }[tier]
+        version = appender(
             spark, cat, args.index, corpus,
             vec_col=args.vec_col, id_col=args.id_col,
         )
         print(f"# index {args.index} at version {version}", file=sys.stderr)
-        out = HiveInput(spark, cat).read_table(
-            ScanSpec(table=f"{args.index}_meta")
-        )
+        if tier == "lsh":
+            out = HiveInput(spark, cat).read_table(
+                ScanSpec(table=f"{args.index}_meta")
+            )
+        else:
+            out = _codes_summary()
     elif args.action == "query":
         if not args.queries:
             raise SystemExit("index query requires --queries")
-        out = similarity.lsh_query_index(
-            spark, cat, args.index, corpus,
-            _table_df(spark, args, args.queries),
-            k=args.k, probe_bits=args.probe_bits,
-            vec_col=args.vec_col, id_col=args.id_col,
-        )
+        qdf = _table_df(spark, args, args.queries)
+        if tier == "lsh":
+            out = similarity.lsh_query_index(
+                spark, cat, args.index, corpus, qdf,
+                k=args.k, probe_bits=args.probe_bits,
+                vec_col=args.vec_col, id_col=args.id_col,
+            )
+        elif tier == "pq":
+            out = similarity.pq_query_index(
+                spark, cat, args.index, qdf,
+                k=args.k, num_subspaces=args.subspaces,
+                vec_col=args.vec_col, id_col=args.id_col,
+            )
+        else:
+            out = similarity.ivf_pq_query_index(
+                spark, cat, args.index, qdf,
+                k=args.k, nprobe=args.nprobe,
+                num_subspaces=args.subspaces,
+                vec_col=args.vec_col, id_col=args.id_col,
+            )
     else:  # check
         if not args.queries:
             raise SystemExit("index check requires --queries")
-        out = similarity.lsh_index_consistency_check(
-            spark, cat, args.index, corpus,
-            _table_df(spark, args, args.queries),
-            k=args.k, probe_bits=args.probe_bits,
-            vec_col=args.vec_col, id_col=args.id_col,
-        )
+        qdf = _table_df(spark, args, args.queries)
+        if tier == "lsh":
+            out = similarity.lsh_index_consistency_check(
+                spark, cat, args.index, corpus, qdf,
+                k=args.k, probe_bits=args.probe_bits,
+                vec_col=args.vec_col, id_col=args.id_col,
+            )
+        elif tier == "pq":
+            out = similarity.pq_index_consistency_check(
+                spark, cat, args.index, corpus, qdf,
+                k=args.k, num_subspaces=args.subspaces,
+                centroid_stride=args.stride, max_codes=args.max_codes,
+                vec_col=args.vec_col, id_col=args.id_col,
+            )
+        else:
+            out = similarity.ivf_pq_index_consistency_check(
+                spark, cat, args.index, corpus, qdf,
+                k=args.k, nprobe=args.nprobe,
+                centroid_stride=args.stride,
+                num_subspaces=args.subspaces, pq_stride=args.pq_stride,
+                max_codes=args.max_codes,
+                vec_col=args.vec_col, id_col=args.id_col,
+            )
     print(args.separator.join(out.columns))
     n = 0
     for row in out.toLocalIterator():
@@ -983,9 +1058,24 @@ def build_parser() -> argparse.ArgumentParser:
 
     ix = sub.add_parser(
         "index",
-        help="persisted LSH ANN index: build / append / query / check",
+        help="persisted ANN index (lsh/pq/ivfpq): build / append / "
+             "query / check",
     )
     ix.add_argument("action", choices=("build", "append", "query", "check"))
+    ix.add_argument("--tier", choices=("lsh", "pq", "ivfpq"),
+                    default="lsh",
+                    help="index tier (default lsh); every tier appends")
+    ix.add_argument("--subspaces", type=int, default=4,
+                    help="PQ subspace count (pq/ivfpq)")
+    ix.add_argument("--stride", type=int, default=50,
+                    help="centroid/codebook sampling stride (pq/ivfpq "
+                         "build + check)")
+    ix.add_argument("--pq-stride", type=int, default=5,
+                    help="PQ codebook stride (ivfpq build + check)")
+    ix.add_argument("--max-codes", type=int, default=128,
+                    help="codebook size cap per subspace (pq/ivfpq)")
+    ix.add_argument("--nprobe", type=int, default=2,
+                    help="probed inverted lists per query (ivfpq)")
     ix.add_argument("--table", required=True,
                     help="corpus db.table (with --warehouse) or parquet "
                          "path holding the embedding column")

@@ -503,6 +503,70 @@ def test_cli_index_lifecycle(spark, tmp_path, capsys):
     assert n_q == "10" and n_mism == "0"
 
 
+def test_cli_index_lifecycle_pq_and_ivfpq_tiers(spark, tmp_path, capsys):
+    """--tier pq / ivfpq: build on the even half at stride 5, append the
+    odd half under the stored geometry, then check against the direct
+    operator at the equivalent full-corpus stride 10 — n_mismatch 0 end
+    to end from the CLI (the similarity_*_append gates' proof, driven
+    through the user surface)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    half_a = tmp_path / "half_a"
+    half_b = tmp_path / "half_b"
+    queries = tmp_path / "queries"
+    emb.filter("vec_id % 2 = 0").write.parquet(str(half_a))
+    emb.filter("vec_id % 2 = 1").write.parquet(str(half_b))
+    emb.filter("vec_id < 10").write.parquet(str(queries))
+    allv = tmp_path / "all"
+    emb.write.parquet(str(allv))
+    wh = str(tmp_path / "wh")
+    os.makedirs(wh, exist_ok=True)
+
+    for tier, idx in (("pq", "default.emb_pq"), ("ivfpq", "default.emb_ip")):
+        rc = main(
+            ["index", "build", "--tier", tier, "--table", str(half_a),
+             "--index", idx, "--stride", "5", "--pq-stride", "5",
+             "--max-codes", "128", "--warehouse", wh],
+            stop_session=False,
+        )
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        assert out[0].split("\t") == [
+            "index", "tier", "n_codes", "n_codebook_rows",
+        ]
+        rc = main(
+            ["index", "append", "--tier", tier, "--table", str(half_b),
+             "--index", idx, "--warehouse", wh],
+            stop_session=False,
+        )
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        assert int(out[1].split("\t")[2]) == emb.count()  # n_codes
+        rc = main(
+            ["index", "query", "--tier", tier, "--table", str(allv),
+             "--queries", str(queries), "--index", idx, "--k", "3",
+             "--warehouse", wh],
+            stop_session=False,
+        )
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        assert out[0].split("\t") == [
+            "query_id", "neighbor_id", "adc_score", "rank",
+        ]
+        assert len(out) > 1
+        rc = main(
+            ["index", "check", "--tier", tier, "--table", str(allv),
+             "--queries", str(queries), "--index", idx, "--k", "3",
+             "--stride", "10", "--pq-stride", "10", "--max-codes", "128",
+             "--warehouse", wh],
+            stop_session=False,
+        )
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        assert out[0].split("\t") == ["n_queries", "n_served", "n_mismatch"]
+        n_q, _n_served, n_mism = out[1].split("\t")
+        assert n_q == "10" and n_mism == "0", f"tier {tier}: {out[1]}"
+
+
 def test_cli_dedup_semantic(spark, tmp_path, capsys):
     emb = tmp_path / "emb"
     spark.createDataFrame(
