@@ -109,10 +109,14 @@ def lsh_candidates_stream(
     The stored geometry (num_planes, dim, build_id) is probed once at
     plan-construction time from the meta table; a torn rebuild (mixed
     build_id stamps between meta and buckets) is refused exactly like the
-    batch path. NOTE: this is plan-time only — the static bucket table is
-    re-read every micro-batch, so use serve_lsh_topk_stream (which
-    re-validates the stamps inside every batch) for long-running serving;
-    a raw candidates stream has no mid-stream rebuild detection.
+    batch path. Snapshot semantics: the versioned read pins the PLANNED
+    snapshot's manifest, so every micro-batch scans that snapshot's
+    files — an APPEND mid-stream never changes (or tears) the served
+    candidate set (pytest-pinned; restart to serve appended vectors),
+    while a REBUILD deletes the planned files out from under the scan.
+    Use serve_lsh_topk_stream (which re-validates the stamps around
+    every batch) for long-running serving; a raw candidates stream has
+    no mid-stream rebuild detection of its own.
     ``corpus`` supplies candidate vectors for the rescore and must be the
     corpus the index was built over (static frame).
     """
@@ -205,10 +209,15 @@ def serve_lsh_topk_stream(
 
     The stored index's stamps are re-validated INSIDE every micro-batch,
     both BEFORE the batch's rank+sink and again AFTER the sink returns
-    (two 1-row probes each side): the static bucket table is re-read per
-    trigger, so a plan-construction-time check alone would let a
-    mid-stream rebuild — torn or clean — serve candidates against the
-    wrong plane family with no error (r11 ADVICE). The pre-check alone
+    (two fresh 1-row probes each side): the candidates plan pins the
+    PLANNED snapshot's manifest, so a mid-stream REBUILD (drop +
+    recreate) deletes the planned files out from under the scan — a
+    plan-construction-time check alone would surface that as an opaque
+    missing-file error at best, or stale-cache wrong-plane candidates
+    at worst (r11 ADVICE). An APPEND, by contrast, keeps the build_id
+    AND leaves the planned snapshot's files intact: the stream serves
+    through it on the planned snapshot (snapshot isolation,
+    pytest-pinned) and appended vectors become servable on restart. The pre-check alone
     was check-then-use: the bucket table is actually READ while the sink
     materializes the batch, so a rebuild landing between the check and
     the read could still serve one batch from the new plane family

@@ -900,6 +900,92 @@ def test_lsh_topk_stream_detects_midbatch_rebuild(spark, sf_dir, tmp_path):
         q.awaitTermination(300)
 
 
+def test_lsh_topk_stream_serves_planned_snapshot_across_append(
+    spark, sf_dir, tmp_path
+):
+    """An APPEND is not a rebuild: it keeps the plane family and
+    build_id, so the per-batch stamp checks keep the stream ALIVE across
+    an ingestion tick — and because versioned reads pin the planned
+    snapshot's manifest, the running stream keeps serving EXACTLY the
+    candidates it planned against (snapshot isolation — never a torn
+    view of a mid-append table). Appended vectors become servable on
+    the next stream START, with no rebuild. This pins the design line:
+    append = serve-through on the planned snapshot, rebuild = loud
+    stop."""
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators import similarity
+    from hive_io_experimental_spark.streaming.similarity import (
+        serve_lsh_topk_stream,
+    )
+
+    cat = Catalog(str(tmp_path / "wh"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    similarity.lsh_build_index(spark, cat, "default.emb_lsh_ap", half_a,
+                               num_planes=4)
+    queries = emb.filter(F.col("vec_id") < 20)
+    src = str(tmp_path / "qsrc")
+    queries.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(queries.schema).parquet(src)
+
+    got: list = []
+
+    def _sink(df, epoch):
+        got.extend(df.collect())
+
+    writer = serve_lsh_topk_stream(
+        spark, cat, "default.emb_lsh_ap", stream, emb,
+        sink_fn=_sink, k=5, probe_bits=1,
+    )
+    # append lands AFTER planning, BEFORE the first batch: the stream
+    # must survive it (same build_id) and serve the PLANNED snapshot
+    similarity.lsh_append_to_index(
+        spark, cat, "default.emb_lsh_ap", half_b
+    )
+    q = writer.trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ckpt_ap")
+    ).start()
+    q.awaitTermination(300)
+    assert not q.exception()
+    assert got, "stream served no rows"
+    # planned snapshot = the half_a build: candidates are even ids only,
+    # and the rows equal direct multiprobe over the build half
+    assert all(r.neighbor_id % 2 == 0 for r in got)
+    pre_append = {
+        tuple(r)
+        for r in similarity.cosine_topk_multiprobe(
+            half_a, queries, k=5, num_planes=4, probe_bits=1
+        ).collect()
+    }
+    assert {tuple(r) for r in got} == pre_append
+    # a RESTARTED stream plans against the appended snapshot: the odd
+    # half is servable with no rebuild
+    got2: list = []
+    stream2 = spark.readStream.schema(queries.schema).parquet(src)
+    writer2 = serve_lsh_topk_stream(
+        spark, cat, "default.emb_lsh_ap", stream2, emb,
+        sink_fn=lambda df, e: got2.extend(df.collect()),
+        k=5, probe_bits=1,
+    )
+    q2 = writer2.trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ckpt_ap2")
+    ).start()
+    q2.awaitTermination(300)
+    assert not q2.exception()
+    assert any(r.neighbor_id % 2 == 1 for r in got2), (
+        "appended vectors not servable after restart"
+    )
+    batch = {
+        tuple(r)
+        for r in similarity.lsh_query_index(
+            spark, cat, "default.emb_lsh_ap", emb, queries,
+            k=5, probe_bits=1,
+        ).collect()
+    }
+    assert {tuple(r) for r in got2} == batch
+
+
 def test_lsh_topk_stream_parity_at_all_probe_depths(spark, sf_dir, tmp_path):
     """Stream serving == batch serving at probe_bits 0 AND 2 as well
     (the first test pins 1): the probe fan-out width must not change
