@@ -5698,17 +5698,25 @@ def oracle_sql() -> dict[str, str]:
                (SUM(hit) * 1.0 / COUNT(*)) >= 0.25 AS recall_ok
         FROM jx"""
 
-    # IVF-PQ twins (new r10): the similarity_ivf_quantized assignment/
-    # probe CTEs (stride-50 coarse quantizer, nprobe 2, fp32 cosine)
-    # composed with the similarity_pq_topk codebook/encode/LUT CTEs
-    # (stride-5/128-capped sampled codebooks on unit vectors) — ADC
-    # scoring restricted to probed lists via the cid equi-join. Zero-norm
-    # rows drop from the scored side on both engines (codes/luts exist
-    # only for unit-normalizable vectors; the codes join is inner).
-    _ivfpq_ctes = f"""
+    # IVF-PQ twins (new r10, ONE parameterized builder since r13): the
+    # similarity_ivf_quantized assignment/probe CTEs (stride-``cs``
+    # coarse quantizer, nprobe 2, fp32 cosine) composed with the
+    # similarity_pq_topk codebook/encode/LUT CTEs (stride-``ps``/
+    # ``cap``-capped sampled codebooks on unit vectors) — ADC scoring
+    # restricted to probed lists via the cid equi-join. Zero-norm rows
+    # drop from the scored side on both engines (codes/luts exist only
+    # for unit-normalizable vectors; the codes join is inner). The index
+    # twins instantiate it at 50/5 (the build defaults at fixture scale)
+    # and the append twins at 10/10 (= even-half build at 5/5) — one
+    # definition, so a future fix to the shared replay cannot silently
+    # diverge them (r13 review).
+    def _ivfpq_ctes_at(cs: int, ps: int, cap: int = 128,
+                       qbound: int = 200) -> str:
+        return f"""
         v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
               FROM embeddings),
-        cents AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id % 50 = 0),
+        v0 AS (SELECT * FROM v),
+        cents AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id % {cs} = 0),
         ca AS (SELECT s.vec_id, c.cid,
                       ROW_NUMBER() OVER (PARTITION BY s.vec_id
                                          ORDER BY {_CCOS} DESC, c.cid ASC) AS rn
@@ -5717,9 +5725,35 @@ def oracle_sql() -> dict[str, str]:
         qa AS (SELECT s.vec_id AS qid, c.cid,
                       ROW_NUMBER() OVER (PARTITION BY s.vec_id
                                          ORDER BY {_CCOS} DESC, c.cid ASC) AS rn
-               FROM v s CROSS JOIN cents c WHERE s.vec_id < 200),
+               FROM v s CROSS JOIN cents c WHERE s.vec_id < {qbound}),
         probe AS (SELECT qid, cid FROM qa WHERE rn <= 2),
-        {_pq_ctes.replace("pq_scored", "pq_all").replace("pq_ranked", "pq_all_ranked").strip()},
+        u AS (SELECT vec_id,
+                     list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+              FROM v WHERE sqrt(list_dot_product(v, v)) > 0),
+        cb0 AS (SELECT s.j,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY s.j
+                                               ORDER BY u.vec_id) - 1 AS INT) AS code,
+                       u.v[s.j*16+1 : (s.j+1)*16] AS cv
+                FROM u CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS j) s
+                WHERE u.vec_id % {ps} = 0),
+        cb AS (SELECT * FROM cb0 WHERE code < {cap}),
+        sub AS (SELECT u.vec_id, s.j, u.v[s.j*16+1 : (s.j+1)*16] AS sv
+                FROM u CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS j) s),
+        enc AS (SELECT t.vec_id, t.j, cb.code,
+                       ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.j
+                                          ORDER BY (list_dot_product(t.sv, cb.cv)
+                                                    - 0.5 * list_dot_product(cb.cv, cb.cv)) DESC,
+                                                   cb.code ASC) AS rn
+                FROM sub t JOIN cb ON cb.j = t.j),
+        codes AS (SELECT vec_id, list(code ORDER BY j) AS codes
+                  FROM enc WHERE rn = 1 GROUP BY vec_id),
+        ql AS (SELECT u.vec_id AS query_id, cb.j, cb.code,
+                      list_dot_product(u.v[cb.j*16+1 : (cb.j+1)*16], cb.cv) AS pdot
+               FROM u CROSS JOIN cb WHERE u.vec_id < {qbound}),
+        lr AS (SELECT query_id, j, list(pdot ORDER BY code) AS lrow
+               FROM ql GROUP BY query_id, j),
+        lt AS (SELECT query_id, list(lrow ORDER BY j) AS lut
+               FROM lr GROUP BY query_id),
         ivfpq_scored AS (SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
                                 ROUND(list_reduce(list_transform([0,1,2,3],
                                       j -> l.lut[j+1][c.codes[j+1]+1]),
@@ -5733,6 +5767,8 @@ def oracle_sql() -> dict[str, str]:
                                                    ORDER BY adc_score DESC,
                                                             neighbor_id ASC) AS rank
                          FROM ivfpq_scored)"""
+
+    _ivfpq_ctes = _ivfpq_ctes_at(50, 5)
 
     o["similarity_ivf_pq_topk"] = f"""
         WITH {_ivfpq_ctes}
@@ -5757,60 +5793,7 @@ def oracle_sql() -> dict[str, str]:
     # dense code numbering follows id order), so the twin replays the
     # from-scratch stride-10 computation; mismatch pinned at 0 (a
     # Spark-side mismatch breaks the hash)
-    _ivfpq10_ctes = f"""
-        v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-              FROM embeddings),
-        cents AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id % 10 = 0),
-        ca AS (SELECT s.vec_id, c.cid,
-                      ROW_NUMBER() OVER (PARTITION BY s.vec_id
-                                         ORDER BY {_CCOS} DESC, c.cid ASC) AS rn
-               FROM v s CROSS JOIN cents c),
-        assigned AS (SELECT vec_id, cid FROM ca WHERE rn = 1),
-        qa AS (SELECT s.vec_id AS qid, c.cid,
-                      ROW_NUMBER() OVER (PARTITION BY s.vec_id
-                                         ORDER BY {_CCOS} DESC, c.cid ASC) AS rn
-               FROM v s CROSS JOIN cents c WHERE s.vec_id < 200),
-        probe AS (SELECT qid, cid FROM qa WHERE rn <= 2),
-        u AS (SELECT vec_id,
-                     list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
-              FROM v WHERE sqrt(list_dot_product(v, v)) > 0),
-        cb0 AS (SELECT s.j,
-                       CAST(ROW_NUMBER() OVER (PARTITION BY s.j
-                                               ORDER BY u.vec_id) - 1 AS INT) AS code,
-                       u.v[s.j*16+1 : (s.j+1)*16] AS cv
-                FROM u CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS j) s
-                WHERE u.vec_id % 10 = 0),
-        cb AS (SELECT * FROM cb0 WHERE code < 128),
-        sub AS (SELECT u.vec_id, s.j, u.v[s.j*16+1 : (s.j+1)*16] AS sv
-                FROM u CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS j) s),
-        enc AS (SELECT t.vec_id, t.j, cb.code,
-                       ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.j
-                                          ORDER BY (list_dot_product(t.sv, cb.cv)
-                                                    - 0.5 * list_dot_product(cb.cv, cb.cv)) DESC,
-                                                   cb.code ASC) AS rn
-                FROM sub t JOIN cb ON cb.j = t.j),
-        codes AS (SELECT vec_id, list(code ORDER BY j) AS codes
-                  FROM enc WHERE rn = 1 GROUP BY vec_id),
-        ql AS (SELECT u.vec_id AS query_id, cb.j, cb.code,
-                      list_dot_product(u.v[cb.j*16+1 : (cb.j+1)*16], cb.cv) AS pdot
-               FROM u CROSS JOIN cb WHERE u.vec_id < 200),
-        lr AS (SELECT query_id, j, list(pdot ORDER BY code) AS lrow
-               FROM ql GROUP BY query_id, j),
-        lt AS (SELECT query_id, list(lrow ORDER BY j) AS lut
-               FROM lr GROUP BY query_id),
-        ivfpq_scored AS (SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
-                                ROUND(list_reduce(list_transform([0,1,2,3],
-                                      j -> l.lut[j+1][c.codes[j+1]+1]),
-                                      (x, y) -> x + y), 6) AS adc_score
-                         FROM probe p
-                         JOIN assigned a ON p.cid = a.cid AND p.qid <> a.vec_id
-                         JOIN codes c ON c.vec_id = a.vec_id
-                         JOIN lt l ON l.query_id = p.qid),
-        ivfpq_ranked AS (SELECT query_id, neighbor_id, adc_score,
-                                ROW_NUMBER() OVER (PARTITION BY query_id
-                                                   ORDER BY adc_score DESC,
-                                                            neighbor_id ASC) AS rank
-                         FROM ivfpq_scored)"""
+    _ivfpq10_ctes = _ivfpq_ctes_at(10, 10)
 
     o["similarity_ivfpq_append"] = f"""
         WITH {_ivfpq10_ctes}

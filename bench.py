@@ -286,11 +286,21 @@ def main() -> int:
     import time as _time
 
     try:
+        _here = os.path.dirname(os.path.abspath(__file__))
         _head = _sp.run(
-            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
-             "rev-parse", "HEAD"],
+            ["git", "-C", _here, "rev-parse", "HEAD"],
             capture_output=True, text=True, timeout=30, check=True,
         ).stdout.strip()
+        # a dirty worktree means the measured code is NOT the commit the
+        # stamp names — mark it so bench_merge refuses to fold such a
+        # pass into a record (two dirty passes at one HEAD can be two
+        # different uncommitted plans)
+        _dirty = _sp.run(
+            ["git", "-C", _here, "status", "--porcelain"],
+            capture_output=True, text=True, timeout=30, check=True,
+        ).stdout.strip()
+        if _dirty:
+            _head += "+dirty"
     except (OSError, _sp.SubprocessError):
         _head = None
     result = {

@@ -2437,7 +2437,14 @@ def pq_build_index(
     out = HiveOutput(spark, catalog)
     # the codes table is VERSIONED: pq_append_to_index folds new vectors
     # in as snapshot appends (and time-travel reads the index as-of any
-    # tick); the codebooks are the immutable geometry
+    # tick); the codebooks are the immutable geometry. Both tables carry
+    # one shared build_id: the drop-then-write across two tables is not
+    # atomic, and a crash between them leaves NEW codebooks with
+    # OLD-codebook codes — mixed stamps, which the read paths REFUSE
+    # instead of serving silently-wrong ADC scores (the ivf_pq fence).
+    import uuid
+
+    bid = uuid.uuid4().hex
     for tbl, schema, df, versioned in (
         (
             cb_table,
@@ -2445,6 +2452,7 @@ def pq_build_index(
                 ("j", T.IntegerType()),
                 ("code", T.IntegerType()),
                 ("cv", T.ArrayType(T.DoubleType())),
+                ("build_id", T.StringType()),
             )),
             codebooks,
             False,
@@ -2454,6 +2462,7 @@ def pq_build_index(
             HiveTableSchema((
                 ("id", corpus.schema[id_col].dataType),
                 ("codes", T.ArrayType(T.LongType())),
+                ("build_id", T.StringType()),
             )),
             codes,
             True,
@@ -2462,7 +2471,9 @@ def pq_build_index(
         if catalog.table_exists(tbl):
             catalog.drop_table(tbl, delete_data=True)
         catalog.create_table(tbl, schema, versioned=versioned)
-        out.write_table(WriteSpec(table=tbl), df)
+        out.write_table(
+            WriteSpec(table=tbl), df.withColumn("build_id", F.lit(bid))
+        )
 
 
 def pq_append_to_index(
@@ -2481,9 +2492,12 @@ def pq_append_to_index(
     stored ids (idempotent — a re-delivered batch appends nothing and
     the version does not advance). The codebooks are the index identity
     and are untouched, so every consumer keeps serving mid-append; only
-    ONE table moves, so there is no torn-append state at all (unlike
-    IVF-PQ's two-table append). Returns the committed snapshot version
-    (or the current one on a no-op).
+    ONE table moves, so there is no torn-APPEND state at all (unlike
+    IVF-PQ's two-table append). A torn REBUILD (crash between the
+    codebook and codes rewrites) is a different tear — stamp-fenced:
+    appending onto mixed build_id stamps is refused, as is serving them
+    (pq_query_index). Returns the committed snapshot version (or the
+    current one on a no-op).
 
     The IVF tier needs no sibling: its persisted artifact is only the
     trained coarse quantizer (ivf_build_index) — serving takes the
@@ -2498,6 +2512,21 @@ def pq_append_to_index(
         ScanSpec(table=f"{index_table}_codebooks")
     )
     codes = inp.read_table(ScanSpec(table=index_table))
+    stamps = {}
+    for name, df in (("codebooks", codebooks), ("codes", codes)):
+        stamps[name] = _index_stamp(
+            "pq_append_to_index", index_table, name, df,
+            rebuild="pq_build_index",
+        )
+    if len(set(stamps.values())) > 1:
+        raise ValueError(
+            f"pq_append_to_index: index {index_table} has mixed build_id "
+            f"stamps across its tables ({stamps}) — a rebuild was torn "
+            f"mid-way; appending would entrench the tear (new-codebook "
+            f"encodings into an old-codebook codes table). Re-run "
+            f"pq_build_index first."
+        )
+    bid = stamps["codes"]
     geo = codebooks.agg(
         F.first(F.size("cv")).alias("dsub"),
         (F.max("j") + 1).alias("m"),
@@ -2508,24 +2537,18 @@ def pq_append_to_index(
             f"{index_table}_codebooks — run pq_build_index first"
         )
     num_subspaces, dsub = int(geo["m"]), int(geo["dsub"])
-    dim_probe = new_vectors.select(
-        F.first(F.size(F.col(vec_col)), ignorenulls=True).alias("d")
-    ).first()
-    if dim_probe is None or dim_probe["d"] is None:
+    if not _check_append_batch(
+        "pq_append_to_index", new_vectors, num_subspaces * dsub,
+        vec_col, id_col,
+    ):
         return catalog.current_version(index_table)  # empty batch: no-op
-    if int(dim_probe["d"]) != num_subspaces * dsub:
-        raise ValueError(
-            f"pq_append_to_index: new vectors have dim {dim_probe['d']} "
-            f"but the stored index encodes {num_subspaces} × {dsub} = "
-            f"{num_subspaces * dsub} — the batch belongs to a different "
-            f"embedding space."
-        )
     new_codes = pq_encode(
         new_vectors, codebooks.select("j", "code", "cv"), num_subspaces,
         vec_col=vec_col, id_col=id_col,
     )
     fresh = (
         new_codes.join(codes.select("id"), "id", "left_anti")
+        .withColumn("build_id", F.lit(bid))
         .localCheckpoint()  # cut lineage: the plan anti-joins the very
         # table the append rewrites (the same-path-scan lesson,
         # operators/ingestion.py:377-384)
@@ -2535,6 +2558,47 @@ def pq_append_to_index(
     return HiveOutput(spark, catalog).append_table(
         WriteSpec(table=index_table), fresh, note="pq_append_to_index"
     )
+
+
+def _check_append_batch(
+    op: str,
+    new_vectors: DataFrame,
+    expect_dim: int,
+    vec_col: str,
+    id_col: str,
+) -> bool:
+    """One-job batch-hygiene fence shared by the index appends; returns
+    False for an empty batch (callers no-op). A batch holding the SAME
+    id twice would commit duplicate index rows (the anti-join dedups
+    only against STORED ids — idempotency is cross-batch, not
+    within-batch), and a NULL or wrong-dimension embedding would be
+    silently dropped by the unit-vector stage or mis-sliced by the
+    encoder. Both are upstream delivery bugs; both raise here naming
+    the row counts (the random_projection fail-loud discipline)."""
+    row = new_vectors.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.col(id_col)).alias("n_ids"),
+        F.count(
+            F.when(F.size(F.col(vec_col)) == expect_dim, 1)
+        ).alias("n_good"),
+    ).first()
+    if row is None or row["n"] == 0:
+        return False
+    if row["n_ids"] < row["n"]:
+        raise ValueError(
+            f"{op}: the batch holds {row['n'] - row['n_ids']} duplicate "
+            f"{id_col} rows — within-batch duplicates would commit twice "
+            f"(the anti-join dedups only against stored ids). Dedup the "
+            f"batch first."
+        )
+    if row["n_good"] < row["n"]:
+        raise ValueError(
+            f"{op}: {row['n'] - row['n_good']} of {row['n']} batch rows "
+            f"have a NULL embedding or length != {expect_dim} — they "
+            f"would be silently dropped or mis-encoded. Fix or filter "
+            f"the batch first."
+        )
+    return True
 
 
 def pq_query_index(
@@ -2551,7 +2615,15 @@ def pq_query_index(
     side reads only the codes table (m longs per vector) plus the few-KB
     codebooks — the raw embedding column is never rescanned, which is
     the point of the index at 100 TB. Same small-query broadcast
-    contract as pq_topk."""
+    contract as pq_topk.
+
+    Serving preconditions (raise, never silently-wrong scores — the
+    ivf_pq_query_index fence): the two tables' ``build_id`` stamps must
+    agree (a crash between the codebook and codes rewrites leaves NEW
+    codebooks scoring OLD-codebook codes), and ``num_subspaces`` must
+    match the stored codebooks' subspace count (a mismatch sums the
+    wrong LUT cells — truncated or NULL scores, no error, with ANSI
+    off)."""
     from hive_io_experimental_spark.input import HiveInput, ScanSpec
 
     _require_small_query_side(
@@ -2562,10 +2634,34 @@ def pq_query_index(
         ScanSpec(table=f"{index_table}_codebooks")
     )
     codes = inp.read_table(ScanSpec(table=index_table))
-    probe = codebooks.select(F.size("cv").alias("d")).first()
-    if probe is None:
+    stamps = {}
+    for name, df in (("codebooks", codebooks), ("codes", codes)):
+        stamps[name] = _index_stamp(
+            "pq_query_index", index_table, name, df,
+            rebuild="pq_build_index",
+        )
+    if len(set(stamps.values())) > 1:
+        raise ValueError(
+            f"pq_query_index: index {index_table} has mixed build_id "
+            f"stamps across its tables ({stamps}) — a rebuild was torn "
+            f"mid-way. Re-run pq_build_index before serving."
+        )
+    codebooks = codebooks.select("j", "code", "cv")
+    codes = codes.select("id", "codes")
+    probe = codebooks.agg(
+        F.first(F.size("cv")).alias("d"),
+        (F.max("j") + 1).alias("m"),
+    ).first()
+    if probe is None or probe["d"] is None:
         raise ValueError(
             f"pq_query_index: empty codebook table {index_table}_codebooks"
+        )
+    if probe["m"] != num_subspaces:
+        raise ValueError(
+            f"pq_query_index: num_subspaces={num_subspaces} does not "
+            f"match the stored index ({index_table}_codebooks holds "
+            f"{probe['m']} subspaces). Pass num_subspaces={probe['m']} — "
+            f"a mismatch would misindex the stored codes."
         )
     dsub = probe["d"]
     qu = _unit_vectors(queries, vec_col, id_col)
@@ -2960,18 +3056,11 @@ def ivf_pq_append_to_index(
             f"{index_table}_codebooks"
         )
     num_subspaces, dsub = int(geo["m"]), int(geo["dsub"])
-    dim_probe = new_vectors.select(
-        F.first(F.size(F.col(vec_col)), ignorenulls=True).alias("d")
-    ).first()
-    if dim_probe is None or dim_probe["d"] is None:
+    if not _check_append_batch(
+        "ivf_pq_append_to_index", new_vectors, num_subspaces * dsub,
+        vec_col, id_col,
+    ):
         return catalog.current_version(index_table)  # empty batch: no-op
-    if int(dim_probe["d"]) != num_subspaces * dsub:
-        raise ValueError(
-            f"ivf_pq_append_to_index: new vectors have dim "
-            f"{dim_probe['d']} but the stored index encodes "
-            f"{num_subspaces} × {dsub} = {num_subspaces * dsub} — the "
-            f"batch belongs to a different embedding space."
-        )
     cent_rows = [r.asDict() for r in cents.select("cid", "cv").collect()]
     if not cent_rows:
         raise ValueError(
@@ -3375,6 +3464,11 @@ def lsh_append_to_index(
             f"lsh_append_to_index: empty meta table {index_table}_meta — "
             f"run lsh_build_index first"
         )
+    if not _check_append_batch(
+        "lsh_append_to_index", new_vectors, int(meta["dim"]),
+        vec_col, id_col,
+    ):
+        return catalog.current_version(index_table)  # empty batch: no-op
     qb = hyperplane_lsh_buckets(
         new_vectors, int(meta["num_planes"]), vec_col, id_col,
         dim=int(meta["dim"]),

@@ -3117,7 +3117,7 @@ def test_ivf_pq_append_to_index(spark, sf_dir, warehouse):
     wrong_dim = spark.createDataFrame(
         [(9999, [1.0, 2.0])], "vec_id long, embedding array<double>"
     )
-    with pytest.raises(ValueError, match="different embedding space"):
+    with pytest.raises(ValueError, match="NULL embedding or length"):
         similarity.ivf_pq_append_to_index(
             spark, cat, "default.emb_ivfpqa", wrong_dim
         )
@@ -3165,10 +3165,98 @@ def test_pq_append_to_index(spark, sf_dir, warehouse):
     wrong_dim = spark.createDataFrame(
         [(9999, [1.0, 2.0])], "vec_id long, embedding array<double>"
     )
-    with pytest.raises(ValueError, match="different embedding space"):
+    with pytest.raises(ValueError, match="NULL embedding or length"):
         similarity.pq_append_to_index(
             spark, cat, "default.emb_pqa", wrong_dim
         )
+
+
+def test_pq_index_refuses_torn_rebuild_and_wrong_subspaces(
+    spark, sf_dir, warehouse
+):
+    """The PQ tables now carry the shared build_id: a crash between the
+    codebook and codes rewrites (new codebooks, old codes) must be
+    REFUSED by both the serve and append paths, and a num_subspaces that
+    disagrees with the stored codebooks must raise instead of summing
+    the wrong LUT cells (review findings, r13)."""
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    cat = Catalog(warehouse)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    similarity.pq_build_index(
+        spark, cat, "default.emb_pqt", emb, centroid_stride=5,
+        max_codes=128,
+    )
+    with pytest.raises(ValueError, match="num_subspaces=8 does not"):
+        similarity.pq_query_index(
+            spark, cat, "default.emb_pqt", queries, k=3, num_subspaces=8
+        )
+    # manufacture the torn-rebuild state: codebooks re-stamped, codes old
+    cb_schema = HiveTableSchema((
+        ("j", T.IntegerType()),
+        ("code", T.IntegerType()),
+        ("cv", T.ArrayType(T.DoubleType())),
+        ("build_id", T.StringType()),
+    ))
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+
+    cb = HiveInput(spark, cat).read_table(
+        ScanSpec(table="default.emb_pqt_codebooks")
+    ).drop("build_id").withColumn(
+        "build_id", F.lit("torn-stamp")
+    ).localCheckpoint()
+    cat.drop_table("default.emb_pqt_codebooks", delete_data=True)
+    cat.create_table("default.emb_pqt_codebooks", cb_schema)
+    HiveOutput(spark, cat).write_table(
+        WriteSpec(table="default.emb_pqt_codebooks"), cb
+    )
+    with pytest.raises(ValueError, match="mixed build_id"):
+        similarity.pq_query_index(
+            spark, cat, "default.emb_pqt", queries, k=3
+        )
+    with pytest.raises(ValueError, match="mixed build_id"):
+        similarity.pq_append_to_index(
+            spark, cat, "default.emb_pqt", emb
+        )
+
+
+def test_index_appends_refuse_dirty_batches(spark, sf_dir, warehouse):
+    """Within-batch duplicate ids and NULL embeddings raise on every
+    append path (the anti-join only dedups against STORED ids, so a
+    duplicated delivery row would commit twice; a NULL embedding would
+    be silently dropped by the unit-vector stage)."""
+    from hive_io_experimental_spark.catalog import Catalog
+
+    cat = Catalog(warehouse)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    similarity.pq_build_index(
+        spark, cat, "default.emb_pqd", emb.filter(F.col("vec_id") % 2 == 0),
+        centroid_stride=5, max_codes=128,
+    )
+    similarity.lsh_build_index(
+        spark, cat, "default.emb_lshd",
+        emb.filter(F.col("vec_id") % 2 == 0), num_planes=4,
+    )
+    one = emb.filter(F.col("vec_id") == 1)
+    dup_batch = one.unionAll(one)
+    null_batch = spark.createDataFrame(
+        [(9991, None)], "vec_id long, embedding array<double>"
+    )
+    for appender, idx in (
+        (similarity.pq_append_to_index, "default.emb_pqd"),
+        (similarity.lsh_append_to_index, "default.emb_lshd"),
+    ):
+        with pytest.raises(ValueError, match="duplicate"):
+            appender(spark, cat, idx, dup_batch)
+        with pytest.raises(ValueError, match="NULL embedding or length"):
+            appender(spark, cat, idx, null_batch)
+        # and an actually-empty batch stays a quiet no-op
+        appender(spark, cat, idx, one.filter(F.col("vec_id") < 0))
 
 
 def test_ivf_pq_torn_append_is_consistent_and_repairable(

@@ -84,6 +84,34 @@ def main() -> int:
             f"bench.py for unstamped passes; never fold a new pass into "
             f"an older record)"
         )
+    if any(h.endswith("+dirty") for h in heads):
+        raise SystemExit(
+            f"refusing to merge dirty-worktree passes (head {heads}): the "
+            f"stamp names a commit the measured code does not match, and "
+            f"two dirty passes can be two different uncommitted plans. "
+            f"Commit first, then re-run bench.py."
+        )
+    # same-SITTING fence: same-HEAD passes taken days apart mix machine-
+    # load regimes into one sample pool — the unreproducible-median
+    # failure the epoch stamp exists to close. 4h comfortably covers
+    # back-to-back passes (~20 min each) and blocks the next-week case.
+    stamps_in = sorted(
+        d["generated_at"] for d in passes if d.get("generated_at")
+    )
+    if len(stamps_in) == len(passes) and stamps_in:
+        import datetime as _dt
+
+        fmt = "%Y-%m-%dT%H:%M:%SZ"
+        span = (
+            _dt.datetime.strptime(stamps_in[-1], fmt)
+            - _dt.datetime.strptime(stamps_in[0], fmt)
+        ).total_seconds()
+        if span > 4 * 3600:
+            raise SystemExit(
+                f"refusing to merge passes {span / 3600:.1f}h apart: a "
+                f"record is ONE sitting (<= 4h window) at one commit — "
+                f"start a fresh record instead of folding into an old one"
+            )
 
     pool: dict[str, list[float]] = {}
     for d in passes:
