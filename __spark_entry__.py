@@ -2794,35 +2794,35 @@ _CORE_GATES = [
     "multimodal_decode",
 ]
 
-_R13_BIRTHS = [
-    # 4 of the <= 5 birth budget (one spare slot kept for rotation):
-    # the NB classifier's driver gate (verdict task 3), the IVF-PQ and
-    # PQ append lifecycles (task 5 + its sibling — with IVF documented
-    # append-free, every code-holding tier now appends), and MMR over
-    # served ANN candidates (task 8)
-    "nb_classify_lang", "similarity_ivfpq_append", "similarity_pq_append",
-    "mmr_ann_candidates",
+_R14_BIRTHS = [
+    # r14 birth budget (<= 5): none yet — slots go to the r7/r8 backlog,
+    # the oldest cohort after r13 cleared the never-checked list. New
+    # gates this round (NB incremental update, verdict task 5) are
+    # inserted here when they land and the window regenerated.
 ]
 
-_CHECK_FIRST = _CORE_GATES + _R13_BIRTHS + [
-    # ---- the 13 r6-stale gates standing at the bar (age 6) — r13's
-    # mandatory lead per the committed policy ----
-    "multimodal_cdc_stats", "order_cube_summary",
-    "percentile_state_rollup", "phrase_search", "revenue_rollup",
-    "scan_multikey_pruned", "segment_user_overlap", "sessionize_events",
-    "similarity_ivf_index", "source_mix", "top_revenue_orders",
-    "topk_sketch_rollup", "value_drift_psi",
-    # ---- the 25 alphabetically-first of the 34 r7-stale (age 6 at r13
-    # close); the last 9 lead r14 ----
-    "analyze_columns", "asof_signup_next_click", "bloom_index_scan",
-    "bucketed_join_volume", "chunk_documents", "cross_source_leakage",
-    "dedup_corpus", "dedup_incremental_batch", "dedup_lsh_bucket_report",
-    "dedup_representatives", "doc_repetition", "embedding_drift",
-    "event_transitions", "event_type_percentiles", "events_hopping",
-    "funnel_time_boxed", "gapfill_interpolated", "join_size_estimate",
-    "key_skew_events", "latest_events", "numeric_outliers",
-    "pricing_summary_unpivot", "repeated_paragraphs", "robust_outliers",
-    "scan_json_roundtrip",
+_CHECK_FIRST = _CORE_GATES + _R14_BIRTHS + [
+    # ---- the 9 r7-stale gates over the bar (age 7 at r14 close) —
+    # r14's mandatory lead per the committed policy ----
+    "schema_evolution_scan", "series_correlation", "source_quota_sample",
+    "text_quality_filter", "text_redact_pii", "top_quality_per_lang",
+    "train_val_test_split", "weighted_sample_docs", "zone_map_scan",
+    # ---- the 33 alphabetically-first of the 34 r8-stale (age 6 at r14
+    # close — at the bar); `zorder_layout` is the single deferral the
+    # 42-slot capacity forces and leads r15 ----
+    "bloom_filter_report", "column_profile", "curate_corpus",
+    "dedup_bloom_prefilter", "dedup_embedding_clusters",
+    "dedup_embedding_incremental", "dedup_lsh_incremental",
+    "dedup_simhash_pairs", "distmatch_sample_docs", "doc_fingerprint",
+    "dsir_select", "dsir_weights", "ingest_batch_exact",
+    "ingest_batch_neardups", "ingest_decontaminate", "knn_label_accuracy",
+    "label_centroid_stats", "lang_id", "multimodal_features",
+    "multimodal_frame_sample", "multimodal_resize", "pack_sequences",
+    "pack_sequences_greedy", "repartition_migrate",
+    "similarity_ivf_quantized", "similarity_quantized_bucketed",
+    "similarity_quantized_topk", "similarity_topk", "snapshot_rollback",
+    "temperature_mixture_sample", "token_budget_sample", "token_entropy",
+    "token_histogram",
 ]
 
 
