@@ -29,7 +29,13 @@ quiet-machine minima survive as unreproducible medians.
 The record grades itself: ``contention_flag`` is set when >= 5 gates
 show a >3x max/min spread within the SAME run on identical code —
 read a flagged record against a quiet-machine BENCH_LOCAL.json, not
-as a code regression (r10 verdict task 8).
+as a code regression (r10 verdict task 8). Two r13-verdict hardenings:
+``queries_norm``/``prev_delta_norm`` are each gate's median as a ratio
+to the same pass's scan_3col median (cancels pass-wide VM load, so a
+loaded pass shows ~0 normalized movers instead of 38 phantom ones),
+and in a quiet pass any sub-second gate whose raw median moved >1.4x
+is automatically given RUNS more samples before the record is written
+(``resampled`` lists them).
 
 Prints ONE JSON line:
   {"metric": "suite_seconds", "value": N, "unit": "sec",
@@ -225,7 +231,8 @@ def main() -> int:
         shutil.rmtree(out_dir, ignore_errors=True)
 
     # --- headline queries ----------------------------------------------------
-    for name, fn in entrymod.queries().items():
+    qfns = entrymod.queries()
+    for name, fn in qfns.items():
         try:
             samples[name] = _timed(
                 lambda: fn(spark, sf_dir)
@@ -259,7 +266,11 @@ def main() -> int:
         name for name, sp in spread.items()
         if sp["min"] > 0 and sp["max"] / sp["min"] > 3.0
     )
-    if prev:
+
+    def _raw_ratios() -> dict[str, float]:
+        out: dict[str, float] = {}
+        if not prev:
+            return out
         prev_spread = prev.get("spread") or {}
         for name, cur in timings.items():
             # medians, both sides, when available (steal-robust center);
@@ -269,11 +280,79 @@ def main() -> int:
                 "med", (prev.get("queries") or {}).get(name)
             )
             if isinstance(old, (int, float)) and old > 0 and cur_c > 0:
-                ratio = cur_c / old
-                # only report material movement (>1.3x either way) — the
-                # VM's CPU-steal noise makes smaller swings meaningless
+                out[name] = cur_c / old
+        return out
+
+    # sub-second outlier resample (r13 verdict task 3): in an otherwise
+    # QUIET pass, a 0.1-1 s gate whose median moved >1.4x vs the committed
+    # record is almost always a scheduler blip the 3-sample median failed
+    # to reject (the r13 record shipped three such multimodal medians the
+    # driver's fresh pass put back at 0.5-0.65x) — too few gates to trip
+    # contention_flag, too small to self-average. Give exactly those gates
+    # RUNS more samples and let the median re-center before the record is
+    # written; the resample list is recorded for the audit trail.
+    resampled: list[str] = []
+    if prev and len(contended) < 5:
+        for name, r in sorted(_raw_ratios().items()):
+            if len(resampled) >= 10:
+                break  # bound the extra wall-clock a noisy pass can add
+            med = spread.get(name, {}).get("med")
+            if (
+                name in qfns and name in samples
+                and med is not None and med < 1.0
+                and (r >= 1.4 or r <= 1 / 1.4)
+            ):
+                fn = qfns[name]
+                try:
+                    samples[name].extend(_timed(
+                        lambda: fn(spark, sf_dir)
+                        .write.format("noop").mode("overwrite").save()
+                    ))
+                except Exception as exc:
+                    print(f"resample {name} failed: {exc}", file=sys.stderr)
+                    continue
+                timings[name] = min(samples[name])
+                spread[name] = _spread(samples[name])
+                resampled.append(name)
+
+    for name, ratio in _raw_ratios().items():
+        # only report material movement (>1.3x either way) — the
+        # VM's CPU-steal noise makes smaller swings meaningless
+        if ratio >= 1.3 or ratio <= 1 / 1.3:
+            prev_delta[name] = round(ratio, 2)
+
+    # load-normalized twin of prev_delta (r13 verdict task 2): wall medians
+    # move 1.3-1.6x UNIFORMLY when the VM is loaded (the driver's r13 pass
+    # flagged 38/42 gates with zero plan changes). Each gate's median as a
+    # RATIO to the same pass's scan_3col median cancels the pass-wide load
+    # factor, so prev_delta_norm shows plan changes, not machine weather.
+    # (scan_3col is the anchor: JVM-side, first-timed, in every record.)
+    _ANCHOR = "scan_3col"
+    queries_norm: dict[str, float] = {}
+    a_med = spread.get(_ANCHOR, {}).get("med")
+    if a_med and a_med > 0:
+        queries_norm = {
+            name: round(sp["med"] / a_med, 4)
+            for name, sp in spread.items() if name != _ANCHOR
+        }
+    prev_delta_norm: dict[str, float] = {}
+    if prev and queries_norm:
+        prev_norm = dict(prev.get("queries_norm") or {})
+        if not prev_norm:  # older record: derive from its spread medians
+            ps = prev.get("spread") or {}
+            pa = (ps.get(_ANCHOR) or {}).get(
+                "med", (prev.get("queries") or {}).get(_ANCHOR)
+            )
+            if isinstance(pa, (int, float)) and pa > 0:
+                for name, sp in ps.items():
+                    if name != _ANCHOR and sp.get("med", 0) > 0:
+                        prev_norm[name] = sp["med"] / pa
+        for name, cur_n in queries_norm.items():
+            old_n = prev_norm.get(name)
+            if isinstance(old_n, (int, float)) and old_n > 0 and cur_n > 0:
+                ratio = cur_n / old_n
                 if ratio >= 1.3 or ratio <= 1 / 1.3:
-                    prev_delta[name] = round(ratio, 2)
+                    prev_delta_norm[name] = round(ratio, 2)
     # Key order matters: the driver archives only the TAIL of stdout, so the
     # big per-query dicts go first and the scalar headline metrics last —
     # a front-truncated capture still retains scan throughput and the total.
@@ -294,9 +373,21 @@ def main() -> int:
         # a dirty worktree means the measured code is NOT the commit the
         # stamp names — mark it so bench_merge refuses to fold such a
         # pass into a record (two dirty passes at one HEAD can be two
-        # different uncommitted plans)
+        # different uncommitted plans). Bench/correctness artifacts and
+        # untracked files are EXCLUDED from the probe: the first pass
+        # overwrites tracked BENCH_LOCAL.json and drops pass copies, so a
+        # plain `git status --porcelain` stamped every subsequent pass of
+        # the sitting +dirty and the documented multi-pass merge could
+        # never run (r13 ADVICE). Tradeoff: a brand-new UNTRACKED source
+        # module escapes the probe — acceptable, because measured code is
+        # imported from tracked modules and the committed record is
+        # re-proven by the driver's own pass each round.
         _dirty = _sp.run(
-            ["git", "-C", _here, "status", "--porcelain"],
+            ["git", "-C", _here, "status", "--porcelain",
+             "--untracked-files=no", "--", ".",
+             ":(exclude)BENCH_LOCAL.json", ":(exclude)BENCH_r*.json",
+             ":(exclude)CORRECTNESS*.json", ":(exclude)VERDICT.md",
+             ":(exclude)ADVICE.md"],
             capture_output=True, text=True, timeout=30, check=True,
         ).stdout.strip()
         if _dirty:
@@ -307,7 +398,11 @@ def main() -> int:
         "queries": timings,
         "samples": samples,
         "spread": spread,
+        "queries_norm": queries_norm,
         "prev_delta": prev_delta,
+        "prev_delta_norm": prev_delta_norm,
+        "norm_anchor": _ANCHOR,
+        "resampled": resampled,
         "head": _head,
         "generated_at": _time.strftime(
             "%Y-%m-%dT%H:%M:%SZ", _time.gmtime()

@@ -1487,7 +1487,16 @@ def random_projection(
             F.col(id_col), F.array(*comps).alias(out_col)
         )
     # table path: the whole sign matrix as ONE broadcast row — the plan
-    # holds a single column reference however large out_dim × dim gets
+    # holds a single column reference however large out_dim × dim gets.
+    # The internal column name must not collide with a corpus column
+    # (a prior projection stage could legitimately carry one — r13
+    # ADVICE); fail loud rather than risk ambiguous resolution.
+    if "_rp_signs" in corpus.columns:
+        raise ValueError(
+            "random_projection: corpus already has a `_rp_signs` column "
+            "— it collides with the internal broadcast sign-matrix "
+            "column. Rename or drop it first."
+        )
     signs = corpus.sparkSession.createDataFrame(
         [([[
             _rp_component(j, d) for d in range(dim)
@@ -2578,12 +2587,24 @@ def _check_append_batch(
     row = new_vectors.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct(F.col(id_col)).alias("n_ids"),
+        F.count(F.when(F.col(id_col).isNull(), 1)).alias("n_null_ids"),
         F.count(
             F.when(F.size(F.col(vec_col)) == expect_dim, 1)
         ).alias("n_good"),
     ).first()
     if row is None or row["n"] == 0:
         return False
+    # NULL ids first, with their own message: countDistinct SKIPS NULLs,
+    # so without this a NULL-id batch fell through to the duplicate
+    # branch with a wrong diagnosis (and an all-NULL-id batch reported
+    # "n-0 duplicates") — r13 ADVICE.
+    if row["n_null_ids"] > 0:
+        raise ValueError(
+            f"{op}: {row['n_null_ids']} of {row['n']} batch rows have a "
+            f"NULL {id_col} — index rows need a stable id for the "
+            f"anti-join idempotency fence. Fix the batch's id column "
+            f"first."
+        )
     if row["n_ids"] < row["n"]:
         raise ValueError(
             f"{op}: the batch holds {row['n'] - row['n_ids']} duplicate "

@@ -3247,6 +3247,17 @@ def test_index_appends_refuse_dirty_batches(spark, sf_dir, warehouse):
     null_batch = spark.createDataFrame(
         [(9991, None)], "vec_id long, embedding array<double>"
     )
+    # NULL ids get their OWN message (countDistinct skips NULLs, so
+    # these rows previously fell through to a misworded "duplicate"
+    # diagnosis — r13 ADVICE); all-NULL-id batches likewise.
+    null_id_batch = spark.createDataFrame(
+        [(None, [0.5] * 64), (7777, [0.25] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    all_null_ids = spark.createDataFrame(
+        [(None, [0.5] * 64), (None, [0.25] * 64)],
+        "vec_id long, embedding array<double>",
+    )
     for appender, idx in (
         (similarity.pq_append_to_index, "default.emb_pqd"),
         (similarity.lsh_append_to_index, "default.emb_lshd"),
@@ -3255,6 +3266,10 @@ def test_index_appends_refuse_dirty_batches(spark, sf_dir, warehouse):
             appender(spark, cat, idx, dup_batch)
         with pytest.raises(ValueError, match="NULL embedding or length"):
             appender(spark, cat, idx, null_batch)
+        with pytest.raises(ValueError, match="NULL vec_id"):
+            appender(spark, cat, idx, null_id_batch)
+        with pytest.raises(ValueError, match="NULL vec_id"):
+            appender(spark, cat, idx, all_null_ids)
         # and an actually-empty batch stays a quiet no-op
         appender(spark, cat, idx, one.filter(F.col("vec_id") < 0))
 

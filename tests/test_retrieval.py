@@ -252,6 +252,27 @@ def test_random_projection_validates_dims(spark):
         random_projection(corpus, out_dim=2)
 
 
+def test_random_projection_rejects_rp_signs_collision(spark):
+    """The table path crossJoins a broadcast column named `_rp_signs`;
+    a corpus already carrying that name (e.g. output of an earlier
+    projection pipeline stage) must fail loud, not resolve ambiguously
+    (r13 ADVICE)."""
+    from hive_io_experimental_spark.operators.similarity import (
+        random_projection,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, [float(d) for d in range(8)], "x")],
+        "vec_id long, embedding array<double>, _rp_signs string",
+    )
+    with pytest.raises(ValueError, match="_rp_signs"):
+        random_projection(corpus, out_dim=4, method="table")
+    # the literal path never references the internal name — unaffected
+    assert random_projection(
+        corpus, out_dim=4, method="literal"
+    ).count() == 1
+
+
 def test_random_projection_composes_with_ann_tiers(spark, sf_dir):
     from hive_io_experimental_spark.operators import similarity
 

@@ -95,23 +95,29 @@ def main() -> int:
     # load regimes into one sample pool — the unreproducible-median
     # failure the epoch stamp exists to close. 4h comfortably covers
     # back-to-back passes (~20 min each) and blocks the next-week case.
-    stamps_in = sorted(
-        d["generated_at"] for d in passes if d.get("generated_at")
-    )
-    if len(stamps_in) == len(passes) and stamps_in:
-        import datetime as _dt
+    # A pass missing generated_at is refused outright (same treatment as
+    # a missing head, r13 ADVICE) — silently skipping the span check let
+    # a hand-assembled pass bypass the very window this fence enforces.
+    if any(not d.get("generated_at") for d in passes):
+        raise SystemExit(
+            "refusing to merge passes without a generated_at stamp: the "
+            "sitting window cannot be checked — re-run bench.py (it "
+            "stamps every pass) instead of hand-assembling pass files"
+        )
+    stamps_in = sorted(d["generated_at"] for d in passes)
+    import datetime as _dt
 
-        fmt = "%Y-%m-%dT%H:%M:%SZ"
-        span = (
-            _dt.datetime.strptime(stamps_in[-1], fmt)
-            - _dt.datetime.strptime(stamps_in[0], fmt)
-        ).total_seconds()
-        if span > 4 * 3600:
-            raise SystemExit(
-                f"refusing to merge passes {span / 3600:.1f}h apart: a "
-                f"record is ONE sitting (<= 4h window) at one commit — "
-                f"start a fresh record instead of folding into an old one"
-            )
+    fmt = "%Y-%m-%dT%H:%M:%SZ"
+    span = (
+        _dt.datetime.strptime(stamps_in[-1], fmt)
+        - _dt.datetime.strptime(stamps_in[0], fmt)
+    ).total_seconds()
+    if span > 4 * 3600:
+        raise SystemExit(
+            f"refusing to merge passes {span / 3600:.1f}h apart: a "
+            f"record is ONE sitting (<= 4h window) at one commit — "
+            f"start a fresh record instead of folding into an old one"
+        )
 
     pool: dict[str, list[float]] = {}
     for d in passes:
@@ -167,6 +173,41 @@ def main() -> int:
                     prev_delta[name] = round(ratio, 2)
     merged["prev_delta"] = prev_delta
 
+    # load-normalized twin (r13 verdict task 2) — same contract as
+    # bench.py: each gate's merged median as a ratio to the merged
+    # scan_3col median, and normalized movers vs the committed record.
+    anchor = "scan_3col"
+    a_med = (merged["spread"].get(anchor) or {}).get("med")
+    queries_norm: dict[str, float] = {}
+    if a_med and a_med > 0:
+        queries_norm = {
+            n: round(sp["med"] / a_med, 4)
+            for n, sp in merged["spread"].items() if n != anchor
+        }
+    merged["queries_norm"] = queries_norm
+    merged["norm_anchor"] = anchor
+    prev_delta_norm: dict[str, float] = {}
+    if prev and queries_norm and str(prev.get("sf")) == str(merged.get("sf")):
+        prev_norm = dict(prev.get("queries_norm") or {})
+        if not prev_norm:  # pre-norm record: derive from its spread
+            ps = prev.get("spread") or {}
+            pa = (ps.get(anchor) or {}).get(
+                "med", (prev.get("queries") or {}).get(anchor)
+            )
+            if isinstance(pa, (int, float)) and pa > 0:
+                prev_norm = {
+                    n: sp["med"] / pa
+                    for n, sp in ps.items()
+                    if n != anchor and sp.get("med", 0) > 0
+                }
+        for n, cur_n in queries_norm.items():
+            old_n = prev_norm.get(n)
+            if isinstance(old_n, (int, float)) and old_n > 0 and cur_n > 0:
+                ratio = cur_n / old_n
+                if ratio >= 1.3 or ratio <= 1 / 1.3:
+                    prev_delta_norm[n] = round(ratio, 2)
+    merged["prev_delta_norm"] = prev_delta_norm
+
     with open(out_path, "w") as f:
         json.dump(merged, f, indent=1)
     print(
@@ -176,6 +217,7 @@ def main() -> int:
                 "gates": len(pool),
                 "value": merged["value"],
                 "prev_delta": prev_delta,
+                "prev_delta_norm": prev_delta_norm,
                 "out": out_path,
             }
         )
