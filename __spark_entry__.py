@@ -2091,6 +2091,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hist.crossJoin(F.broadcast(check))
 
     q["nb_classify_lang"] = _nb_classify_lang
+
+    # NB incremental model update (r14 birth — verdict task 5): build
+    # the model on ⅔ of the corpus, fold the remaining ⅓ in with
+    # nb_update_model (integer sufficient statistics merged over a
+    # full-outer join, bits re-derived — NO corpus rescan), then prove
+    # the updated STORED model equals a full retrain on the union:
+    # consistency mismatches pinned 0, meta's n_docs_total/vocab_size
+    # emitted, and the per-predicted-label routing histogram scored
+    # from the stored model. The oracle is the full-corpus twin —
+    # exactly what the exact fold must reproduce, so any drift in the
+    # merge (a lost count, a stale denominator, a missed new label)
+    # breaks the hash.
+    def _nb_incremental_update(spark: SparkSession, sf: str) -> DataFrame:
+        import tempfile
+
+        from hive_io_experimental_spark.catalog import Catalog
+        from hive_io_experimental_spark.input import HiveInput, ScanSpec
+
+        wh = tempfile.mkdtemp(prefix="hio_nbu_wh_")
+        cat = Catalog(wh)
+        docs = _t(spark, sf, "documents")
+        b1 = docs.filter(F.col("doc_id") % 3 != 0)
+        b2 = docs.filter(F.col("doc_id") % 3 == 0)
+        text.nb_build_model(
+            spark, cat, "default.docs_nbu", b1, label_col="lang"
+        )
+        text.nb_update_model(
+            spark, cat, "default.docs_nbu", b2, label_col="lang"
+        )
+        check = text.nb_model_consistency_check(
+            spark, cat, "default.docs_nbu", docs, label_col="lang"
+        )
+        meta = (
+            HiveInput(spark, cat)
+            .read_table(ScanSpec(table="default.docs_nbu_meta"))
+            .select("n_docs_total", "vocab_size")
+        )
+        scored = text.nb_score_from_model(
+            spark, cat, "default.docs_nbu", docs
+        )
+        hist = scored.groupBy("label").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("total_bits").cast("decimal(20,6)"))
+            .cast("double").alias("sum_bits"),
+        )
+        return hist.crossJoin(F.broadcast(check)).crossJoin(
+            F.broadcast(meta)
+        )
+
+    q["nb_incremental_update"] = _nb_incremental_update
     # pseudo-relevance-feedback retrieval (r12): seed BM25 -> top-5
     # feedback docs -> 3 strongest new terms by tf_fb·idf-ratio (no libm
     # in the ranking key) -> re-rank with seed+expansion. Fully lazy —
@@ -2795,10 +2845,10 @@ _CORE_GATES = [
 ]
 
 _R14_BIRTHS = [
-    # r14 birth budget (<= 5): none yet — slots go to the r7/r8 backlog,
-    # the oldest cohort after r13 cleared the never-checked list. New
-    # gates this round (NB incremental update, verdict task 5) are
-    # inserted here when they land and the window regenerated.
+    # r14 birth budget (<= 5): the NB incremental model update (verdict
+    # task 5) — exact fold of a new labeled batch into the stored model
+    # via integer sufficient statistics, proven equal to a full retrain.
+    "nb_incremental_update",
 ]
 
 _CHECK_FIRST = _CORE_GATES + _R14_BIRTHS + [
@@ -4406,6 +4456,68 @@ def oracle_sql() -> dict[str, str]:
                     AS DOUBLE) AS sum_bits,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM pri) AS n_labels,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM lik) AS n_model_rows,
+               CAST(0 AS BIGINT) AS n_prior_mismatch,
+               CAST(0 AS BIGINT) AS n_likelihood_mismatch,
+               CAST(0 AS BIGINT) AS n_score_mismatch
+        FROM best b GROUP BY b.label"""
+
+    # NB incremental-update twin (r14): the update contract is
+    # update(b1)⊕b2 == train(b1∪b2) EXACTLY, so the twin is the full-
+    # corpus model — the same recursive derivation as nb_classify_lang
+    # plus the merged meta counters (n_docs_total = |corpus|,
+    # vocab_size = distinct training tokens). The Spark side trains on
+    # ⅔, folds ⅓; any inexactness in the integer merge or the re-derived
+    # bits lands in the mismatch pins or the histogram hash.
+    o["nb_incremental_update"] = f"""
+        WITH tr AS (SELECT lang AS label, unnest({_TOKS}) AS token
+                    FROM documents),
+        tc AS (SELECT label, token, COUNT(*) AS c FROM tr GROUP BY 1, 2),
+        ct AS (SELECT label, SUM(c) AS nc FROM tc GROUP BY 1),
+        vc AS (SELECT COUNT(DISTINCT token) AS v FROM tc),
+        lik AS (SELECT label, token,
+                       CAST(ROUND(-log2((c + 1.0) / (nc + v)), 6)
+                            AS DECIMAL(18,6)) AS b
+                FROM tc JOIN ct USING (label) CROSS JOIN vc),
+        nd AS (SELECT COUNT(*) AS n FROM documents),
+        pri AS (SELECT d.label,
+                       CAST(ROUND(-log2(CAST(d.n_docs AS DOUBLE) / n), 6)
+                            AS DECIMAL(18,6)) AS prior,
+                       CAST(ROUND(-log2(1.0 / (COALESCE(ct.nc, 0) + v)), 6)
+                            AS DECIMAL(18,6)) AS unseen
+                FROM (SELECT lang AS label, COUNT(*) AS n_docs
+                      FROM documents GROUP BY 1) d
+                CROSS JOIN nd
+                LEFT JOIN ct ON ct.label = d.label
+                CROSS JOIN vc),
+        toks AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+        costs AS (SELECT t.doc_id, p.label,
+                         SUM(CAST(COALESCE(l.b, p.unseen)
+                                  AS DECIMAL(18,6))) AS tokbits
+                  FROM toks t CROSS JOIN pri p
+                  LEFT JOIN lik l ON l.label = p.label
+                                 AND l.token = t.token
+                  GROUP BY 1, 2),
+        tot AS (SELECT d.doc_id, p.label,
+                       CAST(p.prior + COALESCE(c.tokbits,
+                                               CAST(0 AS DECIMAL(18,6)))
+                            AS DECIMAL(20,6)) AS total
+                FROM documents d CROSS JOIN pri p
+                LEFT JOIN costs c ON c.doc_id = d.doc_id
+                                 AND c.label = p.label),
+        best AS (SELECT doc_id, label, total FROM (
+                   SELECT doc_id, label, total,
+                          ROW_NUMBER() OVER (PARTITION BY doc_id
+                                             ORDER BY total, label) AS rn
+                   FROM tot) WHERE rn = 1)
+        SELECT b.label,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(CAST(b.total AS DOUBLE) AS DECIMAL(20,6)))
+                    AS DOUBLE) AS sum_bits,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM pri) AS n_labels,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lik) AS n_model_rows,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM documents) AS n_docs_total,
+               (SELECT CAST(v AS BIGINT) FROM vc) AS vocab_size,
                CAST(0 AS BIGINT) AS n_prior_mismatch,
                CAST(0 AS BIGINT) AS n_likelihood_mismatch,
                CAST(0 AS BIGINT) AS n_score_mismatch

@@ -1417,6 +1417,27 @@ def nb_train(
     vocabulary x labels rows — Heaps-law bounded, NEVER corpus-sized;
     at 100 TB both tables are ordinary catalog tables.
     """
+    priors_ext, lik_ext = _nb_derive(
+        *_nb_stats(df, text_col=text_col, label_col=label_col)
+    )
+    return (
+        priors_ext.select("label", "n_docs", "prior_bits", "unseen_bits"),
+        lik_ext.select("label", "token", "bits"),
+    )
+
+
+def _nb_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The EXACT integer sufficient statistics NB training reduces to:
+    (tc, doc_counts, n_total) = ((label, token, _c) token counts,
+    (label, n_docs) doc counts, 1-row (_n) total docs). Counting is
+    associative — these three frames are the merge currency of
+    nb_update_model: stats(b1) ⊕ stats(b2) == stats(b1 ∪ b2) in plain
+    integer addition, which is what makes the incremental update
+    EXACTLY equal to a full retrain."""
     toks = spread(
         df.select(
             F.col(label_col).alias("label"),
@@ -1426,6 +1447,24 @@ def nb_train(
     tc = toks.groupBy("label", "token").agg(
         F.count(F.lit(1)).alias("_c")
     )
+    doc_counts = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    n_total = df.select(F.count(F.lit(1)).alias("_n"))
+    return tc, doc_counts, n_total
+
+
+def _nb_derive(
+    tc: DataFrame,
+    doc_counts: DataFrame,
+    n_total: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """(priors_ext, likelihoods_ext) from the sufficient statistics —
+    the single derivation both nb_train and nb_update_model run, so the
+    doubles are computed by the SAME expressions whichever path built
+    the integers. Extended columns carry the statistics themselves
+    (priors: n_tokens = N_c; likelihoods: c) so a persisted model can
+    be folded forward without ever re-scanning its training corpus."""
     from hive_io_experimental_spark.functions.reuse import reuse
 
     # tc feeds the per-class totals, the vocabulary count, AND the
@@ -1441,26 +1480,27 @@ def nb_train(
         .select(
             "label",
             "token",
+            F.col("_c").cast("long").alias("c"),
             F.round(
                 -F.log2((F.col("_c") + 1.0) / (F.col("_nc") + F.col("_v"))),
                 6,
             ).alias("bits"),
         )
     )
-    n_docs = df.select(F.count(F.lit(1)).alias("_n"))
     # LEFT join: a class whose training docs hold zero tokens still gets
     # a prior row (N_c = 0 — its unseen cost is -log2(1/V) and it can
     # only ever be predicted on the prior); an inner join silently
     # removed such classes from the model
     priors = (
-        df.groupBy(F.col(label_col).alias("label"))
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .crossJoin(F.broadcast(n_docs))
+        doc_counts
+        .crossJoin(F.broadcast(n_total))
         .join(class_tot, "label", "left")
         .crossJoin(F.broadcast(vocab))
         .select(
             "label",
             F.col("n_docs").cast("long").alias("n_docs"),
+            F.coalesce(F.col("_nc"), F.lit(0)).cast("long")
+            .alias("n_tokens"),
             F.round(-F.log2(F.col("n_docs") / F.col("_n")), 6)
             .alias("prior_bits"),
             F.round(
@@ -1574,11 +1614,33 @@ def nb_build_model(
     batches from the stored tables, rebuild = explicit drop + recreate.
 
     Three tables sharing one ``build_id``: ``{model_table}`` (label,
-    token, bits — the vocabulary×labels likelihoods),
-    ``{model_table}_priors`` (label, n_docs, prior_bits, unseen_bits),
-    and ``{model_table}_meta`` (n_labels, n_model_rows, build_id — the
-    authority that distinguishes a legitimately tiny model from a torn
-    write). The read paths refuse mixed stamps."""
+    token, c, bits — the vocabulary×labels likelihoods WITH their exact
+    integer counts), ``{model_table}_priors`` (label, n_docs, n_tokens,
+    prior_bits, unseen_bits), and ``{model_table}_meta`` (n_labels,
+    n_model_rows, n_docs_total, vocab_size, build_id — the authority
+    that distinguishes a legitimately tiny model from a torn write).
+    The count columns are the sufficient statistics that make
+    nb_update_model an exact fold (round 14); models persisted by
+    earlier rounds score fine but must be rebuilt once before they can
+    be updated incrementally. The read paths refuse mixed stamps."""
+    priors_ext, lik_ext = _nb_derive(
+        *_nb_stats(df, text_col=text_col, label_col=label_col)
+    )
+    _nb_persist_model(spark, catalog, model_table, priors_ext, lik_ext,
+                      op="nb_build_model")
+
+
+def _nb_persist_model(
+    spark,
+    catalog,
+    model_table: str,
+    priors_ext: DataFrame,
+    lik_ext: DataFrame,
+    op: str,
+) -> str:
+    """Stamp and write the three model tables (meta first — the torn-
+    write fences in the read path key off that order). Shared by build
+    and incremental update; returns the new build_id."""
     import uuid
 
     from pyspark.sql import types as T
@@ -1586,16 +1648,22 @@ def nb_build_model(
     from hive_io_experimental_spark.output import HiveOutput, WriteSpec
     from hive_io_experimental_spark.schema import HiveTableSchema
 
-    priors, likelihoods = nb_train(df, text_col=text_col,
-                                   label_col=label_col)
     bid = uuid.uuid4().hex
-    n_labels = priors.count()
-    n_rows = likelihoods.count()
-    if n_labels == 0:
-        raise ValueError("nb_build_model: empty training frame")
+    prow = priors_ext.agg(
+        F.count(F.lit(1)).alias("n_labels"),
+        F.sum("n_docs").alias("n_docs_total"),
+    ).first()
+    lrow = lik_ext.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("token").alias("vocab"),
+    ).first()
+    if prow["n_labels"] == 0:
+        raise ValueError(f"{op}: empty training frame")
     meta = spark.createDataFrame(
-        [(int(n_labels), int(n_rows), bid)],
-        "n_labels long, n_model_rows long, build_id string",
+        [(int(prow["n_labels"]), int(lrow["n_rows"]),
+          int(prow["n_docs_total"]), int(lrow["vocab"] or 0), bid)],
+        "n_labels long, n_model_rows long, n_docs_total long, "
+        "vocab_size long, build_id string",
     )
     out = HiveOutput(spark, catalog)
     for tbl, schema, frame in (
@@ -1604,6 +1672,8 @@ def nb_build_model(
             HiveTableSchema((
                 ("n_labels", T.LongType()),
                 ("n_model_rows", T.LongType()),
+                ("n_docs_total", T.LongType()),
+                ("vocab_size", T.LongType()),
                 ("build_id", T.StringType()),
             )),
             meta,
@@ -1613,34 +1683,132 @@ def nb_build_model(
             HiveTableSchema((
                 ("label", T.StringType()),
                 ("n_docs", T.LongType()),
+                ("n_tokens", T.LongType()),
                 ("prior_bits", T.DoubleType()),
                 ("unseen_bits", T.DoubleType()),
                 ("build_id", T.StringType()),
             )),
-            priors.withColumn("build_id", F.lit(bid)),
+            priors_ext.withColumn("build_id", F.lit(bid)),
         ),
         (
             model_table,
             HiveTableSchema((
                 ("label", T.StringType()),
                 ("token", T.StringType()),
+                ("c", T.LongType()),
                 ("bits", T.DoubleType()),
                 ("build_id", T.StringType()),
             )),
-            likelihoods.withColumn("build_id", F.lit(bid)),
+            lik_ext.withColumn("build_id", F.lit(bid)),
         ),
     ):
         if catalog.table_exists(tbl):
             catalog.drop_table(tbl, delete_data=True)
         catalog.create_table(tbl, schema)
         out.write_table(WriteSpec(table=tbl), frame)
+    return bid
 
 
-def _nb_load_model(spark, catalog, model_table: str, op: str):
-    """Stamp-fenced (priors_df, likelihoods_df) from the stored model:
-    raises on empty/pre-stamp/mixed-stamp tables; an empty likelihood
-    table is legitimate only when meta records n_model_rows = 0 (an
-    all-tokenless training corpus)."""
+def nb_update_model(
+    spark,
+    catalog,
+    model_table: str,
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> str | None:
+    """Fold a new labeled batch into a STORED model EXACTLY — the
+    incremental sibling of nb_build_model (no corpus rescan, ever):
+
+      nb_build_model(b1); nb_update_model(b2)
+        == nb_build_model(b1 ∪ b2)      (all three tables, bit-identical
+                                         modulo build_id)
+
+    Why exact: the model tables carry the integer sufficient statistics
+    (token counts c, class doc counts, totals), counting is associative
+    (stored ⊕ batch is plain integer addition over a full-outer join),
+    and the derived bits are recomputed from the merged integers by the
+    SAME _nb_derive expressions training uses — same doubles in, same
+    round(6) out. The merge is model-sized + batch-sized: the training
+    corpus is never re-read (the incremental_rollup / ingestion merge
+    contract, which is what makes nightly label-feed deltas affordable
+    at 100 TB). All likelihood rows are rewritten because every
+    denominator (N_c + V) moves with the batch — that rewrite is
+    vocabulary×labels rows, Heaps-law bounded, never corpus-sized.
+
+    Returns the new build_id (a new immutable model version — the old
+    version is dropped, exactly like a rebuild), or None for an empty
+    batch (no-op). A crash mid-update leaves mixed build_id stamps that
+    every read path already refuses; re-run the update (it re-derives
+    from the surviving batch + the last consistent tables it can load —
+    i.e. rebuild once if the stored tables themselves were torn).
+    Models persisted before the count-carrying schema (round 14) raise
+    here with a rebuild-once message instead of folding garbage.
+    """
+    meta, priors_full, lik_full = _nb_load_model_full(
+        spark, catalog, model_table, "nb_update_model"
+    )
+    meta_fields = set(meta.asDict())
+    if (
+        "n_docs_total" not in meta_fields
+        or "n_tokens" not in priors_full.columns
+        or "c" not in lik_full.columns
+    ):
+        raise ValueError(
+            f"nb_update_model: model {model_table} predates the "
+            f"count-carrying schema and holds only derived bits — the "
+            f"exact fold needs the integer sufficient statistics. "
+            f"Rebuild once with nb_build_model, then update "
+            f"incrementally."
+        )
+    n_b = df.count()
+    if n_b == 0:
+        return None
+    tc_b, dc_b, _ = _nb_stats(df, text_col=text_col, label_col=label_col)
+    tc_m = (
+        lik_full.select("label", "token", F.col("c").alias("_a"))
+        .join(
+            tc_b.withColumnRenamed("_c", "_b"),
+            ["label", "token"], "full_outer",
+        )
+        .select(
+            "label", "token",
+            (F.coalesce(F.col("_a"), F.lit(0))
+             + F.coalesce(F.col("_b"), F.lit(0))).alias("_c"),
+        )
+    )
+    dc_m = (
+        priors_full.select("label", F.col("n_docs").alias("_a"))
+        .join(
+            dc_b.withColumnRenamed("n_docs", "_b"), ["label"], "full_outer"
+        )
+        .select(
+            "label",
+            (F.coalesce(F.col("_a"), F.lit(0))
+             + F.coalesce(F.col("_b"), F.lit(0))).alias("n_docs"),
+        )
+    )
+    n_total = spark.createDataFrame(
+        [(int(meta["n_docs_total"]) + int(n_b),)], "_n long"
+    )
+    priors_ext, lik_ext = _nb_derive(tc_m, dc_m, n_total)
+    # materialize BEFORE the persist drops the stored tables these
+    # frames still read from (the snapshot-rollback localCheckpoint
+    # discipline); model-sized blocks, freed when the frames drop
+    priors_ext = priors_ext.localCheckpoint()
+    lik_ext = lik_ext.localCheckpoint()
+    return _nb_persist_model(
+        spark, catalog, model_table, priors_ext, lik_ext,
+        op="nb_update_model",
+    )
+
+
+def _nb_load_model_full(spark, catalog, model_table: str, op: str):
+    """Stamp-fenced (meta_row, priors_df, likelihoods_df) with EVERY
+    stored column (scoring projects the derived bits; nb_update_model
+    needs the count columns too): raises on empty/pre-stamp/mixed-stamp
+    tables; an empty likelihood table is legitimate only when meta
+    records n_model_rows = 0 (an all-tokenless training corpus)."""
     from hive_io_experimental_spark.input import HiveInput, ScanSpec
     from hive_io_experimental_spark.operators.similarity import _index_stamp
 
@@ -1684,8 +1852,23 @@ def _nb_load_model(spark, catalog, model_table: str, op: str):
             f"Re-run nb_build_model."
         )
     return (
+        meta,
         priors.drop("build_id"),
         likelihoods.drop("build_id"),
+    )
+
+
+def _nb_load_model(spark, catalog, model_table: str, op: str):
+    """The scoring-shaped view of the stored model: (priors,
+    likelihoods) projected to the nb_train output columns, so models
+    persisted before AND after the count-carrying schema score
+    identically."""
+    _meta, priors, likelihoods = _nb_load_model_full(
+        spark, catalog, model_table, op
+    )
+    return (
+        priors.select("label", "n_docs", "prior_bits", "unseen_bits"),
+        likelihoods.select("label", "token", "bits"),
     )
 
 

@@ -1559,3 +1559,165 @@ def test_nb_model_refuses_zero_meta_with_stale_likelihoods(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="non-empty"):
         T.nb_score_from_model(spark, cat, "default.nb_zero", docs)
+
+
+def test_nb_update_model_equals_full_retrain_exactly(
+    spark, sf_dir, tmp_path
+):
+    """The incremental-fold contract: build(b1) then update(b2) equals
+    build(b1 ∪ b2) on ALL THREE stored tables bit-identically (modulo
+    build_id) — counts merge as integers, bits re-derive through the
+    same expressions. The corpus split crosses label boundaries so the
+    merge exercises add-to-existing, and the consistency check against
+    the union corpus is the end-to-end proof."""
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+    from hive_io_experimental_spark.operators import text as T
+
+    cat = Catalog(str(tmp_path / "wh"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 300
+    )
+    b1 = docs.filter(F.col("doc_id") % 3 != 0)
+    b2 = docs.filter(F.col("doc_id") % 3 == 0)
+    T.nb_build_model(spark, cat, "default.nb_inc", b1, label_col="lang")
+    bid = T.nb_update_model(
+        spark, cat, "default.nb_inc", b2, label_col="lang"
+    )
+    assert bid
+    T.nb_build_model(spark, cat, "default.nb_full", docs, label_col="lang")
+    inp = HiveInput(spark, cat)
+    for suffix in ("", "_priors", "_meta"):
+        a = inp.read_table(
+            ScanSpec(table=f"default.nb_inc{suffix}")
+        ).drop("build_id")
+        b = inp.read_table(
+            ScanSpec(table=f"default.nb_full{suffix}")
+        ).drop("build_id")
+        assert a.exceptAll(b).isEmpty(), f"extra rows in updated{suffix}"
+        assert b.exceptAll(a).isEmpty(), f"missing rows in updated{suffix}"
+    chk = T.nb_model_consistency_check(
+        spark, cat, "default.nb_inc", docs, label_col="lang"
+    ).first()
+    assert chk.n_prior_mismatch == 0
+    assert chk.n_likelihood_mismatch == 0
+    assert chk.n_score_mismatch == 0
+
+
+def test_nb_update_model_new_label_and_empty_batch(spark, tmp_path):
+    """A batch introducing an UNSEEN label grows the model exactly like
+    a full retrain (the full-outer merge side); an empty batch is a
+    no-op returning None and leaving the stored version untouched."""
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+    from hive_io_experimental_spark.operators import text as T
+
+    cat = Catalog(str(tmp_path / "wh"))
+    b1 = spark.createDataFrame(
+        [(0, "apfel birne", "de"), (1, "apple pear", "en"),
+         (2, "pear apple apple", "en")],
+        "doc_id long, text string, lang string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, "pomme poire", "fr"), (4, "apple birne", "en")],
+        "doc_id long, text string, lang string",
+    )
+    T.nb_build_model(spark, cat, "default.nb_grow", b1, label_col="lang")
+    T.nb_update_model(spark, cat, "default.nb_grow", b2, label_col="lang")
+    T.nb_build_model(
+        spark, cat, "default.nb_growf", b1.unionAll(b2), label_col="lang"
+    )
+    inp = HiveInput(spark, cat)
+    for suffix in ("", "_priors", "_meta"):
+        a = inp.read_table(
+            ScanSpec(table=f"default.nb_grow{suffix}")
+        ).drop("build_id")
+        b = inp.read_table(
+            ScanSpec(table=f"default.nb_growf{suffix}")
+        ).drop("build_id")
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    before = inp.read_table(
+        ScanSpec(table="default.nb_grow_meta")
+    ).first()["build_id"]
+    assert T.nb_update_model(
+        spark, cat, "default.nb_grow", b2.filter(F.col("doc_id") < 0),
+        label_col="lang",
+    ) is None
+    after = inp.read_table(
+        ScanSpec(table="default.nb_grow_meta")
+    ).first()["build_id"]
+    assert before == after
+
+
+def test_nb_update_model_refuses_pre_count_schema(spark, tmp_path):
+    """A model persisted before the count-carrying schema holds only
+    derived bits — the exact fold is impossible and the update must
+    point at a one-time rebuild, not fold garbage."""
+    from pyspark.sql import types as T_
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+    from hive_io_experimental_spark.operators import text as T
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    cat = Catalog(str(tmp_path / "wh"))
+    docs = spark.createDataFrame(
+        [(0, "alpha beta", "a"), (1, "gamma delta", "b")],
+        "doc_id long, text string, lang string",
+    )
+    T.nb_build_model(spark, cat, "default.nb_old", docs, label_col="lang")
+    # rewrite all three tables to the round-13 column set under one
+    # consistent stamp (the legacy-model layout)
+    inp = HiveInput(spark, cat)
+    out = HiveOutput(spark, cat)
+    meta0 = inp.read_table(ScanSpec(table="default.nb_old_meta")).first()
+    legacy = {
+        "default.nb_old_meta": (
+            HiveTableSchema((
+                ("n_labels", T_.LongType()),
+                ("n_model_rows", T_.LongType()),
+                ("build_id", T_.StringType()),
+            )),
+            spark.createDataFrame(
+                [(meta0["n_labels"], meta0["n_model_rows"],
+                  meta0["build_id"])],
+                "n_labels long, n_model_rows long, build_id string",
+            ),
+        ),
+        "default.nb_old_priors": (
+            HiveTableSchema((
+                ("label", T_.StringType()),
+                ("n_docs", T_.LongType()),
+                ("prior_bits", T_.DoubleType()),
+                ("unseen_bits", T_.DoubleType()),
+                ("build_id", T_.StringType()),
+            )),
+            inp.read_table(ScanSpec(table="default.nb_old_priors")).select(
+                "label", "n_docs", "prior_bits", "unseen_bits", "build_id"
+            ).localCheckpoint(),
+        ),
+        "default.nb_old": (
+            HiveTableSchema((
+                ("label", T_.StringType()),
+                ("token", T_.StringType()),
+                ("bits", T_.DoubleType()),
+                ("build_id", T_.StringType()),
+            )),
+            inp.read_table(ScanSpec(table="default.nb_old")).select(
+                "label", "token", "bits", "build_id"
+            ).localCheckpoint(),
+        ),
+    }
+    for tbl, (schema, frame) in legacy.items():
+        cat.drop_table(tbl, delete_data=True)
+        cat.create_table(tbl, schema)
+        out.write_table(WriteSpec(table=tbl), frame)
+    # scoring still works on the legacy layout ...
+    assert T.nb_score_from_model(
+        spark, cat, "default.nb_old", docs
+    ).count() == 2
+    # ... but the incremental fold refuses it
+    with pytest.raises(ValueError, match="count-carrying"):
+        T.nb_update_model(spark, cat, "default.nb_old", docs,
+                          label_col="lang")
