@@ -2935,6 +2935,31 @@ def ivf_pq_query_index(
             f"a mismatch would misindex the stored codes."
         )
     dsub = probe["d"]
+    return _ivf_pq_adc_rank(
+        lists, codes, queries, cent_rows, codebooks, k, nprobe,
+        num_subspaces, dsub, vec_col, id_col,
+    )
+
+
+def _ivf_pq_adc_rank(
+    lists: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    cent_rows: list,
+    codebooks: DataFrame,
+    k: int,
+    nprobe: int,
+    num_subspaces: int,
+    dsub: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """The IVF-PQ serving plan proper — nprobe centroid assignment
+    (Arrow map-side over the collected few-KB centroid rows), per-query
+    ADC LUTs, probed-lists-only scoring, exact rank. Shared by
+    ivf_pq_query_index and the streaming twin's foreachBatch
+    (streaming/similarity.py), so stream output is batch output by
+    construction."""
     qv = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_qv")
     ).withColumn("_qnrm", l2_norm(F.col("_qv")))

@@ -270,3 +270,299 @@ def serve_lsh_topk_stream(
             ) from exc
 
     return scored.writeStream.foreachBatch(_checked_batch)
+
+
+def _validate_adc_stamps(
+    spark: SparkSession,
+    catalog,
+    index_table: str,
+    parts: tuple,
+    expect_build_id: str | None,
+    op: str,
+    rebuild: str,
+) -> str:
+    """The quantized tiers' torn-rebuild/mid-stream-rebuild probe: one
+    FRESH sampled build_id per index table (PQ: codebooks+codes, IVF-PQ:
+    centroids+codebooks+lists+codes — len(parts) 1-row jobs, no full
+    scans), all required equal, and equal to the PLANNED build when
+    ``expect_build_id`` is pinned. Fresh reads are the point: the serve
+    plan's pinned static frames always show the planned files, so
+    detection must re-resolve the CURRENT snapshot each call (the
+    _validate_index_stamps discipline). An APPEND keeps the stored
+    build_id (pq/ivf_pq_append_to_index stamp appended rows with the
+    planned build), so ingestion ticks keep streams alive; only a
+    rebuild — clean or torn — trips this."""
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+    from hive_io_experimental_spark.operators.similarity import _index_stamp
+
+    inp = HiveInput(spark, catalog)
+    stamps = {}
+    for label, suffix in parts:
+        df = inp.read_table(ScanSpec(table=f"{index_table}{suffix}"))
+        stamps[label] = _index_stamp(
+            op, index_table, label, df, rebuild=rebuild
+        )
+    if len(set(stamps.values())) > 1:
+        raise ValueError(
+            f"{op}: index {index_table} has mixed build_id stamps across "
+            f"its tables ({stamps}) — a rebuild was torn mid-way. Re-run "
+            f"{rebuild} before serving."
+        )
+    stamp = next(iter(stamps.values()))
+    if expect_build_id is not None and stamp != expect_build_id:
+        raise ValueError(
+            f"{op}: index {index_table} was REBUILT mid-stream (planned "
+            f"against build {expect_build_id!r}, now {stamp!r}) — the "
+            f"stream's plan is bound to the old codebooks. Restart the "
+            f"stream to serve the new index."
+        )
+    return stamp
+
+
+def _serve_adc_stream(
+    query_stream: DataFrame,
+    planned_build: str,
+    validate_fn,
+    rank_fn,
+    sink_fn,
+    op: str,
+):
+    """The shared foreachBatch skeleton for the quantized serving tiers —
+    the serve_lsh_topk_stream check-rank-sink-recheck contract: stamps
+    validated against the planned build BEFORE the batch is scored and
+    again AFTER the sink returns (the scoring reads the pinned snapshot's
+    files while the sink materializes, so a rebuild landing mid-batch
+    deletes them out from under the scan; unchanged stamps across the
+    batch prove the read was consistent, and a post-sink change fails
+    loudly naming the epoch whose already-sunk output is suspect)."""
+    if not query_stream.isStreaming:
+        raise ValueError(
+            f"{op}: query_stream is a batch frame — use the batch "
+            f"*_query_index operator for batch serving"
+        )
+
+    def _checked_batch(df: DataFrame, epoch_id: int) -> None:
+        validate_fn(expect_build_id=planned_build)
+        sink_fn(rank_fn(df), epoch_id)
+        try:
+            validate_fn(expect_build_id=planned_build)
+        except ValueError as exc:
+            raise ValueError(
+                f"{op}: index changed WHILE micro-batch {epoch_id} was "
+                f"being served — the output already sunk for this epoch "
+                f"may mix codebook families and should be discarded. "
+                f"({exc})"
+            ) from exc
+
+    return query_stream.writeStream.foreachBatch(_checked_batch)
+
+
+def serve_pq_topk_stream(
+    spark: SparkSession,
+    catalog,
+    index_table: str,
+    query_stream: DataFrame,
+    sink_fn,
+    k: int = 5,
+    num_subspaces: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Streaming ADC top-k served ENTIRELY from a persisted PQ index —
+    the online half of the pq_build_index/pq_append_to_index lifecycle,
+    and the strongest-recall sibling of serve_lsh_topk_stream. Returns
+    the (unstarted) DataStreamWriter; output rows are (query_id,
+    neighbor_id, adc_score, rank), row-identical to pq_query_index over
+    the same closed input.
+
+    Why the scoring lives in foreachBatch rather than the streaming
+    plan: per-query ADC LUTs are a groupBy-collect_list reassembly and
+    the final top-k is a rank — neither is expressible in append-mode
+    streaming — but BOTH are exact per micro-batch because a query's
+    candidate rows never cross batches (every query is scored against
+    the full codes table in its arrival batch). foreachBatch hands a
+    batch frame, so the batch helper ranks it with the exact
+    pq_query_index total order ((adc_score desc, neighbor_id asc)) —
+    the _require_small_query_side streaming contract (similarity.py):
+    micro-batches are bounded, so the per-batch LUT broadcast honors
+    the same cap as the batch path, enforced per batch.
+
+    Index-lifecycle semantics (the serve_lsh_topk_stream contract):
+    geometry (codebooks) and codes are read ONCE at plan time — the
+    versioned read pins the planned snapshot's manifest, so every
+    micro-batch scores against exactly the planned codes (an APPEND
+    mid-stream never changes or tears the served set; appended vectors
+    become servable on restart, no rebuild — pq_append_to_index stamps
+    appended rows with the stored build_id so the per-batch checks keep
+    the stream alive). A REBUILD changes the build_id: caught by the
+    fresh-read stamp probes before every batch and re-checked after the
+    sink returns, failing loudly and naming the epoch whose sunk output
+    is suspect if it landed mid-batch. Torn rebuilds (mixed stamps) are
+    refused at plan time and per batch.
+
+    Per micro-batch cost: |batch| x m x ksub LUT dots (map-side), one
+    broadcast of the batch LUTs over the pinned codes scan, a
+    batch-local rank, plus four 1-row stamp probes (two tables x
+    pre/post)."""
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+    from hive_io_experimental_spark.operators.similarity import (
+        _pq_adc_topk,
+        _require_small_query_side,
+        _unit_vectors,
+    )
+
+    parts = (("codebooks", "_codebooks"), ("codes", ""))
+
+    def _validate(expect_build_id=None):
+        return _validate_adc_stamps(
+            spark, catalog, index_table, parts, expect_build_id,
+            op="serve_pq_topk_stream", rebuild="pq_build_index",
+        )
+
+    planned_build = _validate()
+    # pinned snapshot reads: these frames are what every batch scores
+    # against, resolved once — the same read the stamp probe just
+    # validated (one consistent planned build)
+    inp = HiveInput(spark, catalog)
+    codebooks = inp.read_table(
+        ScanSpec(table=f"{index_table}_codebooks")
+    ).select("j", "code", "cv")
+    codes = inp.read_table(ScanSpec(table=index_table)).select(
+        "id", "codes"
+    )
+    probe = codebooks.agg(
+        F.first(F.size("cv")).alias("d"),
+        (F.max("j") + 1).alias("m"),
+    ).first()
+    if probe is None or probe["d"] is None:
+        raise ValueError(
+            f"serve_pq_topk_stream: empty codebook table "
+            f"{index_table}_codebooks"
+        )
+    if probe["m"] != num_subspaces:
+        raise ValueError(
+            f"serve_pq_topk_stream: num_subspaces={num_subspaces} does "
+            f"not match the stored index ({index_table}_codebooks holds "
+            f"{probe['m']} subspaces). Pass num_subspaces={probe['m']} — "
+            f"a mismatch would misindex the stored codes."
+        )
+    dsub = probe["d"]
+
+    def _rank(batch_df: DataFrame) -> DataFrame:
+        _require_small_query_side(
+            batch_df.select(F.col(id_col)),
+            "serve_pq_topk_stream (per-micro-batch LUT broadcast)",
+        )
+        return _pq_adc_topk(
+            codes, _unit_vectors(batch_df, vec_col, id_col), codebooks,
+            k, num_subspaces, dsub,
+        )
+
+    return _serve_adc_stream(
+        query_stream.select(F.col(id_col), F.col(vec_col)),
+        planned_build, _validate, _rank, sink_fn,
+        op="serve_pq_topk_stream",
+    )
+
+
+def serve_ivf_pq_topk_stream(
+    spark: SparkSession,
+    catalog,
+    index_table: str,
+    query_stream: DataFrame,
+    sink_fn,
+    k: int = 5,
+    nprobe: int = 2,
+    num_subspaces: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Streaming IVF-PQ top-k from the persisted four-table index —
+    serve_pq_topk_stream with the coarse quantizer in front: each
+    micro-batch's queries are assigned to their nprobe nearest stored
+    centroids (Arrow map-side over the few-KB centroid rows collected
+    once at plan time) and ADC-scored against only the probed lists'
+    pinned codes. Output rows are (query_id, neighbor_id, adc_score,
+    rank), row-identical to ivf_pq_query_index over the same closed
+    input — the rank runs inside foreachBatch through the SAME
+    _ivf_pq_adc_rank plan the batch path serves with.
+
+    Lifecycle semantics are serve_pq_topk_stream's, over four tables:
+    plan-time torn-rebuild refusal, per-batch pre+post stamp probes
+    pinned to the planned build (eight 1-row jobs per batch), snapshot
+    isolation across the two-table ivf_pq_append_to_index (appended
+    rows carry the planned build_id; the pinned lists/codes manifests
+    never see a half-landed append — serve-through on the planned
+    snapshot, restart to serve appended vectors, loud stop on
+    rebuild)."""
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+    from hive_io_experimental_spark.operators.similarity import (
+        _ivf_pq_adc_rank,
+        _require_small_query_side,
+    )
+
+    parts = (
+        ("centroids", "_centroids"), ("codebooks", "_codebooks"),
+        ("lists", "_lists"), ("codes", ""),
+    )
+
+    def _validate(expect_build_id=None):
+        return _validate_adc_stamps(
+            spark, catalog, index_table, parts, expect_build_id,
+            op="serve_ivf_pq_topk_stream", rebuild="ivf_pq_build_index",
+        )
+
+    planned_build = _validate()
+    inp = HiveInput(spark, catalog)
+    cents = inp.read_table(
+        ScanSpec(table=f"{index_table}_centroids")
+    ).select("cid", "cv")
+    codebooks = inp.read_table(
+        ScanSpec(table=f"{index_table}_codebooks")
+    ).select("j", "code", "cv")
+    lists = inp.read_table(ScanSpec(table=f"{index_table}_lists")).select(
+        "cid", "id"
+    )
+    codes = inp.read_table(ScanSpec(table=index_table)).select(
+        "id", "codes"
+    )
+    cent_rows = [r.asDict() for r in cents.collect()]  # nlist-bounded
+    if not cent_rows:
+        raise ValueError(
+            f"serve_ivf_pq_topk_stream: empty centroid table "
+            f"{index_table}_centroids"
+        )
+    probe = codebooks.agg(
+        F.first(F.size("cv")).alias("d"),
+        (F.max("j") + 1).alias("m"),
+    ).first()
+    if probe is None or probe["d"] is None:
+        raise ValueError(
+            f"serve_ivf_pq_topk_stream: empty codebook table "
+            f"{index_table}_codebooks"
+        )
+    if probe["m"] != num_subspaces:
+        raise ValueError(
+            f"serve_ivf_pq_topk_stream: num_subspaces={num_subspaces} "
+            f"does not match the stored index ({index_table}_codebooks "
+            f"holds {probe['m']} subspaces). Pass "
+            f"num_subspaces={probe['m']} — a mismatch would misindex "
+            f"the stored codes."
+        )
+    dsub = probe["d"]
+
+    def _rank(batch_df: DataFrame) -> DataFrame:
+        _require_small_query_side(
+            batch_df.select(F.col(id_col)),
+            "serve_ivf_pq_topk_stream (per-micro-batch probes + LUTs)",
+        )
+        return _ivf_pq_adc_rank(
+            lists, codes, batch_df, cent_rows, codebooks, k, nprobe,
+            num_subspaces, dsub, vec_col, id_col,
+        )
+
+    return _serve_adc_stream(
+        query_stream.select(F.col(id_col), F.col(vec_col)),
+        planned_build, _validate, _rank, sink_fn,
+        op="serve_ivf_pq_topk_stream",
+    )

@@ -1141,3 +1141,276 @@ def test_hybrid_stream_rejects_batch_frame(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with pytest.raises(ValueError, match="batch frame"):
         serve_hybrid_topk_stream(emb, docs, emb, sink_fn=lambda d, e: None)
+
+
+def test_pq_topk_stream_matches_batch_index_serving(spark, sf_dir, tmp_path):
+    """Online quantized serving (r14): a query stream served against the
+    stored PQ index emits EXACTLY the batch pq_query_index rows over the
+    same closed input — ADC LUTs + rank run inside foreachBatch (neither
+    is append-mode-expressible) and are exact per batch because every
+    query is scored against the full pinned codes table in its arrival
+    batch."""
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators import similarity
+    from hive_io_experimental_spark.streaming.similarity import (
+        serve_pq_topk_stream,
+    )
+
+    cat = Catalog(str(tmp_path / "wh"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    similarity.pq_build_index(
+        spark, cat, "default.emb_pq_s", emb, centroid_stride=5,
+        max_codes=128,
+    )
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    queries = emb.filter(F.col("vec_id") < 60)
+    src = str(tmp_path / "qsrc")
+    (
+        queries.withColumn("b", (F.col("vec_id") % 2).cast("int"))
+        .repartition(2, "b").drop("b")
+        .write.mode("overwrite").parquet(src)
+    )
+    stream = spark.readStream.schema(queries.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+
+    got: list = []
+    writer = serve_pq_topk_stream(
+        spark, cat, "default.emb_pq_s", stream,
+        sink_fn=lambda df, epoch: got.extend(tuple(r) for r in df.collect()),
+        k=5,
+    )
+    q = writer.trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(300)
+    assert not q.exception()
+
+    batch = {
+        tuple(r)
+        for r in similarity.pq_query_index(
+            spark, cat, "default.emb_pq_s", queries, k=5
+        ).collect()
+    }
+    assert len(got) == len(set(got)) == len(batch) > 0
+    assert set(got) == batch
+
+
+def test_ivf_pq_topk_stream_matches_batch_and_append_isolation(
+    spark, sf_dir, tmp_path
+):
+    """IVF-PQ streaming serve (r14): (1) stream output over a closed
+    two-micro-batch input is row-identical to ivf_pq_query_index; (2) a
+    two-table ivf_pq_append_to_index landing between planning and the
+    first batch keeps the stream ALIVE (appended rows carry the planned
+    build_id) and the served rows stay EXACTLY the planned snapshot's —
+    never a torn half-append view; restart serves the appended
+    vectors."""
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators import similarity
+    from hive_io_experimental_spark.streaming.similarity import (
+        serve_ivf_pq_topk_stream,
+    )
+
+    cat = Catalog(str(tmp_path / "wh"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    similarity.ivf_pq_build_index(
+        spark, cat, "default.emb_ivfpq_s", half_a,
+        centroid_stride=5, pq_stride=5, max_codes=128,
+    )
+    queries = emb.filter(F.col("vec_id") < 60)
+    src = str(tmp_path / "qsrc")
+    (
+        queries.withColumn("b", (F.col("vec_id") % 2).cast("int"))
+        .repartition(2, "b").drop("b")
+        .write.mode("overwrite").parquet(src)
+    )
+    # planned-snapshot expectation BEFORE the append, collected eagerly
+    pre_append = {
+        tuple(r)
+        for r in similarity.ivf_pq_query_index(
+            spark, cat, "default.emb_ivfpq_s", queries, k=5, nprobe=2
+        ).collect()
+    }
+    stream = spark.readStream.schema(queries.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    got: list = []
+    writer = serve_ivf_pq_topk_stream(
+        spark, cat, "default.emb_ivfpq_s", stream,
+        sink_fn=lambda df, epoch: got.extend(tuple(r) for r in df.collect()),
+        k=5, nprobe=2,
+    )
+    # append lands AFTER planning, BEFORE the first batch
+    similarity.ivf_pq_append_to_index(
+        spark, cat, "default.emb_ivfpq_s", half_b
+    )
+    q = writer.trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(300)
+    assert not q.exception()
+    assert len(got) == len(set(got)) == len(pre_append) > 0
+    assert set(got) == pre_append
+    assert all(r[1] % 2 == 0 for r in got)  # planned snapshot: even ids
+
+    # a restarted stream plans against the appended snapshot
+    got2: list = []
+    stream2 = spark.readStream.schema(queries.schema).parquet(src)
+    writer2 = serve_ivf_pq_topk_stream(
+        spark, cat, "default.emb_ivfpq_s", stream2,
+        sink_fn=lambda df, e: got2.extend(tuple(r) for r in df.collect()),
+        k=5, nprobe=2,
+    )
+    q2 = writer2.trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ckpt2")
+    ).start()
+    q2.awaitTermination(300)
+    assert not q2.exception()
+    assert any(r[1] % 2 == 1 for r in got2), (
+        "appended vectors not servable after restart"
+    )
+    batch = {
+        tuple(r)
+        for r in similarity.ivf_pq_query_index(
+            spark, cat, "default.emb_ivfpq_s", queries, k=5, nprobe=2
+        ).collect()
+    }
+    assert set(got2) == batch
+
+
+def test_pq_topk_stream_detects_midstream_and_midbatch_rebuild(
+    spark, sf_dir, tmp_path
+):
+    """A PQ index rebuilt between planning and serving must FAIL the
+    stream at the next micro-batch's pre-check; a rebuild landing WHILE
+    a batch is served (hostile sink) must fail the post-check naming the
+    tainted epoch — the serve_lsh_topk_stream contract on the quantized
+    tier."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators import similarity
+    from hive_io_experimental_spark.streaming.similarity import (
+        serve_pq_topk_stream,
+    )
+
+    cat = Catalog(str(tmp_path / "wh"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    similarity.pq_build_index(
+        spark, cat, "default.emb_pq_rb", emb, centroid_stride=5,
+        max_codes=128,
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    src = str(tmp_path / "qsrc")
+    queries.write.mode("overwrite").parquet(src)
+
+    # plan first (captures the original build), THEN rebuild, THEN start
+    stream = spark.readStream.schema(queries.schema).parquet(src)
+    writer = serve_pq_topk_stream(
+        spark, cat, "default.emb_pq_rb", stream,
+        sink_fn=lambda df, epoch: df.count(), k=3,
+    )
+    similarity.pq_build_index(
+        spark, cat, "default.emb_pq_rb", emb, centroid_stride=5,
+        max_codes=128,
+    )
+    q = writer.trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ckpt_rb")
+    ).start()
+    with pytest.raises(StreamingQueryException, match="REBUILT mid-stream"):
+        q.awaitTermination(300)
+
+    def _hostile_sink(df, epoch):
+        df.count()
+        similarity.pq_build_index(
+            spark, cat, "default.emb_pq_rb", emb, centroid_stride=5,
+            max_codes=128,
+        )
+
+    stream2 = spark.readStream.schema(queries.schema).parquet(src)
+    writer2 = serve_pq_topk_stream(
+        spark, cat, "default.emb_pq_rb", stream2,
+        sink_fn=_hostile_sink, k=3,
+    )
+    q2 = writer2.trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ckpt_mb")
+    ).start()
+    with pytest.raises(StreamingQueryException, match="WHILE micro-batch"):
+        q2.awaitTermination(300)
+
+
+def test_quantized_streams_refuse_torn_or_batch_inputs(
+    spark, sf_dir, tmp_path
+):
+    """Plan-time fences on the quantized serving streams: a batch query
+    frame is routed to the batch operator; a torn rebuild (mixed
+    build_id stamps across the index tables) is refused before any
+    batch runs; a wrong num_subspaces raises instead of misindexing
+    stored codes."""
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+    from hive_io_experimental_spark.operators import similarity
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+    from hive_io_experimental_spark.streaming.similarity import (
+        serve_ivf_pq_topk_stream,
+        serve_pq_topk_stream,
+    )
+
+    cat = Catalog(str(tmp_path / "wh"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    similarity.pq_build_index(
+        spark, cat, "default.emb_pq_v", emb, centroid_stride=5,
+        max_codes=128,
+    )
+    similarity.ivf_pq_build_index(
+        spark, cat, "default.emb_ivfpq_v", emb,
+        centroid_stride=5, pq_stride=5, max_codes=128,
+    )
+    stream = spark.readStream.schema(emb.schema).parquet(f"{sf_dir}")
+    with pytest.raises(ValueError, match="batch frame"):
+        serve_pq_topk_stream(
+            spark, cat, "default.emb_pq_v", emb, sink_fn=lambda d, e: None
+        )
+    with pytest.raises(ValueError, match="batch frame"):
+        serve_ivf_pq_topk_stream(
+            spark, cat, "default.emb_ivfpq_v", emb,
+            sink_fn=lambda d, e: None,
+        )
+    with pytest.raises(ValueError, match="num_subspaces=8 does not"):
+        serve_pq_topk_stream(
+            spark, cat, "default.emb_pq_v", stream,
+            sink_fn=lambda d, e: None, num_subspaces=8,
+        )
+    # manufacture the torn-rebuild state: codebooks re-stamped, codes old
+    cb_schema = HiveTableSchema((
+        ("j", T.IntegerType()),
+        ("code", T.IntegerType()),
+        ("cv", T.ArrayType(T.DoubleType())),
+        ("build_id", T.StringType()),
+    ))
+    for tbl in ("default.emb_pq_v_codebooks",
+                "default.emb_ivfpq_v_codebooks"):
+        cb = HiveInput(spark, cat).read_table(
+            ScanSpec(table=tbl)
+        ).drop("build_id").withColumn(
+            "build_id", F.lit("torn-stamp")
+        ).localCheckpoint()
+        cat.drop_table(tbl, delete_data=True)
+        cat.create_table(tbl, cb_schema)
+        HiveOutput(spark, cat).write_table(WriteSpec(table=tbl), cb)
+    with pytest.raises(ValueError, match="mixed build_id"):
+        serve_pq_topk_stream(
+            spark, cat, "default.emb_pq_v", stream,
+            sink_fn=lambda d, e: None,
+        )
+    with pytest.raises(ValueError, match="mixed build_id"):
+        serve_ivf_pq_topk_stream(
+            spark, cat, "default.emb_ivfpq_v", stream,
+            sink_fn=lambda d, e: None,
+        )
