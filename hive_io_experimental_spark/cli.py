@@ -578,6 +578,20 @@ def cmd_index(args: argparse.Namespace, stop_session: bool = True) -> int:
                 num_subspaces=args.subspaces,
                 vec_col=args.vec_col, id_col=args.id_col,
             )
+    elif args.action == "repair":
+        # torn-APPEND completion for the only tier whose append moves
+        # two tables; --table is the corpus the vectors are completed
+        # from (--detect-only reports the id diff without writing)
+        if tier != "ivfpq":
+            raise SystemExit(
+                "index repair applies to --tier ivfpq only — the LSH "
+                "and PQ appends move one table and cannot tear"
+            )
+        out = similarity.ivf_pq_index_repair(
+            spark, cat, args.index,
+            None if args.detect_only else corpus,
+            vec_col=args.vec_col, id_col=args.id_col,
+        )
     else:  # check
         if not args.queries:
             raise SystemExit("index check requires --queries")
@@ -1059,9 +1073,13 @@ def build_parser() -> argparse.ArgumentParser:
     ix = sub.add_parser(
         "index",
         help="persisted ANN index (lsh/pq/ivfpq): build / append / "
-             "query / check",
+             "query / check / repair",
     )
-    ix.add_argument("action", choices=("build", "append", "query", "check"))
+    ix.add_argument("action",
+                    choices=("build", "append", "query", "check", "repair"))
+    ix.add_argument("--detect-only", action="store_true",
+                    help="repair: report the lists-vs-codes id diff "
+                         "without completing it")
     ix.add_argument("--tier", choices=("lsh", "pq", "ivfpq"),
                     default="lsh",
                     help="index tier (default lsh); every tier appends")

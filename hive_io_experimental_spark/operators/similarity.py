@@ -3152,6 +3152,149 @@ def ivf_pq_append_to_index(
     )
 
 
+def ivf_pq_index_repair(
+    spark,
+    catalog,
+    index_table: str,
+    corpus: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Detect — and, given the corpus, complete — a torn IVF-PQ append
+    WITHOUT the original batch (the operational gap ivf_pq_append_to_
+    index documents: its re-delivery repair needs the batch back).
+
+    The two-table append (lists first, codes second) is not atomic; a
+    crash between them leaves ids present in one table only. Serving
+    inner-joins lists ⋈ codes, so the torn rows are invisible (a
+    consistent subset, never a wrong score) — but silently unserved
+    until repaired. The torn set is DERIVABLE: anti-join the two
+    tables' ids both ways. Completion needs only the raw vectors for
+    those ids, which the corpus (the system of record the batch came
+    from) still holds: encode/assign them under the STORED geometry —
+    deterministic functions of (vector, codebooks/centroids), so the
+    result is bit-identical to what a re-delivered batch would have
+    appended — and commit the missing halves with the stored build_id.
+
+    Returns a one-row report (n_missing_codes, n_missing_lists,
+    n_repaired_codes, n_repaired_lists): with ``corpus=None`` this is a
+    pure detection verb (repaired counts 0 — the CLI ``index repair``
+    dry default); with the corpus, both diffs are healed and a second
+    run reports all zeros (idempotent). Raises if the corpus no longer
+    holds a torn id (the tear predates a corpus erasure — rebuild), and
+    refuses mixed build_id stamps (a torn REBUILD is geometry damage
+    this verb must not paper over; re-run ivf_pq_build_index).
+
+    Scale: two id-projection anti-joins (one long per indexed vector)
+    plus |torn| × (nlist + ksub) repair dots — nightly-maintenance
+    shaped, no corpus rescan beyond one semi-join on the torn ids."""
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+
+    inp = HiveInput(spark, catalog)
+    cents = inp.read_table(ScanSpec(table=f"{index_table}_centroids"))
+    codebooks = inp.read_table(ScanSpec(table=f"{index_table}_codebooks"))
+    lists = inp.read_table(ScanSpec(table=f"{index_table}_lists"))
+    codes = inp.read_table(ScanSpec(table=index_table))
+    stamps = {}
+    for name, df in (
+        ("centroids", cents), ("lists", lists),
+        ("codebooks", codebooks), ("codes", codes),
+    ):
+        stamps[name] = _index_stamp(
+            "ivf_pq_index_repair", index_table, name, df,
+            rebuild="ivf_pq_build_index",
+        )
+    if len(set(stamps.values())) > 1:
+        raise ValueError(
+            f"ivf_pq_index_repair: index {index_table} has mixed "
+            f"build_id stamps across its tables ({stamps}) — that is a "
+            f"torn REBUILD (geometry damage), not a torn append; this "
+            f"verb only completes missing append halves. Re-run "
+            f"ivf_pq_build_index."
+        )
+    bid = stamps["codes"]
+    list_ids = lists.select("id")
+    code_ids = codes.select("id")
+    # localCheckpoint: the repair appends to the very tables these
+    # diffs scan (the same-path-scan lesson, ingestion.py:377-384)
+    need_codes = list_ids.join(code_ids, "id", "left_anti").distinct() \
+        .localCheckpoint()
+    need_lists = code_ids.join(list_ids, "id", "left_anti").distinct() \
+        .localCheckpoint()
+    n_need_codes, n_need_lists = need_codes.count(), need_lists.count()
+
+    def _report(rc: int, rl: int) -> DataFrame:
+        return spark.createDataFrame(
+            [(n_need_codes, n_need_lists, rc, rl)],
+            "n_missing_codes long, n_missing_lists long, "
+            "n_repaired_codes long, n_repaired_lists long",
+        )
+
+    if corpus is None or (n_need_codes == 0 and n_need_lists == 0):
+        return _report(0, 0)
+    geo = codebooks.agg(
+        F.first(F.size("cv")).alias("dsub"),
+        (F.max("j") + 1).alias("m"),
+    ).first()
+    num_subspaces, dsub = int(geo["m"]), int(geo["dsub"])
+    cent_rows = [
+        r.asDict() for r in cents.select("cid", "cv").collect()
+    ]
+    out = HiveOutput(spark, catalog)
+    src = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_vec")
+    )
+
+    def _vectors_for(ids: DataFrame, n_ids: int, half: str) -> DataFrame:
+        vecs = src.join(ids, "id").localCheckpoint()
+        n_found = vecs.count()
+        if n_found < n_ids:
+            raise ValueError(
+                f"ivf_pq_index_repair: {n_ids - n_found} of {n_ids} ids "
+                f"missing their {half} half are no longer in the corpus "
+                f"— the tear predates a corpus erasure, so the exact "
+                f"vectors are gone. Re-run ivf_pq_build_index over the "
+                f"current corpus."
+            )
+        if n_found > n_ids:
+            raise ValueError(
+                f"ivf_pq_index_repair: the corpus holds "
+                f"{n_found - n_ids} duplicate rows for the {n_ids} ids "
+                f"missing their {half} half — repairing from an "
+                f"ambiguous corpus would commit duplicate index rows. "
+                f"Dedup the corpus first."
+            )
+        return vecs
+
+    if n_need_codes > 0:
+        vecs = _vectors_for(need_codes, n_need_codes, "codes")
+        fresh_codes = pq_encode(
+            vecs, codebooks.select("j", "code", "cv"), num_subspaces,
+            vec_col="_vec", id_col="id",
+        ).withColumn("build_id", F.lit(bid)).localCheckpoint()
+        out.append_table(
+            WriteSpec(table=index_table), fresh_codes,
+            note="ivf_pq_index_repair",
+        )
+    if n_need_lists > 0:
+        vecs = _vectors_for(need_lists, n_need_lists, "lists")
+        c = vecs.select(
+            "id", _as_double("_vec").alias("_v")
+        ).withColumn("_nrm", l2_norm(F.col("_v")))
+        fresh_lists = (
+            _assign_pandas(c, "id", "_v", "_nrm", cent_rows, keep=1)
+            .select("cid", "id")
+            .withColumn("build_id", F.lit(bid))
+            .localCheckpoint()
+        )
+        out.append_table(
+            WriteSpec(table=f"{index_table}_lists"), fresh_lists,
+            note="ivf_pq_index_repair",
+        )
+    return _report(n_need_codes, n_need_lists)
+
+
 def cosine_topk_multiprobe(
     corpus: DataFrame,
     queries: DataFrame,

@@ -761,3 +761,78 @@ def test_cli_classify_lifecycle(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert out[1].split("\t")[2:] == ["0", "0", "0"]
+
+
+def test_cli_index_repair_torn_append(spark, tmp_path, capsys):
+    """`index repair --tier ivfpq`: detect a torn two-table append
+    (--detect-only) and complete it from the corpus — the batch-free
+    maintenance verb, driven through the user surface. Other tiers are
+    refused (their appends move one table and cannot tear)."""
+    from hive_io_experimental_spark.catalog import Catalog
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    half_a = tmp_path / "half_a"
+    half_b = tmp_path / "half_b"
+    allv = tmp_path / "all"
+    queries = tmp_path / "queries"
+    emb.filter("vec_id % 2 = 0").write.parquet(str(half_a))
+    emb.filter("vec_id % 2 = 1").write.parquet(str(half_b))
+    emb.write.parquet(str(allv))
+    emb.filter("vec_id < 10").write.parquet(str(queries))
+    wh = str(tmp_path / "wh")
+    os.makedirs(wh, exist_ok=True)
+    idx = "default.emb_ipr"
+    assert main(
+        ["index", "build", "--tier", "ivfpq", "--table", str(half_a),
+         "--index", idx, "--stride", "5", "--pq-stride", "5",
+         "--max-codes", "128", "--warehouse", wh],
+        stop_session=False,
+    ) == 0
+    cat = Catalog(wh)
+    v_built = cat.current_version(idx)
+    assert main(
+        ["index", "append", "--tier", "ivfpq", "--table", str(half_b),
+         "--index", idx, "--warehouse", wh],
+        stop_session=False,
+    ) == 0
+    capsys.readouterr()
+    # tear: codes table back to its pre-append snapshot
+    cat.rollback_to_version(idx, v_built)
+    n_torn = emb.filter("vec_id % 2 = 1").count()
+
+    assert main(
+        ["index", "repair", "--tier", "ivfpq", "--table", str(allv),
+         "--index", idx, "--detect-only", "--warehouse", wh],
+        stop_session=False,
+    ) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t") == [
+        "n_missing_codes", "n_missing_lists",
+        "n_repaired_codes", "n_repaired_lists",
+    ]
+    assert out[1].split("\t") == [str(n_torn), "0", "0", "0"]
+
+    assert main(
+        ["index", "repair", "--tier", "ivfpq", "--table", str(allv),
+         "--index", idx, "--warehouse", wh],
+        stop_session=False,
+    ) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[1].split("\t") == [str(n_torn), "0", str(n_torn), "0"]
+    # post-repair: serving equals the direct operator over the corpus
+    assert main(
+        ["index", "check", "--tier", "ivfpq", "--table", str(allv),
+         "--queries", str(queries), "--index", idx, "--k", "3",
+         "--stride", "10", "--pq-stride", "10", "--max-codes", "128",
+         "--warehouse", wh],
+        stop_session=False,
+    ) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[1].split("\t")[2] == "0"
+
+    with pytest.raises(SystemExit, match="ivfpq only"):
+        main(
+            ["index", "repair", "--tier", "pq", "--table", str(allv),
+             "--index", idx, "--warehouse", wh],
+            stop_session=False,
+        )

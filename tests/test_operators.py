@@ -3367,3 +3367,110 @@ def test_lsh_index_refuses_torn_rebuild(spark, sf_dir, warehouse):
         similarity.lsh_query_index(
             spark, cat, "default.emb_lsh3", emb, queries
         )
+
+
+def test_ivf_pq_index_repair_completes_torn_append(spark, sf_dir, warehouse):
+    """The batch-free torn-append repair (r14): kill between the two
+    appends (simulated by rolling the codes table back to its
+    pre-append snapshot after a normal append — lists landed, codes
+    did not), detect the id diff, complete the missing half from the
+    CORPUS under the stored geometry, and prove serving equals the
+    direct operator over the full corpus. Idempotent (second run all
+    zeros); detection-only with corpus=None; a corpus that lost a torn
+    id raises; mixed stamps (torn REBUILD) are refused."""
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+
+    cat = Catalog(warehouse)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 30)
+    tbl = "default.emb_ivfpqr"
+    similarity.ivf_pq_build_index(
+        spark, cat, tbl, half_a,
+        centroid_stride=5, pq_stride=5, max_codes=128,
+    )
+    v_built = cat.current_version(tbl)
+    v_lists_built = cat.current_version(f"{tbl}_lists")
+    similarity.ivf_pq_append_to_index(spark, cat, tbl, half_b)
+    # tear: codes back to the pre-append snapshot, lists keep the append
+    cat.rollback_to_version(tbl, v_built)
+    inp = HiveInput(spark, cat)
+    n_torn = half_b.count()
+    assert inp.read_table(ScanSpec(table=tbl)).count() == half_a.count()
+    assert inp.read_table(
+        ScanSpec(table=f"{tbl}_lists")
+    ).count() == emb.count()
+
+    # detection-only: reports the diff, repairs nothing
+    det = similarity.ivf_pq_index_repair(spark, cat, tbl).first()
+    assert det["n_missing_codes"] == n_torn
+    assert det["n_missing_lists"] == 0
+    assert det["n_repaired_codes"] == det["n_repaired_lists"] == 0
+    assert inp.read_table(ScanSpec(table=tbl)).count() == half_a.count()
+
+    # a corpus that no longer holds the torn ids cannot complete them
+    with pytest.raises(ValueError, match="no longer in the corpus"):
+        similarity.ivf_pq_index_repair(spark, cat, tbl, half_a)
+
+    # repair from the system-of-record corpus, no original batch needed
+    rep = similarity.ivf_pq_index_repair(spark, cat, tbl, emb).first()
+    assert rep["n_missing_codes"] == rep["n_repaired_codes"] == n_torn
+    assert rep["n_missing_lists"] == rep["n_repaired_lists"] == 0
+    assert inp.read_table(ScanSpec(table=tbl)).count() == emb.count()
+    # one shared build stamp survives the repair
+    assert inp.read_table(ScanSpec(table=tbl)).select(
+        "build_id"
+    ).distinct().count() == 1
+    # repaired == what re-delivery would have appended: serving equals
+    # the direct operator over the full corpus (the append test's dials)
+    row = similarity.ivf_pq_index_consistency_check(
+        spark, cat, tbl, emb, queries, k=5,
+        centroid_stride=10, pq_stride=10, max_codes=128,
+    ).first()
+    assert row["n_mismatch"] == 0 and row["n_served"] > 0
+    # idempotent: a clean index reports and writes nothing
+    again = similarity.ivf_pq_index_repair(spark, cat, tbl, emb).first()
+    assert tuple(again) == (0, 0, 0, 0)
+
+    # the REVERSE tear (codes present, lists missing) also completes:
+    # roll lists back to the half_a build, keep codes full
+    cat.rollback_to_version(f"{tbl}_lists", v_lists_built)
+    assert inp.read_table(
+        ScanSpec(table=f"{tbl}_lists")
+    ).count() < emb.count()
+    rep2 = similarity.ivf_pq_index_repair(spark, cat, tbl, emb).first()
+    assert rep2["n_repaired_lists"] > 0
+    assert inp.read_table(
+        ScanSpec(table=f"{tbl}_lists")
+    ).count() == emb.count()
+    row2 = similarity.ivf_pq_index_consistency_check(
+        spark, cat, tbl, emb, queries, k=5,
+        centroid_stride=10, pq_stride=10, max_codes=128,
+    ).first()
+    assert row2["n_mismatch"] == 0
+
+    # mixed stamps are a torn REBUILD — refused, not papered over
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.output import HiveOutput, WriteSpec
+    from hive_io_experimental_spark.schema import HiveTableSchema
+
+    cb = inp.read_table(
+        ScanSpec(table=f"{tbl}_codebooks")
+    ).drop("build_id").withColumn(
+        "build_id", F.lit("torn-stamp")
+    ).localCheckpoint()
+    cat.drop_table(f"{tbl}_codebooks", delete_data=True)
+    cat.create_table(f"{tbl}_codebooks", HiveTableSchema((
+        ("j", T.IntegerType()),
+        ("code", T.IntegerType()),
+        ("cv", T.ArrayType(T.DoubleType())),
+        ("build_id", T.StringType()),
+    )))
+    HiveOutput(spark, cat).write_table(
+        WriteSpec(table=f"{tbl}_codebooks"), cb
+    )
+    with pytest.raises(ValueError, match="torn REBUILD"):
+        similarity.ivf_pq_index_repair(spark, cat, tbl, emb)
