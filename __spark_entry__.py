@@ -262,6 +262,45 @@ def _similarity_ivfpq_append(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _similarity_ivfpq_repair(spark: SparkSession, sf: str) -> DataFrame:
+    """The torn-append repair lifecycle, hash-gated (r14): build on the
+    even half, append the odd half, then TEAR the append by rolling the
+    codes table back to its pre-append snapshot (exactly a crash
+    between the lists and codes writes — lists landed, codes did not).
+    ivf_pq_index_repair derives the torn ids (anti-join both ways) and
+    completes the codes half from the CORPUS under the stored geometry
+    — no original batch — after which serving must equal the direct
+    operator over the full corpus (the append gate's exact-geometry
+    dials: even ∩ stride-5 ≡ full-corpus stride-10). Emits the repair
+    report (missing/repaired counts — the odd half's codes, zero lists)
+    with the consistency proof; the twin pins all of it."""
+    import tempfile
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators import similarity
+
+    wh = tempfile.mkdtemp(prefix="hio_ivfpqrp_wh_")
+    cat = Catalog(wh)
+    emb = _t(spark, sf, "embeddings")
+    tbl = "default.emb_ivfpqrp"
+    similarity.ivf_pq_build_index(
+        spark, cat, tbl, emb.filter(F.col("vec_id") % 2 == 0),
+        centroid_stride=5, pq_stride=5, max_codes=128,
+    )
+    v_built = cat.current_version(tbl)
+    similarity.ivf_pq_append_to_index(
+        spark, cat, tbl, emb.filter(F.col("vec_id") % 2 == 1),
+    )
+    cat.rollback_to_version(tbl, v_built)  # the torn-append state
+    rep = similarity.ivf_pq_index_repair(spark, cat, tbl, emb)
+    chk = similarity.ivf_pq_index_consistency_check(
+        spark, cat, tbl, emb,
+        emb.filter(F.col("vec_id") < 200), k=5,
+        centroid_stride=10, pq_stride=10, max_codes=128,
+    )
+    return rep.crossJoin(F.broadcast(chk))
+
+
 def _similarity_pq_append(spark: SparkSession, sf: str) -> DataFrame:
     """Build the persisted PQ index on HALF the corpus, fold the other
     half in with pq_append_to_index (one snapshot append to the codes
@@ -2764,6 +2803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # IVF-PQ incremental maintenance (r13 birth): half-build + append
     # under the stored geometry == from-scratch encode, proven end to end
     q["similarity_ivfpq_append"] = _similarity_ivfpq_append
+    q["similarity_ivfpq_repair"] = _similarity_ivfpq_repair
     # PQ incremental maintenance (r13 birth): the single-table append
     # sibling — with IVF documented append-free (quantizer-only artifact),
     # every code-holding persisted tier now has an append lifecycle
@@ -2847,8 +2887,12 @@ _CORE_GATES = [
 _R14_BIRTHS = [
     # r14 birth budget (<= 5): the NB incremental model update (verdict
     # task 5) — exact fold of a new labeled batch into the stored model
-    # via integer sufficient statistics, proven equal to a full retrain.
+    # via integer sufficient statistics, proven equal to a full retrain
+    # — and the IVF-PQ torn-append repair lifecycle (verdict task 6) —
+    # tear the two-table append mid-way, complete the missing half from
+    # the corpus, prove serving equals the direct operator.
     "nb_incremental_update",
+    "similarity_ivfpq_repair",
 ]
 
 _CHECK_FIRST = _CORE_GATES + _R14_BIRTHS + [
@@ -5910,6 +5954,26 @@ def oracle_sql() -> dict[str, str]:
     o["similarity_ivfpq_append"] = f"""
         WITH {_ivfpq10_ctes}
         SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < 200)
+                 AS n_queries,
+               (SELECT COUNT(*) FROM ivfpq_ranked WHERE rank <= 5)
+                 AS n_served,
+               CAST(0 AS BIGINT) AS n_mismatch"""
+
+    # torn-append repair twin (r14): the gate tears the odd-half append
+    # (codes rolled back, lists kept) and repairs from the corpus, so
+    # the torn set is EXACTLY the odd ids (missing codes; lists intact)
+    # and the repaired index must serve the same stride-10 full-corpus
+    # replay as the append gate — repair counts AND the consistency
+    # proof are all pinned through the hash
+    o["similarity_ivfpq_repair"] = f"""
+        WITH {_ivfpq10_ctes}
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+                WHERE vec_id % 2 = 1) AS n_missing_codes,
+               CAST(0 AS BIGINT) AS n_missing_lists,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+                WHERE vec_id % 2 = 1) AS n_repaired_codes,
+               CAST(0 AS BIGINT) AS n_repaired_lists,
+               (SELECT COUNT(*) FROM embeddings WHERE vec_id < 200)
                  AS n_queries,
                (SELECT COUNT(*) FROM ivfpq_ranked WHERE rank <= 5)
                  AS n_served,
