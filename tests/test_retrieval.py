@@ -1721,3 +1721,45 @@ def test_nb_update_model_refuses_pre_count_schema(spark, tmp_path):
     with pytest.raises(ValueError, match="count-carrying"):
         T.nb_update_model(spark, cat, "default.nb_old", docs,
                           label_col="lang")
+
+
+def test_random_projection_straddles_literal_cap_at_encoder_width(spark):
+    """The dial that matters at real encoder width (r13 verdict task 7):
+    at dim=1024, out_dim=8 is EXACTLY _MAX_RP_LITERAL_CELLS (literal
+    still allowed) and out_dim=9 is one step past it (table only) — the
+    two methods must be BIT-identical at the straddle point, and 'auto'
+    must route literal at the cap / table past it (probed behaviorally:
+    only the table path trips the `_rp_signs` collision fence)."""
+    from hive_io_experimental_spark.operators.similarity import (
+        _MAX_RP_LITERAL_CELLS,
+        random_projection,
+    )
+
+    dim = 1024
+    assert 8 * dim == _MAX_RP_LITERAL_CELLS
+    corpus = spark.createDataFrame(
+        [(i, [((i * 31 + d * 37) % 101) * 0.0625 - 3.0
+              for d in range(dim)])
+         for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    lit = {
+        r["vec_id"]: list(r["projected"])
+        for r in random_projection(
+            corpus, out_dim=8, method="literal"
+        ).collect()
+    }
+    tab = {
+        r["vec_id"]: list(r["projected"])
+        for r in random_projection(
+            corpus, out_dim=8, method="table"
+        ).collect()
+    }
+    assert lit == tab  # exact float equality at encoder width
+    # auto routing, probed without reading plans: a corpus carrying
+    # `_rp_signs` passes the literal path and is refused by the table
+    # path, so auto@cap must succeed and auto@cap+1 must raise
+    tagged = corpus.withColumn("_rp_signs", F.lit("x"))
+    assert random_projection(tagged, out_dim=8).count() == 20
+    with pytest.raises(ValueError, match="_rp_signs"):
+        random_projection(tagged, out_dim=9)
