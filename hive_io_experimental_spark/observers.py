@@ -32,11 +32,23 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
-def observed_scan(df: DataFrame, observation: Observation) -> DataFrame:
+def observed_scan(
+    df: DataFrame,
+    observation: Observation,
+    corrupt_col: str | None = None,
+) -> DataFrame:
     """Attach row/byte observers to a scan (HiveApiInputObserver parity).
 
     Metrics: n_rows, approx_bytes (sum of per-row external byte sizes of
-    every column — an estimate, like the reference's rawSize-scaled meter).
+    every column — an estimate, like the reference's rawSize-scaled
+    meter), and n_read_failed — the ``hiveReadRowFailed`` signal
+    (HiveApiInputObserver.java:43-46) in aggregate form: rows whose
+    ``corrupt_col`` is non-null. PERMISSIVE csv/json scans route
+    unparseable lines into that column (see
+    ``formats.with_corrupt_capture``); the count rides the same
+    Observation, so failed reads are metered DURING the scan with no
+    per-row callback and no second job. 0 when no corrupt_col is wired
+    (parquet/orc scans fail jobs, not rows — there is nothing to count).
     """
     size_cols = [
         F.coalesce(F.octet_length(F.col(c).cast("string")), F.lit(0))
@@ -45,20 +57,29 @@ def observed_scan(df: DataFrame, observation: Observation) -> DataFrame:
     total = size_cols[0]
     for c in size_cols[1:]:
         total = total + c
+    failed = (
+        F.count(F.col(corrupt_col))
+        if corrupt_col is not None
+        else F.lit(0).cast("long")
+    )
     return df.observe(
         observation,
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(total.cast("long")).alias("approx_bytes"),
+        failed.alias("n_read_failed"),
     )
 
 
 @dataclass
 class ScanStats:
-    """The tailer's stats line (Stats.java:133-151)."""
+    """The tailer's stats line (Stats.java:133-151) plus the aggregate
+    failed-read count (``n_read_failed`` stays OFF the csv_line — the
+    reference's Stats columns are pinned by the bench harness parity)."""
 
     n_rows: int
     approx_mb: float
     seconds: float
+    n_read_failed: int = 0
 
     @property
     def rows_per_s(self) -> float:
@@ -91,10 +112,12 @@ class ScanMeter:
         self._t0: float | None = None
         self._elapsed: float | None = None
 
-    def attach(self, df: DataFrame) -> DataFrame:
+    def attach(
+        self, df: DataFrame, corrupt_col: str | None = None
+    ) -> DataFrame:
         self._t0 = time.perf_counter()
         self._elapsed = None
-        return observed_scan(df, self.observation)
+        return observed_scan(df, self.observation, corrupt_col)
 
     def mark_done(self) -> None:
         """Freeze the wall-clock at the action boundary.
@@ -120,6 +143,7 @@ class ScanMeter:
             n_rows=got["n_rows"] or 0,
             approx_mb=(got["approx_bytes"] or 0) / 1e6,
             seconds=seconds,
+            n_read_failed=got.get("n_read_failed", 0) or 0,
         )
 
 

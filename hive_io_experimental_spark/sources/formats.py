@@ -41,6 +41,34 @@ def writer_options(fmt: str) -> dict[str, str]:
     return {}
 
 
+CORRUPT_COL = "_corrupt_record"
+
+
+def with_corrupt_capture(
+    schema: T.StructType,
+) -> tuple[T.StructType, str]:
+    """(schema + corrupt-capture column, its name): wire a PERMISSIVE
+    csv/json scan so unparseable lines land — whole — in one string
+    column instead of vanishing, the reference's ``hiveReadRowFailed``
+    observer signal (HiveApiInputObserver.java:43-46) made countable in
+    aggregate. Pass the returned name to ``ScanMeter.attach(df,
+    corrupt_col=...)`` (observers.py) to meter failed reads DURING the
+    scan, then drop the column. Spark only populates the capture column
+    when an explicit schema carries it, which is why this is a schema
+    transform and not a reader option alone. Raises if the schema
+    already claims the reserved name."""
+    if CORRUPT_COL in schema.fieldNames():
+        raise ValueError(
+            f"with_corrupt_capture: schema already has a "
+            f"{CORRUPT_COL!r} column — it collides with the corrupt-"
+            f"record capture column. Rename it first."
+        )
+    return (
+        schema.add(T.StructField(CORRUPT_COL, T.StringType(), True)),
+        CORRUPT_COL,
+    )
+
+
 def read_source(
     spark: SparkSession,
     path: str,

@@ -140,3 +140,42 @@ def test_write_meter_freezes_wall_clock_at_write_action(spark, sf_dir):
     assert meter.stats().seconds == s1  # frozen at the mark, not now()
     meter.mark_done()                   # second call: first mark wins
     assert meter.stats().seconds == s1
+
+
+def test_scan_meter_counts_failed_reads_during_scan(spark, tmp_path):
+    """hiveReadRowFailed parity (HiveApiInputObserver.java:43-46), in
+    aggregate: a PERMISSIVE csv scan wired through with_corrupt_capture
+    routes unparseable lines into the capture column, and the SAME
+    Observation that meters rows/bytes counts them — failed reads are
+    metered during the scan, no second job, no per-row callback."""
+    from pyspark.sql import types as T
+
+    from hive_io_experimental_spark.observers import ScanMeter
+    from hive_io_experimental_spark.sources.formats import (
+        read_source,
+        with_corrupt_capture,
+    )
+
+    src = tmp_path / "rows.tsv"
+    src.write_text("1\t2\nx\ty\n3\t4\nnot-a-row\n")
+    schema = T.StructType([
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.LongType()),
+    ])
+    cap_schema, cap_col = with_corrupt_capture(schema)
+    df = read_source(spark, str(src), "csv", schema=cap_schema)
+    meter = ScanMeter("failed_reads_meter")
+    observed = meter.attach(df, corrupt_col=cap_col)
+    good = observed.filter(F.col(cap_col).isNull()).drop(cap_col)
+    rows = good.collect()
+    meter.mark_done()
+    stats = meter.stats()
+    assert stats.n_read_failed == 2
+    assert stats.n_rows == 4  # observer sits above the filter: all reads
+    assert sorted((r.a, r.b) for r in rows) == [(1, 2), (3, 4)]
+    # schema collisions fail loud, never silent double-capture
+    with pytest.raises(ValueError, match="collides"):
+        with_corrupt_capture(cap_schema)
+    # the csv_line shape is pinned (Stats.java parity) — failed count
+    # rides the dataclass, not the tailer line
+    assert len(stats.csv_line(4).split(",")) == 6
