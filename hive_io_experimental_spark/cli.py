@@ -849,11 +849,14 @@ def cmd_classify(args: argparse.Namespace, stop_session: bool = True) -> int:
     """Persisted Naive Bayes classifier lifecycle from the CLI (the
     tokenize command's shape, for the routing model):
 
-    train — closed-form NB fit, persisted as stamped catalog tables;
-    score — label documents from the STORED model (prior-only for
-            tokenless docs);
-    check — one-row proof stored-model routing equals retrain+score
-            (priors, likelihoods AND scores; exit 1 on any mismatch).
+    train  — closed-form NB fit, persisted as stamped catalog tables;
+    update — fold a NEW labeled batch into the stored model EXACTLY
+             (integer sufficient-statistics merge; no corpus rescan —
+             the nightly-delta verb);
+    score  — label documents from the STORED model (prior-only for
+             tokenless docs);
+    check  — one-row proof stored-model routing equals retrain+score
+             (priors, likelihoods AND scores; exit 1 on any mismatch).
     """
     from hive_io_experimental_spark.catalog import Catalog
     from hive_io_experimental_spark.input import HiveInput, ScanSpec
@@ -871,6 +874,16 @@ def cmd_classify(args: argparse.Namespace, stop_session: bool = True) -> int:
             spark, cat, args.model, docs,
             text_col=args.text_col, label_col=args.label_col,
         )
+        out = HiveInput(spark, cat).read_table(
+            ScanSpec(table=f"{args.model}_meta")
+        )
+    elif args.action == "update":
+        bid = text_ops.nb_update_model(
+            spark, cat, args.model, docs,
+            text_col=args.text_col, label_col=args.label_col,
+        )
+        if bid is None:
+            print("# empty batch: model unchanged", file=sys.stderr)
         out = HiveInput(spark, cat).read_table(
             ScanSpec(table=f"{args.model}_meta")
         )
@@ -1228,9 +1241,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     cf = sub.add_parser(
         "classify",
-        help="persisted Naive Bayes router: train / score / check",
+        help="persisted Naive Bayes router: train / update / score / "
+             "check",
     )
-    cf.add_argument("action", choices=("train", "score", "check"))
+    cf.add_argument("action", choices=("train", "update", "score", "check"))
     cf.add_argument("--table", required=True,
                     help="documents db.table (with --warehouse) or "
                          "parquet path")

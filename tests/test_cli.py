@@ -738,8 +738,12 @@ def test_cli_classify_lifecycle(spark, tmp_path, capsys):
     )
     assert rc == 0
     out = capsys.readouterr().out.strip().splitlines()
-    assert out[0].split("\t") == ["n_labels", "n_model_rows", "build_id"]
+    assert out[0].split("\t") == [
+        "n_labels", "n_model_rows", "n_docs_total", "vocab_size",
+        "build_id",
+    ]
     assert out[1].split("\t")[0] == "2"
+    assert out[1].split("\t")[2] == "4"
 
     rc = main(
         ["classify", "score", "--table", str(t), "--model",
@@ -753,8 +757,31 @@ def test_cli_classify_lifecycle(spark, tmp_path, capsys):
     labels = {l.split("\t")[0]: l.split("\t")[1] for l in out[1:]}
     assert labels["0"] == "de" and labels["2"] == "en"
 
+    # fold a new labeled batch in (the nightly-delta verb): meta moves
+    # to the merged counts and a new label appears for scoring
+    t2 = tmp_path / "docs_cf2"
+    spark.createDataFrame(
+        [(4, "pomme poire", "fr"), (5, "apfel pear", "de")],
+        "doc_id long, text string, lang string",
+    ).write.parquet(str(t2))
     rc = main(
-        ["classify", "check", "--table", str(t), "--model",
+        ["classify", "update", "--table", str(t2), "--model",
+         "default.cli_nb", "--warehouse", wh],
+        stop_session=False,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[1].split("\t")[0] == "3"  # fr joined
+    assert out[1].split("\t")[2] == "6"  # n_docs_total merged
+
+    # stored-vs-retrain proof AGAINST THE UNION corpus: the exact-fold
+    # contract means the updated model equals a full retrain on t ∪ t2
+    t_all = tmp_path / "docs_cf_all"
+    spark.read.parquet(str(t)).unionAll(
+        spark.read.parquet(str(t2))
+    ).write.parquet(str(t_all))
+    rc = main(
+        ["classify", "check", "--table", str(t_all), "--model",
          "default.cli_nb", "--warehouse", wh],
         stop_session=False,
     )
