@@ -498,7 +498,17 @@ def cmd_index(args: argparse.Namespace, stop_session: bool = True) -> int:
         raise SystemExit("index requires --warehouse or --namespaces-file")
     spark = _build_spark(args.threads)
     cat = Catalog(warehouse)
-    corpus = _table_df(spark, args, args.table)
+    # repair --detect-only never touches the corpus — and its natural
+    # use case (sizing a tear after the corpus table was erased or
+    # moved) must not die resolving a frame the verb won't read
+    if args.action == "repair" and args.detect_only:
+        corpus = None
+    elif not args.table:
+        raise SystemExit(
+            f"index {args.action} requires --table (the corpus)"
+        )
+    else:
+        corpus = _table_df(spark, args, args.table)
     tier = args.tier
 
     def _codes_summary() -> "DataFrame":
@@ -588,8 +598,7 @@ def cmd_index(args: argparse.Namespace, stop_session: bool = True) -> int:
                 "and PQ appends move one table and cannot tear"
             )
         out = similarity.ivf_pq_index_repair(
-            spark, cat, args.index,
-            None if args.detect_only else corpus,
+            spark, cat, args.index, corpus,
             vec_col=args.vec_col, id_col=args.id_col,
         )
     else:  # check
@@ -1107,9 +1116,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="codebook size cap per subspace (pq/ivfpq)")
     ix.add_argument("--nprobe", type=int, default=2,
                     help="probed inverted lists per query (ivfpq)")
-    ix.add_argument("--table", required=True,
+    ix.add_argument("--table",
                     help="corpus db.table (with --warehouse) or parquet "
-                         "path holding the embedding column")
+                         "path holding the embedding column (required "
+                         "for every action except repair --detect-only)")
     ix.add_argument("--index", required=True,
                     help="index table name (db.table) in the warehouse")
     ix.add_argument("--queries",

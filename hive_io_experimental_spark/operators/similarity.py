@@ -3248,7 +3248,32 @@ def ivf_pq_index_repair(
 
     def _vectors_for(ids: DataFrame, n_ids: int, half: str) -> DataFrame:
         vecs = src.join(ids, "id").localCheckpoint()
-        n_found = vecs.count()
+        probe = vecs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(
+                F.when(
+                    F.col("_vec").isNull()
+                    | (F.size("_vec") != num_subspaces * dsub)
+                    | (l2_norm(_as_double("_vec")) == 0),
+                    1,
+                )
+            ).alias("n_bad"),
+        ).first()
+        n_found = int(probe["n"])
+        if probe["n_bad"] > 0:
+            # the encode/assign stages silently DROP such rows
+            # (_unit_vectors filters zero-norm; the encoder mis-slices
+            # wrong widths), so without this fence the repair would
+            # report them repaired while leaving the index torn forever
+            raise ValueError(
+                f"ivf_pq_index_repair: {probe['n_bad']} of {n_ids} "
+                f"corpus rows for ids missing their {half} half have a "
+                f"NULL, zero-norm or wrong-length (!= "
+                f"{num_subspaces * dsub}) embedding — they cannot be "
+                f"re-encoded under the stored geometry and would be "
+                f"silently dropped, leaving the tear in place. Fix the "
+                f"corpus rows or rebuild with ivf_pq_build_index."
+            )
         if n_found < n_ids:
             raise ValueError(
                 f"ivf_pq_index_repair: {n_ids - n_found} of {n_ids} ids "
@@ -3267,12 +3292,23 @@ def ivf_pq_index_repair(
             )
         return vecs
 
+    repaired_codes = repaired_lists = 0
     if n_need_codes > 0:
         vecs = _vectors_for(need_codes, n_need_codes, "codes")
         fresh_codes = pq_encode(
             vecs, codebooks.select("j", "code", "cv"), num_subspaces,
             vec_col="_vec", id_col="id",
         ).withColumn("build_id", F.lit(bid)).localCheckpoint()
+        # report what was ACTUALLY committed, never echo the need — the
+        # two must be equal now that unencodable rows raise above, and a
+        # divergence here is a bug worth failing loud over
+        repaired_codes = fresh_codes.count()
+        if repaired_codes != n_need_codes:
+            raise AssertionError(
+                f"ivf_pq_index_repair: encoded {repaired_codes} of "
+                f"{n_need_codes} missing-codes rows — the encoder "
+                f"dropped rows the corpus fence passed"
+            )
         out.append_table(
             WriteSpec(table=index_table), fresh_codes,
             note="ivf_pq_index_repair",
@@ -3288,11 +3324,18 @@ def ivf_pq_index_repair(
             .withColumn("build_id", F.lit(bid))
             .localCheckpoint()
         )
+        repaired_lists = fresh_lists.count()
+        if repaired_lists != n_need_lists:
+            raise AssertionError(
+                f"ivf_pq_index_repair: assigned {repaired_lists} of "
+                f"{n_need_lists} missing-lists rows — the assigner "
+                f"dropped rows the corpus fence passed"
+            )
         out.append_table(
             WriteSpec(table=f"{index_table}_lists"), fresh_lists,
             note="ivf_pq_index_repair",
         )
-    return _report(n_need_codes, n_need_lists)
+    return _report(repaired_codes, repaired_lists)
 
 
 def cosine_topk_multiprobe(

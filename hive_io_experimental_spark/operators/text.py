@@ -1637,6 +1637,7 @@ def _nb_persist_model(
     priors_ext: DataFrame,
     lik_ext: DataFrame,
     op: str,
+    last_update_fp: str | None = None,
 ) -> str:
     """Stamp and write the three model tables (meta first — the torn-
     write fences in the read path key off that order). Shared by build
@@ -1661,9 +1662,10 @@ def _nb_persist_model(
         raise ValueError(f"{op}: empty training frame")
     meta = spark.createDataFrame(
         [(int(prow["n_labels"]), int(lrow["n_rows"]),
-          int(prow["n_docs_total"]), int(lrow["vocab"] or 0), bid)],
+          int(prow["n_docs_total"]), int(lrow["vocab"] or 0),
+          last_update_fp, bid)],
         "n_labels long, n_model_rows long, n_docs_total long, "
-        "vocab_size long, build_id string",
+        "vocab_size long, last_update_fp string, build_id string",
     )
     out = HiveOutput(spark, catalog)
     for tbl, schema, frame in (
@@ -1674,6 +1676,7 @@ def _nb_persist_model(
                 ("n_model_rows", T.LongType()),
                 ("n_docs_total", T.LongType()),
                 ("vocab_size", T.LongType()),
+                ("last_update_fp", T.StringType()),
                 ("build_id", T.StringType()),
             )),
             meta,
@@ -1744,6 +1747,16 @@ def nb_update_model(
     i.e. rebuild once if the stored tables themselves were torn).
     Models persisted before the count-carrying schema (round 14) raise
     here with a rebuild-once message instead of folding garbage.
+
+    Re-delivery fence: counting is NOT idempotent (unlike the index
+    appends' anti-joins — the same batch folded twice doubles its
+    counts and silently shifts every bit), so meta stores an
+    order-independent content fingerprint of the LAST folded batch and
+    an update whose batch fingerprints identically is a no-op returning
+    None. That makes at-least-once retry of the SAME delivery safe (a
+    retry after a crash-after-commit re-sends the same batch); it does
+    not dedup against older history — feeding the same docs again in a
+    LATER distinct delivery is the caller saying they are new data.
     """
     meta, priors_full, lik_full = _nb_load_model_full(
         spark, catalog, model_table, "nb_update_model"
@@ -1761,9 +1774,26 @@ def nb_update_model(
             f"Rebuild once with nb_build_model, then update "
             f"incrementally."
         )
-    n_b = df.count()
+    fp_row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(
+                        "", F.col(label_col), F.col(text_col)
+                    )),
+                    1, 14,
+                ),
+                16, 10,
+            ).cast("decimal(20,0)")
+        ).alias("s"),
+    ).first()
+    n_b = int(fp_row["n"])
     if n_b == 0:
         return None
+    batch_fp = f"{n_b}:{fp_row['s']}"
+    if meta.asDict().get("last_update_fp") == batch_fp:
+        return None  # re-delivered batch: already folded, no-op
     tc_b, dc_b, _ = _nb_stats(df, text_col=text_col, label_col=label_col)
     tc_m = (
         lik_full.select("label", "token", F.col("c").alias("_a"))
@@ -1799,7 +1829,7 @@ def nb_update_model(
     lik_ext = lik_ext.localCheckpoint()
     return _nb_persist_model(
         spark, catalog, model_table, priors_ext, lik_ext,
-        op="nb_update_model",
+        op="nb_update_model", last_update_fp=batch_fp,
     )
 
 

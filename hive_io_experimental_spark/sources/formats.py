@@ -63,8 +63,14 @@ def with_corrupt_capture(
             f"{CORRUPT_COL!r} column — it collides with the corrupt-"
             f"record capture column. Rename it first."
         )
+    # build a NEW StructType: StructType.add appends to self and returns
+    # self, so the caller's schema object would silently grow the capture
+    # column and poison its next (strict-scan / writer / create_table) use
     return (
-        schema.add(T.StructField(CORRUPT_COL, T.StringType(), True)),
+        T.StructType(
+            list(schema.fields)
+            + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+        ),
         CORRUPT_COL,
     )
 

@@ -740,7 +740,7 @@ def test_cli_classify_lifecycle(spark, tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert out[0].split("\t") == [
         "n_labels", "n_model_rows", "n_docs_total", "vocab_size",
-        "build_id",
+        "last_update_fp", "build_id",
     ]
     assert out[1].split("\t")[0] == "2"
     assert out[1].split("\t")[2] == "4"
@@ -861,5 +861,22 @@ def test_cli_index_repair_torn_append(spark, tmp_path, capsys):
         main(
             ["index", "repair", "--tier", "pq", "--table", str(allv),
              "--index", idx, "--warehouse", wh],
+            stop_session=False,
+        )
+
+    # detection needs no corpus at all — the corpus-erasure case the
+    # verb exists for must not die resolving --table (r14 self-review)
+    assert main(
+        ["index", "repair", "--tier", "ivfpq", "--index", idx,
+         "--detect-only", "--warehouse", wh],
+        stop_session=False,
+    ) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[1].split("\t") == ["0", "0", "0", "0"]
+    # every other action still requires the corpus
+    with pytest.raises(SystemExit, match="requires --table"):
+        main(
+            ["index", "repair", "--tier", "ivfpq", "--index", idx,
+             "--warehouse", wh],
             stop_session=False,
         )

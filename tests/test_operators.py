@@ -3474,3 +3474,48 @@ def test_ivf_pq_index_repair_completes_torn_append(spark, sf_dir, warehouse):
     )
     with pytest.raises(ValueError, match="torn REBUILD"):
         similarity.ivf_pq_index_repair(spark, cat, tbl, emb)
+
+
+def test_ivf_pq_index_repair_refuses_unencodable_corpus_rows(
+    spark, sf_dir, warehouse
+):
+    """A torn id whose corpus row can no longer be encoded (NULL /
+    zero-norm / wrong-width embedding) must RAISE, not report success:
+    the encode stage silently drops such rows, so without the fence the
+    report would claim the tear repaired while the id stays unservable
+    forever (r14 self-review)."""
+    from hive_io_experimental_spark.catalog import Catalog
+
+    cat = Catalog(warehouse)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    tbl = "default.emb_ivfpqrz"
+    similarity.ivf_pq_build_index(
+        spark, cat, tbl, half_a,
+        centroid_stride=5, pq_stride=5, max_codes=128,
+    )
+    v_built = cat.current_version(tbl)
+    similarity.ivf_pq_append_to_index(
+        spark, cat, tbl, emb.filter(F.col("vec_id") % 2 == 1)
+    )
+    cat.rollback_to_version(tbl, v_built)
+    # corpus whose odd (torn) rows lost their vectors: zero-norm
+    dim = len(emb.select("embedding").first()[0])
+    zeroed = emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 2 == 1,
+            F.array(*[F.lit(0.0) for _ in range(dim)]),
+        ).otherwise(F.col("embedding").cast("array<double>")),
+    )
+    with pytest.raises(ValueError, match="cannot be re-encoded"):
+        similarity.ivf_pq_index_repair(spark, cat, tbl, zeroed)
+    # nothing was committed: the codes table still holds only the build
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+
+    assert HiveInput(spark, cat).read_table(
+        ScanSpec(table=tbl)
+    ).count() == half_a.count()
+    # the intact corpus still completes the tear
+    rep = similarity.ivf_pq_index_repair(spark, cat, tbl, emb).first()
+    assert rep["n_repaired_codes"] == emb.count() - half_a.count()

@@ -1590,10 +1590,10 @@ def test_nb_update_model_equals_full_retrain_exactly(
     for suffix in ("", "_priors", "_meta"):
         a = inp.read_table(
             ScanSpec(table=f"default.nb_inc{suffix}")
-        ).drop("build_id")
+        ).drop("build_id", "last_update_fp")
         b = inp.read_table(
             ScanSpec(table=f"default.nb_full{suffix}")
-        ).drop("build_id")
+        ).drop("build_id", "last_update_fp")
         assert a.exceptAll(b).isEmpty(), f"extra rows in updated{suffix}"
         assert b.exceptAll(a).isEmpty(), f"missing rows in updated{suffix}"
     chk = T.nb_model_consistency_check(
@@ -1631,10 +1631,10 @@ def test_nb_update_model_new_label_and_empty_batch(spark, tmp_path):
     for suffix in ("", "_priors", "_meta"):
         a = inp.read_table(
             ScanSpec(table=f"default.nb_grow{suffix}")
-        ).drop("build_id")
+        ).drop("build_id", "last_update_fp")
         b = inp.read_table(
             ScanSpec(table=f"default.nb_growf{suffix}")
-        ).drop("build_id")
+        ).drop("build_id", "last_update_fp")
         assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
     before = inp.read_table(
         ScanSpec(table="default.nb_grow_meta")
@@ -1763,3 +1763,49 @@ def test_random_projection_straddles_literal_cap_at_encoder_width(spark):
     assert random_projection(tagged, out_dim=8).count() == 20
     with pytest.raises(ValueError, match="_rp_signs"):
         random_projection(tagged, out_dim=9)
+
+
+def test_nb_update_model_redelivery_is_noop(spark, tmp_path):
+    """At-least-once retry of the SAME delivery must not double-count
+    (counting is not idempotent — unlike the index appends' anti-joins):
+    meta fingerprints the last folded batch, a bit-identical re-delivery
+    returns None leaving the stored version untouched, and a genuinely
+    NEW batch still folds."""
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+    from hive_io_experimental_spark.operators import text as T
+
+    cat = Catalog(str(tmp_path / "wh"))
+    b1 = spark.createDataFrame(
+        [(0, "apfel birne", "de"), (1, "apple pear", "en")],
+        "doc_id long, text string, lang string",
+    )
+    b2 = spark.createDataFrame(
+        [(2, "pear apple apple", "en")],
+        "doc_id long, text string, lang string",
+    )
+    T.nb_build_model(spark, cat, "default.nb_rd", b1, label_col="lang")
+    bid = T.nb_update_model(spark, cat, "default.nb_rd", b2,
+                            label_col="lang")
+    assert bid
+    inp = HiveInput(spark, cat)
+
+    def meta():
+        return inp.read_table(ScanSpec(table="default.nb_rd_meta")).first()
+
+    m1 = meta()
+    assert m1["n_docs_total"] == 3
+    # the same batch re-delivered (even reordered/repartitioned): no-op
+    assert T.nb_update_model(
+        spark, cat, "default.nb_rd", b2.repartition(4), label_col="lang"
+    ) is None
+    m2 = meta()
+    assert m2["build_id"] == m1["build_id"]
+    assert m2["n_docs_total"] == 3
+    # a distinct batch still folds (fingerprint differs)
+    b3 = spark.createDataFrame(
+        [(3, "pomme", "fr")], "doc_id long, text string, lang string",
+    )
+    assert T.nb_update_model(spark, cat, "default.nb_rd", b3,
+                             label_col="lang")
+    assert meta()["n_docs_total"] == 4
