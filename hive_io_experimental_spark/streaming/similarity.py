@@ -326,6 +326,8 @@ def _serve_adc_stream(
     rank_fn,
     sink_fn,
     op: str,
+    batch_hint: str = "the batch *_query_index operator",
+    taint_hint: str = "may mix codebook families",
 ):
     """The shared foreachBatch skeleton for the quantized serving tiers —
     the serve_lsh_topk_stream check-rank-sink-recheck contract: stamps
@@ -337,8 +339,8 @@ def _serve_adc_stream(
     loudly naming the epoch whose already-sunk output is suspect)."""
     if not query_stream.isStreaming:
         raise ValueError(
-            f"{op}: query_stream is a batch frame — use the batch "
-            f"*_query_index operator for batch serving"
+            f"{op}: query_stream is a batch frame — use "
+            f"{batch_hint} for batch serving"
         )
 
     def _checked_batch(df: DataFrame, epoch_id: int) -> None:
@@ -348,9 +350,9 @@ def _serve_adc_stream(
             validate_fn(expect_build_id=planned_build)
         except ValueError as exc:
             raise ValueError(
-                f"{op}: index changed WHILE micro-batch {epoch_id} was "
-                f"being served — the output already sunk for this epoch "
-                f"may mix codebook families and should be discarded. "
+                f"{op}: the stored artifact changed WHILE micro-batch "
+                f"{epoch_id} was being served — the output already sunk "
+                f"for this epoch {taint_hint} and should be discarded. "
                 f"({exc})"
             ) from exc
 

@@ -1414,3 +1414,90 @@ def test_quantized_streams_refuse_torn_or_batch_inputs(
             spark, cat, "default.emb_ivfpq_v", stream,
             sink_fn=lambda d, e: None,
         )
+
+
+def test_nb_score_stream_matches_batch_and_stops_on_update(
+    spark, sf_dir, tmp_path
+):
+    """Online NB routing (r14): (1) a document stream scored against the
+    stored model emits EXACTLY the batch nb_score_from_model rows over
+    the same closed two-micro-batch input; (2) an nb_update_model
+    landing between planning and serving STOPS the stream loudly —
+    unlike an index append, an NB update replaces the model tables, so
+    there is nothing consistent to serve through; (3) a batch frame is
+    routed to the batch operator."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators import text as T
+    from hive_io_experimental_spark.streaming.classify import (
+        serve_nb_score_stream,
+    )
+
+    cat = Catalog(str(tmp_path / "wh"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 400
+    )
+    T.nb_build_model(spark, cat, "default.nb_srv", docs, label_col="lang")
+
+    score_docs = docs.filter(F.col("doc_id") < 120).select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "dsrc")
+    (
+        score_docs.withColumn("b", (F.col("doc_id") % 2).cast("int"))
+        .repartition(2, "b").drop("b")
+        .write.mode("overwrite").parquet(src)
+    )
+    stream = spark.readStream.schema(score_docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+
+    got: list = []
+    writer = serve_nb_score_stream(
+        spark, cat, "default.nb_srv", stream,
+        sink_fn=lambda df, epoch: got.extend(tuple(r) for r in df.collect()),
+    )
+    q = writer.trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(300)
+    assert not q.exception()
+    batch = {
+        tuple(r)
+        for r in T.nb_score_from_model(
+            spark, cat, "default.nb_srv", score_docs
+        ).collect()
+    }
+    assert len(got) == len(set(got)) == len(batch) > 0
+    assert set(got) == batch
+
+    # batch frame refused, naming the batch operator
+    with pytest.raises(ValueError, match="nb_score_from_model"):
+        serve_nb_score_stream(
+            spark, cat, "default.nb_srv", score_docs,
+            sink_fn=lambda d, e: None,
+        )
+
+    # an incremental update between planning and serving must stop the
+    # stream: the planned model version no longer exists
+    stream2 = spark.readStream.schema(score_docs.schema).parquet(src)
+    writer2 = serve_nb_score_stream(
+        spark, cat, "default.nb_srv", stream2,
+        sink_fn=lambda df, epoch: df.count(),
+    )
+    T.nb_update_model(
+        spark, cat, "default.nb_srv",
+        spark.createDataFrame(
+            [(9001, "nuevo documento", "es")],
+            "doc_id long, text string, lang string",
+        ),
+        label_col="lang",
+    )
+    q2 = writer2.trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ckpt2")
+    ).start()
+    with pytest.raises(
+        StreamingQueryException, match="UPDATED or REBUILT mid-stream"
+    ):
+        q2.awaitTermination(300)
