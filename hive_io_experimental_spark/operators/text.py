@@ -1503,11 +1503,22 @@ def _nb_derive(
             .alias("n_tokens"),
             F.round(-F.log2(F.col("n_docs") / F.col("_n")), 6)
             .alias("prior_bits"),
-            F.round(
-                -F.log2(
-                    1.0 / (F.coalesce(F.col("_nc"), F.lit(0)) + F.col("_v"))
+            # V = 0 (an all-tokenless training corpus — the legitimate
+            # n_model_rows=0 model) makes the smoothed unseen cost
+            # mathematically undefined AND unreachable: scoring such a
+            # model only ever uses the prior. NULL, not a 1/0 that ANSI
+            # mode turns into a build-time DIVIDE_BY_ZERO (hypothesis
+            # found the empty-model path was never actually buildable).
+            F.when(
+                F.col("_v") > 0,
+                F.round(
+                    -F.log2(
+                        1.0
+                        / (F.coalesce(F.col("_nc"), F.lit(0))
+                           + F.col("_v"))
+                    ),
+                    6,
                 ),
-                6,
             ).alias("unseen_bits"),
         )
     )

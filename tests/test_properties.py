@@ -600,3 +600,62 @@ def test_random_projection_exact_fold_on_any_vector(spark, vec, out_dim):
         for d, x in enumerate(vec):
             acc += x * _rp_component(j, d)
         assert got[j] == acc
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.lists(st.sampled_from(WORDS), min_size=0, max_size=6),
+            st.sampled_from(["de", "en", "fr"]),
+        ),
+        min_size=2, max_size=10,
+    ),
+    split=st.data(),
+)
+def test_nb_incremental_fold_exact_on_any_split(spark, tmp_path_factory,
+                                                docs, split):
+    """The nb_update_model contract on adversarial random corpora and
+    ARBITRARY batch boundaries: build(b1) + update(b2) equals
+    build(b1 ∪ b2) bit-identically on all three stored tables —
+    including empty-token docs, labels confined to one side of the
+    split, and an empty update batch — for every corpus/split
+    hypothesis draws."""
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+    from hive_io_experimental_spark.operators import text as T
+
+    rows = [(i, " ".join(w), lang) for i, (w, lang) in enumerate(docs)]
+    cut = split.draw(st.integers(min_value=0, max_value=len(rows)))
+    b1, b2 = rows[:cut], rows[cut:]
+    if not b1:  # build refuses empty frames by contract; fold the other way
+        b1, b2 = b2, b1
+    schema = "doc_id long, text string, lang string"
+    wh = tmp_path_factory.mktemp("nbprop")
+    cat = Catalog(str(wh))
+    T.nb_build_model(
+        spark, cat, "default.nb_p_inc",
+        spark.createDataFrame(b1, schema), label_col="lang",
+    )
+    T.nb_update_model(
+        spark, cat, "default.nb_p_inc",
+        spark.createDataFrame(b2, schema) if b2
+        else spark.createDataFrame([], schema),
+        label_col="lang",
+    )
+    T.nb_build_model(
+        spark, cat, "default.nb_p_full",
+        spark.createDataFrame(rows, schema), label_col="lang",
+    )
+    inp = HiveInput(spark, cat)
+    for suffix in ("", "_priors", "_meta"):
+        a = inp.read_table(
+            ScanSpec(table=f"default.nb_p_inc{suffix}")
+        ).drop("build_id", "last_update_fp")
+        b = inp.read_table(
+            ScanSpec(table=f"default.nb_p_full{suffix}")
+        ).drop("build_id", "last_update_fp")
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), (
+            f"fold != retrain on {suffix or 'likelihoods'} "
+            f"(cut={cut}, n={len(rows)})"
+        )
