@@ -1501,3 +1501,78 @@ def test_nb_score_stream_matches_batch_and_stops_on_update(
         StreamingQueryException, match="UPDATED or REBUILT mid-stream"
     ):
         q2.awaitTermination(300)
+
+
+def test_bpe_segment_stream_matches_batch_and_stops_on_rebuild(
+    spark, sf_dir, tmp_path
+):
+    """Online tokenization (r14): a document stream segmented with the
+    stored vocab emits EXACTLY the batch bpe_segment_from_vocab rows
+    over the same closed two-micro-batch input, and a vocab rebuilt
+    between planning and serving stops the stream loudly — the plan
+    owns its merges (output could never corrupt), but silently serving
+    a superseded tokenizer would mix tokenizations across the corpus."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.operators import text as T
+    from hive_io_experimental_spark.streaming.tokenize import (
+        serve_bpe_segment_stream,
+    )
+
+    cat = Catalog(str(tmp_path / "wh"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 300
+    )
+    T.bpe_build_vocab(spark, cat, "default.bpe_srv", docs, num_merges=20)
+
+    seg_docs = docs.filter(F.col("doc_id") < 120).select("doc_id", "text")
+    src = str(tmp_path / "dsrc")
+    (
+        seg_docs.withColumn("b", (F.col("doc_id") % 2).cast("int"))
+        .repartition(2, "b").drop("b")
+        .write.mode("overwrite").parquet(src)
+    )
+    stream = spark.readStream.schema(seg_docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+
+    got: list = []
+    writer = serve_bpe_segment_stream(
+        spark, cat, "default.bpe_srv", stream,
+        sink_fn=lambda df, epoch: got.extend(tuple(r) for r in df.collect()),
+    )
+    q = writer.trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(300)
+    assert not q.exception()
+    batch = {
+        tuple(r)
+        for r in T.bpe_segment_from_vocab(
+            spark, cat, "default.bpe_srv", seg_docs
+        ).collect()
+    }
+    assert len(got) == len(set(got)) == len(batch) > 0
+    assert set(got) == batch
+
+    with pytest.raises(ValueError, match="bpe_segment_from_vocab"):
+        serve_bpe_segment_stream(
+            spark, cat, "default.bpe_srv", seg_docs,
+            sink_fn=lambda d, e: None,
+        )
+
+    # rebuild between planning and serving: loud stop
+    stream2 = spark.readStream.schema(seg_docs.schema).parquet(src)
+    writer2 = serve_bpe_segment_stream(
+        spark, cat, "default.bpe_srv", stream2,
+        sink_fn=lambda df, epoch: df.count(),
+    )
+    T.bpe_build_vocab(spark, cat, "default.bpe_srv", docs, num_merges=25)
+    q2 = writer2.trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ckpt2")
+    ).start()
+    with pytest.raises(
+        StreamingQueryException, match="REBUILT mid-stream"
+    ):
+        q2.awaitTermination(300)
