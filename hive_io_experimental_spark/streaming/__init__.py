@@ -22,12 +22,24 @@ from hive_io_experimental_spark.streaming.topk import (
 )
 from hive_io_experimental_spark.streaming.similarity import (
     lsh_candidates_stream,
+    serve_ivf_pq_topk_stream,
     serve_lsh_topk_stream,
+    serve_pq_topk_stream,
+)
+from hive_io_experimental_spark.streaming.classify import (
+    serve_nb_score_stream,
+)
+from hive_io_experimental_spark.streaming.tokenize import (
+    serve_bpe_segment_stream,
 )
 
 __all__ = [
     "lsh_candidates_stream",
     "serve_lsh_topk_stream",
+    "serve_pq_topk_stream",
+    "serve_ivf_pq_topk_stream",
+    "serve_nb_score_stream",
+    "serve_bpe_segment_stream",
     "read_events_stream",
     "windowed_event_counts",
     "sessionize_stateful",
