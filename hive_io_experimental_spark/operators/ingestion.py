@@ -173,17 +173,35 @@ def build_corpus_artifacts(
     else:
         n_keys = fps.count()
     _validate_bloom_geometry(m_bits, k)
-    fps.write.mode("overwrite").parquet(f"{path}/{_FPS}")
-    bloom_state(fps, key_col="fp", m_bits=m_bits, k_hashes=k).write.mode(
-        "overwrite"
-    ).parquet(_bloom_dir(path, 1))
-    minhash_band_keys(
-        minhash_signatures(corpus, text_col, id_col, num_perm, shingle_k, family),
-        num_perm,
-        bands,
-    ).select(
-        F.col("id").alias("corpus_id"), "band", "band_key"
-    ).write.mode("overwrite").parquet(f"{path}/{_BANDS}")
+
+    # The artifact writes are INDEPENDENT jobs (fps is already
+    # materialized by the sizing count above, so the bloom aggregation
+    # reads its blocks): submit them from a small thread pool so each
+    # job's task tail back-fills the cores the others leave idle (guide
+    # §2.6 — overlap independent jobs). Crash-safety is unchanged: the
+    # manifest, the only commit marker, is still written strictly LAST,
+    # after every artifact future has completed; any failure propagates
+    # before it.
+    def _write_fps() -> None:
+        fps.write.mode("overwrite").parquet(f"{path}/{_FPS}")
+
+    def _write_bloom() -> None:
+        bloom_state(
+            fps, key_col="fp", m_bits=m_bits, k_hashes=k
+        ).write.mode("overwrite").parquet(_bloom_dir(path, 1))
+
+    def _write_bands() -> None:
+        minhash_band_keys(
+            minhash_signatures(
+                corpus, text_col, id_col, num_perm, shingle_k, family
+            ),
+            num_perm,
+            bands,
+        ).select(
+            F.col("id").alias("corpus_id"), "band", "band_key"
+        ).write.mode("overwrite").parquet(f"{path}/{_BANDS}")
+
+    writers = [_write_fps, _write_bloom, _write_bands]
     if winnow:
         # decontamination structure: the corpus's DISTINCT winnowing
         # fingerprints — any batch doc sharing a substring of length
@@ -196,12 +214,20 @@ def build_corpus_artifacts(
             winnowing_fingerprints,
         )
 
-        winnowing_fingerprints(
-            corpus, text_col=text_col, id_col=id_col,
-            k=winnow_k, window=winnow_window,
-        ).select("fp").distinct().write.mode("overwrite").parquet(
-            f"{path}/{_WINNOW}"
-        )
+        def _write_winnow() -> None:
+            winnowing_fingerprints(
+                corpus, text_col=text_col, id_col=id_col,
+                k=winnow_k, window=winnow_window,
+            ).select("fp").distinct().write.mode("overwrite").parquet(
+                f"{path}/{_WINNOW}"
+            )
+
+        writers.append(_write_winnow)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(writers)) as pool:
+        for fut in [pool.submit(w) for w in writers]:
+            fut.result()  # propagate the first failure BEFORE the manifest
     manifest = {
         "version": ARTIFACT_VERSION,
         "seq": 0,

@@ -2015,15 +2015,22 @@ def pq_encode(
             vec_col, id_col,
         )
     u = _unit_vectors(spread(corpus), vec_col, id_col)
+    if use_pandas:
+        # geometry comes from the codebooks (the collect the encoder
+        # needs anyway) — the corpus-side size probe job this path used
+        # to run duplicated information the codebook rows already carry
+        # (r14 optimization round: one fewer corpus-scan job per encode)
+        cb_rows = [r.asDict() for r in codebooks.collect()]
+        if not cb_rows:
+            raise ValueError("pq_encode: empty codebook frame")
+        dsub = len(cb_rows[0]["cv"])
+        return _pq_encode_pandas(u, cb_rows, num_subspaces, dsub)
     probe = u.select(F.size("v").alias("d")).first()
     if probe is None:
         return corpus.sparkSession.createDataFrame(
             [], "id long, codes array<long>"
         )
     dsub = probe["d"] // num_subspaces
-    if use_pandas:
-        cb_rows = [r.asDict() for r in codebooks.collect()]
-        return _pq_encode_pandas(u, cb_rows, num_subspaces, dsub)
     cb = F.broadcast(
         codebooks.withColumn("_csq", dot_product(F.col("cv"), F.col("cv")))
     )
@@ -2438,6 +2445,24 @@ def pq_build_index(
             corpus, num_subspaces, centroid_stride, max_codes,
             vec_col, id_col,
         )
+    # collect the (KB-sized by design) codebooks ONCE and serve both
+    # consumers — the encoder's closure and the codebook-table write —
+    # from the local rows; previously the codebook plan (sample +
+    # explode + window shuffle) ran twice per build (r14 optimization
+    # round, guide §1.2). Doubles round-trip py4j exactly (IEEE 64-bit
+    # both sides), so the written rows are bit-identical.
+    from pyspark.sql import types as _T
+
+    cb_schema = _T.StructType([
+        _T.StructField("j", _T.IntegerType()),
+        _T.StructField("code", _T.IntegerType()),
+        _T.StructField("cv", _T.ArrayType(_T.DoubleType())),
+    ])
+    cb_local = spark.createDataFrame(
+        [(r["j"], r["code"], r["cv"]) for r in codebooks.collect()],
+        cb_schema,
+    )
+    codebooks = cb_local
     codes = pq_encode(
         corpus, codebooks, num_subspaces, centroid_stride, max_codes,
         vec_col, id_col,
@@ -2517,16 +2542,22 @@ def pq_append_to_index(
     from hive_io_experimental_spark.output import HiveOutput, WriteSpec
 
     inp = HiveInput(spark, catalog)
-    codebooks = inp.read_table(
-        ScanSpec(table=f"{index_table}_codebooks")
+    # the codebook collect answers the stamp fence, the geometry probe
+    # AND the encoder's closure in ONE job (previously three jobs over
+    # the same KB-sized parquet — r14 optimization round, guide §1.2)
+    cb_rows, cb_stamp = _collect_stamped(
+        "pq_append_to_index", index_table, "codebooks",
+        inp.read_table(ScanSpec(table=f"{index_table}_codebooks")),
+        rebuild="pq_build_index",
     )
     codes = inp.read_table(ScanSpec(table=index_table))
-    stamps = {}
-    for name, df in (("codebooks", codebooks), ("codes", codes)):
-        stamps[name] = _index_stamp(
-            "pq_append_to_index", index_table, name, df,
+    stamps = {
+        "codebooks": cb_stamp,
+        "codes": _index_stamp(
+            "pq_append_to_index", index_table, "codes", codes,
             rebuild="pq_build_index",
-        )
+        ),
+    }
     if len(set(stamps.values())) > 1:
         raise ValueError(
             f"pq_append_to_index: index {index_table} has mixed build_id "
@@ -2536,16 +2567,14 @@ def pq_append_to_index(
             f"pq_build_index first."
         )
     bid = stamps["codes"]
-    geo = codebooks.agg(
-        F.first(F.size("cv")).alias("dsub"),
-        (F.max("j") + 1).alias("m"),
-    ).first()
-    if geo is None or geo["dsub"] is None:
+    if cb_rows[0]["cv"] is None:
         raise ValueError(
             f"pq_append_to_index: empty codebook table "
             f"{index_table}_codebooks — run pq_build_index first"
         )
-    num_subspaces, dsub = int(geo["m"]), int(geo["dsub"])
+    num_subspaces = int(max(r["j"] for r in cb_rows) + 1)
+    dsub = len(cb_rows[0]["cv"])
+    codebooks = _local_codebooks(spark, cb_rows)
     if not _check_append_batch(
         "pq_append_to_index", new_vectors, num_subspaces * dsub,
         vec_col, id_col,
@@ -2651,40 +2680,43 @@ def pq_query_index(
         queries.select(F.col(id_col)), "pq_query_index (broadcast LUTs)"
     )
     inp = HiveInput(spark, catalog)
-    codebooks = inp.read_table(
-        ScanSpec(table=f"{index_table}_codebooks")
+    # one codebook collect answers the stamp fence, the geometry probe
+    # and the broadcast LUT build (previously three jobs over the same
+    # KB-sized parquet — r14 optimization round, guide §1.2)
+    cb_rows, cb_stamp = _collect_stamped(
+        "pq_query_index", index_table, "codebooks",
+        inp.read_table(ScanSpec(table=f"{index_table}_codebooks")),
+        rebuild="pq_build_index",
     )
     codes = inp.read_table(ScanSpec(table=index_table))
-    stamps = {}
-    for name, df in (("codebooks", codebooks), ("codes", codes)):
-        stamps[name] = _index_stamp(
-            "pq_query_index", index_table, name, df,
+    stamps = {
+        "codebooks": cb_stamp,
+        "codes": _index_stamp(
+            "pq_query_index", index_table, "codes", codes,
             rebuild="pq_build_index",
-        )
+        ),
+    }
     if len(set(stamps.values())) > 1:
         raise ValueError(
             f"pq_query_index: index {index_table} has mixed build_id "
             f"stamps across its tables ({stamps}) — a rebuild was torn "
             f"mid-way. Re-run pq_build_index before serving."
         )
-    codebooks = codebooks.select("j", "code", "cv")
     codes = codes.select("id", "codes")
-    probe = codebooks.agg(
-        F.first(F.size("cv")).alias("d"),
-        (F.max("j") + 1).alias("m"),
-    ).first()
-    if probe is None or probe["d"] is None:
+    if cb_rows[0]["cv"] is None:
         raise ValueError(
             f"pq_query_index: empty codebook table {index_table}_codebooks"
         )
-    if probe["m"] != num_subspaces:
+    m = int(max(r["j"] for r in cb_rows) + 1)
+    if m != num_subspaces:
         raise ValueError(
             f"pq_query_index: num_subspaces={num_subspaces} does not "
             f"match the stored index ({index_table}_codebooks holds "
-            f"{probe['m']} subspaces). Pass num_subspaces={probe['m']} — "
+            f"{m} subspaces). Pass num_subspaces={m} — "
             f"a mismatch would misindex the stored codes."
         )
-    dsub = probe["d"]
+    dsub = len(cb_rows[0]["cv"])
+    codebooks = _local_codebooks(spark, cb_rows)
     qu = _unit_vectors(queries, vec_col, id_col)
     return _pq_adc_topk(codes, qu, codebooks, k, num_subspaces, dsub)
 
@@ -2706,24 +2738,35 @@ def pq_index_consistency_check(
     operator computes (same sampled codebooks -> same codes -> same
     ranked rows): n_queries, n_served (ranked rows from the stored
     index), n_mismatch (full-row anti-join both ways, must be 0). The
-    ivf_index_consistency_check contract, for PQ."""
-    served = pq_query_index(
+    ivf_index_consistency_check contract, for PQ.
+
+    ONE lazy plan (r14 optimization round): both legs materialize once
+    via reuse() and every count is an aggregate branch of the returned
+    frame — the previous eager .count() calls recomputed the served leg
+    3x and the direct leg (a full corpus re-encode) 2x (guide §1.2:
+    don't compute things you throw away; §5 reuse)."""
+    from hive_io_experimental_spark.functions.reuse import reuse
+
+    cols = ["query_id", "neighbor_id", "adc_score", "rank"]
+    served = reuse(pq_query_index(
         spark, catalog, index_table, queries, k, num_subspaces,
         vec_col, id_col,
-    )
-    direct = pq_topk(
+    ).select(cols))
+    direct = reuse(pq_topk(
         corpus, queries, k, num_subspaces, centroid_stride, max_codes,
         None, vec_col, id_col,
+    ).select(cols))
+    mism = served.exceptAll(direct).unionAll(
+        direct.exceptAll(served)
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_mismatch"))
+    n_q = queries.select(F.col(id_col)).distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries")
     )
-    cols = ["query_id", "neighbor_id", "adc_score", "rank"]
-    a_not_b = served.select(cols).exceptAll(direct.select(cols))
-    b_not_a = direct.select(cols).exceptAll(served.select(cols))
-    mism = a_not_b.unionAll(b_not_a).count()
-    n_q = queries.select(F.col(id_col)).distinct().count()
-    n_served = served.count()
-    return spark.createDataFrame(
-        [(n_q, n_served, mism)],
-        "n_queries long, n_served long, n_mismatch long",
+    n_served = served.agg(
+        F.count(F.lit(1)).cast("long").alias("n_served")
+    )
+    return n_q.crossJoin(F.broadcast(n_served)).crossJoin(
+        F.broadcast(mism)
     )
 
 
@@ -2779,6 +2822,21 @@ def ivf_pq_build_index(
             "ivf_pq_build_index: no vector id hits the centroid_stride "
             f"({centroid_stride}); lower the stride"
         )
+    # serve BOTH consumers of each geometry table (the Arrow closures
+    # and the table writes) from one collect — previously the centroid
+    # filter-scan and the codebook sample/explode/window plans each ran
+    # twice per build (r14 optimization round, guide §1.2); doubles
+    # round-trip py4j exactly, so the written rows are bit-identical
+    from pyspark.sql import types as _T
+
+    id_type = corpus.schema[id_col].dataType
+    cents = spark.createDataFrame(
+        [(r["cid"], r["cv"]) for r in cent_rows],
+        _T.StructType([
+            _T.StructField("cid", id_type),
+            _T.StructField("cv", _T.ArrayType(_T.DoubleType())),
+        ]),
+    )
     c = corpus.select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("_v")
     ).withColumn("_nrm", l2_norm(F.col("_v")))
@@ -2789,6 +2847,14 @@ def ivf_pq_build_index(
         codebooks = pq_codebooks_sampled(
             corpus, num_subspaces, pq_stride, max_codes, vec_col, id_col
         )
+    codebooks = spark.createDataFrame(
+        [(r["j"], r["code"], r["cv"]) for r in codebooks.collect()],
+        _T.StructType([
+            _T.StructField("j", _T.IntegerType()),
+            _T.StructField("code", _T.IntegerType()),
+            _T.StructField("cv", _T.ArrayType(_T.DoubleType())),
+        ]),
+    )
     codes = pq_encode(
         corpus, codebooks, num_subspaces, pq_stride, max_codes,
         vec_col, id_col,
@@ -2884,20 +2950,27 @@ def ivf_pq_query_index(
         "ivf_pq_query_index (broadcast probes + LUTs)",
     )
     inp = HiveInput(spark, catalog)
-    cents = inp.read_table(ScanSpec(table=f"{index_table}_centroids"))
-    codebooks = inp.read_table(
-        ScanSpec(table=f"{index_table}_codebooks")
+    # torn-rebuild fence: every table must carry the SAME build stamp.
+    # The two KB-sized geometry tables are collected ONCE each — their
+    # rows answer the stamp fence, the geometry probe AND the Arrow/LUT
+    # closures (previously: four stamp probe jobs plus a centroid
+    # collect plus a codebook geometry job — r14 optimization round,
+    # guide §1.2); the corpus-sized lists/codes tables keep their
+    # one-sampled-row stamp probes (no full scan).
+    cents_rows, cent_stamp = _collect_stamped(
+        "ivf_pq_query_index", index_table, "centroids",
+        inp.read_table(ScanSpec(table=f"{index_table}_centroids")),
+        rebuild="ivf_pq_build_index",
+    )
+    cb_rows, cb_stamp = _collect_stamped(
+        "ivf_pq_query_index", index_table, "codebooks",
+        inp.read_table(ScanSpec(table=f"{index_table}_codebooks")),
+        rebuild="ivf_pq_build_index",
     )
     lists = inp.read_table(ScanSpec(table=f"{index_table}_lists"))
     codes = inp.read_table(ScanSpec(table=index_table))
-    # torn-rebuild fence: every table must carry the SAME build stamp.
-    # Each write is atomic per table (commit protocol), so one sampled
-    # row per table settles its stamp — no full scan of lists/codes.
-    stamps = {}
-    for name, df in (
-        ("centroids", cents), ("lists", lists),
-        ("codebooks", codebooks), ("codes", codes),
-    ):
+    stamps = {"centroids": cent_stamp, "codebooks": cb_stamp}
+    for name, df in (("lists", lists), ("codes", codes)):
         stamps[name] = _index_stamp(
             "ivf_pq_query_index", index_table, name, df,
             rebuild="ivf_pq_build_index",
@@ -2908,33 +2981,24 @@ def ivf_pq_query_index(
             f"stamps across its tables ({stamps}) — a rebuild was torn "
             f"mid-way. Re-run ivf_pq_build_index before serving."
         )
-    cents = cents.select("cid", "cv")
-    codebooks = codebooks.select("j", "code", "cv")
     lists = lists.select("cid", "id")
     codes = codes.select("id", "codes")
-    cent_rows = [r.asDict() for r in cents.collect()]
-    if not cent_rows:
-        raise ValueError(
-            f"ivf_pq_query_index: empty centroid table "
-            f"{index_table}_centroids"
-        )
-    probe = codebooks.agg(
-        F.first(F.size("cv")).alias("d"),
-        (F.max("j") + 1).alias("m"),
-    ).first()
-    if probe is None or probe["d"] is None:
+    cent_rows = [{"cid": r["cid"], "cv": r["cv"]} for r in cents_rows]
+    if cb_rows[0]["cv"] is None:
         raise ValueError(
             f"ivf_pq_query_index: empty codebook table "
             f"{index_table}_codebooks"
         )
-    if probe["m"] != num_subspaces:
+    m = int(max(r["j"] for r in cb_rows) + 1)
+    if m != num_subspaces:
         raise ValueError(
             f"ivf_pq_query_index: num_subspaces={num_subspaces} does not "
             f"match the stored index ({index_table}_codebooks holds "
-            f"{probe['m']} subspaces). Pass num_subspaces={probe['m']} — "
+            f"{m} subspaces). Pass num_subspaces={m} — "
             f"a mismatch would misindex the stored codes."
         )
-    dsub = probe["d"]
+    dsub = len(cb_rows[0]["cv"])
+    codebooks = _local_codebooks(spark, cb_rows)
     return _ivf_pq_adc_rank(
         lists, codes, queries, cent_rows, codebooks, k, nprobe,
         num_subspaces, dsub, vec_col, id_col,
@@ -3013,23 +3077,33 @@ def ivf_pq_index_consistency_check(
     produced the index — including ``codebooks=`` when the index was
     built with trained codebooks (the direct path would otherwise
     recompute sampled ones and report spurious mismatches)."""
-    served = ivf_pq_query_index(
+    from hive_io_experimental_spark.functions.reuse import reuse
+
+    cols = ["query_id", "neighbor_id", "adc_score", "rank"]
+    # ONE lazy plan (r14 optimization round): both legs materialize once
+    # via reuse() and every count is an aggregate branch of the returned
+    # frame — the previous eager .count() calls recomputed the served
+    # leg 3x and the direct leg (a full corpus re-encode + re-assign)
+    # 2x (guide §1.2 / §5).
+    served = reuse(ivf_pq_query_index(
         spark, catalog, index_table, queries, k, nprobe, num_subspaces,
         vec_col, id_col,
-    )
-    direct = ivf_pq_topk(
+    ).select(cols))
+    direct = reuse(ivf_pq_topk(
         corpus, queries, k, centroid_stride, nprobe, num_subspaces,
         pq_stride, max_codes, codebooks, vec_col, id_col,
+    ).select(cols))
+    mism = served.exceptAll(direct).unionAll(
+        direct.exceptAll(served)
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_mismatch"))
+    n_q = queries.select(F.col(id_col)).distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries")
     )
-    cols = ["query_id", "neighbor_id", "adc_score", "rank"]
-    a_not_b = served.select(cols).exceptAll(direct.select(cols))
-    b_not_a = direct.select(cols).exceptAll(served.select(cols))
-    mism = a_not_b.unionAll(b_not_a).count()
-    n_q = queries.select(F.col(id_col)).distinct().count()
-    n_served = served.count()
-    return spark.createDataFrame(
-        [(n_q, n_served, mism)],
-        "n_queries long, n_served long, n_mismatch long",
+    n_served = served.agg(
+        F.count(F.lit(1)).cast("long").alias("n_served")
+    )
+    return n_q.crossJoin(F.broadcast(n_served)).crossJoin(
+        F.broadcast(mism)
     )
 
 
@@ -3071,15 +3145,24 @@ def ivf_pq_append_to_index(
     from hive_io_experimental_spark.output import HiveOutput, WriteSpec
 
     inp = HiveInput(spark, catalog)
-    cents = inp.read_table(ScanSpec(table=f"{index_table}_centroids"))
-    codebooks = inp.read_table(ScanSpec(table=f"{index_table}_codebooks"))
+    # one collect per KB-sized geometry table answers stamp + geometry
+    # + Arrow closures; lists/codes keep sampled-row stamp probes
+    # (r14 optimization round, guide §1.2 — was 4 probes + collect +
+    # geometry job)
+    cents_rows, cent_stamp = _collect_stamped(
+        "ivf_pq_append_to_index", index_table, "centroids",
+        inp.read_table(ScanSpec(table=f"{index_table}_centroids")),
+        rebuild="ivf_pq_build_index",
+    )
+    cb_rows, cb_stamp = _collect_stamped(
+        "ivf_pq_append_to_index", index_table, "codebooks",
+        inp.read_table(ScanSpec(table=f"{index_table}_codebooks")),
+        rebuild="ivf_pq_build_index",
+    )
     lists = inp.read_table(ScanSpec(table=f"{index_table}_lists"))
     codes = inp.read_table(ScanSpec(table=index_table))
-    stamps = {}
-    for name, df in (
-        ("centroids", cents), ("lists", lists),
-        ("codebooks", codebooks), ("codes", codes),
-    ):
+    stamps = {"centroids": cent_stamp, "codebooks": cb_stamp}
+    for name, df in (("lists", lists), ("codes", codes)):
         stamps[name] = _index_stamp(
             "ivf_pq_append_to_index", index_table, name, df,
             rebuild="ivf_pq_build_index",
@@ -3092,27 +3175,20 @@ def ivf_pq_append_to_index(
             f"tear. Re-run ivf_pq_build_index first."
         )
     bid = stamps["codes"]
-    geo = codebooks.agg(
-        F.first(F.size("cv")).alias("dsub"),
-        (F.max("j") + 1).alias("m"),
-    ).first()
-    if geo is None or geo["dsub"] is None:
+    if cb_rows[0]["cv"] is None:
         raise ValueError(
             f"ivf_pq_append_to_index: empty codebook table "
             f"{index_table}_codebooks"
         )
-    num_subspaces, dsub = int(geo["m"]), int(geo["dsub"])
+    num_subspaces = int(max(r["j"] for r in cb_rows) + 1)
+    dsub = len(cb_rows[0]["cv"])
+    codebooks = _local_codebooks(spark, cb_rows)
     if not _check_append_batch(
         "ivf_pq_append_to_index", new_vectors, num_subspaces * dsub,
         vec_col, id_col,
     ):
         return catalog.current_version(index_table)  # empty batch: no-op
-    cent_rows = [r.asDict() for r in cents.select("cid", "cv").collect()]
-    if not cent_rows:
-        raise ValueError(
-            f"ivf_pq_append_to_index: empty centroid table "
-            f"{index_table}_centroids"
-        )
+    cent_rows = [{"cid": r["cid"], "cv": r["cv"]} for r in cents_rows]
     c = new_vectors.select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("_v")
     ).withColumn("_nrm", l2_norm(F.col("_v")))
@@ -3192,15 +3268,22 @@ def ivf_pq_index_repair(
     from hive_io_experimental_spark.output import HiveOutput, WriteSpec
 
     inp = HiveInput(spark, catalog)
-    cents = inp.read_table(ScanSpec(table=f"{index_table}_centroids"))
-    codebooks = inp.read_table(ScanSpec(table=f"{index_table}_codebooks"))
+    # one collect per KB-sized geometry table answers stamp + geometry
+    # + Arrow closures (r14 optimization round, guide §1.2)
+    cents_rows, cent_stamp = _collect_stamped(
+        "ivf_pq_index_repair", index_table, "centroids",
+        inp.read_table(ScanSpec(table=f"{index_table}_centroids")),
+        rebuild="ivf_pq_build_index",
+    )
+    cb_rows, cb_stamp = _collect_stamped(
+        "ivf_pq_index_repair", index_table, "codebooks",
+        inp.read_table(ScanSpec(table=f"{index_table}_codebooks")),
+        rebuild="ivf_pq_build_index",
+    )
     lists = inp.read_table(ScanSpec(table=f"{index_table}_lists"))
     codes = inp.read_table(ScanSpec(table=index_table))
-    stamps = {}
-    for name, df in (
-        ("centroids", cents), ("lists", lists),
-        ("codebooks", codebooks), ("codes", codes),
-    ):
+    stamps = {"centroids": cent_stamp, "codebooks": cb_stamp}
+    for name, df in (("lists", lists), ("codes", codes)):
         stamps[name] = _index_stamp(
             "ivf_pq_index_repair", index_table, name, df,
             rebuild="ivf_pq_build_index",
@@ -3233,14 +3316,10 @@ def ivf_pq_index_repair(
 
     if corpus is None or (n_need_codes == 0 and n_need_lists == 0):
         return _report(0, 0)
-    geo = codebooks.agg(
-        F.first(F.size("cv")).alias("dsub"),
-        (F.max("j") + 1).alias("m"),
-    ).first()
-    num_subspaces, dsub = int(geo["m"]), int(geo["dsub"])
-    cent_rows = [
-        r.asDict() for r in cents.select("cid", "cv").collect()
-    ]
+    num_subspaces = int(max(r["j"] for r in cb_rows) + 1)
+    dsub = len(cb_rows[0]["cv"])
+    codebooks = _local_codebooks(spark, cb_rows)
+    cent_rows = [{"cid": r["cid"], "cv": r["cv"]} for r in cents_rows]
     out = HiveOutput(spark, catalog)
     src = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("_vec")
@@ -3576,6 +3655,47 @@ def _index_stamp(op: str, index_table: str, table_label: str,
     return r["build_id"]
 
 
+def _collect_stamped(op: str, index_table: str, table_label: str,
+                     df, rebuild: str) -> tuple[list, str]:
+    """Collect a KB-sized stamped geometry table (centroids/codebooks)
+    ONCE and return (rows, stamp) — the stamp fence and the closure
+    data in one job, where the read paths used to run a stamp probe
+    job AND a separate collect/geometry job over the same tiny parquet
+    (r14 optimization round, guide §1.2). Same fences as _index_stamp:
+    missing build_id column and empty table raise with the same
+    wording."""
+    if "build_id" not in df.columns:
+        raise ValueError(
+            f"{op}: index {index_table}'s {table_label} table has no "
+            f"build_id column — it predates the torn-rebuild stamp. "
+            f"Re-run {rebuild} to migrate it."
+        )
+    rows = [r.asDict() for r in df.collect()]
+    if not rows:
+        raise ValueError(
+            f"{op}: index {index_table}'s {table_label} table is EMPTY "
+            f"— a rebuild was torn between create and write. Re-run "
+            f"{rebuild} before serving."
+        )
+    return rows, rows[0]["build_id"]
+
+
+def _local_codebooks(spark, cb_rows: list):
+    """Rebuild the codebook frame from collected rows (exact: doubles
+    round-trip py4j bit-identically) so downstream broadcasts read a
+    LocalRelation instead of re-scanning the stored table."""
+    from pyspark.sql import types as _T
+
+    return spark.createDataFrame(
+        [(r["j"], r["code"], r["cv"]) for r in cb_rows],
+        _T.StructType([
+            _T.StructField("j", _T.IntegerType()),
+            _T.StructField("code", _T.IntegerType()),
+            _T.StructField("cv", _T.ArrayType(_T.DoubleType())),
+        ]),
+    )
+
+
 def lsh_build_index(
     spark,
     catalog,
@@ -3846,13 +3966,24 @@ def lsh_index_consistency_check(
             corpus, queries, k, int(meta["num_planes"]), probe_bits,
             vec_col, id_col, broadcast_queries=False,
         )
+    from hive_io_experimental_spark.functions.reuse import reuse
+
     cols = ["query_id", "neighbor_id", "cosine", "rank"]
-    a_not_b = served.select(cols).exceptAll(direct.select(cols))
-    b_not_a = direct.select(cols).exceptAll(served.select(cols))
-    mism = a_not_b.unionAll(b_not_a).count()
-    n_q = queries.select(F.col(id_col)).distinct().count()
-    n_served = served.count()
-    return spark.createDataFrame(
-        [(n_q, n_served, mism)],
-        "n_queries long, n_served long, n_mismatch long",
+    # ONE lazy plan (r14 optimization round): both legs materialize once
+    # via reuse(); counts are aggregate branches of the returned frame —
+    # the eager .count() calls recomputed served 3x / direct 2x
+    # (guide §1.2 / §5).
+    served = reuse(served.select(cols))
+    direct = reuse(direct.select(cols))
+    mism = served.exceptAll(direct).unionAll(
+        direct.exceptAll(served)
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_mismatch"))
+    n_q = queries.select(F.col(id_col)).distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries")
+    )
+    n_served = served.agg(
+        F.count(F.lit(1)).cast("long").alias("n_served")
+    )
+    return n_q.crossJoin(F.broadcast(n_served)).crossJoin(
+        F.broadcast(mism)
     )

@@ -1661,14 +1661,20 @@ def _nb_persist_model(
     from hive_io_experimental_spark.schema import HiveTableSchema
 
     bid = uuid.uuid4().hex
-    prow = priors_ext.agg(
+    # ONE action for both meta aggregates (r14 optimization round): the
+    # two frames are tiny (labels / vocab x labels rows) and this single
+    # job also materializes the callers' lazy checkpoints BEFORE the
+    # drop-and-recreate below invalidates the stored tables they read
+    row = priors_ext.agg(
         F.count(F.lit(1)).alias("n_labels"),
         F.sum("n_docs").alias("n_docs_total"),
+    ).crossJoin(
+        lik_ext.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("token").alias("vocab"),
+        )
     ).first()
-    lrow = lik_ext.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("token").alias("vocab"),
-    ).first()
+    prow = lrow = row
     if prow["n_labels"] == 0:
         raise ValueError(f"{op}: empty training frame")
     meta = spark.createDataFrame(
@@ -1835,9 +1841,12 @@ def nb_update_model(
     priors_ext, lik_ext = _nb_derive(tc_m, dc_m, n_total)
     # materialize BEFORE the persist drops the stored tables these
     # frames still read from (the snapshot-rollback localCheckpoint
-    # discipline); model-sized blocks, freed when the frames drop
-    priors_ext = priors_ext.localCheckpoint()
-    lik_ext = lik_ext.localCheckpoint()
+    # discipline); model-sized blocks, freed when the frames drop.
+    # eager=False: _nb_persist_model's single meta aggregate reads both
+    # frames before any drop, so it materializes them — two dedicated
+    # checkpoint jobs were pure overhead (r14 optimization round)
+    priors_ext = priors_ext.localCheckpoint(eager=False)
+    lik_ext = lik_ext.localCheckpoint(eager=False)
     return _nb_persist_model(
         spark, catalog, model_table, priors_ext, lik_ext,
         op="nb_update_model", last_update_fp=batch_fp,
@@ -1946,27 +1955,40 @@ def nb_model_consistency_check(
     the end-to-end scores. Returns (n_labels, n_model_rows,
     n_prior_mismatch, n_likelihood_mismatch, n_score_mismatch) —
     mismatches must be 0."""
+    from hive_io_experimental_spark.functions.reuse import reuse
+
+    # ONE lazy plan (r14 optimization round): every compared leg
+    # materializes once via reuse() and all five numbers are aggregate
+    # branches of the returned frame — the previous eager .count()
+    # calls re-ran the fresh-retrain derivation and BOTH scoring
+    # pipelines (token fan-out x labels + vocab join + min_by) twice
+    # each (guide §1.2 / §5).
     s_priors, s_lik = _nb_load_model(
         spark, catalog, model_table, "nb_model_consistency_check"
     )
+    s_priors, s_lik = reuse(s_priors), reuse(s_lik)
     f_priors, f_lik = nb_train(df, text_col=text_col, label_col=label_col)
-    pm = (
-        s_priors.exceptAll(f_priors).unionAll(f_priors.exceptAll(s_priors))
-    ).count()
-    lm = (
-        s_lik.exceptAll(f_lik).unionAll(f_lik.exceptAll(s_lik))
-    ).count()
-    served = nb_score_from_model(
+    f_priors, f_lik = reuse(f_priors), reuse(f_lik)
+    pm = s_priors.exceptAll(f_priors).unionAll(
+        f_priors.exceptAll(s_priors)
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_prior_mismatch"))
+    lm = s_lik.exceptAll(f_lik).unionAll(
+        f_lik.exceptAll(s_lik)
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_likelihood_mismatch"))
+    served = reuse(nb_score_from_model(
         spark, catalog, model_table, df, text_col, id_col
-    )
-    direct = nb_score(df, f_priors, f_lik, text_col, id_col)
-    sm = (
-        served.exceptAll(direct).unionAll(direct.exceptAll(served))
-    ).count()
-    return spark.createDataFrame(
-        [(s_priors.count(), s_lik.count(), pm, lm, sm)],
-        "n_labels long, n_model_rows long, n_prior_mismatch long, "
-        "n_likelihood_mismatch long, n_score_mismatch long",
+    ))
+    direct = reuse(nb_score(df, f_priors, f_lik, text_col, id_col))
+    sm = served.exceptAll(direct).unionAll(
+        direct.exceptAll(served)
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_score_mismatch"))
+    nl = s_priors.agg(F.count(F.lit(1)).cast("long").alias("n_labels"))
+    nr = s_lik.agg(F.count(F.lit(1)).cast("long").alias("n_model_rows"))
+    return (
+        nl.crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(pm))
+        .crossJoin(F.broadcast(lm))
+        .crossJoin(F.broadcast(sm))
     )
 
 
@@ -2414,12 +2436,20 @@ def bpe_vocab_consistency_check(
         ],
         "merge_rank long, left string, right string, merged string",
     )
-    merge_mism = (
-        stored_df.exceptAll(fresh_df).unionAll(fresh_df.exceptAll(stored_df))
-    ).count()
-    served = bpe_segment_from_vocab(
+    from hive_io_experimental_spark.functions.reuse import reuse
+
+    # ONE lazy plan (r14 optimization round): both segmentation legs
+    # materialize once via reuse() and every count is an aggregate
+    # branch of the returned frame — the eager .count() calls ran the
+    # corpus-sized segmentation pass 5x (served 3x, direct 2x) where 2
+    # passes suffice (guide §1.2 / §5). The merge lists are driver-local
+    # frames either way.
+    mm = stored_df.exceptAll(fresh_df).unionAll(
+        fresh_df.exceptAll(stored_df)
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_merge_mismatch"))
+    served = reuse(bpe_segment_from_vocab(
         spark, catalog, vocab_table, df, text_col, id_col
-    )
+    ))
     # the direct leg applies the FRESHLY retrained merges (not the stored
     # list again — that would compare a plan with itself): stored-trained
     # + stored-applied must equal retrain + apply end to end
@@ -2427,15 +2457,16 @@ def bpe_vocab_consistency_check(
         (r["left"], r["right"])
         for r in fresh_df.orderBy("merge_rank").collect()
     ]
-    direct = _segment_with(df, fresh_merges, text_col, id_col)
-    seg_mism = (
-        served.exceptAll(direct).unionAll(direct.exceptAll(served))
-    ).count()
-    n_docs = served.count()
-    return spark.createDataFrame(
-        [(len(stored), n_docs, merge_mism, seg_mism)],
-        "n_merges long, n_docs long, n_merge_mismatch long, "
-        "n_segment_mismatch long",
+    direct = reuse(_segment_with(df, fresh_merges, text_col, id_col))
+    sm = served.exceptAll(direct).unionAll(
+        direct.exceptAll(served)
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_segment_mismatch"))
+    nm = spark.createDataFrame([(len(stored),)], "n_merges long")
+    nd = served.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        nm.crossJoin(nd)
+        .crossJoin(F.broadcast(mm))
+        .crossJoin(F.broadcast(sm))
     )
 
 
