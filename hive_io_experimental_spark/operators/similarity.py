@@ -2587,11 +2587,13 @@ def pq_append_to_index(
     fresh = (
         new_codes.join(codes.select("id"), "id", "left_anti")
         .withColumn("build_id", F.lit(bid))
-        .localCheckpoint()  # cut lineage: the plan anti-joins the very
-        # table the append rewrites (the same-path-scan lesson,
-        # operators/ingestion.py:377-384)
+        # cut lineage: the plan anti-joins the very table the append
+        # rewrites (the same-path-scan lesson, ingestion.py:377-384).
+        # eager=False + count(): ONE job materializes the checkpoint AND
+        # answers the emptiness probe (was checkpoint + isEmpty = two)
+        .localCheckpoint(eager=False)
     )
-    if fresh.isEmpty():
+    if fresh.count() == 0:
         return catalog.current_version(index_table)
     return HiveOutput(spark, catalog).append_table(
         WriteSpec(table=index_table), fresh, note="pq_append_to_index"
@@ -3204,23 +3206,26 @@ def ivf_pq_append_to_index(
     # independently complete on retry. localCheckpoint cuts lineage —
     # each plan anti-joins the very table its append rewrites (the
     # append_to_artifacts same-path-scan lesson, ingestion.py:377-384).
+    # eager=False + count(): one job per half materializes the
+    # checkpoint AND answers the emptiness probe (was checkpoint +
+    # isEmpty = two jobs per half — r14 optimization round)
     fresh_lists = (
         new_lists.join(lists.select("id"), "id", "left_anti")
         .withColumn("build_id", F.lit(bid))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     fresh_codes = (
         new_codes.join(codes.select("id"), "id", "left_anti")
         .withColumn("build_id", F.lit(bid))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     out = HiveOutput(spark, catalog)
-    if not fresh_lists.isEmpty():
+    if fresh_lists.count() > 0:
         out.append_table(
             WriteSpec(table=f"{index_table}_lists"), fresh_lists,
             note="ivf_pq_append_to_index",
         )
-    if fresh_codes.isEmpty():
+    if fresh_codes.count() == 0:
         return catalog.current_version(index_table)
     return out.append_table(
         WriteSpec(table=index_table), fresh_codes,
@@ -3301,10 +3306,12 @@ def ivf_pq_index_repair(
     code_ids = codes.select("id")
     # localCheckpoint: the repair appends to the very tables these
     # diffs scan (the same-path-scan lesson, ingestion.py:377-384)
+    # eager=False + count(): one job per diff materializes the
+    # checkpoint AND counts it (was checkpoint + count = two jobs each)
     need_codes = list_ids.join(code_ids, "id", "left_anti").distinct() \
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     need_lists = code_ids.join(list_ids, "id", "left_anti").distinct() \
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     n_need_codes, n_need_lists = need_codes.count(), need_lists.count()
 
     def _report(rc: int, rl: int) -> DataFrame:
@@ -3326,7 +3333,9 @@ def ivf_pq_index_repair(
     )
 
     def _vectors_for(ids: DataFrame, n_ids: int, half: str) -> DataFrame:
-        vecs = src.join(ids, "id").localCheckpoint()
+        # eager=False: the hygiene aggregate below materializes the
+        # checkpoint in the same job (was two jobs)
+        vecs = src.join(ids, "id").localCheckpoint(eager=False)
         probe = vecs.agg(
             F.count(F.lit(1)).alias("n"),
             F.count(
@@ -3377,7 +3386,7 @@ def ivf_pq_index_repair(
         fresh_codes = pq_encode(
             vecs, codebooks.select("j", "code", "cv"), num_subspaces,
             vec_col="_vec", id_col="id",
-        ).withColumn("build_id", F.lit(bid)).localCheckpoint()
+        ).withColumn("build_id", F.lit(bid)).localCheckpoint(eager=False)
         # report what was ACTUALLY committed, never echo the need — the
         # two must be equal now that unencodable rows raise above, and a
         # divergence here is a bug worth failing loud over
@@ -3401,7 +3410,7 @@ def ivf_pq_index_repair(
             _assign_pandas(c, "id", "_v", "_nrm", cent_rows, keep=1)
             .select("cid", "id")
             .withColumn("build_id", F.lit(bid))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         repaired_lists = fresh_lists.count()
         if repaired_lists != n_need_lists:
@@ -3829,11 +3838,13 @@ def lsh_append_to_index(
     fresh = (
         qb.join(stored_ids, "id", "left_anti")
         .withColumn("build_id", F.lit(meta["build_id"]))
-        .localCheckpoint()  # cut lineage: the append rewrites the very
-        # table this plan anti-joins against (the append_to_artifacts
-        # same-path-scan lesson, operators/ingestion.py:377-384)
+        # cut lineage: the append rewrites the very table this plan
+        # anti-joins against (the append_to_artifacts same-path-scan
+        # lesson, operators/ingestion.py:377-384). eager=False +
+        # count(): one job materializes AND probes emptiness (was two)
+        .localCheckpoint(eager=False)
     )
-    if fresh.isEmpty():
+    if fresh.count() == 0:
         return catalog.current_version(index_table)
     return HiveOutput(spark, catalog).append_table(
         WriteSpec(table=index_table), fresh, note="lsh_append_to_index"

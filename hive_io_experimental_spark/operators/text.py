@@ -1975,9 +1975,10 @@ def nb_model_consistency_check(
     lm = s_lik.exceptAll(f_lik).unionAll(
         f_lik.exceptAll(s_lik)
     ).agg(F.count(F.lit(1)).cast("long").alias("n_likelihood_mismatch"))
-    served = reuse(nb_score_from_model(
-        spark, catalog, model_table, df, text_col, id_col
-    ))
+    # score the served leg from the frames ALREADY loaded (and stamp-
+    # fenced) above — nb_score_from_model would re-run the three stamp
+    # probe jobs over the same stored tables (r14 optimization round)
+    served = reuse(nb_score(df, s_priors, s_lik, text_col, id_col))
     direct = reuse(nb_score(df, f_priors, f_lik, text_col, id_col))
     sm = served.exceptAll(direct).unionAll(
         direct.exceptAll(served)
