@@ -924,12 +924,15 @@ def label_components_star(
             small.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).distinct().localCheckpoint()
 
-        # converged when the canonical (undirected) edge set is stable
+        # converged when the canonical (undirected) edge set is stable —
+        # both early-stopped diff legs probed in ONE job (r14
+        # optimization round; was two limit(1).count() jobs per round)
         before = edges.filter(F.col("u") < F.col("v"))
         after = new_edges.filter(F.col("u") < F.col("v"))
         changed = (
-            before.exceptAll(after).limit(1).count()
-            + after.exceptAll(before).limit(1).count()
+            before.exceptAll(after).limit(1)
+            .unionAll(after.exceptAll(before).limit(1))
+            .count()
         )
         edges.unpersist()
         edges = new_edges.persist()
