@@ -1990,6 +1990,91 @@ def _pq_encode_pandas(
     return u.mapInPandas(encode, f"id {sid_type}, codes array<long>")
 
 
+def _ivf_pq_encode_assign_pandas(
+    c: DataFrame,
+    cent_rows: list,
+    cb_rows: list,
+    num_subspaces: int,
+    dsub: int,
+) -> DataFrame:
+    """ONE Arrow pass over the raw vectors producing BOTH the IVF-PQ
+    index halves: (id, cid, codes) — the coarse nearest-centroid
+    assignment (_assign_pandas keep=1 math, cosine over raw vectors)
+    and the PQ codes (_pq_encode_pandas math, squared-L2 over the
+    unit-normalized rows). ivf_pq_build_index / ivf_pq_append_to_index
+    previously ran the two as separate passes, i.e. two full reads of
+    the raw embedding column — at 100 TB the dominant build cost (r14
+    optimization round, guide §1.2: remove unnecessary passes).
+
+    Bit-identity with the two single-purpose functions: the centroid
+    cosine and the per-subspace scores are the same BLAS expressions on
+    the same doubles (IEEE division x/nrm matches _unit_vectors' JVM
+    per-element division exactly), argmax tie rules identical, and both
+    are row-independent so batching/partitioning differences cannot
+    change any row's result. Rows with a zero (or NULL) norm keep their
+    assignment but carry codes=NULL — mirroring _unit_vectors dropping
+    them from the encode. ``c`` must be (id, _v array<double>, _nrm);
+    spread it first (single-row-group inputs otherwise serialize the
+    whole pass into one task)."""
+    import numpy as np
+
+    cent_rows = sorted(cent_rows, key=lambda r: r["cid"])
+    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    C = np.array([r["cv"] for r in cent_rows], dtype=np.float64)
+    c_norms = np.linalg.norm(C, axis=1)
+    c_norms[c_norms == 0] = np.inf  # zero-norm centroid never wins
+    mats, biases = [], []
+    for j in range(num_subspaces):
+        rows = sorted(
+            (r for r in cb_rows if r["j"] == j), key=lambda r: r["code"]
+        )
+        Cb = np.array([r["cv"] for r in rows], dtype=np.float64)
+        mats.append(Cb)
+        biases.append(0.5 * (Cb * Cb).sum(axis=1))
+    chunk_rows = max(1, 2_000_000 // max(len(cids), 1))
+
+    def run(batches):
+        for pdf in batches:
+            for lo in range(0, len(pdf), chunk_rows):
+                part = pdf.iloc[lo:lo + chunk_rows]
+                if len(part) == 0:
+                    continue
+                M = np.array(list(part["_v"]), dtype=np.float64)
+                raw_norms = part["_nrm"].to_numpy(dtype=np.float64)
+                m_norms = raw_norms.copy()
+                m_norms[m_norms == 0] = np.inf
+                cos = (M @ C.T) / (m_norms[:, None] * c_norms[None, :])
+                # np.argmax returns the FIRST max: ties to the lowest
+                # cid (C is cid-sorted) — _assign_pandas keep=1 rule
+                out = part[["id"]].copy()
+                out["cid"] = cids[np.argmax(cos, axis=1)]
+                nz = raw_norms > 0  # NULL norm -> nan -> False, like
+                # _unit_vectors' _nrm > 0 filter
+                codes_col: list = [None] * len(part)
+                if nz.any():
+                    U = M[nz] / raw_norms[nz][:, None]
+                    codes = np.empty(
+                        (int(nz.sum()), num_subspaces), dtype=np.int64
+                    )
+                    for j in range(num_subspaces):
+                        sub = U[:, j * dsub:(j + 1) * dsub]
+                        score = sub @ mats[j].T - biases[j]
+                        # FIRST max: ties to the lowest code
+                        codes[:, j] = score.argmax(axis=1)
+                    k = 0
+                    for i, flag in enumerate(nz):
+                        if flag:
+                            codes_col[i] = codes[k]
+                            k += 1
+                out["codes"] = codes_col
+                yield out
+
+    sid_type = dict(c.dtypes)["id"]
+    return c.mapInPandas(
+        run, f"id {sid_type}, cid long, codes array<long>"
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: DataFrame | None = None,
@@ -2839,28 +2924,31 @@ def ivf_pq_build_index(
             _T.StructField("cv", _T.ArrayType(_T.DoubleType())),
         ]),
     )
-    c = corpus.select(
-        F.col(id_col).alias("id"), _as_double(vec_col).alias("_v")
-    ).withColumn("_nrm", l2_norm(F.col("_v")))
-    lists = _assign_pandas(
-        c, "id", "_v", "_nrm", cent_rows, keep=1
-    ).select("cid", "id")
     if codebooks is None:
         codebooks = pq_codebooks_sampled(
             corpus, num_subspaces, pq_stride, max_codes, vec_col, id_col
         )
-    codebooks = spark.createDataFrame(
-        [(r["j"], r["code"], r["cv"]) for r in codebooks.collect()],
-        _T.StructType([
-            _T.StructField("j", _T.IntegerType()),
-            _T.StructField("code", _T.IntegerType()),
-            _T.StructField("cv", _T.ArrayType(_T.DoubleType())),
-        ]),
-    )
-    codes = pq_encode(
-        corpus, codebooks, num_subspaces, pq_stride, max_codes,
-        vec_col, id_col,
-    )
+    cb_rows = [r.asDict() for r in codebooks.collect()]
+    if not cb_rows:
+        raise ValueError("ivf_pq_build_index: empty codebook frame")
+    codebooks = _local_codebooks(spark, cb_rows)
+    dsub = len(cb_rows[0]["cv"])
+    # ONE corpus pass yields BOTH index halves (was two: a centroid-
+    # assignment pass plus a PQ-encode pass — each a full read of the
+    # raw embedding column); reuse() materializes the narrow fused rows
+    # once and both table writes read the blocks. spread() first: the
+    # assignment pass previously ran unspread, i.e. one task on a
+    # single-row-group input (r14 optimization round, guide §1.2/§2).
+    from hive_io_experimental_spark.functions.reuse import reuse
+
+    c = spread(corpus).select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("_v")
+    ).withColumn("_nrm", l2_norm(F.col("_v")))
+    fused = reuse(_ivf_pq_encode_assign_pandas(
+        c, cent_rows, cb_rows, num_subspaces, dsub
+    ))
+    lists = fused.select("cid", "id")
+    codes = fused.filter(F.col("codes").isNotNull()).select("id", "codes")
     out = HiveOutput(spark, catalog)
     id_type = corpus.schema[id_col].dataType
     # one stamp per rebuild; a torn rebuild leaves mixed stamps, which
@@ -3184,22 +3272,27 @@ def ivf_pq_append_to_index(
         )
     num_subspaces = int(max(r["j"] for r in cb_rows) + 1)
     dsub = len(cb_rows[0]["cv"])
-    codebooks = _local_codebooks(spark, cb_rows)
     if not _check_append_batch(
         "ivf_pq_append_to_index", new_vectors, num_subspaces * dsub,
         vec_col, id_col,
     ):
         return catalog.current_version(index_table)  # empty batch: no-op
     cent_rows = [{"cid": r["cid"], "cv": r["cv"]} for r in cents_rows]
-    c = new_vectors.select(
+    # ONE batch pass yields both halves (was an assignment pass plus an
+    # encode pass over the same batch); spread() first — a single-file
+    # batch otherwise runs the whole pass in one task (r14 optimization
+    # round, guide §1.2/§2)
+    from hive_io_experimental_spark.functions.reuse import reuse
+
+    c = spread(new_vectors).select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("_v")
     ).withColumn("_nrm", l2_norm(F.col("_v")))
-    new_lists = _assign_pandas(
-        c, "id", "_v", "_nrm", cent_rows, keep=1
-    ).select("cid", "id")
-    new_codes = pq_encode(
-        new_vectors, codebooks.select("j", "code", "cv"), num_subspaces,
-        vec_col=vec_col, id_col=id_col,
+    fused = reuse(_ivf_pq_encode_assign_pandas(
+        c, cent_rows, cb_rows, num_subspaces, dsub
+    ))
+    new_lists = fused.select("cid", "id")
+    new_codes = fused.filter(F.col("codes").isNotNull()).select(
+        "id", "codes"
     )
     # per-table anti-joins (not one shared id set): after a torn append
     # the two tables disagree on which ids they hold, and each half must
