@@ -3519,3 +3519,50 @@ def test_ivf_pq_index_repair_refuses_unencodable_corpus_rows(
     # the intact corpus still completes the tear
     rep = similarity.ivf_pq_index_repair(spark, cat, tbl, emb).first()
     assert rep["n_repaired_codes"] == emb.count() - half_a.count()
+
+
+def test_ivf_pq_fused_build_zero_norm_rows_listed_but_not_encoded(
+    spark, warehouse
+):
+    """The fused single-pass build (r14 optimization: one corpus read
+    yields both the coarse assignment and the PQ codes) must preserve
+    the two passes' differing zero-norm semantics: a zero-norm vector
+    gets a centroid assignment (the assign pass never dropped it) but
+    NO codes row (the encode pass's unit-vector stage drops it)."""
+    from hive_io_experimental_spark.catalog import Catalog
+    from hive_io_experimental_spark.input import HiveInput, ScanSpec
+
+    cat = Catalog(warehouse)
+    dim = 8
+    rows = [
+        (i, [float((i * 7 + j * 3) % 5 - 2) for j in range(dim)])
+        for i in range(0, 40)
+    ]
+    rows.append((99, [0.0] * dim))  # the zero-norm row
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    similarity.ivf_pq_build_index(
+        spark, cat, "default.emb_zn", emb,
+        centroid_stride=10, num_subspaces=4, pq_stride=5,
+    )
+    inp = HiveInput(spark, cat)
+    lists = inp.read_table(ScanSpec(table="default.emb_zn_lists"))
+    codes = inp.read_table(ScanSpec(table="default.emb_zn"))
+    listed = {r["id"] for r in lists.select("id").collect()}
+    coded = {r["id"] for r in codes.select("id").collect()}
+    assert 99 in listed  # assigned like every row
+    assert 99 not in coded  # dropped by the unit-vector stage
+    assert coded == {i for i, _ in rows[:-1]}
+    # and the nonzero rows' codes match the standalone encoder exactly
+    direct = {
+        r["id"]: list(r["codes"])
+        for r in similarity.pq_encode(
+            emb, num_subspaces=4, centroid_stride=5
+        ).collect()
+    }
+    stored = {
+        r["id"]: list(r["codes"])
+        for r in codes.select("id", "codes").collect()
+    }
+    assert stored == direct
