@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["reuse"]
+__all__ = ["reuse", "run_concurrently"]
 
 
 def reuse(df: DataFrame) -> DataFrame:
@@ -58,3 +58,29 @@ def reuse(df: DataFrame) -> DataFrame:
             f"got {strategy!r}"
         )
     return df.localCheckpoint(eager=False)
+
+
+def run_concurrently(*thunks):
+    """Evaluate independent driver-side thunks concurrently; return their
+    results in call order.
+
+    Under AQE, ``localCheckpoint(eager=False)`` (and any driver collect)
+    BLOCKS while its upstream query stages execute — so a sequence of
+    ``reuse()``/collect calls over INDEPENDENT subtrees serializes jobs
+    that could overlap (guide §2.6: Spark's scheduler happily runs several
+    jobs at once; actions are only sequential because driver code calls
+    them sequentially). Submitting the thunks from a small thread pool
+    lets each job's task tail back-fill cores freed by its siblings.
+
+    Only for thunks with NO data dependency on each other. Exceptions
+    propagate from the first (call-order) failing thunk, so fail-loud
+    fences keep their original error type and message. With one thunk
+    this degrades to a plain call — no thread is spawned."""
+    if len(thunks) == 1:
+        return (thunks[0](),)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        # collect in call order; a failing earlier thunk raises first
+        return tuple(f.result() for f in futures)

@@ -163,12 +163,16 @@ class WriteMeter(ScanMeter):
     call, or ``stats().csv_line(threads)`` for the tailer's CSV shape.
     """
 
-    _seq = 0
+    # itertools.count is a single C-level atomic step, so meters created
+    # from concurrent writer threads can never collide on a name (a
+    # plain `_seq += 1` races under threaded writes)
+    import itertools as _itertools
+
+    _seq = _itertools.count(1)
 
     def __init__(self, name: str | None = None) -> None:
         # Observation instances are single-use; uniquify the default name
         # so back-to-back writes in one session never collide.
         if name is None:
-            WriteMeter._seq += 1
-            name = f"write_meter_{WriteMeter._seq}"
+            name = f"write_meter_{next(WriteMeter._seq)}"
         super().__init__(name)

@@ -2563,8 +2563,10 @@ def pq_build_index(
     # instead of serving silently-wrong ADC scores (the ivf_pq fence).
     import uuid
 
+    from hive_io_experimental_spark.functions.reuse import run_concurrently
+
     bid = uuid.uuid4().hex
-    for tbl, schema, df, versioned in (
+    tables = (
         (
             cb_table,
             HiveTableSchema((
@@ -2586,13 +2588,20 @@ def pq_build_index(
             codes,
             True,
         ),
-    ):
+    )
+    for tbl, schema, _df, versioned in tables:
         if catalog.table_exists(tbl):
             catalog.drop_table(tbl, delete_data=True)
         catalog.create_table(tbl, schema, versioned=versioned)
-        out.write_table(
-            WriteSpec(table=tbl), df.withColumn("build_id", F.lit(bid))
-        )
+    # independent writes (a mid-way crash leaves mixed stamps / an empty
+    # table, both refused by the read paths): the KB-sized codebook
+    # write rides the corpus-encode write's task tail (guide §2.6)
+    run_concurrently(*(
+        (lambda t=tbl, fr=df: out.write_table(
+            WriteSpec(table=t), fr.withColumn("build_id", F.lit(bid))
+        ))
+        for tbl, _s, df, _v in tables
+    ))
 
 
 def pq_append_to_index(
@@ -2626,23 +2635,26 @@ def pq_append_to_index(
     from hive_io_experimental_spark.input import HiveInput, ScanSpec
     from hive_io_experimental_spark.output import HiveOutput, WriteSpec
 
+    from hive_io_experimental_spark.functions.reuse import run_concurrently
+
     inp = HiveInput(spark, catalog)
     # the codebook collect answers the stamp fence, the geometry probe
     # AND the encoder's closure in ONE job (previously three jobs over
-    # the same KB-sized parquet — r14 optimization round, guide §1.2)
-    cb_rows, cb_stamp = _collect_stamped(
-        "pq_append_to_index", index_table, "codebooks",
-        inp.read_table(ScanSpec(table=f"{index_table}_codebooks")),
-        rebuild="pq_build_index",
-    )
+    # the same KB-sized parquet — r14 optimization round, guide §1.2);
+    # it overlaps the independent codes stamp probe (guide §2.6)
     codes = inp.read_table(ScanSpec(table=index_table))
-    stamps = {
-        "codebooks": cb_stamp,
-        "codes": _index_stamp(
+    (cb_rows, cb_stamp), c_stamp = run_concurrently(
+        lambda: _collect_stamped(
+            "pq_append_to_index", index_table, "codebooks",
+            inp.read_table(ScanSpec(table=f"{index_table}_codebooks")),
+            rebuild="pq_build_index",
+        ),
+        lambda: _index_stamp(
             "pq_append_to_index", index_table, "codes", codes,
             rebuild="pq_build_index",
         ),
-    }
+    )
+    stamps = {"codebooks": cb_stamp, "codes": c_stamp}
     if len(set(stamps.values())) > 1:
         raise ValueError(
             f"pq_append_to_index: index {index_table} has mixed build_id "
@@ -2766,23 +2778,26 @@ def pq_query_index(
     _require_small_query_side(
         queries.select(F.col(id_col)), "pq_query_index (broadcast LUTs)"
     )
+    from hive_io_experimental_spark.functions.reuse import run_concurrently
+
     inp = HiveInput(spark, catalog)
     # one codebook collect answers the stamp fence, the geometry probe
     # and the broadcast LUT build (previously three jobs over the same
-    # KB-sized parquet — r14 optimization round, guide §1.2)
-    cb_rows, cb_stamp = _collect_stamped(
-        "pq_query_index", index_table, "codebooks",
-        inp.read_table(ScanSpec(table=f"{index_table}_codebooks")),
-        rebuild="pq_build_index",
-    )
+    # KB-sized parquet — r14 optimization round, guide §1.2); it
+    # overlaps the independent codes stamp probe (guide §2.6)
     codes = inp.read_table(ScanSpec(table=index_table))
-    stamps = {
-        "codebooks": cb_stamp,
-        "codes": _index_stamp(
+    (cb_rows, cb_stamp), c_stamp = run_concurrently(
+        lambda: _collect_stamped(
+            "pq_query_index", index_table, "codebooks",
+            inp.read_table(ScanSpec(table=f"{index_table}_codebooks")),
+            rebuild="pq_build_index",
+        ),
+        lambda: _index_stamp(
             "pq_query_index", index_table, "codes", codes,
             rebuild="pq_build_index",
         ),
-    }
+    )
+    stamps = {"codebooks": cb_stamp, "codes": c_stamp}
     if len(set(stamps.values())) > 1:
         raise ValueError(
             f"pq_query_index: index {index_table} has mixed build_id "
@@ -2827,22 +2842,28 @@ def pq_index_consistency_check(
     index), n_mismatch (full-row anti-join both ways, must be 0). The
     ivf_index_consistency_check contract, for PQ.
 
-    ONE lazy plan (r14 optimization round): both legs materialize once
-    via reuse() and every count is an aggregate branch of the returned
-    frame — the previous eager .count() calls recomputed the served leg
-    3x and the direct leg (a full corpus re-encode) 2x (guide §1.2:
-    don't compute things you throw away; §5 reuse)."""
-    from hive_io_experimental_spark.functions.reuse import reuse
+    ONE plan, each leg materialized once (r14 optimization round):
+    reuse() + aggregate-branch counts — the previous eager .count()
+    calls recomputed the served leg 3x and the direct leg (a full
+    corpus re-encode) 2x (guide §1.2; §5 reuse). The two legs are
+    independent (stored-table reads vs corpus re-encode), and reuse()
+    BLOCKS while AQE runs the leg's stages — so they build
+    concurrently (guide §2.6: overlap independent jobs)."""
+    from hive_io_experimental_spark.functions.reuse import (
+        reuse, run_concurrently,
+    )
 
     cols = ["query_id", "neighbor_id", "adc_score", "rank"]
-    served = reuse(pq_query_index(
-        spark, catalog, index_table, queries, k, num_subspaces,
-        vec_col, id_col,
-    ).select(cols))
-    direct = reuse(pq_topk(
-        corpus, queries, k, num_subspaces, centroid_stride, max_codes,
-        None, vec_col, id_col,
-    ).select(cols))
+    served, direct = run_concurrently(
+        lambda: reuse(pq_query_index(
+            spark, catalog, index_table, queries, k, num_subspaces,
+            vec_col, id_col,
+        ).select(cols)),
+        lambda: reuse(pq_topk(
+            corpus, queries, k, num_subspaces, centroid_stride, max_codes,
+            None, vec_col, id_col,
+        ).select(cols)),
+    )
     mism = served.exceptAll(direct).unionAll(
         direct.exceptAll(served)
     ).agg(F.count(F.lit(1)).cast("long").alias("n_mismatch"))
@@ -2898,22 +2919,35 @@ def ivf_pq_build_index(
     from hive_io_experimental_spark.output import HiveOutput, WriteSpec
     from hive_io_experimental_spark.schema import HiveTableSchema
 
+    from hive_io_experimental_spark.functions.reuse import run_concurrently
+
     if centroid_stride is None:
         centroid_stride = resolve_ivf_stride(corpus.count())
     cents = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
         F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")
     )
-    cent_rows = [r.asDict() for r in cents.collect()]
-    if not cent_rows:
-        raise ValueError(
-            "ivf_pq_build_index: no vector id hits the centroid_stride "
-            f"({centroid_stride}); lower the stride"
+    if codebooks is None:
+        codebooks = pq_codebooks_sampled(
+            corpus, num_subspaces, pq_stride, max_codes, vec_col, id_col
         )
     # serve BOTH consumers of each geometry table (the Arrow closures
     # and the table writes) from one collect — previously the centroid
     # filter-scan and the codebook sample/explode/window plans each ran
     # twice per build (r14 optimization round, guide §1.2); doubles
-    # round-trip py4j exactly, so the written rows are bit-identical
+    # round-trip py4j exactly, so the written rows are bit-identical.
+    # The two collects are independent corpus-side jobs — overlapped
+    # (guide §2.6).
+    cent_rows, cb_rows = run_concurrently(
+        lambda: [r.asDict() for r in cents.collect()],
+        lambda: [r.asDict() for r in codebooks.collect()],
+    )
+    if not cent_rows:
+        raise ValueError(
+            "ivf_pq_build_index: no vector id hits the centroid_stride "
+            f"({centroid_stride}); lower the stride"
+        )
+    if not cb_rows:
+        raise ValueError("ivf_pq_build_index: empty codebook frame")
     from pyspark.sql import types as _T
 
     id_type = corpus.schema[id_col].dataType
@@ -2924,13 +2958,6 @@ def ivf_pq_build_index(
             _T.StructField("cv", _T.ArrayType(_T.DoubleType())),
         ]),
     )
-    if codebooks is None:
-        codebooks = pq_codebooks_sampled(
-            corpus, num_subspaces, pq_stride, max_codes, vec_col, id_col
-        )
-    cb_rows = [r.asDict() for r in codebooks.collect()]
-    if not cb_rows:
-        raise ValueError("ivf_pq_build_index: empty codebook frame")
     codebooks = _local_codebooks(spark, cb_rows)
     dsub = len(cb_rows[0]["cv"])
     # ONE corpus pass yields BOTH index halves (was two: a centroid-
@@ -2959,7 +2986,7 @@ def ivf_pq_build_index(
     # lists + codes are VERSIONED: ivf_pq_append_to_index folds new
     # vectors in as snapshot appends (and time-travel reads the index
     # as-of any tick); centroids + codebooks are the immutable geometry
-    for tbl, schema, df, versioned in (
+    tables = (
         (
             f"{index_table}_centroids",
             HiveTableSchema((
@@ -3001,11 +3028,22 @@ def ivf_pq_build_index(
             codes,
             True,
         ),
-    ):
+    )
+    for tbl, schema, _df, versioned in tables:
         if catalog.table_exists(tbl):
             catalog.drop_table(tbl, delete_data=True)
         catalog.create_table(tbl, schema, versioned=versioned)
-        out.write_table(WriteSpec(table=tbl), df.withColumn("build_id", F.lit(bid)))
+    # the four writes are independent (any mid-way crash leaves mixed
+    # stamps or an empty table, which every read path refuses) — run
+    # them concurrently so the big lists/codes jobs overlap and the
+    # tiny geometry writes ride their task tails (guide §2.6); lists
+    # and codes both project from the reuse()d fused rows
+    run_concurrently(*(
+        (lambda t=tbl, fr=df: out.write_table(
+            WriteSpec(table=t), fr.withColumn("build_id", F.lit(bid))
+        ))
+        for tbl, _s, df, _v in tables
+    ))
 
 
 def ivf_pq_query_index(
@@ -3039,6 +3077,8 @@ def ivf_pq_query_index(
         queries.select(F.col(id_col)),
         "ivf_pq_query_index (broadcast probes + LUTs)",
     )
+    from hive_io_experimental_spark.functions.reuse import run_concurrently
+
     inp = HiveInput(spark, catalog)
     # torn-rebuild fence: every table must carry the SAME build stamp.
     # The two KB-sized geometry tables are collected ONCE each — their
@@ -3046,25 +3086,34 @@ def ivf_pq_query_index(
     # closures (previously: four stamp probe jobs plus a centroid
     # collect plus a codebook geometry job — r14 optimization round,
     # guide §1.2); the corpus-sized lists/codes tables keep their
-    # one-sampled-row stamp probes (no full scan).
-    cents_rows, cent_stamp = _collect_stamped(
-        "ivf_pq_query_index", index_table, "centroids",
-        inp.read_table(ScanSpec(table=f"{index_table}_centroids")),
-        rebuild="ivf_pq_build_index",
-    )
-    cb_rows, cb_stamp = _collect_stamped(
-        "ivf_pq_query_index", index_table, "codebooks",
-        inp.read_table(ScanSpec(table=f"{index_table}_codebooks")),
-        rebuild="ivf_pq_build_index",
-    )
+    # one-sampled-row stamp probes (no full scan). All four probe jobs
+    # are independent reads of different tables — overlapped (§2.6).
     lists = inp.read_table(ScanSpec(table=f"{index_table}_lists"))
     codes = inp.read_table(ScanSpec(table=index_table))
-    stamps = {"centroids": cent_stamp, "codebooks": cb_stamp}
-    for name, df in (("lists", lists), ("codes", codes)):
-        stamps[name] = _index_stamp(
-            "ivf_pq_query_index", index_table, name, df,
-            rebuild="ivf_pq_build_index",
+    (cents_rows, cent_stamp), (cb_rows, cb_stamp), l_stamp, c_stamp = (
+        run_concurrently(
+            lambda: _collect_stamped(
+                "ivf_pq_query_index", index_table, "centroids",
+                inp.read_table(ScanSpec(table=f"{index_table}_centroids")),
+                rebuild="ivf_pq_build_index",
+            ),
+            lambda: _collect_stamped(
+                "ivf_pq_query_index", index_table, "codebooks",
+                inp.read_table(ScanSpec(table=f"{index_table}_codebooks")),
+                rebuild="ivf_pq_build_index",
+            ),
+            lambda: _index_stamp(
+                "ivf_pq_query_index", index_table, "lists", lists,
+                rebuild="ivf_pq_build_index",
+            ),
+            lambda: _index_stamp(
+                "ivf_pq_query_index", index_table, "codes", codes,
+                rebuild="ivf_pq_build_index",
+            ),
         )
+    )
+    stamps = {"centroids": cent_stamp, "codebooks": cb_stamp,
+              "lists": l_stamp, "codes": c_stamp}
     if len(set(stamps.values())) > 1:
         raise ValueError(
             f"ivf_pq_query_index: index {index_table} has mixed build_id "
@@ -3167,22 +3216,27 @@ def ivf_pq_index_consistency_check(
     produced the index — including ``codebooks=`` when the index was
     built with trained codebooks (the direct path would otherwise
     recompute sampled ones and report spurious mismatches)."""
-    from hive_io_experimental_spark.functions.reuse import reuse
+    from hive_io_experimental_spark.functions.reuse import (
+        reuse, run_concurrently,
+    )
 
     cols = ["query_id", "neighbor_id", "adc_score", "rank"]
-    # ONE lazy plan (r14 optimization round): both legs materialize once
-    # via reuse() and every count is an aggregate branch of the returned
-    # frame — the previous eager .count() calls recomputed the served
-    # leg 3x and the direct leg (a full corpus re-encode + re-assign)
-    # 2x (guide §1.2 / §5).
-    served = reuse(ivf_pq_query_index(
-        spark, catalog, index_table, queries, k, nprobe, num_subspaces,
-        vec_col, id_col,
-    ).select(cols))
-    direct = reuse(ivf_pq_topk(
-        corpus, queries, k, centroid_stride, nprobe, num_subspaces,
-        pq_stride, max_codes, codebooks, vec_col, id_col,
-    ).select(cols))
+    # ONE plan, each leg materialized once (r14 optimization round):
+    # reuse() + aggregate-branch counts — the previous eager .count()
+    # calls recomputed the served leg 3x and the direct leg (a full
+    # corpus re-encode + re-assign) 2x (guide §1.2 / §5). The legs are
+    # independent and reuse() blocks while AQE runs a leg's stages, so
+    # they build concurrently (guide §2.6).
+    served, direct = run_concurrently(
+        lambda: reuse(ivf_pq_query_index(
+            spark, catalog, index_table, queries, k, nprobe,
+            num_subspaces, vec_col, id_col,
+        ).select(cols)),
+        lambda: reuse(ivf_pq_topk(
+            corpus, queries, k, centroid_stride, nprobe, num_subspaces,
+            pq_stride, max_codes, codebooks, vec_col, id_col,
+        ).select(cols)),
+    )
     mism = served.exceptAll(direct).unionAll(
         direct.exceptAll(served)
     ).agg(F.count(F.lit(1)).cast("long").alias("n_mismatch"))
@@ -3234,29 +3288,42 @@ def ivf_pq_append_to_index(
     from hive_io_experimental_spark.input import HiveInput, ScanSpec
     from hive_io_experimental_spark.output import HiveOutput, WriteSpec
 
+    from hive_io_experimental_spark.functions.reuse import (
+        reuse, run_concurrently,
+    )
+
     inp = HiveInput(spark, catalog)
     # one collect per KB-sized geometry table answers stamp + geometry
     # + Arrow closures; lists/codes keep sampled-row stamp probes
     # (r14 optimization round, guide §1.2 — was 4 probes + collect +
-    # geometry job)
-    cents_rows, cent_stamp = _collect_stamped(
-        "ivf_pq_append_to_index", index_table, "centroids",
-        inp.read_table(ScanSpec(table=f"{index_table}_centroids")),
-        rebuild="ivf_pq_build_index",
-    )
-    cb_rows, cb_stamp = _collect_stamped(
-        "ivf_pq_append_to_index", index_table, "codebooks",
-        inp.read_table(ScanSpec(table=f"{index_table}_codebooks")),
-        rebuild="ivf_pq_build_index",
-    )
+    # geometry job). All four probe jobs are independent reads of
+    # different tables — overlapped (guide §2.6).
     lists = inp.read_table(ScanSpec(table=f"{index_table}_lists"))
     codes = inp.read_table(ScanSpec(table=index_table))
-    stamps = {"centroids": cent_stamp, "codebooks": cb_stamp}
-    for name, df in (("lists", lists), ("codes", codes)):
-        stamps[name] = _index_stamp(
-            "ivf_pq_append_to_index", index_table, name, df,
-            rebuild="ivf_pq_build_index",
+    (cents_rows, cent_stamp), (cb_rows, cb_stamp), l_stamp, c_stamp = (
+        run_concurrently(
+            lambda: _collect_stamped(
+                "ivf_pq_append_to_index", index_table, "centroids",
+                inp.read_table(ScanSpec(table=f"{index_table}_centroids")),
+                rebuild="ivf_pq_build_index",
+            ),
+            lambda: _collect_stamped(
+                "ivf_pq_append_to_index", index_table, "codebooks",
+                inp.read_table(ScanSpec(table=f"{index_table}_codebooks")),
+                rebuild="ivf_pq_build_index",
+            ),
+            lambda: _index_stamp(
+                "ivf_pq_append_to_index", index_table, "lists", lists,
+                rebuild="ivf_pq_build_index",
+            ),
+            lambda: _index_stamp(
+                "ivf_pq_append_to_index", index_table, "codes", codes,
+                rebuild="ivf_pq_build_index",
+            ),
         )
+    )
+    stamps = {"centroids": cent_stamp, "codebooks": cb_stamp,
+              "lists": l_stamp, "codes": c_stamp}
     if len(set(stamps.values())) > 1:
         raise ValueError(
             f"ivf_pq_append_to_index: index {index_table} has mixed "
@@ -3282,8 +3349,6 @@ def ivf_pq_append_to_index(
     # encode pass over the same batch); spread() first — a single-file
     # batch otherwise runs the whole pass in one task (r14 optimization
     # round, guide §1.2/§2)
-    from hive_io_experimental_spark.functions.reuse import reuse
-
     c = spread(new_vectors).select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("_v")
     ).withColumn("_nrm", l2_norm(F.col("_v")))
@@ -3302,23 +3367,29 @@ def ivf_pq_append_to_index(
     # eager=False + count(): one job per half materializes the
     # checkpoint AND answers the emptiness probe (was checkpoint +
     # isEmpty = two jobs per half — r14 optimization round)
-    fresh_lists = (
-        new_lists.join(lists.select("id"), "id", "left_anti")
-        .withColumn("build_id", F.lit(bid))
-        .localCheckpoint(eager=False)
-    )
-    fresh_codes = (
-        new_codes.join(codes.select("id"), "id", "left_anti")
-        .withColumn("build_id", F.lit(bid))
-        .localCheckpoint(eager=False)
+    # the two halves' checkpoint+count chains are independent reads of
+    # the shared fused blocks — built and counted concurrently (guide
+    # §2.6); the APPENDS below stay strictly ordered (lists first,
+    # codes second — the documented torn-append direction)
+    def _half(new_half, stored):
+        fresh = (
+            new_half.join(stored.select("id"), "id", "left_anti")
+            .withColumn("build_id", F.lit(bid))
+            .localCheckpoint(eager=False)
+        )
+        return fresh, fresh.count()
+
+    (fresh_lists, n_lists), (fresh_codes, n_codes) = run_concurrently(
+        lambda: _half(new_lists, lists),
+        lambda: _half(new_codes, codes),
     )
     out = HiveOutput(spark, catalog)
-    if fresh_lists.count() > 0:
+    if n_lists > 0:
         out.append_table(
             WriteSpec(table=f"{index_table}_lists"), fresh_lists,
             note="ivf_pq_append_to_index",
         )
-    if fresh_codes.count() == 0:
+    if n_codes == 0:
         return catalog.current_version(index_table)
     return out.append_table(
         WriteSpec(table=index_table), fresh_codes,
@@ -3365,27 +3436,39 @@ def ivf_pq_index_repair(
     from hive_io_experimental_spark.input import HiveInput, ScanSpec
     from hive_io_experimental_spark.output import HiveOutput, WriteSpec
 
+    from hive_io_experimental_spark.functions.reuse import run_concurrently
+
     inp = HiveInput(spark, catalog)
     # one collect per KB-sized geometry table answers stamp + geometry
-    # + Arrow closures (r14 optimization round, guide §1.2)
-    cents_rows, cent_stamp = _collect_stamped(
-        "ivf_pq_index_repair", index_table, "centroids",
-        inp.read_table(ScanSpec(table=f"{index_table}_centroids")),
-        rebuild="ivf_pq_build_index",
-    )
-    cb_rows, cb_stamp = _collect_stamped(
-        "ivf_pq_index_repair", index_table, "codebooks",
-        inp.read_table(ScanSpec(table=f"{index_table}_codebooks")),
-        rebuild="ivf_pq_build_index",
-    )
+    # + Arrow closures (r14 optimization round, guide §1.2); all four
+    # probe jobs are independent reads of different tables — overlapped
+    # (guide §2.6)
     lists = inp.read_table(ScanSpec(table=f"{index_table}_lists"))
     codes = inp.read_table(ScanSpec(table=index_table))
-    stamps = {"centroids": cent_stamp, "codebooks": cb_stamp}
-    for name, df in (("lists", lists), ("codes", codes)):
-        stamps[name] = _index_stamp(
-            "ivf_pq_index_repair", index_table, name, df,
-            rebuild="ivf_pq_build_index",
+    (cents_rows, cent_stamp), (cb_rows, cb_stamp), l_stamp, c_stamp = (
+        run_concurrently(
+            lambda: _collect_stamped(
+                "ivf_pq_index_repair", index_table, "centroids",
+                inp.read_table(ScanSpec(table=f"{index_table}_centroids")),
+                rebuild="ivf_pq_build_index",
+            ),
+            lambda: _collect_stamped(
+                "ivf_pq_index_repair", index_table, "codebooks",
+                inp.read_table(ScanSpec(table=f"{index_table}_codebooks")),
+                rebuild="ivf_pq_build_index",
+            ),
+            lambda: _index_stamp(
+                "ivf_pq_index_repair", index_table, "lists", lists,
+                rebuild="ivf_pq_build_index",
+            ),
+            lambda: _index_stamp(
+                "ivf_pq_index_repair", index_table, "codes", codes,
+                rebuild="ivf_pq_build_index",
+            ),
         )
+    )
+    stamps = {"centroids": cent_stamp, "codebooks": cb_stamp,
+              "lists": l_stamp, "codes": c_stamp}
     if len(set(stamps.values())) > 1:
         raise ValueError(
             f"ivf_pq_index_repair: index {index_table} has mixed "
@@ -3398,14 +3481,22 @@ def ivf_pq_index_repair(
     list_ids = lists.select("id")
     code_ids = codes.select("id")
     # localCheckpoint: the repair appends to the very tables these
-    # diffs scan (the same-path-scan lesson, ingestion.py:377-384)
+    # diffs scan (the same-path-scan lesson, ingestion.py:377-384).
     # eager=False + count(): one job per diff materializes the
-    # checkpoint AND counts it (was checkpoint + count = two jobs each)
-    need_codes = list_ids.join(code_ids, "id", "left_anti").distinct() \
-        .localCheckpoint(eager=False)
-    need_lists = code_ids.join(list_ids, "id", "left_anti").distinct() \
-        .localCheckpoint(eager=False)
-    n_need_codes, n_need_lists = need_codes.count(), need_lists.count()
+    # checkpoint AND counts it (was checkpoint + count = two jobs
+    # each); the two diffs are independent anti-joins — built and
+    # counted concurrently (guide §2.6)
+    def _diff(a, b):
+        need = a.join(b, "id", "left_anti").distinct() \
+            .localCheckpoint(eager=False)
+        return need, need.count()
+
+    (need_codes, n_need_codes), (need_lists, n_need_lists) = (
+        run_concurrently(
+            lambda: _diff(list_ids, code_ids),
+            lambda: _diff(code_ids, list_ids),
+        )
+    )
 
     def _report(rc: int, rl: int) -> DataFrame:
         return spark.createDataFrame(
@@ -3418,12 +3509,26 @@ def ivf_pq_index_repair(
         return _report(0, 0)
     num_subspaces = int(max(r["j"] for r in cb_rows) + 1)
     dsub = len(cb_rows[0]["cv"])
-    codebooks = _local_codebooks(spark, cb_rows)
     cent_rows = [{"cid": r["cid"], "cv": r["cv"]} for r in cents_rows]
     out = HiveOutput(spark, catalog)
     src = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("_vec")
     )
+
+    def _encode_assign(vecs: DataFrame) -> DataFrame:
+        # the ONE fused Arrow pass the build/append paths use
+        # (_ivf_pq_encode_assign_pandas): each repaired half projects
+        # the column it needs from the same builder — pq_encode would
+        # re-collect the codebooks and re-spread per call, and the
+        # fence above already guarantees every row is encodable, so
+        # the fused pass is row-identical to the single-purpose
+        # encoders (the r14 bit-identity argument, oracle-pinned)
+        c = spread(vecs.select(
+            "id", _as_double("_vec").alias("_v")
+        ).withColumn("_nrm", l2_norm(F.col("_v"))))
+        return _ivf_pq_encode_assign_pandas(
+            c, cent_rows, cb_rows, num_subspaces, dsub
+        )
 
     def _vectors_for(ids: DataFrame, n_ids: int, half: str) -> DataFrame:
         # eager=False: the hygiene aggregate below materializes the
@@ -3476,9 +3581,8 @@ def ivf_pq_index_repair(
     repaired_codes = repaired_lists = 0
     if n_need_codes > 0:
         vecs = _vectors_for(need_codes, n_need_codes, "codes")
-        fresh_codes = pq_encode(
-            vecs, codebooks.select("j", "code", "cv"), num_subspaces,
-            vec_col="_vec", id_col="id",
+        fresh_codes = _encode_assign(vecs).select(
+            "id", "codes"
         ).withColumn("build_id", F.lit(bid)).localCheckpoint(eager=False)
         # report what was ACTUALLY committed, never echo the need — the
         # two must be equal now that unencodable rows raise above, and a
@@ -3496,11 +3600,8 @@ def ivf_pq_index_repair(
         )
     if n_need_lists > 0:
         vecs = _vectors_for(need_lists, n_need_lists, "lists")
-        c = vecs.select(
-            "id", _as_double("_vec").alias("_v")
-        ).withColumn("_nrm", l2_norm(F.col("_v")))
         fresh_lists = (
-            _assign_pandas(c, "id", "_v", "_nrm", cent_rows, keep=1)
+            _encode_assign(vecs)
             .select("cid", "id")
             .withColumn("build_id", F.lit(bid))
             .localCheckpoint(eager=False)
@@ -3855,11 +3956,13 @@ def lsh_build_index(
         "num_planes int, dim int, n_vectors long, build_id string",
     )
     out = HiveOutput(spark, catalog)
+    from hive_io_experimental_spark.functions.reuse import run_concurrently
+
     # the bucket table is VERSIONED: lsh_append_to_index folds new
     # vectors in as snapshots (and time-travel reads the index as-of any
     # ingestion tick); meta is the immutable build-time record of the
     # plane family
-    for tbl, schema, df, versioned in (
+    tables = (
         (
             f"{index_table}_meta",
             HiveTableSchema((
@@ -3881,11 +3984,18 @@ def lsh_build_index(
             buckets.withColumn("build_id", F.lit(bid)),
             True,
         ),
-    ):
+    )
+    for tbl, schema, _df, versioned in tables:
         if catalog.table_exists(tbl):
             catalog.drop_table(tbl, delete_data=True)
         catalog.create_table(tbl, schema, versioned=versioned)
-        out.write_table(WriteSpec(table=tbl), df)
+    # independent writes (mixed-stamp / empty-table crash states are
+    # refused by lsh_query_index): the one-row meta write rides the
+    # corpus-sized bucket write's task tail (guide §2.6)
+    run_concurrently(*(
+        (lambda t=tbl, fr=df: out.write_table(WriteSpec(table=t), fr))
+        for tbl, _s, df, _v in tables
+    ))
 
 
 def lsh_append_to_index(
@@ -3971,18 +4081,23 @@ def lsh_query_index(
         raise ValueError(f"probe_bits must be 0, 1 or 2, got {probe_bits}")
     from hive_io_experimental_spark.input import HiveInput, ScanSpec
 
+    from hive_io_experimental_spark.functions.reuse import run_concurrently
+
     inp = HiveInput(spark, catalog)
     meta_df = inp.read_table(ScanSpec(table=f"{index_table}_meta"))
-    meta = meta_df.first()
+    buckets = inp.read_table(ScanSpec(table=index_table))
+    # two independent one-row probe jobs over different tables (§2.6)
+    meta, b_stamp = run_concurrently(
+        lambda: meta_df.first(),
+        lambda: _index_stamp(
+            "lsh_query_index", index_table, "buckets", buckets,
+            rebuild="lsh_build_index",
+        ),
+    )
     if meta is None:
         raise ValueError(
             f"lsh_query_index: empty meta table {index_table}_meta"
         )
-    buckets = inp.read_table(ScanSpec(table=index_table))
-    b_stamp = _index_stamp(
-        "lsh_query_index", index_table, "buckets", buckets,
-        rebuild="lsh_build_index",
-    )
     if b_stamp != meta["build_id"]:
         raise ValueError(
             f"lsh_query_index: index {index_table} has mixed build_id "
@@ -4057,28 +4172,37 @@ def lsh_index_consistency_check(
             f"lsh_index_consistency_check: empty meta table "
             f"{index_table}_meta"
         )
-    served = lsh_query_index(
-        spark, catalog, index_table, corpus, queries, k, probe_bits,
-        vec_col, id_col,
+    from hive_io_experimental_spark.functions.reuse import (
+        reuse, run_concurrently,
     )
-    if probe_bits == 0:
-        direct = cosine_topk_bucketed(
-            corpus, queries, k, int(meta["num_planes"]), vec_col, id_col
-        )
-    else:
-        direct = _multiprobe_topk(
-            corpus, queries, k, int(meta["num_planes"]), probe_bits,
-            vec_col, id_col, broadcast_queries=False,
-        )
-    from hive_io_experimental_spark.functions.reuse import reuse
 
     cols = ["query_id", "neighbor_id", "cosine", "rank"]
-    # ONE lazy plan (r14 optimization round): both legs materialize once
-    # via reuse(); counts are aggregate branches of the returned frame —
-    # the eager .count() calls recomputed served 3x / direct 2x
-    # (guide §1.2 / §5).
-    served = reuse(served.select(cols))
-    direct = reuse(direct.select(cols))
+
+    def _served():
+        return reuse(lsh_query_index(
+            spark, catalog, index_table, corpus, queries, k, probe_bits,
+            vec_col, id_col,
+        ).select(cols))
+
+    def _direct():
+        if probe_bits == 0:
+            d = cosine_topk_bucketed(
+                corpus, queries, k, int(meta["num_planes"]), vec_col,
+                id_col,
+            )
+        else:
+            d = _multiprobe_topk(
+                corpus, queries, k, int(meta["num_planes"]), probe_bits,
+                vec_col, id_col, broadcast_queries=False,
+            )
+        return reuse(d.select(cols))
+
+    # ONE plan, each leg materialized once (r14 optimization round):
+    # reuse() + aggregate-branch counts — the eager .count() calls
+    # recomputed served 3x / direct 2x (guide §1.2 / §5). The legs are
+    # independent and reuse() blocks while AQE runs a leg's stages, so
+    # they build concurrently (guide §2.6).
+    served, direct = run_concurrently(_served, _direct)
     mism = served.exceptAll(direct).unionAll(
         direct.exceptAll(served)
     ).agg(F.count(F.lit(1)).cast("long").alias("n_mismatch"))

@@ -1126,6 +1126,13 @@ def _bm25_contributions(df, text_col, id_col, k1, b, token_filter):
             word_tokens(F.col(text_col)).alias("_toks"),
         )
     )
+    return _bm25_contributions_prepared(prepared, k1, b, token_filter)
+
+
+def _bm25_contributions_prepared(prepared, k1, b, token_filter):
+    """_bm25_contributions over an already-tokenized (doc_id, _toks)
+    frame — for callers that share ONE corpus tokenization pass between
+    several scoring stages (bm25_prf_search runs three)."""
     dl = prepared.select("doc_id", F.size("_toks").alias("dl"))
     corpus = dl.agg(
         F.count(F.lit(1)).alias("_n"),
@@ -1262,9 +1269,12 @@ def bm25_prf_search(
     Fully LAZY: the expansion terms never touch the driver — they stay
     a (token) frame semi-joined (broadcast) into the second pass's
     token stream, so the whole operator is one plan. Corpus-sized work
-    is three token passes (seed scoring, feedback extraction + df
-    counts, final scoring) — each vocabulary- or postings-bounded after
-    its first shuffle, like bm25_search itself.
+    is ONE tokenization pass (r15 optimization round, guide §1.2):
+    the reuse()-materialized (doc_id, _toks) frame feeds the seed
+    scoring, the feedback extraction, the df counts AND the final
+    scoring — previously each of those re-read and re-tokenized the
+    corpus (four passes). Everything downstream is vocabulary- or
+    postings-bounded after its first shuffle, like bm25_search itself.
     Returns (doc_id, n_terms_hit, score) — bm25_search's schema, where
     n_terms_hit counts seed+expansion hits.
     """
@@ -1272,22 +1282,37 @@ def bm25_prf_search(
         raise ValueError(
             f"need fb_docs >= 1 and fb_terms >= 0, got {fb_docs}, {fb_terms}"
         )
-    seed_terms = _normalize_query_terms(terms)
-    seed = bm25_search(
-        df, seed_terms, text_col=text_col, id_col=id_col,
-        k1=k1, b=b, top_k=fb_docs,
-    )
-    toks = spread(
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(word_tokens(F.col(text_col))).alias("token"),
-        )
-    )
-    n_docs = df.select(F.count(F.lit(1)).alias("_n"))
     from hive_io_experimental_spark.functions.reuse import reuse
 
+    seed_terms = _normalize_query_terms(terms)
+    prepared = reuse(spread(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            word_tokens(F.col(text_col)).alias("_toks"),
+        )
+    ))
+    # the seed pass: bm25_search's exact scoring tail over the shared
+    # tokenized frame (same contributions formula, same literal-isin
+    # narrowing)
+    seed = (
+        _bm25_contributions_prepared(
+            prepared, k1, b,
+            token_filter=lambda toks: toks.filter(
+                F.col("token").isin(list(seed_terms))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+            F.sum("_s").cast("double").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(fb_docs)
+    )
+    toks = prepared.select("doc_id", F.explode("_toks").alias("token"))
+    n_docs = prepared.select(F.count(F.lit(1)).alias("_n"))
     # fb_tf feeds BOTH the df semi-join and the weight join — reuse()
-    # keeps its corpus-sized token pass from executing twice
+    # keeps its postings-sized aggregation from executing twice
     fb_tf = reuse(
         toks.join(F.broadcast(seed.select("doc_id")), "doc_id", "semi")
         .filter(~F.col("token").isin(list(seed_terms)))
@@ -1323,8 +1348,8 @@ def bm25_prf_search(
         [(t,) for t in seed_terms], "token string"
     )
     wanted = fb.unionByName(seed_frame).distinct()
-    contrib = _bm25_contributions(
-        df, text_col, id_col, k1, b,
+    contrib = _bm25_contributions_prepared(
+        prepared, k1, b,
         token_filter=lambda t: t.join(F.broadcast(wanted), "token", "semi"),
     )
     return (
@@ -1560,6 +1585,19 @@ def nb_score(
             ).alias("_t"),
         )
     )
+    return _nb_score_tokens(tok_arr, priors, likelihoods)
+
+
+def _nb_score_tokens(
+    tok_arr: DataFrame,
+    priors: DataFrame,
+    likelihoods: DataFrame,
+) -> DataFrame:
+    """nb_score over an ALREADY-materialized token frame (doc_id,
+    _t array<string>) — the consistency check scores the same corpus
+    against two models, and sharing one tokenization pass between the
+    legs halves the corpus-sized work (guide §1.2: don't compute the
+    same thing twice)."""
     toks = spread(
         tok_arr.select("doc_id", F.explode("_t").alias("token"))
     )
@@ -1660,10 +1698,21 @@ def _nb_persist_model(
     from hive_io_experimental_spark.output import HiveOutput, WriteSpec
     from hive_io_experimental_spark.schema import HiveTableSchema
 
+    from hive_io_experimental_spark.functions.reuse import (
+        reuse, run_concurrently,
+    )
+
     bid = uuid.uuid4().hex
+    # materialize both frames once (r15): the meta aggregate AND the two
+    # table writes all read the checkpointed blocks — unmaterialized,
+    # each write re-ran the whole derivation (token-count joins) from
+    # scratch, a full extra pass per table (guide §1.2 / §5)
+    priors_ext, lik_ext = run_concurrently(
+        lambda: reuse(priors_ext), lambda: reuse(lik_ext)
+    )
     # ONE action for both meta aggregates (r14 optimization round): the
     # two frames are tiny (labels / vocab x labels rows) and this single
-    # job also materializes the callers' lazy checkpoints BEFORE the
+    # job also materializes the (checkpointed) inputs BEFORE the
     # drop-and-recreate below invalidates the stored tables they read
     row = priors_ext.agg(
         F.count(F.lit(1)).alias("n_labels"),
@@ -1685,7 +1734,7 @@ def _nb_persist_model(
         "vocab_size long, last_update_fp string, build_id string",
     )
     out = HiveOutput(spark, catalog)
-    for tbl, schema, frame in (
+    tables = (
         (
             f"{model_table}_meta",
             HiveTableSchema((
@@ -1721,11 +1770,21 @@ def _nb_persist_model(
             )),
             lik_ext.withColumn("build_id", F.lit(bid)),
         ),
-    ):
+    )
+    for tbl, schema, _frame in tables:
         if catalog.table_exists(tbl):
             catalog.drop_table(tbl, delete_data=True)
         catalog.create_table(tbl, schema)
-        out.write_table(WriteSpec(table=tbl), frame)
+    # meta commits FIRST (the torn-write fences key off that order);
+    # the priors and likelihoods writes target independent tables whose
+    # any-partial state the mixed-stamp fence refuses, so they run
+    # concurrently and their task tails back-fill idle cores (guide
+    # §2.6 — same move as build_corpus_artifacts' artifact writes)
+    out.write_table(WriteSpec(table=tables[0][0]), tables[0][2])
+    run_concurrently(*(
+        (lambda t=tbl, fr=frame: out.write_table(WriteSpec(table=t), fr))
+        for tbl, _s, frame in tables[1:]
+    ))
     return bid
 
 
@@ -1839,14 +1898,10 @@ def nb_update_model(
         [(int(meta["n_docs_total"]) + int(n_b),)], "_n long"
     )
     priors_ext, lik_ext = _nb_derive(tc_m, dc_m, n_total)
-    # materialize BEFORE the persist drops the stored tables these
-    # frames still read from (the snapshot-rollback localCheckpoint
-    # discipline); model-sized blocks, freed when the frames drop.
-    # eager=False: _nb_persist_model's single meta aggregate reads both
-    # frames before any drop, so it materializes them — two dedicated
-    # checkpoint jobs were pure overhead (r14 optimization round)
-    priors_ext = priors_ext.localCheckpoint(eager=False)
-    lik_ext = lik_ext.localCheckpoint(eager=False)
+    # _nb_persist_model reuse()-materializes both frames (and runs its
+    # meta aggregate over them) BEFORE the drop-and-recreate invalidates
+    # the stored tables they still read from — the snapshot-rollback
+    # localCheckpoint discipline, now owned by the persist path itself
     return _nb_persist_model(
         spark, catalog, model_table, priors_ext, lik_ext,
         op="nb_update_model", last_update_fp=batch_fp,
@@ -1955,31 +2010,78 @@ def nb_model_consistency_check(
     the end-to-end scores. Returns (n_labels, n_model_rows,
     n_prior_mismatch, n_likelihood_mismatch, n_score_mismatch) —
     mismatches must be 0."""
-    from hive_io_experimental_spark.functions.reuse import reuse
+    from hive_io_experimental_spark.functions.reuse import (
+        reuse, run_concurrently,
+    )
 
-    # ONE lazy plan (r14 optimization round): every compared leg
-    # materializes once via reuse() and all five numbers are aggregate
-    # branches of the returned frame — the previous eager .count()
+    # ONE plan, each leg materialized once (r14 optimization round):
+    # reuse() + aggregate-branch counts — the previous eager .count()
     # calls re-ran the fresh-retrain derivation and BOTH scoring
-    # pipelines (token fan-out x labels + vocab join + min_by) twice
-    # each (guide §1.2 / §5).
-    s_priors, s_lik = _nb_load_model(
+    # pipelines twice each (guide §1.2 / §5). Two further cuts (r15):
+    # the corpus is TOKENIZED ONCE into a shared frame that feeds the
+    # retrain's token counts and BOTH scoring legs (previously three
+    # corpus-sized tokenization passes, each with its own checkpoint),
+    # and the independent served/direct chains build concurrently —
+    # reuse() blocks while AQE runs a chain's stages (guide §2.6).
+    s_priors0, s_lik0 = _nb_load_model(
         spark, catalog, model_table, "nb_model_consistency_check"
     )
-    s_priors, s_lik = reuse(s_priors), reuse(s_lik)
-    f_priors, f_lik = nb_train(df, text_col=text_col, label_col=label_col)
-    f_priors, f_lik = reuse(f_priors), reuse(f_lik)
+    # one corpus pass: (doc_id, label, tokens) serves retrain + scoring
+    base = reuse(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(label_col).alias("label"),
+            F.coalesce(
+                word_tokens(F.col(text_col)),
+                F.array().cast("array<string>"),
+            ).alias("_t"),
+        )
+    )
+    tok_arr = base.select("doc_id", "_t")
+
+    def _served_chain():
+        sp, sl = run_concurrently(
+            lambda: reuse(s_priors0), lambda: reuse(s_lik0)
+        )
+        # score the served leg from the frames ALREADY loaded (and
+        # stamp-fenced) above — nb_score_from_model would re-run the
+        # three stamp probe jobs over the same stored tables
+        return sp, sl, reuse(_nb_score_tokens(tok_arr, sp, sl))
+
+    def _direct_chain():
+        # the retrain's sufficient statistics, derived from the SAME
+        # shared token frame (bit-identical to _nb_stats over df: the
+        # explode drops empty arrays exactly like exploding the raw
+        # word_tokens call, and the doc/total counts are row counts of
+        # the same rows); the derived doubles come from the same
+        # _nb_derive expressions nb_train uses
+        tc = spread(
+            base.select("label", F.explode("_t").alias("token"))
+        ).groupBy("label", "token").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        doc_counts = base.groupBy("label").agg(
+            F.count(F.lit(1)).alias("n_docs")
+        )
+        n_total = base.select(F.count(F.lit(1)).alias("_n"))
+        fp0, fl0 = _nb_derive(tc, doc_counts, n_total)
+        fp, fl = run_concurrently(
+            lambda: reuse(fp0.select(
+                "label", "n_docs", "prior_bits", "unseen_bits"
+            )),
+            lambda: reuse(fl0.select("label", "token", "bits")),
+        )
+        return fp, fl, reuse(_nb_score_tokens(tok_arr, fp, fl))
+
+    (s_priors, s_lik, served), (f_priors, f_lik, direct) = (
+        run_concurrently(_served_chain, _direct_chain)
+    )
     pm = s_priors.exceptAll(f_priors).unionAll(
         f_priors.exceptAll(s_priors)
     ).agg(F.count(F.lit(1)).cast("long").alias("n_prior_mismatch"))
     lm = s_lik.exceptAll(f_lik).unionAll(
         f_lik.exceptAll(s_lik)
     ).agg(F.count(F.lit(1)).cast("long").alias("n_likelihood_mismatch"))
-    # score the served leg from the frames ALREADY loaded (and stamp-
-    # fenced) above — nb_score_from_model would re-run the three stamp
-    # probe jobs over the same stored tables (r14 optimization round)
-    served = reuse(nb_score(df, s_priors, s_lik, text_col, id_col))
-    direct = reuse(nb_score(df, f_priors, f_lik, text_col, id_col))
     sm = served.exceptAll(direct).unionAll(
         direct.exceptAll(served)
     ).agg(F.count(F.lit(1)).cast("long").alias("n_score_mismatch"))
@@ -2151,12 +2253,25 @@ def bpe_segment_counts(
             f"Use bpe_segment_counts_arrow for realistic tokenizer-sized "
             f"merge lists (identical results, Arrow-batched applier)."
         )
-    words = spread(
+    return _segment_counts_words(_bpe_words(df, text_col, id_col), merges)
+
+
+def _bpe_words(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The (doc_id, w) word stream BOTH appliers segment — identical for
+    any merge list, so the consistency check tokenizes the corpus once
+    and shares the frame between its two legs (guide §1.2)."""
+    return spread(
         df.select(
             F.col(id_col).alias("doc_id"),
             F.explode(word_tokens(F.col(text_col))).alias("w"),
         )
     ).filter(F.col("w").rlike("^[a-z0-9]+$"))
+
+
+def _segment_counts_words(
+    words: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """The literal-replace applier over an already-built word stream."""
     # initial state "|h| |a| |t|" built with one regexp: every char c -> "|c| "
     state = F.rtrim(F.regexp_replace(F.col("w"), "(.)", "|$1| "))
     for left, right in merges:
@@ -2199,18 +2314,20 @@ def bpe_segment_counts_arrow(
     Returns (doc_id, n_words, n_bpe_tokens) — same schema, same values.
     """
     _validate_bpe_merges(merges, "bpe_segment_counts_arrow")
+    return _segment_counts_arrow_words(
+        _bpe_words(df, text_col, id_col), merges
+    )
+
+
+def _segment_counts_arrow_words(
+    words: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """The Arrow-batched applier over an already-built word stream."""
     from collections.abc import Iterator
 
     import pandas as pd
 
     merge_list = [(str(left), str(right)) for left, right in merges]
-
-    words = spread(
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(word_tokens(F.col(text_col))).alias("w"),
-        )
-    ).filter(F.col("w").rlike("^[a-z0-9]+$"))
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # one task-lifetime memo: word -> final symbol count. Replays the
@@ -2392,6 +2509,16 @@ def _segment_with(df, merges, text_col, id_col):
     return bpe_segment_counts_arrow(df, merges, text_col, id_col)
 
 
+def _segment_words_with(words, merges):
+    """_segment_with over an already-built word stream — the same
+    size-routing rule, for callers that share one tokenization pass
+    between several merge lists (the consistency check)."""
+    _validate_bpe_merges(merges, "bpe_segment_counts")
+    if len(merges) <= _MAX_LITERAL_MERGES:
+        return _segment_counts_words(words, merges)
+    return _segment_counts_arrow_words(words, merges)
+
+
 def bpe_vocab_consistency_check(
     spark,
     catalog,
@@ -2437,28 +2564,41 @@ def bpe_vocab_consistency_check(
         ],
         "merge_rank long, left string, right string, merged string",
     )
-    from hive_io_experimental_spark.functions.reuse import reuse
+    from hive_io_experimental_spark.functions.reuse import (
+        reuse, run_concurrently,
+    )
 
-    # ONE lazy plan (r14 optimization round): both segmentation legs
-    # materialize once via reuse() and every count is an aggregate
-    # branch of the returned frame — the eager .count() calls ran the
-    # corpus-sized segmentation pass 5x (served 3x, direct 2x) where 2
-    # passes suffice (guide §1.2 / §5). The merge lists are driver-local
-    # frames either way.
+    # ONE plan, each leg materialized once (r14 optimization round):
+    # reuse() + aggregate-branch counts — the eager .count() calls ran
+    # the corpus-sized segmentation pass 5x (served 3x, direct 2x)
+    # where 2 passes suffice (guide §1.2 / §5). Two further cuts (r15):
+    # the corpus is tokenized into ONE shared word stream feeding both
+    # segmentation legs (the word split is merge-list-independent;
+    # previously each leg re-tokenized the corpus), and the two legs
+    # materialize concurrently — reuse() blocks while AQE runs a leg's
+    # stages (guide §2.6). The served leg applies the `stored` merges
+    # already loaded (and stamp-fenced) above; bpe_segment_from_vocab
+    # would re-run the three vocab-load probe jobs.
     mm = stored_df.exceptAll(fresh_df).unionAll(
         fresh_df.exceptAll(stored_df)
     ).agg(F.count(F.lit(1)).cast("long").alias("n_merge_mismatch"))
-    served = reuse(bpe_segment_from_vocab(
-        spark, catalog, vocab_table, df, text_col, id_col
-    ))
-    # the direct leg applies the FRESHLY retrained merges (not the stored
-    # list again — that would compare a plan with itself): stored-trained
-    # + stored-applied must equal retrain + apply end to end
-    fresh_merges = [
-        (r["left"], r["right"])
-        for r in fresh_df.orderBy("merge_rank").collect()
-    ]
-    direct = reuse(_segment_with(df, fresh_merges, text_col, id_col))
+    words = reuse(_bpe_words(df, text_col, id_col))
+
+    def _direct():
+        # the direct leg applies the FRESHLY retrained merges (not the
+        # stored list again — that would compare a plan with itself):
+        # stored-trained + stored-applied must equal retrain + apply
+        # end to end
+        fresh_merges = [
+            (r["left"], r["right"])
+            for r in fresh_df.orderBy("merge_rank").collect()
+        ]
+        return reuse(_segment_words_with(words, fresh_merges))
+
+    served, direct = run_concurrently(
+        lambda: reuse(_segment_words_with(words, stored)),
+        _direct,
+    )
     sm = served.exceptAll(direct).unionAll(
         direct.exceptAll(served)
     ).agg(F.count(F.lit(1)).cast("long").alias("n_segment_mismatch"))

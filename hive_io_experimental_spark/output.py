@@ -104,6 +104,21 @@ class HiveOutput:
         meter = WriteMeter()
         return meter.attach(df), meter
 
+    def _observed_rows(self, meter) -> int | None:
+        """The committed row count, read from the write job's own
+        Observation instead of a readback-count job over the files just
+        written (guide §1.2: don't recompute what the write job already
+        counted — the readback was one extra Spark job per versioned
+        write/append, and at scale re-lists and re-opens every footer).
+        Returns None — caller falls back to the readback count — when
+        speculative execution is on: a duplicated successful attempt
+        could double-count observed metrics, and table stats must stay
+        exact."""
+        spec = self.spark.conf.get("spark.speculation", "false")
+        if (spec or "").strip().lower() == "true":
+            return None
+        return int(meter.stats().n_rows)
+
     def write_table(self, spec: WriteSpec, df: DataFrame) -> None:
         """Spec-check + widen + write + register: the full W1-W6 pipeline."""
         desc = TableDesc.parse(spec.table)
@@ -128,9 +143,7 @@ class HiveOutput:
         df, meter = self._metered(df)
 
         if self.catalog.is_versioned(desc):
-            self._write_versioned(
-                desc, schema, spec, df, on_written=meter.mark_done
-            )
+            self._write_versioned(desc, schema, spec, df, meter=meter)
             self.last_write_stats = meter.stats()
             return
 
@@ -155,7 +168,9 @@ class HiveOutput:
                 **opts
             ).format(fmt).save(part_path)
             meter.mark_done()
-            stats = self._stats_for(part_path, fmt, schema)
+            stats = self._stats_for(
+                part_path, fmt, schema, num_rows=self._observed_rows(meter)
+            )
             if exists:
                 self.catalog.drop_partition(desc, spec.partition_values)
             self.catalog.add_partition(desc, spec.partition_values, stats)
@@ -316,7 +331,7 @@ class HiveOutput:
 
     def _write_versioned(
         self, desc: TableDesc, schema: HiveTableSchema, spec: WriteSpec,
-        df: DataFrame, on_written=None,
+        df: DataFrame, meter=None,
     ) -> None:
         from hive_io_experimental_spark.sources.formats import writer_options
 
@@ -342,9 +357,12 @@ class HiveOutput:
             df.write.mode("errorifexists").options(**opts).format(fmt).save(
                 snap_path
             )
-            if on_written is not None:
-                on_written()
-            stats = self._stats_for(snap_path, fmt, schema)
+            if meter is not None:
+                meter.mark_done()
+            stats = self._stats_for(
+                snap_path, fmt, schema,
+                num_rows=None if meter is None else self._observed_rows(meter),
+            )
             manifest = self._manifest_dicts(
                 [p for p in prior if p.values != spec.partition_values]
             )
@@ -365,9 +383,12 @@ class HiveOutput:
             df.write.mode("errorifexists").options(**opts).format(fmt).save(
                 snap_path
             )
-            if on_written is not None:
-                on_written()
-            stats = self._stats_for(snap_path, fmt, schema)
+            if meter is not None:
+                meter.mark_done()
+            stats = self._stats_for(
+                snap_path, fmt, schema,
+                num_rows=None if meter is None else self._observed_rows(meter),
+            )
             manifest = [
                 {"values": {}, "location": snap_path, "stats": vars(stats)}
             ]
@@ -408,6 +429,7 @@ class HiveOutput:
         if spec.expectations:
             self._check_expectations(df, spec)
         df = self._apply_layout(self._conform(df, schema), desc)
+        df, meter = self._metered(df)
         location = self.catalog.table_location(desc)
         fmt = self.catalog.table_format(desc)
         version = self.catalog.next_version(desc)
@@ -416,14 +438,19 @@ class HiveOutput:
         df.write.mode("errorifexists").options(
             **writer_options(fmt)
         ).format(fmt).save(snap_path)
+        meter.mark_done()
         manifest = self._manifest_dicts(prior)
         manifest.append(
             {
                 "values": {},
                 "location": snap_path,
-                "stats": vars(self._stats_for(snap_path, fmt, schema)),
+                "stats": vars(self._stats_for(
+                    snap_path, fmt, schema,
+                    num_rows=self._observed_rows(meter),
+                )),
             }
         )
+        self.last_write_stats = meter.stats()
         return self.catalog.commit_snapshot(desc, version, manifest, note=note)
 
     def _write_dynamic_versioned(
