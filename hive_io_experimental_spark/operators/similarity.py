@@ -827,10 +827,16 @@ def _ivf_assign(
         queries.select(F.col(id_col)), "IVF top-k (broadcast probes)"
     )
     cents = F.broadcast(centroids.withColumn("cnrm", l2_norm(F.col("cv"))))
+    # ONE centroid collect serves both assignment closures — the corpus
+    # and query sides each collected the same (often corpus-derived)
+    # centroid frame, i.e. one redundant scan job per IVF call (r15
+    # optimization round, guide §1.2)
+    cent_rows = (
+        [r.asDict() for r in centroids.collect()] if use_pandas else None
+    )
 
     def nearest(side: DataFrame, sid: str, vname: str, nrmname: str, keep: int):
         if use_pandas:
-            cent_rows = [r.asDict() for r in centroids.collect()]
             return _assign_pandas(side, sid, vname, nrmname, cent_rows, keep)
         cos = F.try_divide(
             dot_product(F.col(vname), F.col("cv")),
@@ -2369,25 +2375,71 @@ def ivf_pq_topk(
     cents = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
         F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")
     )
-    inverted, probes = _ivf_assign(
-        corpus, queries, cents, nprobe, vec_col, id_col, use_pandas
-    )
     if codebooks is None:
         codebooks = pq_codebooks_sampled(
             corpus, num_subspaces, pq_stride, max_codes, vec_col, id_col
         )
-    codes = pq_encode(
-        corpus, codebooks, num_subspaces, pq_stride, max_codes,
-        vec_col, id_col, use_pandas,
-    )
     qu = _unit_vectors(queries, vec_col, id_col)
-    probe = qu.select(F.size("v").alias("d")).first()
-    if probe is None:
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, adc_score double, rank long"
+    if use_pandas:
+        # ONE fused Arrow pass over the raw corpus yields BOTH the
+        # coarse assignment and the PQ codes (r15 optimization round —
+        # the same _ivf_pq_encode_assign_pandas the persisted-index
+        # build/append/repair paths use; previously the direct operator
+        # ran a separate assignment pass and encode pass, i.e. two full
+        # reads of the embedding column, plus two centroid collects and
+        # a query-side dimension probe job). Bit-identity with the
+        # two-pass shape is the r14 argument, oracle-pinned.
+        from hive_io_experimental_spark.functions.reuse import (
+            reuse, run_concurrently,
         )
-    dsub = probe["d"] // num_subspaces
-    luts = _pq_query_luts(qu, codebooks, num_subspaces, dsub)
+
+        _require_small_query_side(
+            queries.select(F.col(id_col)), "IVF top-k (broadcast probes)"
+        )
+        cent_rows, cb_rows = run_concurrently(
+            lambda: [r.asDict() for r in cents.collect()],
+            lambda: [r.asDict() for r in codebooks.collect()],
+        )
+        if not cb_rows:
+            raise ValueError("ivf_pq_topk: empty codebook frame")
+        dsub = len(cb_rows[0]["cv"])
+        c = spread(corpus).select(
+            F.col(id_col).alias("id"), _as_double(vec_col).alias("_v")
+        ).withColumn("_nrm", l2_norm(F.col("_v")))
+        fused = reuse(_ivf_pq_encode_assign_pandas(
+            c, cent_rows, cb_rows, num_subspaces, dsub
+        ))
+        inverted = fused.select("cid", F.col("id").alias("neighbor_id"))
+        codes = fused.filter(F.col("codes").isNotNull()).select(
+            "id", "codes"
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+        ).withColumn("qnrm", l2_norm(F.col("qv")))
+        probes = _assign_pandas(
+            q, "query_id", "qv", "qnrm", cent_rows, keep=nprobe
+        )
+        luts = _pq_query_luts(
+            qu, _local_codebooks(corpus.sparkSession, cb_rows),
+            num_subspaces, dsub,
+        )
+    else:
+        inverted, probes = _ivf_assign(
+            corpus, queries, cents, nprobe, vec_col, id_col, use_pandas
+        )
+        codes = pq_encode(
+            corpus, codebooks, num_subspaces, pq_stride, max_codes,
+            vec_col, id_col, use_pandas,
+        )
+        probe = qu.select(F.size("v").alias("d")).first()
+        if probe is None:
+            return corpus.sparkSession.createDataFrame(
+                [],
+                "query_id long, neighbor_id long, adc_score double, "
+                "rank long",
+            )
+        dsub = probe["d"] // num_subspaces
+        luts = _pq_query_luts(qu, codebooks, num_subspaces, dsub)
     inv = inverted.select("cid", "neighbor_id").join(
         codes.withColumnRenamed("id", "neighbor_id"), "neighbor_id"
     )

@@ -1914,27 +1914,51 @@ def _nb_load_model_full(spark, catalog, model_table: str, op: str):
     needs the count columns too): raises on empty/pre-stamp/mixed-stamp
     tables; an empty likelihood table is legitimate only when meta
     records n_model_rows = 0 (an all-tokenless training corpus)."""
+    from hive_io_experimental_spark.functions.reuse import run_concurrently
     from hive_io_experimental_spark.input import HiveInput, ScanSpec
     from hive_io_experimental_spark.operators.similarity import _index_stamp
 
     inp = HiveInput(spark, catalog)
-    meta = inp.read_table(ScanSpec(table=f"{model_table}_meta")).first()
+    priors = inp.read_table(ScanSpec(table=f"{model_table}_priors"))
+    likelihoods = inp.read_table(ScanSpec(table=model_table))
+
+    def _lik_row():
+        # raw probe only — which fence applies depends on meta's
+        # n_model_rows, interpreted after the concurrent gather below
+        if "build_id" not in likelihoods.columns:
+            return (False, likelihoods.first())
+        return (True, likelihoods.select("build_id").first())
+
+    # the three one-row probe jobs read independent tables (guide §2.6)
+    meta, p_stamp, (l_has_col, l_row) = run_concurrently(
+        lambda: inp.read_table(
+            ScanSpec(table=f"{model_table}_meta")
+        ).first(),
+        lambda: _index_stamp(
+            op, model_table, "priors", priors, rebuild="nb_build_model"
+        ),
+        _lik_row,
+    )
     if meta is None:
         raise ValueError(
             f"{op}: empty meta table {model_table}_meta — run "
             f"nb_build_model first"
         )
-    priors = inp.read_table(ScanSpec(table=f"{model_table}_priors"))
-    p_stamp = _index_stamp(
-        op, model_table, "priors", priors, rebuild="nb_build_model"
-    )
-    likelihoods = inp.read_table(ScanSpec(table=model_table))
     if int(meta["n_model_rows"]) > 0:
-        l_stamp = _index_stamp(
-            op, model_table, "likelihoods", likelihoods,
-            rebuild="nb_build_model",
-        )
-    elif likelihoods.first() is not None:
+        if not l_has_col:
+            raise ValueError(
+                f"{op}: index {model_table}'s likelihoods table has no "
+                f"build_id column — it predates the torn-rebuild stamp. "
+                f"Re-run nb_build_model to migrate it."
+            )
+        if l_row is None:
+            raise ValueError(
+                f"{op}: index {model_table}'s likelihoods table is EMPTY "
+                f"— a rebuild was torn between create and write. Re-run "
+                f"nb_build_model before serving."
+            )
+        l_stamp = l_row["build_id"]
+    elif l_row is not None:
         # meta says the model is legitimately empty, but likelihood rows
         # exist: a torn rebuild wrote the new meta/priors and crashed
         # before dropping the OLD likelihoods table (nb_build_model
