@@ -451,8 +451,20 @@ def main() -> int:
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
         json.dump(result, f, indent=1)
-    print(json.dumps(result))
+    # The printed contract line is COMPACT (r14 verdict task 8): the r13
+    # line was lost to the driver's bounded stdout-tail capture because
+    # the per-sample/spread/norm maps made it ~60 KB. Those maps live in
+    # the BENCH_LOCAL.json sidecar above (same pass, full detail); the
+    # line keeps the full per-gate seconds map and every scalar — the
+    # driver contract — at ~6 KB. It is also the FINAL stdout line:
+    # spark.stop() runs first so no late JVM/py4j output can trail it.
+    compact = {
+        k: v for k, v in result.items()
+        if k not in ("samples", "spread", "queries_norm")
+    }
     spark.stop()
+    sys.stdout.flush()
+    print(json.dumps(compact), flush=True)
     return 0
 
 
